@@ -1,0 +1,26 @@
+"""quickstart_streaming_agents_spark — a PySpark-native streaming-analytics engine.
+
+A brand-new engine with the query and data-processing capabilities of
+``confluentinc/quickstart-streaming-agents`` (a workshop driving Confluent
+Cloud Flink SQL), re-expressed Spark-first:
+
+- Stream catalog over Kafka/file sources (CTAS ≡ writeStream + re-register).
+- Event-time tumbling windows + watermarks (reference: TUMBLE TVF,
+  LAB3-Walkthrough.md:99-112).
+- Stream joins incl. interval joins (LAB4-Walkthrough.md:231-235).
+- ``ml_detect_anomalies`` — online per-key AR forecast + confidence bounds
+  (reference ML_DETECT_ANOMALIES OVER window, LAB3-Walkthrough.md:119-132).
+- ``ml_predict`` / ``vector_search`` / ``ai_tool_invoke`` / ``ai_run_agent``
+  row-level AI functions backed by a model/tool/agent registry with a
+  deterministic fake provider for tests (reference CREATE MODEL/TOOL/AGENT).
+- Beyond-reference LLM-data-pipeline operators: dedup (exact/MinHash/SimHash/
+  n-gram/embedding), similarity search, text analysis, multimodal plumbing.
+
+Everything is DataFrame/SQL-first so Catalyst handles pushdown, pruning and
+join strategy; Python appears only in Arrow-batched pandas UDFs.
+"""
+
+from quickstart_streaming_agents_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"

@@ -1,0 +1,349 @@
+"""Oracle-checked query registry.
+
+Every operator from SURVEY.md §2 (and the beyond-reference §M8 set) is
+exposed here as a named query over the driver's TPC-H-ish fixtures, each
+with a DuckDB-runnable ANSI-SQL oracle. The driver compares row count,
+schema, and an order-insensitive value hash with columns sorted by name —
+so every computed column is aliased identically in both forms, and every
+float aggregate is rounded identically in both forms (double summation
+order differs between engines; rounding collapses the ~1e-10 noise).
+
+Reference citations (file:line into /root/reference) identify which
+reference construct each query re-expresses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quickstart_streaming_agents_spark.operators.windows import tumble
+from quickstart_streaming_agents_spark.sources.parquet import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# J1 — multi-way equi join with projection/aliasing
+# Reference: enriched_orders = orders ⋈ customers ⋈ products
+# (LAB1-Walkthrough.md:119-131). Analog on the fixtures: lineitem (fact)
+# ⋈ orders ⋈ customer. Catalyst broadcast-joins the small sides at test SF;
+# at 100 TB the orders join becomes shuffle-hash on the key — both chosen
+# automatically because the plan is declarative.
+# ---------------------------------------------------------------------------
+@query(
+    "enriched_orders",
+    oracle="""
+    SELECT l.l_orderkey AS order_key,
+           l.l_linenumber AS line_number,
+           o.o_orderpriority AS order_priority,
+           c.c_name AS customer_name,
+           c.c_mktsegment AS market_segment,
+           l.l_extendedprice AS line_price,
+           o.o_totalprice AS order_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        lineitem
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_linenumber").alias("line_number"),
+            F.col("o_orderpriority").alias("order_priority"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("market_segment"),
+            F.col("l_extendedprice").alias("line_price"),
+            F.col("o_totalprice").alias("order_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — tumbling 5-minute windowed aggregation (count + sum) per key.
+# Reference: TUMBLE 5-min over ride_requests per pickup_zone
+# (LAB3-Walkthrough.md:99-112). window_time = window_end - 1 ms.
+# ---------------------------------------------------------------------------
+_TUMBLE_5M_ORACLE = """
+    SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS window_start,
+           to_timestamp(floor(epoch(ts) / 300) * 300) + INTERVAL 5 MINUTE AS window_end,
+           to_timestamp(floor(epoch(ts) / 300) * 300) + INTERVAL 5 MINUTE
+               - INTERVAL 1 MILLISECOND AS window_time,
+           event_type,
+           COUNT(*) AS event_count,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+@query("tumble_5m_agg", oracle=_TUMBLE_5M_ORACLE)
+def tumble_5m_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return tumble(
+        events,
+        "ts",
+        "5 minutes",
+        keys=["event_type"],
+        aggs=[
+            F.count("*").alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — 6-hour tumbling window with SUM / COUNT / CAST(ROUND(AVG) AS BIGINT).
+# Reference: claims per city over TUMBLE 6h (LAB4-Walkthrough.md:127-141).
+# ---------------------------------------------------------------------------
+_TUMBLE_6H_ORACLE = """
+    SELECT to_timestamp(floor(epoch(ts) / 21600) * 21600) AS window_start,
+           to_timestamp(floor(epoch(ts) / 21600) * 21600) + INTERVAL 6 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS event_count,
+           ROUND(SUM(value), 2) AS total_value,
+           CAST(ROUND(AVG(value)) AS BIGINT) AS avg_value
+    FROM events
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("tumble_6h_avg", oracle=_TUMBLE_6H_ORACLE)
+def tumble_6h_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return tumble(
+        events,
+        "ts",
+        "6 hours",
+        keys=["event_type"],
+        aggs=[
+            F.count("*").alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value")).cast("long").alias("avg_value"),
+        ],
+        window_time=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1-P5 + F-cast — projection, filters (inequality, non-empty string), CAST.
+# Reference: WHERE city <> 'Naples' (LAB4-Walkthrough.md:87,101),
+# WHERE claim_narrative <> '' (LAB4-Walkthrough.md:236),
+# CAST(claim_amount AS DOUBLE) (LAB4-Walkthrough.md:83).
+# ---------------------------------------------------------------------------
+@query(
+    "filter_project",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           event_type,
+           CAST(value AS DECIMAL(10,2)) AS value_dec,
+           CAST(user_id AS VARCHAR) AS user_str
+    FROM events
+    WHERE event_type <> 'error' AND props <> '' AND value > 5.0
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events
+        .filter((F.col("event_type") != "error") & (F.col("props") != "") & (F.col("value") > 5.0))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").cast("decimal(10,2)").alias("value_dec"),
+            F.col("user_id").cast("string").alias("user_str"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F-str / F-date / F-cond / F-math — scalar-function parity sweep.
+# Reference: REGEXP_EXTRACT + TRIM (LAB1-Walkthrough.md:202-204),
+# CASE WHEN time-of-day (LAB3-Walkthrough.md:279-289), HOUR()
+# (LAB3:280-288), DATE_FORMAT 'HH:mm' (LAB3:291-293), COALESCE
+# (LAB4:425-442), ROUND pct (LAB3:299), CONCAT prompt assembly
+# (LAB1:210-251).
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_funcs",
+    oracle="""
+    SELECT event_id,
+           TRIM(regexp_extract(props, '"k": (\\d+)', 1)) AS k_value,
+           CASE WHEN hour(ts) < 6 THEN 'night'
+                WHEN hour(ts) < 12 THEN 'morning'
+                WHEN hour(ts) < 18 THEN 'afternoon'
+                ELSE 'evening' END AS time_of_day,
+           strftime(ts, '%H:%M') AS hhmm,
+           COALESCE(NULLIF(event_type, 'error'), 'none') AS safe_type,
+           ROUND(value * 1.1, 1) AS marked_up,
+           CONCAT('user=', CAST(user_id AS VARCHAR), ' type=', event_type) AS prompt
+    FROM events
+    """,
+)
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.trim(F.regexp_extract("props", r'"k": (\d+)', 1)).alias("k_value"),
+        F.when(F.hour("ts") < 6, "night")
+        .when(F.hour("ts") < 12, "morning")
+        .when(F.hour("ts") < 18, "afternoon")
+        .otherwise("evening")
+        .alias("time_of_day"),
+        F.date_format("ts", "HH:mm").alias("hhmm"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("none")).alias("safe_type"),
+        F.round(F.col("value") * 1.1, 1).alias("marked_up"),
+        F.concat(
+            F.lit("user="), F.col("user_id").cast("string"),
+            F.lit(" type="), F.col("event_type"),
+        ).alias("prompt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L1-L3 — deterministic top-k per group (ORDER BY + row_number ≤ k).
+# Reference: LIMIT on CTAS/interactive (LAB4-Walkthrough.md:209-237,
+# LAB2-Walkthrough.md:91); top-k as in VECTOR_SEARCH_AGG's k=3.
+# ---------------------------------------------------------------------------
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT event_type, event_id, value, rk
+    FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id ASC) AS rk
+        FROM events
+    ) t
+    WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        events
+        .select("event_type", "event_id", "value", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — interval join: fact rows joined back to their window aggregate with
+# an event-time range predicate. Reference: claims ⋈ claims_anomalies_by_city
+# ON city AND ts ∈ [window_time − 6h, window_time] (LAB4-Walkthrough.md:231-235).
+# Spark executes equi-join on the key with the range as a post-join filter —
+# the same shape a Flink interval join has, minus the state (batch here;
+# streaming variant in streaming/interval_join).
+# ---------------------------------------------------------------------------
+_INTERVAL_JOIN_ORACLE = """
+    WITH agg AS (
+        SELECT to_timestamp(floor(epoch(ts) / 21600) * 21600) + INTERVAL 6 HOUR
+                   - INTERVAL 1 MILLISECOND AS window_time,
+               event_type,
+               COUNT(*) AS event_count
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type, a.window_time, a.event_count
+    FROM events e
+    JOIN agg a
+      ON e.event_type = a.event_type
+     AND e.ts >= a.window_time - INTERVAL 6 HOUR
+     AND e.ts <= a.window_time
+    WHERE a.event_count > 2
+"""
+
+
+@query("interval_join", oracle=_INTERVAL_JOIN_ORACLE)
+def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    agg = tumble(
+        events,
+        "ts",
+        "6 hours",
+        keys=["event_type"],
+        aggs=[F.count("*").alias("event_count")],
+    ).select("window_time", "event_type", "event_count")
+    return (
+        events.alias("e")
+        .join(
+            agg.alias("a"),
+            (F.col("e.event_type") == F.col("a.event_type"))
+            & (F.col("e.ts") >= F.col("a.window_time") - F.expr("INTERVAL 6 HOUR"))
+            & (F.col("e.ts") <= F.col("a.window_time")),
+        )
+        .filter(F.col("a.event_count") > 2)
+        .select(
+            F.col("e.event_id").alias("event_id"),
+            F.col("e.event_type").alias("event_type"),
+            F.col("a.window_time").alias("window_time"),
+            F.col("a.event_count").alias("event_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary — the classic windowless hash aggregate,
+# exercising SUM/AVG/COUNT + arithmetic (F-math2) at fact-table scale.
+# Map-side partial agg → single shuffle on 2 low-cardinality keys.
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 2) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
