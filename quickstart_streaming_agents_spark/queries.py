@@ -19,6 +19,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quickstart_streaming_agents_spark.operators.anomaly import (
+    ml_detect_anomalies,
+    norm_ppf,
+)
 from quickstart_streaming_agents_spark.operators.windows import tumble
 from quickstart_streaming_agents_spark.sources.parquet import load_table
 
@@ -28,10 +32,20 @@ ORACLE: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Workers need the package importable for pandas-UDF closures,
+            # regardless of how the driver process set up its sys.path.
+            from quickstart_streaming_agents_spark.session import ship_package
+
+            ship_package(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
-        return fn
+        return wrapped
     return deco
 
 
@@ -303,6 +317,94 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.window_time").alias("window_time"),
             F.col("a.event_count").alias("event_count"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/W2/F2 — ML_DETECT_ANOMALIES over the ordered history of window
+# aggregates, then the is_anomaly post-filter.
+# Reference: LAB3-Walkthrough.md:119-132,185-197; LAB4-Walkthrough.md:150-179.
+# zscore detector = built-in window functions (SQL-expressible → oracle);
+# ar detector = applyInPandas AR refit (reference ARIMA semantics → rows-only
+# driver check, behavior-tested in tests/test_anomaly.py).
+# ---------------------------------------------------------------------------
+_Z95 = norm_ppf(0.975)
+
+_ANOMALY_ZSCORE_ORACLE = f"""
+    WITH agg AS (
+        SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS window_start,
+               event_type,
+               COUNT(*) AS event_count
+        FROM events
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT window_start, event_type, event_count,
+               AVG(CAST(event_count AS DOUBLE)) OVER w AS m,
+               STDDEV_SAMP(CAST(event_count AS DOUBLE)) OVER w AS sd,
+               COUNT(*) OVER w AS n
+        FROM agg
+        WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                     ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT window_start, event_type, event_count,
+           CASE WHEN n >= 8 THEN ROUND(m, 4) END AS forecast_value,
+           CASE WHEN n >= 8 THEN ROUND(m + {_Z95!r} * sd, 4) END AS upper_bound,
+           CASE WHEN n >= 8 THEN ROUND(m - {_Z95!r} * sd, 4) END AS lower_bound,
+           COALESCE(
+               CASE WHEN n >= 8 THEN
+                   CAST(event_count AS DOUBLE) > m + {_Z95!r} * sd
+                   OR CAST(event_count AS DOUBLE) < m - {_Z95!r} * sd
+               END, FALSE) AS is_anomaly
+    FROM scored
+"""
+
+
+@query("anomaly_zscore", oracle=_ANOMALY_ZSCORE_ORACLE)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    agg = tumble(
+        events, "ts", "1 hour", keys=["event_type"],
+        aggs=[F.count("*").alias("event_count")],
+        window_time=False,
+    ).select("window_start", "event_type", "event_count")
+    scored = ml_detect_anomalies(
+        agg, metric="event_count", ts="window_start", keys=["event_type"],
+        min_training_size=8, max_training_size=50,
+        confidence_percentage=95.0, detector="zscore",
+    )
+    return scored.select(
+        "window_start", "event_type", "event_count",
+        F.round(F.col("anomaly_result.forecast_value"), 4).alias("forecast_value"),
+        F.round(F.col("anomaly_result.upper_bound"), 4).alias("upper_bound"),
+        F.round(F.col("anomaly_result.lower_bound"), 4).alias("lower_bound"),
+        F.col("anomaly_result.is_anomaly").alias("is_anomaly"),
+    )
+
+
+@query("anomaly_detect_ar")  # non-SQL-expressible (AR refit) → rows-only check
+def anomaly_detect_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAB4-shaped pipeline: 6h tumble → AR anomaly → is_anomaly post-filter
+    columns (kept unfiltered so the row count is deterministic)."""
+    events = load_table(spark, sf_dir, "events")
+    agg = tumble(
+        events, "ts", "6 hours", keys=["event_type"],
+        aggs=[
+            F.count("*").alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    ).select("window_time", "event_type", "event_count", "total_value")
+    scored = ml_detect_anomalies(
+        agg, metric="event_count", ts="window_time", keys=["event_type"],
+        min_training_size=8, max_training_size=50,
+        confidence_percentage=95.0, detector="ar",
+    )
+    return scored.select(
+        "window_time", "event_type", "event_count", "total_value",
+        F.round(F.col("anomaly_result.forecast_value"), 2).alias("forecast_value"),
+        F.round(F.col("anomaly_result.upper_bound"), 2).alias("upper_bound"),
+        F.round(F.col("anomaly_result.lower_bound"), 2).alias("lower_bound"),
+        F.col("anomaly_result.is_anomaly").alias("is_anomaly"),
     )
 
 

@@ -9,8 +9,34 @@ knobs that matter at 100 TB.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Spark Python workers.
+
+    Pandas-UDF closures (applyInPandas/mapInPandas operators) are pickled by
+    reference to this module, so workers must be able to import it. The
+    driver process may have loaded us from a bare sys.path entry (no
+    install), so zip the package source and addPyFile it — idempotent per
+    SparkContext. On a real cluster this is exactly how the engine ships:
+    one small zip broadcast to every executor.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_qssa_pkg_shipped", False):
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zpath = Path(tempfile.gettempdir()) / f"qssa_pkg_{os.getpid()}.zip"
+    if not zpath.exists():
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, arcname=str(Path(pkg_dir.name) / py.relative_to(pkg_dir)))
+    sc.addPyFile(str(zpath))
+    sc._qssa_pkg_shipped = True
 
 
 def get_spark(app_name: str = "quickstart_streaming_agents_spark",

@@ -1,0 +1,81 @@
+"""ml_detect_anomalies behavior tests on lab3/lab4-shaped synthetic series.
+
+Mirrors the reference's semantic assertions: exactly the surging key is
+flagged, and only at the spike (testing/e2e/test_lab3.py:248-257 — anomalies
+only for French Quarter; test_lab4.py:265-274 — only Naples).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from quickstart_streaming_agents_spark.operators.anomaly import (
+    ml_detect_anomalies,
+    norm_ppf,
+)
+
+
+def _series(spark, surge_key="french_quarter", n_windows=120, spike_at=115, spike_mult=6):
+    """3 zones × n 5-min windows of steady counts; one zone spikes at the end."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for z, zone in enumerate(["cbd", "uptown", surge_key]):
+        for i in range(n_windows):
+            # deterministic steady noise ±3 around 50
+            count = 50 + ((i * 7 + z * 13) % 7) - 3
+            if zone == surge_key and i >= spike_at:
+                count *= spike_mult
+            rows.append((zone, base + datetime.timedelta(minutes=5 * i), float(count)))
+    return spark.createDataFrame(rows, "zone string, window_time timestamp, request_count double")
+
+
+@pytest.mark.parametrize("detector", ["ar", "zscore"])
+def test_only_surging_zone_flagged(spark, detector):
+    df = _series(spark)
+    out = ml_detect_anomalies(
+        df, metric="request_count", ts="window_time", keys=["zone"],
+        min_training_size=20, max_training_size=100,
+        confidence_percentage=99.9, detector=detector,
+    )
+    flagged = out.filter("anomaly_result.is_anomaly").collect()
+    assert flagged, f"{detector}: no anomalies detected"
+    assert {r["zone"] for r in flagged} == {"french_quarter"}
+    assert all(r["window_time"] >= datetime.datetime(2024, 1, 1, 9, 35) for r in flagged)
+
+
+@pytest.mark.parametrize("detector", ["ar", "zscore"])
+def test_no_output_before_min_training(spark, detector):
+    df = _series(spark)
+    out = ml_detect_anomalies(
+        df, metric="request_count", ts="window_time", keys=["zone"],
+        min_training_size=20, max_training_size=100, detector=detector,
+    ).collect()
+    for r in out:
+        prior = sum(
+            1 for q in out if q["zone"] == r["zone"] and q["window_time"] < r["window_time"]
+        )
+        if prior < 20:
+            assert r["anomaly_result"]["forecast_value"] is None
+            assert r["anomaly_result"]["is_anomaly"] is False
+
+
+def test_forecast_tracks_steady_series(spark):
+    df = _series(spark, spike_at=10**9)  # no spike
+    out = ml_detect_anomalies(
+        df, metric="request_count", ts="window_time", keys=["zone"],
+        min_training_size=20, max_training_size=100,
+        confidence_percentage=99.9, detector="ar",
+    ).filter("anomaly_result.forecast_value IS NOT NULL").collect()
+    assert out
+    for r in out:
+        assert abs(r["anomaly_result"]["forecast_value"] - r["request_count"]) < 15
+        assert not r["anomaly_result"]["is_anomaly"]
+
+
+def test_norm_ppf():
+    # textbook quantiles
+    assert abs(norm_ppf(0.975) - 1.959964) < 1e-5
+    assert abs(norm_ppf(0.5)) < 1e-12
+    assert abs(norm_ppf(0.9995) - 3.290527) < 1e-5
