@@ -1,0 +1,139 @@
+"""Inference providers behind ``ml_predict`` / agents.
+
+The reference calls managed endpoints (Bedrock Claude Sonnet 4.5, Azure
+OpenAI gpt-5-mini, Titan/ada-002 embeddings — terraform/core/main.tf:
+308,346,386,423). This engine resolves a provider by name worker-side; the
+``fake`` provider is fully deterministic so every AI query is reproducible
+(and partially SQL-expressible for oracle checks). Real HTTP providers are
+gated behind import-try + credentials and share the same batched interface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+
+from quickstart_streaming_agents_spark.registries import Model
+
+# ---------------------------------------------------------------------------
+# fake provider — deterministic, dependency-free
+# ---------------------------------------------------------------------------
+
+def fake_textgen(prompts: list[str], model: Model) -> list[str]:
+    """Deterministic completion.
+
+    Two modes:
+    - If the prompt asks for a labeled-verdict format (the reference's agent
+      prompts all do: 'Verdict:' LAB4-Walkthrough.md:339, 'Decision:'
+      LAB1-Walkthrough.md:203), emit a compliant labeled response chosen by
+      prompt hash so downstream REGEXP_EXTRACT parsing is exercised.
+    - Otherwise a template: 'FAKE[<model>]:' + UPPER(first 48 chars) —
+      expressible in ANSI SQL, so ml_predict is hash-checkable by the
+      DuckDB oracle.
+    """
+    out = []
+    for p in prompts:
+        p = p or ""
+        m = re.search(r"verdict[s]? must be one of:?\s*\[([^\]]+)\]", p, re.I)
+        if m:
+            choices = [c.strip().strip("'\"") for c in m.group(1).split(",")]
+            pick = choices[int(hashlib.md5(p.encode()).hexdigest(), 16) % len(choices)]
+            out.append(f"**Verdict:** {pick}\nReasoning: deterministic fake assessment.")
+            continue
+        out.append(f"FAKE[{model.name}]:{p[:48].upper()}")
+    return out
+
+
+def fake_embedding(texts: list[str], model: Model) -> list[list[float]]:
+    """Deterministic unit vector per text: md5-seeded MT19937 normal draw.
+
+    Stable across processes/platforms (numpy RandomState is versioned and
+    seed-deterministic), mirroring the reference's fixture advice of seeded
+    hash → unit vector (FIXTURES.md §4).
+    """
+    import numpy as np
+
+    dim = model.embedding_dim
+    out = []
+    for t in texts:
+        seed = int(hashlib.md5((t or "").encode()).hexdigest()[:8], 16)
+        v = np.random.RandomState(seed).standard_normal(dim)
+        v /= np.linalg.norm(v) or 1.0
+        out.append([float(x) for x in v])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# real providers — same batched signature, gated on deps/credentials
+# ---------------------------------------------------------------------------
+
+def _http_post_json(url: str, headers: dict, payload: dict, timeout: float) -> dict:
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json", **headers}
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+        return json.loads(resp.read())
+
+
+def openai_compatible_textgen(prompts: list[str], model: Model) -> list[str]:
+    """Chat-completions-shaped endpoint (Azure OpenAI / OpenAI-compatible).
+
+    Reference model params: azureopenai.PARAMS.max_completion_tokens=16384
+    (terraform/core/main.tf:495). Sequential per-batch; ml_predict batches
+    rows so each worker amortizes connection setup.
+    """
+    conn = model.connection
+    if conn is None or not conn.endpoint:
+        raise RuntimeError(f"model {model.name!r}: no connection/endpoint configured")
+    creds = dict(conn.credentials)
+    headers = {"api-key": creds.get("api_key", "")} if conn.type == "azureopenai" else {
+        "Authorization": f"Bearer {creds.get('api_key', '')}"
+    }
+    out = []
+    for p in prompts:
+        body = {
+            "messages": [{"role": "user", "content": p}],
+            "max_tokens": int(model.param("max_tokens", "1024")),
+        }
+        if model.param("model_name"):
+            body["model"] = model.param("model_name")
+        resp = _http_post_json(conn.endpoint, headers, body, float(model.param("timeout", "30")))
+        out.append(resp["choices"][0]["message"]["content"])
+    return out
+
+
+def openai_compatible_embedding(texts: list[str], model: Model) -> list[list[float]]:
+    conn = model.connection
+    if conn is None or not conn.endpoint:
+        raise RuntimeError(f"model {model.name!r}: no connection/endpoint configured")
+    creds = dict(conn.credentials)
+    headers = {"Authorization": f"Bearer {creds.get('api_key', '')}"}
+    resp = _http_post_json(
+        conn.endpoint, headers,
+        {"input": texts, "model": model.param("model_name", "")},
+        float(model.param("timeout", "30")),
+    )
+    return [d["embedding"] for d in resp["data"]]
+
+
+PROVIDERS: dict[tuple[str, str], object] = {
+    ("fake", "text_generation"): fake_textgen,
+    ("fake", "embedding"): fake_embedding,
+    ("openai", "text_generation"): openai_compatible_textgen,
+    ("openai", "embedding"): openai_compatible_embedding,
+    ("azureopenai", "text_generation"): openai_compatible_textgen,
+    ("azureopenai", "embedding"): openai_compatible_embedding,
+}
+
+
+def resolve_provider(model: Model):
+    try:
+        return PROVIDERS[(model.provider, model.task)]
+    except KeyError:
+        raise ValueError(
+            f"no provider for ({model.provider!r}, {model.task!r}); "
+            f"registered: {sorted(PROVIDERS)}"
+        ) from None

@@ -19,11 +19,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quickstart_streaming_agents_spark.functions.agents import ai_run_agent
+from quickstart_streaming_agents_spark.functions.ml import ml_predict
+from quickstart_streaming_agents_spark.functions.vector import vector_search
 from quickstart_streaming_agents_spark.operators.anomaly import (
     ml_detect_anomalies,
     norm_ppf,
 )
 from quickstart_streaming_agents_spark.operators.windows import tumble
+from quickstart_streaming_agents_spark.registries import DEFAULT_CATALOG, Agent, Tool
 from quickstart_streaming_agents_spark.sources.parquet import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -448,4 +452,171 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 — ML_PREDICT text generation as a row-level function.
+# Reference: LATERAL TABLE(ML_PREDICT('llm_textgen_model', prompt))
+# (LAB1-Walkthrough.md:66-70, LAB3:352-371). The fake provider's template
+# response is ANSI-SQL-expressible, so this AI function is hash-checked.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_predict_textgen",
+    oracle="""
+    SELECT doc_id,
+           'Summarize: ' || substr(text, 1, 40) AS prompt,
+           'FAKE[fake_textgen]:' || upper(substr('Summarize: ' || substr(text, 1, 40), 1, 48))
+               AS response
+    FROM documents
+    """,
+)
+def ml_predict_textgen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    model = DEFAULT_CATALOG.models["fake_textgen"]
+    prompts = docs.select(
+        "doc_id",
+        F.concat(F.lit("Summarize: "), F.substring("text", 1, 40)).alias("prompt"),
+    )
+    return prompts.withColumn("response", ml_predict(model, "prompt"))
+
+
+@query("ml_predict_embedding")  # embedding values are provider-internal → rows-only
+def ml_predict_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 embedding task: STRING → ARRAY<FLOAT> (terraform/core/main.tf:529;
+    INSERT INTO queries_embed … ML_PREDICT, terraform/lab2-vector-search/
+    main.tf:253)."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = DEFAULT_CATALOG.models["fake_embedding"]
+    return docs.select("doc_id", "text").withColumn(
+        "embedding", ml_predict(model, "text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — VECTOR_SEARCH_AGG top-k cosine, flattened & hash-checked against
+# DuckDB list_cosine_similarity. Reference: terraform/lab2-vector-search/
+# main.tf:292 (k=3, cosine); self-hits excluded to keep ranks stable.
+# ---------------------------------------------------------------------------
+@query(
+    "vector_search_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    s AS (
+        SELECT q.query_id, e.vec_id AS match_id, e.label AS match_label,
+               list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS score
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, match_id) AS rk
+        FROM s
+    )
+    SELECT query_id, match_id, match_label, ROUND(score, 6) AS score, rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def vector_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    searched = vector_search(
+        queries_df, emb, query_col="embedding", k=3, exclude_self_on="query_id"
+    )
+    return searched.select(
+        "query_id", F.posexplode("search_results").alias("pos", "hit")
+    ).select(
+        "query_id",
+        F.col("hit.vec_id").alias("match_id"),
+        F.col("hit.label").alias("match_label"),
+        F.round(F.col("hit.score"), 6).alias("score"),
+        (F.col("pos") + 1).alias("rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lab2 RAG chain: embed → vector search → prompt assembly → LLM answer.
+# Reference: terraform/lab2-vector-search/main.tf:253,292,331 (three chained
+# INSERT INTO … LATERAL TABLE statements). Deterministic end-to-end with the
+# fake provider; embedding internals make it rows-only for the driver.
+# ---------------------------------------------------------------------------
+@query("rag_pipeline")
+def rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    emb_model = DEFAULT_CATALOG.models["fake_embedding"]
+    gen_model = DEFAULT_CATALOG.models["fake_textgen"]
+    emb_table = load_table(spark, sf_dir, "embeddings")
+
+    queries_df = docs.select(F.col("doc_id").alias("query_id"),
+                             F.col("text").alias("query"))
+    embedded = queries_df.withColumn("query_embedding", ml_predict(emb_model, "query"))
+    searched = vector_search(embedded, emb_table, "query_embedding", k=3)
+    prompted = searched.select(
+        "query_id",
+        "query",
+        F.element_at("search_results", 1).getField("vec_id").alias("top_match_id"),
+        F.round(F.element_at("search_results", 1).getField("score"), 6).alias("top_score"),
+        F.concat(
+            F.lit("Answer using context ids: "),
+            F.element_at("search_results", 1).getField("vec_id").cast("string"),
+            F.lit(","),
+            F.element_at("search_results", 2).getField("vec_id").cast("string"),
+            F.lit(" Q: "),
+            F.substring("query", 1, 30),
+        ).alias("prompt"),
+    )
+    return prompted.withColumn("response", ml_predict(gen_model, "prompt"))
+
+
+# ---------------------------------------------------------------------------
+# F4 + F-str2 — AI_RUN_AGENT bounded loop + REGEXP_EXTRACT verdict parsing.
+# Reference: price-match agent LAB1-Walkthrough.md:155-181,202-255 (agent
+# result (status,response), then TRIM(REGEXP_EXTRACT(response,
+# '\*{0,2}Verdict:…'))). Deterministic with the fake model+tools → stable
+# rows-only check; loop behavior unit-tested in tests/test_agents.py.
+# ---------------------------------------------------------------------------
+@query("agent_price_match")
+def agent_price_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    customer = load_table(spark, sf_dir, "customer")
+    tool = Tool(name="web_tools", allowed_tools=("http_get", "send_email"))
+    agent = Agent(
+        name="price_match_agent",
+        model=DEFAULT_CATALOG.models["fake_textgen"],
+        prompt=(
+            "You are a price-match agent. Verify competitor pricing, then "
+            "email the customer. Verdicts must be one of: [PRICE_MATCH, NO_MATCH]"
+        ),
+        tools=(tool,),
+        max_iterations=10,
+        max_consecutive_failures=2,
+    )
+    enriched = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("o_totalprice").alias("order_price"),
+            F.concat(
+                F.lit("Order "), F.col("o_orderkey").cast("string"),
+                F.lit(" for "), F.col("c_name"),
+                F.lit(" at $"), F.round("o_totalprice", 2).cast("string"),
+            ).alias("prompt"),
+        )
+    )
+    with_agent = enriched.withColumn("agent_result", ai_run_agent(agent, "prompt"))
+    return with_agent.select(
+        "order_id",
+        "customer_name",
+        "order_price",
+        F.col("agent_result.status").alias("status"),
+        F.trim(
+            F.regexp_extract(F.col("agent_result.response"), r"\*{0,2}Verdict:\*{0,2}\s*([A-Z_]+)", 1)
+        ).alias("decision"),
+        F.col("agent_result.response").alias("response"),
     )

@@ -1,0 +1,146 @@
+"""ml_predict / vector_search / agent loop behavior tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quickstart_streaming_agents_spark.functions.agents import (
+    ai_run_agent,
+    ai_tool_invoke,
+    run_agent_once,
+)
+from quickstart_streaming_agents_spark.functions.ml import ml_predict
+from quickstart_streaming_agents_spark.functions.vector import (
+    vector_search,
+    vector_search_flat,
+)
+from quickstart_streaming_agents_spark.providers import fake_embedding, fake_textgen
+from quickstart_streaming_agents_spark.registries import (
+    DEFAULT_CATALOG,
+    Agent,
+    Model,
+    Tool,
+)
+from quickstart_streaming_agents_spark.session import ship_package
+from tests.conftest import SF_DIR
+
+
+def test_fake_embedding_deterministic_unit():
+    m = Model(name="e", task="embedding", embedding_dim=64)
+    a = fake_embedding(["hello"], m)[0]
+    b = fake_embedding(["hello"], m)[0]
+    assert a == b and len(a) == 64
+    assert abs(sum(x * x for x in a) - 1.0) < 1e-5
+    assert fake_embedding(["other"], m)[0] != a
+
+
+def test_fake_textgen_verdict_mode():
+    m = DEFAULT_CATALOG.models["fake_textgen"]
+    out = fake_textgen(["Decide. Verdicts must be one of: [APPROVE, DENY_FRAUD]"], m)[0]
+    assert "**Verdict:**" in out
+    assert any(v in out for v in ("APPROVE", "DENY_FRAUD"))
+
+
+def test_ml_predict_embedding_column(spark):
+    ship_package(spark)
+    m = DEFAULT_CATALOG.models["fake_embedding"]
+    df = spark.createDataFrame([("a",), ("b",)], "text string")
+    rows = df.withColumn("emb", ml_predict(m, "text")).collect()
+    assert all(len(r["emb"]) == 64 for r in rows)
+    assert rows[0]["emb"] != rows[1]["emb"]
+
+
+def test_vector_search_finds_self(spark):
+    ship_package(spark)
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # without self-exclusion the best match of a vector is itself, score ≈ 1
+    out = vector_search(q, emb, "embedding", k=1).collect()
+    for r in out:
+        hit = r["search_results"][0]
+        assert hit["vec_id"] == r["query_id"]
+        assert abs(hit["score"] - 1.0) < 1e-9
+
+
+def test_vector_search_flat_columns(spark):
+    ship_package(spark)
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = vector_search_flat(q, emb, "embedding", k=3, id_col="vec_id", text_col=None)
+    assert {"vec_id_1", "score_1", "vec_id_3", "score_3"} <= set(out.columns)
+    assert out.count() == 3
+
+
+def test_agent_loop_success_uses_all_tools():
+    agent = Agent(
+        name="a",
+        model=DEFAULT_CATALOG.models["fake_textgen"],
+        prompt="Verdicts must be one of: [PRICE_MATCH, NO_MATCH]",
+        tools=(Tool(name="t", allowed_tools=("http_get", "send_email")),),
+    )
+    status, response = run_agent_once(agent, "check order 1")
+    assert status == "SUCCESS"
+    assert "Verdict" in response
+
+
+def test_agent_loop_failure_bound():
+    agent = Agent(
+        name="a",
+        model=DEFAULT_CATALOG.models["fake_textgen"],
+        prompt="p",
+        tools=(Tool(name="t", allowed_tools=("always_fails",)),),
+        max_consecutive_failures=2,
+    )
+    status, response = run_agent_once(agent, "x")
+    assert status == "FAILURE"
+    assert "consecutive tool failures" in response
+
+
+def test_agent_max_iterations_bound():
+    # a tool-less agent whose fake model would loop forever on tools can't:
+    # with no allowed tools it answers immediately; instead bound-check via
+    # an agent whose allowed tool list is huge
+    agent = Agent(
+        name="a",
+        model=DEFAULT_CATALOG.models["fake_textgen"],
+        prompt="p",
+        tools=(Tool(name="t", allowed_tools=tuple(f"http_get{i}" for i in range(50))),),
+        max_iterations=3,
+        max_consecutive_failures=100,
+    )
+    status, response = run_agent_once(agent, "x")
+    assert status == "FAILURE"
+    assert "max_iterations" in response
+
+
+def test_ai_run_agent_dataframe(spark):
+    ship_package(spark)
+    agent = Agent(
+        name="a",
+        model=DEFAULT_CATALOG.models["fake_textgen"],
+        prompt="Verdicts must be one of: [APPROVE, DENY]",
+        tools=(Tool(name="t", allowed_tools=("http_get",)),),
+    )
+    df = spark.createDataFrame([("claim 1",), ("claim 2",)], "prompt string")
+    rows = df.withColumn("r", ai_run_agent(agent, "prompt")).collect()
+    assert all(r["r"]["status"] == "SUCCESS" for r in rows)
+    assert all("Verdict" in r["r"]["response"] for r in rows)
+
+
+def test_ai_tool_invoke(spark):
+    ship_package(spark)
+    m = DEFAULT_CATALOG.models["fake_textgen"]
+    df = spark.createDataFrame([("q",)], "prompt string")
+    r = df.withColumn(
+        "t", ai_tool_invoke(m, "prompt", (Tool(name="t", allowed_tools=("http_get",)),))
+    ).collect()[0]["t"]
+    assert r["tool_name"] == "http_get"
+    assert "HTTP 200" in r["result"]
