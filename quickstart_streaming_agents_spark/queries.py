@@ -620,3 +620,222 @@ def agent_price_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("decision"),
         F.col("agent_result.response").alias("response"),
     )
+
+
+# ===========================================================================
+# Beyond-reference operators (BASELINE.json north star): dedup, similarity
+# search, text analysis, multimodal plumbing.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Exact dedup: keep first row per key by event time (hash-groupBy dedup).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value
+    FROM (
+        SELECT event_id, user_id, event_type, ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quickstart_streaming_agents_spark.operators.dedup import dedup_exact
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    return dedup_exact(events, cols=["user_id", "event_type"], order_by=["ts", "event_id"])
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs — exact, JVM-only, oracle-checked.
+# The fixtures plant ~25 pairs at jaccard≈0.99; everything else < 0.1.
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_jaccard_dedup",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, ng FROM (
+            SELECT doc_id,
+                   unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           for i in range(1, greatest(len(w) - 1, 1))]) AS ng
+            FROM d
+        )
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
+    FROM p
+    JOIN sz sa ON sa.doc_id = p.id_a
+    JOIN sz sb ON sb.doc_id = p.id_b
+    WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+    """,
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quickstart_streaming_agents_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query("minhash_lsh_dedup")  # hash internals not SQL-expressible → rows-only
+def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidate pairs, est_jaccard ≥ 0.5.
+    Recall vs the exact ngram_jaccard_dedup pairs is tested in
+    tests/test_dedup.py."""
+    from quickstart_streaming_agents_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
+
+
+@query("simhash_dedup")  # rows-only
+def simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs with Hamming ≤ 3 via 16-bit chunk banding."""
+    from quickstart_streaming_agents_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup / similarity: global top-20 most-similar pairs.
+# Oracle via DuckDB list_cosine_similarity on the full pair join; Spark side
+# broadcasts the corpus and takes per-query top-k then a global limit (per-
+# query k ≥ global k makes the cutoff exact).
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_topk_pairs",
+    oracle="""
+    WITH s AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS score
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(score, 6) AS score
+    FROM s
+    ORDER BY score DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    searched = vector_search(
+        queries_df, emb, "embedding", k=20, exclude_self_on="query_id"
+    )
+    pairs = (
+        searched.select("query_id", F.explode("search_results").alias("hit"))
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("hit.vec_id").alias("id_b"),
+            F.col("hit.score").alias("score"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        pairs.orderBy(F.col("score").desc(), "id_a", "id_b")
+        .limit(20)
+        .select("id_a", "id_b", F.round("score", 6).alias("score"))
+    )
+
+
+@query("ann_lsh_topk")  # LSH bucketing not SQL-expressible → rows-only
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN, recall-tested against brute force in
+    tests/test_similarity.py."""
+    from quickstart_streaming_agents_spark.operators.similarity import ann_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ann_lsh(queries_df, emb, "qid", "vec_id", k=3, num_planes=4, num_tables=16)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token count, punctuation/stopword ratios, language ID,
+# quality score, content fingerprint — all JVM expressions, oracle-checked.
+# ---------------------------------------------------------------------------
+@query(
+    "text_analysis",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+                   / greatest(len(text), 1) AS praw,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x IN ('the','a','and','of','to','in','is','it'))) * 1.0
+                   / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS sraw,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x IN ('the','a','and','of','to','in','is','it'))) AS en_hits,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x IN ('el','la','de','que','los','una','por'))) AS es_hits,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x IN ('der','die','und','das','ist','nicht'))) AS de_hits
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           ROUND(praw, 4) AS punct_ratio,
+           ROUND(sraw, 4) AS stopword_ratio,
+           CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                WHEN de_hits > 0 THEN 'de'
+                ELSE 'und' END AS lang_pred,
+           ROUND(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * (1.0 - least(praw * 5, 1.0))
+               + 0.3 * least(sraw * 4, 1.0), 4) AS quality,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM t
+    """,
+)
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quickstart_streaming_agents_spark.functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        tx.token_count("text").alias("n_tokens"),
+        F.round(tx.punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(tx.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        tx.lang_id("text").alias("lang_pred"),
+        tx.quality_score("text").alias("quality"),
+        tx.doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+@query("multimodal_features")  # fake decoder internals → rows-only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → media metadata + feature vector via mapInPandas
+    (decode stubbed; plumbing real — see operators/multimodal.py)."""
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        attach_payload,
+        extract_media_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_payload = attach_payload(docs, "text")
+    feats = extract_media_features(with_payload, "payload", media_type="image")
+    return feats.select(
+        "doc_id",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.n_frames").alias("n_frames"),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )

@@ -1,0 +1,69 @@
+"""Dedup operator behavior: planted near-dups found by every strategy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickstart_streaming_agents_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from quickstart_streaming_agents_spark.session import ship_package
+from quickstart_streaming_agents_spark.sources.parquet import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    ship_package(spark)
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    return {(r["id_a"], r["id_b"]) for r in rows}
+
+
+def test_planted_near_dups_exist(exact_pairs):
+    # the driver fixtures plant high-jaccard pairs; the exact operator is
+    # the ground truth the approximate ones are measured against
+    assert len(exact_pairs) >= 5
+
+
+def test_minhash_recall(spark, exact_pairs):
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} over {len(exact_pairs)} pairs"
+    # precision against a permissive exact threshold: no wild false positives
+    assert len(got) <= len(exact_pairs) * 3
+
+
+def test_simhash_finds_planted_dups(spark, exact_pairs):
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"simhash recall {recall:.2f}"
+
+
+def test_dedup_exact_keeps_one_per_key(spark):
+    events = load_table(spark, SF_DIR, "events")
+    out = dedup_exact(
+        events, cols=["user_id", "event_type"], order_by=["ts", "event_id"]
+    )
+    dup = out.groupBy("user_id", "event_type").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
+    # kept row is the earliest
+    first = (
+        events.groupBy("user_id", "event_type").agg(F.min("ts").alias("min_ts"))
+    )
+    joined = out.join(first, ["user_id", "event_type"])
+    assert joined.filter(F.col("ts") != F.col("min_ts")).count() == 0

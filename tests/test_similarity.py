@@ -1,0 +1,64 @@
+"""ANN recall vs brute force + multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quickstart_streaming_agents_spark.functions.vector import vector_search
+from quickstart_streaming_agents_spark.operators.multimodal import (
+    attach_payload,
+    extract_media_features,
+    sample_frames,
+)
+from quickstart_streaming_agents_spark.operators.similarity import ann_lsh
+from quickstart_streaming_agents_spark.session import ship_package
+from quickstart_streaming_agents_spark.sources.parquet import load_table
+from tests.conftest import SF_DIR
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    ship_package(spark)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30).select(F.col("vec_id").alias("qid"), "embedding")
+
+    exact = vector_search(q, emb, "embedding", k=3, exclude_self_on="qid").collect()
+    truth = {r["qid"]: {h["vec_id"] for h in r["search_results"]} for r in exact}
+
+    approx = ann_lsh(q, emb, "qid", "vec_id", k=4, num_planes=4, num_tables=16).collect()
+    got: dict[int, set] = {}
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["match_id"])
+
+    hits = total = 0
+    for qid, t in truth.items():
+        total += len(t)
+        hits += len(t & got.get(qid, set()) - {qid})
+    recall = hits / total
+    # random 64-dim data is the hard case for LSH (neighbors at cos≈0.4);
+    # 4 planes × 16 tables gives ~0.95 collision probability per neighbor
+    assert recall >= 0.7, f"ANN recall@3 {recall:.2f}"
+
+
+def test_multimodal_feature_plumbing(spark):
+    ship_package(spark)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(20)
+    out = extract_media_features(attach_payload(docs, "text"), "payload").collect()
+    assert len(out) == 20
+    for r in out:
+        assert 64 <= r["media_meta"]["width"] <= 255
+        assert len(r["features"]) == 8
+    # deterministic across runs
+    out2 = extract_media_features(attach_payload(docs, "text"), "payload").collect()
+    assert {r["doc_id"]: r["features"] for r in out} == {
+        r["doc_id"]: r["features"] for r in out2
+    }
+
+
+def test_sample_frames_one_to_many(spark):
+    ship_package(spark)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(5)
+    frames = sample_frames(attach_payload(docs, "text"), "payload", every_nth=10)
+    rows = frames.collect()
+    assert len(rows) >= 5
+    assert all(r["frame_idx"] % 10 == 0 for r in rows)
+    assert all(isinstance(r["frame_payload"], (bytes, bytearray)) for r in rows)
