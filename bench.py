@@ -1,0 +1,86 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Timing is end-to-end per query (plan + execute + noop sink — no driver
+collect in the timed path). One warm-up action first so JVM/Arrow JIT cost
+isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+# Headline set: every operator family — joins, windowed aggs, interval join,
+# anomaly (JVM + pandas), AI functions, dedup (exact/JVM-jaccard/minhash),
+# vector search, text analysis, multimodal plumbing.
+HEADLINE = [
+    "enriched_orders",
+    "pricing_summary",
+    "tumble_5m_agg",
+    "tumble_6h_avg",
+    "interval_join",
+    "topk_per_group",
+    "anomaly_zscore",
+    "anomaly_detect_ar",
+    "ml_predict_textgen",
+    "ml_predict_embedding",
+    "vector_search_topk",
+    "embedding_topk_pairs",
+    "dedup_exact",
+    "ngram_jaccard_dedup",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "ann_lsh_topk",
+    "text_analysis",
+    "multimodal_features",
+    "rag_pipeline",
+    "agent_price_match",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.session import get_spark, ship_package
+
+    spark = get_spark("bench")
+    ship_package(spark)
+
+    # warm-up: touch every table + exercise codegen/Arrow once
+    from quickstart_streaming_agents_spark.sources.parquet import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -141,6 +141,45 @@ def _zscore(df, metric, ts, keys, min_n, max_n, confidence, output_col):
 # ar: per-key sequential AR(p) refit, Arrow-batched applyInPandas
 # ---------------------------------------------------------------------------
 
+def ar_one_step(train, min_n: int, z: float):
+    """Fit an AR(p) model on ``train`` (oldest→newest) and forecast one step.
+
+    Returns ``(forecast, upper, lower)`` or ``None`` while under-trained.
+    Shared by the batch ``applyInPandas`` path and the streaming
+    ``applyInPandasWithState`` path so both produce identical bounds for
+    identical history windows.
+    """
+    import numpy as np
+
+    train = np.asarray(train, dtype=np.float64)
+    t = len(train)
+    if t < min_n:
+        return None
+    p = min(8, t - 1, max(1, t // 4))
+    # lag-matrix least squares with intercept, ridge-stabilized
+    y = train[p:]
+    if len(y) < 2:
+        return None
+    cols = [np.ones(len(y))]
+    for lag in range(1, p + 1):
+        cols.append(train[p - lag:t - lag])
+    A = np.stack(cols, axis=1)
+    lam = 1e-6
+    AtA = A.T @ A + lam * np.eye(A.shape[1])
+    Aty = A.T @ y
+    try:
+        beta = np.linalg.solve(AtA, Aty)
+    except np.linalg.LinAlgError:
+        beta = np.zeros(A.shape[1])
+        beta[0] = train.mean()
+    resid = y - A @ beta
+    dof = max(1, len(y) - A.shape[1])
+    sigma = float(np.sqrt((resid @ resid) / dof))
+    last = train[::-1][:p]  # most recent p values, newest first
+    fc = float(beta[0] + (beta[1:] @ last))
+    return fc, fc + z * sigma, fc - z * sigma
+
+
 def _ar_forecast_series(values, min_n, max_n, z, enable_stl, stl_period):
     """numpy implementation; returns (forecast, upper, lower, is_anom) arrays."""
     import numpy as np
@@ -166,35 +205,13 @@ def _ar_forecast_series(values, min_n, max_n, z, enable_stl, stl_period):
 
     for i in range(n):
         lo = max(0, i - max_n)
-        train = x[lo:i]
-        t = len(train)
-        if t < min_n:
+        step = ar_one_step(x[lo:i], min_n, z)
+        if step is None:
             continue
-        p = min(8, t - 1, max(1, t // 4))
-        # lag-matrix least squares with intercept, ridge-stabilized
-        y = train[p:]
-        if len(y) < 2:
-            continue
-        cols = [np.ones(len(y))]
-        for lag in range(1, p + 1):
-            cols.append(train[p - lag:t - lag])
-        A = np.stack(cols, axis=1)
-        lam = 1e-6
-        AtA = A.T @ A + lam * np.eye(A.shape[1])
-        Aty = A.T @ y
-        try:
-            beta = np.linalg.solve(AtA, Aty)
-        except np.linalg.LinAlgError:
-            beta = np.zeros(A.shape[1])
-            beta[0] = train.mean()
-        resid = y - A @ beta
-        dof = max(1, len(y) - A.shape[1])
-        sigma = float(np.sqrt((resid @ resid) / dof))
-        last = train[::-1][:p]  # most recent p values, newest first
-        fc = float(beta[0] + (beta[1:] @ last)) + season[i]
-        forecast[i] = fc
-        upper[i] = fc + z * sigma
-        lower[i] = fc - z * sigma
+        fc, up, lw = step
+        forecast[i] = fc + season[i]
+        upper[i] = up + season[i]
+        lower[i] = lw + season[i]
         is_anom[i] = (v[i] > upper[i]) or (v[i] < lower[i])
     return forecast, upper, lower, is_anom
 

@@ -1,0 +1,200 @@
+"""Stream catalog — the reference's "every derived table is a topic" contract.
+
+In the reference every ``CREATE TABLE x AS SELECT ...`` (CTAS) both starts a
+continuous Flink job and materializes a Kafka topic that downstream queries
+read as a table (LAB1-Walkthrough.md:122-131, LAB3-Walkthrough.md:147 in
+/root/reference; observable contract per testing/helpers/kafka_helper.py:
+88-166 — results are consumed from topics, never from statement results).
+
+Here the same contract is file-backed: each named stream is a parquet
+directory ("topic") plus a schema; ``create_table_as`` starts a
+``writeStream`` into the directory and re-registers the name so later
+pipelines ``read_stream`` it. On a real deployment the ``format("kafka")``
+branch swaps in transparently (same API, ``kafka.bootstrap.servers`` set) —
+parquet-dir topics are the hermetic local/test transport.
+
+Scale note: a topic-directory written by N executors produces N files per
+micro-batch; downstream readers scan in parallel with normal file-source
+listing. Partition keys (ST5's PRIMARY KEY → Kafka message key) map to
+``partitionBy`` on the file sink so downstream per-key reads prune.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+
+@dataclass
+class StreamTable:
+    name: str
+    path: str
+    schema: T.StructType
+    key: str | None = None
+    query: StreamingQuery | None = None
+    transform: Callable[[DataFrame], DataFrame] | None = None
+
+
+@dataclass
+class StreamCatalog:
+    """Named streams over a root directory; one subdir per "topic"."""
+
+    spark: SparkSession
+    root: str
+    tables: dict[str, StreamTable] = field(default_factory=dict)
+
+    def _dir(self, name: str) -> Path:
+        return Path(self.root) / name
+
+    # -- registration --------------------------------------------------------
+
+    def register_source(self, name: str, path: str,
+                        schema: T.StructType | None = None,
+                        key: str | None = None,
+                        transform: Callable[[DataFrame], DataFrame] | None = None,
+                        ) -> StreamTable:
+        """Declare an existing parquet path as a named source stream (S1).
+
+        ``transform`` is applied after every read (stream or batch) — the
+        hook for physical-format shims like nanosecond-timestamp narrowing.
+        """
+        if schema is None:
+            schema = self.spark.read.parquet(path).schema
+        p = Path(path)
+        if p.is_file():
+            # file-stream sources require a directory; expose single-file
+            # fixtures through a symlink dir under the catalog root
+            d = Path(self.root) / "_sources" / name
+            d.mkdir(parents=True, exist_ok=True)
+            link = d / p.name
+            if not link.exists():
+                link.symlink_to(p)
+            path = str(d)
+        t = StreamTable(name=name, path=path, schema=schema, key=key,
+                        transform=transform)
+        self.tables[name] = t
+        return t
+
+    def register_events_source(self, name: str, path: str) -> StreamTable:
+        """The driver's ``events`` fixture stores TIMESTAMP(NANOS), which
+        Spark's parquet reader rejects; read ns as int64 and truncate to µs
+        (same shim as ``sources.parquet.load_table``)."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = self.spark.read.parquet(path).schema
+        return self.register_source(
+            name, path, schema=schema,
+            transform=lambda df: df.withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")),
+        )
+
+    def read_stream(self, name: str, watermark: tuple[str, str] | None = None,
+                    max_files_per_trigger: int | None = None) -> DataFrame:
+        """Open the named stream as a streaming DataFrame."""
+        t = self.tables[name]
+        reader = (self.spark.readStream.schema(t.schema)
+                  .format("parquet"))
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        df = reader.load(t.path)
+        if t.transform is not None:
+            df = t.transform(df)
+        if watermark:
+            df = df.withWatermark(*watermark)
+        return df
+
+    def read_batch(self, name: str) -> DataFrame:
+        """Snapshot read of a topic (how the reference's tests observe it)."""
+        t = self.tables[name]
+        df = self.spark.read.schema(t.schema).parquet(t.path)
+        if t.transform is not None:
+            df = t.transform(df)
+        return df
+
+    # -- CTAS ----------------------------------------------------------------
+
+    def create_table_as(self, name: str, df: DataFrame, key: str | None = None,
+                        mode: str = "append", available_now: bool = False,
+                        processing_time: str | None = None) -> StreamTable:
+        """S2/S3: start a continuous insert into topic ``name`` and register it.
+
+        ``mode`` is the Spark output mode; the reference's
+        ``changelog.mode=append`` (ST4) maps to ``mode="append"`` — exactly
+        one sink row per result row, no retractions, which is what keeps
+        agent stages from re-firing.
+        """
+        if not df.isStreaming:
+            # batch CTAS (S4 INSERT VALUES / snapshot queries)
+            path = str(self._dir(name))
+            df.write.mode("overwrite").parquet(path)
+            t = StreamTable(name=name, path=path, schema=df.schema, key=key)
+            self.tables[name] = t
+            return t
+        path = self._dir(name)
+        writer = (df.writeStream.format("parquet")
+                  .outputMode(mode)
+                  .option("path", str(path))
+                  .option("checkpointLocation", str(path) + "_ckpt")
+                  .queryName(name))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        q = writer.start()
+        t = StreamTable(name=name, path=str(path), schema=df.schema,
+                        key=key, query=q)
+        self.tables[name] = t
+        return t
+
+    def create_table_foreach_batch(self, name: str, df: DataFrame, batch_fn,
+                                   schema: T.StructType,
+                                   available_now: bool = False) -> StreamTable:
+        """CTAS where each micro-batch is post-processed driver-side
+        (streaming LIMIT, agent stages with side effects)."""
+        path = self._dir(name)
+        path.mkdir(parents=True, exist_ok=True)
+        # seed an empty file so read_batch never fails on an empty topic
+        empty = self.spark.createDataFrame([], schema)
+        empty.write.mode("overwrite").parquet(str(path))
+
+        def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+            out = batch_fn(batch_df, epoch_id)
+            if out is not None:
+                out.write.mode("append").parquet(str(path))
+
+        writer = (df.writeStream.foreachBatch(_sink)
+                  .option("checkpointLocation", str(path) + "_ckpt")
+                  .queryName(name))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        t = StreamTable(name=name, path=str(path), schema=schema, query=q)
+        self.tables[name] = t
+        return t
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def await_all(self, timeout: float | None = None) -> None:
+        for t in self.tables.values():
+            if t.query is not None:
+                t.query.awaitTermination(timeout)
+                t.query = None
+
+    def stop_all(self) -> None:
+        for t in self.tables.values():
+            if t.query is not None and t.query.isActive:
+                t.query.stop()
+                t.query = None
+
+    def describe(self) -> str:
+        """S12 DESCRIBE analog."""
+        return json.dumps({n: {"path": t.path, "key": t.key,
+                               "schema": t.schema.simpleString()}
+                           for n, t in self.tables.items()}, indent=2)

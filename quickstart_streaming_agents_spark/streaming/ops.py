@@ -1,0 +1,177 @@
+"""Streaming operators: stateful anomaly detection, interval join, LIMIT.
+
+These are the streaming halves of SURVEY.md §2's W1/J2/L1 — the batch
+equivalents live in ``operators/``; both share the same math so a pipeline
+can be developed in batch and deployed streaming with identical results.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.anomaly import ANOMALY_RESULT_TYPE, _z_for_confidence, ar_one_step
+
+
+# ---------------------------------------------------------------------------
+# W1 streaming: ml_detect_anomalies over an unbounded keyed stream
+# ---------------------------------------------------------------------------
+
+def ml_detect_anomalies_stream(
+    df: DataFrame,
+    metric: str,
+    ts: str,
+    keys: list[str],
+    min_training_size: int = 8,
+    max_training_size: int = 50,
+    confidence_percentage: float = 95.0,
+    output_col: str = "anomaly_result",
+) -> DataFrame:
+    """Streaming ``ML_DETECT_ANOMALIES`` (LAB3-Walkthrough.md:119-132 analog).
+
+    ``applyInPandasWithState`` keyed by ``keys``: per-key state is a ring
+    buffer of the last ``max_training_size`` metric values in event-time
+    order; each arriving row is forecast from the buffer (same
+    ``ar_one_step`` as the batch operator), flagged, then appended.
+
+    Ordering contract: rows are sorted by ``ts`` within each micro-batch;
+    cross-batch order relies on chronological ingest — the same contract the
+    reference's producers guarantee by sorting before publish
+    (scripts/lab4_datagen.py:323-325, scripts/publish_lab3_data.py:357-361
+    in /root/reference). Rows older than the newest state timestamp are
+    scored but NOT admitted to the buffer (late data cannot corrupt history).
+
+    Scale note: state is O(keys × max_training_size) doubles in the state
+    store — thousands of keys × 7000 floats is megabytes, not gigabytes.
+    Parallelism = key cardinality, exactly the reference's PARTITION BY.
+    """
+    import pandas as pd
+
+    z = _z_for_confidence(confidence_percentage)
+    in_fields = df.schema.fields
+    out_schema = T.StructType(in_fields + [T.StructField(output_col, ANOMALY_RESULT_TYPE)])
+    state_schema = T.StructType([
+        T.StructField("values", T.ArrayType(T.DoubleType())),
+        T.StructField("last_ts", T.LongType()),
+    ])
+    in_cols = df.columns
+
+    def per_key(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        buf: list[float] = []
+        last_ts = -(1 << 62)
+        if state.exists:
+            stored_values, stored_ts = state.get
+            buf = list(stored_values)
+            last_ts = stored_ts
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+            results = []
+            for _, row in pdf.iterrows():
+                v = float(row[metric])
+                step = ar_one_step(buf, min_training_size, z)
+                if step is None:
+                    results.append({"forecast_value": None, "upper_bound": None,
+                                    "lower_bound": None, "is_anomaly": False})
+                else:
+                    fc, up, lo = step
+                    results.append({"forecast_value": fc, "upper_bound": up,
+                                    "lower_bound": lo,
+                                    "is_anomaly": bool(v > up or v < lo)})
+                row_ts = int(pd.Timestamp(row[ts]).value // 1_000_000)
+                if row_ts >= last_ts:
+                    buf.append(v)
+                    if len(buf) > max_training_size:
+                        buf = buf[-max_training_size:]
+                    last_ts = row_ts
+            out = pdf[in_cols].copy()
+            out[output_col] = results
+            yield out
+        state.update((buf, last_ts))
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        per_key, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 streaming: event-time interval join
+# ---------------------------------------------------------------------------
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str = "INTERVAL 6 HOURS",
+    upper: str = "INTERVAL 0 SECONDS",
+    how: str = "inner",
+) -> DataFrame:
+    """``c JOIN a ON c.k = a.k AND c.ts BETWEEN a.ts - lower AND a.ts + upper``
+    (LAB4-Walkthrough.md:231-235 analog).
+
+    Both inputs must already carry watermarks (``withWatermark``) for
+    Structured Streaming to bound join state — the watermark plays the role
+    of the reference's ``sql.state-ttl`` (ST3). Equi-keys shuffle both sides
+    onto the same partitions; the range predicate is evaluated within
+    partition. Natively supported stream-stream interval join — no custom
+    state.
+    """
+    lcol = F.col(f"l.{left_ts}")
+    rcol = F.col(f"r.{right_ts}")
+    cond: Column = (lcol >= rcol - F.expr(lower)) & (lcol <= rcol + F.expr(upper))
+    for k in on:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    l, r = left.alias("l"), right.alias("r")
+    joined = l.join(r, cond, how)
+    # project away the duplicate equi-key columns from the right side
+    keep = [F.col(f"l.{c}") for c in left.columns] + \
+           [F.col(f"r.{c}").alias(c) for c in right.columns if c not in on]
+    return joined.select(*keep)
+
+
+# ---------------------------------------------------------------------------
+# L1: streaming global LIMIT
+# ---------------------------------------------------------------------------
+
+class StreamingLimit:
+    """``CREATE TABLE x AS SELECT ... LIMIT n`` on a stream
+    (LAB4-Walkthrough.md:209-237 analog — bounds the investigation set).
+
+    Spark has no streaming global limit in append mode; the reference's is a
+    Flink global one-slot operator. Implement as a ``foreachBatch`` post-step:
+    a driver-side remaining-counter truncates each micro-batch. Driver-side
+    is correct here by design — a global LIMIT is inherently a single-point
+    decision (so is Flink's); the data volume through it is ≤ n rows total.
+
+    Use with ``StreamCatalog.create_table_foreach_batch(..., batch_fn=lim)``.
+    """
+
+    def __init__(self, n: int, order_by: list[str] | None = None):
+        self.remaining = n
+        self.order_by = order_by
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> DataFrame | None:
+        # Materialize the whole batch first: stateful upstream operators
+        # (interval joins) require every partition to be processed so their
+        # state-store commits land; a bare limit() short-circuits partitions
+        # and fails commit validation.
+        batch_df = batch_df.persist()
+        try:
+            n = batch_df.count()
+            if self.remaining <= 0 or n == 0:
+                return None
+            if self.order_by:
+                batch_df = batch_df.orderBy(*self.order_by)
+            spark = batch_df.sparkSession
+            out = spark.createDataFrame(
+                batch_df.limit(self.remaining).collect(), batch_df.schema
+            )
+            self.remaining -= out.count()
+            return out
+        finally:
+            batch_df.unpersist()

@@ -1,0 +1,141 @@
+"""End-to-end streaming pipelines shaped like the reference's labs 3/4.
+
+Lab 3 (LAB3-Walkthrough.md:99-230 in /root/reference):
+    ride_requests → 5-min tumble agg → ML_DETECT_ANOMALIES OVER key →
+    WHERE is_anomaly → anomalies_per_zone topic
+Lab 4 (LAB4-Walkthrough.md:79-237):
+    claims → 6-h tumble agg → anomaly → interval join back to raw rows →
+    LIMIT 10 investigation queue.
+
+Here the same chains run over the driver's ``events`` fixture (key =
+``event_type``, metric = count per window). Each stage is a CTAS into the
+StreamCatalog — every intermediate is an observable "topic", matching the
+reference's test contract (results read from topics:
+testing/helpers/kafka_helper.py:88-166).
+
+Each stage runs with ``availableNow`` triggers so local runs terminate
+deterministically; in production the same code runs with processing-time
+triggers and all stages are live concurrently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.windows import tumble
+from .catalog import StreamCatalog
+from .ops import StreamingLimit, interval_join_stream, ml_detect_anomalies_stream
+
+
+def surge_pipeline(
+    catalog: StreamCatalog,
+    events_path: str,
+    window: str = "1 hour",
+    watermark: str = "5 seconds",
+    min_training_size: int = 8,
+    max_training_size: int = 50,
+    confidence_percentage: float = 95.0,
+) -> StreamCatalog:
+    """Lab-3-shaped: events → tumble count per key → stateful anomaly →
+    is_anomaly filter. Topics: window_counts, scored, anomalies."""
+    catalog.register_events_source("events", events_path)
+
+    # Stage 1: watermarked tumbling aggregation (A1/ST1/ST2), append mode —
+    # a window emits exactly once, when the watermark passes its end.
+    ev = catalog.read_stream("events")
+    agg = tumble(
+        ev, "ts", window, keys=["event_type"],
+        aggs=[F.count("*").alias("event_count")],
+        watermark=watermark,
+    ).select("window_start", "window_end", "window_time", "event_type", "event_count")
+    catalog.create_table_as("window_counts", agg, available_now=True)
+    catalog.await_all()
+
+    # Stage 2: streaming ML_DETECT_ANOMALIES (W1) keyed by event_type.
+    counts = catalog.read_stream("window_counts")
+    scored = ml_detect_anomalies_stream(
+        counts, metric="event_count", ts="window_time", keys=["event_type"],
+        min_training_size=min_training_size,
+        max_training_size=max_training_size,
+        confidence_percentage=confidence_percentage,
+    )
+    flat = scored.select(
+        "window_time", "event_type", "event_count",
+        F.col("anomaly_result.forecast_value").alias("forecast_value"),
+        F.col("anomaly_result.upper_bound").alias("upper_bound"),
+        F.col("anomaly_result.lower_bound").alias("lower_bound"),
+        F.col("anomaly_result.is_anomaly").alias("is_anomaly"),
+    )
+    catalog.create_table_as("scored", flat, available_now=True)
+    catalog.await_all()
+
+    # Stage 3: W2 post-filter — upper-side spikes only
+    # (LAB3-Walkthrough.md:196-197).
+    sc = catalog.read_stream("scored")
+    anomalies = sc.filter(
+        (F.col("is_anomaly") == True)  # noqa: E712
+        & (F.col("event_count") > F.col("upper_bound"))
+    )
+    catalog.create_table_as("anomalies", anomalies, available_now=True)
+    catalog.await_all()
+    return catalog
+
+
+def fraud_pipeline(
+    catalog: StreamCatalog,
+    events_path: str,
+    window: str = "6 hours",
+    watermark: str = "5 seconds",
+    limit: int = 10,
+) -> StreamCatalog:
+    """Lab-4-shaped: anomaly windows interval-joined back to the raw stream,
+    then a streaming LIMIT investigation queue (J2 + L1).
+    Topics: window_counts6h, scored6h, anomalies6h, to_investigate."""
+    catalog.register_events_source("events", events_path)
+
+    ev = catalog.read_stream("events")
+    agg = tumble(
+        ev, "ts", window, keys=["event_type"],
+        aggs=[F.count("*").alias("event_count"),
+              F.round(F.sum("value"), 2).alias("total_value")],
+        watermark=watermark,
+    ).select("window_time", "event_type", "event_count", "total_value")
+    catalog.create_table_as("window_counts6h", agg, available_now=True)
+    catalog.await_all()
+
+    counts = catalog.read_stream("window_counts6h")
+    scored = ml_detect_anomalies_stream(
+        counts, metric="event_count", ts="window_time", keys=["event_type"],
+        min_training_size=4, max_training_size=50, confidence_percentage=95.0,
+    )
+    flat = scored.select(
+        "window_time", "event_type", "event_count",
+        F.col("anomaly_result.upper_bound").alias("upper_bound"),
+        F.col("anomaly_result.is_anomaly").alias("is_anomaly"),
+    )
+    catalog.create_table_as("scored6h", flat, available_now=True)
+    catalog.await_all()
+
+    sc = catalog.read_stream("scored6h")
+    anomalies = sc.filter(F.col("is_anomaly") == True)  # noqa: E712
+    catalog.create_table_as("anomalies6h", anomalies, available_now=True)
+    catalog.await_all()
+
+    # J2: raw events within the 6h window preceding each anomalous window,
+    # LAB4-Walkthrough.md:231-235 analog. Both sides watermarked.
+    raw = catalog.read_stream("events", watermark=("ts", watermark))
+    anom = catalog.read_stream("anomalies6h",
+                               watermark=("window_time", watermark))
+    joined = interval_join_stream(
+        raw, anom, on=["event_type"], left_ts="ts", right_ts="window_time",
+        lower=f"INTERVAL {window.upper()}", upper="INTERVAL 0 SECONDS",
+    ).select("event_id", "ts", "event_type", "value",
+             "window_time", "event_count")
+
+    # L1: streaming global LIMIT via foreachBatch counter.
+    lim = StreamingLimit(limit, order_by=["ts", "event_id"])
+    catalog.create_table_foreach_batch(
+        "to_investigate", joined, lim, schema=joined.schema, available_now=True
+    )
+    catalog.await_all()
+    return catalog

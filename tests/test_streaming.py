@@ -1,0 +1,139 @@
+"""Streaming layer tests: CTAS catalog, watermarked tumble append-mode
+emission, stateful anomaly parity with the batch operator, interval join,
+streaming LIMIT, and the lab-shaped end-to-end chains."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickstart_streaming_agents_spark.operators.anomaly import ml_detect_anomalies
+from quickstart_streaming_agents_spark.operators.windows import tumble
+from quickstart_streaming_agents_spark.session import ship_package
+from quickstart_streaming_agents_spark.streaming.catalog import StreamCatalog
+from quickstart_streaming_agents_spark.streaming.pipelines import (
+    fraud_pipeline,
+    surge_pipeline,
+)
+
+from .conftest import SF_DIR
+
+EVENTS = f"{SF_DIR}/events.parquet"
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    ship_package(spark)
+    cat = StreamCatalog(spark, str(tmp_path))
+    yield cat
+    cat.stop_all()
+
+
+def _emitted_windows_batch(spark, window, watermark_s=5, aggs=None):
+    """Batch-compute the windows a watermarked append-mode stream emits:
+    only windows whose end <= final watermark (max event time - delay)."""
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    agg = tumble(
+        events, "ts", window, keys=["event_type"],
+        aggs=aggs or [F.count("*").alias("event_count")],
+    )
+    return agg.filter(
+        F.col("window_end") <= F.lit(max_ts) - F.expr(f"INTERVAL {watermark_s} SECONDS")
+    )
+
+
+def test_ctas_roundtrip_batch(spark, catalog):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    catalog.create_table_as("t0", df)
+    back = catalog.read_batch("t0")
+    assert sorted((r.id, r.v) for r in back.collect()) == \
+        sorted((r.id, r.v) for r in df.collect())
+    assert "t0" in catalog.describe()
+
+
+def test_streaming_tumble_matches_batch(spark, catalog):
+    catalog.register_events_source("events", EVENTS)
+    ev = catalog.read_stream("events")
+    agg = tumble(
+        ev, "ts", "1 hour", keys=["event_type"],
+        aggs=[F.count("*").alias("event_count")],
+        watermark="5 seconds",
+    ).select("window_start", "event_type", "event_count")
+    catalog.create_table_as("counts", agg, available_now=True)
+    catalog.await_all()
+
+    got = {(r.window_start, r.event_type): r.event_count
+           for r in catalog.read_batch("counts").collect()}
+    want = {(r.window_start, r.event_type): r.event_count
+            for r in _emitted_windows_batch(spark, "1 hour")
+            .select("window_start", "event_type", "event_count").collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_stateful_anomaly_matches_batch_operator(spark, catalog):
+    """Single availableNow pass: streaming AR detector must produce the
+    identical flags/bounds as the batch applyInPandas operator on the same
+    (chronologically fed) window series."""
+    catalog.register_events_source("events", EVENTS)
+    surge_pipeline(catalog, EVENTS, window="1 hour")
+
+    got = catalog.read_batch("scored")
+    emitted = _emitted_windows_batch(spark, "1 hour") \
+        .select("window_time", "event_type", "event_count")
+    want_scored = ml_detect_anomalies(
+        emitted, metric="event_count", ts="window_time", keys=["event_type"],
+        min_training_size=8, max_training_size=50, confidence_percentage=95.0,
+        detector="ar",
+    ).select(
+        "window_time", "event_type", "event_count",
+        F.col("anomaly_result.upper_bound").alias("upper_bound"),
+        F.col("anomaly_result.is_anomaly").alias("is_anomaly"),
+    )
+    gm = {(r.window_time, r.event_type): (r.is_anomaly, r.upper_bound)
+          for r in got.collect()}
+    wm = {(r.window_time, r.event_type): (r.is_anomaly, r.upper_bound)
+          for r in want_scored.collect()}
+    assert set(gm) == set(wm)
+    for k, (anom, up) in wm.items():
+        g_anom, g_up = gm[k]
+        assert g_anom == anom, k
+        if up is None:
+            assert g_up is None, k
+        else:
+            assert g_up == pytest.approx(up, rel=1e-9), k
+
+    # anomalies topic = is_anomaly & above upper bound, subset of scored
+    anoms = catalog.read_batch("anomalies").collect()
+    for r in anoms:
+        assert r.is_anomaly and r.event_count > r.upper_bound
+
+
+def test_fraud_pipeline_interval_join_and_limit(spark, catalog):
+    fraud_pipeline(catalog, EVENTS, window="6 hours", limit=7)
+    inv = catalog.read_batch("to_investigate").collect()
+    assert len(inv) <= 7
+    anoms = {(r.window_time, r.event_type)
+             for r in catalog.read_batch("anomalies6h").collect()}
+    if anoms:  # investigation rows must come from anomalous (window, key)s
+        assert len(inv) > 0
+        for r in inv:
+            assert (r.window_time, r.event_type) in anoms
+            assert r.ts <= r.window_time
+
+
+def test_streaming_limit_caps_across_batches(spark, catalog):
+    # feed the same source twice through a 2-file-per-trigger stream; LIMIT 5
+    # must cap the union across micro-batches, not per batch
+    catalog.register_events_source("events", EVENTS)
+    ev = catalog.read_stream("events", max_files_per_trigger=1)
+    from quickstart_streaming_agents_spark.streaming.ops import StreamingLimit
+
+    lim = StreamingLimit(5)
+    catalog.create_table_foreach_batch("first5", ev, lim, schema=ev.schema,
+                                       available_now=True)
+    catalog.await_all()
+    assert catalog.read_batch("first5").count() == 5
