@@ -839,3 +839,223 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.n_frames").alias("n_frames"),
         F.round(F.element_at("features", 1), 6).alias("f0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A4 — scalar-subquery counts dashboard. Reference: the lab2 monitoring
+# query `SELECT (SELECT COUNT(*) FROM queries) AS …, …`
+# (LAB2-Walkthrough.md:84-88): one row, one count column per topic.
+# ---------------------------------------------------------------------------
+@query(
+    "counts_dashboard",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM events) AS n_events,
+           (SELECT COUNT(*) FROM orders) AS n_orders,
+           (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
+           (SELECT COUNT(*) FROM documents) AS n_documents
+    """,
+)
+def counts_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        load_table(spark, sf_dir, t).agg(F.count("*").alias(f"n_{t}"))
+        for t in ("events", "orders", "lineitem", "documents")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.crossJoin(p)  # four 1-row aggs; the cross joins are free
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ST7 — session windows (gap-merged). Not used by the reference's labs
+# (SURVEY §2.9 notes them absent) but part of the engine surface; Spark's
+# session_window(ts, gap): start = first event, end = last event + gap.
+# Oracle: classic gaps-and-islands rebuild of the same semantics.
+# ---------------------------------------------------------------------------
+@query(
+    "session_window_agg",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_type, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+    ),
+    sess AS (
+        SELECT event_type, ts, value,
+               SUM(new_sess) OVER (PARTITION BY event_type ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           event_type,
+           COUNT(*) AS event_count,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sess GROUP BY event_type, sid
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("event_count"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "event_type", "event_count", "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST7 — sliding (hopping) windows: 2-hour window, 1-hour slide; every event
+# lands in exactly two windows. Oracle: explicit 2-way window expansion.
+# ---------------------------------------------------------------------------
+@query(
+    "sliding_window_agg",
+    oracle="""
+    SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600 - g.k * 3600) AS window_start,
+           to_timestamp(floor(epoch(ts) / 3600) * 3600 - g.k * 3600)
+               + INTERVAL 2 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS event_count,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events, (SELECT 0 AS k UNION ALL SELECT 1) g
+    GROUP BY 1, 2, 3
+    """,
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("event_count"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "event_count", "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lab-3 enrichment stage: anomaly → human-readable surge columns.
+# Reference: LAB3-Walkthrough.md:271-303 — pct-over-expected
+# ROUND(((actual-expected)/expected)*100, 1), 9-branch CASE time-of-day
+# (F-cond1), DATE_FORMAT 'h:mm a' (F-date1), window_time - INTERVAL 1 HOUR
+# lookback (F-date3). zscore detector keeps it SQL-expressible.
+# ---------------------------------------------------------------------------
+@query(
+    "surge_enriched",
+    oracle=f"""
+    WITH scored AS ({_ANOMALY_ZSCORE_ORACLE})
+    SELECT window_start, event_type, event_count,
+           ROUND((event_count - forecast_value) / forecast_value * 100, 1)
+               AS pct_over_expected,
+           CASE WHEN hour(window_start) < 6 THEN 'overnight'
+                WHEN hour(window_start) < 12 THEN 'morning'
+                WHEN hour(window_start) < 18 THEN 'afternoon'
+                ELSE 'evening' END AS time_of_day,
+           ltrim(strftime(window_start, '%I:%M %p'), '0') AS surge_time,
+           window_start - INTERVAL 1 HOUR AS lookback_start
+    FROM scored
+    WHERE is_anomaly = TRUE AND event_count > upper_bound
+      AND forecast_value > 0
+    """,
+)
+def surge_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = QUERIES["anomaly_zscore"](spark, sf_dir)
+    return (
+        scored.filter(
+            (F.col("is_anomaly") == True)  # noqa: E712
+            & (F.col("event_count") > F.col("upper_bound"))
+            & (F.col("forecast_value") > 0)
+        )
+        .select(
+            "window_start", "event_type", "event_count",
+            F.round(
+                (F.col("event_count") - F.col("forecast_value"))
+                / F.col("forecast_value") * 100, 1,
+            ).alias("pct_over_expected"),
+            F.when(F.hour("window_start") < 6, "overnight")
+            .when(F.hour("window_start") < 12, "morning")
+            .when(F.hour("window_start") < 18, "afternoon")
+            .otherwise("evening").alias("time_of_day"),
+            F.date_format("window_start", "h:mm a").alias("surge_time"),
+            (F.col("window_start") - F.expr("INTERVAL 1 HOUR")).alias("lookback_start"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L1 — bounded investigation queue: interval join + deterministic ORDER BY
+# + LIMIT. Reference: claims_to_investigate CTAS … LIMIT 10
+# (LAB4-Walkthrough.md:209-237). event_id is unique and each event matches
+# exactly one 6-h window, so the LIMIT is deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "investigation_queue",
+    oracle=f"""
+    WITH joined AS ({_INTERVAL_JOIN_ORACLE})
+    SELECT event_id, event_type, window_time, event_count
+    FROM joined ORDER BY event_id LIMIT 10
+    """,
+)
+def investigation_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = QUERIES["interval_join"](spark, sf_dir)
+    return joined.orderBy("event_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# F-str2/F-str3 post-processing of LLM free text into typed columns.
+# Reference: TRIM(REGEXP_EXTRACT(response, '\\*{0,2}Verdict:\\*{0,2}\\s*([A-Z_]+)'))
+# (LAB4-Walkthrough.md:405-408, LAB1:202-204) — markdown-tolerant labeled-
+# section parsing over multi-line agent output, plus the lab4 verdict
+# vocabulary. The "LLM report" is assembled deterministically so the whole
+# parse is hash-checked.
+# ---------------------------------------------------------------------------
+@query(
+    "verdict_parse",
+    oracle="""
+    WITH report AS (
+        SELECT o_orderkey,
+               'Claim review' || chr(10) || '**Verdict:** '
+               || CASE WHEN o_orderstatus = 'F' THEN 'APPROVE'
+                       WHEN o_orderstatus = 'O' THEN 'REQUEST_DOCS'
+                       ELSE 'DENY_FRAUD' END
+               || chr(10) || 'Reason: ' || o_orderpriority || ' priority order'
+               || chr(10) || 'End of report' AS response
+        FROM orders
+    )
+    SELECT o_orderkey AS order_id,
+           TRIM(regexp_extract(response,
+                '\\*{0,2}Verdict:\\*{0,2}\\s*([A-Z_]+)', 1)) AS verdict,
+           TRIM(regexp_extract(response,
+                'Reason: ([\\s\\S]+?)\\nEnd', 1)) AS reason
+    FROM report
+    """,
+)
+def verdict_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    report = orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("Claim review\n**Verdict:** "),
+            F.when(F.col("o_orderstatus") == "F", "APPROVE")
+            .when(F.col("o_orderstatus") == "O", "REQUEST_DOCS")
+            .otherwise("DENY_FRAUD"),
+            F.lit("\nReason: "), F.col("o_orderpriority"),
+            F.lit(" priority order\nEnd of report"),
+        ).alias("response"),
+    )
+    return report.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.trim(F.regexp_extract(
+            "response", r"\*{0,2}Verdict:\*{0,2}\s*([A-Z_]+)", 1)).alias("verdict"),
+        F.trim(F.regexp_extract(
+            "response", r"Reason: ([\s\S]+?)\nEnd", 1)).alias("reason"),
+    )
