@@ -1,0 +1,104 @@
+"""The engine's spark.sql surface: AI functions as scalar UDFs and
+correlated-lateral UDTFs, equivalent to the DataFrame forms."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quickstart_streaming_agents_spark.functions.ml import ml_predict
+from quickstart_streaming_agents_spark.registries import DEFAULT_CATALOG
+from quickstart_streaming_agents_spark.session import ship_package
+from quickstart_streaming_agents_spark.sources.parquet import register_views
+from quickstart_streaming_agents_spark.sql import (
+    register_engine_sql,
+    register_vector_table_sql,
+)
+
+from .conftest import SF_DIR
+
+
+def _setup(spark):
+    ship_package(spark)
+    register_views(spark, SF_DIR)
+    register_engine_sql(spark)
+
+
+def test_sql_ml_predict_matches_dataframe_form(spark):
+    _setup(spark)
+    got = spark.sql("""
+        SELECT doc_id, ml_predict('fake_textgen', 'Summarize: ' || substr(text, 1, 40)) AS response
+        FROM documents
+    """)
+    docs = spark.table("documents")
+    model = DEFAULT_CATALOG.models["fake_textgen"]
+    want = docs.select(
+        "doc_id",
+        ml_predict(model, F.concat(F.lit("Summarize: "), F.substring("text", 1, 40))).alias("response"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sql_ml_embed_shape(spark):
+    _setup(spark)
+    row = spark.sql(
+        "SELECT ml_embed('fake_embedding', text) AS e FROM documents LIMIT 1"
+    ).collect()[0]
+    assert len(row.e) > 0
+
+
+def test_lateral_ml_predict_t(spark):
+    _setup(spark)
+    got = spark.sql("""
+        SELECT d.doc_id, r.response
+        FROM (SELECT doc_id, substr(text, 1, 20) AS p FROM documents LIMIT 5) d,
+             LATERAL ml_predict_t('fake_textgen', d.p) r
+    """).collect()
+    assert len(got) == 5  # 1 row in → 1 row out
+    assert all(r.response.startswith("FAKE[fake_textgen]:") for r in got)
+
+
+def test_lateral_ai_run_agent(spark):
+    _setup(spark)
+    DEFAULT_CATALOG.create_agent(
+        "sql_test_agent", model="fake_textgen",
+        prompt="Verdicts must be one of: [OK, FAIL]",
+    )
+    register_engine_sql(spark)  # re-register to pick up the new agent
+    got = spark.sql("""
+        SELECT o.o_orderkey, a.status, a.response
+        FROM (SELECT o_orderkey, 'order ' || o_orderkey AS p
+              FROM orders LIMIT 3) o,
+             LATERAL ai_run_agent('sql_test_agent', o.p) a
+    """).collect()
+    assert len(got) == 3
+    assert all(r.status in ("SUCCESS", "FAILED") for r in got)
+    assert all(r.response for r in got)
+
+
+def test_sql_vector_search_matches_dataframe_form(spark):
+    _setup(spark)
+    emb = spark.table("embeddings")
+    register_vector_table_sql(spark, "emb", emb, id_col="vec_id")
+    got = spark.sql("""
+        SELECT q.vec_id AS query_id, v.match_id, ROUND(v.score, 6) AS score, v.rank
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q,
+             LATERAL vector_search_emb(q.embedding, 4) v
+        WHERE v.match_id <> q.vec_id
+    """)
+    # DataFrame form: same corpus, k=4 then drop self-hit
+    from quickstart_streaming_agents_spark.functions.vector import vector_search
+
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    searched = vector_search(queries_df, emb.select("vec_id", "embedding"),
+                             "embedding", k=4)
+    want = (
+        searched.select("query_id", F.posexplode("search_results").alias("pos", "h"))
+        .select("query_id", F.col("h.vec_id").alias("match_id"),
+                F.round("h.score", 6).alias("score"), (F.col("pos") + 1).alias("rank"))
+        .filter(F.col("match_id") != F.col("query_id"))
+    )
+    g = sorted((r.query_id, r.match_id, r.score) for r in got.collect())
+    w = sorted((r.query_id, r.match_id, r.score) for r in want.collect())
+    assert g == w
