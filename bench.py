@@ -45,6 +45,13 @@ HEADLINE = [
     "multimodal_features",
     "rag_pipeline",
     "agent_price_match",
+    "session_window_agg",
+    "sliding_window_agg",
+    "surge_enriched",
+    "investigation_queue",
+    "verdict_parse",
+    "counts_dashboard",
+    "tool_invoke",
 ]
 
 

@@ -1059,3 +1059,27 @@ def verdict_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.regexp_extract(
             "response", r"Reason: ([\s\S]+?)\nEnd", 1)).alias("reason"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F3 — AI_TOOL_INVOKE: single-shot tool call through the model with a
+# whitelisted tool set. Reference: LAB1-Walkthrough.md:80-92. Tool-executor
+# internals are engine-side → rows-only driver check; loop/whitelist
+# behavior unit-tested in tests/test_ai_functions.py.
+# ---------------------------------------------------------------------------
+@query("tool_invoke")
+def tool_invoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quickstart_streaming_agents_spark.functions.agents import ai_tool_invoke
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = DEFAULT_CATALOG.models["fake_textgen"]
+    tool = Tool(name="web", allowed_tools=("http_get",))
+    out = docs.select(
+        "doc_id", F.substring("text", 1, 24).alias("prompt")
+    ).withColumn("invoke_result", ai_tool_invoke(model, "prompt", (tool,)))
+    return out.select(
+        "doc_id",
+        F.col("invoke_result.tool_name").alias("tool_name"),
+        F.col("invoke_result.result").alias("result"),
+        F.col("invoke_result.response").alias("response"),
+    )

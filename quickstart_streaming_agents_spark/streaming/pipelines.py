@@ -81,6 +81,64 @@ def surge_pipeline(
     return catalog
 
 
+def rag_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+    embeddings_path: str,
+    k: int = 3,
+    n_queries: int = 20,
+) -> StreamCatalog:
+    """Lab-2-shaped streaming RAG chain (terraform/lab2-vector-search/
+    main.tf:253,292,331 in /root/reference): three chained continuous
+    inserts — queries → +embedding → +top-k context → +LLM answer — each
+    materializing a readable topic (queries_embed, search_results,
+    search_results_response)."""
+    from ..functions.ml import ml_predict
+    from ..functions.vector import vector_search
+    from ..registries import DEFAULT_CATALOG
+
+    spark = catalog.spark
+    emb_model = DEFAULT_CATALOG.models["fake_embedding"]
+    gen_model = DEFAULT_CATALOG.models["fake_textgen"]
+    emb_table = spark.read.parquet(embeddings_path)
+
+    # seed the queries topic from the documents fixture (S4 INSERT VALUES)
+    docs = spark.read.parquet(documents_path).limit(n_queries)
+    catalog.create_table_as(
+        "queries",
+        docs.select(F.col("doc_id").alias("query_id"), F.col("text").alias("query")),
+    )
+
+    # INSERT INTO queries_embed SELECT …, ML_PREDICT(embedding_model, query)
+    q = catalog.read_stream("queries")
+    embedded = q.withColumn("query_embedding", ml_predict(emb_model, "query"))
+    catalog.create_table_as("queries_embed", embedded, available_now=True)
+    catalog.await_all()
+
+    # INSERT INTO search_results SELECT …, VECTOR_SEARCH_AGG(tbl, …, k)
+    qe = catalog.read_stream("queries_embed")
+    searched = vector_search(qe, emb_table, "query_embedding", k=k)
+    flat = searched.select(
+        "query_id", "query",
+        F.element_at("search_results", 1).getField("vec_id").alias("top_match_id"),
+        F.round(F.element_at("search_results", 1).getField("score"), 6).alias("top_score"),
+        F.concat(
+            F.lit("Answer using context ids: "),
+            F.element_at("search_results", 1).getField("vec_id").cast("string"),
+            F.lit(" Q: "), F.substring("query", 1, 30),
+        ).alias("prompt"),
+    )
+    catalog.create_table_as("search_results", flat, available_now=True)
+    catalog.await_all()
+
+    # INSERT INTO search_results_response SELECT …, ML_PREDICT(textgen, prompt)
+    sr = catalog.read_stream("search_results")
+    answered = sr.withColumn("response", ml_predict(gen_model, "prompt"))
+    catalog.create_table_as("search_results_response", answered, available_now=True)
+    catalog.await_all()
+    return catalog
+
+
 def fraud_pipeline(
     catalog: StreamCatalog,
     events_path: str,

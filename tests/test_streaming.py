@@ -137,3 +137,28 @@ def test_streaming_limit_caps_across_batches(spark, catalog):
                                        available_now=True)
     catalog.await_all()
     assert catalog.read_batch("first5").count() == 5
+
+
+def test_rag_stream_pipeline_semantics(spark, catalog):
+    """Lab-2 semantic assertions (testing/e2e/test_lab2.py:73-136 analog):
+    every query gets an embedding, >=1 search result, non-empty response."""
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        rag_stream_pipeline,
+    )
+
+    rag_stream_pipeline(
+        catalog,
+        documents_path=f"{SF_DIR}/documents.parquet",
+        embeddings_path=f"{SF_DIR}/embeddings.parquet",
+        n_queries=10,
+    )
+    n_queries = catalog.read_batch("queries").count()
+    assert n_queries == 10
+    assert catalog.read_batch("queries_embed").count() == n_queries
+    results = catalog.read_batch("search_results_response").collect()
+    assert len(results) == n_queries
+    for r in results:
+        assert r.top_match_id is not None
+        assert r.top_score is not None
+        assert r.response  # non-empty RAG answer
+        assert r.response.startswith("FAKE[fake_textgen]:")
