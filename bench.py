@@ -52,6 +52,7 @@ HEADLINE = [
     "verdict_parse",
     "counts_dashboard",
     "tool_invoke",
+    "embedding_near_dup",
 ]
 
 

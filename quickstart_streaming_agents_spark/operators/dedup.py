@@ -236,6 +236,67 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine similarity ≥ threshold.
+
+    Physical plan: broadcast the normalized corpus matrix once; each Arrow
+    batch of rows does one matmul against it and emits only the
+    above-threshold neighbors — no shuffle, no quadratic join. This is the
+    exact-search tier (corpus ≤ broadcast size); beyond that, feed LSH
+    candidates (operators/similarity.ann_lsh) into the same verifier.
+    """
+    import numpy as np
+
+    pdf = df.select(id_col, emb_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    b = df.sparkSession.sparkContext.broadcast((matn, ids))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    src = df.select(F.col(id_col).cast("long").alias("__id"), F.col(emb_col).alias("__emb"))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        m, idv = b.value
+        for pdf_in in batches:
+            if not len(pdf_in):
+                continue
+            Q = np.stack(pdf_in["__emb"].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(Q, axis=1)
+            qn[qn == 0] = 1.0
+            scores = (Q / qn[:, None]) @ m.T  # (batch, corpus)
+            rows_a, rows_b, rows_s = [], [], []
+            for i in range(len(pdf_in)):
+                qid = int(pdf_in["__id"].iloc[i])
+                hit = np.where((scores[i] >= threshold) & (idv > qid))[0]
+                for j in hit:
+                    rows_a.append(qid)
+                    rows_b.append(int(idv[j]))
+                    rows_s.append(float(scores[i][j]))
+            yield pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "score": rows_s})
+
+    return src.mapInPandas(compute, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

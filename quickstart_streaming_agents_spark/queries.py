@@ -1083,3 +1083,29 @@ def tool_invoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("invoke_result.result").alias("result"),
         F.col("invoke_result.response").alias("response"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (the fifth dedup tier: exact / n-gram Jaccard /
+# MinHash-LSH / SimHash / embedding). Broadcast-matmul threshold join —
+# no shuffle; hash-checked against DuckDB's list_cosine_similarity.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("score", 6).alias("score"))
