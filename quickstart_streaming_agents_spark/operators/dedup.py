@@ -313,18 +313,23 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        shifts = np.arange(64, dtype=np.uint64)
         for pdf in batches:
             out = []
             for text in pdf["__text"].tolist():
-                acc = np.zeros(64, dtype=np.int64)
-                for tok in (text or "").split():
-                    h = _stable_hash64(tok)
-                    bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-                    acc += bits * 2 - 1
+                toks = (text or "").split()
+                if not toks:
+                    out.append(0)
+                    continue
+                hs = np.fromiter(
+                    (_stable_hash64(t) for t in toks), dtype=np.uint64, count=len(toks)
+                )
+                # (tokens × 64) sign matrix in one vectorized pass
+                bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                acc = (2 * bits - 1).sum(axis=0)
                 val = 0
-                for i in range(64):
-                    if acc[i] > 0:
-                        val |= 1 << i
+                for i in np.nonzero(acc > 0)[0]:
+                    val |= 1 << int(i)
                 # store as signed int64
                 out.append(val - (1 << 64) if val >= (1 << 63) else val)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
