@@ -99,6 +99,29 @@ class EngineCatalog:
         self.agents[name] = a
         return a
 
+    # S12 — DROP <object> / DESCRIBE (testing/helpers/flink_sql_helper.py:
+    # 276-281,361 in /root/reference use these for idempotent re-runs)
+
+    def drop_connection(self, name: str) -> None:
+        self.connections.pop(name, None)
+
+    def drop_model(self, name: str) -> None:
+        self.models.pop(name, None)
+
+    def drop_tool(self, name: str) -> None:
+        self.tools.pop(name, None)
+
+    def drop_agent(self, name: str) -> None:
+        self.agents.pop(name, None)
+
+    def describe(self) -> dict[str, list[str]]:
+        return {
+            "connections": sorted(self.connections),
+            "models": sorted(self.models),
+            "tools": sorted(self.tools),
+            "agents": sorted(self.agents),
+        }
+
 
 DEFAULT_CATALOG = EngineCatalog()
 DEFAULT_CATALOG.create_model("fake_textgen", provider="fake", task="text_generation")

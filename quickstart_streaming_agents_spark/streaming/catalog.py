@@ -193,6 +193,22 @@ class StreamCatalog:
                 t.query.stop()
                 t.query = None
 
+    def drop_table(self, name: str, delete_data: bool = False) -> None:
+        """S12 DROP TABLE: stop the standing query, unregister, and
+        optionally remove the topic directory + checkpoint."""
+        t = self.tables.pop(name, None)
+        if t is None:
+            return
+        if t.query is not None and t.query.isActive:
+            t.query.stop()
+        if delete_data:
+            import shutil
+
+            p = Path(t.path)
+            if p.is_relative_to(Path(self.root)):
+                shutil.rmtree(p, ignore_errors=True)
+                shutil.rmtree(str(p) + "_ckpt", ignore_errors=True)
+
     def describe(self) -> str:
         """S12 DESCRIBE analog."""
         return json.dumps({n: {"path": t.path, "key": t.key,

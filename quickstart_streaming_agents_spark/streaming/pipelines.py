@@ -81,6 +81,78 @@ def surge_pipeline(
     return catalog
 
 
+def price_match_stream_pipeline(
+    catalog: StreamCatalog,
+    orders_path: str,
+    customer_path: str,
+    max_orders: int = 50,
+) -> StreamCatalog:
+    """Lab-1-shaped chain (LAB1-Walkthrough.md:119-256 in /root/reference):
+    orders stream ⋈ dimension tables → enriched_orders topic → agent stage
+    (tool loop per row, append-only so each order fires the agent exactly
+    once — the reference's changelog.mode=append, ST4) →
+    price_match_results topic with the parsed verdict.
+
+    The dimension join is stream-static: customers/products are
+    slowly-changing compacted sides, so Spark broadcasts them per
+    micro-batch — SURVEY §2.3 J1's faithful form, with no join state to
+    TTL at all."""
+    from ..functions.agents import ai_run_agent
+    from ..registries import DEFAULT_CATALOG, Agent, Tool
+
+    spark = catalog.spark
+    customer = spark.read.parquet(customer_path)
+
+    # bound the order stream (agents are per-row RPCs; the reference's lab1
+    # feeds 1 order / 2 min for the same reason)
+    orders_src = spark.read.parquet(orders_path).limit(max_orders)
+    catalog.create_table_as("orders", orders_src)
+
+    orders = catalog.read_stream("orders")
+    enriched = (
+        orders.join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("o_totalprice").alias("order_price"),
+            F.concat(
+                F.lit("Order "), F.col("o_orderkey").cast("string"),
+                F.lit(" for "), F.col("c_name"),
+                F.lit(" at $"), F.round("o_totalprice", 2).cast("string"),
+            ).alias("prompt"),
+        )
+    )
+    catalog.create_table_as("enriched_orders", enriched, available_now=True)
+    catalog.await_all()
+
+    tool = Tool(name="web_tools", allowed_tools=("http_get", "send_email"))
+    agent = Agent(
+        name="price_match_agent",
+        model=DEFAULT_CATALOG.models["fake_textgen"],
+        prompt=("You are a price-match agent. Verify competitor pricing, "
+                "then email the customer. Verdicts must be one of: "
+                "[PRICE_MATCH, NO_MATCH]"),
+        tools=(tool,),
+        max_iterations=10,
+        max_consecutive_failures=2,
+    )
+
+    eo = catalog.read_stream("enriched_orders")
+    with_agent = eo.withColumn("agent_result", ai_run_agent(agent, "prompt"))
+    results = with_agent.select(
+        "order_id", "customer_name", "order_price",
+        F.col("agent_result.status").alias("status"),
+        F.trim(F.regexp_extract(
+            F.col("agent_result.response"),
+            r"\*{0,2}Verdict:\*{0,2}\s*([A-Z_]+)", 1)).alias("decision"),
+        F.col("agent_result.response").alias("response"),
+    )
+    catalog.create_table_as("price_match_results", results, available_now=True)
+    catalog.await_all()
+    return catalog
+
+
 def rag_stream_pipeline(
     catalog: StreamCatalog,
     documents_path: str,

@@ -162,3 +162,44 @@ def test_rag_stream_pipeline_semantics(spark, catalog):
         assert r.top_score is not None
         assert r.response  # non-empty RAG answer
         assert r.response.startswith("FAKE[fake_textgen]:")
+
+
+def test_price_match_stream_pipeline_semantics(spark, catalog):
+    """Lab-1 semantic assertions (testing/e2e/test_lab1.py:262-288 analog):
+    price_match_results actually has messages, one per order, with a valid
+    parsed verdict — 'agent RUNNING' alone would miss silent tool failures."""
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        price_match_stream_pipeline,
+    )
+
+    price_match_stream_pipeline(
+        catalog,
+        orders_path=f"{SF_DIR}/orders.parquet",
+        customer_path=f"{SF_DIR}/customer.parquet",
+        max_orders=20,
+    )
+    results = catalog.read_batch("price_match_results").collect()
+    assert len(results) == 20  # exactly-once per order (append mode, ST4)
+    for r in results:
+        assert r.status == "SUCCESS"
+        assert r.decision in ("PRICE_MATCH", "NO_MATCH")
+        assert "TOOL_RESULT" not in r.decision
+
+    # S12: drop the chain's head; re-register is then allowed
+    catalog.drop_table("orders", delete_data=True)
+    assert "orders" not in catalog.tables
+
+
+def test_engine_catalog_drop_and_describe(spark):
+    from quickstart_streaming_agents_spark.registries import EngineCatalog
+
+    cat = EngineCatalog()
+    cat.create_model("m", provider="fake", task="text_generation")
+    cat.create_tool("t", allowed_tools=("http_get",))
+    cat.create_agent("a", model="m", prompt="p", tools=())
+    assert cat.describe()["agents"] == ["a"]
+    cat.drop_agent("a")
+    cat.drop_tool("t")
+    cat.drop_model("m")
+    assert cat.describe() == {"connections": [], "models": [], "tools": [],
+                              "agents": []}
