@@ -1,0 +1,70 @@
+"""Property-based tests (hypothesis) for the engine's pure numeric cores —
+no SparkSession needed, so these run in milliseconds and explore far more
+of the input space than example-based tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from quickstart_streaming_agents_spark.operators.anomaly import (
+    _z_for_confidence,
+    ar_one_step,
+    norm_ppf,
+)
+
+
+@given(st.floats(min_value=1e-6, max_value=1 - 1e-6))
+@settings(max_examples=200, deadline=None)
+def test_norm_ppf_inverts_normal_cdf(p):
+    x = norm_ppf(p)
+    cdf = 0.5 * (1 + math.erf(x / math.sqrt(2)))
+    assert abs(cdf - p) < 1e-7
+
+
+@given(st.floats(min_value=50.0, max_value=99.999))
+@settings(max_examples=100, deadline=None)
+def test_z_monotonic_in_confidence(c):
+    assert _z_for_confidence(c) < _z_for_confidence(min(c + 0.0005, 99.9995))
+
+
+@given(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    st.integers(min_value=8, max_value=64),
+)
+@settings(max_examples=100, deadline=None)
+def test_ar_constant_series_forecasts_constant(level, n):
+    """A flat history must forecast the level with near-zero residual —
+    so the next identical observation is never an anomaly."""
+    step = ar_one_step([level] * n, min_n=8, z=1.96)
+    assert step is not None
+    fc, up, lo = step
+    assert fc == pytest.approx(level, abs=max(1e-6, abs(level) * 1e-9))
+    assert lo - 1e-6 <= level <= up + 1e-6
+
+
+@given(st.integers(min_value=0, max_value=7))
+@settings(max_examples=20, deadline=None)
+def test_ar_under_trained_returns_none(n):
+    assert ar_one_step(list(range(n)), min_n=8, z=1.96) is None
+
+
+@given(
+    st.lists(st.floats(min_value=-1e3, max_value=1e3), min_size=10, max_size=60),
+    st.floats(min_value=80.0, max_value=99.9),
+)
+@settings(max_examples=100, deadline=None)
+def test_ar_bounds_ordered_and_widen_with_confidence(series, conf):
+    lo_z = _z_for_confidence(conf)
+    hi_z = _z_for_confidence(min(conf + 0.05, 99.95))
+    a = ar_one_step(series, min_n=8, z=lo_z)
+    b = ar_one_step(series, min_n=8, z=hi_z)
+    assert a is not None and b is not None
+    fa, ua, la = a
+    fb, ub, lb = b
+    assert la <= fa <= ua  # bounds bracket the forecast
+    assert fa == pytest.approx(fb, rel=1e-9, abs=1e-9)  # z doesn't move point forecast
+    assert ub >= ua - 1e-12 and lb <= la + 1e-12  # higher confidence → wider

@@ -203,3 +203,70 @@ def test_engine_catalog_drop_and_describe(spark):
     cat.drop_model("m")
     assert cat.describe() == {"connections": [], "models": [], "tools": [],
                               "agents": []}
+
+
+def test_stateful_anomaly_state_survives_restart(spark, catalog, tmp_path):
+    """Feed the window series in two chronological halves through two
+    availableNow runs sharing one checkpoint: the second run must restore
+    the ring-buffer state and continue exactly where batch processing of
+    the full series would be."""
+    import shutil
+
+    from quickstart_streaming_agents_spark.streaming.ops import (
+        ml_detect_anomalies_stream,
+    )
+
+    # materialize the full window series, chronologically split in two
+    emitted = _emitted_windows_batch(spark, "1 hour") \
+        .select("window_time", "event_type", "event_count").cache()
+    mid = emitted.selectExpr("percentile(CAST(window_time AS DOUBLE), 0.5) p") \
+        .collect()[0].p
+    src_dir = tmp_path / "wsrc"
+    emitted.filter(F.unix_timestamp("window_time") <= mid) \
+        .coalesce(1).write.mode("append").parquet(str(src_dir))
+
+    def run_once():
+        counts = (spark.readStream.schema(emitted.schema).format("parquet")
+                  .load(str(src_dir)))
+        scored = ml_detect_anomalies_stream(
+            counts, metric="event_count", ts="window_time",
+            keys=["event_type"], min_training_size=8, max_training_size=50,
+            confidence_percentage=95.0,
+        ).select(
+            "window_time", "event_type", "event_count",
+            F.col("anomaly_result.upper_bound").alias("upper_bound"),
+            F.col("anomaly_result.is_anomaly").alias("is_anomaly"),
+        )
+        q = (scored.writeStream.format("parquet").outputMode("append")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()  # first half
+    emitted.filter(F.unix_timestamp("window_time") > mid) \
+        .coalesce(1).write.mode("append").parquet(str(src_dir))
+    run_once()  # second half, state restored from checkpoint
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    want = ml_detect_anomalies(
+        emitted, metric="event_count", ts="window_time", keys=["event_type"],
+        min_training_size=8, max_training_size=50, confidence_percentage=95.0,
+        detector="ar",
+    ).select(
+        "window_time", "event_type", "event_count",
+        F.col("anomaly_result.upper_bound").alias("upper_bound"),
+        F.col("anomaly_result.is_anomaly").alias("is_anomaly"),
+    )
+    gm = {(r.window_time, r.event_type): (r.is_anomaly, r.upper_bound)
+          for r in got.collect()}
+    wm = {(r.window_time, r.event_type): (r.is_anomaly, r.upper_bound)
+          for r in want.collect()}
+    emitted.unpersist()
+    shutil.rmtree(src_dir, ignore_errors=True)
+    assert set(gm) == set(wm)
+    mismatch = [k for k in wm
+                if gm[k][0] != wm[k][0]
+                or (wm[k][1] is not None
+                    and gm[k][1] != pytest.approx(wm[k][1], rel=1e-9))]
+    assert not mismatch, mismatch[:5]
