@@ -270,3 +270,41 @@ def test_stateful_anomaly_state_survives_restart(spark, catalog, tmp_path):
                 or (wm[k][1] is not None
                     and gm[k][1] != pytest.approx(wm[k][1], rel=1e-9))]
     assert not mismatch, mismatch[:5]
+
+
+def test_streaming_session_window(spark, catalog):
+    """session_window works in streaming append mode with a watermark;
+    emitted sessions match the batch computation for sessions closed by
+    the final watermark."""
+    catalog.register_events_source("events", EVENTS)
+    ev = catalog.read_stream("events", watermark=("ts", "5 seconds"))
+    sess = (
+        ev.groupBy(F.session_window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "event_type", "n",
+        )
+    )
+    catalog.create_table_as("sessions", sess, available_now=True)
+    catalog.await_all()
+    got = {(r.session_start, r.event_type): r.n
+           for r in catalog.read_batch("sessions").collect()}
+
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    want_df = (
+        events.groupBy(F.session_window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "event_type", "n")
+        .filter(F.col("session_end")
+                <= F.lit(max_ts) - F.expr("INTERVAL 5 SECONDS"))
+    )
+    want = {(r.session_start, r.event_type): r.n for r in want_df.collect()}
+    assert got == want
+    assert len(got) > 0
