@@ -20,7 +20,34 @@ Everything is DataFrame/SQL-first so Catalyst handles pushdown, pruning and
 join strategy; Python appears only in Arrow-batched pandas UDFs.
 """
 
-from quickstart_streaming_agents_spark.session import get_spark
+from quickstart_streaming_agents_spark.functions.agents import (
+    ai_run_agent,
+    ai_tool_invoke,
+)
+from quickstart_streaming_agents_spark.functions.ml import ml_predict
+from quickstart_streaming_agents_spark.functions.vector import (
+    vector_search,
+    vector_search_flat,
+)
+from quickstart_streaming_agents_spark.operators.anomaly import ml_detect_anomalies
+from quickstart_streaming_agents_spark.operators.windows import tumble
+from quickstart_streaming_agents_spark.registries import (
+    DEFAULT_CATALOG,
+    EngineCatalog,
+)
+from quickstart_streaming_agents_spark.session import get_spark, ship_package
 
-__all__ = ["get_spark"]
+__all__ = [
+    "get_spark",
+    "ship_package",
+    "EngineCatalog",
+    "DEFAULT_CATALOG",
+    "tumble",
+    "ml_detect_anomalies",
+    "ml_predict",
+    "vector_search",
+    "vector_search_flat",
+    "ai_run_agent",
+    "ai_tool_invoke",
+]
 __version__ = "0.1.0"
