@@ -283,15 +283,11 @@ def embedding_near_dup_pairs(
             qn = np.linalg.norm(Q, axis=1)
             qn[qn == 0] = 1.0
             scores = (Q / qn[:, None]) @ m.T  # (batch, corpus)
-            rows_a, rows_b, rows_s = [], [], []
-            for i in range(len(pdf_in)):
-                qid = int(pdf_in["__id"].iloc[i])
-                hit = np.where((scores[i] >= threshold) & (idv > qid))[0]
-                for j in hit:
-                    rows_a.append(qid)
-                    rows_b.append(int(idv[j]))
-                    rows_s.append(float(scores[i][j]))
-            yield pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "score": rows_s})
+            qids = pdf_in["__id"].to_numpy().astype(np.int64)
+            ii, jj = np.nonzero((scores >= threshold) & (idv[None, :] > qids[:, None]))
+            yield pd.DataFrame(
+                {"id_a": qids[ii], "id_b": idv[jj].astype(np.int64), "score": scores[ii, jj]}
+            )
 
     return src.mapInPandas(compute, schema=out_schema)
 
@@ -327,11 +323,9 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
                 # (tokens × 64) sign matrix in one vectorized pass
                 bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
                 acc = (2 * bits - 1).sum(axis=0)
-                val = 0
-                for i in np.nonzero(acc > 0)[0]:
-                    val |= 1 << int(i)
-                # store as signed int64
-                out.append(val - (1 << 64) if val >= (1 << 63) else val)
+                packed = ((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+                # reinterpret the uint64 fingerprint as signed int64 for Spark
+                out.append(int(packed.astype(np.int64)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
     return src.mapInPandas(compute, schema=out_schema)

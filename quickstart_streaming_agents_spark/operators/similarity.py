@@ -33,17 +33,19 @@ def _hyperplanes(dim: int, num_planes: int, num_tables: int, seed: int = 42):
     return rng.standard_normal((num_tables, num_planes, dim))
 
 
-def _bucket_df(
-    df: DataFrame, id_col: str, emb_col: str, planes, role: str
-) -> DataFrame:
-    """(id, table, bucket, embedding) — sign-bit LSH bucket per probe table."""
+def _bucket_df(df: DataFrame, id_col: str, emb_col: str, planes) -> DataFrame:
+    """(item_id, table, bucket) — sign-bit LSH bucket per probe table.
+
+    Ids only: embeddings are joined back for re-rank AFTER candidate
+    dedup, so the (table, bucket) shuffle moves 3 longs per row per table
+    instead of the full vector — at 1536-dim × 8 tables that's the
+    difference between shuffling ~100 B/row and ~100 KB/row."""
     num_tables, num_planes, _ = planes.shape
     out_schema = T.StructType(
         [
             T.StructField("item_id", T.LongType()),
             T.StructField("table", T.IntegerType()),
             T.StructField("bucket", T.LongType()),
-            T.StructField("emb", T.ArrayType(T.DoubleType())),
         ]
     )
     src = df.select(F.col(id_col).cast("long").alias("item_id"), F.col(emb_col).alias("__emb"))
@@ -52,21 +54,23 @@ def _bucket_df(
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        pl = b_planes.value
+        pl = b_planes.value  # (tables, planes, dim)
         pows = (2 ** np.arange(num_planes)).astype(np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack(pdf["__emb"].to_numpy()).astype(np.float64)
-            rows = []
-            for t in range(num_tables):
-                bits = (X @ pl[t].T) > 0  # (n, planes)
-                buckets = bits.astype(np.int64) @ pows
-                for i in range(len(pdf)):
-                    rows.append(
-                        (int(pdf["item_id"].iloc[i]), t, int(buckets[i]), [float(v) for v in X[i]])
-                    )
-            yield pd.DataFrame(rows, columns=["item_id", "table", "bucket", "emb"])
+            X = np.stack(pdf["__emb"].to_numpy()).astype(np.float64)  # (n, dim)
+            ids = pdf["item_id"].to_numpy().astype(np.int64)
+            # all tables in one matmul: (n, tables*planes) sign bits
+            bits = (X @ pl.reshape(num_tables * num_planes, -1).T) > 0
+            buckets = bits.reshape(len(pdf), num_tables, num_planes).astype(np.int64) @ pows
+            yield pd.DataFrame(
+                {
+                    "item_id": np.repeat(ids, num_tables),
+                    "table": np.tile(np.arange(num_tables, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
 
     return src.mapInPandas(compute, schema=out_schema)
 
@@ -88,8 +92,10 @@ def ann_lsh(
     """
     dim = len(corpus.select(emb_col).first()[0])
     planes = _hyperplanes(dim, num_planes, num_tables, seed)
-    qb = _bucket_df(queries, query_id, emb_col, planes, "q")
-    cb = _bucket_df(corpus, corpus_id, emb_col, planes, "c")
+    qb = _bucket_df(queries, query_id, emb_col, planes)
+    cb = _bucket_df(corpus, corpus_id, emb_col, planes)
+    # ids-only candidate pairs, deduped across probe tables BEFORE any
+    # vector touches a shuffle
     cand = (
         qb.alias("q")
         .join(
@@ -99,14 +105,21 @@ def ann_lsh(
         .select(
             F.col("q.item_id").alias("query_id"),
             F.col("c.item_id").alias("match_id"),
-            F.col("q.emb").alias("qe"),
-            F.col("c.emb").alias("ce"),
         )
         .distinct()
     )
-    dot = F.expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-    norm = F.sqrt(F.expr("aggregate(qe, 0D, (a, v) -> a + v * v)")) * F.sqrt(
-        F.expr("aggregate(ce, 0D, (a, v) -> a + v * v)")
+    # re-rank: query side is the small side (broadcast); corpus side is an
+    # equi-join on match_id (one hash shuffle of candidates vs corpus)
+    qe = queries.select(
+        F.col(query_id).cast("long").alias("query_id"), F.col(emb_col).alias("qe")
+    )
+    ce = corpus.select(
+        F.col(corpus_id).cast("long").alias("match_id"), F.col(emb_col).alias("ce")
+    )
+    cand = cand.join(F.broadcast(qe), "query_id").join(ce, "match_id")
+    dot = F.expr("aggregate(zip_with(qe, ce, (x, y) -> x * double(y)), 0D, (acc, v) -> acc + v)")
+    norm = F.sqrt(F.expr("aggregate(qe, 0D, (a, v) -> a + v * double(v))")) * F.sqrt(
+        F.expr("aggregate(ce, 0D, (a, v) -> a + v * double(v))")
     )
     scored = cand.withColumn("score", dot / norm).drop("qe", "ce")
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id"))
