@@ -41,6 +41,7 @@ HEADLINE = [
     "minhash_lsh_dedup",
     "simhash_dedup",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_analysis",
     "multimodal_features",
     "rag_pipeline",

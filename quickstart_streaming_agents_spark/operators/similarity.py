@@ -10,6 +10,10 @@ to MongoDB Atlas (numCandidates=500); this engine owns the search.
   is keyed on hash buckets, never all-pairs — the 100 TB path. Recall is
   tunable via (num_planes, num_tables) and measured in tests against the
   brute-force baseline.
+- ``ann_ivf`` — inverted-file variant: spherical k-means over a bounded
+  sample, distributed nearest-centroid assignment, multi-probe candidate
+  join on cluster id, same exact re-rank. Data-adaptive partitions where
+  LSH's are oblivious.
 """
 
 from __future__ import annotations
@@ -108,8 +112,23 @@ def ann_lsh(
         )
         .distinct()
     )
-    # re-rank: query side is the small side (broadcast); corpus side is an
-    # equi-join on match_id (one hash shuffle of candidates vs corpus)
+    return _rerank_topk(cand, queries, corpus, query_id, corpus_id, emb_col, k)
+
+
+def _rerank_topk(
+    cand: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    emb_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact cosine re-rank of ids-only candidate pairs → top-k per query.
+
+    Query side is the small side (broadcast); corpus side is an equi-join
+    on match_id — one hash shuffle of candidates against the corpus, then
+    a JVM-side cosine and a partitioned row_number."""
     qe = queries.select(
         F.col(query_id).cast("long").alias("query_id"), F.col(emb_col).alias("qe")
     )
@@ -128,3 +147,117 @@ def ann_lsh(
         .filter(F.col("rk") <= k)
         .select("query_id", "match_id", F.round("score", 6).alias("score"), "rk")
     )
+
+
+def _train_centroids(
+    corpus: DataFrame, emb_col: str, n_centroids: int, sample_size: int, iters: int, seed: int
+):
+    """Spherical k-means centroids from a bounded corpus sample.
+
+    Training is driver-side numpy over ≤``sample_size`` vectors — the
+    standard IVF recipe (train on a sample); assignment, the O(corpus)
+    part, stays distributed."""
+    import numpy as np
+
+    frac_df = corpus.select(F.col(emb_col).alias("e"))
+    n = frac_df.count()
+    if n > sample_size:
+        frac_df = frac_df.sample(fraction=min(1.0, 1.2 * sample_size / n), seed=seed).limit(
+            sample_size
+        )
+    X = np.stack(frac_df.toPandas()["e"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    X = X / norms[:, None]
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    return cents
+
+
+def _assign_df(df: DataFrame, id_col: str, emb_col: str, cents, n_probe: int) -> DataFrame:
+    """(item_id, cluster) — nearest centroid(s) by cosine; ids only, same
+    rationale as _bucket_df. n_probe=1 for the corpus, >1 for queries."""
+    out_schema = T.StructType(
+        [
+            T.StructField("item_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+    src = df.select(F.col(id_col).cast("long").alias("item_id"), F.col(emb_col).alias("__emb"))
+    b_cents = df.sparkSession.sparkContext.broadcast(cents)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cts = b_cents.value  # (C, dim), unit-norm
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["__emb"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(X, axis=1)
+            nrm[nrm == 0] = 1.0
+            sims = (X / nrm[:, None]) @ cts.T  # (n, C)
+            ids = pdf["item_id"].to_numpy().astype(np.int64)
+            if n_probe == 1:
+                yield pd.DataFrame(
+                    {"item_id": ids, "cluster": sims.argmax(axis=1).astype(np.int32)}
+                )
+            else:
+                p = min(n_probe, sims.shape[1])
+                top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+                yield pd.DataFrame(
+                    {
+                        "item_id": np.repeat(ids, p),
+                        "cluster": top.reshape(-1).astype(np.int32),
+                    }
+                )
+
+    return src.mapInPandas(compute, schema=out_schema)
+
+
+def ann_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    emb_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 20_000,
+    train_iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: spherical-k-means partitioning + multi-probe search.
+
+    Scale shape: centroids train on a bounded sample (driver numpy),
+    corpus assignment is one distributed map emitting (id, cluster) longs,
+    the candidate join is an equi-join on cluster, and the exact re-rank
+    reuses _rerank_topk. Compared to ann_lsh, IVF adapts its partitions to
+    the data distribution — better recall per candidate on clustered
+    corpora; LSH needs no training pass. Recall is tuned via
+    (n_centroids, n_probe) and measured in tests vs brute force.
+    """
+    cents = _train_centroids(corpus, emb_col, n_centroids, train_sample, train_iters, seed)
+    qa = _assign_df(queries, query_id, emb_col, cents, n_probe)
+    ca = _assign_df(corpus, corpus_id, emb_col, cents, 1)
+    cand = (
+        qa.alias("q")
+        .join(ca.alias("c"), F.col("q.cluster") == F.col("c.cluster"))
+        .select(
+            F.col("q.item_id").alias("query_id"),
+            F.col("c.item_id").alias("match_id"),
+        )
+        # corpus ids live in exactly one cluster and query probes are
+        # distinct clusters ⇒ pairs are already unique, no distinct needed
+    )
+    return _rerank_topk(cand, queries, corpus, query_id, corpus_id, emb_col, k)

@@ -767,6 +767,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(queries_df, emb, "qid", "vec_id", k=3, num_planes=4, num_tables=16)
 
 
+@query("ann_ivf_topk")  # k-means training not SQL-expressible → rows-only
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN, recall-tested against brute force in
+    tests/test_similarity.py."""
+    from quickstart_streaming_agents_spark.operators.similarity import ann_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ann_ivf(queries_df, emb, "qid", "vec_id", k=3, n_centroids=16, n_probe=6)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: token count, punctuation/stopword ratios, language ID,
 # quality score, content fingerprint — all JVM expressions, oracle-checked.

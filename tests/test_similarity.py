@@ -10,7 +10,7 @@ from quickstart_streaming_agents_spark.operators.multimodal import (
     extract_media_features,
     sample_frames,
 )
-from quickstart_streaming_agents_spark.operators.similarity import ann_lsh
+from quickstart_streaming_agents_spark.operators.similarity import ann_ivf, ann_lsh
 from quickstart_streaming_agents_spark.session import ship_package
 from quickstart_streaming_agents_spark.sources.parquet import load_table
 from tests.conftest import SF_DIR
@@ -37,6 +37,29 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     # random 64-dim data is the hard case for LSH (neighbors at cos≈0.4);
     # 4 planes × 16 tables gives ~0.95 collision probability per neighbor
     assert recall >= 0.7, f"ANN recall@3 {recall:.2f}"
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    ship_package(spark)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30).select(F.col("vec_id").alias("qid"), "embedding")
+
+    exact = vector_search(q, emb, "embedding", k=3, exclude_self_on="qid").collect()
+    truth = {r["qid"]: {h["vec_id"] for h in r["search_results"]} for r in exact}
+
+    approx = ann_ivf(q, emb, "qid", "vec_id", k=4, n_centroids=16, n_probe=6).collect()
+    got: dict[int, set] = {}
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["match_id"])
+
+    hits = total = 0
+    for qid, t in truth.items():
+        total += len(t)
+        hits += len(t & got.get(qid, set()) - {qid})
+    recall = hits / total
+    # random 64-dim data: probing 6 of 16 clusters covers most cos≈0.4
+    # neighbors; clustered real corpora do far better at the same probes
+    assert recall >= 0.7, f"IVF recall@3 {recall:.2f}"
 
 
 def test_multimodal_feature_plumbing(spark):
