@@ -21,9 +21,23 @@ def tokens(text_col: str | Column) -> Column:
 
 
 def token_count(text_col: str | Column) -> Column:
-    """Whitespace token count (BPE-ish subword estimate ≈ tokens × 1.3 is a
-    downstream multiplier, kept out of the engine)."""
+    """Whitespace token count."""
     return F.size(tokens(text_col))
+
+
+# GPT-2-style pre-tokenizer pieces: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs. Deliberately RE2-compatible
+# (no lookarounds) so the same pattern runs in the DuckDB oracle.
+BPE_PIECE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def subword_token_count(text_col: str | Column) -> Column:
+    """BPE-ish token-count estimate: counts pre-tokenizer pieces (the unit
+    BPE merges operate within), a much tighter LLM-token proxy than
+    whitespace words on punctuation- or number-heavy text. Pure JVM
+    regexp_extract_all — map-only at any scale."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PIECE_RE), F.lit(0)))
 
 
 def punct_ratio(text_col: str | Column) -> Column:

@@ -804,6 +804,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, lang, n_tokens,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+               AS n_subword_tokens,
            ROUND(praw, 4) AS punct_ratio,
            ROUND(sraw, 4) AS stopword_ratio,
            CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
@@ -825,6 +828,7 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         tx.token_count("text").alias("n_tokens"),
+        tx.subword_token_count("text").alias("n_subword_tokens"),
         F.round(tx.punct_ratio("text"), 4).alias("punct_ratio"),
         F.round(tx.stopword_ratio("text"), 4).alias("stopword_ratio"),
         tx.lang_id("text").alias("lang_pred"),

@@ -135,6 +135,27 @@ def interval_join_stream(
 
 
 # ---------------------------------------------------------------------------
+# Streaming exact dedup (training-data pipeline op, streaming half of
+# operators/dedup.dedup_exact)
+# ---------------------------------------------------------------------------
+
+def dedup_exact_stream(
+    df: DataFrame, cols: list[str], event_time: str, delay: str = "5 seconds"
+) -> DataFrame:
+    """First-arrival exact dedup on ``cols`` over an unbounded stream.
+
+    ``dropDuplicatesWithinWatermark``: per-key state is retained only until
+    the watermark passes the key's last-seen event time + delay, so state is
+    O(keys active within the watermark horizon) — bounded, unlike a naive
+    ``dropDuplicates`` whose state grows forever. Duplicates separated by
+    more than ``delay`` of event time are NOT collapsed; pick the horizon to
+    cover the source's real duplicate window (ingest retries cluster within
+    seconds; cross-day re-crawls belong to the batch dedup tier).
+    """
+    return df.withWatermark(event_time, delay).dropDuplicatesWithinWatermark(cols)
+
+
+# ---------------------------------------------------------------------------
 # L1: streaming global LIMIT
 # ---------------------------------------------------------------------------
 

@@ -308,3 +308,23 @@ def test_streaming_session_window(spark, catalog):
     want = {(r.session_start, r.event_type): r.n for r in want_df.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_dedup_matches_batch(spark, catalog):
+    """dropDuplicatesWithinWatermark with a horizon covering the whole
+    fixture must agree exactly with batch first-arrival dedup."""
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+    from quickstart_streaming_agents_spark.streaming.ops import dedup_exact_stream
+
+    catalog.register_events_source("events", EVENTS)
+    ev = catalog.read_stream("events")
+    keys = ["event_type", "user_id"]
+    deduped = dedup_exact_stream(ev, keys, "ts", delay="2 days")
+    catalog.create_table_as("events_dedup", deduped, available_now=True)
+    catalog.await_all()
+
+    got = catalog.read_batch("events_dedup")
+    want_n = load_table(spark, SF_DIR, "events").select(*keys).distinct().count()
+    assert got.count() == want_n > 0
+    # one row per key — no duplicate survived
+    assert got.select(*keys).distinct().count() == want_n
