@@ -42,6 +42,7 @@ HEADLINE = [
     "simhash_dedup",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "curation_pipeline",
     "text_analysis",
     "multimodal_features",
     "rag_pipeline",

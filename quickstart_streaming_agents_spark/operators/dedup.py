@@ -70,6 +70,16 @@ def shingle_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFra
     return d.select("doc_id", F.explode(grams).alias("shingle"))
 
 
+def _shingle_hash_df(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """shingle_df with each shingle collapsed to xxhash64 — the join and
+    every shuffle key is 8 bytes instead of an n-word string. A 64-bit
+    collision (≈1e-9 at billions of distinct shingles) can only merge two
+    shingles and nudge one pair's count by 1; acceptable for dedup."""
+    return shingle_df(df, id_col, text_col, n).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -85,7 +95,7 @@ def ngram_jaccard_pairs(
     appearing in more than that many docs (stopword-run skew guard at scale;
     slightly lowers recall, never precision, for thresholds > 0.5).
     """
-    sh = shingle_df(df, id_col, text_col, n).cache()
+    sh = _shingle_hash_df(df, id_col, text_col, n).cache()
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")

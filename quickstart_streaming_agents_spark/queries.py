@@ -837,6 +837,75 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "curation_pipeline",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, text,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+                   / greatest(len(text), 1) AS praw,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x IN ('the','a','and','of','to','in','is','it'))) * 1.0
+                   / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS sraw,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x IN ('the','a','and','of','to','in','is','it'))) AS en_hits,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x IN ('el','la','de','que','los','una','por'))) AS es_hits,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x IN ('der','die','und','das','ist','nicht'))) AS de_hits,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    ), quality AS (
+        SELECT doc_id, n_tokens, fingerprint,
+               ROUND(0.4 * least(n_tokens / 100.0, 1.0)
+                   + 0.3 * (1.0 - least(praw * 5, 1.0))
+                   + 0.3 * least(sraw * 4, 1.0), 4) AS quality,
+               CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                    WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                    WHEN de_hits > 0 THEN 'de'
+                    ELSE 'und' END AS lang_pred
+        FROM scored
+    ), gated AS (
+        SELECT * FROM quality
+        WHERE quality >= 0.5 AND lang_pred = 'en' AND n_tokens >= 20
+    ), deduped AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM gated
+    )
+    SELECT doc_id, lang_pred, quality, n_tokens
+    FROM deduped
+    WHERE rn = 1
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data curation chain: score → language/quality/
+    length gate → exact dedup (first doc_id per content fingerprint).
+
+    Scale shape: scoring is map-only fused into the scan; the single
+    shuffle is the dedup window on fingerprint, whose keys are md5 strings
+    (uniform — no skew); the quality/lang filters run BEFORE the shuffle so
+    rejected docs never leave their input partition.
+    """
+    from quickstart_streaming_agents_spark.functions import text as tx
+    from quickstart_streaming_agents_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        tx.lang_id("text").alias("lang_pred"),
+        tx.quality_score("text").alias("quality"),
+        tx.token_count("text").alias("n_tokens"),
+        tx.doc_fingerprint("text").alias("fingerprint"),
+    )
+    gated = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en") & (F.col("n_tokens") >= 20)
+    )
+    return dedup_exact(gated, ["fingerprint"], ["doc_id"]).select(
+        "doc_id", "lang_pred", "quality", "n_tokens"
+    )
+
+
 @query("multimodal_features")  # fake decoder internals → rows-only
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → media metadata + feature vector via mapInPandas

@@ -78,3 +78,10 @@ def test_no_row_at_a_time_python_anywhere(spark):
     # UDTF nodes — BatchEvalPython (pickled row-at-a-time) is banned.
     for name in QUERIES:
         assert_no_row_python(_q(spark, name), name)
+
+
+def test_curation_pipeline_single_shuffle(spark):
+    # scoring + gates are map-only; the only exchange is the dedup window
+    df = _q(spark, "curation_pipeline")
+    assert count_exchanges(df) == 1
+    assert_no_row_python(df)
