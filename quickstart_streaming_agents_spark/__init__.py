@@ -30,6 +30,18 @@ from quickstart_streaming_agents_spark.functions.vector import (
     vector_search_flat,
 )
 from quickstart_streaming_agents_spark.operators.anomaly import ml_detect_anomalies
+from quickstart_streaming_agents_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from quickstart_streaming_agents_spark.operators.similarity import (
+    ann_ivf,
+    ann_lsh,
+    knn_bruteforce,
+)
 from quickstart_streaming_agents_spark.operators.windows import tumble
 from quickstart_streaming_agents_spark.registries import (
     DEFAULT_CATALOG,
@@ -49,5 +61,13 @@ __all__ = [
     "vector_search_flat",
     "ai_run_agent",
     "ai_tool_invoke",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_near_dup_pairs",
+    "ann_lsh",
+    "ann_ivf",
+    "knn_bruteforce",
 ]
 __version__ = "0.1.0"

@@ -164,23 +164,33 @@ def minhash_signatures(
         old_err = np.seterr(over="ignore")  # uint64 wrap IS the hash
         try:
             for pdf in batches:
-                sigs = []
+                # flatten every doc's shingle hashes into one array with
+                # per-doc offsets: a single (num_hashes × total_shingles)
+                # permute matrix + segment-min replaces the per-doc loop
+                all_hashes: list[int] = []
+                offsets = [0]
                 for text in pdf["__text"].tolist():
                     words = (text or "").split()
                     grams = {
                         " ".join(words[i:i + shingle_n])
                         for i in range(max(0, len(words) - shingle_n + 1))
                     }
-                    if not grams:
-                        sigs.append([0] * num_hashes)
-                        continue
-                    x = np.fromiter(
-                        (_stable_hash64(g) for g in grams), dtype=np.uint64, count=len(grams)
-                    )
-                    # (num_hashes × n_shingles) wrap-mod-2^64 matrix, min per row
+                    all_hashes.extend(_stable_hash64(g) for g in grams)
+                    offsets.append(len(all_hashes))
+                sigs: list[list[int]] = []
+                if all_hashes:
+                    x = np.array(all_hashes, dtype=np.uint64)
                     vals = a_params[:, None] * x[None, :] + b_params[:, None]
-                    sig = vals.min(axis=1).astype(np.int64)  # reinterpret as signed for Spark LongType
-                    sigs.append([int(v) for v in sig])
+                    starts = np.array(offsets[:-1])
+                    ends = np.array(offsets[1:])
+                    nonempty = starts < ends
+                    mins = np.full((len(starts), num_hashes), 0, dtype=np.int64)
+                    if nonempty.any():
+                        seg = np.minimum.reduceat(vals, starts[nonempty], axis=1)
+                        mins[nonempty] = seg.T.astype(np.int64)  # signed reinterpret for LongType
+                    sigs = [list(map(int, row)) for row in mins]
+                else:
+                    sigs = [[0] * num_hashes for _ in range(len(pdf))]
                 yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
         finally:
             np.seterr(**old_err)
@@ -321,22 +331,30 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
         shifts = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            out = []
+            # flatten all docs' token hashes; one (total_tokens × 64) bit
+            # matrix + segment-sum replaces the per-doc loop
+            all_hashes: list[int] = []
+            offsets = [0]
             for text in pdf["__text"].tolist():
                 toks = (text or "").split()
-                if not toks:
-                    out.append(0)
-                    continue
-                hs = np.fromiter(
-                    (_stable_hash64(t) for t in toks), dtype=np.uint64, count=len(toks)
-                )
-                # (tokens × 64) sign matrix in one vectorized pass
+                all_hashes.extend(_stable_hash64(t) for t in toks)
+                offsets.append(len(all_hashes))
+            fps = np.zeros(len(pdf), dtype=np.int64)
+            if all_hashes:
+                hs = np.array(all_hashes, dtype=np.uint64)
                 bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-                acc = (2 * bits - 1).sum(axis=0)
-                packed = ((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
-                # reinterpret the uint64 fingerprint as signed int64 for Spark
-                out.append(int(packed.astype(np.int64)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+                signed = 2 * bits - 1  # (total_tokens, 64)
+                starts = np.array(offsets[:-1])
+                ends = np.array(offsets[1:])
+                nonempty = starts < ends
+                if nonempty.any():
+                    acc = np.add.reduceat(signed, starts[nonempty], axis=0)
+                    packed = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+                        axis=1, dtype=np.uint64
+                    )
+                    # reinterpret the uint64 fingerprints as signed int64 for Spark
+                    fps[nonempty] = packed.astype(np.int64)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": fps})
 
     return src.mapInPandas(compute, schema=out_schema)
 
