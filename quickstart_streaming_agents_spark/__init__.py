@@ -47,6 +47,7 @@ from quickstart_streaming_agents_spark.registries import (
     DEFAULT_CATALOG,
     EngineCatalog,
 )
+from quickstart_streaming_agents_spark.script import run_sql_script
 from quickstart_streaming_agents_spark.session import get_spark, ship_package
 
 __all__ = [
@@ -61,6 +62,7 @@ __all__ = [
     "vector_search_flat",
     "ai_run_agent",
     "ai_tool_invoke",
+    "run_sql_script",
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",

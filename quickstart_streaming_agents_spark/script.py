@@ -1,0 +1,353 @@
+"""SQL-script entry point — run walkthrough-shaped SQL as text.
+
+The reference's authoritative query corpus is SQL script blocks extracted
+from markdown and executed statement-by-statement against Flink
+(scripts/common/sql_extractors.py:283-303, testing/e2e/test_lab3.py:38-90
+in /root/reference). This module gives the engine the same entry point:
+
+    results = run_sql_script(spark, script_text, catalog=cat)
+
+Statement handling:
+
+- ``CREATE CONNECTION / MODEL / TOOL / AGENT`` — Flink's AI DDL is not
+  Spark SQL; parsed here (same grammar as LAB1-Walkthrough.md:141-181,
+  terraform/core/main.tf:461-563) into ``EngineCatalog`` objects.
+- ``CREATE TABLE x [(…PRIMARY KEY…)] [WITH (…)] AS SELECT …`` — the
+  batch form of the CTAS-to-topic contract: run the SELECT, register
+  ``x`` as a temp view (streaming CTAS lives in StreamCatalog).
+- ``INSERT INTO t SELECT … | VALUES …`` — append to the view by union.
+- ``SET 'k' = 'v'`` — recorded, not applied: Flink runtime knobs
+  (sql.state-ttl …) map to watermarks/output modes that our operators own.
+- ``ALTER TABLE … MODIFY (WATERMARK …)`` — recorded no-op in batch; pass
+  ``watermark=`` to ``StreamCatalog.read_stream`` for the streaming analog.
+- ``DROP TABLE/MODEL/TOOL/AGENT/CONNECTION``, ``DESCRIBE t`` — catalog ops.
+- everything else (SELECT, WITH … SELECT, SHOW …) — ``spark.sql``.
+
+Flink's correlated-lateral AI calls are rewritten onto the engine's
+registered UDTFs (sql.py) before execution::
+
+    LATERAL TABLE(ML_PREDICT('m', p))            -> LATERAL ml_predict_t('m', p)
+    LATERAL TABLE(AI_RUN_AGENT('a', p))          -> LATERAL ai_run_agent('a', p)
+    LATERAL TABLE(VECTOR_SEARCH_AGG(t, DESCRIPTOR(c), q, k))
+                                                 -> LATERAL vector_search_t(q, k)
+
+TUMBLE/HOP table-valued functions are NOT rewritten — windowed
+aggregation is the ``operators/windows.tumble`` DataFrame surface (Spark
+expresses it as a groupBy, not a FROM-clause TVF).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from quickstart_streaming_agents_spark.registries import DEFAULT_CATALOG, EngineCatalog
+
+
+# ---------------------------------------------------------------------------
+# statement splitting
+# ---------------------------------------------------------------------------
+
+def split_statements(script: str) -> list[str]:
+    """Split on top-level ``;`` respecting single-quoted strings (with ``''``
+    escape) and ``--`` line comments. Mirrors the reference's extractor
+    contract: one executable statement per element, no empties."""
+    out: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(script)
+    in_str = False
+    in_comment = False
+    while i < n:
+        ch = script[i]
+        if in_comment:
+            if ch == "\n":
+                in_comment = False
+                buf.append(ch)
+            i += 1
+            continue
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < n and script[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_str = False
+            i += 1
+            continue
+        if ch == "-" and i + 1 < n and script[i + 1] == "-":
+            in_comment = True
+            i += 2
+            continue
+        if ch == "'":
+            in_str = True
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                out.append(stmt)
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    stmt = "".join(buf).strip()
+    if stmt:
+        out.append(stmt)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# WITH (...) property lists and quoted literals
+# ---------------------------------------------------------------------------
+
+_PROP_RE = re.compile(r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'")
+
+
+def _unq(s: str) -> str:
+    return s.replace("''", "'")
+
+
+def _parse_props(block: str) -> dict[str, str]:
+    """``'k' = 'v', …`` inside a WITH (…) clause."""
+    return {_unq(k): _unq(v) for k, v in _PROP_RE.findall(block)}
+
+
+def _with_props(stmt: str) -> dict[str, str]:
+    m = re.search(r"\bWITH\s*\(", stmt, re.I)
+    if not m:
+        return {}
+    # WITH block runs to the matching close paren
+    depth, j = 1, m.end()
+    while j < len(stmt) and depth:
+        if stmt[j] == "(":
+            depth += 1
+        elif stmt[j] == ")":
+            depth -= 1
+        j += 1
+    return _parse_props(stmt[m.end():j - 1])
+
+
+# ---------------------------------------------------------------------------
+# Flink lateral AI calls -> engine UDTFs (sql.py)
+# ---------------------------------------------------------------------------
+
+_LAT_RE = re.compile(
+    r"LATERAL\s+TABLE\s*\(\s*(ML_PREDICT|AI_RUN_AGENT|VECTOR_SEARCH_AGG)\s*\(", re.I
+)
+_UDTF_FOR = {"ML_PREDICT": "ml_predict_t", "AI_RUN_AGENT": "ai_run_agent"}
+
+
+def rewrite_laterals(sql: str) -> str:
+    while True:
+        m = _LAT_RE.search(sql)
+        if not m:
+            return sql
+        fn = m.group(1).upper()
+        # scan for the inner call's close and the outer TABLE(…)'s close;
+        # depth counts from 2 (both opens consumed by the regex); string
+        # literals are skipped so quoted parens can't unbalance the scan
+        i, depth = m.end(), 2
+        inner_close = outer_close = None
+        while i < len(sql):
+            c = sql[i]
+            if c == "'":
+                i += 1
+                while i < len(sql):
+                    if sql[i] == "'":
+                        if i + 1 < len(sql) and sql[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 1 and inner_close is None:
+                    inner_close = i
+                elif depth == 0:
+                    outer_close = i
+                    break
+            i += 1
+        if outer_close is None:
+            return sql  # malformed; leave for Spark's parser to report
+        args = sql[m.end():inner_close]
+        if fn == "VECTOR_SEARCH_AGG":
+            vm = re.match(r"\s*(\w+)\s*,\s*DESCRIPTOR\s*\(\s*\w+\s*\)\s*,\s*(.*)$",
+                          args, re.S | re.I)
+            repl = f"LATERAL vector_search_{vm.group(1)}({vm.group(2)})"
+        else:
+            repl = f"LATERAL {_UDTF_FOR[fn]}({args})"
+        sql = sql[:m.start()] + repl + sql[outer_close + 1:]
+
+
+# ---------------------------------------------------------------------------
+# runner
+# ---------------------------------------------------------------------------
+
+@dataclass
+class StatementResult:
+    kind: str                      # set|connection|model|tool|agent|ctas|insert|select|drop|describe|noop
+    name: str = ""
+    df: DataFrame | None = None
+    info: dict[str, Any] = field(default_factory=dict)
+
+
+_CTAS_RE = re.compile(
+    r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(`?\w+`?)"
+    r"(\s*\((?:[^()]|\([^()]*\))*\))?"      # optional (cols / PRIMARY KEY …)
+    r"(\s*WITH\s*\((?:[^()]|\([^()]*\))*\))?"
+    r"\s*AS\s+(.*)$",
+    re.I | re.S,
+)
+
+
+def run_sql_script(
+    spark: SparkSession,
+    script: str,
+    catalog: EngineCatalog | None = None,
+) -> list[StatementResult]:
+    """Execute a SQL script; returns one ``StatementResult`` per statement.
+
+    DataFrames in the results are lazy — callers decide what to collect,
+    like the reference's CLI printing only SELECT output.
+    """
+    cat = catalog if catalog is not None else DEFAULT_CATALOG
+    results: list[StatementResult] = []
+    for stmt in split_statements(script):
+        results.append(_run_statement(spark, stmt, cat))
+    return results
+
+
+def _run_statement(spark: SparkSession, stmt: str, cat: EngineCatalog) -> StatementResult:
+    head = stmt.split(None, 2)
+    kw = head[0].upper() if head else ""
+    second = head[1].upper() if len(head) > 1 else ""
+
+    if kw == "SET":
+        m = re.match(r"SET\s+'([^']+)'\s*=\s*'([^']*)'", stmt, re.I)
+        k, v = (m.group(1), m.group(2)) if m else ("", "")
+        return StatementResult("set", k, info={"value": v, "applied": False})
+
+    if kw == "ALTER":
+        return StatementResult("noop", info={"statement": stmt})
+
+    if kw == "CREATE" and second == "CONNECTION":
+        name = re.match(r"CREATE\s+CONNECTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)",
+                        stmt, re.I).group(1)
+        props = _with_props(stmt)
+        cat.create_connection(
+            name,
+            type=props.get("type", "fake").lower(),
+            endpoint=props.get("endpoint", ""),
+            credentials=tuple(
+                (k, v) for k, v in props.items() if k not in ("type", "endpoint")
+            ),
+        )
+        return StatementResult("connection", name)
+
+    if kw == "CREATE" and second == "MODEL":
+        name = re.match(r"CREATE\s+MODEL\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)",
+                        stmt, re.I).group(1)
+        props = _with_props(stmt)
+        out_m = re.search(r"OUTPUT\s*\(\s*(\w+)", stmt, re.I)
+        task = props.get("task") or (
+            "embedding" if out_m and out_m.group(1).lower() == "embedding"
+            else "text_generation"
+        )
+        conn_name = next(
+            (v for k, v in props.items() if k.endswith(".connection")), None
+        )
+        reserved = {"task", "provider"}
+        cat.create_model(
+            name,
+            provider=props.get("provider", "fake"),
+            task=task,
+            params=tuple((k, v) for k, v in props.items() if k not in reserved),
+            connection=cat.connections.get(conn_name) if conn_name else None,
+        )
+        return StatementResult("model", name)
+
+    if kw == "CREATE" and second == "TOOL":
+        name = re.match(r"CREATE\s+TOOL\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)",
+                        stmt, re.I).group(1)
+        conn = re.search(r"USING\s+CONNECTION\s+(\w+)", stmt, re.I)
+        props = _with_props(stmt)
+        cat.create_tool(
+            name,
+            connection=cat.connections.get(conn.group(1)) if conn else None,
+            allowed_tools=tuple(
+                t.strip() for t in props.get("allowed_tools", "").split(",") if t.strip()
+            ),
+            request_timeout=float(props.get("request_timeout", "30")),
+        )
+        return StatementResult("tool", name)
+
+    if kw == "CREATE" and second == "AGENT":
+        name = re.match(r"CREATE\s+AGENT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)",
+                        stmt, re.I).group(1)
+        model = re.search(r"USING\s+MODEL\s+(\w+)", stmt, re.I).group(1)
+        prompt_m = re.search(r"USING\s+PROMPT\s+'((?:[^']|'')*)'", stmt, re.I)
+        tools_m = re.search(r"USING\s+TOOLS\s+([\w,\s]+?)(?:\s+WITH\b|$)", stmt, re.I)
+        props = _with_props(stmt)
+        tools = tuple(
+            cat.tools[t.strip()]
+            for t in (tools_m.group(1).split(",") if tools_m else [])
+            if t.strip() in cat.tools
+        )
+        cat.create_agent(
+            name,
+            model,
+            prompt=_unq(prompt_m.group(1)) if prompt_m else "",
+            tools=tools,
+            max_iterations=int(props.get("max_iterations", "10")),
+            max_consecutive_failures=int(props.get("max_consecutive_failures", "2")),
+        )
+        return StatementResult("agent", name)
+
+    if kw == "CREATE":  # CREATE TABLE … AS SELECT
+        m = _CTAS_RE.match(stmt)
+        if m:
+            name = m.group(1).strip("`")
+            df = spark.sql(rewrite_laterals(m.group(4)))
+            df.createOrReplaceTempView(name)
+            key_m = re.search(r"PRIMARY\s+KEY\s*\(\s*(\w+)", m.group(2) or "", re.I)
+            return StatementResult(
+                "ctas", name, df,
+                info={"key": key_m.group(1) if key_m else None,
+                      "props": _parse_props(m.group(3) or "")},
+            )
+        # plain CREATE TABLE DDL etc. — hand to Spark
+        return StatementResult("select", df=spark.sql(stmt))
+
+    if kw == "INSERT":
+        m = re.match(r"INSERT\s+INTO\s+(`?\w+`?)\s+(.*)$", stmt, re.I | re.S)
+        name = m.group(1).strip("`")
+        body = m.group(2)
+        df = spark.sql(rewrite_laterals(body))
+        if spark.catalog.tableExists(name):
+            old = spark.table(name)
+            df = old.unionAll(df.toDF(*old.columns))
+        df.createOrReplaceTempView(name)
+        return StatementResult("insert", name, spark.table(name))
+
+    if kw == "DROP":
+        m = re.match(r"DROP\s+(\w+)\s+(?:IF\s+EXISTS\s+)?(\w+)", stmt, re.I)
+        obj, name = m.group(1).lower(), m.group(2)
+        if obj == "table":
+            spark.catalog.dropTempView(name)
+        else:
+            getattr(cat, f"drop_{obj}")(name)
+        return StatementResult("drop", name, info={"object": obj})
+
+    if kw in ("DESCRIBE", "DESC"):
+        name = stmt.split()[-1]
+        return StatementResult("describe", name, spark.sql(f"DESCRIBE {name}"))
+
+    return StatementResult("select", df=spark.sql(rewrite_laterals(stmt)))

@@ -1,0 +1,128 @@
+"""SQL-script runner: statement splitting, Flink AI-DDL parsing, lateral
+rewrites, and a lab1-shaped script end-to-end (the reference's EP2 path —
+walkthrough SQL blocks executed statement-by-statement)."""
+
+from __future__ import annotations
+
+from quickstart_streaming_agents_spark.registries import EngineCatalog
+from quickstart_streaming_agents_spark.script import (
+    rewrite_laterals,
+    run_sql_script,
+    split_statements,
+)
+from quickstart_streaming_agents_spark.session import ship_package
+from quickstart_streaming_agents_spark.sources.parquet import register_views
+from quickstart_streaming_agents_spark.sql import register_engine_sql
+
+from .conftest import SF_DIR
+
+
+def test_split_statements_strings_and_comments():
+    script = """
+    -- leading comment; with a semicolon
+    SELECT 'a;b' AS x;
+    SET 'sql.state-ttl' = '1 HOURS';  -- trailing
+    SELECT 'it''s;fine'
+    """
+    stmts = split_statements(script)
+    assert len(stmts) == 3
+    assert stmts[0] == "SELECT 'a;b' AS x"
+    assert stmts[2] == "SELECT 'it''s;fine'"
+
+
+def test_rewrite_laterals_flink_to_spark():
+    got = rewrite_laterals(
+        "SELECT q.query, r.response FROM queries q, "
+        "LATERAL TABLE(ML_PREDICT('m', CONCAT('a (b) ', q.query))) r"
+    )
+    assert got == (
+        "SELECT q.query, r.response FROM queries q, "
+        "LATERAL ml_predict_t('m', CONCAT('a (b) ', q.query)) r"
+    )
+    got = rewrite_laterals(
+        "SELECT * FROM t, LATERAL TABLE(VECTOR_SEARCH_AGG(docs, "
+        "DESCRIPTOR(embedding), t.q, 3)) AS v"
+    )
+    assert got == "SELECT * FROM t, LATERAL vector_search_docs(t.q, 3) AS v"
+
+
+def test_ai_ddl_populates_catalog(spark):
+    cat = EngineCatalog()
+    run_sql_script(spark, """
+        CREATE CONNECTION mcp_conn WITH (
+            'type' = 'mcp_server', 'endpoint' = 'http://localhost:9/mcp');
+        CREATE MODEL claims_model INPUT (prompt STRING) OUTPUT (response STRING)
+            WITH ('provider' = 'fake', 'task' = 'text_generation',
+                  'fake.params.max_tokens' = '50000');
+        CREATE MODEL embed_model INPUT (text STRING) OUTPUT (embedding ARRAY<FLOAT>)
+            WITH ('provider' = 'fake');
+        CREATE TOOL web_tool USING CONNECTION mcp_conn WITH (
+            'type' = 'mcp', 'allowed_tools' = 'http_get, send_email',
+            'request_timeout' = '30');
+        CREATE AGENT price_agent USING MODEL claims_model
+            USING PROMPT 'You are a price-match agent; it''s strict.'
+            USING TOOLS web_tool
+            WITH ('max_iterations' = '10', 'max_consecutive_failures' = '2');
+    """, catalog=cat)
+    assert cat.connections["mcp_conn"].type == "mcp_server"
+    m = cat.models["claims_model"]
+    assert m.task == "text_generation" and m.param("fake.params.max_tokens") == "50000"
+    assert cat.models["embed_model"].task == "embedding"  # inferred from OUTPUT
+    t = cat.tools["web_tool"]
+    assert t.allowed_tools == ("http_get", "send_email") and t.request_timeout == 30.0
+    a = cat.agents["price_agent"]
+    assert a.model is m and a.tools == (t,)
+    assert a.prompt == "You are a price-match agent; it's strict."
+    assert a.max_iterations == 10
+
+    # S12: DROP works through the script path too
+    run_sql_script(spark, "DROP AGENT price_agent; DROP TOOL web_tool", catalog=cat)
+    assert "price_agent" not in cat.agents and "web_tool" not in cat.tools
+
+
+def test_lab1_shaped_script_end_to_end(spark):
+    """CTAS chain + SET no-op + INSERT VALUES + lateral ML_PREDICT in the
+    reference's own (Flink) spelling, executed as one script."""
+    ship_package(spark)
+    register_views(spark, SF_DIR)
+    register_engine_sql(spark)
+
+    results = run_sql_script(spark, """
+        SET 'sql.state-ttl' = '1 HOURS';
+        CREATE TABLE enriched_orders_s AS
+            SELECT o.o_orderkey AS order_key, c.c_name AS customer_name,
+                   o.o_totalprice AS order_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey;
+        INSERT INTO enriched_orders_s VALUES (-1, 'synthetic buyer', 0.0);
+        CREATE TABLE price_match_prompts AS
+            SELECT order_key, r.response
+            FROM enriched_orders_s,
+                 LATERAL TABLE(ML_PREDICT('fake_textgen',
+                     CONCAT('Price match for ', customer_name))) r
+            WHERE order_key < 100;
+        SELECT * FROM price_match_prompts;
+    """)
+    kinds = [r.kind for r in results]
+    assert kinds == ["set", "ctas", "insert", "ctas", "select"]
+    assert results[0].info == {"value": "1 HOURS", "applied": False}
+
+    n_orders = spark.table("orders").count()
+    assert spark.table("enriched_orders_s").count() == n_orders + 1
+    rows = results[-1].df.collect()
+    assert 0 < len(rows) < n_orders
+    assert all(r.response for r in rows)
+    # the synthetic INSERT row flowed through the lateral model call
+    assert any(r.order_key == -1 for r in rows)
+
+
+def test_ctas_primary_key_and_props_recorded(spark):
+    results = run_sql_script(spark, """
+        CREATE TABLE keyed_t (PRIMARY KEY (k) NOT ENFORCED)
+        WITH ('changelog.mode' = 'append') AS
+        SELECT 1 AS k, 'x' AS v
+    """)
+    r = results[0]
+    assert r.kind == "ctas" and r.name == "keyed_t"
+    assert r.info["key"] == "k"
+    assert r.info["props"] == {"changelog.mode": "append"}
+    assert spark.table("keyed_t").count() == 1
