@@ -68,3 +68,46 @@ def test_ar_bounds_ordered_and_widen_with_confidence(series, conf):
     assert la <= fa <= ua  # bounds bracket the forecast
     assert fa == pytest.approx(fb, rel=1e-9, abs=1e-9)  # z doesn't move point forecast
     assert ub >= ua - 1e-12 and lb <= la + 1e-12  # higher confidence → wider
+
+
+# ---------------------------------------------------------------------------
+# SQL-script splitter: reassembling split output must round-trip
+# ---------------------------------------------------------------------------
+
+_IDENT = st.text(alphabet="abcz_", min_size=1, max_size=6)
+_LIT = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="'\x00"),
+    max_size=12,
+)
+
+
+@st.composite
+def _statement(draw):
+    """A single statement: keyword + identifiers + quoted literals that may
+    contain semicolons, '' escapes, and -- sequences."""
+    kind = draw(st.integers(0, 2))
+    name = draw(_IDENT)
+    lit = draw(_LIT).replace("'", "''") + draw(st.sampled_from(["", ";", "--x", "it''s"]))
+    if kind == 0:
+        return f"SELECT '{lit}' AS {name}"
+    if kind == 1:
+        return f"SET '{name}' = '{lit}'"
+    return f"DROP TABLE {name}"
+
+
+@given(st.lists(_statement(), min_size=1, max_size=6), st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_split_statements_round_trips(stmts, trailing_semi):
+    from quickstart_streaming_agents_spark.script import split_statements
+
+    script = ";\n".join(stmts) + (";" if trailing_semi else "")
+    assert split_statements(script) == stmts
+
+
+@given(st.lists(_statement(), min_size=1, max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_split_statements_ignores_comment_semicolons(stmts):
+    from quickstart_streaming_agents_spark.script import split_statements
+
+    script = "-- preamble; not a statement\n" + ";\n-- mid; comment\n".join(stmts)
+    assert split_statements(script) == stmts
