@@ -31,9 +31,15 @@ registered UDTFs (sql.py) before execution::
     LATERAL TABLE(VECTOR_SEARCH_AGG(t, DESCRIPTOR(c), q, k))
                                                  -> LATERAL vector_search_t(q, k)
 
-TUMBLE/HOP table-valued functions are NOT rewritten — windowed
-aggregation is the ``operators/windows.tumble`` DataFrame surface (Spark
-expresses it as a groupBy, not a FROM-clause TVF).
+The TUMBLE windowing TVF is rewritten onto Spark's ``window()`` projection
+(same ``window_start``/``window_end``/``window_time`` = end−1 ms contract
+as ``operators/windows.tumble``)::
+
+    FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '5' MINUTES))
+      -> FROM (SELECT *, window(ts, '5 minutes').start AS window_start, …)
+
+HOP/CUMULATE are not rewritten (unused by the reference; sliding windows
+are the DataFrame surface).
 """
 
 from __future__ import annotations
@@ -137,10 +143,41 @@ def _with_props(stmt: str) -> dict[str, str]:
 # Flink lateral AI calls -> engine UDTFs (sql.py)
 # ---------------------------------------------------------------------------
 
+_TUMBLE_RE = re.compile(
+    r"(TABLE\s*\(\s*)?TUMBLE\s*\(\s*TABLE\s+(`?\w+`?)\s*,\s*DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,"
+    r"\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
+    re.I,
+)
+
+
+def rewrite_tumble(sql: str) -> str:
+    """``[TABLE(]TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL 'n' UNIT)[)]`` →
+    a derived table projecting ``window_start/window_end/window_time``."""
+    def _sub(m: re.Match) -> str:
+        tbl, ts, n, unit = m.group(2), m.group(3), m.group(4), m.group(5).lower()
+        dur = f"'{n} {unit}'"
+        w = f"window({ts}, {dur})"
+        repl = (
+            f"(SELECT *, {w}.start AS window_start, {w}.end AS window_end, "
+            f"{w}.end - INTERVAL 1 MILLISECOND AS window_time FROM {tbl})"
+        )
+        return repl + ("\x00" if m.group(1) else "")  # marker: eat outer close
+
+    out = _TUMBLE_RE.sub(_sub, sql)
+    # drop the TABLE(…) wrapper's closing paren where the marker landed
+    out = re.sub(r"\x00\s*\)", "", out)
+    return out.replace("\x00", "")
+
+
 _LAT_RE = re.compile(
     r"LATERAL\s+TABLE\s*\(\s*(ML_PREDICT|AI_RUN_AGENT|VECTOR_SEARCH_AGG)\s*\(", re.I
 )
 _UDTF_FOR = {"ML_PREDICT": "ml_predict_t", "AI_RUN_AGENT": "ai_run_agent"}
+
+
+def rewrite_flink(sql: str) -> str:
+    """All Flink-dialect rewrites: lateral AI calls + TUMBLE TVF."""
+    return rewrite_tumble(rewrite_laterals(sql))
 
 
 def rewrite_laterals(sql: str) -> str:
@@ -315,7 +352,7 @@ def _run_statement(spark: SparkSession, stmt: str, cat: EngineCatalog) -> Statem
         m = _CTAS_RE.match(stmt)
         if m:
             name = m.group(1).strip("`")
-            df = spark.sql(rewrite_laterals(m.group(4)))
+            df = spark.sql(rewrite_flink(m.group(4)))
             df.createOrReplaceTempView(name)
             key_m = re.search(r"PRIMARY\s+KEY\s*\(\s*(\w+)", m.group(2) or "", re.I)
             return StatementResult(
@@ -330,7 +367,7 @@ def _run_statement(spark: SparkSession, stmt: str, cat: EngineCatalog) -> Statem
         m = re.match(r"INSERT\s+INTO\s+(`?\w+`?)\s+(.*)$", stmt, re.I | re.S)
         name = m.group(1).strip("`")
         body = m.group(2)
-        df = spark.sql(rewrite_laterals(body))
+        df = spark.sql(rewrite_flink(body))
         if spark.catalog.tableExists(name):
             old = spark.table(name)
             df = old.unionAll(df.toDF(*old.columns))
@@ -350,4 +387,4 @@ def _run_statement(spark: SparkSession, stmt: str, cat: EngineCatalog) -> Statem
         name = stmt.split()[-1]
         return StatementResult("describe", name, spark.sql(f"DESCRIBE {name}"))
 
-    return StatementResult("select", df=spark.sql(rewrite_laterals(stmt)))
+    return StatementResult("select", df=spark.sql(rewrite_flink(stmt)))

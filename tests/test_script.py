@@ -126,3 +126,31 @@ def test_ctas_primary_key_and_props_recorded(spark):
     assert r.info["key"] == "k"
     assert r.info["props"] == {"changelog.mode": "append"}
     assert spark.table("keyed_t").count() == 1
+
+
+def test_tumble_tvf_rewrite_matches_dataframe_tumble(spark):
+    """LAB3-shaped TUMBLE TVF SQL (LAB3-Walkthrough.md:99-112 spelling)
+    through run_sql_script must equal operators/windows.tumble."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.operators.windows import tumble
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+
+    ship_package(spark)
+    register_views(spark, SF_DIR)
+    results = run_sql_script(spark, """
+        CREATE TABLE requests_per_type AS
+        SELECT window_start, window_end, event_type,
+               COUNT(*) AS total_requests, window_time
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '5' MINUTES))
+        GROUP BY window_start, window_end, window_time, event_type;
+    """)
+    got = {(r.window_start, r.event_type): (r.total_requests, r.window_time)
+           for r in results[0].df.collect()}
+
+    events = load_table(spark, SF_DIR, "events")
+    want_df = tumble(events, "ts", "5 minutes", keys=["event_type"],
+                     aggs=[F.count("*").alias("total_requests")])
+    want = {(r.window_start, r.event_type): (r.total_requests, r.window_time)
+            for r in want_df.collect()}
+    assert got == want and len(got) > 0
