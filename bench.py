@@ -43,6 +43,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "curation_pipeline",
+    "events_rollup",
     "text_analysis",
     "multimodal_features",
     "rag_pipeline",

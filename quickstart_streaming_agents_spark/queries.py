@@ -953,6 +953,41 @@ def counts_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Beyond-reference OLAP: multi-level ROLLUP dashboard. The reference's
+# monitoring queries are flat counts (A4); rollup gives per-(type, hour),
+# per-type, and grand totals in ONE single-shuffle pass — Spark expands
+# grouping sets map-side, so it costs one aggregation, not three queries.
+# ---------------------------------------------------------------------------
+@query(
+    "events_rollup",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN GROUPING(h) = 0 THEN h END AS hour_of_day,
+           CAST(GROUPING(event_type) * 2 + GROUPING(h) AS BIGINT) AS lvl,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM (SELECT event_type, CAST(hour(ts) AS INT) AS h, value FROM events)
+    GROUP BY ROLLUP(event_type, h)
+    """,
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("h"), "value"
+    )
+    return events.rollup("event_type", "h").agg(
+        F.grouping_id("event_type", "h").cast("bigint").alias("lvl"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ).select(
+        "event_type",
+        F.col("h").alias("hour_of_day"),
+        "lvl",
+        "n_events",
+        "sum_value",
+    )
+
+
+# ---------------------------------------------------------------------------
 # ST7 — session windows (gap-merged). Not used by the reference's labs
 # (SURVEY §2.9 notes them absent) but part of the engine surface; Spark's
 # session_window(ts, gap): start = first event, end = last event + gap.

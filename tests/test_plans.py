@@ -85,3 +85,10 @@ def test_curation_pipeline_single_shuffle(spark):
     df = _q(spark, "curation_pipeline")
     assert count_exchanges(df) == 1
     assert_no_row_python(df)
+
+
+def test_events_rollup_single_shuffle(spark):
+    # grouping sets expand map-side (Expand node); one hash-agg exchange
+    df = _q(spark, "events_rollup")
+    assert count_exchanges(df) == 1
+    assert "Expand" in physical_plan(df)
