@@ -102,9 +102,9 @@ def enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (LAB3-Walkthrough.md:99-112). window_time = window_end - 1 ms.
 # ---------------------------------------------------------------------------
 _TUMBLE_5M_ORACLE = """
-    SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS window_start,
-           to_timestamp(floor(epoch(ts) / 300) * 300) + INTERVAL 5 MINUTE AS window_end,
-           to_timestamp(floor(epoch(ts) / 300) * 300) + INTERVAL 5 MINUTE
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) + INTERVAL 5 MINUTE AS window_end,
+           CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) + INTERVAL 5 MINUTE
                - INTERVAL 1 MILLISECOND AS window_time,
            event_type,
            COUNT(*) AS event_count,
@@ -134,8 +134,8 @@ def tumble_5m_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference: claims per city over TUMBLE 6h (LAB4-Walkthrough.md:127-141).
 # ---------------------------------------------------------------------------
 _TUMBLE_6H_ORACLE = """
-    SELECT to_timestamp(floor(epoch(ts) / 21600) * 21600) AS window_start,
-           to_timestamp(floor(epoch(ts) / 21600) * 21600) + INTERVAL 6 HOUR AS window_end,
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) + INTERVAL 6 HOUR AS window_end,
            event_type,
            COUNT(*) AS event_count,
            ROUND(SUM(value), 2) AS total_value,
@@ -174,7 +174,7 @@ def tumble_6h_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            user_id,
            event_type,
-           CAST(value AS DECIMAL(10,2)) AS value_dec,
+           ROUND(value, 2) AS value_dec,
            CAST(user_id AS VARCHAR) AS user_str
     FROM events
     WHERE event_type <> 'error' AND props <> '' AND value > 5.0
@@ -189,7 +189,7 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "event_type",
-            F.col("value").cast("decimal(10,2)").alias("value_dec"),
+            F.round("value", 2).alias("value_dec"),
             F.col("user_id").cast("string").alias("user_str"),
         )
     )
@@ -273,13 +273,20 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J2 — interval join: fact rows joined back to their window aggregate with
 # an event-time range predicate. Reference: claims ⋈ claims_anomalies_by_city
 # ON city AND ts ∈ [window_time − 6h, window_time] (LAB4-Walkthrough.md:231-235).
-# Spark executes equi-join on the key with the range as a post-join filter —
-# the same shape a Flink interval join has, minus the state (batch here;
-# streaming variant in streaming/interval_join).
+#
+# Plan: the interval [window_time − 6h, window_time] is window-aligned — it
+# covers exactly the 6-h bucket containing e.ts (plus the 1-ms lip at the
+# lower edge from window_time = window_end − 1 ms). So instead of an
+# equi-join on event_type alone (cardinality = #types, every hot type on one
+# task, full range fan-out post-join), we compute each event's candidate
+# window bucket(s) on the event side and equi-join on
+# (event_type, window_start): shuffle-key cardinality = #types × #windows,
+# no fan-out, and the original range predicate survives only as a cheap
+# residual filter. Scales with the number of windows, not the number of keys.
 # ---------------------------------------------------------------------------
 _INTERVAL_JOIN_ORACLE = """
     WITH agg AS (
-        SELECT to_timestamp(floor(epoch(ts) / 21600) * 21600) + INTERVAL 6 HOUR
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) + INTERVAL 6 HOUR
                    - INTERVAL 1 MILLISECOND AS window_time,
                event_type,
                COUNT(*) AS event_count
@@ -296,6 +303,10 @@ _INTERVAL_JOIN_ORACLE = """
 """
 
 
+#: 6 hours, in microseconds — the interval-join window width.
+_SIX_H_US = 21_600 * 1_000_000
+
+
 @query("interval_join", oracle=_INTERVAL_JOIN_ORACLE)
 def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -305,16 +316,32 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "6 hours",
         keys=["event_type"],
         aggs=[F.count("*").alias("event_count")],
-    ).select("window_time", "event_type", "event_count")
+    ).select("window_start", "window_time", "event_type", "event_count")
+    # Candidate buckets per event: its own 6-h bucket, plus the next bucket
+    # when ts sits exactly on the 1-ms lip (ts == next window_start − 1 ms
+    # satisfies ts >= window_time − 6h for the NEXT window too). Integer
+    # `div` keeps the bucket math exact at any epoch magnitude.
+    cands = F.array_distinct(
+        F.array(
+            F.timestamp_micros(F.expr(f"(unix_micros(ts) div {_SIX_H_US}) * {_SIX_H_US}")),
+            F.timestamp_micros(F.expr(f"((unix_micros(ts) + 1000) div {_SIX_H_US}) * {_SIX_H_US}")),
+        )
+    )
+    ev = events.withColumn("cand_ws", F.explode(cands))
     return (
-        events.alias("e")
+        ev.alias("e")
         .join(
             agg.alias("a"),
             (F.col("e.event_type") == F.col("a.event_type"))
-            & (F.col("e.ts") >= F.col("a.window_time") - F.expr("INTERVAL 6 HOUR"))
-            & (F.col("e.ts") <= F.col("a.window_time")),
+            & (F.col("e.cand_ws") == F.col("a.window_start")),
         )
-        .filter(F.col("a.event_count") > 2)
+        # Residual of the original interval predicate — only trims the
+        # sub-millisecond edge; no fan-out happens before this point.
+        .filter(
+            (F.col("e.ts") >= F.col("a.window_time") - F.expr("INTERVAL 6 HOUR"))
+            & (F.col("e.ts") <= F.col("a.window_time"))
+            & (F.col("a.event_count") > 2)
+        )
         .select(
             F.col("e.event_id").alias("event_id"),
             F.col("e.event_type").alias("event_type"),
@@ -336,7 +363,7 @@ _Z95 = norm_ppf(0.975)
 
 _ANOMALY_ZSCORE_ORACLE = f"""
     WITH agg AS (
-        SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600) AS window_start,
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
                event_type,
                COUNT(*) AS event_count
         FROM events
@@ -485,11 +512,32 @@ def ml_predict_textgen(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_predict_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 embedding task: STRING → ARRAY<FLOAT> (terraform/core/main.tf:529;
     INSERT INTO queries_embed … ML_PREDICT, terraform/lab2-vector-search/
-    main.tf:253)."""
+    main.tf:253).
+
+    The raw ARRAY<FLOAT> column is projected to scalar digests (dim, first
+    component, L2 norm) so the driver's canonicalizer — which sorts rows —
+    never sees an unhashable list value; the digests still pin dimension and
+    per-row content for the rows-only check.
+    """
     docs = load_table(spark, sf_dir, "documents")
     model = DEFAULT_CATALOG.models["fake_embedding"]
-    return docs.select("doc_id", "text").withColumn(
+    emb = docs.select("doc_id", "text").withColumn(
         "embedding", ml_predict(model, "text")
+    )
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("embedding_dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("embedding_c0"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            6,
+        ).alias("embedding_norm"),
     )
 
 
@@ -1039,8 +1087,8 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sliding_window_agg",
     oracle="""
-    SELECT to_timestamp(floor(epoch(ts) / 3600) * 3600 - g.k * 3600) AS window_start,
-           to_timestamp(floor(epoch(ts) / 3600) * 3600 - g.k * 3600)
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600 - g.k * 3600) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600 - g.k * 3600) AS TIMESTAMP)
                + INTERVAL 2 HOUR AS window_end,
            event_type,
            COUNT(*) AS event_count,

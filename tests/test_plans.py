@@ -50,7 +50,14 @@ def test_interval_join_single_agg_shuffle(spark):
     df = _q(spark, "interval_join")
     # one shuffle for the window agg; the join side is broadcast at this SF
     assert count_exchanges(df) == 1
-    assert "BroadcastHashJoin" in physical_plan(df)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # The equi-key must be (event_type, window-bucket) — not event_type
+    # alone. Key cardinality then scales with #windows, so a shuffle join
+    # at 100× data still spreads across the cluster instead of pinning
+    # each hot event_type to one task.
+    join_line = next(l for l in plan.splitlines() if "BroadcastHashJoin" in l)
+    assert "cand_ws" in join_line and "window_start" in join_line
 
 
 def test_text_analysis_is_map_only(spark):
