@@ -38,6 +38,14 @@ as ``operators/windows.tumble``)::
     FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '5' MINUTES))
       -> FROM (SELECT *, window(ts, '5 minutes').start AS window_start, …)
 
+``ML_DETECT_ANOMALIES(metric, ts, JSON_OBJECT(…)) OVER (PARTITION BY k
+ORDER BY ts …)`` — the flagship statement of both lab walkthroughs
+(LAB3-Walkthrough.md:119-132, LAB4-Walkthrough.md:150-163) — is rewritten
+onto a registered grouped-agg pandas window UDF running the same
+``ar_one_step`` fit as ``operators/anomaly.ml_detect_anomalies``, with the
+frame capped at ``maxTrainingSize PRECEDING`` and the ``anomaly_result``
+struct rebuilt JVM-side (see ``rewrite_ml_detect_anomalies``).
+
 HOP/CUMULATE are not rewritten (unused by the reference; sliding windows
 are the DataFrame surface).
 """
@@ -175,9 +183,149 @@ _LAT_RE = re.compile(
 _UDTF_FOR = {"ML_PREDICT": "ml_predict_t", "AI_RUN_AGENT": "ai_run_agent"}
 
 
-def rewrite_flink(sql: str) -> str:
-    """All Flink-dialect rewrites: lateral AI calls + TUMBLE TVF."""
-    return rewrite_tumble(rewrite_laterals(sql))
+def rewrite_flink(sql: str, spark: SparkSession | None = None) -> str:
+    """All Flink-dialect rewrites: lateral AI calls, TUMBLE TVF, and — when
+    a session is supplied to register the window UDF against —
+    ``ML_DETECT_ANOMALIES(…) OVER (…)``."""
+    sql = rewrite_tumble(rewrite_laterals(sql))
+    if spark is not None and _MDA_RE.search(sql):
+        sql = rewrite_ml_detect_anomalies(sql, spark)
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# ML_DETECT_ANOMALIES(metric, ts, JSON_OBJECT(…)) OVER (PARTITION BY … ORDER
+# BY …) — the flagship statement of both lab walkthroughs
+# (LAB3-Walkthrough.md:119-132, LAB4-Walkthrough.md:150-163).
+# ---------------------------------------------------------------------------
+
+_MDA_RE = re.compile(r"\bML_DETECT_ANOMALIES\s*\(", re.I)
+
+
+def _match_paren(s: str, open_idx: int) -> int:
+    """Index of the ``)`` matching ``s[open_idx] == '('`` (quote-aware)."""
+    i, depth = open_idx + 1, 1
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < len(s):
+                if s[i] == "'":
+                    if i + 1 < len(s) and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def _split_top_level(args: str) -> list[str]:
+    """Split on top-level commas (quote- and paren-aware)."""
+    out, buf, depth, i, n = [], [], 0, 0, len(args)
+    while i < n:
+        c = args[i]
+        if c == "'":
+            buf.append(c)
+            i += 1
+            while i < n:
+                buf.append(args[i])
+                if args[i] == "'":
+                    if i + 1 < n and args[i + 1] == "'":
+                        buf.append("'")
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+            buf.append(c)
+        elif c == ")":
+            depth -= 1
+            buf.append(c)
+        elif c == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    out.append("".join(buf))
+    return out
+
+
+_FRAME_RE = re.compile(
+    r"(RANGE|ROWS)\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+CURRENT\s+ROW", re.I
+)
+
+
+def rewrite_ml_detect_anomalies(sql: str, spark: SparkSession) -> str:
+    """Rewrite each ``ML_DETECT_ANOMALIES(metric, ts, JSON_OBJECT(…)) OVER
+    (spec)`` onto the engine's registered window UDF
+    (sql.register_ml_detect_anomalies_sql).
+
+    Two deliberate plan changes, both semantics-preserving:
+
+    - the frame is capped at ``maxTrainingSize PRECEDING`` (AR training
+      never reads further back), so each row ships an O(maxTrainingSize)
+      frame instead of its whole unbounded history;
+    - the UDF's ``array<double>`` output is rebuilt into the reference's
+      ``anomaly_result`` struct via a JVM-side ``transform`` lambda, so the
+      window function is evaluated once per row, not once per struct field.
+
+    The second argument (the event-time column) is carried by the OVER
+    spec's ORDER BY, exactly as in Flink.
+    """
+    from quickstart_streaming_agents_spark.sql import register_ml_detect_anomalies_sql
+
+    while True:
+        m = _MDA_RE.search(sql)
+        if not m:
+            return sql
+        open_idx = sql.index("(", m.end() - 1)
+        close = _match_paren(sql, open_idx)
+        if close < 0:
+            return sql  # malformed; leave for Spark's parser to report
+        args = _split_top_level(sql[open_idx + 1:close])
+        metric = args[0].strip()
+        params_txt = args[2] if len(args) > 2 else ""
+
+        def _p(key: str, default: str) -> str:
+            pm = re.search(rf"'{key}'\s+VALUE\s+([\w.+-]+)", params_txt, re.I)
+            return pm.group(1) if pm else default
+
+        min_n = int(float(_p("minTrainingSize", "8")))
+        max_n = int(float(_p("maxTrainingSize", "50")))
+        conf = float(_p("confidencePercentage", "95.0"))
+        stl = _p("enableStl", "FALSE").upper() == "TRUE"
+
+        over_m = re.match(r"\s*OVER\s*\(", sql[close + 1:], re.I)
+        if not over_m:
+            raise ValueError(
+                "ML_DETECT_ANOMALIES requires an OVER (PARTITION BY … ORDER BY …) "
+                "clause (LAB3-Walkthrough.md:128-132)"
+            )
+        ov_open = close + 1 + over_m.end() - 1
+        ov_close = _match_paren(sql, ov_open)
+        spec = sql[ov_open + 1:ov_close]
+        capped = f"ROWS BETWEEN {max_n} PRECEDING AND CURRENT ROW"
+        spec, n_sub = _FRAME_RE.subn(capped, spec)
+        if not n_sub:
+            spec = spec.rstrip() + " " + capped
+
+        fn = register_ml_detect_anomalies_sql(spark, min_n, max_n, conf, stl)
+        repl = (
+            f"element_at(transform(array({fn}(CAST({metric} AS DOUBLE)) "
+            f"OVER ({spec})), _a -> named_struct("
+            f"'forecast_value', _a[0], 'upper_bound', _a[1], "
+            f"'lower_bound', _a[2], 'is_anomaly', coalesce(_a[3] > 0.5D, false))), 1)"
+        )
+        sql = sql[:m.start()] + repl + sql[ov_close + 1:]
 
 
 def rewrite_laterals(sql: str) -> str:
@@ -352,7 +500,7 @@ def _run_statement(spark: SparkSession, stmt: str, cat: EngineCatalog) -> Statem
         m = _CTAS_RE.match(stmt)
         if m:
             name = m.group(1).strip("`")
-            df = spark.sql(rewrite_flink(m.group(4)))
+            df = spark.sql(rewrite_flink(m.group(4), spark))
             df.createOrReplaceTempView(name)
             key_m = re.search(r"PRIMARY\s+KEY\s*\(\s*(\w+)", m.group(2) or "", re.I)
             return StatementResult(
@@ -367,7 +515,7 @@ def _run_statement(spark: SparkSession, stmt: str, cat: EngineCatalog) -> Statem
         m = re.match(r"INSERT\s+INTO\s+(`?\w+`?)\s+(.*)$", stmt, re.I | re.S)
         name = m.group(1).strip("`")
         body = m.group(2)
-        df = spark.sql(rewrite_flink(body))
+        df = spark.sql(rewrite_flink(body, spark))
         if spark.catalog.tableExists(name):
             old = spark.table(name)
             df = old.unionAll(df.toDF(*old.columns))
@@ -387,4 +535,4 @@ def _run_statement(spark: SparkSession, stmt: str, cat: EngineCatalog) -> Statem
         name = stmt.split()[-1]
         return StatementResult("describe", name, spark.sql(f"DESCRIBE {name}"))
 
-    return StatementResult("select", df=spark.sql(rewrite_flink(stmt)))
+    return StatementResult("select", df=spark.sql(rewrite_flink(stmt, spark)))

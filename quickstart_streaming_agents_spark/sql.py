@@ -93,6 +93,74 @@ def register_engine_sql(spark: SparkSession,
     spark.udtf.register("ai_run_agent", AiRunAgent)
 
 
+_MDA_CACHE: dict[tuple[int, int, float], str] = {}
+
+
+def register_ml_detect_anomalies_sql(
+    spark: SparkSession,
+    min_training_size: int = 8,
+    max_training_size: int = 50,
+    confidence_percentage: float = 95.0,
+    enable_stl: bool = False,
+) -> str:
+    """Register the SQL window-function form of ``ML_DETECT_ANOMALIES``
+    (LAB3-Walkthrough.md:119-132, LAB4-Walkthrough.md:150-163 in
+    /root/reference) and return its function name.
+
+    The registered function is a grouped-agg pandas UDF evaluated over a
+    per-row window frame — Spark's ``WindowInPandasExec`` hands each row its
+    trailing frame (history + current), and the UDF runs the same
+    ``ar_one_step`` fit as the DataFrame operator, so both surfaces produce
+    identical bounds for identical history. Spark disallows struct returns
+    from grouped-agg UDFs, so the UDF emits ``array<double>``
+    ``[forecast, upper, lower, is_anomaly]``; the script rewriter rebuilds
+    the reference's ``anomaly_result`` struct JVM-side (script.py).
+
+    Scale note: the frame should be capped at ``maxTrainingSize PRECEDING``
+    (the rewriter does this) — AR training never looks further back, so the
+    per-row frame transfer is O(maxTrainingSize), not O(partition).
+    The one-pass-per-key DataFrame operator (operators/anomaly.py) remains
+    the bulk path; this form exists for walkthrough-SQL parity.
+    """
+    if enable_stl:
+        raise NotImplementedError(
+            "enableStl=TRUE is not supported on the SQL path (every reference "
+            "use sets FALSE — LAB3-Walkthrough.md:126, LAB4-Walkthrough.md:158); "
+            "use operators/anomaly.ml_detect_anomalies(enable_stl=True)."
+        )
+    from pyspark.sql.functions import PandasUDFType
+
+    from quickstart_streaming_agents_spark.operators.anomaly import (
+        _z_for_confidence,
+        ar_one_step,
+    )
+
+    key = (int(min_training_size), int(max_training_size), float(confidence_percentage))
+    fn_name = _MDA_CACHE.get(key)
+    if fn_name is None:
+        fn_name = "ml_da_{}_{}_{}".format(
+            key[0], key[1], str(key[2]).replace(".", "_").replace("-", "m")
+        )
+        _MDA_CACHE[key] = fn_name
+
+    z = _z_for_confidence(confidence_percentage)
+    min_n, max_n = key[0], key[1]
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()), PandasUDFType.GROUPED_AGG)
+    def _detect(v):
+        vals = v.to_numpy(dtype="float64")
+        train = vals[:-1][-max_n:]
+        step = ar_one_step(train, min_n, z)
+        if step is None:
+            return [None, None, None, 0.0]
+        fc, up, lo = step
+        cur = float(vals[-1])
+        return [fc, up, lo, 1.0 if (cur > up or cur < lo) else 0.0]
+
+    spark.udf.register(fn_name, _detect)
+    return fn_name
+
+
 def register_vector_table_sql(
     spark: SparkSession,
     name: str,
