@@ -25,6 +25,32 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def assert_broadcastable_corpus(
+    vector_table: DataFrame,
+    embedding_col: str = "embedding",
+    max_broadcast_bytes: int = 1 << 30,
+) -> int:
+    """Fail loudly (not with a driver OOM) when a corpus is too big for the
+    exact-broadcast tier. Returns the corpus row count.
+
+    The bound is estimated as rows × dim × 8 (the normalized float64
+    matrix). Oversized corpora should use the shuffle-shaped ANN operators
+    (operators/similarity.ann_lsh / ann_ivf) instead.
+    """
+    n = vector_table.count()
+    first = vector_table.select(embedding_col).first()
+    dim = len(first[0]) if first and first[0] is not None else 0
+    est = n * dim * 8
+    if est > max_broadcast_bytes:
+        raise ValueError(
+            f"vector corpus ≈{est / 1e9:.1f} GB ({n} rows × dim {dim}) exceeds the "
+            f"exact-broadcast tier bound ({max_broadcast_bytes / 1e9:.1f} GB). Use "
+            "operators/similarity.ann_lsh or ann_ivf (bucketed shuffle, no driver "
+            "collect), or raise max_broadcast_bytes explicitly."
+        )
+    return n
+
+
 def vector_search(
     df: DataFrame,
     vector_table: DataFrame,
@@ -33,6 +59,7 @@ def vector_search(
     embedding_col: str = "embedding",
     output_col: str = "search_results",
     exclude_self_on: str | None = None,
+    max_broadcast_bytes: int = 1 << 30,
 ) -> DataFrame:
     """Append ``output_col``: top-k cosine matches from ``vector_table``.
 
@@ -43,6 +70,7 @@ def vector_search(
     """
     import numpy as np
 
+    assert_broadcastable_corpus(vector_table, embedding_col, max_broadcast_bytes)
     meta_fields = [f for f in vector_table.schema.fields if f.name != embedding_col]
     meta_cols = [f.name for f in meta_fields]
     elem_type = T.StructType(
@@ -69,22 +97,37 @@ def vector_search(
         m = b_mat.value
         meta = b_meta.value
         ids = self_ids.value if self_ids is not None else None
+        n_corpus = m.shape[0]
+        # One BLAS matmul per row-block instead of one matvec per row; the
+        # block height bounds the b×N score matrix at ~64 MB so a huge
+        # corpus can't blow executor memory.
+        block = max(1, (8 << 20) // max(n_corpus, 1))
+        kk = min(k, n_corpus)
         for pdf_in in batches:
-            results = []
-            for row_i in range(len(pdf_in)):
-                q = np.asarray(pdf_in[query_col].iloc[row_i], dtype=np.float64)
-                qn = np.linalg.norm(q)
-                scores = m @ (q / qn if qn else q)
-                mask_self = None
-                if ids is not None:
-                    mask_self = ids == pdf_in[exclude_self_on].iloc[row_i]
-                    scores = np.where(mask_self, -np.inf, scores)
-                kk = min(k, len(scores) - (int(mask_self.sum()) if mask_self is not None else 0))
-                top = np.argpartition(-scores, kk - 1)[:kk] if kk > 0 else np.array([], dtype=int)
-                top = top[np.argsort(-scores[top], kind="stable")]
-                results.append(
-                    [{**meta[j], "score": float(scores[j])} for j in top]
+            n = len(pdf_in)
+            results: list[list[dict]] = [[] for _ in range(n)]
+            if n and kk > 0:
+                q_mat = np.stack(pdf_in[query_col].to_numpy()).astype(np.float64)
+                qn = np.linalg.norm(q_mat, axis=1)
+                qn[qn == 0] = 1.0
+                q_mat /= qn[:, None]
+                batch_ids = (
+                    pdf_in[exclude_self_on].to_numpy() if ids is not None else None
                 )
+                for lo in range(0, n, block):
+                    hi = min(n, lo + block)
+                    scores = q_mat[lo:hi] @ m.T
+                    if ids is not None:
+                        scores[ids[None, :] == batch_ids[lo:hi, None]] = -np.inf
+                    part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+                    for bi in range(hi - lo):
+                        top = part[bi]
+                        top = top[np.argsort(-scores[bi, top], kind="stable")]
+                        results[lo + bi] = [
+                            {**meta[j], "score": float(scores[bi, j])}
+                            for j in top
+                            if np.isfinite(scores[bi, j])
+                        ]
             pdf_out = pdf_in[in_cols].copy()
             pdf_out[output_col] = results
             yield pdf_out

@@ -260,17 +260,25 @@ def embedding_near_dup_pairs(
     id_col: str,
     emb_col: str = "embedding",
     threshold: float = 0.9,
+    max_broadcast_bytes: int = 1 << 30,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine similarity ≥ threshold.
 
     Physical plan: broadcast the normalized corpus matrix once; each Arrow
     batch of rows does one matmul against it and emits only the
     above-threshold neighbors — no shuffle, no quadratic join. This is the
-    exact-search tier (corpus ≤ broadcast size); beyond that, feed LSH
-    candidates (operators/similarity.ann_lsh) into the same verifier.
+    exact-search tier (corpus ≤ broadcast size, enforced by
+    ``max_broadcast_bytes`` so misuse fails loudly instead of OOMing the
+    driver); beyond that, feed LSH candidates (operators/similarity.ann_lsh)
+    into the same verifier.
     """
     import numpy as np
 
+    from quickstart_streaming_agents_spark.functions.vector import (
+        assert_broadcastable_corpus,
+    )
+
+    assert_broadcastable_corpus(df, emb_col, max_broadcast_bytes)
     pdf = df.select(id_col, emb_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)

@@ -184,13 +184,29 @@ _UDTF_FOR = {"ML_PREDICT": "ml_predict_t", "AI_RUN_AGENT": "ai_run_agent"}
 
 
 def rewrite_flink(sql: str, spark: SparkSession | None = None) -> str:
-    """All Flink-dialect rewrites: lateral AI calls, TUMBLE TVF, and — when
-    a session is supplied to register the window UDF against —
-    ``ML_DETECT_ANOMALIES(…) OVER (…)``."""
-    sql = rewrite_tumble(rewrite_laterals(sql))
+    """All Flink-dialect rewrites: lateral AI calls, TUMBLE TVF, ``MAP[…]``
+    literals, and — when a session is supplied to register the window UDF
+    against — ``ML_DETECT_ANOMALIES(…) OVER (…)``."""
+    sql = rewrite_map_literals(rewrite_tumble(rewrite_laterals(sql)))
     if spark is not None and _MDA_RE.search(sql):
         sql = rewrite_ml_detect_anomalies(sql, spark)
     return sql
+
+
+_MAPLIT_RE = re.compile(r"\bMAP\s*\[", re.I)
+
+
+def rewrite_map_literals(sql: str) -> str:
+    """Flink ``MAP['k', 'v', …]`` bracket literals → Spark ``map('k', 'v', …)``
+    (AI_TOOL_INVOKE arguments, LAB1-Walkthrough.md:88-90)."""
+    while True:
+        m = _MAPLIT_RE.search(sql)
+        if not m:
+            return sql
+        close = _match_paren(sql, m.end() - 1, pair="[]")
+        if close < 0:
+            return sql  # malformed; leave for Spark's parser to report
+        sql = sql[:m.start()] + "map(" + sql[m.end():close] + ")" + sql[close + 1:]
 
 
 # ---------------------------------------------------------------------------
@@ -202,8 +218,9 @@ def rewrite_flink(sql: str, spark: SparkSession | None = None) -> str:
 _MDA_RE = re.compile(r"\bML_DETECT_ANOMALIES\s*\(", re.I)
 
 
-def _match_paren(s: str, open_idx: int) -> int:
-    """Index of the ``)`` matching ``s[open_idx] == '('`` (quote-aware)."""
+def _match_paren(s: str, open_idx: int, pair: str = "()") -> int:
+    """Index of the closer matching ``s[open_idx] == pair[0]`` (quote-aware)."""
+    opener, closer = pair
     i, depth = open_idx + 1, 1
     while i < len(s):
         c = s[i]
@@ -216,9 +233,9 @@ def _match_paren(s: str, open_idx: int) -> int:
                         continue
                     break
                 i += 1
-        elif c == "(":
+        elif c == opener:
             depth += 1
-        elif c == ")":
+        elif c == closer:
             depth -= 1
             if depth == 0:
                 return i

@@ -92,6 +92,48 @@ def register_engine_sql(spark: SparkSession,
     spark.udtf.register("ml_predict_t", MlPredictT)
     spark.udtf.register("ai_run_agent", AiRunAgent)
 
+    # AI_TOOL_INVOKE(model, prompt, input_args MAP, tools MAP, options MAP)
+    # — LAB1-Walkthrough.md:80-92. Flink's MAP[…] literals are rewritten to
+    # Spark map(…) by script.rewrite_flink; the tools map's keys are the
+    # whitelist and the first tool is invoked single-shot, mirroring the
+    # DataFrame form (functions/agents.ai_tool_invoke).
+    tool_invoke_type = T.StructType(
+        [
+            T.StructField("tool_name", T.StringType()),
+            T.StructField("result", T.StringType()),
+            T.StructField("response", T.StringType()),
+        ]
+    )
+
+    @F.pandas_udf(tool_invoke_type)
+    def _ai_tool_invoke(
+        names: pd.Series,
+        prompts: pd.Series,
+        input_args: pd.Series,
+        tools: pd.Series,
+        options: pd.Series,
+    ) -> pd.DataFrame:
+        from quickstart_streaming_agents_spark.functions.agents import TOOL_EXECUTORS
+
+        rows = []
+        for name, p, targs, tmap in zip(names, prompts, input_args, tools):
+            allowed = list(tmap.keys()) if tmap is not None else []
+            tname = allowed[0] if allowed else ""
+            try:
+                if name not in models:
+                    raise KeyError(f"unknown model {name!r}")
+                if tname not in TOOL_EXECUTORS:
+                    raise KeyError(f"unknown tool {tname!r}")
+                args = {"url": f"https://example.com/?q={(p or '')[:24]}"}
+                args.update(targs or {})
+                result = TOOL_EXECUTORS[tname](args)
+                rows.append((tname, result, f"tool {tname} ok"))
+            except Exception as exc:  # noqa: BLE001 — any tool error counts
+                rows.append((tname, "", f"tool {tname} failed: {exc}"))
+        return pd.DataFrame(rows, columns=["tool_name", "result", "response"])
+
+    spark.udf.register("ai_tool_invoke", _ai_tool_invoke)
+
 
 _MDA_CACHE: dict[tuple[int, int, float], str] = {}
 
@@ -167,28 +209,58 @@ def register_vector_table_sql(
     vector_table: DataFrame,
     id_col: str,
     embedding_col: str = "embedding",
+    max_broadcast_bytes: int = 1 << 30,
 ) -> str:
     """Register ``vector_search_<name>(query_embedding, k)`` — the SQL form
-    of VECTOR_SEARCH_AGG over this corpus. The corpus is normalized once on
-    the driver and shipped to workers via a broadcast captured in the UDTF
-    closure (same physical plan as functions/vector.vector_search: exact
-    top-k, zero shuffle on the query side)."""
+    of VECTOR_SEARCH_AGG over this corpus.
+
+    The reference contract returns the *full* matched row, not just its id:
+    ``search_results[1].chunk/.pages/.section_reference/…``
+    (terraform/lab2-vector-search/main.tf:292, terraform/lab4-pubsec-fraud-
+    agents/main.tf:164-181, LAB4-Walkthrough.md:280-300). The UDTF therefore
+    yields every non-embedding corpus column plus ``score DOUBLE`` and
+    ``rank INT``, one row per match — the lateral form of the DataFrame
+    surface's array<struct<cols…, score>>.
+
+    The corpus is normalized once on the driver and shipped to workers via
+    a broadcast captured in the UDTF closure (same physical plan as
+    functions/vector.vector_search: exact top-k, zero shuffle on the query
+    side). ``max_broadcast_bytes`` bounds the driver collect — a corpus too
+    big for this exact-broadcast tier fails loudly with a pointer at the
+    LSH/IVF ANN operators instead of OOMing the driver.
+    """
     import numpy as np
 
-    pdf = vector_table.select(id_col, embedding_col).toPandas()
+    from quickstart_streaming_agents_spark.functions.vector import (
+        assert_broadcastable_corpus,
+    )
+
+    assert_broadcastable_corpus(vector_table, embedding_col, max_broadcast_bytes)
+    meta_fields = [f for f in vector_table.schema.fields if f.name != embedding_col]
+    meta_cols = [f.name for f in meta_fields]
+    if id_col not in meta_cols:
+        raise ValueError(f"id_col {id_col!r} not in vector table columns {meta_cols}")
+    pdf = vector_table.select(*meta_cols, embedding_col).toPandas()
     mat = np.stack(pdf[embedding_col].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     matn = mat / norms[:, None]
-    ids = pdf[id_col].to_numpy()
-    b = spark.sparkContext.broadcast((matn, ids))
+    meta_rows = [
+        tuple(v.item() if hasattr(v, "item") else v for v in row)
+        for row in pdf[meta_cols].to_numpy()
+    ]
+    b = spark.sparkContext.broadcast((matn, meta_rows))
 
-    @udtf(returnType="match_id: bigint, score: double, rank: int")
+    out_type = T.StructType(
+        list(meta_fields)
+        + [T.StructField("score", T.DoubleType()), T.StructField("rank", T.IntegerType())]
+    )
+
     class VectorSearch:
         def eval(self, query_embedding, k: int):
             import numpy as np
 
-            m, idv = b.value
+            m, rows = b.value
             q = np.asarray(query_embedding, dtype=np.float64)
             qn = np.linalg.norm(q)
             scores = m @ (q / qn if qn else q)
@@ -196,8 +268,8 @@ def register_vector_table_sql(
             top = np.argpartition(-scores, kk - 1)[:kk]
             top = top[np.argsort(-scores[top], kind="stable")]
             for rank, j in enumerate(top, start=1):
-                yield int(idv[j]), float(scores[j]), rank
+                yield rows[j] + (float(scores[j]), rank)
 
     fn_name = f"vector_search_{name}"
-    spark.udtf.register(fn_name, VectorSearch)
+    spark.udtf.register(fn_name, udtf(VectorSearch, returnType=out_type))
     return fn_name

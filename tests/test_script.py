@@ -250,3 +250,31 @@ def test_ml_detect_anomalies_over_sql_matches_operator(spark):
         (F.col("request_count") > F.col("upper_bound"))
     ).count()
     assert n_surges == want_surges
+
+
+def test_ai_tool_invoke_sql_lab1_spelling(spark):
+    """AI_TOOL_INVOKE as a SQL call with Flink MAP[…] literals
+    (LAB1-Walkthrough.md:80-92) through run_sql_script."""
+    ship_package(spark)
+    register_engine_sql(spark)
+    results = run_sql_script(spark, """
+        SELECT
+            AI_TOOL_INVOKE(
+                'fake_textgen',
+                'Use the send_email tool to send an email.',
+                MAP[],
+                MAP['send_email', 'Send an email via SMTP'],
+                MAP['debug', 'true']
+            ) AS response;
+    """)
+    row = results[0].df.collect()[0]
+    assert row.response.tool_name == "send_email"
+    assert row.response.result.startswith("EMAIL_SENT")
+    assert "ok" in row.response.response
+
+    # whitelist honored: unknown tool fails loudly, not silently
+    r2 = run_sql_script(spark, """
+        SELECT AI_TOOL_INVOKE('fake_textgen', 'x', MAP[],
+                              MAP['no_such_tool', 'd'], MAP[]) AS response
+    """)[0].df.collect()[0]
+    assert "failed" in r2.response.response

@@ -80,10 +80,11 @@ def test_sql_vector_search_matches_dataframe_form(spark):
     emb = spark.table("embeddings")
     register_vector_table_sql(spark, "emb", emb, id_col="vec_id")
     got = spark.sql("""
-        SELECT q.vec_id AS query_id, v.match_id, ROUND(v.score, 6) AS score, v.rank
+        SELECT q.vec_id AS query_id, v.vec_id AS match_id,
+               ROUND(v.score, 6) AS score, v.rank
         FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q,
              LATERAL vector_search_emb(q.embedding, 4) v
-        WHERE v.match_id <> q.vec_id
+        WHERE v.vec_id <> q.vec_id
     """)
     # DataFrame form: same corpus, k=4 then drop self-hit
     from quickstart_streaming_agents_spark.functions.vector import vector_search
@@ -102,3 +103,33 @@ def test_sql_vector_search_matches_dataframe_form(spark):
     g = sorted((r.query_id, r.match_id, r.score) for r in got.collect())
     w = sorted((r.query_id, r.match_id, r.score) for r in want.collect())
     assert g == w
+
+
+def test_sql_vector_search_returns_full_row_metadata(spark):
+    """Lab4 contract: search results carry every corpus column, not just the
+    id — search_results[1].chunk/.title/… (terraform/lab4-pubsec-fraud-
+    agents/main.tf:164-181). Here `label` is the metadata column."""
+    _setup(spark)
+    emb = spark.table("embeddings")
+    register_vector_table_sql(spark, "embm", emb, id_col="vec_id")
+    got = spark.sql("""
+        SELECT q.vec_id AS query_id, v.vec_id, v.label, v.score, v.rank
+        FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0) q,
+             LATERAL vector_search_embm(q.embedding, 3) v
+    """).collect()
+    assert len(got) == 3
+    labels = dict(spark.table("embeddings").select("vec_id", "label").collect())
+    for r in got:
+        assert r.label == labels[r.vec_id]  # metadata joined through SQL
+    assert [r.rank for r in got] == [1, 2, 3]
+
+
+def test_vector_corpus_broadcast_guard(spark):
+    """An over-sized corpus must fail loudly, not OOM the driver."""
+    import pytest
+
+    _setup(spark)
+    emb = spark.table("embeddings")
+    with pytest.raises(ValueError, match="exact-broadcast tier"):
+        register_vector_table_sql(spark, "embg", emb, id_col="vec_id",
+                                  max_broadcast_bytes=16)
