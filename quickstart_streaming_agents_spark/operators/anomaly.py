@@ -180,8 +180,13 @@ def ar_one_step(train, min_n: int, z: float):
     return fc, fc + z * sigma, fc - z * sigma
 
 
-def _ar_forecast_series(values, min_n, max_n, z, enable_stl, stl_period):
-    """numpy implementation; returns (forecast, upper, lower, is_anom) arrays."""
+def _ar_forecast_series(values, min_n, max_n, z, enable_stl, stl_period, start=0):
+    """numpy implementation; returns (forecast, upper, lower, is_anom) arrays.
+
+    ``start`` skips fitting for indices below it (their outputs stay
+    NaN/False) — used by the streaming operator, whose state buffer forms a
+    known prefix of the series that only serves as training history.
+    """
     import numpy as np
 
     n = len(values)
@@ -203,7 +208,7 @@ def _ar_forecast_series(values, min_n, max_n, z, enable_stl, stl_period):
     lower = np.full(n, np.nan)
     is_anom = np.zeros(n, dtype=bool)
 
-    for i in range(n):
+    for i in range(start, n):
         lo = max(0, i - max_n)
         step = ar_one_step(x[lo:i], min_n, z)
         if step is None:

@@ -86,14 +86,18 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1_000,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with n-gram Jaccard ≥ threshold.
 
-    shuffle plan: explode → [optional DF-cap] → self equi-join on shingle →
+    shuffle plan: explode → [DF-cap] → self equi-join on shingle →
     count per pair → join sizes → filter. ``max_shingle_df`` drops shingles
-    appearing in more than that many docs (stopword-run skew guard at scale;
-    slightly lowers recall, never precision, for thresholds > 0.5).
+    appearing in more than that many docs (stopword-run skew guard:
+    a single shingle shared by 10⁶ docs would emit ~10¹² join pairs on one
+    task, so the cap is ON by default — ≤10⁶ pairs per hot shingle at the
+    default; pass ``None`` to disable). A shingle in >1000 docs carries no
+    pair-discrimination signal anyway: dropping it slightly lowers recall,
+    never precision, for thresholds > 0.5.
     """
     sh = _shingle_hash_df(df, id_col, text_col, n).cache()
     if max_shingle_df is not None:
@@ -365,12 +369,22 @@ def simhash_pairs(
     scale trick. Verification via bit_count(xor) stays JVM-side.
     """
     fp = simhash_fingerprints(df, id_col, text_col).cache()
+    return simhash_pairs_from_fingerprints(fp, max_hamming)
+
+
+def simhash_pairs_from_fingerprints(
+    fp: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Banded candidate join + Hamming verify over ``(doc_id, simhash)``."""
     chunks = fp.select(
         "doc_id",
         "simhash",
         F.posexplode(
+            # shiftrightunsigned: signed div/mod on int64 fingerprints would
+            # make chunk values depend on the sign bit (half of all docs),
+            # silently breaking the pigeonhole guarantee for high-bit chunks.
             F.expr(
-                "transform(sequence(0, 3), c -> (simhash div shiftleft(1L, c * 16)) % 65536)"
+                "transform(sequence(0, 3), c -> shiftrightunsigned(simhash, c * 16) & 65535)"
             )
         ).alias("chunk_id", "chunk_val"),
     )

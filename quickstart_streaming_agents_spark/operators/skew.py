@@ -33,7 +33,19 @@ def salted_join(
     The salt is a deterministic hash of the skewed side's full row
     (xxhash64), never rand(): task retries and speculative execution must
     re-derive the same salt or rows duplicate/vanish.
+
+    Joins that preserve unmatched rows of the *replicated* side are
+    rejected: each unmatched ``other`` row exists ``salt`` times, so
+    right/full outer would emit ``salt`` duplicates of it. Flip the join
+    (salt the other side) or dedup downstream instead.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join(how={how!r}): outer joins preserving the replicated "
+            f"side duplicate its unmatched rows ×{salt}; allowed: {sorted(allowed)}"
+        )
     skewed_cols = [c for c in skewed.columns]
     other_cols = [c for c in other.columns if c not in on]
 

@@ -133,18 +133,38 @@ def _parse_props(block: str) -> dict[str, str]:
 
 
 def _with_props(stmt: str) -> dict[str, str]:
-    m = re.search(r"\bWITH\s*\(", stmt, re.I)
-    if not m:
+    # Scan for `WITH (` OUTSIDE single-quoted strings — a CREATE AGENT
+    # prompt may itself contain "WITH (" and must not shadow the real
+    # property list. The last outside-quote occurrence is the DDL's
+    # trailing WITH clause.
+    open_idx = -1
+    i, n = 0, len(stmt)
+    while i < n:
+        c = stmt[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if stmt[i] == "'":
+                    if i + 1 < n and stmt[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+            continue
+        if c in "wW" and re.match(r"WITH\s*\(", stmt[i:], re.I) and (
+            i == 0 or not (stmt[i - 1].isalnum() or stmt[i - 1] == "_")
+        ):
+            open_idx = stmt.index("(", i)
+            i = open_idx + 1
+            continue
+        i += 1
+    if open_idx < 0:
         return {}
-    # WITH block runs to the matching close paren
-    depth, j = 1, m.end()
-    while j < len(stmt) and depth:
-        if stmt[j] == "(":
-            depth += 1
-        elif stmt[j] == ")":
-            depth -= 1
-        j += 1
-    return _parse_props(stmt[m.end():j - 1])
+    close = _match_paren(stmt, open_idx)
+    if close < 0:
+        close = len(stmt)
+    return _parse_props(stmt[open_idx + 1:close])
 
 
 # ---------------------------------------------------------------------------

@@ -184,8 +184,11 @@ class StreamCatalog:
     def await_all(self, timeout: float | None = None) -> None:
         for t in self.tables.values():
             if t.query is not None:
-                t.query.awaitTermination(timeout)
-                t.query = None
+                terminated = t.query.awaitTermination(timeout)
+                # On a timed-out wait the query is still running — keep the
+                # handle so stop_all()/drop_table can still reach it.
+                if timeout is None or terminated:
+                    t.query = None
 
     def stop_all(self) -> None:
         for t in self.tables.values():

@@ -61,35 +61,72 @@ def ml_detect_anomalies_stream(
     in_cols = df.columns
 
     def per_key(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        import numpy as np
+
+        from ..operators.anomaly import _ar_forecast_series
+
         buf: list[float] = []
         last_ts = -(1 << 62)
         if state.exists:
             stored_values, stored_ts = state.get
             buf = list(stored_values)
             last_ts = stored_ts
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
-            results = []
-            for _, row in pdf.iterrows():
-                v = float(row[metric])
-                step = ar_one_step(buf, min_training_size, z)
-                if step is None:
-                    results.append({"forecast_value": None, "upper_bound": None,
-                                    "lower_bound": None, "is_anomaly": False})
-                else:
-                    fc, up, lo = step
-                    results.append({"forecast_value": fc, "upper_bound": up,
-                                    "lower_bound": lo,
-                                    "is_anomaly": bool(v > up or v < lo)})
-                row_ts = int(pd.Timestamp(row[ts]).value // 1_000_000)
-                if row_ts >= last_ts:
-                    buf.append(v)
-                    if len(buf) > max_training_size:
-                        buf = buf[-max_training_size:]
-                    last_ts = row_ts
-            out = pdf[in_cols].copy()
-            out[output_col] = results
-            yield out
+        # Concatenate the Arrow chunk iterator BEFORE sorting — a key's
+        # micro-batch can span multiple chunks, and per-chunk sorting would
+        # break the within-micro-batch event-time ordering contract.
+        chunks = list(pdfs)
+        if not chunks:
+            state.update((buf, last_ts))
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        v = pdf[metric].to_numpy(dtype="float64")
+        ts_int = (
+            pdf[ts].astype("datetime64[ns]").astype("int64") // 1_000_000
+        ).to_numpy()
+
+        fc = np.full(n, np.nan)
+        up = np.full(n, np.nan)
+        lo = np.full(n, np.nan)
+        an = np.zeros(n, dtype=bool)
+
+        # After the ascending sort, late rows (ts < state's last_ts) form a
+        # prefix — each is scored against the frozen state buffer and never
+        # admitted — and every remaining row is admitted (its ts can only
+        # move last_ts forward). Both halves score in vectorized numpy.
+        n_late = int(np.searchsorted(ts_int, last_ts, side="left"))
+        if n_late:
+            step = ar_one_step(buf, min_training_size, z)
+            if step is not None:
+                f0, u0, l0 = step
+                fc[:n_late] = f0
+                up[:n_late] = u0
+                lo[:n_late] = l0
+                an[:n_late] = (v[:n_late] > u0) | (v[:n_late] < l0)
+        if n_late < n:
+            series = np.concatenate([np.asarray(buf, dtype=np.float64), v[n_late:]])
+            off = len(buf)
+            f1, u1, l1, a1 = _ar_forecast_series(
+                series, min_training_size, max_training_size, z, False, 0, start=off
+            )
+            fc[n_late:] = f1[off:]
+            up[n_late:] = u1[off:]
+            lo[n_late:] = l1[off:]
+            an[n_late:] = a1[off:]
+            buf = series[-max_training_size:].tolist()
+            last_ts = int(ts_int[-1])
+
+        def cell(i: int) -> dict:
+            if np.isnan(fc[i]):
+                return {"forecast_value": None, "upper_bound": None,
+                        "lower_bound": None, "is_anomaly": False}
+            return {"forecast_value": float(fc[i]), "upper_bound": float(up[i]),
+                    "lower_bound": float(lo[i]), "is_anomaly": bool(an[i])}
+
+        out = pdf[in_cols].copy()
+        out[output_col] = [cell(i) for i in range(n)]
+        yield out
         state.update((buf, last_ts))
 
     return df.groupBy(*keys).applyInPandasWithState(

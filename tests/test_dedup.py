@@ -67,3 +67,24 @@ def test_dedup_exact_keeps_one_per_key(spark):
     )
     joined = out.join(first, ["user_id", "event_type"])
     assert joined.filter(F.col("ts") != F.col("min_ts")).count() == 0
+
+
+def test_simhash_banding_survives_sign_bit(spark):
+    """A Hamming-1 pair differing only in bit 63 (sign bit of the int64
+    fingerprint) must still collide in 3 of 4 chunks — signed div/mod band
+    extraction silently lost these pairs for negative fingerprints."""
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        simhash_pairs_from_fingerprints,
+    )
+
+    base = 0x1234_5678_9ABC_DEF0
+    flipped = base ^ (1 << 63)  # differs only in the sign bit
+
+    def to_i64(u):  # reinterpret uint64 as Spark LongType
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    fp = spark.createDataFrame(
+        [(1, to_i64(base)), (2, to_i64(flipped))], "doc_id long, simhash long"
+    )
+    got = simhash_pairs_from_fingerprints(fp, max_hamming=3).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 1)]

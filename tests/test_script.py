@@ -278,3 +278,19 @@ def test_ai_tool_invoke_sql_lab1_spelling(spark):
                               MAP['no_such_tool', 'd'], MAP[]) AS response
     """)[0].df.collect()[0]
     assert "failed" in r2.response.response
+
+
+def test_with_props_ignores_quoted_with_in_prompt(spark):
+    """A CREATE AGENT prompt containing 'WITH (' must not shadow the real
+    trailing WITH property list."""
+    cat = EngineCatalog()
+    run_sql_script(spark, """
+        CREATE MODEL fake_textgen INPUT (prompt STRING) OUTPUT (response STRING)
+            WITH ('provider' = 'fake', 'task' = 'text_generation');
+        CREATE AGENT tricky_agent USING MODEL fake_textgen
+            USING PROMPT 'Respond WITH (exactly) one word; end WITH (a dot).'
+            WITH ('max_iterations' = '4', 'max_consecutive_failures' = '1');
+    """, catalog=cat)
+    a = cat.agents["tricky_agent"]
+    assert a.max_iterations == 4 and a.max_consecutive_failures == 1
+    assert "WITH (exactly)" in a.prompt
