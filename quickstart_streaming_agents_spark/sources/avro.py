@@ -1,0 +1,494 @@
+"""Avro binary serde in the Confluent wire format (pure Python).
+
+Every topic in the reference is Avro + Schema Registry
+(terraform/lab1-tool-calling/main.tf:233-241, scripts/lab4_datagen.py:100-123
+in /root/reference): messages are framed as ``0x00 magic | 4-byte big-endian
+schema id | Avro binary body``. This container ships neither the spark-avro
+module nor a Python avro package, so the codec here implements the Avro 1.12
+binary encoding spec directly (zigzag-varint longs, little-endian IEEE
+floats, length-prefixed bytes/strings, union-index prefixes, block-encoded
+arrays/maps) and exposes it as Arrow-batched pandas UDFs mirroring the JSON
+serde in :mod:`.kafka`.
+
+Scale note: a per-row Python codec is the wrong hot path for 100 TB — on a
+real cluster you put ``spark-avro`` on the classpath and
+:func:`~quickstart_streaming_agents_spark.sources.kafka.avro_available`
+flips the serde to the JVM ``from_avro``/``to_avro`` pair. This module is
+the wire-format contract (and the only option when the jar is absent); the
+schema mapping below is exactly what the JVM path consumes.
+
+Supported logical types: timestamp-millis / timestamp-micros (reference
+datagen uses millis — scripts/lab4_datagen.py:121), date, decimal
+(bytes, two's-complement big-endian unscaled per spec).
+Reader schema == writer schema (Schema Registry hands the writer schema to
+consumers; cross-version resolution is out of scope and documented).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import struct as _struct
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CONFLUENT_MAGIC = b"\x00"
+
+# ---------------------------------------------------------------------------
+# Spark StructType ⇄ Avro schema (JSON-dict form)
+# ---------------------------------------------------------------------------
+
+_PRIMITIVES = {
+    T.StringType: "string",
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.BooleanType: "boolean",
+    T.BinaryType: "bytes",
+}
+
+
+def spark_to_avro_schema(
+    dt: T.DataType,
+    name: str = "record",
+    namespace: str = "engine",
+    ts_logical: str = "micros",
+) -> dict | str | list:
+    """Map a Spark type to the Avro schema the reference's registry would
+    hold. ``ts_logical`` picks timestamp-millis (reference datagen parity)
+    or timestamp-micros (lossless for our parquet fixtures)."""
+    if type(dt) in _PRIMITIVES:
+        return _PRIMITIVES[type(dt)]
+    if isinstance(dt, T.TimestampType):
+        return {"type": "long", "logicalType": f"timestamp-{ts_logical}"}
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    if isinstance(dt, T.ArrayType):
+        items = spark_to_avro_schema(dt.elementType, name, namespace, ts_logical)
+        if dt.containsNull:
+            items = ["null", items]
+        return {"type": "array", "items": items}
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise TypeError("Avro maps require string keys")
+        values = spark_to_avro_schema(dt.valueType, name, namespace, ts_logical)
+        if dt.valueContainsNull:
+            values = ["null", values]
+        return {"type": "map", "values": values}
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fs = spark_to_avro_schema(f.dataType, f.name, namespace, ts_logical)
+            if f.nullable:
+                fs = ["null", fs]
+            fields.append({"name": f.name, "type": fs})
+        return {
+            "type": "record",
+            "name": name,
+            "namespace": namespace,
+            "fields": fields,
+        }
+    raise TypeError(f"no Avro mapping for Spark type {dt}")
+
+
+def avro_to_spark_schema(schema) -> T.DataType:
+    """Inverse mapping (writer schema from the registry → read schema)."""
+    if isinstance(schema, str):
+        prim = {
+            "string": T.StringType(),
+            "long": T.LongType(),
+            "int": T.IntegerType(),
+            "double": T.DoubleType(),
+            "float": T.FloatType(),
+            "boolean": T.BooleanType(),
+            "bytes": T.BinaryType(),
+            "null": T.NullType(),
+        }
+        return prim[schema]
+    if isinstance(schema, list):  # union — only ["null", X] supported
+        branches = [b for b in schema if b != "null"]
+        if len(branches) != 1:
+            raise TypeError(f"only nullable unions supported, got {schema}")
+        return avro_to_spark_schema(branches[0])
+    lt = schema.get("logicalType")
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        return T.TimestampType()
+    if lt == "date":
+        return T.DateType()
+    if lt == "decimal":
+        return T.DecimalType(schema["precision"], schema["scale"])
+    t = schema["type"]
+    if t == "array":
+        item = avro_to_spark_schema(schema["items"])
+        nullable = isinstance(schema["items"], list) and "null" in schema["items"]
+        return T.ArrayType(item, containsNull=nullable)
+    if t == "map":
+        val = avro_to_spark_schema(schema["values"])
+        nullable = isinstance(schema["values"], list) and "null" in schema["values"]
+        return T.MapType(T.StringType(), val, valueContainsNull=nullable)
+    if t == "record":
+        fields = []
+        for f in schema["fields"]:
+            nullable = isinstance(f["type"], list) and "null" in f["type"]
+            fields.append(
+                T.StructField(f["name"], avro_to_spark_schema(f["type"]), nullable)
+            )
+        return T.StructType(fields)
+    return avro_to_spark_schema(t)  # {"type": "string"} wrapper form
+
+
+# ---------------------------------------------------------------------------
+# binary codec (Avro 1.12 spec), compiled to closures per schema
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _write_long(out: bytearray, n: int) -> None:
+    z = _zigzag(n)
+    while z & ~0x7F:
+        out.append((z & 0x7F) | 0x80)
+        z >>= 7
+    out.append(z)
+
+
+def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _compile_encoder(schema):
+    """Schema → f(out: bytearray, value) appending the Avro binary form."""
+    if isinstance(schema, list):  # nullable union ["null", X]
+        branches = [b for b in schema if b != "null"]
+        null_idx = schema.index("null")
+        val_idx = 1 - null_idx
+        inner = _compile_encoder(branches[0])
+
+        def enc_union(out, v):
+            if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+                _write_long(out, null_idx)
+            else:
+                _write_long(out, val_idx)
+                inner(out, v)
+
+        return enc_union
+
+    if isinstance(schema, dict):
+        lt = schema.get("logicalType")
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            div = 1_000_000 if lt == "timestamp-millis" else 1_000
+
+            def enc_ts(out, v):
+                # pd.Timestamp.value is epoch nanoseconds
+                _write_long(out, pd.Timestamp(v).value // div)
+
+            return enc_ts
+        if lt == "date":
+            epoch = datetime.date(1970, 1, 1)
+            return lambda out, v: _write_long(out, (v - epoch).days)
+        if lt == "decimal":
+            scale = schema["scale"]
+
+            def enc_dec(out, v):
+                unscaled = int(
+                    decimal.Decimal(v).scaleb(scale).to_integral_value()
+                )
+                nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+                raw = unscaled.to_bytes(nbytes, "big", signed=True)
+                _write_long(out, len(raw))
+                out.extend(raw)
+
+            return enc_dec
+        t = schema["type"]
+        if t == "array":
+            item = _compile_encoder(schema["items"])
+
+            def enc_arr(out, v):
+                v = list(v)
+                if v:
+                    _write_long(out, len(v))
+                    for x in v:
+                        item(out, x)
+                _write_long(out, 0)
+
+            return enc_arr
+        if t == "map":
+            val = _compile_encoder(schema["values"])
+            senc = _compile_encoder("string")
+
+            def enc_map(out, v):
+                items = dict(v)
+                if items:
+                    _write_long(out, len(items))
+                    for k, x in items.items():
+                        senc(out, k)
+                        val(out, x)
+                _write_long(out, 0)
+
+            return enc_map
+        if t == "record":
+            fields = [
+                (f["name"], _compile_encoder(f["type"])) for f in schema["fields"]
+            ]
+
+            def enc_rec(out, v):
+                for fname, fenc in fields:
+                    fenc(out, v[fname])
+
+            return enc_rec
+        return _compile_encoder(t)
+
+    if schema in ("long", "int"):
+        return lambda out, v: _write_long(out, int(v))
+    if schema == "string":
+
+        def enc_str(out, v):
+            raw = str(v).encode("utf-8")
+            _write_long(out, len(raw))
+            out.extend(raw)
+
+        return enc_str
+    if schema == "bytes":
+
+        def enc_bytes(out, v):
+            raw = bytes(v)
+            _write_long(out, len(raw))
+            out.extend(raw)
+
+        return enc_bytes
+    if schema == "double":
+        return lambda out, v: out.extend(_struct.pack("<d", float(v)))
+    if schema == "float":
+        return lambda out, v: out.extend(_struct.pack("<f", float(v)))
+    if schema == "boolean":
+        return lambda out, v: out.append(1 if v else 0)
+    raise TypeError(f"no encoder for Avro schema {schema!r}")
+
+
+def _compile_decoder(schema):
+    """Schema → f(buf, pos) -> (value, pos)."""
+    if isinstance(schema, list):
+        branches = [b for b in schema if b != "null"]
+        null_idx = schema.index("null")
+        inner = _compile_decoder(branches[0])
+
+        def dec_union(buf, pos):
+            idx, pos = _read_long(buf, pos)
+            if idx == null_idx:
+                return None, pos
+            return inner(buf, pos)
+
+        return dec_union
+
+    if isinstance(schema, dict):
+        lt = schema.get("logicalType")
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            unit = "ms" if lt == "timestamp-millis" else "us"
+
+            def dec_ts(buf, pos):
+                n, pos = _read_long(buf, pos)
+                return pd.Timestamp(n, unit=unit).to_pydatetime(), pos
+
+            return dec_ts
+        if lt == "date":
+            epoch = datetime.date(1970, 1, 1)
+
+            def dec_date(buf, pos):
+                n, pos = _read_long(buf, pos)
+                return epoch + datetime.timedelta(days=n), pos
+
+            return dec_date
+        if lt == "decimal":
+            scale = schema["scale"]
+
+            def dec_dec(buf, pos):
+                n, pos = _read_long(buf, pos)
+                unscaled = int.from_bytes(buf[pos : pos + n], "big", signed=True)
+                return decimal.Decimal(unscaled).scaleb(-scale), pos + n
+
+            return dec_dec
+        t = schema["type"]
+        if t == "array":
+            item = _compile_decoder(schema["items"])
+
+            def dec_arr(buf, pos):
+                out = []
+                while True:
+                    n, pos = _read_long(buf, pos)
+                    if n == 0:
+                        return out, pos
+                    if n < 0:  # negative count: byte-size of block follows
+                        n = -n
+                        _, pos = _read_long(buf, pos)
+                    for _ in range(n):
+                        v, pos = item(buf, pos)
+                        out.append(v)
+
+            return dec_arr
+        if t == "map":
+            val = _compile_decoder(schema["values"])
+            sdec = _compile_decoder("string")
+
+            def dec_map(buf, pos):
+                out = {}
+                while True:
+                    n, pos = _read_long(buf, pos)
+                    if n == 0:
+                        return out, pos
+                    if n < 0:
+                        n = -n
+                        _, pos = _read_long(buf, pos)
+                    for _ in range(n):
+                        k, pos = sdec(buf, pos)
+                        v, pos = val(buf, pos)
+                        out[k] = v
+
+            return dec_map
+        if t == "record":
+            fields = [
+                (f["name"], _compile_decoder(f["type"])) for f in schema["fields"]
+            ]
+
+            def dec_rec(buf, pos):
+                out = {}
+                for fname, fdec in fields:
+                    out[fname], pos = fdec(buf, pos)
+                return out, pos
+
+            return dec_rec
+        return _compile_decoder(t)
+
+    if schema in ("long", "int"):
+        return _read_long
+    if schema == "string":
+
+        def dec_str(buf, pos):
+            n, pos = _read_long(buf, pos)
+            return buf[pos : pos + n].decode("utf-8"), pos + n
+
+        return dec_str
+    if schema == "bytes":
+
+        def dec_bytes(buf, pos):
+            n, pos = _read_long(buf, pos)
+            return bytes(buf[pos : pos + n]), pos + n
+
+        return dec_bytes
+    if schema == "double":
+        return lambda buf, pos: (_struct.unpack_from("<d", buf, pos)[0], pos + 8)
+    if schema == "float":
+        return lambda buf, pos: (_struct.unpack_from("<f", buf, pos)[0], pos + 4)
+    if schema == "boolean":
+        return lambda buf, pos: (bool(buf[pos]), pos + 1)
+    raise TypeError(f"no decoder for Avro schema {schema!r}")
+
+
+class AvroCodec:
+    """Compiled encoder/decoder for one writer schema + Confluent framing."""
+
+    def __init__(self, avro_schema, schema_id: int = 1):
+        self.schema = avro_schema
+        self.schema_id = schema_id
+        self._header = CONFLUENT_MAGIC + _struct.pack(">I", schema_id)
+        self._enc = _compile_encoder(avro_schema)
+        self._dec = _compile_decoder(avro_schema)
+
+    def encode(self, value) -> bytes:
+        out = bytearray(self._header)
+        self._enc(out, value)
+        return bytes(out)
+
+    def decode(self, msg: bytes):
+        if msg[0:1] != CONFLUENT_MAGIC:
+            raise ValueError(f"bad magic byte {msg[0:1]!r}")
+        sid = _struct.unpack(">I", msg[1:5])[0]
+        if sid != self.schema_id:
+            raise ValueError(f"schema id {sid} != registered {self.schema_id}")
+        value, _ = self._dec(msg, 5)
+        return value
+
+
+# ---------------------------------------------------------------------------
+# DataFrame serde (mirrors kafka.encode_json / decode_json)
+# ---------------------------------------------------------------------------
+
+
+def encode_avro(
+    df: DataFrame,
+    key: str | None = None,
+    schema_id: int = 1,
+    ts_logical: str = "micros",
+) -> DataFrame:
+    """Rows → (key STRING, value BINARY) Confluent-framed Avro messages.
+
+    ``ts_logical='millis'`` matches the reference datagen's timestamp-millis
+    schemas (scripts/lab4_datagen.py:121) and truncates sub-millisecond
+    precision exactly as that wire format would.
+    """
+    avro_schema = spark_to_avro_schema(
+        df.schema, name="message", ts_logical=ts_logical
+    )
+    codec = AvroCodec(avro_schema, schema_id)
+
+    @F.pandas_udf(T.BinaryType())
+    def _enc(pdf: pd.DataFrame) -> pd.Series:
+        return pd.Series(
+            [codec.encode(row) for row in pdf.to_dict("records")],
+            dtype=object,
+        )
+
+    value = _enc(F.struct(*[F.col(c) for c in df.columns]))
+    k: Column = F.col(key).cast("string") if key else F.lit(None).cast("string")
+    return df.select(k.alias("key"), value.alias("value"))
+
+
+def decode_avro(
+    msgs: DataFrame,
+    schema: T.StructType,
+    schema_id: int = 1,
+    ts_logical: str = "micros",
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """(key, value BINARY) messages → typed rows via the registered schema."""
+    avro_schema = spark_to_avro_schema(schema, name="message", ts_logical=ts_logical)
+    codec = AvroCodec(avro_schema, schema_id)
+    names = [f.name for f in schema.fields]
+
+    @F.pandas_udf(schema)
+    def _dec(vals: pd.Series) -> pd.DataFrame:
+        rows = [codec.decode(v) for v in vals]
+        return pd.DataFrame(
+            {n: [r[n] for r in rows] for n in names},
+            columns=names,
+        )
+
+    out = msgs.select(_dec(F.col("value")).alias("r")).select("r.*")
+    if ts_col is not None and watermark is not None:
+        out = out.withWatermark(ts_col, watermark)
+    return out

@@ -16,8 +16,10 @@ the engine-owned part — is real and tested hermetically:
 - JSON serde (default): ``to_json(struct(*))`` / ``from_json(value, schema)``
   — schema declared per topic exactly like the reference's Schema-Registry
   contract, just a different wire encoding.
-- Avro serde: ``from_avro``/``to_avro`` wired when the spark-avro module is
-  on the classpath (same gate).
+- Avro serde (``serde="avro"``): Confluent wire format (magic byte +
+  schema id + Avro binary body) via the pure-Python codec in :mod:`.avro`;
+  on a cluster with spark-avro on the classpath, swap the pandas-UDF codec
+  for JVM ``from_avro``/``to_avro`` behind :func:`avro_available`.
 
 Scale note: one Spark partition per Kafka partition; ``minPartitions`` can
 fan a hot topic wider. Keyed writes preserve per-key ordering — the
@@ -105,6 +107,7 @@ def read_topic(
     watermark: str | None = None,
     starting_offsets: str = "earliest",
     min_partitions: int | None = None,
+    serde: str = "json",
 ) -> DataFrame:
     """S1: subscribe to a topic as a streaming DataFrame of typed rows."""
     if not kafka_available(spark):
@@ -120,6 +123,10 @@ def read_topic(
     )
     if min_partitions:
         reader = reader.option("minPartitions", str(min_partitions))
+    if serde == "avro":
+        from quickstart_streaming_agents_spark.sources.avro import decode_avro
+
+        return decode_avro(reader.load(), schema, ts_col=ts_col, watermark=watermark)
     return decode_json(reader.load(), schema, ts_col, watermark)
 
 
@@ -130,12 +137,18 @@ def write_topic(
     checkpoint: str,
     key: str | None = None,
     mode: str = "append",
+    serde: str = "json",
 ):
     """S2: continuous insert into a topic (CTAS sink half). Returns the
     started StreamingQuery."""
     if not kafka_available(df.sparkSession):
         raise RuntimeError("spark-sql-kafka connector not on classpath")
-    msgs = encode_json(df, key=key)
+    if serde == "avro":
+        from quickstart_streaming_agents_spark.sources.avro import encode_avro
+
+        msgs = encode_avro(df, key=key)
+    else:
+        msgs = encode_json(df, key=key)
     return (
         msgs.writeStream.format("kafka")
         .outputMode(mode)

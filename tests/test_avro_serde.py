@@ -1,0 +1,226 @@
+"""Avro wire-format serde tests (VERDICT #10: exercise the Avro branch).
+
+The codec is pure Python (no spark-avro jar / avro package in this
+container), so correctness is pinned two ways: hand-computed golden bytes
+straight from the Avro 1.12 binary-encoding spec (zigzag varints,
+little-endian doubles, union indices, Confluent framing), and lossless
+Spark-level round-trips of the reference's schema shapes — including the
+timestamp-millis logical type its datagen registers
+(/root/reference/scripts/lab4_datagen.py:100-123).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from quickstart_streaming_agents_spark.sources.avro import (
+    AvroCodec,
+    avro_to_spark_schema,
+    decode_avro,
+    encode_avro,
+    spark_to_avro_schema,
+)
+from quickstart_streaming_agents_spark.sources.parquet import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# spec pinning: golden bytes computed by hand from the Avro 1.12 spec
+# ---------------------------------------------------------------------------
+
+def test_golden_bytes_record():
+    # record {id: long, name: string, score: ["null","double"]}
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": ["null", "double"]},
+        ],
+    }
+    codec = AvroCodec(schema, schema_id=7)
+    msg = codec.encode({"id": 3, "name": "hi", "score": 1.5})
+    # Confluent frame: magic 0x00 + big-endian schema id 7
+    assert msg[:5] == b"\x00\x00\x00\x00\x07"
+    body = msg[5:]
+    # long 3 → zigzag 6 → varint 0x06
+    # string "hi" → length 2 → zigzag 4 → 0x04, then b"hi"
+    # union branch 1 (double) → zigzag 2 → 0x02, then IEEE754 LE 1.5
+    assert body == b"\x06" + b"\x04hi" + b"\x02" + b"\x00\x00\x00\x00\x00\x00\xf8\x3f"
+    assert codec.decode(msg) == {"id": 3, "name": "hi", "score": 1.5}
+
+
+def test_golden_bytes_negative_and_null():
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "n", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    codec = AvroCodec(schema)
+    # long -1 → zigzag 1 → 0x01; long 64 → zigzag 128 → varint 0x80 0x01
+    assert codec.encode({"n": -1, "s": None})[5:] == b"\x01" + b"\x00"
+    assert codec.encode({"n": 64, "s": None})[5:] == b"\x80\x01" + b"\x00"
+    assert codec.decode(codec.encode({"n": -(2**62), "s": None}))["n"] == -(2**62)
+
+
+def test_golden_bytes_array_and_map():
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "xs", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+        ],
+    }
+    codec = AvroCodec(schema)
+    body = codec.encode({"xs": [1, 2], "m": {"a": 3}})[5:]
+    # array: count 2 (zz 4), items 1 (zz 2), 2 (zz 4), terminator 0
+    # map: count 1 (zz 2), key "a" (len zz 2 + b"a"), value 3 (zz 6), term 0
+    assert body == b"\x04\x02\x04\x00" + b"\x02\x02a\x06\x00"
+    assert codec.decode(codec.encode({"xs": [], "m": {}})) == {"xs": [], "m": {}}
+
+
+def test_timestamp_millis_encoding():
+    # timestamp-millis is a long of epoch millis — the reference datagen's
+    # wire type (lab4_datagen.py:121).
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-millis"}}
+        ],
+    }
+    codec = AvroCodec(schema)
+    ts = datetime.datetime(1970, 1, 1, 0, 0, 1)  # epoch + 1000 ms
+    # 1000 → zigzag 2000 → varint 0xd0 0x0f
+    assert codec.encode({"ts": ts})[5:] == b"\xd0\x0f"
+    assert codec.decode(codec.encode({"ts": ts}))["ts"] == ts
+
+
+def test_decimal_logical_type():
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {
+                "name": "d",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 10,
+                    "scale": 2,
+                },
+            }
+        ],
+    }
+    import decimal
+
+    codec = AvroCodec(schema)
+    for v in ("12.34", "-0.01", "0"):
+        d = decimal.Decimal(v)
+        got = codec.decode(codec.encode({"d": d}))["d"]
+        assert got == d.quantize(decimal.Decimal("0.01"))
+
+
+# ---------------------------------------------------------------------------
+# schema mapping is a faithful inverse pair
+# ---------------------------------------------------------------------------
+
+def test_schema_mapping_roundtrip():
+    st = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("amount", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("tags", T.ArrayType(T.StringType(), True), True),
+            T.StructField(
+                "attrs", T.MapType(T.StringType(), T.LongType(), True), True
+            ),
+            T.StructField(
+                "nested",
+                T.StructType([T.StructField("x", T.IntegerType(), True)]),
+                True,
+            ),
+        ]
+    )
+    avro = spark_to_avro_schema(st, name="msg")
+    assert avro["type"] == "record"
+    back = avro_to_spark_schema(avro)
+    assert back == st
+
+
+# ---------------------------------------------------------------------------
+# Spark-level round-trips
+# ---------------------------------------------------------------------------
+
+def test_reference_transaction_schema_roundtrip(spark):
+    """Lab4 fraud-transaction shape: string ids, double amount,
+    timestamp-millis ts (lab4_datagen.py:100-123)."""
+    schema = T.StructType(
+        [
+            T.StructField("transaction_id", T.StringType(), True),
+            T.StructField("account_id", T.StringType(), True),
+            T.StructField("amount", T.DoubleType(), True),
+            T.StructField("vendor", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    rows = [
+        Row(
+            transaction_id=f"tx-{i}",
+            account_id=f"acct-{i % 3}",
+            amount=float(i) * 9.99,
+            vendor=None if i == 2 else f"vendor-{i}",
+            ts=datetime.datetime(2026, 1, 1, 12, 0, i, 321000),  # millis-grain
+        )
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    msgs = encode_avro(df, key="account_id", schema_id=42, ts_logical="millis")
+    assert dict(msgs.dtypes)["value"] == "binary"
+    raw = msgs.collect()
+    assert all(r.value[:1] == b"\x00" for r in raw)  # Confluent magic
+    back = decode_avro(msgs, schema, schema_id=42, ts_logical="millis")
+    assert sorted(back.collect(), key=lambda r: r.transaction_id) == sorted(
+        rows, key=lambda r: r.transaction_id
+    )
+
+
+def test_events_fixture_roundtrip_micros(spark):
+    """Our parquet fixtures carry microsecond timestamps — the
+    timestamp-micros logical type round-trips them losslessly."""
+    events = load_table(spark, SF_DIR, "events").limit(200)
+    msgs = encode_avro(events, key="event_id", ts_logical="micros")
+    back = decode_avro(msgs, events.schema, ts_logical="micros")
+    a = sorted(events.collect(), key=lambda r: r.event_id)
+    b = sorted(back.collect(), key=lambda r: r.event_id)
+    assert a == b
+
+
+def test_watermark_applied_after_decode(spark):
+    events = load_table(spark, SF_DIR, "events").limit(10)
+    msgs = encode_avro(events)
+    out = decode_avro(msgs, events.schema, ts_col="ts", watermark="5 seconds")
+    assert out.count() == 10
+
+
+def test_schema_id_mismatch_fails_loudly():
+    schema = {"type": "record", "name": "t", "fields": [{"name": "x", "type": "long"}]}
+    enc = AvroCodec(schema, schema_id=1)
+    dec = AvroCodec(schema, schema_id=2)
+    msg = enc.encode({"x": 1})
+    try:
+        dec.decode(msg)
+        raise AssertionError("expected schema-id mismatch")
+    except ValueError as e:
+        assert "schema id" in str(e)
