@@ -625,10 +625,55 @@ def rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F4 + F-str2 — AI_RUN_AGENT bounded loop + REGEXP_EXTRACT verdict parsing.
 # Reference: price-match agent LAB1-Walkthrough.md:155-181,202-255 (agent
 # result (status,response), then TRIM(REGEXP_EXTRACT(response,
-# '\*{0,2}Verdict:…'))). Deterministic with the fake model+tools → stable
-# rows-only check; loop behavior unit-tested in tests/test_agents.py.
+# '\*{0,2}Verdict:…'))). The fake agent policy is deterministic string
+# algebra: the final transcript is a pure concatenation of the agent
+# prompt, the user prompt, and two constant tool results (http_get /
+# send_email resolve to md5-of-constant-URL strings), and the verdict pick
+# is md5(transcript) % 2 — i.e. the parity of the digest's last hex digit.
+# DuckDB replays the whole loop symbolically, making the agent loop
+# oracle-checked end-to-end. Loop bounds unit-tested in
+# tests/test_ai_functions.py.
 # ---------------------------------------------------------------------------
-@query("agent_price_match")
+_AGENT_PROMPT = (
+    "You are a price-match agent. Verify competitor pricing, then "
+    "email the customer. Verdicts must be one of: [PRICE_MATCH, NO_MATCH]"
+)
+# _tool_http_get("https://example.com/http_get") / _tool_send_email(...):
+# constants because the fake agent always passes the same args.
+_R1 = "HTTP 200 from https://example.com/http_get: competitor_price=$104.68"
+_R2 = "EMAIL_SENT to=user@example.com subject='automated'"
+_AGENT_PRICE_MATCH_ORACLE = f"""
+WITH base AS (
+  SELECT o.o_orderkey AS order_id,
+         c.c_name AS customer_name,
+         o.o_totalprice AS order_price,
+         'Order ' || o.o_orderkey::VARCHAR || ' for ' || c.c_name ||
+           ' at $' || round(o.o_totalprice, 2)::VARCHAR AS prompt
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderkey < 300
+), tr AS (
+  SELECT *,
+         '{_AGENT_PROMPT}' || chr(10) || chr(10) || 'USER: ' || prompt ||
+           chr(10) || 'TOOL_RESULT[http_get]: ' || '{_R1}' ||
+           chr(10) || 'TOOL_RESULT[send_email]: ' || '{_R2.replace("'", "''")}'
+           AS transcript
+  FROM base
+), picked AS (
+  SELECT *,
+         CASE WHEN (('0x' || substr(md5(transcript), 32, 1))::INT % 2) = 0
+              THEN 'PRICE_MATCH' ELSE 'NO_MATCH' END AS decision
+  FROM tr
+)
+SELECT order_id, customer_name, order_price,
+       'SUCCESS' AS status,
+       decision,
+       '**Verdict:** ' || decision || chr(10) ||
+         'Reasoning: fake agent completed after tool use.' AS response
+FROM picked
+"""
+
+
+@query("agent_price_match", oracle=_AGENT_PRICE_MATCH_ORACLE)
 def agent_price_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
     customer = load_table(spark, sf_dir, "customer")
@@ -954,7 +999,43 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # fake decoder internals → rows-only
+# The fake decoder's metadata fields are md5-byte arithmetic over the
+# payload (operators/multimodal.py:_fake_decode), so the mapInPandas
+# plumbing is oracle-checkable: DuckDB recomputes width/height from the
+# same digest bytes. The feature vector (seeded RNG) stays rows-only in
+# multimodal_features below.
+_MULTIMODAL_META_ORACLE = """
+SELECT doc_id,
+       64 + (('0x' || substr(md5(coalesce(text, '')), 1, 2))::INT % 192) AS width,
+       64 + (('0x' || substr(md5(coalesce(text, '')), 3, 2))::INT % 192) AS height,
+       1 AS n_frames,
+       0 AS duration_ms
+FROM documents
+"""
+
+
+@query("multimodal_meta", oracle=_MULTIMODAL_META_ORACLE)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-metadata extraction through the real mapInPandas decode path,
+    projected to the md5-derived fields the oracle can replay."""
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        attach_payload,
+        extract_media_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = extract_media_features(attach_payload(docs, "text"), "payload",
+                                   media_type="image")
+    return feats.select(
+        "doc_id",
+        F.col("media_meta.width").cast("int").alias("width"),
+        F.col("media_meta.height").cast("int").alias("height"),
+        F.col("media_meta.n_frames").cast("int").alias("n_frames"),
+        F.col("media_meta.duration_ms").cast("int").alias("duration_ms"),
+    )
+
+
+@query("multimodal_features")  # fake decoder feature RNG → rows-only
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → media metadata + feature vector via mapInPandas
     (decode stubbed; plumbing real — see operators/multimodal.py)."""
@@ -1232,11 +1313,29 @@ def verdict_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # F3 — AI_TOOL_INVOKE: single-shot tool call through the model with a
-# whitelisted tool set. Reference: LAB1-Walkthrough.md:80-92. Tool-executor
-# internals are engine-side → rows-only driver check; loop/whitelist
-# behavior unit-tested in tests/test_ai_functions.py.
+# whitelisted tool set. Reference: LAB1-Walkthrough.md:80-92. The fake
+# http_get executor is a pure string/md5 function of the prompt, so the
+# whole invocation IS oracle-checkable: DuckDB reconstructs the tool result
+# from md5 of the same URL. Loop/whitelist behavior additionally
+# unit-tested in tests/test_ai_functions.py.
 # ---------------------------------------------------------------------------
-@query("tool_invoke")
+_TOOL_INVOKE_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         'https://example.com/?q=' || substr(coalesce(text, ''), 1, 24) AS url
+  FROM documents
+)
+SELECT doc_id,
+       'http_get' AS tool_name,
+       'HTTP 200 from ' || url || ': competitor_price=$' ||
+         printf('%.2f', (('0x' || substr(md5(url), 1, 8))::BIGINT % 30000) / 100.0)
+         AS result,
+       'tool http_get ok' AS response
+FROM t
+"""
+
+
+@query("tool_invoke", oracle=_TOOL_INVOKE_ORACLE)
 def tool_invoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quickstart_streaming_agents_spark.functions.agents import ai_tool_invoke
 
