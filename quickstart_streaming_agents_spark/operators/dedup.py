@@ -90,27 +90,52 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with n-gram Jaccard ≥ threshold.
 
-    shuffle plan: explode → [DF-cap] → self equi-join on shingle →
-    count per pair → join sizes → filter. ``max_shingle_df`` drops shingles
-    appearing in more than that many docs (stopword-run skew guard:
-    a single shingle shared by 10⁶ docs would emit ~10¹² join pairs on one
-    task, so the cap is ON by default — ≤10⁶ pairs per hot shingle at the
-    default; pass ``None`` to disable). A shingle in >1000 docs carries no
+    shuffle plan (capped, the default): ONE shuffle groups docs by shingle
+    hash; groups larger than ``max_shingle_df`` are dropped by a ``size()``
+    filter (the stopword-run skew guard comes free — no separate
+    doc-frequency pass, no anti-join), then each surviving group emits its
+    ordered doc pairs JVM-side via nested ``transform`` and pairs/sizes
+    aggregate from there. A shingle in >1000 docs carries no
     pair-discrimination signal anyway: dropping it slightly lowers recall,
     never precision, for thresholds > 0.5.
+
+    ``max_shingle_df=None`` disables the cap and falls back to the
+    self-equi-join plan, which never materializes a per-shingle doc list —
+    the only safe shape when a hot shingle could exceed executor memory.
     """
-    sh = _shingle_hash_df(df, id_col, text_col, n).cache()
+    sh = _shingle_hash_df(df, id_col, text_col, n)
     if max_shingle_df is not None:
-        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("shared"))
-    )
+        # cached: both the sizes branch and the pairs branch read groups, and
+        # a second full shingle shuffle costs more than spilling this (the
+        # cap bounds row width; MEMORY_AND_DISK spills rather than OOMs).
+        groups = (
+            sh.groupBy("shingle")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+            .filter(F.size("ids") <= max_shingle_df)
+            .persist()
+        )
+        kept = groups.select(F.explode("ids").alias("doc_id"))
+        sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+        pair_expr = F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "y -> struct(x AS id_a, y AS id_b))))"
+        )
+        shared = (
+            groups.select(F.explode(pair_expr).alias("p"))
+            .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+            .agg(F.count("*").alias("shared"))
+        )
+    else:
+        sh = sh.cache()
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        shared = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .agg(F.count("*").alias("shared"))
+        )
     return (
         shared.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
         .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
