@@ -1,0 +1,118 @@
+"""Distributed connected components — near-dup pairs → dedup clusters.
+
+Beyond-reference surface: every pairwise dedup tier (exact / n-gram
+Jaccard / MinHash-LSH / SimHash / embedding-cosine) emits *pairs*; turning
+pairs into clusters (so one canonical doc survives per cluster) is a
+connected-components problem. At 100 TB the pair graph doesn't fit a
+driver, so this is the alternating large-star / small-star contraction of
+Kiveris et al., "Connected Components in MapReduce and Beyond" (SoCC'14) —
+a public algorithm that converges in O(log n) rounds, each round two
+shuffles (a per-node min aggregation + an equi-join), entirely JVM-side.
+
+Semantics: every node ends up labeled with the minimum node id of its
+component (components are identified by their min member).
+
+Scale notes:
+- Per-round state is just the edge list; no per-node adjacency list is
+  ever materialized (no collect_list), so a hub node with 10⁷ neighbors
+  costs a wide groupBy key, not an executor-memory blowup.
+- ``localCheckpoint`` truncates lineage each round — without it the plan
+  doubles per iteration and the driver dies on plan size long before data
+  size matters.
+- Convergence test is an aggregate (count + order-insensitive edge
+  checksum), one cheap action per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Γ⁺ round: every neighbor v > u re-attaches to m = min(Γ(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Γ⁻ round: group edges by their larger endpoint a; every smaller
+    neighbor (and a itself) attaches to the group min."""
+    canon = edges.select(
+        F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+    )
+    m = canon.groupBy("a").agg(F.min("b").alias("m"))
+    re_b = canon.join(m, "a").select(F.col("b").alias("u"), F.col("m").alias("v"))
+    re_a = m.select(F.col("a").alias("u"), F.col("m").alias("v"))
+    return re_b.union(re_a).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _edge_signature(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive and overflow-free (ANSI mode rejects a
+    # wrapping SUM of 64-bit hashes)
+    row = edges.select(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.expr("bit_xor(xxhash64(least(u, v), greatest(u, v)))"), F.lit(0)
+        ).alias("chk"),
+    ).first()
+    return int(row["n"]), int(row["chk"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(src, dst) undirected pair list → (id, component) with component =
+    min node id of the connected component. Only nodes appearing in pairs
+    are returned (dedup semantics: singletons have no pair, need no label).
+
+    ``max_iter`` is a safety bound far above the O(log n) convergence
+    proof — 25 rounds covers graphs with 2^25 nodes of pathological shape.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = _edge_signature(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _edge_signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # Converged state is a star forest: every edge is (member, root).
+    members = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = edges.select(
+        F.col("v").alias("id"), F.col("v").alias("component")
+    ).distinct()
+    return members.union(roots).distinct()
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Pairs → (id, component, cluster_size, is_canonical): the full dedup
+    decision table. ``is_canonical`` marks the one row to keep per cluster
+    (the min id — deterministic, join-free to apply: anti-join the
+    non-canonical ids against the corpus)."""
+    cc = connected_components(pairs, src, dst)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        "id",
+        "component",
+        "cluster_size",
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

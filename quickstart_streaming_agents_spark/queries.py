@@ -783,6 +783,67 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
+# ---------------------------------------------------------------------------
+# Near-dup pairs → dedup clusters: distributed connected components
+# (large-star/small-star contraction, operators/components.py). Oracle:
+# DuckDB computes the same pairs, then the transitive closure via a
+# recursive CTE and labels each doc with its component's min id.
+# ---------------------------------------------------------------------------
+_DEDUP_COMPONENTS_ORACLE = """
+WITH RECURSIVE d AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+g AS (
+    SELECT DISTINCT doc_id, ng FROM (
+        SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       for i in range(1, greatest(len(w) - 1, 1))]) AS ng
+        FROM d
+    )
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+    FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT id_a, id_b FROM p
+    JOIN sz sa ON sa.doc_id = p.id_a
+    JOIN sz sb ON sb.doc_id = p.id_b
+    WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+),
+labels AS (
+    SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+),
+csize AS (SELECT component, count(*) AS cluster_size FROM labels GROUP BY 1)
+SELECT l.id, l.component, c.cluster_size,
+       l.id = l.component AS is_canonical
+FROM labels l JOIN csize c USING (component)
+"""
+
+
+@query("dedup_components", oracle=_DEDUP_COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup decision table: n-gram Jaccard pairs → connected
+    components → (id, component, cluster_size, is_canonical)."""
+    from quickstart_streaming_agents_spark.operators.components import dedup_clusters
+    from quickstart_streaming_agents_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_clusters(pairs)
+
+
 @query("minhash_lsh_dedup")  # hash internals not SQL-expressible → rows-only
 def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH candidate pairs, est_jaccard ≥ 0.5.

@@ -88,3 +88,65 @@ def test_simhash_banding_survives_sign_bit(spark):
     )
     got = simhash_pairs_from_fingerprints(fp, max_hamming=3).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 1)]
+
+
+# ---------------------------------------------------------------------------
+# connected components (operators/components.py)
+# ---------------------------------------------------------------------------
+
+def _brute_components(pairs):
+    """Driver-side union-find ground truth for small graphs."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    from quickstart_streaming_agents_spark.operators.components import (
+        connected_components,
+    )
+
+    # chain (worst case for naive propagation), a triangle, a star, an
+    # isolated pair — ids deliberately not in discovery order
+    pairs = [(9, 8), (8, 7), (7, 6), (6, 5),        # chain 5..9
+             (20, 21), (21, 22), (20, 22),           # triangle
+             (30, 31), (30, 32), (30, 33),           # star
+             (40, 41)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == _brute_components(pairs)
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    from quickstart_streaming_agents_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 200  # naive min-propagation needs ~n rounds; star contraction O(log n)
+    pairs = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    out = connected_components(df, max_iter=12).collect()
+    assert len(out) == n + 1
+    assert all(r.component == 0 for r in out)
+
+
+def test_dedup_clusters_decision_table(spark):
+    from quickstart_streaming_agents_spark.operators.components import dedup_clusters
+
+    pairs = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    rows = {r.id: r for r in dedup_clusters(df).collect()}
+    assert rows[1].is_canonical and rows[1].cluster_size == 3
+    assert not rows[3].is_canonical and rows[3].component == 1
+    assert rows[10].is_canonical and rows[10].cluster_size == 2
