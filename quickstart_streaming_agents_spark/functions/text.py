@@ -60,8 +60,129 @@ def stopword_ratio(text_col: str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> 
     )
 
 
+# ---------------------------------------------------------------------------
+# Character-trigram language ID (Cavnar & Trenkle, "N-Gram-Based Text
+# Categorization", 1994 — the public textcat recipe). Profiles are
+# hand-curated high-frequency trigrams per language with INTEGER rank
+# weights: integer sums are exact and order-insensitive, so the Spark fold
+# and the DuckDB oracle's SUM agree bit-for-bit (doubles would tie-break
+# differently under different summation orders).
+# ---------------------------------------------------------------------------
+
+LANG_PROFILES: dict[str, dict[str, int]] = {
+    # weight 5 = highest-frequency band … 1 = lowest. Space marks a word
+    # boundary (texts are padded with one space each side before slicing).
+    "en": {
+        " th": 5, "the": 5, "he ": 5, " an": 5, "and": 5, "nd ": 5, "ing": 5,
+        "ng ": 5, " of": 5, "of ": 5,
+        "ion": 4, "tio": 4, "ati": 4, " to": 4, "to ": 4, "er ": 4, " in": 4,
+        "ed ": 4, " is": 4, "is ": 4,
+        "ent": 3, " co": 3, "re ": 3, "at ": 3, "es ": 3, " re": 3, " be": 3,
+        "hat": 3, " wh": 3, "ere": 3,
+        "his": 2, " it": 2, "it ": 2, " wi": 2, "wit": 2, "ith": 2, "th ": 2,
+        "for": 2, " fo": 2, "ter": 2,
+        "was": 1, " wa": 1, " on": 1, "on ": 1, "you": 1, " yo": 1, "all": 1,
+        "ll ": 1, " he": 1, "ver": 1,
+    },
+    "es": {
+        " de": 5, "de ": 5, " la": 5, "la ": 5, " qu": 5, "que": 5, "ue ": 5,
+        "os ": 5, " el": 5, "el ": 5,
+        "en ": 4, " en": 4, " co": 4, "con": 4, "ció": 4, "ión": 4, "ón ": 4,
+        "ado": 4, "as ": 4, "ar ": 4,
+        " se": 3, "se ": 3, " po": 3, "por": 3, "or ": 3, " pa": 3, "ra ": 3,
+        "nte": 3, " un": 3, "un ": 3,
+        "una": 2, "sta": 2, "ta ": 2, "ien": 2, "cia": 2, "ia ": 2, "res": 2,
+        "ero": 2, "era": 2, "ant": 2,
+        "los": 1, " lo": 1, "del": 1, " es": 1, "es ": 1, "nto": 1, "to ": 1,
+        "da ": 1, "ndo": 1, "aba": 1,
+    },
+    "de": {
+        " de": 5, "der": 5, "er ": 5, "ie ": 5, " di": 5, "die": 5, "und": 5,
+        " un": 5, "nd ": 5, "en ": 5,
+        "ein": 4, " ei": 4, "in ": 4, "ch ": 4, "sch": 4, " sc": 4, "ung": 4,
+        "ng ": 4, " ge": 4, "gen": 4,
+        "ber": 3, " be": 3, "cht": 3, "ich": 3, " ic": 3, "das": 3, " da": 3,
+        "ten": 3, "te ": 3, "ver": 3,
+        " ve": 2, "it ": 2, " mi": 2, "mit": 2, "zu ": 2, " zu": 2, "auf": 2,
+        " au": 2, "den": 2, "des": 2,
+        "nen": 1, "ne ": 1, " we": 1, "wer": 1, "ist": 1, " is": 1, "ht ": 1,
+        "lic": 1, "eit": 1, "ach": 1,
+    },
+    "fr": {
+        " de": 5, "de ": 5, " le": 5, "le ": 5, "es ": 5, "les": 5, "ent": 5,
+        "nt ": 5, "et ": 5, " et": 5,
+        " la": 4, "la ": 4, "ion": 4, "on ": 4, "ne ": 4, " pa": 4, "par": 4,
+        "que": 4, " qu": 4, "ue ": 4,
+        " po": 3, "pou": 3, "our": 3, "ur ": 3, "ais": 3, "ait": 3, " co": 3,
+        "con": 3, "re ": 3, " re": 3,
+        "eur": 2, "eme": 2, "men": 2, " un": 2, "un ": 2, "une": 2, "dan": 2,
+        " da": 2, "ans": 2, "ns ": 2,
+        " il": 1, "il ": 1, "se ": 1, " se": 1, "tre": 1, " tr": 1, "ous": 1,
+        "vou": 1, " vo": 1, "ez ": 1,
+    },
+}
+
+# Tie-break preference when integer scores are equal (checked in this order).
+LANG_ORDER = ("en", "es", "de", "fr")
+
+
+def _clean_for_trigrams(text_col: str | Column) -> Column:
+    """lowercase, strip to [a-z ], pad one space each side — identical
+    normalization in the DuckDB oracle (lang_id SQL in queries.py)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), "[^a-z ]+", " "),
+        F.lit(" "),
+    )
+
+
+def lang_score(text_col: str | Column, lang: str) -> Column:
+    """Integer profile score: Σ weight(trigram) over every trigram
+    occurrence in the cleaned text. Pure JVM: transform + aggregate with a
+    map-literal lookup — codegen'd, map-only at any scale."""
+    profile = LANG_PROFILES[lang]
+    t = _clean_for_trigrams(text_col)
+    kv = []
+    for k, w in profile.items():
+        kv.append(F.lit(k))
+        kv.append(F.lit(w).cast("long"))
+    m = F.create_map(*kv)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(0))),
+        lambda i: F.substring(t, i, F.lit(3)),
+    )
+    return F.aggregate(
+        grams,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc + F.coalesce(F.element_at(m, g), F.lit(0).cast("long")),
+    )
+
+
+def lang_from_scores(scores: dict[str, Column]) -> Column:
+    """argmax cascade over per-language score columns, 'und' when nothing
+    fires; deterministic ties via LANG_ORDER position."""
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        later = [scores[lo] for lo in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]]
+        cond = scores[lang] > 0
+        for other in later:
+            cond = cond & (scores[lang] >= other)
+        expr = F.when(cond, lang).otherwise(expr)
+    return expr
+
+
+def lang_id_ngram(text_col: str | Column) -> Column:
+    """argmax over LANG_PROFILES scores, 'und' when no profile fires."""
+    return lang_from_scores(
+        {lang: lang_score(text_col, lang) for lang in LANG_ORDER}
+    )
+
+
 def lang_id(text_col: str) -> Column:
-    """Marker-stopword language heuristic (n-gram LMs left to round 2).
+    """Marker-stopword language heuristic (cheap screen; prefer
+    :func:`lang_id_ngram` — the trigram-profile classifier — for real
+    corpora).
 
     Picks the language whose marker list hits most tokens; 'und'
     (undetermined) when nothing matches.

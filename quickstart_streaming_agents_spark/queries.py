@@ -991,6 +991,89 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Character-trigram language ID (functions/text.py LANG_PROFILES — Cavnar &
+# Trenkle textcat recipe). Integer rank weights make both engines' sums
+# exact, so the argmax and every score column hash-match. The oracle's
+# profile VALUES table is generated from the same LANG_PROFILES dict —
+# one source of truth.
+# ---------------------------------------------------------------------------
+
+def _lang_profile_values() -> str:
+    from quickstart_streaming_agents_spark.functions.text import LANG_PROFILES
+
+    rows = []
+    for lang, prof in LANG_PROFILES.items():
+        for ng, w in prof.items():
+            rows.append(f"('{lang}', '{ng}', {w})")
+    return ",\n           ".join(rows)
+
+
+_LANG_ID_ORACLE = f"""
+WITH profile(lang, ngram, w) AS (
+    VALUES {_lang_profile_values()}
+),
+d AS (
+    SELECT doc_id,
+           ' ' || regexp_replace(lower(coalesce(text, '')), '[^a-z ]+', ' ', 'g')
+               || ' ' AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, unnest([substr(t, i, 3)
+                           for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS ng
+    FROM d
+),
+scored AS (
+    SELECT g.doc_id,
+           CAST(coalesce(sum(CASE WHEN p.lang = 'en' THEN p.w END), 0) AS BIGINT) AS score_en,
+           CAST(coalesce(sum(CASE WHEN p.lang = 'es' THEN p.w END), 0) AS BIGINT) AS score_es,
+           CAST(coalesce(sum(CASE WHEN p.lang = 'de' THEN p.w END), 0) AS BIGINT) AS score_de,
+           CAST(coalesce(sum(CASE WHEN p.lang = 'fr' THEN p.w END), 0) AS BIGINT) AS score_fr
+    FROM grams g LEFT JOIN profile p ON g.ng = p.ngram
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CASE WHEN s.score_en > 0 AND s.score_en >= s.score_es
+                 AND s.score_en >= s.score_de AND s.score_en >= s.score_fr THEN 'en'
+            WHEN s.score_es > 0 AND s.score_es >= s.score_de
+                 AND s.score_es >= s.score_fr THEN 'es'
+            WHEN s.score_de > 0 AND s.score_de >= s.score_fr THEN 'de'
+            WHEN s.score_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred,
+       coalesce(s.score_en, 0) AS score_en,
+       coalesce(s.score_es, 0) AS score_es,
+       coalesce(s.score_de, 0) AS score_de,
+       coalesce(s.score_fr, 0) AS score_fr
+FROM d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@query("lang_id_ngram", oracle=_LANG_ID_ORACLE)
+def lang_id_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quickstart_streaming_agents_spark.functions.text import (
+        LANG_ORDER,
+        lang_from_scores,
+        lang_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        *[
+            lang_score("text", lang).alias(f"score_{lang}")
+            for lang in LANG_ORDER
+        ],
+    )
+    return scored.select(
+        "doc_id",
+        lang_from_scores(
+            {lang: F.col(f"score_{lang}") for lang in LANG_ORDER}
+        ).alias("lang_pred"),
+        *[F.col(f"score_{lang}") for lang in LANG_ORDER],
+    )
+
+
 @query(
     "curation_pipeline",
     oracle="""

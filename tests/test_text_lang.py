@@ -1,0 +1,40 @@
+"""Trigram language-ID classifier (functions/text.py LANG_PROFILES)."""
+
+from pyspark.sql import functions as F
+
+from quickstart_streaming_agents_spark.functions.text import lang_id_ngram
+
+SENTENCES = [
+    ("en", "the quick brown fox jumped over the lazy dog and went to the river"),
+    ("en", "this is an example of an english sentence that should be classified"),
+    ("es", "el perro corre por la calle y que la casa de mi amigo es grande"),
+    ("es", "una historia sobre los pueblos de la región y por qué se fueron"),
+    ("de", "der hund und die katze sind in dem garten und sie spielen zusammen"),
+    ("de", "ich habe das buch gelesen und es war sehr schön und interessant"),
+    ("fr", "le chien et le chat sont dans le jardin pour jouer avec les enfants"),
+    ("fr", "une petite histoire que nous avons lue dans le livre de la classe"),
+    ("und", "zzz qqq 12345 @@@@"),
+    ("und", ""),
+]
+
+
+def test_lang_id_ngram_classifies_common_sentences(spark):
+    df = spark.createDataFrame(SENTENCES, ["expected", "text"])
+    rows = df.select("expected", lang_id_ngram("text").alias("got")).collect()
+    wrong = [(r.expected, r.got) for r in rows if r.expected != r.got]
+    assert not wrong, f"misclassified: {wrong}"
+
+
+def test_lang_id_ngram_null_safe(spark):
+    df = spark.createDataFrame([(1, None)], "id INT, text STRING")
+    assert df.select(lang_id_ngram("text").alias("l")).first().l == "und"
+
+
+def test_lang_scores_are_exact_integers(spark):
+    from quickstart_streaming_agents_spark.functions.text import lang_score
+
+    df = spark.createDataFrame([("the the the",)], ["text"])
+    row = df.select(lang_score("text", "en").alias("s")).first()
+    # " the the the " → " th"(5)+"the"(5)+"he "(5) per occurrence ×3 = 45,
+    # plus overlap trigrams "e t"(0)… — only profile hits count
+    assert isinstance(row.s, int) and row.s == 45
