@@ -56,6 +56,9 @@ HEADLINE = [
     "counts_dashboard",
     "tool_invoke",
     "embedding_near_dup",
+    "dedup_components",
+    "lang_id_ngram",
+    "multimodal_meta",
 ]
 
 
