@@ -31,18 +31,39 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column to session-TZ ``timestamp``.
+
+    The driver has shipped the ``events`` fixture with different physical
+    ``ts`` types across regenerations, so branch on the *loaded* dtype
+    rather than assuming a vintage:
+
+    - ``bigint``: TIMESTAMP(NANOS) read with ``nanosAsLong`` — truncate
+      ns→µs with integer division (int64 ns exceed double precision),
+      matching DuckDB's ns→µs truncation so oracle comparisons agree.
+    - ``timestamp_ntz``: plain ``timestamp[us]`` parquet — cast to
+      session-TZ timestamp (session TZ is pinned to UTC in session.py, so
+      the wall clock is unchanged and DuckDB agrees).
+    - ``timestamp``: already what we want; pass through.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # parquet reader rejects. Read nanos as int64 and truncate to micros
-        # (integer division — int64 nanos exceed double precision), matching
-        # DuckDB's ns→us truncation so oracle comparisons agree.
+        # nanosAsLong is harmless when the file is already µs; it only
+        # affects TIMESTAMP(NANOS) columns. Set it so a nanos-vintage
+        # fixture loads instead of erroring, then normalize on dtype.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -82,17 +82,15 @@ class StreamCatalog:
         return t
 
     def register_events_source(self, name: str, path: str) -> StreamTable:
-        """The driver's ``events`` fixture stores TIMESTAMP(NANOS), which
-        Spark's parquet reader rejects; read ns as int64 and truncate to µs
-        (same shim as ``sources.parquet.load_table``)."""
-        from pyspark.sql import functions as F  # noqa: F401
+        """The driver's ``events`` fixture has shipped ``ts`` as
+        TIMESTAMP(NANOS) and as plain ``timestamp[us]`` across regenerations;
+        normalize whichever loaded (same shim as ``sources.parquet``)."""
+        from ..sources.parquet import normalize_event_ts
 
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = self.spark.read.parquet(path).schema
         return self.register_source(
-            name, path, schema=schema,
-            transform=lambda df: df.withColumn(
-                "ts", F.expr("timestamp_micros(ts div 1000)")),
+            name, path, schema=schema, transform=normalize_event_ts,
         )
 
     def read_stream(self, name: str, watermark: tuple[str, str] | None = None,

@@ -1,0 +1,95 @@
+"""Fixture-contract tests: pin the driver-generated parquet schemas.
+
+Round 2 lost an entire round of correctness signal because the driver
+regenerated ``events.parquet`` with a different physical ``ts`` type
+(TIMESTAMP(NANOS) -> timestamp[us]) and the loader assumed the old
+vintage. These tests make any future regeneration fail HERE, loudly,
+instead of as 40+ opaque query failures.
+
+They assert two layers:
+1. the physical parquet dtype of ``events.ts`` is one of the vintages
+   the loader knows how to normalize, and
+2. the *loaded* DataFrame always presents ``ts`` as session-TZ
+   ``timestamp`` regardless of vintage (the normalization contract).
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from quickstart_streaming_agents_spark.sources.parquet import (
+    TABLES,
+    load_table,
+    normalize_event_ts,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+# ts vintages normalize_event_ts knows how to handle (pyarrow type names).
+KNOWN_TS_VINTAGES = {"int64", "timestamp[ns]", "timestamp[us]", "timestamp[ms]"}
+
+EXPECTED_COLUMNS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+    "orders": {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"},
+    "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+                 "l_linestatus", "l_shipdate"},
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+
+def test_all_fixture_tables_exist():
+    for t in TABLES:
+        assert os.path.exists(os.path.join(SF_DIR, f"{t}.parquet")), t
+
+
+@pytest.mark.parametrize("table", sorted(EXPECTED_COLUMNS))
+def test_expected_columns_present(table):
+    schema = pq.read_schema(os.path.join(SF_DIR, f"{table}.parquet"))
+    missing = EXPECTED_COLUMNS[table] - set(schema.names)
+    assert not missing, f"{table} missing columns: {missing}"
+
+
+def test_events_ts_is_a_known_vintage():
+    schema = pq.read_schema(os.path.join(SF_DIR, "events.parquet"))
+    ts_type = str(schema.field("ts").type)
+    assert ts_type in KNOWN_TS_VINTAGES, (
+        f"events.ts regenerated as {ts_type!r} — teach "
+        f"sources/parquet.py:normalize_event_ts this vintage"
+    )
+
+
+def test_loaded_events_ts_is_session_timestamp(spark):
+    df = load_table(spark, SF_DIR, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp", (
+        "loader contract: events.ts must normalize to session-TZ timestamp"
+    )
+    # and it must actually evaluate (analysis-time bugs like r2's surface here)
+    assert df.limit(1).count() in (0, 1)
+
+
+def test_normalize_passthrough_for_timestamp(spark):
+    # A frame whose ts is already session-TZ timestamp passes through intact.
+    df = spark.sql("SELECT timestamp'2024-01-01 00:00:00' AS ts, 1 AS x")
+    out = normalize_event_ts(df)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    assert out.collect() == df.collect()
+
+
+def test_normalize_bigint_nanos(spark):
+    df = spark.sql("SELECT 1704067200000000000 AS ts")  # 2024-01-01 in ns
+    out = normalize_event_ts(df)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    assert str(out.collect()[0].ts) == "2024-01-01 00:00:00"
+
+
+def test_normalize_ntz(spark):
+    df = spark.sql("SELECT timestamp_ntz'2024-01-01 00:00:00' AS ts")
+    out = normalize_event_ts(df)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    assert str(out.collect()[0].ts) == "2024-01-01 00:00:00"
