@@ -137,26 +137,50 @@ def _clean_for_trigrams(text_col: str | Column) -> Column:
     )
 
 
-def lang_score(text_col: str | Column, lang: str) -> Column:
-    """Integer profile score: Σ weight(trigram) over every trigram
-    occurrence in the cleaned text. Pure JVM: transform + aggregate with a
-    map-literal lookup — codegen'd, map-only at any scale."""
+def trigrams_of(cleaned_col: str | Column) -> Column:
+    """All overlapping character trigrams of an ALREADY-CLEANED text column.
+
+    The input must be a materialized attribute (an aliased projection of
+    :func:`_clean_for_trigrams`), never the cleaning expression itself: an
+    expression inlined here is re-evaluated *per array element* inside the
+    lambda (higher-order functions get no common-subexpression
+    elimination), turning the O(n) regex clean into O(n²) per row.
+    """
+    c = F.col(cleaned_col) if isinstance(cleaned_col, str) else cleaned_col
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - 2, F.lit(0))),
+        lambda i: F.substring(c, i, F.lit(3)),
+    )
+
+
+def lang_score_from_grams(grams_col: str | Column, lang: str) -> Column:
+    """Integer profile score: Σ weight(trigram) over a trigram array
+    attribute. Integer sums are exact and order-insensitive, so the Spark
+    fold and the DuckDB oracle SUM agree bit-for-bit."""
     profile = LANG_PROFILES[lang]
-    t = _clean_for_trigrams(text_col)
     kv = []
     for k, w in profile.items():
         kv.append(F.lit(k))
         kv.append(F.lit(w).cast("long"))
     m = F.create_map(*kv)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(0))),
-        lambda i: F.substring(t, i, F.lit(3)),
-    )
+    g = F.col(grams_col) if isinstance(grams_col, str) else grams_col
     return F.aggregate(
-        grams,
+        g,
         F.lit(0).cast("long"),
-        lambda acc, g: acc + F.coalesce(F.element_at(m, g), F.lit(0).cast("long")),
+        lambda acc, t: acc + F.coalesce(F.element_at(m, t), F.lit(0).cast("long")),
     )
+
+
+def lang_score(text_col: str | Column, lang: str) -> Column:
+    """One-shot score straight from raw text. ONLY for single-language /
+    single-use contexts: it inlines the cleaning expression into the gram
+    slicer, which is quadratic per row (see :func:`trigrams_of`). Multi-
+    language scoring must project ``_clean_for_trigrams`` then
+    ``trigrams_of`` as separate attributes and use
+    :func:`lang_score_from_grams` — that is what ``lang_id_ngram_q`` does.
+    """
+    t = _clean_for_trigrams(text_col)
+    return lang_score_from_grams(trigrams_of(t), lang)
 
 
 def lang_from_scores(scores: dict[str, Column]) -> Column:

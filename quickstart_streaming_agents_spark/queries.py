@@ -1053,15 +1053,28 @@ FROM d LEFT JOIN scored s USING (doc_id)
 def lang_id_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quickstart_streaming_agents_spark.functions.text import (
         LANG_ORDER,
+        _clean_for_trigrams,
         lang_from_scores,
-        lang_score,
+        lang_score_from_grams,
+        trigrams_of,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
+    # The fixture is one small parquet split, but trigram scoring is the
+    # most compute-heavy map in the suite (interpreted higher-order funcs)
+    # — spread it across cores. At real scale the scan already yields many
+    # splits and this round-robin is a cheap no-op-sized shuffle of the
+    # 2-column projection.
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # Clean and slice in SEPARATE projections so each stays a materialized
+    # attribute: inlining the regex clean into the trigram lambda would
+    # re-run it per array element (O(n²)/row — 48 s vs <1 s at sf0.1).
+    cleaned = docs.select("doc_id", _clean_for_trigrams("text").alias("_t"))
+    grams = cleaned.select("doc_id", trigrams_of("_t").alias("_grams"))
+    scored = grams.select(
         "doc_id",
         *[
-            lang_score("text", lang).alias(f"score_{lang}")
+            lang_score_from_grams("_grams", lang).alias(f"score_{lang}")
             for lang in LANG_ORDER
         ],
     )
