@@ -92,15 +92,22 @@ def ml_detect_anomalies(
     stl_period: int = 0,
     detector: str = "ar",
     output_col: str = "anomaly_result",
+    ar_chunk_size: int | None = None,
 ) -> DataFrame:
     """Append ``output_col`` struct<forecast_value, upper_bound, lower_bound,
-    is_anomaly> computed per key over the event-time-ordered metric history."""
+    is_anomaly> computed per key over the event-time-ordered metric history.
+
+    ``ar_chunk_size`` bounds the AR detector's per-task row count (see
+    ``_ar``); ``None`` uses :data:`AR_CHUNK_SIZE`.
+    """
     if detector == "zscore":
         return _zscore(df, metric, ts, keys, min_training_size, max_training_size,
                        confidence_percentage, output_col)
     if detector == "ar":
         return _ar(df, metric, ts, keys, min_training_size, max_training_size,
-                   confidence_percentage, enable_stl, stl_period, output_col)
+                   confidence_percentage, enable_stl, stl_period, output_col,
+                   chunk_size=ar_chunk_size if ar_chunk_size is not None
+                   else AR_CHUNK_SIZE)
     raise ValueError(f"unknown detector {detector!r}")
 
 
@@ -221,7 +228,26 @@ def _ar_forecast_series(values, min_n, max_n, z, enable_stl, stl_period, start=0
     return forecast, upper, lower, is_anom
 
 
-def _ar(df, metric, ts, keys, min_n, max_n, confidence, enable_stl, stl_period, output_col):
+#: Rows scored per task in the chunked AR path. Each task additionally
+#: carries up to ``max_training_size`` duplicated prefix rows as history.
+AR_CHUNK_SIZE = 4096
+
+
+def _ar(df, metric, ts, keys, min_n, max_n, confidence, enable_stl, stl_period,
+        output_col, chunk_size: int | None = AR_CHUNK_SIZE):
+    """Per-key contract: every task holds O(chunk_size + max_training_size)
+    rows, NOT a key's full history. Rows are split into time-ordered chunks
+    of ``chunk_size``; each chunk is shipped with the previous chunk's last
+    ``max_training_size`` rows as a score-suppressed training prefix, so a
+    forecast — which only ever looks back ``max_training_size`` rows — is
+    bit-identical to the unchunked computation. This also parallelizes a
+    single hot key across tasks (years of 5-min windows for one zone no
+    longer serialize into one executor).
+
+    ``chunk_size=None`` disables chunking (one task per key, the round-2
+    shape). STL seasonal adjustment fits on the whole series, so
+    ``enable_stl`` forces the unchunked path.
+    """
     import pandas as pd
 
     z = _z_for_confidence(confidence)
@@ -229,11 +255,12 @@ def _ar(df, metric, ts, keys, min_n, max_n, confidence, enable_stl, stl_period, 
         df.schema.fields + [T.StructField(output_col, ANOMALY_RESULT_TYPE)]
     )
     in_cols = df.columns
+    chunked = chunk_size is not None and not (enable_stl and stl_period > 1)
 
-    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+    def score(pdf: pd.DataFrame, start: int) -> pd.DataFrame:
         fc, up, lo, an = _ar_forecast_series(
-            pdf[metric].to_numpy(dtype="float64"), min_n, max_n, z, enable_stl, stl_period
+            pdf[metric].to_numpy(dtype="float64"), min_n, max_n, z,
+            enable_stl, stl_period, start=start,
         )
 
         def cell(i):
@@ -244,6 +271,41 @@ def _ar(df, metric, ts, keys, min_n, max_n, confidence, enable_stl, stl_period, 
                     "lower_bound": float(lo[i]), "is_anomaly": bool(an[i])}
 
         pdf[output_col] = [cell(i) for i in range(len(pdf))]
-        return pdf[in_cols + [output_col]]
+        return pdf.iloc[start:]
 
-    return df.groupBy(*keys).applyInPandas(per_key, schema=out_schema)
+    if not chunked:
+        def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+            return score(pdf, 0)[in_cols + [output_col]]
+
+        return df.groupBy(*keys).applyInPandas(per_key, schema=out_schema)
+
+    # Chunked path: JVM row_number per key orders the series once; each row
+    # lands in chunk floor((rn-1)/chunk_size), and the last max_n rows of a
+    # chunk are duplicated into the next chunk as history-only prefix.
+    w = Window.partitionBy(*keys).orderBy(ts)
+    rn = df.withColumn("_ar_rn", F.row_number().over(w))
+    scored_rows = rn.withColumn(
+        "_ar_chunk", ((F.col("_ar_rn") - 1) / F.lit(chunk_size)).cast("long")
+    ).withColumn("_ar_prefix", F.lit(False))
+    prefix_rows = (
+        rn.withColumn(
+            "_ar_chunk",
+            ((F.col("_ar_rn") - 1) / F.lit(chunk_size)).cast("long") + 1,
+        )
+        .filter(
+            F.col("_ar_rn")
+            > F.col("_ar_chunk") * F.lit(chunk_size) - F.lit(max_n)
+        )
+        .withColumn("_ar_prefix", F.lit(True))
+    )
+    both = scored_rows.unionByName(prefix_rows)
+
+    def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_ar_rn", kind="mergesort").reset_index(drop=True)
+        start = int(pdf["_ar_prefix"].sum())
+        return score(pdf, start)[in_cols + [output_col]]
+
+    return both.groupBy(*keys, "_ar_chunk").applyInPandas(
+        per_chunk, schema=out_schema
+    )
