@@ -247,10 +247,17 @@ def _ar(df, metric, ts, keys, min_n, max_n, confidence, enable_stl, stl_period,
     ``chunk_size=None`` disables chunking (one task per key, the round-2
     shape). STL seasonal adjustment fits on the whole series, so
     ``enable_stl`` forces the unchunked path.
+
+    Prefix rows are duplicated only from the immediately-preceding chunk,
+    so the effective chunk size is clamped to at least ``max_training_size``
+    — otherwise a chunk's history would need rows from two chunks back and
+    training would silently truncate.
     """
     import pandas as pd
 
     z = _z_for_confidence(confidence)
+    if chunk_size is not None:
+        chunk_size = max(chunk_size, max_n)
     out_schema = T.StructType(
         df.schema.fields + [T.StructField(output_col, ANOMALY_RESULT_TYPE)]
     )

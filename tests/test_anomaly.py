@@ -74,6 +74,43 @@ def test_forecast_tracks_steady_series(spark):
         assert not r["anomaly_result"]["is_anomaly"]
 
 
+def _collect_results(df):
+    rows = df.select("zone", "window_time", "request_count", "anomaly_result").collect()
+    return sorted(
+        (
+            (
+                r["zone"],
+                r["window_time"],
+                r["request_count"],
+                r["anomaly_result"]["forecast_value"],
+                r["anomaly_result"]["upper_bound"],
+                r["anomaly_result"]["lower_bound"],
+                r["anomaly_result"]["is_anomaly"],
+            )
+            for r in rows
+        ),
+        key=lambda t: (t[0], t[1]),
+    )
+
+
+@pytest.mark.parametrize("chunk_size", [32, 16])
+def test_chunked_ar_identical_to_unchunked(spark, chunk_size):
+    """A ~500-window key forces many chunks; output must be bit-identical to
+    the unchunked path. chunk_size=16 < max_training_size=40 exercises the
+    clamp (effective chunk = 40) that keeps the training prefix complete."""
+    df = _series(spark, n_windows=500, spike_at=480)
+    kwargs = dict(
+        metric="request_count", ts="window_time", keys=["zone"],
+        min_training_size=20, max_training_size=40,
+        confidence_percentage=99.0, detector="ar",
+    )
+    chunked = _collect_results(ml_detect_anomalies(df, ar_chunk_size=chunk_size, **kwargs))
+    unchunked = _collect_results(ml_detect_anomalies(df, ar_chunk_size=None, **kwargs))
+    assert len(chunked) == len(unchunked) == 1500
+    for c, u in zip(chunked, unchunked):
+        assert c == u, f"chunked/unchunked diverge at {c[:2]}: {c} vs {u}"
+
+
 def test_norm_ppf():
     # textbook quantiles
     assert abs(norm_ppf(0.975) - 1.959964) < 1e-5
