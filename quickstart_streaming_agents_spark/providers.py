@@ -69,13 +69,18 @@ def fake_embedding(texts: list[str], model: Model) -> list[list[float]]:
 # ---------------------------------------------------------------------------
 
 def _http_post_json(url: str, headers: dict, payload: dict, timeout: float) -> dict:
+    import urllib.error
     import urllib.request
 
     req = urllib.request.Request(
         url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json", **headers}
     )
-    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
-        return json.loads(resp.read())
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+            return json.loads(resp.read())
+    except urllib.error.HTTPError as exc:
+        detail = exc.read().decode(errors="replace")[:500]
+        raise RuntimeError(f"HTTP {exc.code} from {url}: {detail}") from exc
 
 
 def openai_compatible_textgen(prompts: list[str], model: Model) -> list[str]:
@@ -119,6 +124,68 @@ def openai_compatible_embedding(texts: list[str], model: Model) -> list[list[flo
     return [d["embedding"] for d in resp["data"]]
 
 
+def _bedrock_url(model: Model) -> tuple[str, dict]:
+    """invoke-model URL + auth headers for a Bedrock-shaped endpoint.
+
+    ``connection.endpoint`` is the runtime base (``…/model/{id}/invoke`` is
+    appended unless the endpoint already ends in ``/invoke``). Auth: a
+    long-lived API key sent as a bearer token when configured; full SigV4
+    request signing is out of scope for this engine (deploy-time concern,
+    reference terraform/core/main.tf:308 wires IAM instead).
+    """
+    conn = model.connection
+    if conn is None or not conn.endpoint:
+        raise RuntimeError(f"model {model.name!r}: no connection/endpoint configured")
+    creds = dict(conn.credentials)
+    headers = {}
+    if creds.get("api_key"):
+        headers["Authorization"] = f"Bearer {creds['api_key']}"
+    url = conn.endpoint
+    if not url.rstrip("/").endswith("/invoke"):
+        model_id = model.param("model_name", model.name)
+        url = f"{url.rstrip('/')}/model/{model_id}/invoke"
+    return url, headers
+
+
+def bedrock_textgen(prompts: list[str], model: Model) -> list[str]:
+    """Bedrock invoke-model, Anthropic messages body shape.
+
+    The reference's primary text-generation path is Bedrock Claude
+    (terraform/core/main.tf:308,461); request/response shapes follow the
+    public Bedrock Runtime InvokeModel contract for Anthropic models:
+    ``{"anthropic_version": "bedrock-2023-05-31", "max_tokens", "messages"}``
+    → ``{"content": [{"type": "text", "text": …}, …]}``.
+    """
+    url, headers = _bedrock_url(model)
+    timeout = float(model.param("timeout", "30"))
+    out = []
+    for p in prompts:
+        body = {
+            "anthropic_version": "bedrock-2023-05-31",
+            "max_tokens": int(model.param("max_tokens", "1024")),
+            "messages": [{"role": "user", "content": [{"type": "text", "text": p}]}],
+        }
+        resp = _http_post_json(url, headers, body, timeout)
+        out.append("".join(
+            block.get("text", "") for block in resp.get("content", [])
+            if block.get("type") == "text"
+        ))
+    return out
+
+
+def bedrock_embedding(texts: list[str], model: Model) -> list[list[float]]:
+    """Bedrock invoke-model, Titan-embeddings body shape (one text per call):
+    ``{"inputText": …}`` → ``{"embedding": [float, …]}``
+    (reference embedding model: terraform/core/main.tf:461).
+    """
+    url, headers = _bedrock_url(model)
+    timeout = float(model.param("timeout", "30"))
+    return [
+        _http_post_json(url, headers, {"inputText": t}, timeout)["embedding"]
+        for t in texts
+    ]
+
+
 PROVIDERS: dict[tuple[str, str], object] = {
     ("fake", "text_generation"): fake_textgen,
     ("fake", "embedding"): fake_embedding,
@@ -126,6 +193,8 @@ PROVIDERS: dict[tuple[str, str], object] = {
     ("openai", "embedding"): openai_compatible_embedding,
     ("azureopenai", "text_generation"): openai_compatible_textgen,
     ("azureopenai", "embedding"): openai_compatible_embedding,
+    ("bedrock", "text_generation"): bedrock_textgen,
+    ("bedrock", "embedding"): bedrock_embedding,
 }
 
 
