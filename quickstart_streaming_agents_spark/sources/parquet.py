@@ -31,16 +31,47 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
-def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+def parquet_ts_unit(path: str, col: str = "ts") -> str | None:
+    """Physical unit of ``col`` from the parquet footer (pyarrow):
+    ``'ns'|'us'|'ms'|'s'`` for TIMESTAMP-annotated columns, ``'raw'`` for an
+    unannotated integer (unit genuinely unknown), ``None`` if absent.
+
+    Footer-only read — no data pages touched, so this probe is free even on
+    a 100 TB table (one footer per file; the loaders probe a single file).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(p):
+        inner = [f for f in os.listdir(p) if f.endswith(".parquet")]
+        if not inner:
+            return None
+        p = os.path.join(p, sorted(inner)[0])
+    schema = pq.read_schema(p)
+    if col not in schema.names:
+        return None
+    typ = schema.field(col).type
+    if pa.types.is_timestamp(typ):
+        return typ.unit
+    if pa.types.is_integer(typ):
+        return "raw"
+    return None
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts",
+                       int64_unit: str = "ns") -> DataFrame:
     """Normalize the events timestamp column to session-TZ ``timestamp``.
 
     The driver has shipped the ``events`` fixture with different physical
-    ``ts`` types across regenerations, so branch on the *loaded* dtype
-    rather than assuming a vintage:
+    ``ts`` types across regenerations, so branch on the *loaded* dtype:
 
-    - ``bigint``: TIMESTAMP(NANOS) read with ``nanosAsLong`` — truncate
-      ns→µs with integer division (int64 ns exceed double precision),
-      matching DuckDB's ns→µs truncation so oracle comparisons agree.
+    - ``bigint``: only produced by a ``nanosAsLong`` read of a
+      TIMESTAMP(NANOS) column (the loaders verify the annotation via
+      :func:`parquet_ts_unit` before setting that flag, and refuse raw
+      int64 — so ``int64_unit`` defaults to the one vintage that can reach
+      here). ns→µs truncates with integer division (int64 ns exceed double
+      precision), matching DuckDB's truncation so oracle comparisons agree.
     - ``timestamp_ntz``: plain ``timestamp[us]`` parquet — cast to
       session-TZ timestamp (session TZ is pinned to UTC in session.py, so
       the wall clock is unchanged and DuckDB agrees).
@@ -50,19 +81,49 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
     dtype = dict(df.dtypes).get(col)
     if dtype == "bigint":
-        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        expr = {
+            "ns": f"timestamp_micros({col} div 1000)",
+            "us": f"timestamp_micros({col})",
+            "ms": f"timestamp_millis({col})",
+            "s": f"timestamp_seconds({col})",
+        }.get(int64_unit)
+        if expr is None:
+            raise ValueError(
+                f"{col!r} loaded as bigint with unit {int64_unit!r}; "
+                "cannot normalize an unknown epoch unit"
+            )
+        return df.withColumn(col, F.expr(expr))
     if dtype == "timestamp_ntz":
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
+def prepare_events_read(spark: SparkSession, path: str) -> str:
+    """Pre-read probe shared by the batch and streaming events loaders.
+
+    Returns the physical ts unit. Sets ``spark.sql.legacy.parquet.
+    nanosAsLong`` ONLY when the footer proves a TIMESTAMP(NANOS) column —
+    that flag must stay set for the session because the vectorized reader
+    consults it at execution time, not just at schema inference. A raw
+    int64 ``ts`` (no logical-type annotation) is refused loudly instead of
+    guessed at: a micros vintage misread as nanos would be silently 1000×
+    off.
+    """
+    unit = parquet_ts_unit(path)
+    if unit == "raw":
+        raise ValueError(
+            f"events fixture {path}: ts is unannotated int64 — epoch unit "
+            "unknown; refusing to guess (teach parquet.py this vintage)"
+        )
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return unit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # nanosAsLong is harmless when the file is already µs; it only
-        # affects TIMESTAMP(NANOS) columns. Set it so a nanos-vintage
-        # fixture loads instead of erroring, then normalize on dtype.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        prepare_events_read(spark, path)
         return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 

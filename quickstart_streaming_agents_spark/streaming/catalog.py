@@ -85,9 +85,11 @@ class StreamCatalog:
         """The driver's ``events`` fixture has shipped ``ts`` as
         TIMESTAMP(NANOS) and as plain ``timestamp[us]`` across regenerations;
         normalize whichever loaded (same shim as ``sources.parquet``)."""
-        from ..sources.parquet import normalize_event_ts
+        from ..sources.parquet import normalize_event_ts, prepare_events_read
 
-        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Probes the footer and sets nanosAsLong only for a genuine
+        # TIMESTAMP(NANOS) vintage (flag semantics: sources/parquet.py).
+        prepare_events_read(self.spark, path)
         schema = self.spark.read.parquet(path).schema
         return self.register_source(
             name, path, schema=schema, transform=normalize_event_ts,

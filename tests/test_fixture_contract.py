@@ -22,6 +22,8 @@ from quickstart_streaming_agents_spark.sources.parquet import (
     TABLES,
     load_table,
     normalize_event_ts,
+    parquet_ts_unit,
+    prepare_events_read,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -93,3 +95,43 @@ def test_normalize_ntz(spark):
     out = normalize_event_ts(df)
     assert dict(out.dtypes)["ts"] == "timestamp"
     assert str(out.collect()[0].ts) == "2024-01-01 00:00:00"
+
+
+def test_parquet_ts_unit_probe():
+    # the footer probe must agree with the vintage assertion above
+    unit = parquet_ts_unit(os.path.join(SF_DIR, "events.parquet"))
+    assert unit in {"ns", "us", "ms"}
+
+
+def test_normalize_bigint_explicit_units(spark):
+    df = spark.sql("SELECT 1704067200000000 AS ts")  # 2024-01-01 in µs
+    out = normalize_event_ts(df, int64_unit="us")
+    assert str(out.collect()[0].ts) == "2024-01-01 00:00:00"
+    with pytest.raises(ValueError, match="unknown epoch unit"):
+        normalize_event_ts(df, int64_unit="raw").collect()
+
+
+def test_raw_int64_ts_refused(spark, tmp_path):
+    """An unannotated int64 ts (unit ambiguous) must fail loudly, not be
+    silently misread 1000x off."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_write
+
+    p = str(tmp_path / "events.parquet")
+    pq_write.write_table(
+        pa.table({"ts": pa.array([1704067200000000], type=pa.int64())}), p
+    )
+    with pytest.raises(ValueError, match="unannotated int64"):
+        prepare_events_read(spark, p)
+
+
+def test_no_config_mutation_for_us_fixture(spark):
+    """Loading a µs-vintage events fixture must not flip session-wide legacy
+    flags as a side effect (it used to set nanosAsLong unconditionally)."""
+    if parquet_ts_unit(os.path.join(SF_DIR, "events.parquet")) == "ns":
+        pytest.skip("fixture is genuinely nanos; flag is required")
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    load_table(spark, SF_DIR, "events").limit(1).count()
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
+    )
