@@ -70,6 +70,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(src, dst) undirected pair list → (id, component) with component =
     min node id of the connected component. Only nodes appearing in pairs
@@ -77,16 +78,34 @@ def connected_components(
 
     ``max_iter`` is a safety bound far above the O(log n) convergence
     proof — 25 rounds covers graphs with 2^25 nodes of pathological shape.
+
+    ``checkpoint_dir=None`` truncates lineage with ``localCheckpoint`` —
+    blocks live on executors, so an executor loss mid-job fails the job.
+    Pass a durable path (HDFS/object store on a real cluster) to use
+    reliable ``checkpoint()`` instead: each round's edge list persists to
+    storage and a long CC job survives executor loss — the right trade at
+    real scale, where a 20-round job on a 1000-executor cluster will see
+    preemptions.
     """
-    edges = (
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        # eager=False: the signature aggregate that follows materializes
+        # the checkpoint AND computes (count, checksum) in the same job —
+        # one action per round instead of two.
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
+
+    edges = ckpt(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
     sig = _edge_signature(edges)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = ckpt(_small_star(_large_star(edges)))
         new_sig = _edge_signature(edges)
         if new_sig == sig:
             break

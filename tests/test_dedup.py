@@ -141,6 +141,28 @@ def test_connected_components_converges_on_long_chain(spark):
     assert all(r.component == 0 for r in out)
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches to durable checkpoint(); result identical
+    to the localCheckpoint mode on the same chain graph."""
+    from quickstart_streaming_agents_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    local = {r.id: r.component for r in connected_components(df).collect()}
+    durable = {
+        r.id: r.component
+        for r in connected_components(
+            df, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert local == durable == {i: 0 for i in range(61)}
+    # reliable mode actually wrote checkpoint data
+    import os
+    assert any(files for _, _, files in os.walk(tmp_path / "ckpt"))
+
+
 def test_dedup_clusters_decision_table(spark):
     from quickstart_streaming_agents_spark.operators.components import dedup_clusters
 
