@@ -844,18 +844,124 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-@query("minhash_lsh_dedup")  # hash internals not SQL-expressible → rows-only
+# ---------------------------------------------------------------------------
+# MinHash-LSH oracle: the whole pipeline is deterministic integer math given
+# the md5-derived base hashes, so DuckDB can replay it exactly —
+# ('0x' || substr(md5(g),1,16))::UBIGINT reproduces _stable_hash64 (md5
+# prefix, big-endian), the (a·x + b) mod 2^64 permutations run in UHUGEINT
+# (sum/min stay exact; DuckDB's sum(UHUGEINT) would go through DOUBLE and
+# lose low bits, so the fingerprint packing below uses HUGEINT), and banding
+# compares the 4-value row slices directly where Spark compares their
+# murmur3 hash (equivalent modulo a ~2^-32 hash collision).
+# ---------------------------------------------------------------------------
+
+def _minhash_oracle() -> str:
+    from quickstart_streaming_agents_spark.operators.dedup import _minhash_params
+
+    a, b = _minhash_params(64)
+    consts = ",\n          ".join(
+        f"({i}, {int(a[i])}::UBIGINT, {int(b[i])}::UBIGINT)" for i in range(64)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, ng FROM (
+            SELECT doc_id,
+                   unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           for i in range(1, greatest(len(w) - 1, 1))]) AS ng
+            FROM d
+        )
+    ),
+    x AS (SELECT doc_id, ('0x' || substr(md5(ng),1,16))::UBIGINT AS xv FROM g),
+    p(i, a, b) AS (VALUES {consts}),
+    sig AS (
+        SELECT doc_id, i,
+               min(((a::UHUGEINT * xv::UHUGEINT + b::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT) AS s
+        FROM x CROSS JOIN p GROUP BY doc_id, i
+    ),
+    band_sig AS (
+        SELECT doc_id, i // 4 AS band, string_agg(s::VARCHAR, ',' ORDER BY i) AS bs
+        FROM sig GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band_sig a JOIN band_sig b
+          ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.id_a, c.id_b,
+               sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           ROUND(est_jaccard, 4) AS est_jaccard
+    FROM est WHERE est_jaccard >= 0.5
+    """
+
+
+@query("minhash_lsh_dedup", oracle=_minhash_oracle())
 def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH candidate pairs, est_jaccard ≥ 0.5.
     Recall vs the exact ngram_jaccard_dedup pairs is tested in
-    tests/test_dedup.py."""
+    tests/test_dedup.py; exact output replayed by the DuckDB oracle above."""
     from quickstart_streaming_agents_spark.operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
 
 
-@query("simhash_dedup")  # rows-only
+# SimHash oracle: same md5-prefix replay per token; per-bit majority vote
+# accumulated as ±1 sums, fingerprint packed via HUGEINT (exact), Hamming
+# via bit_count(xor). Chunk banding joins on the 16-bit chunk value itself.
+_SIMHASH_ORACLE = """
+WITH d AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+h AS (SELECT doc_id, ('0x' || substr(md5(t),1,16))::UBIGINT AS hv FROM tok),
+bits AS (
+    SELECT doc_id, j.j AS j,
+           sum(CASE WHEN (hv >> j.j::UBIGINT) & 1::UBIGINT = 1 THEN 1 ELSE -1 END) AS acc
+    FROM h CROSS JOIN (SELECT unnest(range(64)) AS j) j
+    GROUP BY doc_id, j.j
+),
+fp AS (
+    SELECT doc_id,
+           sum(CASE WHEN acc > 0 THEN (1::HUGEINT << j::HUGEINT)
+               ELSE 0::HUGEINT END) AS u
+    FROM bits GROUP BY doc_id
+),
+fps AS (
+    SELECT doc_id,
+           CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS sh,
+           u
+    FROM fp
+),
+chunks AS (
+    SELECT doc_id, c.c AS chunk_id,
+           (u >> (c.c * 16)::HUGEINT) & 65535::HUGEINT AS chunk_val, sh
+    FROM fps CROSS JOIN (SELECT unnest(range(4)) AS c) c
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+    FROM chunks a JOIN chunks b
+      ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+         AND a.doc_id < b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+@query("simhash_dedup", oracle=_SIMHASH_ORACLE)
 def simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs with Hamming ≤ 3 via 16-bit chunk banding."""
     from quickstart_streaming_agents_spark.operators.dedup import simhash_pairs
@@ -1059,13 +1165,15 @@ def lang_id_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         trigrams_of,
     )
 
-    # The fixture is one small parquet split, but trigram scoring is the
-    # most compute-heavy map in the suite (interpreted higher-order funcs)
-    # — spread it across cores. At real scale the scan already yields many
-    # splits and this round-robin is a cheap no-op-sized shuffle of the
-    # 2-column projection.
+    # Trigram scoring is the most compute-heavy map in the suite
+    # (interpreted higher-order funcs). A single-split scan (the fixture)
+    # serializes it on one core, so fan out — but only then: at real scale
+    # the scan already yields many splits and an unconditional repartition
+    # would be a full shuffle of the text column for nothing.
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    parallelism = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
     # Clean and slice in SEPARATE projections so each stays a materialized
     # attribute: inlining the regex clean into the trigram lambda would
     # re-run it per array element (O(n²)/row — 48 s vs <1 s at sf0.1).
