@@ -31,12 +31,17 @@ registered UDTFs (sql.py) before execution::
     LATERAL TABLE(VECTOR_SEARCH_AGG(t, DESCRIPTOR(c), q, k))
                                                  -> LATERAL vector_search_t(q, k)
 
-The TUMBLE windowing TVF is rewritten onto Spark's ``window()`` projection
-(same ``window_start``/``window_end``/``window_time`` = end−1 ms contract
-as ``operators/windows.tumble``)::
+The TUMBLE/HOP/CUMULATE windowing TVFs are rewritten onto Spark's
+``window()`` projection (same ``window_start``/``window_end``/
+``window_time`` = end−1 ms contract as ``operators/windows.tumble``)::
 
     FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '5' MINUTES))
       -> FROM (SELECT *, window(ts, '5 minutes').start AS window_start, …)
+    FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), slide, size))
+      -> window(ts, size, slide) — Spark expands to a row per covering window
+    FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), step, size))
+      -> bucket by window(ts, size), explode the growing window ends
+         (reference never uses HOP/CUMULATE; parity completeness)
 
 ``ML_DETECT_ANOMALIES(metric, ts, JSON_OBJECT(…)) OVER (PARTITION BY k
 ORDER BY ts …)`` — the flagship statement of both lab walkthroughs
@@ -46,8 +51,6 @@ onto a registered grouped-agg pandas window UDF running the same
 frame capped at ``maxTrainingSize PRECEDING`` and the ``anomaly_result``
 struct rebuilt JVM-side (see ``rewrite_ml_detect_anomalies``).
 
-HOP/CUMULATE are not rewritten (unused by the reference; sliding windows
-are the DataFrame surface).
 """
 
 from __future__ import annotations
@@ -197,6 +200,89 @@ def rewrite_tumble(sql: str) -> str:
     return out.replace("\x00", "")
 
 
+_MS_PER_UNIT = {
+    "second": 1_000, "seconds": 1_000,
+    "minute": 60_000, "minutes": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+}
+
+_HOP_RE = re.compile(
+    r"(TABLE\s*\(\s*)?HOP\s*\(\s*TABLE\s+(`?\w+`?)\s*,\s*DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,"
+    r"\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
+    re.I,
+)
+
+
+def rewrite_hop(sql: str) -> str:
+    """``[TABLE(]HOP(TABLE t, DESCRIPTOR(ts), INTERVAL 'slide' U, INTERVAL
+    'size' U)[)]`` → ``window(ts, size, slide)`` projections (Spark's
+    analyzer expands a sliding window to one row per covering window —
+    repeated identical window() exprs dedupe into a single Expand)."""
+    def _sub(m: re.Match) -> str:
+        tbl, ts = m.group(2), m.group(3)
+        slide = f"'{m.group(4)} {m.group(5).lower()}'"
+        size = f"'{m.group(6)} {m.group(7).lower()}'"
+        w = f"window({ts}, {size}, {slide})"
+        repl = (
+            f"(SELECT *, {w}.start AS window_start, {w}.end AS window_end, "
+            f"{w}.end - INTERVAL 1 MILLISECOND AS window_time FROM {tbl})"
+        )
+        return repl + ("\x00" if m.group(1) else "")
+
+    out = _HOP_RE.sub(_sub, sql)
+    out = re.sub(r"\x00\s*\)", "", out)
+    return out.replace("\x00", "")
+
+
+_CUMULATE_RE = re.compile(
+    r"(TABLE\s*\(\s*)?CUMULATE\s*\(\s*TABLE\s+(`?\w+`?)\s*,\s*DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,"
+    r"\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)",
+    re.I,
+)
+
+
+def rewrite_cumulate(sql: str) -> str:
+    """``[TABLE(]CUMULATE(TABLE t, DESCRIPTOR(ts), INTERVAL 'step' U,
+    INTERVAL 'size' U)[)]`` → growing windows within each ``size`` bucket.
+
+    Spark has no cumulate window, so derive it: bucket rows with
+    ``window(ts, size)``, then explode the sequence of cumulative window
+    ends the row belongs to — every ``S + k·step`` strictly after ``ts``
+    up to ``S + size``. Same ``window_start/window_end/window_time``
+    contract as the other window TVFs.
+    """
+    def _sub(m: re.Match) -> str:
+        tbl, ts = m.group(2), m.group(3)
+        step_n, step_u = int(m.group(4)), m.group(5).lower()
+        size_n, size_u = int(m.group(6)), m.group(7).lower()
+        step_ms = step_n * _MS_PER_UNIT[step_u]
+        size_ms = size_n * _MS_PER_UNIT[size_u]
+        if size_ms % step_ms:
+            raise ValueError(
+                f"CUMULATE size must be a multiple of step ({size_n} {size_u}"
+                f" vs {step_n} {step_u})"
+            )
+        first_end = (
+            f"timestamp_millis(unix_millis(w.start) + "
+            f"(CAST(floor((unix_millis({ts}) - unix_millis(w.start)) / {step_ms}) AS BIGINT) + 1)"
+            f" * {step_ms})"
+        )
+        last_end = f"timestamp_millis(unix_millis(w.start) + {size_ms})"
+        repl = (
+            f"(SELECT * EXCEPT (w), w.start AS window_start, window_end, "
+            f"window_end - INTERVAL 1 MILLISECOND AS window_time FROM ("
+            f"SELECT *, explode(sequence({first_end}, {last_end}, "
+            f"INTERVAL {step_n} {step_u})) AS window_end "
+            f"FROM (SELECT *, window({ts}, '{size_n} {size_u}') AS w FROM {tbl})))"
+        )
+        return repl + ("\x00" if m.group(1) else "")
+
+    out = _CUMULATE_RE.sub(_sub, sql)
+    out = re.sub(r"\x00\s*\)", "", out)
+    return out.replace("\x00", "")
+
+
 _LAT_RE = re.compile(
     r"LATERAL\s+TABLE\s*\(\s*(ML_PREDICT|AI_RUN_AGENT|VECTOR_SEARCH_AGG)\s*\(", re.I
 )
@@ -207,7 +293,9 @@ def rewrite_flink(sql: str, spark: SparkSession | None = None) -> str:
     """All Flink-dialect rewrites: lateral AI calls, TUMBLE TVF, ``MAP[…]``
     literals, and — when a session is supplied to register the window UDF
     against — ``ML_DETECT_ANOMALIES(…) OVER (…)``."""
-    sql = rewrite_map_literals(rewrite_tumble(rewrite_laterals(sql)))
+    sql = rewrite_map_literals(
+        rewrite_cumulate(rewrite_hop(rewrite_tumble(rewrite_laterals(sql))))
+    )
     if spark is not None and _MDA_RE.search(sql):
         sql = rewrite_ml_detect_anomalies(sql, spark)
     return sql

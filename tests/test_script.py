@@ -156,6 +156,71 @@ def test_tumble_tvf_rewrite_matches_dataframe_tumble(spark):
     assert got == want and len(got) > 0
 
 
+def test_hop_tvf_rewrite_matches_dataframe_sliding(spark):
+    """HOP TVF (Flink arg order: slide, then size) through run_sql_script
+    must equal the native window(ts, size, slide) DataFrame aggregation."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+
+    register_views(spark, SF_DIR)
+    results = run_sql_script(spark, """
+        CREATE TABLE hop_counts AS
+        SELECT window_start, window_end, event_type,
+               COUNT(*) AS total_requests, window_time
+        FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts),
+                       INTERVAL '5' MINUTES, INTERVAL '10' MINUTES))
+        GROUP BY window_start, window_end, window_time, event_type;
+    """)
+    got = {(r.window_start, r.event_type): (r.total_requests, r.window_time)
+           for r in results[0].df.collect()}
+
+    events = load_table(spark, SF_DIR, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    want_df = (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("total_requests"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "total_requests",
+                (F.col("w.end") - F.expr("INTERVAL 1 MILLISECOND")).alias("window_time"))
+    )
+    want = {(r.window_start, r.event_type): (r.total_requests, r.window_time)
+            for r in want_df.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_cumulate_tvf_rewrite_semantics(spark):
+    """CUMULATE (Flink arg order: step, then size): growing windows within
+    each size bucket; a row appears in every cumulative window whose end is
+    strictly after its timestamp."""
+    spark.sql("""
+        SELECT * FROM VALUES
+          (timestamp'2024-01-01 00:07:00', 'a'),
+          (timestamp'2024-01-01 00:12:00', 'a'),
+          (timestamp'2024-01-01 00:17:00', 'b')
+        AS cum_t(ts, k)
+    """).createOrReplaceTempView("cum_t")
+    results = run_sql_script(spark, """
+        CREATE TABLE cum_counts AS
+        SELECT window_start, window_end, COUNT(*) AS n
+        FROM TABLE(CUMULATE(TABLE cum_t, DESCRIPTOR(ts),
+                            INTERVAL '5' MINUTES, INTERVAL '15' MINUTES))
+        GROUP BY window_start, window_end;
+    """)
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    got = {(r.window_start, r.window_end): r.n for r in results[0].df.collect()}
+    assert got == {
+        # bucket [00:00, 00:15): row@07 in ends {10, 15}; row@12 in {15}
+        (base, base + dt.timedelta(minutes=10)): 1,
+        (base, base + dt.timedelta(minutes=15)): 2,
+        # bucket [00:15, 00:30): row@17 in ends {20, 25, 30}
+        (base + dt.timedelta(minutes=15), base + dt.timedelta(minutes=20)): 1,
+        (base + dt.timedelta(minutes=15), base + dt.timedelta(minutes=25)): 1,
+        (base + dt.timedelta(minutes=15), base + dt.timedelta(minutes=30)): 1,
+    }
+
+
 def test_ml_detect_anomalies_over_sql_matches_operator(spark):
     """The flagship lab statement — TUMBLE + ML_DETECT_ANOMALIES(…) OVER
     (PARTITION BY … ORDER BY …) + anomaly_result field access + is_anomaly
