@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 import re
 
 from quickstart_streaming_agents_spark.registries import Model
@@ -46,21 +47,36 @@ def fake_textgen(prompts: list[str], model: Model) -> list[str]:
 
 
 def fake_embedding(texts: list[str], model: Model) -> list[list[float]]:
-    """Deterministic unit vector per text: md5-seeded MT19937 normal draw.
+    """Deterministic unit vector per text, built from per-dimension md5s.
 
-    Stable across processes/platforms (numpy RandomState is versioned and
-    seed-deterministic), mirroring the reference's fixture advice of seeded
-    hash → unit vector (FIXTURES.md §4).
+    Component i of the raw vector is ``md5(text + '#' + i)`` first 16 hex
+    chars as uint64, scaled to [-1, 1); the vector is then L2-normalized
+    (sequential float64 sum of squares). Every step is plain IEEE-double
+    arithmetic that DuckDB reproduces bit-for-bit —
+    ``('0x' || substr(md5(t || '#' || i), 1, 16))::UBIGINT /
+    18446744073709551616.0 * 2.0 - 1.0`` — which is what makes the
+    embedding-bearing queries (ml_predict_embedding, rag_pipeline)
+    hash-checkable against the SQL oracle. Division by 2^64 is an exact
+    exponent shift, so Python's correctly-rounded int/int division and
+    DuckDB's cast-then-divide agree to the last bit.
+
+    Mirrors the reference's fixture advice of seeded hash → unit vector
+    (FIXTURES.md §4).
     """
-    import numpy as np
-
     dim = model.embedding_dim
     out = []
     for t in texts:
-        seed = int(hashlib.md5((t or "").encode()).hexdigest()[:8], 16)
-        v = np.random.RandomState(seed).standard_normal(dim)
-        v /= np.linalg.norm(v) or 1.0
-        out.append([float(x) for x in v])
+        t = t or ""
+        u = [
+            int(hashlib.md5(f"{t}#{i}".encode()).hexdigest()[:16], 16)
+            / 2**64 * 2.0 - 1.0
+            for i in range(dim)
+        ]
+        s = 0.0
+        for x in u:
+            s += x * x
+        n = math.sqrt(s) or 1.0
+        out.append([x / n for x in u])
     return out
 
 

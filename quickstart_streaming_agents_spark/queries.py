@@ -508,7 +508,31 @@ def ml_predict_textgen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prompts.withColumn("response", ml_predict(model, "prompt"))
 
 
-@query("ml_predict_embedding")  # embedding values are provider-internal → rows-only
+@query(
+    "ml_predict_embedding",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               list_transform(range(0, 64),
+                   i -> ('0x' || substr(md5(coalesce(text, '') || '#' || i), 1, 16))::UBIGINT
+                        / 18446744073709551616.0 * 2.0 - 1.0) AS raw
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               list_transform(raw,
+                   x -> CAST(CAST(x / sqrt(list_aggregate(list_transform(raw, y -> y * y), 'sum'))
+                             AS FLOAT) AS DOUBLE)) AS emb
+        FROM u
+    )
+    SELECT doc_id,
+           len(emb) AS embedding_dim,
+           round(emb[1], 6) AS embedding_c0,
+           round(sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')), 6)
+               AS embedding_norm
+    FROM q
+    """,
+)
 def ml_predict_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 embedding task: STRING → ARRAY<FLOAT> (terraform/core/main.tf:529;
     INSERT INTO queries_embed … ML_PREDICT, terraform/lab2-vector-search/
@@ -516,8 +540,10 @@ def ml_predict_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The raw ARRAY<FLOAT> column is projected to scalar digests (dim, first
     component, L2 norm) so the driver's canonicalizer — which sorts rows —
-    never sees an unhashable list value; the digests still pin dimension and
-    per-row content for the rows-only check.
+    never sees an unhashable list value. The fake provider's md5-derived
+    arithmetic (providers.fake_embedding) is replayed exactly by the oracle,
+    including the float32 storage round-trip (CAST AS FLOAT), making this a
+    full hash check.
     """
     docs = load_table(spark, sf_dir, "documents")
     model = DEFAULT_CATALOG.models["fake_embedding"]
@@ -591,11 +617,58 @@ def vector_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Lab2 RAG chain: embed → vector search → prompt assembly → LLM answer.
 # Reference: terraform/lab2-vector-search/main.tf:253,292,331 (three chained
 # INSERT INTO … LATERAL TABLE statements). Deterministic end-to-end with the
-# fake provider; embedding internals make it rows-only for the driver.
+# fake provider; the md5-derived fake embedding is replayed exactly in SQL
+# (see providers.fake_embedding), so the whole chain — embed, cosine top-k,
+# prompt assembly, LLM template — is hash-checked.
 # ---------------------------------------------------------------------------
-@query("rag_pipeline")
+@query(
+    "rag_pipeline",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id AS query_id, text AS query FROM documents WHERE doc_id < 50
+    ),
+    u AS (
+        SELECT query_id, query,
+               list_transform(range(0, 64),
+                   i -> ('0x' || substr(md5(coalesce(query, '') || '#' || i), 1, 16))::UBIGINT
+                        / 18446744073709551616.0 * 2.0 - 1.0) AS raw
+        FROM d
+    ),
+    qv AS (
+        SELECT query_id, query,
+               list_transform(raw,
+                   x -> CAST(CAST(x / sqrt(list_aggregate(list_transform(raw, y -> y * y), 'sum'))
+                             AS FLOAT) AS DOUBLE)) AS q
+        FROM u
+    ),
+    s AS (
+        SELECT qv.query_id, qv.query, e.vec_id,
+               list_cosine_similarity(qv.q, CAST(e.embedding AS DOUBLE[])) AS score
+        FROM qv CROSS JOIN embeddings e
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id) AS rk
+        FROM s
+    ),
+    p AS (
+        SELECT query_id, query,
+               max(CASE WHEN rk = 1 THEN vec_id END) AS top_match_id,
+               round(max(CASE WHEN rk = 1 THEN score END), 6) AS top_score,
+               'Answer using context ids: ' ||
+                   max(CASE WHEN rk = 1 THEN vec_id END)::VARCHAR || ',' ||
+                   max(CASE WHEN rk = 2 THEN vec_id END)::VARCHAR ||
+                   ' Q: ' || substr(query, 1, 30) AS prompt
+        FROM r WHERE rk <= 2
+        GROUP BY query_id, query
+    )
+    SELECT query_id, query, top_match_id, top_score, prompt,
+           'FAKE[fake_textgen]:' || upper(substr(prompt, 1, 48)) AS response
+    FROM p
+    """,
+)
 def rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").limit(50)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     emb_model = DEFAULT_CATALOG.models["fake_embedding"]
     gen_model = DEFAULT_CATALOG.models["fake_textgen"]
     emb_table = load_table(spark, sf_dir, "embeddings")
