@@ -17,6 +17,7 @@ spark.sql.files.maxPartitionBytes).
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -56,12 +57,25 @@ def _fake_decode(payload: bytes, media_type: str) -> dict:
 
 
 def _fake_features(payload: bytes, dim: int) -> list[float]:
-    import numpy as np
+    """Deterministic unit feature vector from per-dimension md5s.
 
-    seed = int(hashlib.md5(payload or b"").hexdigest()[:8], 16)
-    v = np.random.RandomState(seed).standard_normal(dim)
-    v /= np.linalg.norm(v) or 1.0
-    return [float(x) for x in v]
+    Same SQL-replayable construction as providers.fake_embedding: component
+    i is md5(md5(payload).hex + '#' + i) → uint64 → [-1, 1), then L2
+    normalization in sequential float64 — DuckDB reproduces it bit-for-bit
+    (``md5(md5(text) || '#' || i)``), which is what lets the
+    multimodal_features query be hash-checked end to end.
+    """
+    seed_hex = hashlib.md5(payload or b"").hexdigest()
+    u = [
+        int(hashlib.md5(f"{seed_hex}#{i}".encode()).hexdigest()[:16], 16)
+        / 2**64 * 2.0 - 1.0
+        for i in range(dim)
+    ]
+    s = 0.0
+    for x in u:
+        s += x * x
+    n = math.sqrt(s) or 1.0
+    return [x / n for x in u]
 
 
 def extract_media_features(

@@ -1373,10 +1373,37 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # fake decoder feature RNG → rows-only
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               md5(coalesce(text, '')) AS hh,
+               list_transform(range(0, 8),
+                   i -> ('0x' || substr(md5(md5(coalesce(text, '')) || '#' || i), 1, 16))::UBIGINT
+                        / 18446744073709551616.0 * 2.0 - 1.0) AS raw
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, hh,
+               list_transform(raw,
+                   x -> CAST(CAST(x / sqrt(list_aggregate(list_transform(raw, y -> y * y), 'sum'))
+                             AS FLOAT) AS DOUBLE)) AS f
+        FROM u
+    )
+    SELECT doc_id,
+           64 + (('0x' || substr(hh, 1, 2))::INT % 192) AS width,
+           64 + (('0x' || substr(hh, 3, 2))::INT % 192) AS height,
+           1 AS n_frames,
+           round(f[1], 6) AS f0
+    FROM q
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → media metadata + feature vector via mapInPandas
-    (decode stubbed; plumbing real — see operators/multimodal.py)."""
+    (decode stubbed; plumbing real — see operators/multimodal.py). The
+    md5-derived fake decoder is replayed exactly by the oracle, so the
+    whole mapInPandas path is hash-checked."""
     from quickstart_streaming_agents_spark.operators.multimodal import (
         attach_payload,
         extract_media_features,
@@ -1390,7 +1417,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.width").alias("width"),
         F.col("media_meta.height").alias("height"),
         F.col("media_meta.n_frames").alias("n_frames"),
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
     )
 
 
