@@ -352,6 +352,71 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join — purchase → latest prior view per user (attribution). The
+# union + window-fill plan (operators/asof.py) is replayed by DuckDB's
+# native ASOF LEFT JOIN over a (user, ts)-deduplicated view side, proving
+# the two formulations equivalent.
+# ---------------------------------------------------------------------------
+_ASOF_ORACLE = """
+WITH vd AS (
+    SELECT user_id, ts,
+           max(event_id) AS view_event_id,
+           max_by(value, event_id) AS value
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id, ts
+),
+p AS (
+    SELECT event_id, ts, user_id, value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.ts, p.user_id,
+       round(p.value, 2) AS purchase_value,
+       vd.ts AS view_ts,
+       vd.view_event_id,
+       round(vd.value, 2) AS view_value
+FROM p ASOF LEFT JOIN vd
+    ON p.user_id = vd.user_id AND vd.ts <= p.ts
+"""
+
+
+@query("asof_attribution", oracle=_ASOF_ORACLE)
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase annotated with the user's most recent view at-or-before
+    the purchase (ties on view ts broken by greatest event_id)."""
+    from quickstart_streaming_agents_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_event_id"),
+        "value",
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["view_event_id", "value"],
+        suffix="_view",
+        right_tiebreak="view_event_id",
+    )
+    return joined.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.col("ts_view").alias("view_ts"),
+        F.col("view_event_id_view").alias("view_event_id"),
+        F.round("value_view", 2).alias("view_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # W1/W2/F2 — ML_DETECT_ANOMALIES over the ordered history of window
 # aggregates, then the is_anomaly post-filter.
 # Reference: LAB3-Walkthrough.md:119-132,185-197; LAB4-Walkthrough.md:150-179.
