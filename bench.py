@@ -59,6 +59,12 @@ HEADLINE = [
     "dedup_components",
     "lang_id_ngram",
     "multimodal_meta",
+    "asof_attribution",
+    "stratified_sample",
+    "domain_mix",
+    "doc_chunks",
+    "repetition_filter",
+    "pii_redaction",
 ]
 
 

@@ -235,3 +235,81 @@ def doc_fingerprint(text_col: str | Column) -> Column:
     """Stable content fingerprint: md5 of whitespace-normalized lowercase."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher-rules-style, public recipe: Rae et al. 2021
+# §A1.1 — duplicate-word and top-n-gram fractions flag boilerplate/spam).
+# Needs per-document term counts, so unlike the scalar functions above this
+# is a DataFrame pipeline: explode → two keyed aggregations → join. Keys
+# are (doc_id[, term]) — high-cardinality and uniform, so partial
+# aggregation absorbs most rows map-side at any scale.
+# ---------------------------------------------------------------------------
+
+def repetition_stats(df, id_cols: list[str], text_col: str = "text"):
+    """Per-document repetition metrics: ``n_words``, ``dup_word_frac``
+    (1 − distinct/total words), ``top_bigram_frac`` (share of bigram
+    occurrences taken by the most frequent bigram; 0 for <2-word docs)."""
+    ids = list(id_cols)
+    base = df.select(
+        *ids, F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__w")
+    )
+    wstats = (
+        base.select(*ids, F.explode("__w").alias("w"))
+        .groupBy(*ids)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("w") / F.count("*"), 6
+            ).alias("dup_word_frac"),
+        )
+    )
+    bigrams = F.when(
+        F.size("__w") >= 2,
+        F.expr("transform(sequence(0, size(__w)-2), i -> concat(__w[i], ' ', __w[i+1]))"),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    bstats = (
+        base.select(*ids, F.explode(bigrams).alias("bg"))
+        .groupBy(*ids, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(*ids)
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"))
+    )
+    return wstats.join(bstats, ids, "left").select(
+        *ids,
+        "n_words",
+        "dup_word_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — regex scrubbing of emails / E.164-ish phones / IPv4.
+# Patterns are RE2-compatible (no lookarounds) so the DuckDB oracle runs
+# the identical expressions. Map-only JVM regexp_replace at any scale.
+# Order matters: IPs are redacted before phones so digit-dot runs aren't
+# half-eaten by the phone pattern.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}-\d{3}-\d{4}", "<PHONE>"),
+)
+
+
+def pii_redact(text_col: str | Column) -> Column:
+    """Replace every PII match with its placeholder tag."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for _, pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def pii_counts(text_col: str | Column) -> dict[str, Column]:
+    """``{kind: match-count}`` columns (audit trail for the redaction)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for kind, pat, _ in PII_PATTERNS
+    }

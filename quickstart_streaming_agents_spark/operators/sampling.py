@@ -1,0 +1,101 @@
+"""Deterministic sampling & domain mixing for training-data pipelines.
+
+Beyond-reference surface: corpus curation needs *reproducible* sampling —
+the same document set must be selected on every run, on any cluster, at
+any parallelism, or downstream dedup/eval splits silently drift. Spark's
+``df.sample`` is seed-dependent on partitioning, so these operators hash
+row identity instead:
+
+    u(row) = md5(salt | id)[0:15 hex] as uint60 / 2^60   ∈ [0, 1)
+    keep   ⇔  u(row) < fraction
+
+Everything is a pure JVM column expression (map-only, fused into the
+scan — zero shuffles, trivially correct at 100 TB), and the md5 → uint60
+→ divide-by-2^60 pipeline is exact IEEE-double arithmetic that DuckDB
+replays bit-for-bit (``('0x' || substr(md5(k), 1, 15))::UBIGINT /
+1152921504606846976.0``), so sampling decisions are oracle-checkable.
+15 hex chars = 60 bits keeps the value inside a signed int64 for Spark's
+``conv``; division by 2^60 is an exact exponent shift.
+
+``domain_mix`` solves the standard mixture problem: given target weights
+w_s over strata, the largest achievable subsample keeps
+``n_s = w_s · m`` rows of stratum s where ``m = min_s cnt_s / w_s`` —
+downsample-only, no replication. Stratum counts are a tiny aggregate
+(collected; |strata| rows) and the per-stratum keep-rates ship to
+executors inside the filter expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 2^60 — divisor turning the 60-bit md5 prefix into a unit uniform.
+UNIT = float(1 << 60)
+
+
+def hash_unit(id_cols: list[str], salt: str = "") -> Column:
+    """``[0, 1)`` uniform from row identity — stable across runs/partitions."""
+    key = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in id_cols])
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") / F.lit(UNIT)
+
+
+def hash_unit_sql(id_exprs: list[str], salt: str = "") -> str:
+    """The DuckDB-side replay of :func:`hash_unit` (for oracle SQL)."""
+    key = f"concat_ws('|', '{salt}', {', '.join(f'({e})::VARCHAR' for e in id_exprs)})"
+    return f"(('0x' || substr(md5({key}), 1, 15))::UBIGINT / 1152921504606846976.0)"
+
+
+def deterministic_sample(
+    df: DataFrame, id_cols: list[str], fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows, chosen by row-identity hash. Changing
+    ``salt`` draws an independent sample (e.g. train/val/test splits use
+    three salts with disjoint accept ranges — or just this with salts)."""
+    return df.filter(hash_unit(id_cols, salt) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    id_cols: list[str],
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum keep fractions (a deterministic ``sampleBy``)."""
+    rate = F.lit(float(default))
+    for k, v in sorted(fractions.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(rate)
+    return df.filter(hash_unit(id_cols, salt) < rate)
+
+
+def mix_rates(counts: dict[str, int], weights: dict[str, float]) -> dict[str, float]:
+    """Per-stratum keep-rates realizing ``weights`` as the output mixture.
+
+    ``m = min_s counts[s] / weights[s]`` is the largest total consistent
+    with every stratum (downsample-only); stratum s keeps
+    ``weights[s] * m / counts[s]``. Strata missing from ``weights`` get 0.
+    Pure double arithmetic in a fixed expression shape so the SQL oracle
+    computes bit-identical rates.
+    """
+    m = min(counts[s] / weights[s] for s in weights if counts.get(s))
+    return {
+        s: (weights[s] * m / counts[s] if counts.get(s) else 0.0) for s in weights
+    }
+
+
+def domain_mix(
+    df: DataFrame,
+    stratum_col: str,
+    weights: dict[str, float],
+    id_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Downsample to the target stratum mixture (see :func:`mix_rates`)."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col).agg(F.count("*").alias("n")).collect()
+    }
+    rates = mix_rates(counts, weights)
+    return stratified_sample(df, stratum_col, rates, id_cols, default=0.0, salt=salt)

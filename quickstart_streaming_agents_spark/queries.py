@@ -1402,6 +1402,216 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic sampling & domain mixing (operators/sampling.py). Keep
+# decisions are md5-hash arithmetic, so DuckDB replays every accept/reject
+# bit-for-bit — the whole sample is hash-checked, not just its size.
+# ---------------------------------------------------------------------------
+_STRAT_FRACTIONS = {"en": 0.5, "de": 1.0, "es": 0.25, "fr": 0.75, "zh": 0.1}
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE (('0x' || substr(md5(concat_ws('|', 'split1', doc_id::VARCHAR)), 1, 15))::UBIGINT
+           / 1152921504606846976.0)
+          < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'es' THEN 0.25
+                      WHEN 'fr' THEN 0.75 WHEN 'zh' THEN 0.1 ELSE 0.0 END
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep fractions via row-identity hashing — reproducible
+    on any cluster at any parallelism (a deterministic ``sampleBy``)."""
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", _STRAT_FRACTIONS, id_cols=["doc_id"], salt="split1"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "domain_mix",
+    oracle="""
+    WITH cnt AS (
+        SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang
+    ),
+    w(lang, wt) AS (
+        VALUES ('de', 0.2), ('en', 0.2), ('es', 0.2), ('fr', 0.2), ('zh', 0.2)
+    ),
+    m AS (SELECT min(n / wt) AS m FROM cnt JOIN w USING (lang)),
+    r AS (
+        SELECT w.lang, w.wt * m.m / cnt.n AS rate
+        FROM w JOIN cnt USING (lang) CROSS JOIN m
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE (('0x' || substr(md5(concat_ws('|', 'mix', d.doc_id::VARCHAR)), 1, 15))::UBIGINT
+           / 1152921504606846976.0) < r.rate
+    """,
+)
+def domain_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample to an equal-weight language mixture. The per-stratum
+    keep-rates come from a |strata|-row aggregate; the oracle recomputes
+    them with the same double arithmetic (operators/sampling.mix_rates)."""
+    from quickstart_streaming_agents_spark.operators.sampling import domain_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"de": 0.2, "en": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.2}
+    return domain_mix(docs, "lang", weights, id_cols=["doc_id"], salt="mix").select(
+        "doc_id", "lang", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking (operators/chunking.py): sliding 64-token windows with
+# 16-token overlap, boundaries + contents replayed by DuckDB list ops.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_chunks",
+    oracle="""
+    WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+        FROM documents
+    ),
+    st AS (
+        SELECT doc_id, a,
+               unnest(range(0, greatest(len(a), 1), 48)) AS s
+        FROM arr
+    )
+    SELECT doc_id,
+           (s // 48)::INT AS chunk_id,
+           len(list_slice(a, s + 1, s + 64))::INT AS n_chunk_tokens,
+           array_to_string(list_slice(a, s + 1, s + 64), ' ') AS chunk
+    FROM st
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks per document (embedding prep)."""
+    from quickstart_streaming_agents_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(
+        docs, id_cols=["doc_id"], chunk_tokens=64, overlap_tokens=16
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition gates (functions/text.repetition_stats).
+# ---------------------------------------------------------------------------
+@query(
+    "repetition_filter",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    ws AS (
+        SELECT doc_id, count(*) AS n_words,
+               round(1.0 - count(DISTINCT w) / count(*), 6) AS dup_word_frac
+        FROM w GROUP BY doc_id
+    ),
+    arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1])) AS bg
+        FROM arr WHERE len(a) >= 2
+    ),
+    bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+    bs AS (
+        SELECT doc_id, round(max(c) / sum(c), 6) AS top_bigram_frac
+        FROM bc GROUP BY doc_id
+    )
+    SELECT ws.doc_id, ws.n_words, ws.dup_word_frac,
+           coalesce(bs.top_bigram_frac, 0.0) AS top_bigram_frac,
+           (ws.dup_word_frac <= 0.3 AND coalesce(bs.top_bigram_frac, 0.0) <= 0.18)
+               AS passes_repetition_gate
+    FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-word and top-bigram fractions + the pass/fail gate
+    (Gopher-rules-style repetition screen, Rae et al. 2021 §A1.1)."""
+    from quickstart_streaming_agents_spark.functions.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = repetition_stats(docs, ["doc_id"])
+    return stats.withColumn(
+        "passes_repetition_gate",
+        (F.col("dup_word_frac") <= 0.3) & (F.col("top_bigram_frac") <= 0.18),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (functions/text.pii_redact). The fixture corpus is clean,
+# so deterministic synthetic PII is appended per doc — the oracle builds
+# the identical dirty text and runs the identical RE2 patterns.
+# ---------------------------------------------------------------------------
+_PII_DIRTY_SQL = (
+    "text || ' Contact user' || doc_id::VARCHAR || '@mail.example.com or "
+    "+1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || "
+    "' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'"
+)
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    WITH dirty AS (SELECT doc_id, {_PII_DIRTY_SQL} AS t FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+               AS n_emails,
+           len(regexp_extract_all(t, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+               AS n_ips,
+           len(regexp_extract_all(t, '\\+\\d{{1,3}}-\\d{{3}}-\\d{{4}}')) AS n_phones,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                   '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+               '\\+\\d{{1,3}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g') AS redacted
+    FROM dirty
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub emails/IPv4s/phones and count what was removed."""
+    from quickstart_streaming_agents_spark.functions.text import (
+        pii_counts,
+        pii_redact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("t"),
+    )
+    counts = pii_counts("t")
+    return dirty.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["ip"].alias("n_ips"),
+        counts["phone"].alias("n_phones"),
+        pii_redact("t").alias("redacted"),
+    )
+
+
 # The fake decoder's metadata fields are md5-byte arithmetic over the
 # payload (operators/multimodal.py:_fake_decode), so the mapInPandas
 # plumbing is oracle-checkable: DuckDB recomputes width/height from the

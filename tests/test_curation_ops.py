@@ -1,0 +1,78 @@
+"""Chunking, repetition stats, and PII redaction unit semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from quickstart_streaming_agents_spark.functions.text import (
+    pii_counts,
+    pii_redact,
+    repetition_stats,
+)
+from quickstart_streaming_agents_spark.operators.chunking import chunk_documents
+
+
+def test_chunk_boundaries_and_overlap(spark):
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(words))])
+    rows = sorted(
+        chunk_documents(df, ["doc_id"], chunk_tokens=4, overlap_tokens=2).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # stride 2 over 10 words -> starts 0,2,4,6,8
+    assert [r.chunk_id for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0].chunk == "w0 w1 w2 w3"
+    assert rows[1].chunk == "w2 w3 w4 w5"  # 2-token overlap with chunk 0
+    assert rows[4].chunk == "w8 w9"  # short tail
+    assert rows[4].n_chunk_tokens == 2
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="only three words")])
+    rows = chunk_documents(df, ["doc_id"], chunk_tokens=64, overlap_tokens=16).collect()
+    assert len(rows) == 1 and rows[0].chunk == "only three words"
+
+
+def test_chunking_is_map_only(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    plan = (
+        chunk_documents(df, ["doc_id"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_repetition_stats_values(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam"),  # 1 distinct / 4 words
+            Row(doc_id=2, text="all words here differ"),
+            Row(doc_id=3, text="solo"),
+        ]
+    )
+    out = {r.doc_id: r for r in repetition_stats(df, ["doc_id"]).collect()}
+    assert out[1].dup_word_frac == 0.75
+    assert out[1].top_bigram_frac == 1.0  # every bigram is "spam spam"
+    assert out[2].dup_word_frac == 0.0
+    assert out[2].top_bigram_frac == 0.333333  # 3 distinct bigrams, max count 1 (round 6)
+    assert out[3].top_bigram_frac == 0.0  # <2 words -> no bigrams
+
+
+def test_pii_redact_and_counts(spark):
+    txt = "mail a.b+c@ex-ample.org, call +44-555-1234, host 192.168.0.1 end"
+    df = spark.createDataFrame([Row(t=txt)])
+    counts = pii_counts("t")
+    row = df.select(
+        pii_redact("t").alias("red"),
+        counts["email"].alias("e"),
+        counts["phone"].alias("p"),
+        counts["ip"].alias("i"),
+    ).first()
+    assert row.red == "mail <EMAIL>, call <PHONE>, host <IP> end"
+    assert (row.e, row.p, row.i) == (1, 1, 1)
+
+
+def test_pii_clean_text_untouched(spark):
+    df = spark.createDataFrame([Row(t="no pii here, just version 1.2 notes")])
+    assert df.select(pii_redact("t").alias("r")).first().r == (
+        "no pii here, just version 1.2 notes"
+    )

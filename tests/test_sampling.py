@@ -1,0 +1,72 @@
+"""Deterministic sampling: partition-invariance, mixture targets, plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quickstart_streaming_agents_spark.operators.sampling import (
+    deterministic_sample,
+    domain_mix,
+    mix_rates,
+    stratified_sample,
+)
+from quickstart_streaming_agents_spark.sources.parquet import load_table
+from tests.conftest import SF_DIR
+
+
+def test_sample_is_partition_invariant(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = {r.doc_id for r in deterministic_sample(docs, ["doc_id"], 0.3).collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(17), ["doc_id"], 0.3).collect()
+    }
+    assert a == b
+    assert 0.15 < len(a) / docs.count() < 0.45
+
+
+def test_salt_draws_independent_samples(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = {r.doc_id for r in deterministic_sample(docs, ["doc_id"], 0.5, "s1").collect()}
+    b = {r.doc_id for r in deterministic_sample(docs, ["doc_id"], 0.5, "s2").collect()}
+    assert a != b
+    # nested fractions nest: fraction 0.2 ⊂ fraction 0.5 under one salt
+    c = {r.doc_id for r in deterministic_sample(docs, ["doc_id"], 0.2, "s1").collect()}
+    assert c <= a
+
+
+def test_mix_rates_hits_target_mixture():
+    counts = {"en": 1000, "de": 200, "zh": 100}
+    rates = mix_rates(counts, {"en": 0.5, "de": 0.25, "zh": 0.25})
+    kept = {s: counts[s] * rates[s] for s in counts}
+    total = sum(kept.values())
+    assert abs(kept["en"] / total - 0.5) < 1e-9
+    assert abs(kept["zh"] / total - 0.25) < 1e-9
+    assert max(rates.values()) <= 1.0  # downsample-only
+
+
+def test_domain_mix_output_proportions(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    w = {"de": 0.2, "en": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.2}
+    out = (
+        domain_mix(docs, "lang", w, ["doc_id"])
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    ns = {r.lang: r.n for r in out}
+    total = sum(ns.values())
+    # hash sampling is binomial around the target; 500-doc fixture → wide band
+    for lang in w:
+        assert abs(ns.get(lang, 0) / total - 0.2) < 0.1, ns
+
+
+def test_stratified_sample_is_map_only(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = (
+        stratified_sample(docs, "lang", {"en": 0.5}, ["doc_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
