@@ -269,3 +269,66 @@ def fraud_pipeline(
     )
     catalog.await_all()
     return catalog
+
+
+def curation_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+    watermark: str = "10 seconds",
+    min_quality: float = 0.5,
+    min_tokens: int = 20,
+    lang: str = "en",
+) -> StreamCatalog:
+    """Continuous training-data curation: documents → score (map-only JVM
+    expressions) → quality/language/length gate → watermark-bounded exact
+    dedup on content fingerprint → curated topic.
+
+    The batch twin is ``queries.curation_pipeline``; the only semantic
+    delta is the dedup tier — batch keeps the smallest doc_id per
+    fingerprint, streaming keeps the FIRST ARRIVAL per fingerprint within
+    the watermark horizon (``dropDuplicatesWithinWatermark`` — bounded
+    state, the only honest contract over an unbounded stream). With the
+    chronologically-sorted fixtures the two agree (pinned by
+    test_streaming.py).
+
+    Documents carry no event time, so ingestion stamps a deterministic
+    synthetic ``ts`` from doc_id order — stand-in for the Kafka ingestion
+    timestamp a real feed provides.
+    """
+    from ..functions import text as tx
+    from .ops import dedup_exact_stream
+
+    spark = catalog.spark
+    docs = spark.read.parquet(documents_path)
+    stamped = docs.select(
+        "doc_id", "text",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ).alias("ts"),
+    )
+    catalog.create_table_as("raw_docs", stamped)
+
+    scored = catalog.read_stream("raw_docs").select(
+        "doc_id", "ts",
+        tx.lang_id("text").alias("lang_pred"),
+        tx.quality_score("text").alias("quality"),
+        tx.token_count("text").alias("n_tokens"),
+        tx.doc_fingerprint("text").alias("fingerprint"),
+    )
+    gated = scored.filter(
+        (F.col("quality") >= min_quality)
+        & (F.col("lang_pred") == lang)
+        & (F.col("n_tokens") >= min_tokens)
+    )
+    catalog.create_table_as("gated_docs", gated, available_now=True)
+    catalog.await_all()
+
+    deduped = dedup_exact_stream(
+        catalog.read_stream("gated_docs"),
+        cols=["fingerprint"],
+        event_time="ts",
+        delay=watermark,
+    ).select("doc_id", "lang_pred", "quality", "n_tokens")
+    catalog.create_table_as("curated_docs", deduped, available_now=True)
+    catalog.await_all()
+    return catalog

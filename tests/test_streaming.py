@@ -328,3 +328,27 @@ def test_streaming_dedup_matches_batch(spark, catalog):
     assert got.count() == want_n > 0
     # one row per key — no duplicate survived
     assert got.select(*keys).distinct().count() == want_n
+
+
+def test_curation_stream_pipeline_matches_batch(spark, catalog):
+    """Streaming curation (score → gate → watermark dedup) must emit the
+    same curated set as the batch curation_pipeline query: fixtures arrive
+    in doc_id order, so streaming first-arrival == batch min-doc_id."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        curation_stream_pipeline,
+    )
+
+    curation_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet", watermark="1 day"
+    )
+    got = {
+        (r.doc_id, r.lang_pred, r.quality, r.n_tokens)
+        for r in catalog.read_batch("curated_docs").collect()
+    }
+    want = {
+        (r.doc_id, r.lang_pred, r.quality, r.n_tokens)
+        for r in QUERIES["curation_pipeline"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(got) > 0
