@@ -99,3 +99,43 @@ def test_events_rollup_single_shuffle(spark):
     df = _q(spark, "events_rollup")
     assert count_exchanges(df) == 1
     assert "Expand" in physical_plan(df)
+
+
+def test_asof_attribution_single_shuffle_with_pushdown(spark):
+    # union + window-fill: both event_type filters reach the scan; the
+    # only exchange is the key partitioning for the fill window
+    df = _q(spark, "asof_attribution")
+    assert count_exchanges(df) == 1
+    flat = " ".join(pushed_filters(df))
+    assert "purchase" in flat and "view" in flat
+    # props (the widest column) must not be read
+    assert all("props" not in cols for cols in scan_columns(df))
+
+
+def test_sampling_queries_are_map_only(spark):
+    # accept/reject is a scan-fused filter; domain_mix's rate lookup is a
+    # driver-side literal CASE, not a join
+    assert_no_exchange(_q(spark, "stratified_sample"))
+    assert_no_exchange(_q(spark, "domain_mix"))
+
+
+def test_doc_chunks_map_only(spark):
+    # posexplode multiplies rows inside the task — no exchange
+    df = _q(spark, "doc_chunks")
+    assert_no_exchange(df)
+    assert_no_row_python(df)
+
+
+def test_repetition_filter_partial_aggregation(spark):
+    # two keyed aggs + join, all on doc_id-shaped keys; every agg must
+    # have its map-side partial phase
+    df = _q(spark, "repetition_filter")
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
+    assert_no_row_python(df)
+
+
+def test_pii_redaction_map_only(spark):
+    df = _q(spark, "pii_redaction")
+    assert_no_exchange(df)
+    assert_no_row_python(df)
