@@ -233,3 +233,140 @@ class StreamingLimit:
             return out
         finally:
             batch_df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# J+ streaming: as-of join over two keyed streams
+# ---------------------------------------------------------------------------
+
+def asof_join_stream(
+    probe: DataFrame,
+    build: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    state_horizon_seconds: float = 86_400.0,
+) -> DataFrame:
+    """Streaming as-of join: each probe row picks up the latest build row
+    with the same keys and ``build.ts <= probe.ts`` (batch twin:
+    ``operators/asof.asof_join``; same inclusive semantics).
+
+    Plan: tag both streams, union them (one relation, so a single keyed
+    state operator sees both sides in event-time order), then
+    ``applyInPandasWithState`` keyed by ``on``. Per-key state is the build
+    tail — (ts, payload-struct) pairs newer than
+    ``max_seen_ts - state_horizon_seconds`` — so state is bounded by the
+    horizon, not the stream length. Probes binary-search the tail; the
+    payload travels as ONE struct (atomic match, same no-tearing argument
+    as the batch operator).
+
+    Ordering contract: within a micro-batch rows are sorted (ts, build
+    first at equal ts — inclusive semantics; ties on build ts: last
+    arrival wins); across micro-batches it relies on chronological ingest,
+    the same contract as ``ml_detect_anomalies_stream`` above and the
+    reference's sorted producers. Probes late beyond the horizon match
+    ``null``; build rows late beyond an already-answered probe cannot
+    retract it (append mode has no retraction — reference parity:
+    changelog.mode=append).
+    """
+    import pandas as pd
+
+    keys = list(on)
+    carried = [c for c in (right_cols or build.columns) if c not in keys]
+    if right_ts not in carried:
+        carried = [right_ts, *carried]
+    probe_only = [c for c in probe.columns if c not in keys]
+    payload_t = build.select(*[F.col(c) for c in carried]).schema
+    payload_struct = T.StructType(payload_t.fields)
+
+    tagged_probe = probe.select(
+        *keys,
+        F.unix_micros(F.col(left_ts)).alias("__ts"),
+        F.lit(1).alias("__probe"),
+        *[F.col(c) for c in probe_only],
+        F.lit(None).cast(payload_struct).alias("__payload"),
+    )
+    tagged_build = build.select(
+        *keys,
+        F.unix_micros(F.col(right_ts)).alias("__ts"),
+        F.lit(0).alias("__probe"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in probe_only],
+        F.struct(*[F.col(c) for c in carried]).alias("__payload"),
+    )
+    unioned = tagged_probe.unionByName(tagged_build)
+
+    out_schema = T.StructType(
+        [probe.schema[c] for c in probe.columns]
+        + [
+            T.StructField(f"{f.name}{suffix}", f.dataType)
+            for f in payload_t.fields
+        ]
+    )
+    horizon_us = int(state_horizon_seconds * 1_000_000)
+    state_schema = T.StructType(
+        [
+            T.StructField("bts", T.ArrayType(T.LongType())),
+            T.StructField("bpay", T.ArrayType(payload_struct)),
+        ]
+    )
+
+    def _plain(v):
+        return v.asDict(recursive=True) if hasattr(v, "asDict") else v
+
+    def per_key(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        import bisect
+
+        bts: list[int] = []
+        bpay: list = []
+        if state.exists:
+            sb, sp = state.get
+            bts = list(sb)
+            bpay = [_plain(p) for p in sp]
+
+        chunks = list(pdfs)
+        if not chunks:
+            state.update((bts, bpay))
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        # build (0) before probe (1) at equal ts → inclusive <= semantics;
+        # stable sort keeps arrival order among equal build rows.
+        pdf = pdf.sort_values(["__ts", "__probe"], kind="mergesort").reset_index(
+            drop=True
+        )
+
+        out_rows = []
+        # to_dict keeps the __-prefixed names (itertuples would mangle them)
+        for r in pdf.to_dict("records"):
+            if r["__probe"] == 0:
+                t = int(r["__ts"])
+                # admit in-order only (late build can't rewrite history)
+                if not bts or t >= bts[-1]:
+                    bts.append(t)
+                    bpay.append(_plain(r["__payload"]))
+                continue
+            i = bisect.bisect_right(bts, int(r["__ts"]))
+            match = bpay[i - 1] if i else None
+            rec = {c: r[c] for c in keys + probe_only}
+            for f in payload_t.fields:
+                rec[f"{f.name}{suffix}"] = match[f.name] if match else None
+            out_rows.append(rec)
+
+        # prune the tail to the horizon (keep >=1 entry as the floor match)
+        if bts:
+            cut = bts[-1] - horizon_us
+            k = bisect.bisect_left(bts, cut)
+            k = min(k, len(bts) - 1)
+            bts, bpay = bts[k:], bpay[k:]
+
+        if out_rows:
+            out = pd.DataFrame(out_rows)
+            # restore probe column order + the original timestamp column
+            out[left_ts] = pd.to_datetime(out.pop(left_ts), utc=False)
+            yield out[[f.name for f in out_schema.fields]]
+        state.update((bts, bpay))
+
+    return unioned.groupBy(*keys).applyInPandasWithState(
+        per_key, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -352,3 +352,48 @@ def test_curation_stream_pipeline_matches_batch(spark, catalog):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_asof_join_matches_batch(spark, catalog):
+    """Streaming as-of join (union + keyed state) must equal the batch
+    asof_join on the chronologically-sorted events fixture."""
+    from quickstart_streaming_agents_spark.operators.asof import asof_join
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+    from quickstart_streaming_agents_spark.streaming.ops import asof_join_stream
+
+    catalog.register_events_source("events", EVENTS)
+    ev_s = catalog.read_stream("events")
+    probe_s = ev_s.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    build_s = ev_s.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"), "value"
+    )
+    joined = asof_join_stream(
+        probe_s, build_s, on=["user_id"],
+        right_cols=["view_event_id", "value"], suffix="_view",
+    )
+    catalog.create_table_as("asof_out", joined, available_now=True)
+    catalog.await_all()
+    got = {
+        (r.event_id, r.view_event_id_view, r.value_view)
+        for r in catalog.read_batch("asof_out").collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    build = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"), "value"
+    )
+    want = {
+        (r.event_id, r.view_event_id_view, r.value_view)
+        for r in asof_join(
+            probe, build, on=["user_id"],
+            right_cols=["view_event_id", "value"], suffix="_view",
+            right_tiebreak="view_event_id",
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
