@@ -111,3 +111,62 @@ def test_split_statements_ignores_comment_semicolons(stmts):
 
     script = "-- preamble; not a statement\n" + ";\n-- mid; comment\n".join(stmts)
     assert split_statements(script) == stmts
+
+
+# ---------------------------------------------------------------------------
+# mix_rates (operators/sampling.py) — pure dict arithmetic
+# ---------------------------------------------------------------------------
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=10**9),
+        min_size=2,
+        max_size=4,
+    ),
+    st.lists(st.floats(min_value=0.01, max_value=1.0), min_size=4, max_size=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_mix_rates_realizes_target_mixture(counts, raw_w):
+    from quickstart_streaming_agents_spark.operators.sampling import mix_rates
+
+    strata = sorted(counts)
+    total_w = sum(raw_w[: len(strata)])
+    weights = {s: raw_w[i] / total_w for i, s in enumerate(strata)}
+    rates = mix_rates(counts, weights)
+    # feasible: every rate in (0, 1]
+    assert all(0 < rates[s] <= 1.0 + 1e-12 for s in strata)
+    # at least one stratum is fully kept (largest feasible sample)
+    assert any(abs(rates[s] - 1.0) < 1e-9 for s in strata)
+    # expected kept counts realize the target mixture
+    kept = {s: counts[s] * rates[s] for s in strata}
+    total = sum(kept.values())
+    for s in strata:
+        assert abs(kept[s] / total - weights[s]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# chunking arithmetic — mirror of the JVM expression chain
+# ---------------------------------------------------------------------------
+
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=2, max_value=64),
+    st.integers(min_value=0, max_value=63),
+)
+@settings(max_examples=300, deadline=None)
+def test_chunk_windows_cover_and_overlap(n_words, chunk, overlap):
+    """The start sequence from operators/chunking.py must tile [0, n):
+    full coverage, exact overlap between neighbors, in-bounds slices."""
+    if overlap >= chunk:
+        return
+    stride = chunk - overlap
+    starts = list(range(0, max(n_words - 1, 0) + 1, stride))
+    covered = set()
+    for s in starts:
+        piece = range(s, min(s + chunk, n_words))
+        assert len(piece) > 0  # no empty chunks
+        covered.update(piece)
+    assert covered == set(range(n_words))  # every token in >=1 chunk
+    for a, b in zip(starts, starts[1:]):
+        assert b - a == stride  # constant stride -> constant overlap
