@@ -65,6 +65,7 @@ HEADLINE = [
     "doc_chunks",
     "repetition_filter",
     "pii_redaction",
+    "decontamination",
 ]
 
 

@@ -1612,6 +1612,54 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (operators/decontamination.py): flag docs
+# sharing a 13-gram with the "benchmark" slice (doc_id % 17 == 0 stands in
+# for an eval set). The oracle regenerates the identical lowercased
+# n-grams with DuckDB list ops and joins on the strings themselves (Spark
+# joins on xxhash64 of them — identical result barring 2^-64 collisions).
+# ---------------------------------------------------------------------------
+@query(
+    "decontamination",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+        FROM documents
+    ),
+    corp AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(a) >= 13
+                 THEN list_distinct(list_transform(range(0, len(a) - 12),
+                      i -> array_to_string(list_slice(a, i + 1, i + 13), ' ')))
+                 ELSE CAST([] AS VARCHAR[]) END) AS g
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM corp WHERE doc_id % 17 = 0),
+    hits AS (
+        SELECT c.doc_id, count(DISTINCT c.g) AS n_hits
+        FROM corp c JOIN bench b USING (g) GROUP BY c.doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           coalesce(h.n_hits, 0) AS n_contaminated_ngrams,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set overlap flags for every corpus doc (GPT-3-style 13-gram
+    rule); the benchmark side is broadcast — corpus never shuffles."""
+    from quickstart_streaming_agents_spark.operators.decontamination import (
+        contamination_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return contamination_flags(docs, benchmark, n=13).select(
+        "doc_id", "lang", "n_contaminated_ngrams", "contaminated"
+    )
+
+
 # The fake decoder's metadata fields are md5-byte arithmetic over the
 # payload (operators/multimodal.py:_fake_decode), so the mapInPandas
 # plumbing is oracle-checkable: DuckDB recomputes width/height from the
