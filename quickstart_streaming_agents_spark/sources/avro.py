@@ -20,8 +20,10 @@ schema mapping below is exactly what the JVM path consumes.
 Supported logical types: timestamp-millis / timestamp-micros (reference
 datagen uses millis — scripts/lab4_datagen.py:121), date, decimal
 (bytes, two's-complement big-endian unscaled per spec).
-Reader schema == writer schema (Schema Registry hands the writer schema to
-consumers; cross-version resolution is out of scope and documented).
+Cross-version consumption is supported: pass ``reader_schema=`` to
+:class:`AvroCodec` and messages decode through the spec's schema-resolution
+rules (field reordering, writer-only fields skipped, reader defaults,
+int→long/float/double-style promotions, string⇄bytes, unions both sides).
 """
 
 from __future__ import annotations
@@ -408,15 +410,260 @@ def _compile_decoder(schema):
     raise TypeError(f"no decoder for Avro schema {schema!r}")
 
 
-class AvroCodec:
-    """Compiled encoder/decoder for one writer schema + Confluent framing."""
+# ---------------------------------------------------------------------------
+# Schema resolution (Avro 1.12 spec §"Schema Resolution"): decode data
+# written with the WRITER schema into the shape the READER schema expects —
+# field reordering, writer-only fields skipped, reader-only fields filled
+# from defaults, primitive promotions (int→long/float/double, long→float/
+# double, float→double, string⇄bytes). This is what lets a consumer on
+# schema v2 read a topic mixing v1 and v2 messages (Schema Registry hands
+# over the writer schema per message id).
+# ---------------------------------------------------------------------------
 
-    def __init__(self, avro_schema, schema_id: int = 1):
+
+def _compile_skipper(schema):
+    """Writer schema → f(buf, pos) -> pos past one encoded value."""
+    if isinstance(schema, list):
+        branch_skips = [_compile_skipper(b) for b in schema]
+
+        def skip_union(buf, pos):
+            idx, pos = _read_long(buf, pos)
+            return branch_skips[idx](buf, pos)
+
+        return skip_union
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "array" or t == "map":
+            item = (
+                _compile_skipper(schema["items"])
+                if t == "array"
+                else _compile_skipper(schema["values"])
+            )
+            sskip = _compile_skipper("string")
+
+            def skip_blocks(buf, pos):
+                while True:
+                    n, pos = _read_long(buf, pos)
+                    if n == 0:
+                        return pos
+                    if n < 0:  # negative count → byte size follows: O(1) skip
+                        size, pos = _read_long(buf, pos)
+                        return_pos = pos + size
+                        pos = return_pos
+                        continue
+                    for _ in range(n):
+                        if t == "map":
+                            pos = sskip(buf, pos)
+                        pos = item(buf, pos)
+
+            return skip_blocks
+        if t == "record":
+            fskips = [_compile_skipper(f["type"]) for f in schema["fields"]]
+
+            def skip_rec(buf, pos):
+                for fs in fskips:
+                    pos = fs(buf, pos)
+                return pos
+
+            return skip_rec
+        return _compile_skipper(t)
+    if schema in ("long", "int"):
+        return lambda buf, pos: _read_long(buf, pos)[1]
+    if schema in ("string", "bytes"):
+
+        def skip_len(buf, pos):
+            n, pos = _read_long(buf, pos)
+            return pos + n
+
+        return skip_len
+    if schema == "double":
+        return lambda buf, pos: pos + 8
+    if schema == "float":
+        return lambda buf, pos: pos + 4
+    if schema == "boolean":
+        return lambda buf, pos: pos + 1
+    raise TypeError(f"no skipper for Avro schema {schema!r}")
+
+
+_PROMOTIONS = {
+    ("int", "long"): lambda v: v,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): lambda v: v,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _base_name(schema) -> str:
+    """Type name used for union-branch matching and promotion lookup."""
+    if isinstance(schema, list):
+        return "union"
+    if isinstance(schema, dict):
+        t = schema["type"]
+        return t if t in ("array", "map", "record") else _base_name(t)
+    return schema
+
+
+def _resolvable(writer, reader) -> bool:
+    w, r = _base_name(writer), _base_name(reader)
+    return w == r or (w, r) in _PROMOTIONS
+
+
+def _default_value(schema, default):
+    """JSON default from the reader schema → decoded-value space."""
+    if isinstance(schema, list):
+        return None if default is None else _default_value(schema[-1], default)
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            return {
+                f["name"]: _default_value(f["type"], f.get("default"))
+                for f in schema["fields"]
+            }
+        if t == "array":
+            return list(default or [])
+        if t == "map":
+            return dict(default or {})
+        return _default_value(t, default)
+    if schema == "bytes" and isinstance(default, str):
+        return default.encode("latin-1")  # Avro JSON encodes bytes via latin-1
+    return default
+
+
+def _compile_resolver(writer, reader):
+    """(writer, reader) schemas → decoder in the reader's shape."""
+    # writer union: resolve each branch against the reader independently
+    if isinstance(writer, list):
+        branch_res = [_compile_resolver(b, reader) for b in writer]
+
+        def res_wunion(buf, pos):
+            idx, pos = _read_long(buf, pos)
+            return branch_res[idx](buf, pos)
+
+        return res_wunion
+    # reader union (writer not a union): first compatible reader branch wins
+    if isinstance(reader, list):
+        if _base_name(writer) == "null":
+            return lambda buf, pos: (None, pos)
+        for branch in reader:
+            if _resolvable(writer, branch):
+                return _compile_resolver(writer, branch)
+        raise TypeError(f"no reader-union branch accepts writer {writer!r}")
+    if _base_name(writer) == "null":
+        if _base_name(reader) != "null":
+            raise TypeError(f"writer null unreadable as {reader!r}")
+        return lambda buf, pos: (None, pos)
+
+    wname, rname = _base_name(writer), _base_name(reader)
+    if wname == "record" and rname == "record":
+        rfields = {f["name"]: f for f in reader["fields"]}
+        steps = []  # (field_name_or_None, fn) — None name → skip
+        for wf in writer["fields"]:
+            rf = rfields.get(wf["name"])
+            if rf is None:
+                steps.append((None, _compile_skipper(wf["type"])))
+            else:
+                steps.append((wf["name"], _compile_resolver(wf["type"], rf["type"])))
+        wnames = {f["name"] for f in writer["fields"]}
+        fills = []
+        for rf in reader["fields"]:
+            if rf["name"] not in wnames:
+                if "default" not in rf and not (
+                    isinstance(rf["type"], list) and "null" in rf["type"]
+                ):
+                    raise TypeError(
+                        f"reader field {rf['name']!r} missing from writer and "
+                        "has no default"
+                    )
+                fills.append(
+                    (rf["name"], _default_value(rf["type"], rf.get("default")))
+                )
+
+        def res_rec(buf, pos):
+            out = {}
+            for name, fn in steps:
+                if name is None:
+                    pos = fn(buf, pos)
+                else:
+                    out[name], pos = fn(buf, pos)
+            for name, dv in fills:
+                out[name] = dv
+            return out, pos
+
+        return res_rec
+    if wname == "array" and rname == "array":
+        item = _compile_resolver(writer["items"], reader["items"])
+
+        def res_arr(buf, pos):
+            out = []
+            while True:
+                n, pos = _read_long(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    n = -n
+                    _, pos = _read_long(buf, pos)
+                for _ in range(n):
+                    v, pos = item(buf, pos)
+                    out.append(v)
+
+        return res_arr
+    if wname == "map" and rname == "map":
+        val = _compile_resolver(writer["values"], reader["values"])
+        sdec = _compile_decoder("string")
+
+        def res_map(buf, pos):
+            out = {}
+            while True:
+                n, pos = _read_long(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    n = -n
+                    _, pos = _read_long(buf, pos)
+                for _ in range(n):
+                    k, pos = sdec(buf, pos)
+                    out[k], pos = val(buf, pos)
+
+        return res_map
+    if wname == rname:
+        # identical base type: the writer's decoder already yields the
+        # value space (incl. logical-type conversion — spec resolves
+        # logical types via their underlying type)
+        return _compile_decoder(writer)
+    promote = _PROMOTIONS.get((wname, rname))
+    if promote is None:
+        raise TypeError(f"cannot resolve writer {writer!r} to reader {reader!r}")
+    base_dec = _compile_decoder(writer)
+
+    def res_promote(buf, pos):
+        v, pos = base_dec(buf, pos)
+        return promote(v), pos
+
+    return res_promote
+
+
+class AvroCodec:
+    """Compiled encoder/decoder for one writer schema + Confluent framing.
+
+    ``reader_schema`` (optional) enables cross-version consumption:
+    messages encoded with this codec's writer schema decode into the
+    reader's shape per the spec's schema-resolution rules.
+    """
+
+    def __init__(self, avro_schema, schema_id: int = 1, reader_schema=None):
         self.schema = avro_schema
         self.schema_id = schema_id
         self._header = CONFLUENT_MAGIC + _struct.pack(">I", schema_id)
         self._enc = _compile_encoder(avro_schema)
-        self._dec = _compile_decoder(avro_schema)
+        self._dec = (
+            _compile_resolver(avro_schema, reader_schema)
+            if reader_schema is not None
+            else _compile_decoder(avro_schema)
+        )
 
     def encode(self, value) -> bytes:
         out = bytearray(self._header)

@@ -224,3 +224,92 @@ def test_schema_id_mismatch_fails_loudly():
         raise AssertionError("expected schema-id mismatch")
     except ValueError as e:
         assert "schema id" in str(e)
+
+
+# ---------------------------------------------------------------------------
+# Cross-version schema resolution (Avro 1.12 spec §Schema Resolution)
+# ---------------------------------------------------------------------------
+
+def _rec(fields):
+    return {"type": "record", "name": "R", "fields": fields}
+
+
+def test_resolution_reorder_skip_and_default():
+    writer = _rec([
+        {"name": "a", "type": "int"},
+        {"name": "dropped", "type": "string"},
+        {"name": "b", "type": "string"},
+    ])
+    reader = _rec([
+        {"name": "b", "type": "string"},          # reordered
+        {"name": "a", "type": "long"},            # promoted int -> long
+        {"name": "added", "type": "int", "default": 42},
+    ])
+    enc = AvroCodec(writer, schema_id=3)
+    dec = AvroCodec(writer, schema_id=3, reader_schema=reader)
+    msg = enc.encode({"a": 7, "dropped": "bye", "b": "keep"})
+    assert dec.decode(msg) == {"a": 7, "b": "keep", "added": 42}
+
+
+def test_resolution_promotions_and_nullable_added():
+    writer = _rec([
+        {"name": "n", "type": "int"},
+        {"name": "s", "type": "string"},
+    ])
+    reader = _rec([
+        {"name": "n", "type": "double"},
+        {"name": "s", "type": "bytes"},                      # string -> bytes
+        {"name": "opt", "type": ["null", "string"]},         # added nullable
+    ])
+    dec = AvroCodec(writer, reader_schema=reader)
+    out = dec.decode(AvroCodec(writer).encode({"n": 5, "s": "hé"}))
+    assert out == {"n": 5.0, "s": "hé".encode("utf-8"), "opt": None}
+    assert isinstance(out["n"], float)
+
+
+def test_resolution_unions_both_sides():
+    writer = _rec([{"name": "v", "type": ["null", "int"]}])
+    reader = _rec([{"name": "v", "type": ["null", "long"]}])
+    dec = AvroCodec(writer, reader_schema=reader)
+    assert dec.decode(AvroCodec(writer).encode({"v": 9})) == {"v": 9}
+    assert dec.decode(AvroCodec(writer).encode({"v": None})) == {"v": None}
+    # writer non-union into reader union
+    writer2 = _rec([{"name": "v", "type": "int"}])
+    dec2 = AvroCodec(writer2, reader_schema=reader)
+    assert dec2.decode(AvroCodec(writer2).encode({"v": 4})) == {"v": 4}
+
+
+def test_resolution_nested_containers_and_skip():
+    writer = _rec([
+        {"name": "tags", "type": {"type": "array", "items": "int"}},
+        {"name": "attrs", "type": {"type": "map", "values": "string"}},
+        {"name": "gone", "type": {"type": "array", "items": "string"}},
+    ])
+    reader = _rec([
+        {"name": "tags", "type": {"type": "array", "items": "double"}},
+        {"name": "attrs", "type": {"type": "map", "values": "bytes"}},
+    ])
+    dec = AvroCodec(writer, reader_schema=reader)
+    out = dec.decode(AvroCodec(writer).encode(
+        {"tags": [1, 2, 3], "attrs": {"k": "v"}, "gone": ["x", "y"]}
+    ))
+    assert out == {"tags": [1.0, 2.0, 3.0], "attrs": {"k": b"v"}}
+
+
+def test_resolution_missing_default_rejected():
+    import pytest
+
+    writer = _rec([{"name": "a", "type": "int"}])
+    reader = _rec([{"name": "a", "type": "int"},
+                   {"name": "req", "type": "string"}])
+    with pytest.raises(TypeError, match="no default"):
+        AvroCodec(writer, reader_schema=reader)
+
+
+def test_resolution_incompatible_rejected():
+    import pytest
+
+    writer = _rec([{"name": "a", "type": "string"}])
+    reader = _rec([{"name": "a", "type": "int"}])
+    with pytest.raises(TypeError, match="cannot resolve"):
+        AvroCodec(writer, reader_schema=reader)
