@@ -273,3 +273,51 @@ def register_vector_table_sql(
     fn_name = f"vector_search_{name}"
     spark.udtf.register(fn_name, udtf(VectorSearch, returnType=out_type))
     return fn_name
+
+
+def register_curation_sql(spark: SparkSession) -> None:
+    """Training-data curation scalars as **pure SQL UDFs** (Spark 4
+    ``CREATE FUNCTION … RETURN expr`` DDL). Unlike Python UDFs these
+    inline into the optimized plan — whole-stage codegen, zero Python —
+    so the SQL surface pays nothing over the DataFrame surface. Pattern
+    constants are imported from ``functions.text`` (single-sourced).
+    """
+    from quickstart_streaming_agents_spark.functions.text import (
+        BPE_PIECE_RE,
+        EN_STOPWORDS,
+        PII_PATTERNS,
+    )
+
+    def q(pat: str) -> str:
+        # regex → SQL string literal (Spark SQL processes backslash escapes;
+        # embedded single quotes double up)
+        return pat.replace("\\", "\\\\").replace("'", "''")
+
+    stop = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    redact_body = "t"
+    for _, pat, tag in PII_PATTERNS:
+        redact_body = f"regexp_replace({redact_body}, '{q(pat)}', '{tag}')"
+
+    stmts = [
+        r"""CREATE OR REPLACE TEMPORARY FUNCTION token_count(t STRING)
+            RETURNS INT RETURN size(split(trim(t), '\\s+'))""",
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION subword_token_count(t STRING)
+            RETURNS INT RETURN size(regexp_extract_all(t, '{q(BPE_PIECE_RE)}', 0))""",
+        r"""CREATE OR REPLACE TEMPORARY FUNCTION punct_ratio(t STRING)
+            RETURNS DOUBLE RETURN
+            length(regexp_replace(t, '[a-zA-Z0-9 ]', '')) / greatest(length(t), 1)""",
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION stopword_ratio(t STRING)
+            RETURNS DOUBLE RETURN
+            size(filter(split(trim(lower(t)), '\\\\s+'), x -> x IN ({stop})))
+            / greatest(size(split(trim(t), '\\\\s+')), 1)""",
+        r"""CREATE OR REPLACE TEMPORARY FUNCTION doc_fingerprint(t STRING)
+            RETURNS STRING RETURN md5(regexp_replace(lower(trim(t)), '\\s+', ' '))""",
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION pii_redact(t STRING)
+            RETURNS STRING RETURN {redact_body}""",
+        r"""CREATE OR REPLACE TEMPORARY FUNCTION sample_hash(k STRING, salt STRING)
+            RETURNS DOUBLE RETURN
+            conv(substring(md5(concat_ws('|', salt, k)), 1, 15), 16, 10)
+            / 1152921504606846976.0""",
+    ]
+    for s in stmts:
+        spark.sql(s)

@@ -133,3 +133,44 @@ def test_vector_corpus_broadcast_guard(spark):
     with pytest.raises(ValueError, match="exact-broadcast tier"):
         register_vector_table_sql(spark, "embg", emb, id_col="vec_id",
                                   max_broadcast_bytes=16)
+
+
+def test_curation_sql_udfs_match_dataframe_surface(spark):
+    """The SQL UDF bodies must agree with the Column-expression versions
+    and stay fully JVM (SQL UDFs inline — no Python nodes in the plan)."""
+    from quickstart_streaming_agents_spark.functions import text as tx
+    from quickstart_streaming_agents_spark.operators.sampling import hash_unit
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+    from quickstart_streaming_agents_spark.sql import register_curation_sql
+    from tests.conftest import SF_DIR
+
+    register_curation_sql(spark)
+    docs = load_table(spark, SF_DIR, "documents")
+    docs.createOrReplaceTempView("docs_sql")
+
+    got = spark.sql("""
+        SELECT doc_id,
+               token_count(text) AS n_tok,
+               subword_token_count(text) AS n_sub,
+               round(punct_ratio(text), 6) AS pr,
+               round(stopword_ratio(text), 6) AS sr,
+               doc_fingerprint(text) AS fp,
+               pii_redact(text) AS red,
+               round(sample_hash(cast(doc_id AS STRING), 's'), 9) AS u
+        FROM docs_sql
+    """)
+    assert "BatchEvalPython" not in got._jdf.queryExecution().executedPlan().toString()
+
+    want = docs.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tok"),
+        tx.subword_token_count("text").alias("n_sub"),
+        F.round(tx.punct_ratio("text"), 6).alias("pr"),
+        F.round(tx.stopword_ratio("text"), 6).alias("sr"),
+        tx.doc_fingerprint("text").alias("fp"),
+        tx.pii_redact("text").alias("red"),
+        F.round(hash_unit(["doc_id"], "s"), 9).alias("u"),
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0
