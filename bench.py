@@ -66,6 +66,8 @@ HEADLINE = [
     "repetition_filter",
     "pii_redaction",
     "decontamination",
+    "dataset_split",
+    "props_json_agg",
 ]
 
 

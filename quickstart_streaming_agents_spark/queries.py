@@ -1660,6 +1660,69 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Train/val/test split assignment — the other face of deterministic
+# sampling: every doc gets a split label from its identity hash, so the
+# same doc lands in the same split on every run, any cluster, any
+# partitioning. 80/10/10 via threshold ranges on one uniform.
+# ---------------------------------------------------------------------------
+@query(
+    "dataset_split",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, lang,
+               (('0x' || substr(md5(concat_ws('|', 'split-v1', doc_id::VARCHAR)), 1, 15))::UBIGINT
+                / 1152921504606846976.0) AS x
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN x < 0.8 THEN 'train'
+                WHEN x < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 80/10/10 split labels from the row-identity hash
+    (operators/sampling.hash_unit) — reproducible eval boundaries."""
+    from quickstart_streaming_agents_spark.operators.sampling import hash_unit
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = hash_unit(["doc_id"], salt="split-v1")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F-json breadth: parse the events.props JSON payload (get_json_object ↔
+# DuckDB json_extract) and aggregate on an extracted field.
+# ---------------------------------------------------------------------------
+@query(
+    "props_json_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type, k_bucket
+    """,
+)
+def props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction fused into the scan + one hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.filter(k.isNotNull())
+        .groupBy("event_type", (k % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
 # The fake decoder's metadata fields are md5-byte arithmetic over the
 # payload (operators/multimodal.py:_fake_decode), so the mapInPandas
 # plumbing is oracle-checkable: DuckDB recomputes width/height from the
