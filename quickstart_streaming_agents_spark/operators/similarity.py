@@ -31,10 +31,27 @@ knn_bruteforce = vector_search
 
 
 def _hyperplanes(dim: int, num_planes: int, num_tables: int, seed: int = 42):
+    """Deterministic hyperplane normals in [-1, 1) from per-cell md5s.
+
+    Uniform (not Gaussian) directions: sign-LSH only needs symmetric
+    directions for collision probability to be monotone in angle, and the
+    exact re-rank downstream absorbs the small bucket-quality difference.
+    The md5 construction is what makes the whole ANN query replayable in
+    the DuckDB oracle (same expression as providers.fake_embedding):
+    ``('0x' || substr(md5('plane:<seed>:<t>:<p>:<d>'), 1, 16))::UBIGINT
+    / 2^64 * 2 - 1``.
+    """
+    import hashlib
+
     import numpy as np
 
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((num_tables, num_planes, dim))
+    out = np.empty((num_tables, num_planes, dim), dtype=np.float64)
+    for t in range(num_tables):
+        for p in range(num_planes):
+            for d in range(dim):
+                h = hashlib.md5(f"plane:{seed}:{t}:{p}:{d}".encode()).hexdigest()[:16]
+                out[t, p, d] = int(h, 16) / 2**64 * 2.0 - 1.0
+    return out
 
 
 def _bucket_df(df: DataFrame, id_col: str, emb_col: str, planes) -> DataFrame:

@@ -1152,10 +1152,66 @@ def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk")  # LSH bucketing not SQL-expressible → rows-only
+@query(
+    "ann_lsh_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (SELECT vec_id AS mid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pl AS (
+        SELECT t.t, p.p, d.d,
+               ('0x' || substr(md5('plane:42:' || t.t || ':' || p.p || ':' || d.d), 1, 16))::UBIGINT
+               / 18446744073709551616.0 * 2.0 - 1.0 AS w
+        FROM range(0, 16) t(t), range(0, 4) p(p), range(0, 64) d(d)
+    ),
+    qcomp AS (SELECT qid, r.i AS d, e[r.i + 1] AS x FROM q, range(0, 64) r(i)),
+    ccomp AS (SELECT mid, r.i AS d, e[r.i + 1] AS x FROM c, range(0, 64) r(i)),
+    qdots AS (
+        SELECT qid, pl.t, pl.p, sum(x * pl.w) AS dot
+        FROM qcomp JOIN pl USING (d) GROUP BY qid, pl.t, pl.p
+    ),
+    cdots AS (
+        SELECT mid, pl.t, pl.p, sum(x * pl.w) AS dot
+        FROM ccomp JOIN pl USING (d) GROUP BY mid, pl.t, pl.p
+    ),
+    qbuck AS (
+        SELECT qid, t, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        FROM qdots GROUP BY qid, t
+    ),
+    cbuck AS (
+        SELECT mid, t, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        FROM cdots GROUP BY mid, t
+    ),
+    cand AS (
+        SELECT DISTINCT qb.qid, cb.mid
+        FROM qbuck qb JOIN cbuck cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+    ),
+    scored AS (
+        SELECT cand.qid AS query_id, cand.mid AS match_id,
+               list_aggregate(list_transform(range(1, 65), i -> qe.e[i] * ce.e[i]), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, 65), i -> qe.e[i] * qe.e[i]), 'sum'))
+                  * sqrt(list_aggregate(list_transform(range(1, 65), i -> ce.e[i] * ce.e[i]), 'sum')))
+                   AS score
+        FROM cand
+        JOIN q qe ON qe.qid = cand.qid
+        JOIN c ce ON ce.mid = cand.mid
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, match_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, match_id, ROUND(score, 6) AS score, rk
+    FROM r WHERE rk <= 3
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN, recall-tested against brute force in
-    tests/test_similarity.py."""
+    tests/test_similarity.py AND hash-checked: the md5-derived planes let
+    DuckDB replay bucketing, candidate generation, and the exact re-rank
+    end to end."""
     from quickstart_streaming_agents_spark.operators.similarity import ann_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
