@@ -68,6 +68,7 @@ HEADLINE = [
     "decontamination",
     "dataset_split",
     "props_json_agg",
+    "rag_ingest",
 ]
 
 

@@ -1557,6 +1557,81 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RAG ingest composite: chunk → embed each chunk (lab2's ingestion path
+# rebuilt over the chunker + fake embedding; both halves' oracles compose).
+# ---------------------------------------------------------------------------
+@query(
+    "rag_ingest",
+    oracle="""
+    WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+        FROM documents WHERE doc_id < 100
+    ),
+    st AS (
+        SELECT doc_id, a, unnest(range(0, greatest(len(a), 1), 48)) AS s
+        FROM arr
+    ),
+    ch AS (
+        SELECT doc_id, (s // 48)::INT AS chunk_id,
+               len(list_slice(a, s + 1, s + 64))::INT AS n_chunk_tokens,
+               array_to_string(list_slice(a, s + 1, s + 64), ' ') AS chunk
+        FROM st
+    ),
+    u AS (
+        SELECT doc_id, chunk_id, n_chunk_tokens,
+               list_transform(range(0, 64),
+                   i -> ('0x' || substr(md5(chunk || '#' || i), 1, 16))::UBIGINT
+                        / 18446744073709551616.0 * 2.0 - 1.0) AS raw
+        FROM ch
+    ),
+    q AS (
+        SELECT doc_id, chunk_id, n_chunk_tokens,
+               list_transform(raw,
+                   x -> CAST(CAST(x / sqrt(list_aggregate(list_transform(raw, y -> y * y), 'sum'))
+                             AS FLOAT) AS DOUBLE)) AS emb
+        FROM u
+    )
+    SELECT doc_id, chunk_id, n_chunk_tokens,
+           round(emb[1], 6) AS embedding_c0,
+           round(sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')), 6)
+               AS embedding_norm
+    FROM q
+    """,
+)
+def rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk the corpus and embed every chunk — the write side of a RAG
+    vector store (terraform/lab2-vector-search/main.tf:253 ingests
+    pre-chunked docs; here the chunker is part of the engine). The
+    embedding is projected to scalar digests for hashability; both stages
+    replay exactly in the oracle."""
+    from quickstart_streaming_agents_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    chunks = chunk_documents(
+        docs.select("doc_id", "text"), id_cols=["doc_id"],
+        chunk_tokens=64, overlap_tokens=16,
+    )
+    model = DEFAULT_CATALOG.models["fake_embedding"]
+    emb = chunks.withColumn("embedding", ml_predict(model, "chunk"))
+    return emb.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("embedding_c0"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            6,
+        ).alias("embedding_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style repetition gates (functions/text.repetition_stats).
 # ---------------------------------------------------------------------------
 @query(
