@@ -86,3 +86,36 @@ def test_single_exchange_plan(spark):
         probe, build, on=["k"], right_cols=["q"]
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_multi_key_join(spark):
+    probe = spark.createDataFrame(
+        [Row(k1="a", k2=1, ts=_ts(10), pv=1), Row(k1="a", k2=2, ts=_ts(10), pv=2)]
+    )
+    build = spark.createDataFrame(
+        [Row(k1="a", k2=1, ts=_ts(5), q=100), Row(k1="a", k2=2, ts=_ts(6), q=200),
+         Row(k1="b", k2=1, ts=_ts(1), q=300)]
+    )
+    out = {
+        (r.k1, r.k2): r.q_asof
+        for r in asof_join(probe, build, on=["k1", "k2"], right_cols=["q"]).collect()
+    }
+    # composite keys must not cross-match
+    assert out[("a", 1)] == 100
+    assert out[("a", 2)] == 200
+
+
+def test_hot_key_many_build_rows(spark):
+    """10k build rows on one key: the window fill stays correct (the last
+    eligible build row wins) — the skew cost model is per-key sort, same
+    as any keyed window."""
+    probe = spark.createDataFrame(
+        [Row(k="hot", ts=_ts(50_000), pv=1), Row(k="hot", ts=_ts(1), pv=2)]
+    )
+    build = spark.createDataFrame(
+        [Row(k="hot", ts=_ts(i), q=i) for i in range(0, 20_000, 2)]
+    )
+    out = {r.ts.timestamp() % 100_000: r.q_asof for r in asof_join(
+        probe, build, on=["k"], right_cols=["q"]).collect()}
+    assert out[_ts(50_000).timestamp() % 100_000] == 19_998
+    assert out[_ts(1).timestamp() % 100_000] == 0
