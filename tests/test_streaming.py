@@ -397,3 +397,38 @@ def test_streaming_asof_join_matches_batch(spark, catalog):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stateless_curation_ops_compose_with_streams(spark, catalog):
+    """chunking / PII / sampling are pure expression chains, so the same
+    operator code runs unchanged on a streaming DataFrame (map-only ops
+    need no state, no watermark)."""
+    from quickstart_streaming_agents_spark.functions.text import pii_redact
+    from quickstart_streaming_agents_spark.operators.chunking import chunk_documents
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        deterministic_sample,
+    )
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    catalog.create_table_as("docs_topic", docs)
+
+    stream = catalog.read_stream("docs_topic")
+    chunked = chunk_documents(
+        deterministic_sample(stream, ["doc_id"], 0.5, "s"),
+        id_cols=["doc_id"],
+    ).withColumn("chunk", pii_redact("chunk"))
+    catalog.create_table_as("chunks_topic", chunked, available_now=True)
+    catalog.await_all()
+
+    got = {
+        (r.doc_id, r.chunk_id, r.chunk)
+        for r in catalog.read_batch("chunks_topic").collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_id, r.chunk)
+        for r in chunk_documents(
+            deterministic_sample(docs, ["doc_id"], 0.5, "s"), id_cols=["doc_id"]
+        ).withColumn("chunk", pii_redact("chunk")).collect()
+    }
+    assert got == want and len(got) > 0
