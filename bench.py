@@ -69,6 +69,7 @@ HEADLINE = [
     "dataset_split",
     "props_json_agg",
     "rag_ingest",
+    "gap_fill_locf",
 ]
 
 

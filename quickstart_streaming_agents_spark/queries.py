@@ -1632,6 +1632,68 @@ def rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gap filling (operators/gapfill.py): sparse 6-h buckets (high-value events
+# only) re-gridded to a dense per-type series with LOCF interpolation.
+# ---------------------------------------------------------------------------
+@query(
+    "gap_fill_locf",
+    oracle="""
+    WITH f AS (SELECT * FROM events WHERE value > 150),
+    a AS (
+        SELECT event_type,
+               CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP)
+                   AS window_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM f GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT event_type, min(window_start) AS lo, max(window_start) AS hi
+        FROM a GROUP BY 1
+    ),
+    sc AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS window_start
+        FROM span
+    ),
+    j AS (
+        SELECT sc.event_type, sc.window_start,
+               CASE WHEN a.window_start IS NULL THEN NULL
+                    ELSE {'n': a.n_events, 'tv': a.total_value} END AS obs
+        FROM sc LEFT JOIN a
+            ON a.event_type = sc.event_type AND a.window_start = sc.window_start
+    ),
+    fl AS (
+        SELECT event_type, window_start,
+               last_value(obs IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+               obs IS NULL AS is_gap
+        FROM j
+    )
+    SELECT event_type, window_start, fv.n AS n_events, fv.tv AS total_value, is_gap
+    FROM fl
+    """,
+)
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type 6-h series over the sparse high-value event buckets,
+    LOCF-filled (TimescaleDB time_bucket_gapfill + locf semantics)."""
+    from quickstart_streaming_agents_spark.operators.gapfill import gap_fill
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("value") > 150)
+    agg = tumble(
+        events, "ts", "6 hours", keys=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    ).select("event_type", "window_start", "n_events", "total_value")
+    return gap_fill(
+        agg, ["event_type"], "window_start", ["n_events", "total_value"], "6 hours"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style repetition gates (functions/text.repetition_stats).
 # ---------------------------------------------------------------------------
 @query(

@@ -76,3 +76,31 @@ def test_pii_clean_text_untouched(spark):
     assert df.select(pii_redact("t").alias("r")).first().r == (
         "no pii here, just version 1.2 notes"
     )
+
+
+def test_gap_fill_locf_semantics(spark):
+    import datetime
+
+    from quickstart_streaming_agents_spark.operators.gapfill import gap_fill
+
+    def ts(h):
+        return datetime.datetime(2024, 1, 1, h)
+
+    df = spark.createDataFrame(
+        [Row(k="a", b=ts(0), v=10, w=1.5), Row(k="a", b=ts(3), v=30, w=None),
+         Row(k="b", b=ts(1), v=99, w=9.0)]
+    )
+    out = {
+        (r.k, r.b.hour): (r.v, r.w, r.is_gap)
+        for r in gap_fill(df, ["k"], "b", ["v", "w"], "1 hour").collect()
+    }
+    # observed rows keep their values (w=None stays None — atomic struct,
+    # NOT torn from the previous observation)
+    assert out[("a", 0)] == (10, 1.5, False)
+    assert out[("a", 3)] == (30, None, False)
+    # synthesized buckets carry the last observation forward
+    assert out[("a", 1)] == (10, 1.5, True)
+    assert out[("a", 2)] == (10, 1.5, True)
+    # key b has a single observation -> single-row span, no gaps
+    assert out[("b", 1)] == (99, 9.0, False)
+    assert len(out) == 5
