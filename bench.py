@@ -70,6 +70,7 @@ HEADLINE = [
     "props_json_agg",
     "rag_ingest",
     "gap_fill_locf",
+    "value_percentiles",
 ]
 
 

@@ -1632,6 +1632,36 @@ def rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact percentile aggregates — Spark's `percentile` (exact, linearly
+# interpolated) is bit-identical to DuckDB's quantile_cont on the same
+# multiset, so distribution summaries are hash-checkable.
+# ---------------------------------------------------------------------------
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value distribution summary (exact percentiles — one
+    shuffle; swap in approx_percentile at true 100 TB cardinalities)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gap filling (operators/gapfill.py): sparse 6-h buckets (high-value events
 # only) re-gridded to a dense per-type series with LOCF interpolation.
 # ---------------------------------------------------------------------------
