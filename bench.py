@@ -71,6 +71,10 @@ HEADLINE = [
     "rag_ingest",
     "gap_fill_locf",
     "value_percentiles",
+    "bm25_search",
+    "vocab_top_terms",
+    "event_funnel",
+    "cohort_retention",
 ]
 
 

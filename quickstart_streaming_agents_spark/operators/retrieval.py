@@ -1,0 +1,163 @@
+"""Keyword retrieval: inverted-index term statistics and BM25 top-k.
+
+The lexical counterpart of the vector tier (`functions/vector.py` /
+`operators/similarity.py`): where the reference searches by embedding
+cosine (VECTOR_SEARCH_AGG, terraform/lab2-vector-search/main.tf:292), a
+training-data pipeline also needs term-based retrieval — quality
+retrieval probes, decontamination lookups, corpus exploration. BM25
+(Robertson & Zaragoza 2009) over a whitespace tokenizer, entirely in
+JVM built-ins.
+
+Scale shape (100 TB corpus, q queries):
+- postings = explode(tokens) → groupBy(doc, term): ONE wide shuffle on
+  (doc_id, term) with map-side partial aggregation; this is the
+  inverted-index build and dominates cost. Everything downstream
+  touches only postings rows whose term appears in a query — the
+  query-term set is broadcast, so candidate selection is a map-side
+  semi join, never a second full-corpus shuffle.
+- corpus stats (N, avgdl) are a 1-row aggregate, broadcast back.
+- per-(query, doc) score sum and the top-k window shuffle only the
+  candidate set (bounded by postings of query terms), not the corpus.
+- For standing workloads, persist `term_stats`/postings once (bucketed
+  by term) and amortize the index build across query batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from quickstart_streaming_agents_spark.functions.text import tokens
+
+
+def postings(
+    docs: DataFrame, *, doc_id: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Term-frequency postings: one row per (doc, term) with `tf`.
+
+    Lowercased whitespace tokens — identical to the tokenizer used by
+    `repetition_stats` so oracle SQL can replay it verbatim.
+    """
+    return (
+        docs.select(doc_id, F.explode(tokens(F.lower(F.col(text)))).alias("term"))
+        .groupBy(doc_id, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_lengths(post: DataFrame, *, doc_id: str = "doc_id") -> DataFrame:
+    """Per-doc token count derived from postings (no second text pass)."""
+    return post.groupBy(doc_id).agg(F.sum("tf").alias("dl"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents per query by Okapi BM25.
+
+    Returns (query_id, doc_id, rank, score) with score rounded to 6
+    decimals; rank is dense over (rounded score DESC, doc_id ASC) so the
+    result is deterministic across engines and summation orders.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))          [Lucene form]
+    w(t,d) = idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    """
+    post = postings(docs, doc_id=doc_id, text=text)
+    dl = doc_lengths(post, doc_id=doc_id)
+
+    # 1-row corpus stats, broadcast to every candidate row.
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    # Tiny query-term set: broadcast; duplicate terms in one query are
+    # collapsed (standard bag-of-words-with-binary-query behavior).
+    qterms = queries.select(
+        query_id, F.explode(tokens(F.lower(F.col(query_text)))).alias("term")
+    ).distinct()
+
+    # df(t) only for terms that can score: map-side broadcast semi join
+    # on the postings, then a tiny per-term count.
+    matched = post.join(F.broadcast(qterms.select("term").distinct()), "term")
+    dfreq = matched.groupBy("term").agg(
+        F.countDistinct(doc_id).alias("df")
+    )
+
+    cand = (
+        matched.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, doc_id)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w = idf * (
+        F.col("tf")
+        * (F.lit(k1) + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = cand.withColumn("w", w).groupBy(query_id, doc_id).agg(
+        F.round(F.sum("w"), 6).alias("score")
+    )
+    rank_w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(doc_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, doc_id, "rank", "score")
+    )
+
+
+def vocab_stats(
+    docs: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: top-N terms by document frequency.
+
+    Returns (term, df, cf, idf) — document frequency, collection
+    frequency, and the BM25 idf — ordered (df DESC, term ASC). The heavy
+    step is the same single postings shuffle as `bm25_topk`; the top-N
+    is a tiny ordered limit Spark executes as TakeOrderedAndProject
+    (per-partition heap + driver merge, no global sort shuffle).
+    """
+    post = postings(docs, doc_id=doc_id, text=text)
+    n_docs = docs.agg(F.countDistinct(doc_id).alias("n_docs"))
+    term_stats = post.groupBy("term").agg(
+        F.countDistinct(doc_id).alias("df"), F.sum("tf").alias("cf")
+    )
+    return (
+        term_stats.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+                6,
+            ),
+        )
+        .drop("n_docs")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(top_n)
+    )

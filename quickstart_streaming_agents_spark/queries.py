@@ -2351,3 +2351,218 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
     return pairs.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Keyword retrieval (operators/retrieval.py): BM25 top-k — the lexical
+# counterpart of VECTOR_SEARCH_AGG (terraform/lab2-vector-search/
+# main.tf:292). One postings shuffle; query terms broadcast; only the
+# candidate set reaches the scoring shuffle and the per-query top-k.
+# ---------------------------------------------------------------------------
+_BM25_QUERIES = [
+    ("q_join", "spark hash join"),
+    ("q_window", "window agg merge"),
+    ("q_scan", "table scan sort"),
+]
+
+
+@query(
+    "bm25_search",
+    oracle="""
+    WITH q(query_id, query_text) AS (
+        VALUES ('q_join', 'spark hash join'),
+               ('q_window', 'window agg merge'),
+               ('q_scan', 'table scan sort')
+    ),
+    post AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM post GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    qt AS (
+        SELECT DISTINCT query_id,
+               unnest(regexp_split_to_array(trim(lower(query_text)), '\\s+')) AS term
+        FROM q
+    ),
+    dfreq AS (
+        SELECT tf.term, count(DISTINCT tf.doc_id) AS df
+        FROM tf JOIN (SELECT DISTINCT term FROM qt) t ON tf.term = t.term
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               round(sum(
+                   ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+               ), 6) AS score
+        FROM tf
+        JOIN qt ON tf.term = qt.term
+        JOIN dfreq ON tf.term = dfreq.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rank, score FROM (
+        SELECT query_id, doc_id, score,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query over `documents` (k1=1.2, b=0.75)."""
+    from quickstart_streaming_agents_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    out = bm25_topk(docs, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build (operators/retrieval.py): top terms by document
+# frequency with collection frequency and BM25 idf — the term-dictionary
+# pass every tokenizer/quality pipeline needs. TakeOrderedAndProject
+# top-N, no global sort shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "vocab_top_terms",
+    oracle="""
+    WITH post AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM post GROUP BY 1, 2),
+    ts AS (
+        SELECT term, count(DISTINCT doc_id) AS df, sum(tf) AS cf
+        FROM tf GROUP BY 1
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT term, df, cf,
+           round(ln(1.0 + (n.n_docs - df + 0.5) / (df + 0.5)), 6) AS idf
+    FROM ts CROSS JOIN n
+    ORDER BY df DESC, term ASC LIMIT 40
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quickstart_streaming_agents_spark.operators.retrieval import vocab_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_stats(docs, top_n=40)
+
+
+# ---------------------------------------------------------------------------
+# Sequential funnel over the events stream: first view -> first click
+# after it -> first purchase after that, per user. Every join/agg keys on
+# user_id, so the plan repartitions once and AQE reuses the exchange; at
+# 100 TB this is three co-partitioned aggregates, no cross-key movement.
+# ---------------------------------------------------------------------------
+@query(
+    "event_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        GROUP BY 1
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS stage
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel conversion (view -> click -> purchase)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click").alias("e")
+        .join(v, "user_id")
+        .filter(F.col("e.ts") >= F.col("t_view"))
+        .groupBy("user_id").agg(F.min("e.ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase").alias("e")
+        .join(c, "user_id")
+        .filter(F.col("e.ts") >= F.col("t_click"))
+        .groupBy("user_id").agg(F.min("e.ts").alias("t_purchase"))
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+        .when(F.col("t_click").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase", stage.alias("stage"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users bucketed by first-seen week, counted distinct in
+# each later activity week. Two aggregates + one join, all keyed on
+# user_id until the final tiny (cohort, offset) rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+                   AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, a.activity_week) / 7 AS BIGINT)
+               AS week_offset,
+           count(DISTINCT f.user_id) AS n_users
+    FROM first_seen f JOIN active a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("activity_week")
+    ).distinct()
+    return (
+        first_seen.join(active, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -1,0 +1,151 @@
+"""BM25 retrieval, vocabulary, funnel, and cohort operators.
+
+Small hand-computable corpora pin the scoring math; plan-shape checks pin
+the scale story (broadcast query terms, no row-Python, bounded shuffles).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from quickstart_streaming_agents_spark.operators.retrieval import (
+    bm25_topk,
+    doc_lengths,
+    postings,
+    vocab_stats,
+)
+from quickstart_streaming_agents_spark.plans import (
+    assert_no_row_python,
+    physical_plan,
+)
+from quickstart_streaming_agents_spark.queries import QUERIES
+
+from .conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple apple apple durian"),
+            (4, "elderberry"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_postings_and_lengths(spark):
+    post = postings(_docs(spark))
+    rows = {(r.doc_id, r.term): r.tf for r in post.collect()}
+    assert rows[(1, "apple")] == 2
+    assert rows[(3, "apple")] == 3
+    assert rows[(2, "cherry")] == 1
+    dl = {r.doc_id: r.dl for r in doc_lengths(post).collect()}
+    assert dl == {1: 3, 2: 2, 3: 4, 4: 1}
+
+
+def test_bm25_manual_score(spark):
+    # one query, one term: verify the exact Okapi number for doc 3
+    q = spark.createDataFrame([("q", "apple")], ["query_id", "query_text"])
+    out = {r.doc_id: r.score for r in bm25_topk(_docs(spark), q, k=10).collect()}
+    # N=4 docs, df(apple)=2, avgdl=2.5; doc3: tf=3, dl=4
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    expected = idf * 3 * 2.2 / (3 + 1.2 * (1 - 0.75 + 0.75 * 4 / 2.5))
+    assert abs(out[3] - round(expected, 6)) < 1e-9
+    assert set(out) == {1, 3}  # only docs containing the term score
+
+
+def test_bm25_rank_and_k(spark):
+    q = spark.createDataFrame([("q", "apple banana")], ["query_id", "query_text"])
+    out = bm25_topk(_docs(spark), q, k=2).orderBy("rank").collect()
+    assert len(out) == 2
+    assert [r.rank for r in out] == [1, 2]
+    # rank 1 strictly outscores (or ties with lower doc_id than) rank 2
+    assert (out[0].score, -out[0].doc_id) >= (out[1].score, -out[1].doc_id)
+
+
+def test_bm25_rarer_term_wins(spark):
+    # 'durian' (df=1) must outscore 'apple' (df=2) at equal tf/dl
+    docs = spark.createDataFrame(
+        [(1, "apple pear"), (2, "durian pear"), (3, "apple lime")],
+        ["doc_id", "text"],
+    )
+    q = spark.createDataFrame(
+        [("qa", "apple"), ("qd", "durian")], ["query_id", "query_text"]
+    )
+    out = bm25_topk(docs, q, k=1)
+    top = {r.query_id: r for r in out.collect()}
+    assert top["qd"].score > top["qa"].score
+
+
+def test_vocab_stats_order_and_idf(spark):
+    out = vocab_stats(_docs(spark), top_n=2).collect()
+    # apple: df=2 cf=5; banana: df=2 cf=2 -> df ties break on term asc
+    assert [r.term for r in out] == ["apple", "banana"]
+    assert (out[0].df, out[0].cf) == (2, 5)
+    assert abs(out[0].idf - round(math.log(1 + 2.5 / 2.5), 6)) < 1e-9
+
+
+def test_bm25_plan_broadcasts_query_side(spark):
+    docs = QUERIES["bm25_search"](spark, SF_DIR)
+    plan = physical_plan(docs)
+    assert "BroadcastHashJoin" in plan  # query terms/stats never shuffle docs
+    assert_no_row_python(docs)
+
+
+def test_event_funnel_stages(spark):
+    out = QUERIES["event_funnel"](spark, SF_DIR)
+    rows = out.collect()
+    assert rows, "funnel should produce at least one viewing user"
+    for r in rows:
+        # ordering invariants of a sequential funnel
+        if r.t_click is not None:
+            assert r.t_click >= r.t_view
+        if r.t_purchase is not None:
+            assert r.t_click is not None and r.t_purchase >= r.t_click
+        assert r.stage == (3 if r.t_purchase else 2 if r.t_click else 1)
+    assert_no_row_python(out)
+
+
+def test_cohort_retention_monotone(spark):
+    out = QUERIES["cohort_retention"](spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    # offset-0 cell of each cohort counts every user of that cohort, so no
+    # later offset may exceed it
+    base = {
+        r.cohort_week: r.n_users for r in rows if r.week_offset == 0
+    }
+    for r in rows:
+        assert r.week_offset >= 0
+        assert r.n_users <= base[r.cohort_week]
+
+
+def test_funnel_handcrafted(spark):
+    ev = spark.createDataFrame(
+        [
+            # u1 completes the funnel; u2 clicks before any view (no click
+            # counted); u3 views only
+            (1, "2024-01-01 00:00:00", "view"),
+            (1, "2024-01-01 00:01:00", "click"),
+            (1, "2024-01-01 00:02:00", "purchase"),
+            (2, "2024-01-01 00:00:30", "click"),
+            (2, "2024-01-01 00:01:30", "view"),
+            (3, "2024-01-01 00:00:10", "view"),
+        ],
+        ["user_id", "ts_s", "event_type"],
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_type",
+             F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+             F.lit(0).alias("event_id"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.select("event_id", "ts", "user_id", "event_type", "value", "props") \
+            .write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {r.user_id: r for r in QUERIES["event_funnel"](spark, d).collect()}
+    assert out[1].stage == 3
+    assert out[2].stage == 1  # click precedes first view -> not counted
+    assert out[3].stage == 1
