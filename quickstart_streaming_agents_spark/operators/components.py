@@ -30,14 +30,20 @@ from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Γ⁺ round: every neighbor v > u re-attaches to m = min(Γ(u) ∪ {u})."""
+    """Γ⁺ round: every neighbor v > u re-attaches to m = min(Γ(u) ∪ {u}).
+
+    No ``distinct`` here: the output can carry duplicate (v, m) edges, but
+    the following small-star round is duplicate-insensitive (its min
+    aggregate ignores multiplicity and its own ``distinct`` collapses the
+    result), and output multiplicity is bounded by the input edge count —
+    so skipping the dedup drops one full shuffle per round for free.
+    """
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
     return (
         sym.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -65,12 +71,58 @@ def _edge_signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["chk"])
 
 
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Single-task union-find finish for a graph that fits one executor.
+
+    ``coalesce(1)`` (narrow — no shuffle) funnels the edge list into one
+    Arrow-batched task that runs path-compressed union-find with the
+    "root = min id of set" invariant, so labels are identical to the
+    distributed contraction's. Called only below an explicit edge-count
+    threshold — this is the bounded-small-side pattern (cf. the broadcast
+    guard in functions/vector.py), not an unbounded driver collect.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    node_type = edges.schema["u"].dataType
+    out_schema = StructType(
+        [StructField("id", node_type), StructField("component", node_type)]
+    )
+
+    def finish(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # smaller root stays root -> final root = component min
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+        ids = list(parent.keys() | {find(x) for x in parent})
+        yield pd.DataFrame(
+            {"id": ids, "component": [find(x) for x in ids]}
+        )
+
+    return edges.coalesce(1).mapInPandas(finish, out_schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(src, dst) undirected pair list → (id, component) with component =
     min node id of the connected component. Only nodes appearing in pairs
@@ -86,6 +138,15 @@ def connected_components(
     storage and a long CC job survives executor loss — the right trade at
     real scale, where a 20-round job on a 1000-executor cluster will see
     preemptions.
+
+    ``local_threshold``: once the (monotonically contracting) edge list is
+    at or below this many edges — known for free from each round's
+    signature aggregate — the remaining rounds are replaced by one
+    single-task union-find (``_local_components``). At 100 TB the first
+    rounds shrink a billions-of-edges graph fast; finishing the tail
+    locally cuts the round count from ~log(n) to "first round that fits",
+    and at test scale the whole graph takes the fast path immediately.
+    Set 0 to force the pure distributed contraction.
     """
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -104,12 +165,16 @@ def connected_components(
         .distinct()
     )
     sig = _edge_signature(edges)
+    if local_threshold and sig[0] <= local_threshold:
+        return _local_components(edges)
     for _ in range(max_iter):
         edges = ckpt(_small_star(_large_star(edges)))
         new_sig = _edge_signature(edges)
         if new_sig == sig:
             break
         sig = new_sig
+        if local_threshold and new_sig[0] <= local_threshold:
+            return _local_components(edges)
     # Converged state is a star forest: every edge is (member, root).
     members = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = edges.select(

@@ -124,8 +124,13 @@ def test_connected_components_matches_union_find(spark):
              (30, 31), (30, 32), (30, 33),           # star
              (40, 41)]
     df = spark.createDataFrame(pairs, ["id_a", "id_b"])
-    got = {r.id: r.component for r in connected_components(df).collect()}
-    assert got == _brute_components(pairs)
+    # distributed contraction and single-task union-find finish must agree
+    dist = {
+        r.id: r.component
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    local = {r.id: r.component for r in connected_components(df).collect()}
+    assert dist == local == _brute_components(pairs)
 
 
 def test_connected_components_converges_on_long_chain(spark):
@@ -136,9 +141,27 @@ def test_connected_components_converges_on_long_chain(spark):
     n = 200  # naive min-propagation needs ~n rounds; star contraction O(log n)
     pairs = [(i, i + 1) for i in range(n)]
     df = spark.createDataFrame(pairs, ["id_a", "id_b"])
-    out = connected_components(df, max_iter=12).collect()
+    out = connected_components(df, max_iter=12, local_threshold=0).collect()
     assert len(out) == n + 1
     assert all(r.component == 0 for r in out)
+
+
+def test_connected_components_local_finish_mid_iteration(spark):
+    """A threshold between the initial and round-1 edge counts forces one
+    distributed round, then the local union-find finish — both handoffs
+    must produce the ground-truth labels."""
+    from quickstart_streaming_agents_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 120
+    pairs = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    out = {
+        r.id: r.component
+        for r in connected_components(df, local_threshold=n // 2).collect()
+    }
+    assert out == {i: 0 for i in range(n + 1)}
 
 
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
@@ -150,11 +173,14 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
 
     pairs = [(i, i + 1) for i in range(60)]
     df = spark.createDataFrame(pairs, ["id_a", "id_b"])
-    local = {r.id: r.component for r in connected_components(df).collect()}
+    local = {
+        r.id: r.component
+        for r in connected_components(df, local_threshold=0).collect()
+    }
     durable = {
         r.id: r.component
         for r in connected_components(
-            df, checkpoint_dir=str(tmp_path / "ckpt")
+            df, checkpoint_dir=str(tmp_path / "ckpt"), local_threshold=0
         ).collect()
     }
     assert local == durable == {i: 0 for i in range(61)}
