@@ -71,8 +71,13 @@ def bm25_topk(
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))          [Lucene form]
     w(t,d) = idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
     """
-    post = postings(docs, doc_id=doc_id, text=text)
-    dl = doc_lengths(post, doc_id=doc_id)
+    # The postings ARE the inverted index: build (one shuffle) and persist
+    # once — every downstream branch (tf candidates, df, dl, corpus stats)
+    # reads the cached index instead of re-scanning and re-shuffling the
+    # corpus. MEMORY_AND_DISK: spills rather than OOMs at big SF; for
+    # standing workloads write it out bucketed by term instead.
+    post = postings(docs, doc_id=doc_id, text=text).persist()
+    dl = doc_lengths(post, doc_id=doc_id).persist()
 
     # 1-row corpus stats, broadcast to every candidate row.
     stats = dl.agg(
@@ -139,7 +144,7 @@ def vocab_stats(
     is a tiny ordered limit Spark executes as TakeOrderedAndProject
     (per-partition heap + driver merge, no global sort shuffle).
     """
-    post = postings(docs, doc_id=doc_id, text=text)
+    post = postings(docs, doc_id=doc_id, text=text).persist()
     n_docs = docs.agg(F.countDistinct(doc_id).alias("n_docs"))
     term_stats = post.groupBy("term").agg(
         F.countDistinct(doc_id).alias("df"), F.sum("tf").alias("cf")
