@@ -166,3 +166,149 @@ def vocab_stats(
         .orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(top_n)
     )
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Materialized BM25 index: one row per term with fully precomputed
+    per-doc weights — (term, df, postings array<struct<doc_id, w>>).
+
+    Every score component (tf, dl, df, N, avgdl) is known at build time,
+    so query-time work is a pure lookup-and-sum. Build cost is the one
+    postings shuffle plus a term-keyed aggregation; write the result out
+    (bucketed by term) to amortize across query workloads. Hot stopword
+    terms produce wide rows — cap them upstream (stopword strip) or rely
+    on the broadcast-size guard at load.
+    """
+    post = postings(docs, doc_id=doc_id, text=text).persist()
+    dl = doc_lengths(post, doc_id=doc_id)
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    dfreq = post.groupBy("term").agg(F.countDistinct(doc_id).alias("df"))
+    weighted = (
+        post.join(dl, doc_id)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w = idf * (
+        F.col("tf") * (F.lit(k1) + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        weighted.withColumn("w", w)
+        .groupBy("term")
+        .agg(
+            F.max("df").alias("df"),
+            F.collect_list(F.struct(F.col(doc_id).alias("doc_id"), "w")).alias(
+                "postings"
+            ),
+        )
+    )
+
+
+def bm25_search_broadcast(
+    queries: DataFrame,
+    index: DataFrame,
+    *,
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+    max_broadcast_bytes: int = 1 << 30,
+) -> DataFrame:
+    """Map-only BM25 top-k: the whole precomputed index is broadcast and
+    each query row scores locally — the lexical twin of
+    ``functions.vector.vector_search``'s exact-broadcast tier.
+
+    Because it is stateless per row, this form runs unchanged on a
+    *streaming* queries DataFrame (append mode, no shuffle, no state) —
+    the reference's lab-2 "queries topic → search results topic" chain
+    (terraform/lab2-vector-search/main.tf:253,292) with keyword search in
+    place of vector search. Indexes beyond the broadcast bound belong on
+    the distributed ``bm25_topk`` path instead.
+
+    Results are identical to ``bm25_topk`` (same rounding, same
+    (score DESC, doc_id ASC) tie-break).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    # loud size guard before the driver materializes the index
+    n_entries = int(
+        index.select(F.sum(F.size("postings")).alias("n")).first()["n"] or 0
+    )
+    est = n_entries * 16  # 8-byte id + 8-byte weight per posting
+    if est > max_broadcast_bytes:
+        raise ValueError(
+            f"BM25 index ≈{est / 1e9:.1f} GB ({n_entries} postings) exceeds the "
+            f"broadcast tier bound ({max_broadcast_bytes / 1e9:.1f} GB); use the "
+            "distributed bm25_topk instead, or raise max_broadcast_bytes."
+        )
+    local = {
+        r["term"]: (
+            np.array([p["doc_id"] for p in r["postings"]], dtype=np.int64),
+            np.array([p["w"] for p in r["postings"]], dtype=np.float64),
+        )
+        for r in index.collect()
+    }
+    spark = queries.sparkSession
+    b_index = spark.sparkContext.broadcast(local)
+
+    id_type = queries.schema[query_id].dataType
+    out_schema = StructType(
+        [
+            StructField(query_id, id_type),
+            StructField("doc_id", LongType()),
+            StructField("rank", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        idx = b_index.value
+        for pdf in batches:
+            out_qid, out_doc, out_rank, out_score = [], [], [], []
+            for qid, qtext in zip(pdf[query_id], pdf[query_text]):
+                terms = {t for t in str(qtext).lower().strip().split() if t}
+                hits = [idx[t] for t in terms if t in idx]
+                if not hits:
+                    continue
+                ids = np.concatenate([h[0] for h in hits])
+                ws = np.concatenate([h[1] for h in hits])
+                uniq, inv = np.unique(ids, return_inverse=True)
+                scores = np.round(np.bincount(inv, weights=ws), 6)
+                order = np.lexsort((uniq, -scores))[:k]
+                for rank, j in enumerate(order, start=1):
+                    out_qid.append(qid)
+                    out_doc.append(int(uniq[j]))
+                    out_rank.append(rank)
+                    out_score.append(float(scores[j]))
+            yield pd.DataFrame(
+                {
+                    query_id: pd.Series(out_qid, dtype=object),
+                    "doc_id": out_doc,
+                    "rank": out_rank,
+                    "score": out_score,
+                }
+            )
+
+    return queries.mapInPandas(score, out_schema)

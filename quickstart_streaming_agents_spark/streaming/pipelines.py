@@ -332,3 +332,38 @@ def curation_stream_pipeline(
     catalog.create_table_as("curated_docs", deduped, available_now=True)
     catalog.await_all()
     return catalog
+
+
+def keyword_search_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+    n_queries: int = 20,
+    k: int = 5,
+) -> StreamCatalog:
+    """Lab-2-shaped continuous search chain with keyword retrieval in
+    place of vector retrieval (terraform/lab2-vector-search/main.tf:
+    253,292 in /root/reference): queries topic → map-only broadcast-BM25
+    scoring → keyword_results topic.
+
+    The index is precomputed from the document corpus (one batch job);
+    the per-row scorer is stateless, so the streaming stage is pure
+    append — no shuffle, no state store, identical rows to the batch
+    ``bm25_topk``.
+    """
+    from ..operators.retrieval import bm25_search_broadcast, build_bm25_index
+
+    spark = catalog.spark
+    docs = spark.read.parquet(documents_path)
+    index = build_bm25_index(docs)
+
+    seed = docs.limit(n_queries).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 40).alias("query_text"),
+    )
+    catalog.create_table_as("keyword_queries", seed)
+
+    q = catalog.read_stream("keyword_queries")
+    results = bm25_search_broadcast(q, index, k=k)
+    catalog.create_table_as("keyword_results", results, available_now=True)
+    catalog.await_all()
+    return catalog

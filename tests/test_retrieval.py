@@ -149,3 +149,45 @@ def test_funnel_handcrafted(spark):
     assert out[1].stage == 3
     assert out[2].stage == 1  # click precedes first view -> not counted
     assert out[3].stage == 1
+
+
+def test_broadcast_scorer_matches_distributed(spark):
+    """bm25_search_broadcast (precomputed index, map-only) must emit
+    exactly the distributed bm25_topk rows on the fixture corpus."""
+    from quickstart_streaming_agents_spark.operators.retrieval import (
+        bm25_search_broadcast,
+        build_bm25_index,
+    )
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    queries = spark.createDataFrame(
+        [("qa", "spark hash join"), ("qb", "window agg merge"),
+         ("qc", "value row fast")],
+        ["query_id", "query_text"],
+    )
+    index = build_bm25_index(docs)
+    got = {
+        (r.query_id, r.doc_id, r.rank, r.score)
+        for r in bm25_search_broadcast(queries, index, k=7).collect()
+    }
+    want = {
+        (r.query_id, r.doc_id, r.rank, r.score)
+        for r in bm25_topk(docs, queries, k=7).collect()
+    }
+    assert got == want and len(got) == 21
+
+
+def test_broadcast_scorer_size_guard(spark):
+    from quickstart_streaming_agents_spark.operators.retrieval import (
+        bm25_search_broadcast,
+        build_bm25_index,
+    )
+
+    index = build_bm25_index(_docs(spark))
+    q = spark.createDataFrame([("q", "apple")], ["query_id", "query_text"])
+    try:
+        bm25_search_broadcast(q, index, max_broadcast_bytes=10)
+        raise AssertionError("guard did not fire")
+    except ValueError as e:
+        assert "broadcast tier bound" in str(e)

@@ -432,3 +432,33 @@ def test_stateless_curation_ops_compose_with_streams(spark, catalog):
         ).withColumn("chunk", pii_redact("chunk")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_keyword_search_stream_matches_batch(spark, catalog):
+    """Streaming broadcast-BM25 (map-only, append) must equal the batch
+    bm25_topk over the same seeded query set."""
+    from quickstart_streaming_agents_spark.operators.retrieval import bm25_topk
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        keyword_search_stream_pipeline,
+    )
+    import pyspark.sql.functions as F
+
+    keyword_search_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet", n_queries=12, k=4
+    )
+    got = {
+        (r.query_id, r.doc_id, r.rank, r.score)
+        for r in catalog.read_batch("keyword_results").collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    queries = docs.limit(12).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 40).alias("query_text"),
+    )
+    want = {
+        (r.query_id, r.doc_id, r.rank, r.score)
+        for r in bm25_topk(docs, queries, k=4).collect()
+    }
+    assert got == want
+    assert len(got) > 0
