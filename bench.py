@@ -71,6 +71,7 @@ HEADLINE = [
     "rag_ingest",
     "gap_fill_locf",
     "value_percentiles",
+    "anomaly_detect_ar1",
     "bm25_search",
     "vocab_top_terms",
     "event_funnel",

@@ -93,12 +93,14 @@ def ml_detect_anomalies(
     detector: str = "ar",
     output_col: str = "anomaly_result",
     ar_chunk_size: int | None = None,
+    ridge_lambda: float = 1e-6,
 ) -> DataFrame:
     """Append ``output_col`` struct<forecast_value, upper_bound, lower_bound,
     is_anomaly> computed per key over the event-time-ordered metric history.
 
     ``ar_chunk_size`` bounds the AR detector's per-task row count (see
-    ``_ar``); ``None`` uses :data:`AR_CHUNK_SIZE`.
+    ``_ar``); ``None`` uses :data:`AR_CHUNK_SIZE`. ``ridge_lambda`` is the
+    AR fit's ridge stabilizer (0.0 = pure OLS, SQL-replayable at p=1).
     """
     if detector == "zscore":
         return _zscore(df, metric, ts, keys, min_training_size, max_training_size,
@@ -107,7 +109,8 @@ def ml_detect_anomalies(
         return _ar(df, metric, ts, keys, min_training_size, max_training_size,
                    confidence_percentage, enable_stl, stl_period, output_col,
                    chunk_size=ar_chunk_size if ar_chunk_size is not None
-                   else AR_CHUNK_SIZE)
+                   else AR_CHUNK_SIZE,
+                   ridge_lambda=ridge_lambda)
     raise ValueError(f"unknown detector {detector!r}")
 
 
@@ -148,13 +151,19 @@ def _zscore(df, metric, ts, keys, min_n, max_n, confidence, output_col):
 # ar: per-key sequential AR(p) refit, Arrow-batched applyInPandas
 # ---------------------------------------------------------------------------
 
-def ar_one_step(train, min_n: int, z: float):
+def ar_one_step(train, min_n: int, z: float, lam: float = 1e-6):
     """Fit an AR(p) model on ``train`` (oldest→newest) and forecast one step.
 
     Returns ``(forecast, upper, lower)`` or ``None`` while under-trained.
     Shared by the batch ``applyInPandas`` path and the streaming
     ``applyInPandasWithState`` path so both produce identical bounds for
     identical history windows.
+
+    ``lam`` is the ridge stabilizer; 0.0 gives pure OLS. With
+    max_training_size ≤ 7 the lag order is always p = 1, and the OLS
+    AR(1) fit is exactly expressible as SQL ``regr_*`` aggregates — the
+    ``anomaly_detect_ar1`` query exploits this for a DuckDB value-hash
+    oracle of this code path.
     """
     import numpy as np
 
@@ -171,7 +180,6 @@ def ar_one_step(train, min_n: int, z: float):
     for lag in range(1, p + 1):
         cols.append(train[p - lag:t - lag])
     A = np.stack(cols, axis=1)
-    lam = 1e-6
     AtA = A.T @ A + lam * np.eye(A.shape[1])
     Aty = A.T @ y
     try:
@@ -187,7 +195,8 @@ def ar_one_step(train, min_n: int, z: float):
     return fc, fc + z * sigma, fc - z * sigma
 
 
-def _ar_forecast_series(values, min_n, max_n, z, enable_stl, stl_period, start=0):
+def _ar_forecast_series(values, min_n, max_n, z, enable_stl, stl_period, start=0,
+                        lam=1e-6):
     """numpy implementation; returns (forecast, upper, lower, is_anom) arrays.
 
     ``start`` skips fitting for indices below it (their outputs stay
@@ -217,7 +226,7 @@ def _ar_forecast_series(values, min_n, max_n, z, enable_stl, stl_period, start=0
 
     for i in range(start, n):
         lo = max(0, i - max_n)
-        step = ar_one_step(x[lo:i], min_n, z)
+        step = ar_one_step(x[lo:i], min_n, z, lam=lam)
         if step is None:
             continue
         fc, up, lw = step
@@ -234,7 +243,8 @@ AR_CHUNK_SIZE = 4096
 
 
 def _ar(df, metric, ts, keys, min_n, max_n, confidence, enable_stl, stl_period,
-        output_col, chunk_size: int | None = AR_CHUNK_SIZE):
+        output_col, chunk_size: int | None = AR_CHUNK_SIZE,
+        ridge_lambda: float = 1e-6):
     """Per-key contract: every task holds O(chunk_size + max_training_size)
     rows, NOT a key's full history. Rows are split into time-ordered chunks
     of ``chunk_size``; each chunk is shipped with the previous chunk's last
@@ -267,7 +277,7 @@ def _ar(df, metric, ts, keys, min_n, max_n, confidence, enable_stl, stl_period,
     def score(pdf: pd.DataFrame, start: int) -> pd.DataFrame:
         fc, up, lo, an = _ar_forecast_series(
             pdf[metric].to_numpy(dtype="float64"), min_n, max_n, z,
-            enable_stl, stl_period, start=start,
+            enable_stl, stl_period, start=start, lam=ridge_lambda,
         )
 
         def cell(i):

@@ -505,6 +505,89 @@ def anomaly_detect_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W1 (AR path, value-hashed): with max_training_size ≤ 7 the AR detector's
+# lag order is provably p = 1 (p = min(8, t-1, max(1, t//4))), and with
+# ridge_lambda=0 the fit is exact OLS — which DuckDB replays with regr_*
+# window aggregates: slope/intercept over the (m, lag m) pairs in the
+# training frame, residual variance = (Syy − b·Sxy)/dof. This pins the
+# applyInPandas AR code path (ordering, training-window bounds, dof,
+# confidence math) to an exact SQL oracle; the production-shaped
+# anomaly_detect_ar (p up to 8, ridge) keeps its rows+behavior checks.
+# Metric = round(sum(value), 2): sums of 2-decimal inputs lie on the
+# 2-decimal grid, so both engines snap the round to the identical double —
+# round(avg(...)) would hit decimal-halfway cases that Spark (HALF_UP on
+# the shortest decimal repr) and DuckDB (binary) resolve differently.
+# ---------------------------------------------------------------------------
+_AR1_Z = norm_ppf(0.975)
+
+_AR1_ORACLE = f"""
+WITH a AS (
+    SELECT event_type,
+           CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP)
+               AS window_start,
+           round(sum(value), 2) AS m
+    FROM events GROUP BY 1, 2
+),
+l AS (
+    SELECT event_type, window_start, m, lag(m) OVER w AS mp
+    FROM a
+    WINDOW w AS (PARTITION BY event_type ORDER BY window_start)
+),
+r AS (
+    SELECT event_type, window_start, m, mp,
+           count(m) OVER pw AS t,
+           regr_count(m, mp) OVER fw AS npair,
+           regr_slope(m, mp) OVER fw AS b1,
+           regr_intercept(m, mp) OVER fw AS b0,
+           regr_syy(m, mp) OVER fw AS syy,
+           regr_sxy(m, mp) OVER fw AS sxy
+    FROM l
+    WINDOW pw AS (PARTITION BY event_type ORDER BY window_start
+                  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING),
+           fw AS (PARTITION BY event_type ORDER BY window_start
+                  ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+),
+s AS (
+    SELECT event_type, window_start, m,
+           CASE WHEN t >= 4 THEN b0 + b1 * mp END AS fc,
+           CASE WHEN t >= 4 THEN {_AR1_Z!r} * sqrt(
+               greatest(syy - b1 * sxy, 0) / greatest(npair - 2, 1)
+           ) END AS half
+    FROM r
+)
+SELECT event_type, window_start, m,
+       round(fc, 2) AS forecast_value,
+       round(fc + half, 2) AS upper_bound,
+       round(fc - half, 2) AS lower_bound,
+       coalesce(m > fc + half OR m < fc - half, FALSE) AS is_anomaly
+FROM s
+"""
+
+
+@query("anomaly_detect_ar1", oracle=_AR1_ORACLE)
+def anomaly_detect_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1)/OLS configuration of ml_detect_anomalies, exact-oracle-checked
+    (see comment above; reference construct LAB4-Walkthrough.md:150-163)."""
+    events = load_table(spark, sf_dir, "events")
+    agg = tumble(
+        events, "ts", "6 hours", keys=["event_type"],
+        aggs=[F.round(F.sum("value"), 2).alias("m")],
+    ).select("window_start", "event_type", "m")
+    scored = ml_detect_anomalies(
+        agg, metric="m", ts="window_start", keys=["event_type"],
+        min_training_size=4, max_training_size=6,
+        confidence_percentage=95.0, detector="ar", ridge_lambda=0.0,
+    )
+    return scored.select(
+        "event_type", "window_start", "m",
+        F.round(F.col("anomaly_result.forecast_value"), 2).alias("forecast_value"),
+        F.round(F.col("anomaly_result.upper_bound"), 2).alias("upper_bound"),
+        F.round(F.col("anomaly_result.lower_bound"), 2).alias("lower_bound"),
+        F.col("anomaly_result.is_anomaly").alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q1-shaped pricing summary — the classic windowless hash aggregate,
 # exercising SUM/AVG/COUNT + arithmetic (F-math2) at fact-table scale.
 # Map-side partial agg → single shuffle on 2 low-cardinality keys.
