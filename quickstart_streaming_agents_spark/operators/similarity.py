@@ -167,27 +167,50 @@ def _rerank_topk(
 
 
 def _train_centroids(
-    corpus: DataFrame, emb_col: str, n_centroids: int, sample_size: int, iters: int, seed: int
+    corpus: DataFrame, emb_col: str, n_centroids: int, sample_size: int, iters: int, seed: int,
+    init: str = "random", id_col: str | None = None,
 ):
     """Spherical k-means centroids from a bounded corpus sample.
 
     Training is driver-side numpy over ≤``sample_size`` vectors — the
     standard IVF recipe (train on a sample); assignment, the O(corpus)
-    part, stays distributed."""
+    part, stays distributed.
+
+    ``init="random"`` seeds from a RandomState draw. ``init="hash"``
+    (requires ``id_col``) is fully deterministic and *SQL-replayable*:
+    the sample is the ``sample_size`` rows with smallest
+    md5(f"ivf:{seed}:{id}") and the first ``n_centroids`` of that order
+    seed the centroids — which lets a DuckDB oracle re-run the entire
+    k-means (see queries._ivf_oracle)."""
     import numpy as np
 
-    frac_df = corpus.select(F.col(emb_col).alias("e"))
-    n = frac_df.count()
-    if n > sample_size:
-        frac_df = frac_df.sample(fraction=min(1.0, 1.2 * sample_size / n), seed=seed).limit(
-            sample_size
-        )
-    X = np.stack(frac_df.toPandas()["e"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(X, axis=1)
-    norms[norms == 0] = 1.0
-    X = X / norms[:, None]
-    rng = np.random.RandomState(seed)
-    cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    if init == "hash":
+        if id_col is None:
+            raise ValueError("init='hash' requires id_col")
+        frac_df = corpus.select(
+            F.col(id_col).cast("long").alias("i"), F.col(emb_col).alias("e"),
+            F.md5(F.concat(F.lit(f"ivf:{seed}:"), F.col(id_col).cast("long")
+                           .cast("string"))).alias("h"),
+        ).orderBy("h", "i").limit(sample_size)
+        pdf = frac_df.toPandas()
+        X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        X = X / norms[:, None]
+        cents = X[: min(n_centroids, len(X))].copy()
+    else:
+        frac_df = corpus.select(F.col(emb_col).alias("e"))
+        n = frac_df.count()
+        if n > sample_size:
+            frac_df = frac_df.sample(fraction=min(1.0, 1.2 * sample_size / n), seed=seed).limit(
+                sample_size
+            )
+        X = np.stack(frac_df.toPandas()["e"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        X = X / norms[:, None]
+        rng = np.random.RandomState(seed)
+        cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
     for _ in range(iters):
         assign = (X @ cents.T).argmax(axis=1)
         for c in range(len(cents)):
@@ -253,6 +276,7 @@ def ann_ivf(
     train_sample: int = 20_000,
     train_iters: int = 5,
     seed: int = 42,
+    init: str = "random",
 ) -> DataFrame:
     """IVF ANN: spherical-k-means partitioning + multi-probe search.
 
@@ -264,7 +288,8 @@ def ann_ivf(
     corpora; LSH needs no training pass. Recall is tuned via
     (n_centroids, n_probe) and measured in tests vs brute force.
     """
-    cents = _train_centroids(corpus, emb_col, n_centroids, train_sample, train_iters, seed)
+    cents = _train_centroids(corpus, emb_col, n_centroids, train_sample,
+                             train_iters, seed, init=init, id_col=corpus_id)
     qa = _assign_df(queries, query_id, emb_col, cents, n_probe)
     ca = _assign_df(corpus, corpus_id, emb_col, cents, 1)
     cand = (

@@ -1304,17 +1304,119 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(queries_df, emb, "qid", "vec_id", k=3, num_planes=4, num_tables=16)
 
 
-@query("ann_ivf_topk")  # k-means training not SQL-expressible → rows-only
+def _ivf_oracle(
+    iters: int = 5, n_centroids: int = 16, n_probe: int = 6, k: int = 3,
+    dim: int = 64, seed: int = 42,
+) -> str:
+    """DuckDB replay of the ENTIRE IVF pipeline, k-means training included.
+
+    With init="hash" the training sample and seeds are md5-derived (no
+    RNG), so the fixed-iteration spherical k-means unrolls into chained
+    CTEs: assignment = per-vector rank of centroid dot products, update =
+    element-wise member sum re-normalized (empty clusters keep the
+    previous centroid, matching _train_centroids). Float divergence vs
+    numpy is ~1e-15 and only matters through discrete argmax/rank ties —
+    measure-zero on continuous embeddings."""
+    d1 = dim + 1
+    sql = f"""
+    WITH c AS (SELECT vec_id AS mid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cn AS (
+        SELECT mid, list_transform(e, x -> x / sqrt(
+            list_aggregate(list_transform(e, y -> y * y), 'sum'))) AS e
+        FROM c
+    ),
+    cent0 AS (
+        SELECT cl, e FROM (
+            SELECT row_number() OVER (ORDER BY md5('ivf:{seed}:' || mid), mid) - 1
+                       AS cl, e
+            FROM cn
+        ) WHERE cl < {n_centroids}
+    )"""
+    for i in range(1, iters + 1):
+        p = i - 1
+        sql += f""",
+    asg{i} AS (
+        SELECT mid, cl FROM (
+            SELECT cn.mid, ct.cl,
+                   row_number() OVER (PARTITION BY cn.mid ORDER BY
+                       list_aggregate(list_transform(range(1, {d1}),
+                           j -> cn.e[j] * ct.e[j]), 'sum') DESC, ct.cl) AS rk
+            FROM cn, cent{p} ct
+        ) WHERE rk = 1
+    ),
+    upd{i} AS (
+        SELECT a.cl, j.j AS dim, sum(cn.e[j.j]) AS s
+        FROM asg{i} a JOIN cn USING (mid), range(1, {d1}) j(j)
+        GROUP BY 1, 2
+    ),
+    vec{i} AS (
+        SELECT cl, list(s ORDER BY dim) AS v, sqrt(sum(s * s)) AS nrm
+        FROM upd{i} GROUP BY cl
+    ),
+    cent{i} AS (
+        SELECT p.cl,
+               CASE WHEN v.nrm > 0 THEN list_transform(v.v, x -> x / v.nrm)
+                    ELSE p.e END AS e
+        FROM cent{p} p LEFT JOIN vec{i} v USING (cl)
+    )"""
+    sql += f""",
+    casg AS (
+        SELECT mid, cl FROM (
+            SELECT cn.mid, ct.cl,
+                   row_number() OVER (PARTITION BY cn.mid ORDER BY
+                       list_aggregate(list_transform(range(1, {d1}),
+                           j -> cn.e[j] * ct.e[j]), 'sum') DESC, ct.cl) AS rk
+            FROM cn, cent{iters} ct
+        ) WHERE rk = 1
+    ),
+    qasg AS (
+        SELECT qid, cl FROM (
+            SELECT cn.mid AS qid, ct.cl,
+                   row_number() OVER (PARTITION BY cn.mid ORDER BY
+                       list_aggregate(list_transform(range(1, {d1}),
+                           j -> cn.e[j] * ct.e[j]), 'sum') DESC, ct.cl) AS rk
+            FROM cn, cent{iters} ct WHERE cn.mid < 20
+        ) WHERE rk <= {n_probe}
+    ),
+    cand AS (SELECT qasg.qid, casg.mid FROM qasg JOIN casg USING (cl)),
+    scored AS (
+        SELECT cand.qid AS query_id, cand.mid AS match_id,
+               list_aggregate(list_transform(range(1, {d1}),
+                   i -> qe.e[i] * ce.e[i]), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, {d1}),
+                       i -> qe.e[i] * qe.e[i]), 'sum'))
+                  * sqrt(list_aggregate(list_transform(range(1, {d1}),
+                       i -> ce.e[i] * ce.e[i]), 'sum'))) AS score
+        FROM cand
+        JOIN c qe ON qe.mid = cand.qid
+        JOIN c ce ON ce.mid = cand.mid
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, match_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, match_id, ROUND(score, 6) AS score, rk
+    FROM r WHERE rk <= {k}
+    """
+    return sql
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN, recall-tested against brute force in
-    tests/test_similarity.py."""
+    """IVF (inverted-file) ANN with md5-derived deterministic k-means init:
+    recall-tested against brute force in tests/test_similarity.py AND
+    hash-checked — the DuckDB oracle replays centroid training (5 unrolled
+    spherical k-means iterations), corpus/query assignment, multi-probe
+    candidate generation, and the exact re-rank end to end."""
     from quickstart_streaming_agents_spark.operators.similarity import ann_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    return ann_ivf(queries_df, emb, "qid", "vec_id", k=3, n_centroids=16, n_probe=6)
+    return ann_ivf(queries_df, emb, "qid", "vec_id", k=3, n_centroids=16,
+                   n_probe=6, init="hash")
 
 
 # ---------------------------------------------------------------------------

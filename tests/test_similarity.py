@@ -61,6 +61,18 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     # neighbors; clustered real corpora do far better at the same probes
     assert recall >= 0.7, f"IVF recall@3 {recall:.2f}"
 
+    # hash-init variant (the SQL-replayable configuration used by the
+    # ann_ivf_topk oracle) must hold the same recall bar
+    approx_h = ann_ivf(
+        q, emb, "qid", "vec_id", k=4, n_centroids=16, n_probe=6, init="hash"
+    ).collect()
+    got_h: dict[int, set] = {}
+    for r in approx_h:
+        got_h.setdefault(r["query_id"], set()).add(r["match_id"])
+    hits_h = sum(len(t & got_h.get(qid, set()) - {qid}) for qid, t in truth.items())
+    recall_h = hits_h / total
+    assert recall_h >= 0.7, f"hash-init IVF recall@3 {recall_h:.2f}"
+
 
 def test_multimodal_feature_plumbing(spark):
     ship_package(spark)
