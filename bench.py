@@ -76,6 +76,8 @@ HEADLINE = [
     "vocab_top_terms",
     "event_funnel",
     "cohort_retention",
+    "semi_anti_customers",
+    "events_cube",
 ]
 
 

@@ -2751,3 +2751,73 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-type breadth beyond the reference corpus (SURVEY §2.3 notes the
+# reference uses only inner equi/interval joins): left semi and left anti
+# — the dedup/decontamination apply-step primitives ("keep corpus rows
+# whose id is (not) in the kill list"). Both broadcast the small side at
+# this SF; at scale they shuffle-hash on the key like any equi join but
+# move no payload columns from the right side.
+# ---------------------------------------------------------------------------
+@query(
+    "semi_anti_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           TRUE AS has_open_order
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    UNION ALL
+    SELECT c.c_custkey, c.c_mktsegment, FALSE
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with an open order (semi join) unioned with customers with
+    no orders at all (anti join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    semi = cust.join(open_orders, cust.c_custkey == open_orders.o_custkey,
+                     "left_semi").withColumn("has_open_order", F.lit(True))
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey,
+                     "left_anti").withColumn("has_open_order", F.lit(False))
+    return semi.unionByName(anti).select(
+        "c_custkey", "c_mktsegment", "has_open_order"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets (rollup already covered by events_rollup): all four
+# aggregation levels of (event_type, source-hour bucket) in ONE Expand +
+# one shuffle — the plan you want instead of 4 unioned aggregations.
+# ---------------------------------------------------------------------------
+@query(
+    "events_cube",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(hour(ts) / 6) AS BIGINT) AS day_part,
+           CAST(CASE WHEN event_type IS NULL AND CAST(floor(hour(ts) / 6) AS BIGINT) IS NULL THEN 3
+                     WHEN event_type IS NULL THEN 2
+                     WHEN CAST(floor(hour(ts) / 6) AS BIGINT) IS NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS lvl,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(floor(hour(ts) / 6) AS BIGINT))
+    """,
+)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.hour("ts") / 6).cast("bigint").alias("day_part"),
+        "value",
+    )
+    return ev.cube("event_type", "day_part").agg(
+        F.grouping_id("event_type", "day_part").cast("bigint").alias("lvl"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ).select("event_type", "day_part", "lvl", "n_events", "sum_value")
