@@ -99,28 +99,37 @@ def main() -> None:
         df.limit(1).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
         # min of 2 runs: first run includes plan compilation + codegen for
         # this query shape; min filters transient host noise out of the
         # recorded figure. Cache cleared so one query's leftover blocks
-        # can't distort the next.
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        # can't distort the next. One failing query is recorded and skipped
+        # rather than sinking the whole bench line.
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            timings[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            errors[name] = str(e).splitlines()[0][:200]
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
