@@ -370,3 +370,90 @@ def asof_join_stream(
     return unioned.groupBy(*keys).applyInPandasWithState(
         per_key, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel: per-user sequential-step progression as a transition
+# changelog (batch twin: queries.event_funnel's final snapshot)
+# ---------------------------------------------------------------------------
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel progression over an event stream.
+
+    Emits one append-mode row per *stage transition* — (user, stage
+    1..len(steps), step name, event time) — the changelog form of the
+    batch ``event_funnel`` snapshot: the max-stage row per user equals the
+    batch stage, and transition times equal the batch per-step times,
+    given chronological ingest (the same ordering contract as
+    ``ml_detect_anomalies_stream``; reference parity: sorted producers +
+    append mode, scripts/publish_lab3_data.py:357-370 in /root/reference).
+
+    State per user is two scalars (stage index, last transition time) —
+    O(users), no event history — so a billion-user stream holds exactly
+    one tiny row per user in the state store.
+
+    Tie semantics: within equal timestamps, earlier steps are applied
+    first (sort by (ts, step index)), so a step occurring at the exact
+    time of its predecessor still counts — matching the batch operator's
+    inclusive ``ts >= previous`` ranges.
+    """
+    import pandas as pd
+
+    step_idx = {s: i for i, s in enumerate(steps)}
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", events.schema[user_col].dataType),
+            T.StructField("stage", T.IntegerType()),
+            T.StructField("step", T.StringType()),
+            T.StructField("step_ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("stage", T.IntegerType()),
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+    src = events.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        F.col(type_col).alias("__type"),
+    )
+
+    def per_key(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        (user,) = key
+        stage, last_us = state.get if state.exists else (0, -(1 << 62))
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf["__ord"] = pdf["__type"].map(step_idx).fillna(len(steps)).astype("int64")
+        pdf = pdf.sort_values(["__us", "__ord"], kind="mergesort")
+        out_stage, out_step, out_ts = [], [], []
+        n_steps = len(steps)
+        for us, typ in zip(pdf["__us"], pdf["__type"]):
+            if stage >= n_steps:
+                break
+            if typ == steps[stage] and us >= last_us:
+                stage += 1
+                last_us = us
+                out_stage.append(stage)
+                out_step.append(typ)
+                out_ts.append(us)
+        state.update((int(stage), int(last_us)))
+        if out_stage:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(out_stage),
+                    "stage": pd.Series(out_stage, dtype="int32"),
+                    "step": out_step,
+                    "step_ts": pd.to_datetime(pd.Series(out_ts), unit="us"),
+                }
+            )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        per_key, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

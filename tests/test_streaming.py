@@ -462,3 +462,34 @@ def test_keyword_search_stream_matches_batch(spark, catalog):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_funnel_stream_matches_batch(spark, catalog):
+    """Streaming funnel transition changelog must reconstruct the batch
+    event_funnel snapshot: same max stage and same per-step timestamps."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.streaming.ops import funnel_stream
+
+    catalog.register_events_source("events", EVENTS)
+    ev = catalog.read_stream("events")
+    out = funnel_stream(ev, ["view", "click", "purchase"])
+    catalog.create_table_as("funnel_transitions", out, available_now=True)
+    catalog.await_all()
+
+    trans = catalog.read_batch("funnel_transitions").collect()
+    got: dict = {}
+    for r in trans:
+        cur = got.setdefault(r.user_id, {})
+        assert r.stage not in cur, "duplicate transition emitted"
+        cur[r.stage] = (r.step, r.step_ts)
+
+    want = {r.user_id: r for r in QUERIES["event_funnel"](spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        assert len(g) == w.stage
+        assert g[1] == ("view", w.t_view)
+        if w.stage >= 2:
+            assert g[2] == ("click", w.t_click)
+        if w.stage >= 3:
+            assert g[3] == ("purchase", w.t_purchase)
