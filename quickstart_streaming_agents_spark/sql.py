@@ -18,6 +18,8 @@ Python UDTFs, so the engine registers:
 - ``ai_run_agent(agent_name, prompt)`` — UDTF ``(status, response)``.
 - per vector table ``vector_search_<name>(query_embedding, k)`` — UDTF
   ``(match_id BIGINT, score DOUBLE, rank INT)`` over a broadcast corpus.
+- per document corpus ``keyword_search_<name>(query_text, k)`` — lateral
+  BM25 top-k over a precomputed broadcast index (the lexical twin).
 
 Registries are snapshotted at registration time (models/agents defined via
 ``EngineCatalog.create_model`` / ``create_agent``) — re-register after
@@ -321,3 +323,77 @@ def register_curation_sql(spark: SparkSession) -> None:
     ]
     for s in stmts:
         spark.sql(s)
+
+
+def register_keyword_index_sql(
+    spark: SparkSession,
+    name: str,
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    max_broadcast_bytes: int = 1 << 30,
+) -> str:
+    """Register ``keyword_search_<name>(query_text, k)`` — the lexical twin
+    of ``vector_search_<name>``: a lateral BM25 top-k over a precomputed
+    broadcast index, yielding ``(doc_id BIGINT, score DOUBLE, rank INT)``
+    per match.
+
+    Index build is the one distributed postings shuffle
+    (operators/retrieval.build_bm25_index); the guarded driver collect and
+    per-row scoring mirror ``bm25_search_broadcast`` exactly, so
+    ``SELECT … FROM q, LATERAL keyword_search_t(q.text, 5)`` matches the
+    DataFrame surface row for row.
+    """
+    import numpy as np
+
+    from quickstart_streaming_agents_spark.operators.retrieval import (
+        build_bm25_index,
+    )
+
+    index = build_bm25_index(docs, doc_id=doc_id, text=text_col)
+    n_entries = int(
+        index.select(F.sum(F.size("postings")).alias("n")).first()["n"] or 0
+    )
+    if n_entries * 16 > max_broadcast_bytes:
+        raise ValueError(
+            f"BM25 index ≈{n_entries * 16 / 1e9:.1f} GB exceeds the broadcast "
+            f"tier bound ({max_broadcast_bytes / 1e9:.1f} GB); use the "
+            "distributed operators/retrieval.bm25_topk instead."
+        )
+    local = {
+        r["term"]: (
+            np.array([p["doc_id"] for p in r["postings"]], dtype=np.int64),
+            np.array([p["w"] for p in r["postings"]], dtype=np.float64),
+        )
+        for r in index.collect()
+    }
+    b = spark.sparkContext.broadcast(local)
+
+    out_type = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+
+    class KeywordSearch:
+        def eval(self, query_text, k: int):
+            import numpy as np
+
+            idx = b.value
+            terms = {t for t in str(query_text or "").lower().strip().split() if t}
+            hits = [idx[t] for t in terms if t in idx]
+            if not hits:
+                return
+            ids = np.concatenate([h[0] for h in hits])
+            ws = np.concatenate([h[1] for h in hits])
+            uniq, inv = np.unique(ids, return_inverse=True)
+            scores = np.round(np.bincount(inv, weights=ws), 6)
+            order = np.lexsort((uniq, -scores))[: int(k)]
+            for rank, j in enumerate(order, start=1):
+                yield int(uniq[j]), float(scores[j]), rank
+
+    fn_name = f"keyword_search_{name}"
+    spark.udtf.register(fn_name, udtf(KeywordSearch, returnType=out_type))
+    return fn_name

@@ -174,3 +174,30 @@ def test_curation_sql_udfs_match_dataframe_surface(spark):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_keyword_search_udtf_matches_dataframe_surface(spark):
+    """LATERAL keyword_search_<t>(text, k) ≡ operators/retrieval.bm25_topk."""
+    from quickstart_streaming_agents_spark.operators.retrieval import bm25_topk
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+    from quickstart_streaming_agents_spark.sql import register_keyword_index_sql
+
+    docs = load_table(spark, SF_DIR, "documents")
+    fn = register_keyword_index_sql(spark, "docs", docs)
+    queries = spark.createDataFrame(
+        [("qa", "spark hash join"), ("qb", "window agg merge")],
+        ["query_id", "query_text"],
+    )
+    queries.createOrReplaceTempView("kw_queries")
+    got = {
+        (r.query_id, r.doc_id, r.rank, r.score)
+        for r in spark.sql(
+            f"SELECT q.query_id, s.doc_id, s.rank, s.score "
+            f"FROM kw_queries q, LATERAL {fn}(q.query_text, 5) s"
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.doc_id, r.rank, r.score)
+        for r in bm25_topk(docs, queries, k=5).collect()
+    }
+    assert got == want and len(got) == 10
