@@ -170,3 +170,90 @@ def test_chunk_windows_cover_and_overlap(n_words, chunk, overlap):
     assert covered == set(range(n_words))  # every token in >=1 chunk
     for a, b in zip(starts, starts[1:]):
         assert b - a == stride  # constant stride -> constant overlap
+
+
+# ---------------------------------------------------------------------------
+# BM25 scoring core (operators/retrieval): pure-math invariants of the
+# Okapi weight used by both the distributed and broadcast tiers
+# ---------------------------------------------------------------------------
+
+def _okapi(tf, df, n_docs, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+@given(
+    st.integers(min_value=1, max_value=50),
+    st.integers(min_value=1, max_value=99),
+    st.integers(min_value=2, max_value=100),
+    st.floats(min_value=1.0, max_value=500.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_bm25_weight_monotone_in_tf(tf, df, dl_i, avgdl):
+    n_docs = 100
+    df = min(df, n_docs - 1)
+    lo = _okapi(tf, df, n_docs, float(dl_i), avgdl)
+    hi = _okapi(tf + 1, df, n_docs, float(dl_i), avgdl)
+    assert hi > lo  # more occurrences never score lower
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=98),
+    st.floats(min_value=1.0, max_value=500.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_bm25_weight_decreases_with_df(tf, df, avgdl):
+    n_docs = 100
+    lo = _okapi(tf, df + 1, n_docs, avgdl, avgdl)
+    hi = _okapi(tf, df, n_docs, avgdl, avgdl)
+    assert hi > lo  # rarer terms weigh more
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=99),
+    st.floats(min_value=2.0, max_value=500.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_bm25_weight_penalizes_long_docs(tf, df, avgdl):
+    n_docs = 100
+    short = _okapi(tf, df, n_docs, avgdl * 0.5, avgdl)
+    long_ = _okapi(tf, df, n_docs, avgdl * 2.0, avgdl)
+    assert short > long_
+
+
+# ---------------------------------------------------------------------------
+# Funnel snapshot semantics: order-independence of the min-based stages
+# ---------------------------------------------------------------------------
+
+def _funnel_truth(events, steps=("view", "click", "purchase")):
+    """Reference implementation over one user's (ts, type) list."""
+    last, out = None, []
+    remaining = list(events)
+    for step in steps:
+        cands = [ts for ts, ty in remaining if ty == step
+                 and (last is None or ts >= last)]
+        if not cands:
+            break
+        last = min(cands)
+        out.append(last)
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=100),
+                  st.sampled_from(["view", "click", "purchase", "error"])),
+        min_size=1, max_size=30,
+    ),
+    st.randoms(),
+)
+@settings(max_examples=100, deadline=None)
+def test_funnel_truth_is_input_order_invariant(events, rnd):
+    a = _funnel_truth(events)
+    shuffled = list(events)
+    rnd.shuffle(shuffled)
+    assert _funnel_truth(shuffled) == a
+    # stage times are non-decreasing by construction
+    assert a == sorted(a)
