@@ -80,10 +80,13 @@ def vector_search(
 
     # Driver-side collect of the bounded corpus; broadcast once per query.
     pdf = vector_table.select(*meta_cols, embedding_col).toPandas()
-    mat = np.stack(pdf[embedding_col].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
+    if len(pdf):
+        mat = np.stack(pdf[embedding_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+    else:  # empty corpus: every query gets an empty result list
+        matn = np.zeros((0, 1))
     meta_records = pdf[meta_cols].to_dict("records")
     sc = df.sparkSession.sparkContext
     b_mat = sc.broadcast(matn)

@@ -310,10 +310,13 @@ def embedding_near_dup_pairs(
     assert_broadcastable_corpus(df, emb_col, max_broadcast_bytes)
     pdf = df.select(id_col, emb_col).toPandas()
     ids = pdf[id_col].to_numpy()
-    mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
+    if len(pdf):
+        mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+    else:  # empty corpus ⇒ empty stream ⇒ no batch ever scores
+        matn = np.zeros((0, 1))
     b = df.sparkSession.sparkContext.broadcast((matn, ids))
 
     out_schema = T.StructType(

@@ -79,7 +79,10 @@ def mix_rates(counts: dict[str, int], weights: dict[str, float]) -> dict[str, fl
     Pure double arithmetic in a fixed expression shape so the SQL oracle
     computes bit-identical rates.
     """
-    m = min(counts[s] / weights[s] for s in weights if counts.get(s))
+    eligible = [s for s in weights if counts.get(s)]
+    if not eligible:  # empty input: nothing to keep, and no rate to solve
+        return {s: 0.0 for s in weights}
+    m = min(counts[s] / weights[s] for s in eligible)
     return {
         s: (weights[s] * m / counts[s] if counts.get(s) else 0.0) for s in weights
     }

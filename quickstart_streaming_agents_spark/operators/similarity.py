@@ -96,6 +96,19 @@ def _bucket_df(df: DataFrame, id_col: str, emb_col: str, planes) -> DataFrame:
     return src.mapInPandas(compute, schema=out_schema)
 
 
+def _empty_topk(spark) -> DataFrame:
+    """Schema-correct empty ANN result (query_id, match_id, score, rk)."""
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("match_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("rk", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame([], schema)
+
+
 def ann_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -111,7 +124,10 @@ def ann_lsh(
 
     Candidates = bucket collisions in any probe table; exact cosine re-rank.
     """
-    dim = len(corpus.select(emb_col).first()[0])
+    first = corpus.select(emb_col).first()
+    if first is None:  # empty corpus: nothing can match (empty-input safety)
+        return _empty_topk(corpus.sparkSession)
+    dim = len(first[0])
     planes = _hyperplanes(dim, num_planes, num_tables, seed)
     qb = _bucket_df(queries, query_id, emb_col, planes)
     cb = _bucket_df(corpus, corpus_id, emb_col, planes)
@@ -288,6 +304,8 @@ def ann_ivf(
     corpora; LSH needs no training pass. Recall is tuned via
     (n_centroids, n_probe) and measured in tests vs brute force.
     """
+    if corpus.select(emb_col).first() is None:  # empty corpus (see ann_lsh)
+        return _empty_topk(corpus.sparkSession)
     cents = _train_centroids(corpus, emb_col, n_centroids, train_sample,
                              train_iters, seed, init=init, id_col=corpus_id)
     qa = _assign_df(queries, query_id, emb_col, cents, n_probe)
