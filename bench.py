@@ -78,6 +78,8 @@ HEADLINE = [
     "cohort_retention",
     "semi_anti_customers",
     "events_cube",
+    "shipping_priority",
+    "local_supplier_volume",
 ]
 
 
