@@ -80,6 +80,7 @@ HEADLINE = [
     "events_cube",
     "shipping_priority",
     "local_supplier_volume",
+    "cumulate_agg",
 ]
 
 

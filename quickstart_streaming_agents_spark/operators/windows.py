@@ -49,3 +49,55 @@ def tumble(
         cols.append((F.col("window.end") - F.expr("INTERVAL 1 MILLISECOND")).alias("window_time"))
     keep = [c for c in out.columns if c != "window"]
     return out.select(*cols, *keep)
+
+
+def cumulate(
+    df: DataFrame,
+    ts_col: str,
+    step: str,
+    size: str,
+    keys: list[str],
+    aggs: list[Column],
+    watermark: str | None = None,
+    window_time: bool = True,
+) -> DataFrame:
+    """Flink CUMULATE-TVF aggregate on the DataFrame surface (the SQL
+    script path derives the same plan in script.rewrite_cumulate).
+
+    Rows land in every growing window of their ``size`` bucket whose end
+    is strictly after the row's timestamp: window k of bucket S spans
+    [S, S + k·step], k = 1..size/step. Implementation: one ``window(ts,
+    size)`` bucket + an ``explode(sequence(...))`` of the cumulative ends
+    the row belongs to, then a single keyed aggregation — fan-out is
+    size/step rows at most, map-side, before the one shuffle.
+
+    Returns ``window_start, window_end[, window_time], *keys, *aggs``.
+    """
+    step_expr = f"INTERVAL {step}"
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    bucketed = df.withColumn("__w", F.window(F.col(ts_col), size))
+    first_end = F.expr(
+        f"timestamp_millis(unix_millis(__w.start) + "
+        f"(CAST(floor((unix_millis({ts_col}) - unix_millis(__w.start)) / "
+        f"(unix_millis(timestamp_millis(0) + {step_expr}))) AS BIGINT) + 1) * "
+        f"unix_millis(timestamp_millis(0) + {step_expr}))"
+    )
+    exploded = bucketed.withColumn(
+        "window_end",
+        F.explode(F.sequence(first_end, F.col("__w.end"), F.expr(step_expr))),
+    )
+    out = (
+        exploded.groupBy(
+            F.col("__w.start").alias("window_start"),
+            "window_end",
+            *[F.col(k) for k in keys],
+        ).agg(*aggs)
+    )
+    cols = [F.col("window_start"), F.col("window_end")]
+    if window_time:
+        cols.append(
+            (F.col("window_end") - F.expr("INTERVAL 1 MILLISECOND")).alias("window_time")
+        )
+    keep = [c for c in out.columns if c not in ("window_start", "window_end")]
+    return out.select(*cols, *keep)

@@ -2918,3 +2918,50 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUMULATE window TVF on the DataFrame surface (operators/windows.cumulate;
+# the SQL script path derives the identical plan via
+# script.rewrite_cumulate). Growing 1h..6h windows within each 6h bucket;
+# fan-out ≤ size/step rows map-side before the single keyed shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "cumulate_agg",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, value,
+               floor(epoch(ts) / 21600) * 21600 AS s,
+               epoch(ts) AS t
+        FROM events
+    ),
+    e AS (
+        SELECT event_type, value, s,
+               unnest(generate_series(
+                   CAST(to_timestamp(s + (floor((t - s) / 3600) + 1) * 3600)
+                        AS TIMESTAMP),
+                   CAST(to_timestamp(s + 21600) AS TIMESTAMP),
+                   INTERVAL 1 HOUR)) AS window_end
+        FROM b
+    )
+    SELECT CAST(to_timestamp(s) AS TIMESTAMP) AS window_start,
+           window_end,
+           window_end - INTERVAL 1 MILLISECOND AS window_time,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM e GROUP BY 1, 2, 3, 4
+    """,
+)
+def cumulate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATE(step=1h, size=6h) count/sum per event_type."""
+    from quickstart_streaming_agents_spark.operators.windows import cumulate
+
+    ev = load_table(spark, sf_dir, "events")
+    return cumulate(
+        ev, "ts", step="1 HOUR", size="6 hours", keys=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )

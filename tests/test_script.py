@@ -359,3 +359,27 @@ def test_with_props_ignores_quoted_with_in_prompt(spark):
     a = cat.agents["tricky_agent"]
     assert a.max_iterations == 4 and a.max_consecutive_failures == 1
     assert "WITH (exactly)" in a.prompt
+
+
+def test_cumulate_dataframe_matches_sql_rewrite(spark):
+    """operators/windows.cumulate ≡ the script path's CUMULATE rewrite on
+    the events fixture."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.script import rewrite_flink
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+
+    from .conftest import SF_DIR
+
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("cum_ev")
+    sql = rewrite_flink(
+        """
+        SELECT window_start, window_end, window_time, event_type,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM TABLE(CUMULATE(TABLE cum_ev, DESCRIPTOR(ts),
+                            INTERVAL '1' HOUR, INTERVAL '6' HOUR))
+        GROUP BY window_start, window_end, window_time, event_type
+        """
+    )
+    got = {tuple(r) for r in spark.sql(sql).collect()}
+    want = {tuple(r) for r in QUERIES["cumulate_agg"](spark, SF_DIR).collect()}
+    assert got == want and len(got) > 0
