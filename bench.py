@@ -81,6 +81,7 @@ HEADLINE = [
     "shipping_priority",
     "local_supplier_volume",
     "cumulate_agg",
+    "unigram_logprob_score",
 ]
 
 

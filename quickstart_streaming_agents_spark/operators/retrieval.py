@@ -312,3 +312,44 @@ def bm25_search_broadcast(
             )
 
     return queries.mapInPandas(score, out_schema)
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus MLE language
+    model — the cheap perplexity proxy used for LM-based quality filtering
+    (CCNet-style): documents far from the corpus distribution score low.
+
+    Returns (doc_id, n_tokens, avg_logprob, ppl_proxy) with
+    avg_logprob = Σ tf·ln(cf/T) / dl over the doc's terms (cf = corpus
+    frequency, T = corpus token count) and ppl_proxy = exp(−avg_logprob).
+
+    Plan: the one postings shuffle (persisted), a term-keyed corpus
+    frequency aggregate joined back on term, a broadcast 1-row total, and
+    a doc-keyed weighted average — no Python anywhere.
+    """
+    post = postings(docs, doc_id=doc_id, text=text).persist()
+    total = post.agg(F.sum("tf").cast("double").alias("t_total"))
+    vocab = post.groupBy("term").agg(F.sum("tf").alias("cf"))
+    scored = (
+        post.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(doc_id)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.log(F.col("cf") / F.col("t_total")))
+                / F.sum("tf")
+            ).alias("__avg"),
+        )
+    )
+    return scored.select(
+        doc_id,
+        "n_tokens",
+        F.round("__avg", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("__avg")), 4).alias("ppl_proxy"),
+    )

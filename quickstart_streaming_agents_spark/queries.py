@@ -2965,3 +2965,41 @@ def cumulate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (operators/retrieval.unigram_logprob): the
+# CCNet-style perplexity proxy for LM-based quality filtering — documents
+# far from the corpus token distribution score low. One postings shuffle
+# + term-keyed join + doc-keyed weighted mean, all JVM.
+# ---------------------------------------------------------------------------
+@query(
+    "unigram_logprob_score",
+    oracle="""
+    WITH post AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM post GROUP BY 1, 2),
+    vocab AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS t_total FROM tf),
+    s AS (
+        SELECT tf.doc_id, sum(tf.tf) AS n_tokens,
+               sum(tf.tf * ln(vocab.cf / tot.t_total)) / sum(tf.tf) AS a
+        FROM tf JOIN vocab USING (term) CROSS JOIN tot
+        GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           round(a, 6) AS avg_logprob,
+           round(exp(-a), 4) AS ppl_proxy
+    FROM s
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quickstart_streaming_agents_spark.operators.retrieval import (
+        unigram_logprob,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
