@@ -493,3 +493,48 @@ def test_funnel_stream_matches_batch(spark, catalog):
             assert g[2] == ("click", w.t_click)
         if w.stage >= 3:
             assert g[3] == ("purchase", w.t_purchase)
+
+
+def test_funnel_state_survives_restart(spark, tmp_path):
+    """Two availableNow runs over chronological halves of the event stream,
+    sharing one checkpoint: restored (stage, last_ts) state must yield the
+    exact transition set of a single batch pass."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+    from quickstart_streaming_agents_spark.streaming.ops import funnel_stream
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_type"
+    ).cache()
+    mid = events.selectExpr("percentile(CAST(ts AS DOUBLE), 0.5) p").collect()[0].p
+    src_dir = tmp_path / "esrc"
+    events.filter(F.unix_timestamp("ts") <= mid).coalesce(1) \
+        .write.mode("append").parquet(str(src_dir))
+
+    def run_once():
+        ev = (spark.readStream.schema(events.schema).format("parquet")
+              .load(str(src_dir)))
+        out = funnel_stream(ev, ["view", "click", "purchase"])
+        q = (out.writeStream.format("parquet").outputMode("append")
+             .option("path", str(tmp_path / "fout"))
+             .option("checkpointLocation", str(tmp_path / "fckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    events.filter(F.unix_timestamp("ts") > mid).coalesce(1) \
+        .write.mode("append").parquet(str(src_dir))
+    run_once()
+
+    got = {
+        (r.user_id, r.stage, r.step, r.step_ts)
+        for r in spark.read.parquet(str(tmp_path / "fout")).collect()
+    }
+    want = set()
+    for r in QUERIES["event_funnel"](spark, SF_DIR).collect():
+        want.add((r.user_id, 1, "view", r.t_view))
+        if r.stage >= 2:
+            want.add((r.user_id, 2, "click", r.t_click))
+        if r.stage >= 3:
+            want.add((r.user_id, 3, "purchase", r.t_purchase))
+    assert got == want and len(got) > 0
