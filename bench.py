@@ -82,6 +82,7 @@ HEADLINE = [
     "local_supplier_volume",
     "cumulate_agg",
     "unigram_logprob_score",
+    "rolling_active_users",
 ]
 
 

@@ -3003,3 +3003,52 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob(docs)
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct active users per day. Exact sliding distinct
+# counts can't ride a window frame (COUNT(DISTINCT) OVER RANGE isn't
+# supported/scalable); the scalable exact plan is: dedup to (day, user)
+# once, explode each observation into the ≤7 report days it supports
+# (map-side, bounded fan-out), then one count-distinct shuffle keyed on
+# the report day. At true 100 TB cardinalities swap the final distinct
+# for approx_count_distinct (see tests/test_sketches.py).
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_active_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    x AS (
+        SELECT days.d AS report_day, du.user_id
+        FROM du JOIN days
+          ON days.d >= du.d AND days.d < du.d + INTERVAL 7 DAY
+    )
+    SELECT report_day, count(DISTINCT user_id) AS active_users_7d
+    FROM x GROUP BY 1
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct().withColumnRenamed("d", "report_day")
+    # map-side bounded fan-out (≤7 rows each), then a broadcast equi join
+    # keeps only report days that actually occur — no nested-loop range join
+    x = du.withColumn(
+        "report_day",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    ).join(F.broadcast(days), "report_day", "left_semi")
+    return x.groupBy("report_day").agg(
+        F.countDistinct("user_id").alias("active_users_7d")
+    )
