@@ -83,6 +83,7 @@ HEADLINE = [
     "cumulate_agg",
     "unigram_logprob_score",
     "rolling_active_users",
+    "training_data_pipeline",
 ]
 
 

@@ -3052,3 +3052,187 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.groupBy("report_day").agg(
         F.countDistinct("user_id").alias("active_users_7d")
     )
+
+
+# ---------------------------------------------------------------------------
+# FLAGSHIP COMPOSITE — the full training-data preparation chain in one
+# declarative plan: quality/language curation (map-only) → exact dedup
+# (one fingerprint shuffle) → benchmark decontamination (broadcast 13-gram
+# set, corpus never shuffles) → n-gram near-dup clustering (one shingle
+# shuffle + connected components) → stable split labels (hash arithmetic).
+# Each stage is individually hash-checked elsewhere; this query checks the
+# COMPOSITION end to end against a single chained DuckDB oracle, filters
+# always running before the shuffles they precede.
+# ---------------------------------------------------------------------------
+_TRAINING_PIPELINE_ORACLE = """
+WITH RECURSIVE scored AS (
+    SELECT doc_id, text,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+               / greatest(len(text), 1) AS praw,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> x IN ('the','a','and','of','to','in','is','it'))) * 1.0
+               / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS sraw,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> x IN ('the','a','and','of','to','in','is','it'))) AS en_hits,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> x IN ('el','la','de','que','los','una','por'))) AS es_hits,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> x IN ('der','die','und','das','ist','nicht'))) AS de_hits,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+),
+quality AS (
+    SELECT doc_id, text, n_tokens, fingerprint,
+           ROUND(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * (1.0 - least(praw * 5, 1.0))
+               + 0.3 * least(sraw * 4, 1.0), 4) AS quality,
+           CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                WHEN de_hits > 0 THEN 'de'
+                ELSE 'und' END AS lang_pred
+    FROM scored
+),
+gated AS (
+    SELECT * FROM quality
+    WHERE quality >= 0.5 AND lang_pred = 'en' AND n_tokens >= 20
+),
+dd AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM gated
+),
+kept1 AS (
+    SELECT doc_id, text, lang_pred, quality, n_tokens FROM dd WHERE rn = 1
+),
+ktoks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+    FROM kept1
+),
+corp AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(a) >= 13
+             THEN list_distinct(list_transform(range(0, len(a) - 12),
+                  i -> array_to_string(list_slice(a, i + 1, i + 13), ' ')))
+             ELSE CAST([] AS VARCHAR[]) END) AS g
+    FROM ktoks
+),
+btoks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+    FROM documents WHERE doc_id % 17 = 0
+),
+bench AS (
+    SELECT DISTINCT unnest(
+        CASE WHEN len(a) >= 13
+             THEN list_distinct(list_transform(range(0, len(a) - 12),
+                  i -> array_to_string(list_slice(a, i + 1, i + 13), ' ')))
+             ELSE CAST([] AS VARCHAR[]) END) AS g
+    FROM btoks
+),
+hits AS (
+    SELECT DISTINCT c.doc_id FROM corp c JOIN bench b USING (g)
+),
+kept2 AS (
+    SELECT k.* FROM kept1 k LEFT JOIN hits h USING (doc_id)
+    WHERE h.doc_id IS NULL
+),
+d2 AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM kept2
+),
+g2 AS (
+    SELECT DISTINCT doc_id, ng FROM (
+        SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       for i in range(1, greatest(len(w) - 1, 1))]) AS ng
+        FROM d2
+    )
+),
+sz AS (SELECT doc_id, count(*) AS n FROM g2 GROUP BY 1),
+p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+    FROM g2 a JOIN g2 b ON a.ng = b.ng AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT id_a, id_b FROM p
+    JOIN sz sa ON sa.doc_id = p.id_a
+    JOIN sz sb ON sb.doc_id = p.id_b
+    WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+),
+labels AS (
+    SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+),
+noncanon AS (SELECT id FROM labels WHERE id <> component),
+kept3 AS (
+    SELECT k.* FROM kept2 k LEFT JOIN noncanon n ON k.doc_id = n.id
+    WHERE n.id IS NULL
+)
+SELECT doc_id, lang_pred, quality, n_tokens,
+       CASE WHEN x < 0.8 THEN 'train'
+            WHEN x < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT k.*,
+           (('0x' || substr(md5(concat_ws('|', 'split-v1', doc_id::VARCHAR)), 1, 15))::UBIGINT
+            / 1152921504606846976.0) AS x
+    FROM kept3 k
+)
+"""
+
+
+@query("training_data_pipeline", oracle=_TRAINING_PIPELINE_ORACLE)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data preparation: curate → exact-dedup →
+    decontaminate → near-dup-cluster → split. See the block comment for
+    the plan shape; every stage is also hash-checked standalone."""
+    from quickstart_streaming_agents_spark.functions import text as tx
+    from quickstart_streaming_agents_spark.operators.components import dedup_clusters
+    from quickstart_streaming_agents_spark.operators.decontamination import (
+        contamination_flags,
+    )
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        dedup_exact,
+        ngram_jaccard_pairs,
+    )
+    from quickstart_streaming_agents_spark.operators.sampling import hash_unit
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text",
+        tx.lang_id("text").alias("lang_pred"),
+        tx.quality_score("text").alias("quality"),
+        tx.token_count("text").alias("n_tokens"),
+        tx.doc_fingerprint("text").alias("fingerprint"),
+    )
+    gated = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+        & (F.col("n_tokens") >= 20)
+    )
+    kept1 = dedup_exact(gated, ["fingerprint"], ["doc_id"]).select(
+        "doc_id", "text", "lang_pred", "quality", "n_tokens"
+    )
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    kept2 = (
+        contamination_flags(kept1, benchmark, n=13)
+        .filter(~F.col("contaminated"))
+        .select("doc_id", "text", "lang_pred", "quality", "n_tokens")
+    )
+    pairs = ngram_jaccard_pairs(kept2, "doc_id", "text", n=3, threshold=0.5)
+    noncanon = dedup_clusters(pairs).filter(~F.col("is_canonical")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept3 = kept2.join(noncanon, "doc_id", "left_anti")
+    u = hash_unit(["doc_id"], salt="split-v1")
+    return kept3.select(
+        "doc_id", "lang_pred", "quality", "n_tokens",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+        .alias("split"),
+    )
