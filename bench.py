@@ -84,6 +84,8 @@ HEADLINE = [
     "unigram_logprob_score",
     "rolling_active_users",
     "training_data_pipeline",
+    "latest_state_upsert",
+    "data_quality_report",
 ]
 
 

@@ -3236,3 +3236,108 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ST5 materialization semantics: compact a changelog to latest-state-per-
+# key ("upsert view" of a keyed topic — the batch meaning of the
+# reference's PRIMARY KEY ... NOT ENFORCED sinks, LAB3-Walkthrough.md:454).
+# One shuffle (row_number per key, ordered by event time desc with a
+# deterministic id tie-break).
+# ---------------------------------------------------------------------------
+@query(
+    "latest_state_upsert",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           value AS last_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_state_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality report (dbt-test-style): violation counts per
+# rule across the star schema, one row per rule. Each rule is its own
+# tiny aggregate; Catalyst fuses filters into the scans and the union is
+# of 1-row results — at 100 TB each rule is one scan-local count (the
+# referential check is one broadcast/shuffle anti join).
+# ---------------------------------------------------------------------------
+@query(
+    "data_quality_report",
+    oracle="""
+    SELECT 'orders_null_custkey' AS rule, count(*) AS violations
+    FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'orders_orphan_custkey', count(*)
+    FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty', count(*)
+    FROM lineitem WHERE l_quantity <= 0
+    UNION ALL
+    SELECT 'lineitem_discount_range', count(*)
+    FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+    UNION ALL
+    SELECT 'events_value_negative', count(*)
+    FROM events WHERE value < 0
+    UNION ALL
+    SELECT 'documents_dup_doc_id', count(*) FROM (
+        SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1)
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def rule(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("violations")).select(
+            F.lit(name).alias("rule"), "violations"
+        )
+
+    checks = [
+        rule("orders_null_custkey", orders.filter(F.col("o_custkey").isNull())),
+        rule(
+            "orders_orphan_custkey",
+            orders.join(
+                customer, orders.o_custkey == customer.c_custkey, "left_anti"
+            ),
+        ),
+        rule("lineitem_nonpositive_qty", lineitem.filter(F.col("l_quantity") <= 0)),
+        rule(
+            "lineitem_discount_range",
+            lineitem.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        rule("events_value_negative", events.filter(F.col("value") < 0)),
+        rule(
+            "documents_dup_doc_id",
+            documents.groupBy("doc_id").count().filter(F.col("count") > 1),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
