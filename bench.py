@@ -86,6 +86,7 @@ HEADLINE = [
     "training_data_pipeline",
     "latest_state_upsert",
     "data_quality_report",
+    "exact_k_per_stratum",
 ]
 
 

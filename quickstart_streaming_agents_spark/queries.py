@@ -3341,3 +3341,36 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact-size deterministic sample per stratum: the reservoir-sampling
+# counterpart of the fraction-based tiers in operators/sampling.py. Rank
+# rows inside each stratum by their md5 identity hash and keep the first
+# k — partition/run/engine invariant, one keyed shuffle, and (unlike a
+# true reservoir) fully replayable in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "exact_k_per_stratum",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(concat_ws('|', 'exact-k-v1', doc_id::VARCHAR)),
+                            doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 40
+    """,
+)
+def exact_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws("|", F.lit("exact-k-v1"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id", "lang")
+    )
