@@ -87,6 +87,8 @@ HEADLINE = [
     "latest_state_upsert",
     "data_quality_report",
     "exact_k_per_stratum",
+    "trending_per_window",
+    "value_histogram",
 ]
 
 

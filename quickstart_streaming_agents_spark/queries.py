@@ -3374,3 +3374,66 @@ def exact_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 40)
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed top-k: most frequent event types per 6h tumble window (trending
+# dashboard shape). One window agg shuffle + a rank over the tiny
+# (window × type) aggregate — the rank never touches raw events.
+# ---------------------------------------------------------------------------
+@query(
+    "trending_per_window",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP)
+                   AS window_start,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                   ORDER BY n DESC, event_type) AS rk
+        FROM a
+    ) WHERE rk <= 2
+    """,
+)
+def trending_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = tumble(
+        ev, "ts", "6 hours", keys=["event_type"],
+        aggs=[F.count("*").alias("n")], window_time=False,
+    ).select("window_start", "event_type", "n")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram: 20 bins over [0, 200) per event type (value
+# distribution profiling). Map-side bin arithmetic + one keyed shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(least(floor(greatest(value, 0) / 10), 19) AS BIGINT) AS bin,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bin_col = F.least(
+        F.floor(F.greatest(F.col("value"), F.lit(0.0)) / 10), F.lit(19.0)
+    ).cast("bigint")
+    return ev.groupBy("event_type", bin_col.alias("bin")).agg(
+        F.count("*").alias("n")
+    )
