@@ -122,6 +122,82 @@ class EngineCatalog:
             "agents": sorted(self.agents),
         }
 
+    # -- persistence --------------------------------------------------------
+    # The reference's catalog objects persist in Terraform state / the
+    # Confluent catalog; the local analog is one JSON file. Nested objects
+    # are stored by name (connections under models/tools, model/tools under
+    # agents), so editing a connection and re-loading re-links everything.
+    # The file carries endpoints and credential pairs verbatim — treat it
+    # with the same care as a credentials.env.
+
+    def save(self, path: str) -> None:
+        import json
+
+        doc = {
+            "connections": [
+                {"name": c.name, "type": c.type, "endpoint": c.endpoint,
+                 "credentials": [list(p) for p in c.credentials]}
+                for c in self.connections.values()
+            ],
+            "models": [
+                {"name": m.name, "provider": m.provider, "task": m.task,
+                 "params": [list(p) for p in m.params],
+                 "connection": m.connection.name if m.connection else None,
+                 "embedding_dim": m.embedding_dim}
+                for m in self.models.values()
+            ],
+            "tools": [
+                {"name": t.name,
+                 "connection": t.connection.name if t.connection else None,
+                 "allowed_tools": list(t.allowed_tools),
+                 "request_timeout": t.request_timeout}
+                for t in self.tools.values()
+            ],
+            "agents": [
+                {"name": a.name, "model": a.model.name, "prompt": a.prompt,
+                 "tools": [t.name for t in a.tools],
+                 "max_iterations": a.max_iterations,
+                 "max_consecutive_failures": a.max_consecutive_failures}
+                for a in self.agents.values()
+            ],
+        }
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=2, sort_keys=True)
+
+    @classmethod
+    def load(cls, path: str) -> "EngineCatalog":
+        import json
+
+        with open(path) as f:
+            doc = json.load(f)
+        cat = cls()
+        for c in doc.get("connections", []):
+            cat.create_connection(
+                c["name"], type=c["type"], endpoint=c.get("endpoint", ""),
+                credentials=tuple(tuple(p) for p in c.get("credentials", [])),
+            )
+        for m in doc.get("models", []):
+            cat.create_model(
+                m["name"], provider=m["provider"], task=m["task"],
+                params=tuple(tuple(p) for p in m.get("params", [])),
+                connection=cat.connections.get(m.get("connection")),
+                embedding_dim=m.get("embedding_dim", 64),
+            )
+        for t in doc.get("tools", []):
+            cat.create_tool(
+                t["name"], connection=cat.connections.get(t.get("connection")),
+                allowed_tools=tuple(t.get("allowed_tools", [])),
+                request_timeout=t.get("request_timeout", 30.0),
+            )
+        for a in doc.get("agents", []):
+            cat.create_agent(
+                a["name"], model=a["model"], prompt=a.get("prompt", ""),
+                tools=tuple(cat.tools[n] for n in a.get("tools", [])),
+                max_iterations=a.get("max_iterations", 10),
+                max_consecutive_failures=a.get("max_consecutive_failures", 2),
+            )
+        return cat
+
 
 DEFAULT_CATALOG = EngineCatalog()
 DEFAULT_CATALOG.create_model("fake_textgen", provider="fake", task="text_generation")

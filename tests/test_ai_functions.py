@@ -144,3 +144,32 @@ def test_ai_tool_invoke(spark):
     ).collect()[0]["t"]
     assert r["tool_name"] == "http_get"
     assert "HTTP 200" in r["result"]
+
+
+def test_catalog_save_load_round_trip(tmp_path):
+    """EngineCatalog JSON persistence: DDL objects survive a session with
+    nested references re-linked by name."""
+    from quickstart_streaming_agents_spark.registries import EngineCatalog
+
+    cat = EngineCatalog()
+    conn = cat.create_connection(
+        "mcp", type="mcp_server", endpoint="http://localhost:9",
+        credentials=(("api_key", "k"),),
+    )
+    cat.create_model("m", provider="fake", task="text_generation",
+                     params=(("max_tokens", "100"),), connection=conn)
+    cat.create_tool("t", connection=conn, allowed_tools=("http_get",),
+                    request_timeout=7.0)
+    cat.create_agent("a", model="m", prompt="p", tools=(cat.tools["t"],),
+                     max_iterations=3, max_consecutive_failures=1)
+
+    path = str(tmp_path / "catalog.json")
+    cat.save(path)
+    back = EngineCatalog.load(path)
+
+    assert back.describe() == cat.describe()
+    assert back.models["m"] == cat.models["m"]
+    assert back.tools["t"] == cat.tools["t"]
+    assert back.agents["a"] == cat.agents["a"]
+    # nested refs are re-linked to the loaded connection object
+    assert back.models["m"].connection is back.connections["mcp"]
