@@ -3220,10 +3220,13 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang_pred", "quality", "n_tokens"
     )
     benchmark = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    # kept2 feeds BOTH the near-dup pair branch and the final anti-join —
+    # persist it or the whole curate→dedup→decontaminate upstream runs twice
     kept2 = (
         contamination_flags(kept1, benchmark, n=13)
         .filter(~F.col("contaminated"))
         .select("doc_id", "text", "lang_pred", "quality", "n_tokens")
+        .persist()
     )
     pairs = ngram_jaccard_pairs(kept2, "doc_id", "text", n=3, threshold=0.5)
     noncanon = dedup_clusters(pairs).filter(~F.col("is_canonical")).select(
