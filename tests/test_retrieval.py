@@ -191,3 +191,12 @@ def test_broadcast_scorer_size_guard(spark):
         raise AssertionError("guard did not fire")
     except ValueError as e:
         assert "broadcast tier bound" in str(e)
+
+
+def test_bm25_plan_reads_cached_index_once(spark):
+    """The postings persist must hold: one real corpus scan, every other
+    branch reading the in-memory index (a regression here re-scans and
+    re-shuffles the corpus 4x)."""
+    df = QUERIES["bm25_search"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "InMemoryTableScan" in plan
