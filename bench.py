@@ -89,6 +89,7 @@ HEADLINE = [
     "exact_k_per_stratum",
     "trending_per_window",
     "value_histogram",
+    "sequence_packing",
 ]
 
 

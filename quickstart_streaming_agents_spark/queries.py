@@ -1742,6 +1742,49 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing (operators/packing.py): GPT-style concat-and-chunk —
+# shard docs into bucket streams, per-bucket token cumsum (the one
+# shuffle), cut every 256 tokens; fragments for boundary-crossing docs.
+# All-integer, so DuckDB replays the assignment bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 8 AS bucket,
+               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+    placed AS (
+        SELECT *, CAST(SUM(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+        FROM nz
+    ),
+    spans AS (SELECT *, tok_end - n_tokens AS tok_start FROM placed),
+    ex AS (
+        SELECT doc_id, bucket, tok_start, tok_end,
+               unnest(range(tok_start // 256, (tok_end - 1) // 256 + 1)) AS seq_id
+        FROM spans
+    )
+    SELECT doc_id, bucket, seq_id,
+           greatest(tok_start, seq_id * 256) - tok_start AS doc_tok_start,
+           greatest(tok_start, seq_id * 256) - seq_id * 256 AS seq_tok_start,
+           least(tok_end, (seq_id + 1) * 256)
+               - greatest(tok_start, seq_id * 256) AS n_seq_tokens
+    FROM ex
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training-sequence assignment over curated documents."""
+    from quickstart_streaming_agents_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, seq_len=256, num_buckets=8)
+
+
+# ---------------------------------------------------------------------------
 # RAG ingest composite: chunk → embed each chunk (lab2's ingestion path
 # rebuilt over the chunker + fake embedding; both halves' oracles compose).
 # ---------------------------------------------------------------------------

@@ -1,0 +1,93 @@
+"""Sequence packing invariants (operators/packing.py).
+
+The oracle parity test (test_parity.py) proves the exact assignment;
+these pin the structural contract: conservation of tokens, exactly-full
+interior sequences, contiguous fragments, and bucket-count determinism
+of the per-bucket layout.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickstart_streaming_agents_spark.functions.text import token_count
+from quickstart_streaming_agents_spark.operators.packing import pack_sequences
+from quickstart_streaming_agents_spark.sources.parquet import load_table
+from tests.conftest import SF_DIR
+
+SEQ_LEN = 64
+
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = pack_sequences(docs, seq_len=SEQ_LEN, num_buckets=4).persist()
+    yield docs, out
+    out.unpersist()
+
+
+def test_tokens_conserved_per_document(packed):
+    docs, out = packed
+    expect = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_expect")
+    ).filter(F.col("n_expect") > 0)
+    got = out.groupBy("doc_id").agg(F.sum("n_seq_tokens").alias("n_got"))
+    assert expect.join(got, "doc_id").filter("n_expect != n_got").count() == 0
+    assert expect.count() == got.count()
+
+
+def test_interior_sequences_exactly_full(packed):
+    _, out = packed
+    per_seq = out.groupBy("bucket", "seq_id").agg(
+        F.sum("n_seq_tokens").alias("filled")
+    )
+    last = out.groupBy("bucket").agg(F.max("seq_id").alias("last_seq"))
+    interior = per_seq.join(last, "bucket").filter("seq_id < last_seq")
+    assert interior.filter(F.col("filled") != SEQ_LEN).count() == 0
+    # the tail sequence is the only one allowed to be short
+    tail = per_seq.join(last, "bucket").filter("seq_id = last_seq")
+    assert tail.filter(F.col("filled") > SEQ_LEN).count() == 0
+
+
+def test_fragments_contiguous_within_document(packed):
+    """A doc split over k sequences covers [0, n) without gaps: fragment
+    doc offsets chain (next.doc_tok_start == prev.doc_tok_start + prev.n)
+    and consecutive fragments land in consecutive sequences."""
+    _, out = packed
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("seq_id")
+    chained = out.select(
+        "doc_id", "seq_id", "doc_tok_start", "n_seq_tokens",
+        F.lag("doc_tok_start").over(w).alias("p_start"),
+        F.lag("n_seq_tokens").over(w).alias("p_n"),
+        F.lag("seq_id").over(w).alias("p_seq"),
+    ).filter(F.col("p_start").isNotNull())
+    assert (
+        chained.filter(
+            (F.col("doc_tok_start") != F.col("p_start") + F.col("p_n"))
+            | (F.col("seq_id") != F.col("p_seq") + 1)
+        ).count()
+        == 0
+    )
+    assert out.filter(
+        (F.col("seq_tok_start") < 0)
+        | (F.col("seq_tok_start") + F.col("n_seq_tokens") > SEQ_LEN)
+    ).count() == 0
+
+
+def test_first_fragment_starts_at_zero(packed):
+    _, out = packed
+    firsts = out.groupBy("doc_id").agg(
+        F.min("doc_tok_start").alias("first_off")
+    )
+    assert firsts.filter("first_off != 0").count() == 0
+
+
+def test_rejects_bad_params(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    with pytest.raises(ValueError):
+        pack_sequences(docs, seq_len=0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, num_buckets=0)
