@@ -90,6 +90,9 @@ HEADLINE = [
     "trending_per_window",
     "value_histogram",
     "sequence_packing",
+    "returned_item_customers",
+    "large_volume_orders",
+    "late_shipment_priority",
 ]
 
 

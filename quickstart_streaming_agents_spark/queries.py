@@ -2964,6 +2964,170 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q10 analog: returned-item revenue per customer in one quarter,
+# top 20. Plan: dim `nation` broadcast; orders quarter filter and the
+# returnflag filter both push into the scans, so the custkey/orderkey
+# shuffles only move the surviving quarter — at 100 TB partition pruning
+# on an orderdate-partitioned fact table makes the date filter free.
+# ---------------------------------------------------------------------------
+@query(
+    "returned_item_customers",
+    oracle="""
+    SELECT c.c_custkey AS cust_key, c.c_name AS cust_name,
+           ((CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) AS BIGINT) + 50) // 100) / 100.0 AS revenue,
+           c.c_acctbal AS acctbal, n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, cust_key
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: customers who returned the most revenue in Q1-1996."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_name").alias("cust_name"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            # price×(1-discount) is exact in 4 decimals, so the revenue sum
+            # is carried as integer ten-thousandths and rounded to cents
+            # with explicit half-up INTEGER arithmetic: double ROUND(x, 2)
+            # was observed flipping the last cent between engines when a
+            # customer's total landed on an exact half-cent.
+            (
+                F.expr(
+                    "(sum(cast(round(l_extendedprice * (1 - l_discount)"
+                    " * 10000) as long)) + 50) div 100"
+                )
+                / F.lit(100.0)
+            ).alias("revenue")
+        )
+        .select("cust_key", "cust_name", "revenue", "acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), "cust_key")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 analog: large-volume orders (HAVING over the fact table, then
+# join the survivors back to their headers). Plan: the quantity aggregate
+# gets a map-side partial combine, HAVING shrinks the fact to the rare
+# heavy orders BEFORE any join, and the survivor set joins orders/customer
+# as the small (often broadcast-able) side — the shape that matters at
+# 100 TB, where aggregating first avoids shuffling the whole fact twice.
+# ---------------------------------------------------------------------------
+@query(
+    "large_volume_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_name AS cust_name, c.c_custkey AS cust_key,
+           o.o_orderkey AS order_key, o.o_orderdate AS order_date,
+           o.o_totalprice AS total_price, b.sum_qty AS sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_price DESC, order_key
+    LIMIT 100
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: orders whose total quantity exceeds 250 units.
+
+    l_quantity holds integral doubles, so the un-rounded SUM is exact and
+    the HAVING threshold cuts identically in both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            F.col("c_name").alias("cust_name"),
+            F.col("c_custkey").alias("cust_key"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.col("total_price").desc(), "order_key")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 analog (the fixture carries no shipmode/receiptdate, so the
+# "late shipment" predicate is shipdate > orderdate + 60 days and the
+# group is l_returnflag): per group, how many late lines belonged to
+# high- vs low-priority orders — the classic CASE-WHEN split-count. Plan:
+# one fact⋈fact equi-join on orderkey (the bucketed-storage case,
+# sources/bucketed.py, makes it exchange-free when both tables cluster
+# on orderkey), then a 3-group aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "late_shipment_priority",
+    oracle="""
+    SELECT l.l_returnflag AS return_flag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog: late-line counts split by order priority class."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")
+        )
+        .groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # CUMULATE window TVF on the DataFrame surface (operators/windows.cumulate;
 # the SQL script path derives the identical plan via
 # script.rewrite_cumulate). Growing 1h..6h windows within each 6h bucket;
