@@ -93,6 +93,7 @@ HEADLINE = [
     "returned_item_customers",
     "large_volume_orders",
     "late_shipment_priority",
+    "snapshot_diff",
 ]
 
 

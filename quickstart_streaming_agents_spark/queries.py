@@ -2964,6 +2964,74 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus snapshot diff (operators/versioning.py): what changed between
+# two crawl/curation snapshots. The "new" snapshot is derived from the
+# fixture deterministically (drop doc_id%31, revise %13, clone %29 under
+# shifted ids) so all three statuses occur. Fingerprints are computed
+# map-side; the diff is ONE full-outer join on doc_id, output sized by
+# churn, not corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH o AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS old_fingerprint
+        FROM documents
+    ),
+    newt AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN text || ' revised'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 31 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 29 = 0
+    ),
+    n AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS new_fingerprint
+        FROM newt
+    )
+    SELECT * FROM (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN old_fingerprint <> new_fingerprint THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               old_fingerprint, new_fingerprint
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    ) WHERE status <> 'unchanged'
+    """,
+)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Added/removed/changed documents between two corpus snapshots."""
+    from quickstart_streaming_agents_spark.functions.text import doc_fingerprint
+    from quickstart_streaming_agents_spark.operators.versioning import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 31 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" revised")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 29 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    old_fp = docs.withColumn("fp", doc_fingerprint("text"))
+    new_fp = new.withColumn("fp", doc_fingerprint("text"))
+    return snapshot_diff(old_fp, new_fp, fingerprint_col="fp")
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q10 analog: returned-item revenue per customer in one quarter,
 # top 20. Plan: dim `nation` broadcast; orders quarter filter and the
 # returnflag filter both push into the scans, so the custkey/orderkey
