@@ -94,6 +94,7 @@ HEADLINE = [
     "large_volume_orders",
     "late_shipment_priority",
     "snapshot_diff",
+    "duplicate_spans",
 ]
 
 

@@ -1,0 +1,112 @@
+"""Repeated-substring span detection — window-hash substring dedup.
+
+Beyond-reference surface: document-level dedup (exact/MinHash/SimHash,
+operators/dedup.py) misses text duplicated INSIDE otherwise-distinct
+documents — boilerplate headers, license blocks, templated paragraphs.
+The published fix is suffix-array substring dedup (Lee et al.,
+"Deduplicating Training Data Makes Language Models Better", 2021); its
+scalable shuffle-friendly approximation, implemented here, slides a
+k-token window over every document, finds window hashes occurring more
+than once corpus-wide, and merges the hits into maximal per-document
+duplicated spans. Every repeated run of ≥ k tokens is covered by some
+repeated window, so spans over-approximate the true duplicated regions
+with resolution k.
+
+Spark-first plan, three shuffles, all JVM:
+1. map-side: tokens → ``posexplode`` of window starts → window hash
+   (no shuffle; the explode multiplies rows in-task);
+2. hash → corpus frequency (partial-agg combine absorbs in-task
+   repeats), keep hashes with df ≥ min_df;
+3. positions ⋈ frequent hashes on the hash (equi-join), then one
+   per-document window: classic interval-merge via running-max-of-end
+   and a group-id cumsum — overlapping or adjacent windows coalesce
+   into one span.
+
+At 100 TB the window explode is ~|tokens| rows per doc; the hash
+aggregate's partial combine and the 8-byte ``xxhash64`` key keep the
+shuffle narrow. Hot boilerplate grams are heavy groups on purpose —
+they ARE the signal — and only (hash, count) reaches the reducer in
+stage 2. Collision risk at 64 bits only creates a false duplicate span,
+never drops one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_df: int = 2,
+    gram_hash: str = "xxhash64",
+) -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    Output: ``id_col``, ``span_start`` / ``span_end`` (token offsets,
+    end-exclusive), ``n_windows`` (repeated k-windows merged into the
+    span). A window "repeats" when its hash occurs ≥ ``min_df`` times
+    corpus-wide — including twice within one document.
+
+    ``gram_hash``: ``"xxhash64"`` (default — 8-byte shuffle key, the
+    scale path) or ``"md5"`` (32-char string key, exactly replayable by
+    a SQL oracle). Both are deterministic.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if gram_hash not in ("xxhash64", "md5"):
+        raise ValueError("gram_hash must be 'xxhash64' or 'md5'")
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    gram = F.array_join(F.slice(F.col("__toks"), F.col("s") + 1, k), " ")
+    h = F.xxhash64(gram) if gram_hash == "xxhash64" else F.md5(gram)
+    wins = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.sequence(F.lit(0), F.size("__toks") - k)
+            ).alias("__i", "s"),
+            "__toks",
+        )
+        .select(id_col, "s", h.alias("h"))
+    )
+    frequent = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("h")
+    )
+    pos = wins.join(frequent, "h").select(id_col, "s")
+
+    prev = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = pos.withColumn("pmax", F.max(F.col("s") + k).over(prev))
+    flagged = marked.withColumn(
+        "f",
+        F.when(
+            F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+        ).otherwise(0),
+    )
+    grouped = flagged.withColumn("gid", F.sum("f").over(run))
+    return (
+        grouped.groupBy(id_col, "gid")
+        .agg(
+            F.min("s").cast("long").alias("span_start"),
+            (F.max("s") + k).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )

@@ -2964,6 +2964,64 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Repeated-substring spans (operators/substring.py): window-hash
+# approximation of suffix-array substring dedup (Lee et al. 2021) —
+# 13-token windows occurring ≥2× corpus-wide, merged into maximal
+# per-document spans via the interval-merge window trick. md5 gram hash
+# here so DuckDB replays it; the operator defaults to xxhash64 at scale.
+# ---------------------------------------------------------------------------
+@query(
+    "duplicate_spans",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, unnest(range(0, len(a) - 13 + 1)) AS s, a
+        FROM toks WHERE len(a) >= 13
+    ),
+    g AS (
+        SELECT doc_id, s,
+               md5(array_to_string(list_slice(a, s + 1, s + 13), ' ')) AS h
+        FROM wins
+    ),
+    freq AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+    pos AS (SELECT doc_id, s FROM g JOIN freq USING (h)),
+    m AS (
+        SELECT doc_id, s,
+               max(s + 13) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM pos
+    ),
+    flg AS (
+        SELECT doc_id, s,
+               CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS f
+        FROM m
+    ),
+    grp AS (
+        SELECT doc_id, s,
+               SUM(f) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS UNBOUNDED PRECEDING) AS gid
+        FROM flg
+    )
+    SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+           CAST(max(s) + 13 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM grp GROUP BY doc_id, gid
+    """,
+)
+def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/repeated-substring spans inside otherwise-distinct docs."""
+    from quickstart_streaming_agents_spark.operators.substring import (
+        duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_spans(docs, k=13, gram_hash="md5")
+
+
+# ---------------------------------------------------------------------------
 # Corpus snapshot diff (operators/versioning.py): what changed between
 # two crawl/curation snapshots. The "new" snapshot is derived from the
 # fixture deterministically (drop doc_id%31, revise %13, clone %29 under

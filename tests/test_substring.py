@@ -1,0 +1,77 @@
+"""Repeated-substring span detection (operators/substring.py).
+
+Oracle parity (test_parity.py) pins the md5 path on the fixture; these
+pin the semantics on constructed corpora and the xxhash64 ≡ md5
+equivalence of the span output.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from quickstart_streaming_agents_spark.operators.substring import duplicate_spans
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _spans(df):
+    return sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_windows) for r in df.collect()
+    )
+
+
+def test_shared_run_found_in_both_docs(spark):
+    shared = " ".join(f"tok{i}" for i in range(10))
+    docs = _docs(
+        spark,
+        [
+            (1, f"aa bb {shared} cc dd"),
+            (2, f"xx {shared} yy zz ww"),
+            (3, "totally unrelated words only here once each never repeated"),
+        ],
+    )
+    got = _spans(duplicate_spans(docs, k=10, min_df=2))
+    # the 10-token shared run starts at offset 2 in doc 1, offset 1 in doc 2
+    assert got == [(1, 2, 12, 1), (2, 1, 11, 1)]
+
+
+def test_overlapping_windows_merge_to_one_span(spark):
+    shared = " ".join(f"tok{i}" for i in range(12))  # 12 tokens, k=10 → 3 windows
+    docs = _docs(
+        spark,
+        [(1, f"{shared} tail word"), (2, f"lead {shared} more words here")],
+    )
+    got = _spans(duplicate_spans(docs, k=10, min_df=2))
+    assert got == [(1, 0, 12, 3), (2, 1, 13, 3)]
+
+
+def test_within_document_repeat_counts(spark):
+    run = " ".join(f"w{i}" for i in range(10))
+    docs = _docs(
+        spark,
+        [(1, f"{run} break0 break1 break2 {run}"),
+         (2, "nothing shared with anything in this one at all really")],
+    )
+    got = _spans(duplicate_spans(docs, k=10, min_df=2))
+    assert got == [(1, 0, 10, 1), (1, 13, 23, 1)]
+
+
+def test_xxhash64_path_matches_md5_path(spark):
+    shared = " ".join(f"t{i}" for i in range(15))
+    docs = _docs(
+        spark,
+        [(i, f"doc{i} opens {shared} and closes {i}") for i in range(6)],
+    )
+    a = _spans(duplicate_spans(docs, k=8, gram_hash="xxhash64"))
+    b = _spans(duplicate_spans(docs, k=8, gram_hash="md5"))
+    assert a == b and len(a) > 0
+
+
+def test_rejects_bad_params(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        duplicate_spans(docs, k=0)
+    with pytest.raises(ValueError):
+        duplicate_spans(docs, gram_hash="sha1")
