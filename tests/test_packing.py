@@ -85,6 +85,42 @@ def test_first_fragment_starts_at_zero(packed):
     assert firsts.filter("first_off != 0").count() == 0
 
 
+def _model_pack(docs, seq_len, num_buckets):
+    """Pure-Python reference layout: per bucket, docs in id order, token
+    stream cut every seq_len; one (doc, seq) fragment row per overlap."""
+    rows = []
+    for b in range(num_buckets):
+        off = 0
+        for doc_id, n in sorted(d for d in docs if d[0] % num_buckets == b):
+            if n <= 0:
+                continue
+            start, end = off, off + n
+            for seq in range(start // seq_len, (end - 1) // seq_len + 1):
+                lo, hi = max(start, seq * seq_len), min(end, (seq + 1) * seq_len)
+                rows.append((doc_id, b, seq, lo - start, lo - seq * seq_len, hi - lo))
+            off = end
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("seed,seq_len,buckets", [(7, 16, 3), (21, 50, 5)])
+def test_matches_python_model_on_random_corpora(spark, seed, seq_len, buckets):
+    import random
+
+    rng = random.Random(seed)
+    docs = [(i, rng.randint(1, 120)) for i in range(200)]
+    df = spark.createDataFrame(
+        [(i, " ".join("w" for _ in range(n))) for i, n in docs],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in pack_sequences(
+            df, seq_len=seq_len, num_buckets=buckets
+        ).collect()
+    )
+    assert got == _model_pack(docs, seq_len, buckets)
+
+
 def test_rejects_bad_params(spark):
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     with pytest.raises(ValueError):
