@@ -95,6 +95,7 @@ HEADLINE = [
     "late_shipment_priority",
     "snapshot_diff",
     "duplicate_spans",
+    "substring_dedup_clean",
 ]
 
 

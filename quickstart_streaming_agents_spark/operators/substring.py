@@ -60,10 +60,87 @@ def duplicate_spans(
     if gram_hash not in ("xxhash64", "md5"):
         raise ValueError("gram_hash must be 'xxhash64' or 'md5'")
 
+    wins = _window_hashes(df, id_col, text_col, k, gram_hash)
+    frequent = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("h")
+    )
+    pos = wins.join(frequent, "h").select(id_col, "s")
+    return _merge_windows(pos, id_col, k)
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    gram_hash: str = "xxhash64",
+) -> DataFrame:
+    """Substring dedup's apply step (Lee et al. 2021 semantics): for each
+    repeated k-token window, the globally-FIRST occurrence — smallest
+    (id, offset) — is canonical and stays; every other occurrence is
+    stripped. Non-canonical windows merge into maximal spans per document
+    and the cleaned text is rebuilt from the surviving tokens.
+
+    Output: ``id_col``, ``clean_text`` (whitespace-normalized),
+    ``n_tokens_removed``. Every input document appears exactly once;
+    documents without repeated text pass through with 0 removed.
+
+    Plan on top of ``duplicate_spans``'s stages: choosing the canonical
+    occurrence is ONE ``row_number`` per window hash (same shuffle key as
+    the frequency count), the interval merge is the same keyed window,
+    and text reconstruction is a left join of spans-per-doc (collected to
+    an array — bounded by doc length / k) into a JVM higher-order filter
+    over the token array. No Python anywhere.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if gram_hash not in ("xxhash64", "md5"):
+        raise ValueError("gram_hash must be 'xxhash64' or 'md5'")
+
+    wins = _window_hashes(df, id_col, text_col, k, gram_hash)
+    rk = Window.partitionBy("h").orderBy(id_col, "s")
+    noncanon = (
+        wins.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") >= 2)
+        .select(id_col, "s")
+    )
+    spans = _merge_windows(noncanon, id_col, k)
+    spans_arr = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("st"), F.col("span_end").alias("en"))
+        ).alias("__spans")
+    )
+    joined = df.select(id_col, text_col).join(spans_arr, id_col, "left")
+    kept = F.expr(
+        "filter(transform(split(trim({t}), '\\\\s+'), (x, i) -> "
+        "struct(x AS tok, CAST(i AS BIGINT) AS i)), p -> NOT exists("
+        "coalesce(__spans, array()), sp -> p.i >= sp.st AND p.i < sp.en))"
+        .format(t=text_col)
+    )
+    return (
+        joined.withColumn("__kept", kept)
+        .select(
+            id_col,
+            F.array_join(F.expr("transform(__kept, p -> p.tok)"), " ").alias(
+                "clean_text"
+            ),
+            (
+                F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+                - F.size("__kept")
+            ).cast("long").alias("n_tokens_removed"),
+        )
+    )
+
+
+def _window_hashes(df, id_col, text_col, k, gram_hash):
+    """(id, s, h): hash of the k-token window starting at token offset s."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     gram = F.array_join(F.slice(F.col("__toks"), F.col("s") + 1, k), " ")
     h = F.xxhash64(gram) if gram_hash == "xxhash64" else F.md5(gram)
-    wins = (
+    return (
         df.select(F.col(id_col), toks.alias("__toks"))
         .filter(F.size("__toks") >= k)
         .select(
@@ -75,14 +152,12 @@ def duplicate_spans(
         )
         .select(id_col, "s", h.alias("h"))
     )
-    frequent = (
-        wins.groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") >= min_df)
-        .select("h")
-    )
-    pos = wins.join(frequent, "h").select(id_col, "s")
 
+
+def _merge_windows(pos: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge window starts into maximal [span_start, span_end) intervals
+    per id: running max of interval ends over preceding rows; a start past
+    that max opens a new group (classic interval-merge, one keyed window)."""
     prev = (
         Window.partitionBy(id_col)
         .orderBy("s")

@@ -3022,6 +3022,87 @@ def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Substring dedup apply step (operators/substring.py): keep the globally
+# first occurrence of every repeated 13-token window, strip the rest,
+# rebuild the cleaned text JVM-side. One extra row_number on the same
+# window-hash shuffle key; reconstruction is a higher-order token filter.
+# ---------------------------------------------------------------------------
+@query(
+    "substring_dedup_clean",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, unnest(range(0, len(a) - 13 + 1)) AS s, a
+        FROM toks WHERE len(a) >= 13
+    ),
+    g AS (
+        SELECT doc_id, s,
+               md5(array_to_string(list_slice(a, s + 1, s + 13), ' ')) AS h
+        FROM wins
+    ),
+    nc AS (
+        SELECT doc_id, s FROM (
+            SELECT doc_id, s,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rk
+            FROM g
+        ) WHERE rk >= 2
+    ),
+    m AS (
+        SELECT doc_id, s,
+               max(s + 13) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM nc
+    ),
+    flg AS (
+        SELECT doc_id, s,
+               CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS f
+        FROM m
+    ),
+    grp AS (
+        SELECT doc_id, s,
+               SUM(f) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS UNBOUNDED PRECEDING) AS gid
+        FROM flg
+    ),
+    spans AS (
+        SELECT doc_id, min(s) AS st, max(s) + 13 AS en
+        FROM grp GROUP BY doc_id, gid
+    ),
+    tokpos AS (
+        SELECT doc_id, a, unnest(range(0, len(a))) AS i FROM toks
+    ),
+    kept AS (
+        SELECT t.doc_id, t.i, t.a[t.i + 1] AS tok
+        FROM tokpos t
+        LEFT JOIN spans sp
+          ON sp.doc_id = t.doc_id AND t.i >= sp.st AND t.i < sp.en
+        WHERE sp.doc_id IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+               count(*) AS nk
+        FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+           CAST(len(toks.a) - COALESCE(agg.nk, 0) AS BIGINT)
+               AS n_tokens_removed
+    FROM toks LEFT JOIN agg USING (doc_id)
+    """,
+)
+def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned corpus after exact repeated-substring removal (keep-first)."""
+    from quickstart_streaming_agents_spark.operators.substring import (
+        strip_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return strip_duplicate_spans(docs, k=13, gram_hash="md5")
+
+
+# ---------------------------------------------------------------------------
 # Corpus snapshot diff (operators/versioning.py): what changed between
 # two crawl/curation snapshots. The "new" snapshot is derived from the
 # fixture deterministically (drop doc_id%31, revise %13, clone %29 under

@@ -9,7 +9,10 @@ from __future__ import annotations
 
 import pytest
 
-from quickstart_streaming_agents_spark.operators.substring import duplicate_spans
+from quickstart_streaming_agents_spark.operators.substring import (
+    duplicate_spans,
+    strip_duplicate_spans,
+)
 
 
 def _docs(spark, rows):
@@ -75,3 +78,43 @@ def test_rejects_bad_params(spark):
         duplicate_spans(docs, k=0)
     with pytest.raises(ValueError):
         duplicate_spans(docs, gram_hash="sha1")
+
+
+def _clean(df):
+    return {r.doc_id: (r.clean_text, r.n_tokens_removed) for r in df.collect()}
+
+
+def test_strip_keeps_globally_first_occurrence(spark):
+    shared = " ".join(f"tok{i}" for i in range(10))
+    docs = _docs(
+        spark,
+        [
+            (1, f"aa bb {shared} cc dd"),
+            (2, f"xx {shared} yy zz ww"),
+            (3, "unique words only here once each never repeated at all"),
+        ],
+    )
+    got = _clean(strip_duplicate_spans(docs, k=10))
+    assert got[1] == (f"aa bb {shared} cc dd", 0)  # canonical copy intact
+    assert got[2] == ("xx yy zz ww", 10)
+    assert got[3][1] == 0
+    assert len(got) == 3  # every doc exactly once
+
+
+def test_strip_within_doc_repeat_keeps_first(spark):
+    run = " ".join(f"w{i}" for i in range(10))
+    docs = _docs(spark, [(1, f"{run} mid0 mid1 mid2 {run}"),
+                         (2, "none of these words repeat anywhere at all today")])
+    got = _clean(strip_duplicate_spans(docs, k=10))
+    assert got[1] == (f"{run} mid0 mid1 mid2", 10)
+
+
+def test_strip_hash_paths_agree(spark):
+    shared = " ".join(f"t{i}" for i in range(15))
+    docs = _docs(
+        spark,
+        [(i, f"doc{i} opens {shared} and closes {i}") for i in range(5)],
+    )
+    a = _clean(strip_duplicate_spans(docs, k=8, gram_hash="xxhash64"))
+    b = _clean(strip_duplicate_spans(docs, k=8, gram_hash="md5"))
+    assert a == b
