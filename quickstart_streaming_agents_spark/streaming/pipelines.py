@@ -367,3 +367,78 @@ def keyword_search_stream_pipeline(
     catalog.create_table_as("keyword_results", results, available_now=True)
     catalog.await_all()
     return catalog
+
+
+def decontamination_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+    watermark: str = "10 seconds",
+    n: int = 13,
+    bench_mod: int = 17,
+) -> StreamCatalog:
+    """Continuous benchmark decontamination: a quarantine feed of
+    contaminated doc ids over a documents stream.
+
+    The batch twin is ``queries.decontamination`` (GPT-3-style 13-gram
+    rule, same ``doc_id % bench_mod`` benchmark selection). Streaming
+    shape: the benchmark shingle-hash set is STATIC and broadcast, so the
+    document stream runs map-only — in-row shingle explode, broadcast
+    semi-join — and the only state is ``dropDuplicatesWithinWatermark``
+    on doc_id, which collapses a doc's multiple shingle hits to one
+    quarantine row with watermark-bounded memory. No stream-side shuffle
+    of text at any scale; new benchmark versions mean restarting the
+    query with a re-broadcast set (the honest contract — benchmarks
+    change by release, not by record).
+
+    Documents carry no event time, so ingestion stamps a deterministic
+    synthetic ``ts`` from doc_id order (stand-in for the Kafka ingestion
+    timestamp a real feed provides).
+    """
+    spark = catalog.spark
+    docs = spark.read.parquet(documents_path)
+    stamped = docs.select(
+        "doc_id", "text",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ).alias("ts"),
+    )
+    catalog.create_table_as("decon_raw_docs", stamped)
+
+    from ..operators.decontamination import _norm_shingles
+
+    bench = (
+        _norm_shingles(
+            docs.filter(F.col("doc_id") % bench_mod == 0).select(
+                F.lit(0).alias("__bid"), F.col("text").alias("__btext")
+            ),
+            "__bid",
+            "__btext",
+            n,
+        )
+        .select(F.xxhash64("shingle").alias("h"))
+        .distinct()
+    )
+
+    stream = catalog.read_stream("decon_raw_docs", watermark=("ts", watermark))
+    grams = F.expr(
+        f"CASE WHEN size(__toks) >= {n} THEN array_distinct(transform("
+        f"sequence(0, size(__toks) - {n}), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {n})))) "
+        f"ELSE array() END"
+    )
+    exploded = (
+        stream.select(
+            "doc_id", "ts",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__toks"),
+        )
+        .select("doc_id", "ts", F.explode(grams).alias("shingle"))
+        .select("doc_id", "ts", F.xxhash64("shingle").alias("h"))
+    )
+    quarantined = (
+        exploded.join(F.broadcast(bench), "h")
+        .select("doc_id", "ts")
+        .dropDuplicatesWithinWatermark(["doc_id"])
+    )
+    catalog.create_table_as("contaminated_docs", quarantined, available_now=True)
+    catalog.await_all()
+    return catalog

@@ -538,3 +538,34 @@ def test_funnel_state_survives_restart(spark, tmp_path):
         if r.stage >= 3:
             want.add((r.user_id, 3, "purchase", r.t_purchase))
     assert got == want and len(got) > 0
+
+
+def test_decontamination_stream_matches_batch(spark, catalog):
+    """The streaming quarantine feed must flag exactly the docs the batch
+    contamination rule flags (stream side is map-only + broadcast; state
+    is one watermark-bounded distinct on doc_id)."""
+    from quickstart_streaming_agents_spark.operators.decontamination import (
+        contamination_flags,
+    )
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        decontamination_stream_pipeline,
+    )
+
+    decontamination_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet", watermark="1 day"
+    )
+    got = {
+        r.doc_id for r in catalog.read_batch("contaminated_docs").collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    want = {
+        r.doc_id
+        for r in contamination_flags(docs, bench, n=13)
+        .filter("contaminated")
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
