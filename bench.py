@@ -96,6 +96,7 @@ HEADLINE = [
     "snapshot_diff",
     "duplicate_spans",
     "substring_dedup_clean",
+    "packed_training_shards",
 ]
 
 

@@ -44,6 +44,7 @@ def pack_sequences(
     text_col: str = "text",
     seq_len: int = 256,
     num_buckets: int = 8,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign every document to fixed-length packed training sequences.
 
@@ -60,14 +61,21 @@ def pack_sequences(
 
     Single shuffle (the per-bucket cumulative sum); the span explode is
     in-task. All-integer, deterministic, cluster-size independent.
+
+    ``tokens_col`` names a precomputed token-count column (e.g. from an
+    upstream curation stage) to use instead of counting ``text_col`` —
+    the norm when packing runs last in a pipeline that already counted.
     """
     if seq_len <= 0 or num_buckets <= 0:
         raise ValueError("seq_len and num_buckets must be positive")
     L = F.lit(int(seq_len))
+    n_toks = (
+        F.col(tokens_col) if tokens_col is not None else token_count(text_col)
+    )
     base = df.select(
         F.col(id_col),
         F.pmod(F.col(id_col), F.lit(int(num_buckets))).cast("long").alias("bucket"),
-        token_count(text_col).cast("long").alias("n_tokens"),
+        n_toks.cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
     w = (
         Window.partitionBy("bucket")

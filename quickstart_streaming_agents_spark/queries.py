@@ -3656,6 +3656,55 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Capstone composite: the flagship pipeline's train split fed into
+# sequence packing — the curated corpus laid out as fixed-length training
+# sequences, one chained oracle end to end (the flagship oracle nests as
+# a CTE; the packing CTEs replay the all-integer layout). Packing reuses
+# the n_tokens the curation stage already computed (tokens_col), so the
+# extra cost over the flagship is one cumsum shuffle of (id, count)
+# pairs — document text never moves again.
+# ---------------------------------------------------------------------------
+_PACKED_SHARDS_ORACLE = (
+    "WITH flagship AS (" + _TRAINING_PIPELINE_ORACLE + """),
+    nz AS (
+        SELECT doc_id, doc_id % 4 AS bucket, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM flagship WHERE split = 'train' AND n_tokens > 0
+    ),
+    placed AS (
+        SELECT *, CAST(SUM(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+        FROM nz
+    ),
+    spans AS (SELECT *, tok_end - n_tokens AS tok_start FROM placed),
+    ex AS (
+        SELECT doc_id, bucket, tok_start, tok_end,
+               unnest(range(tok_start // 512, (tok_end - 1) // 512 + 1)) AS seq_id
+        FROM spans
+    )
+    SELECT doc_id, bucket, seq_id,
+           greatest(tok_start, seq_id * 512) - tok_start AS doc_tok_start,
+           greatest(tok_start, seq_id * 512) - seq_id * 512 AS seq_tok_start,
+           least(tok_end, (seq_id + 1) * 512)
+               - greatest(tok_start, seq_id * 512) AS n_seq_tokens
+    FROM ex
+    """
+)
+
+
+@query("packed_training_shards", oracle=_PACKED_SHARDS_ORACLE)
+def packed_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curate → dedup → decontaminate → split → pack, end to end."""
+    from quickstart_streaming_agents_spark.operators.packing import pack_sequences
+
+    base = training_data_pipeline(spark, sf_dir)
+    train = base.filter(F.col("split") == "train").select("doc_id", "n_tokens")
+    return pack_sequences(
+        train, tokens_col="n_tokens", seq_len=512, num_buckets=4
+    )
+
+
+# ---------------------------------------------------------------------------
 # ST5 materialization semantics: compact a changelog to latest-state-per-
 # key ("upsert view" of a keyed topic — the batch meaning of the
 # reference's PRIMARY KEY ... NOT ENFORCED sinks, LAB3-Walkthrough.md:454).
