@@ -139,3 +139,32 @@ def test_pii_redaction_map_only(spark):
     df = _q(spark, "pii_redaction")
     assert_no_exchange(df)
     assert_no_row_python(df)
+
+
+def test_sequence_packing_single_shuffle(spark):
+    # map-side bucket+count projection; the per-bucket cumsum window is
+    # the only exchange; the span explode is in-task (Generate node)
+    df = _q(spark, "sequence_packing")
+    assert count_exchanges(df) == 1
+    assert_no_row_python(df)
+
+
+def test_snapshot_diff_fingerprints_before_join(spark):
+    # only (id, 8-byte-ish fingerprint) pairs cross the full-outer join —
+    # no text column survives into either exchange
+    df = _q(spark, "snapshot_diff")
+    plan = physical_plan(df)
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.splitlines()[0]
+        assert "text" not in head, head
+    assert_no_row_python(df)
+
+
+def test_substring_ops_stay_jvm(spark):
+    # window explode + hash agg + interval merge: bounded exchanges, all
+    # whole-stage codegen, zero Python of any kind
+    for name in ("duplicate_spans", "substring_dedup_clean"):
+        df = _q(spark, name)
+        assert count_exchanges(df) <= 5, name
+        plan = physical_plan(df)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
