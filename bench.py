@@ -97,6 +97,9 @@ HEADLINE = [
     "duplicate_spans",
     "substring_dedup_clean",
     "packed_training_shards",
+    "events_pivot",
+    "user_set_ops",
+    "column_profile",
 ]
 
 

@@ -2838,6 +2838,127 @@ def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregation levels of (event_type, source-hour bucket) in ONE Expand +
 # one shuffle — the plan you want instead of 4 unioned aggregations.
 # ---------------------------------------------------------------------------
+# PIVOT: per-user event-type counts as columns. Spark's pivot with an
+# explicit value list compiles to ONE hash aggregate with conditional
+# counts (identical to the CASE-sum plan) — one shuffle on user_id, no
+# per-pivot-value pass; never call pivot without the value list at scale
+# (value discovery is an extra distinct job over the fact).
+# ---------------------------------------------------------------------------
+@query(
+    "events_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(f"n_{c}")
+            for c in ("click", "view", "purchase")
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT over distinct user sets of two
+# event types. Both compile to aggregate + join shapes with partial
+# aggregation; the distinct happens before the set op so only user ids
+# shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "user_set_ops",
+    oracle="""
+    SELECT 'both' AS relation, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'click'
+    )
+    UNION ALL
+    SELECT 'purchase_only', user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'click'
+    )
+    """,
+)
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    both = buyers.intersect(clickers).select(
+        F.lit("both").alias("relation"), "user_id"
+    )
+    only = buyers.subtract(clickers).select(
+        F.lit("purchase_only").alias("relation"), "user_id"
+    )
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (Deequ/dbt-profile-style): one row per column of the
+# events table — counts, null counts, exact distincts, min/max as
+# strings. Spark computes every stat in ONE aggregate (multiple exact
+# count-distincts expand map-side via the Expand node — still a single
+# shuffle); at 100 TB swap countDistinct for approx_count_distinct and
+# the plan loses the Expand fan-out (documented in tests/test_sketches).
+# ---------------------------------------------------------------------------
+@query(
+    "column_profile",
+    oracle="""
+    SELECT 'event_id' AS col, count(*) AS n_rows,
+           count(*) - count(event_id) AS n_nulls,
+           count(DISTINCT event_id) AS n_distinct,
+           CAST(min(event_id) AS VARCHAR) AS min_str,
+           CAST(max(event_id) AS VARCHAR) AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*), count(*) - count(user_id),
+           count(DISTINCT user_id),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(*), count(*) - count(event_type),
+           count(DISTINCT event_type),
+           CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+    FROM events
+    """,
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    aggs = []
+    for c in ("event_id", "user_id", "event_type"):
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = ev.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in ("event_id", "user_id", "event_type")
+    )
+    return wide.select(
+        F.expr(
+            f"stack(3, {stacked}) AS "
+            "(col, n_rows, n_nulls, n_distinct, min_str, max_str)"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 @query(
     "events_cube",
     oracle="""
