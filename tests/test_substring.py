@@ -109,6 +109,48 @@ def test_strip_within_doc_repeat_keeps_first(spark):
     assert got[1] == (f"{run} mid0 mid1 mid2", 10)
 
 
+def _model_spans(corpus, k):
+    """Pure-Python model: window hashes (the gram text itself — collision-
+    free), frequency filter, interval merge."""
+    from collections import Counter
+
+    wins = []
+    for doc_id, text in corpus:
+        toks = text.split()
+        for s in range(len(toks) - k + 1):
+            wins.append((doc_id, s, " ".join(toks[s : s + k])))
+    freq = Counter(g for _, _, g in wins)
+    spans = []
+    for doc_id, _ in corpus:
+        hits = sorted(s for d, s, g in wins if d == doc_id and freq[g] >= 2)
+        cur = None
+        for s in hits:
+            if cur and s <= cur[1]:
+                cur[1] = max(cur[1], s + k)
+                cur[2] += 1
+            else:
+                if cur:
+                    spans.append((doc_id, cur[0], cur[1], cur[2]))
+                cur = [s, s + k, 1]
+        if cur:
+            spans.append((doc_id, cur[0], cur[1], cur[2]))
+    return sorted(spans)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_spans_match_python_model_on_random_corpus(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    # small vocab forces plenty of genuine repeats
+    corpus = [
+        (i, " ".join(rng.choice("a b c d e".split()) for _ in range(rng.randint(1, 40))))
+        for i in range(60)
+    ]
+    got = _spans(duplicate_spans(_docs(spark, corpus), k=5, min_df=2))
+    assert got == _model_spans(corpus, 5)
+
+
 def test_strip_hash_paths_agree(spark):
     shared = " ".join(f"t{i}" for i in range(15))
     docs = _docs(
