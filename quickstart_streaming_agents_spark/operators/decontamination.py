@@ -25,12 +25,18 @@ from .dedup import shingle_df
 
 
 def _norm_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     normed = df.select(
-        F.col(id_col), F.lower(F.col(text_col)).alias("__norm_text")
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        F.lower(F.col(text_col)).alias("__norm_text"),
     )
-    return shingle_df(normed, id_col, "__norm_text", n)
+    return shingle_df(normed, id_col, "__norm_text", n, keep_cols=keep_cols)
 
 
 def contamination_flags(

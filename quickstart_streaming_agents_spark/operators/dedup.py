@@ -53,21 +53,32 @@ def dedup_exact(df: DataFrame, cols: list[str], order_by: list[str]) -> DataFram
 # n-gram Jaccard (exact, JVM-only)
 # ---------------------------------------------------------------------------
 
-def shingle_df(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingle_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
     """Distinct word n-gram shingles per document, computed with built-in
     array functions (sequence/transform/array_distinct) — no Python.
 
     Guarded for short docs: Spark's sequence(0, -1) would produce a
     DESCENDING sequence, so docs with fewer than n tokens emit no shingles
-    via an explicit CASE."""
+    via an explicit CASE. ``keep_cols`` pass through unchanged (e.g. an
+    event-time column on a streaming input)."""
+    extra = list(keep_cols or [])
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    d = df.select(
+        F.col(id_col).alias("doc_id"), *[F.col(c) for c in extra],
+        toks.alias("toks"),
+    )
     grams = F.expr(
         f"CASE WHEN size(toks) >= {n} THEN array_distinct(transform("
         f"sequence(0, size(toks) - {n}), i -> concat_ws(' ', slice(toks, i + 1, {n}))))"
         f" ELSE array() END"
     )
-    return d.select("doc_id", F.explode(grams).alias("shingle"))
+    return d.select("doc_id", *extra, F.explode(grams).alias("shingle"))
 
 
 def _shingle_hash_df(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

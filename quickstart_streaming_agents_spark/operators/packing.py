@@ -48,10 +48,13 @@ def pack_sequences(
 ) -> DataFrame:
     """Assign every document to fixed-length packed training sequences.
 
-    Documents are sharded into ``num_buckets`` streams by ``id % buckets``,
-    laid out within each stream in ``id_col`` order, and the stream is cut
-    every ``seq_len`` whitespace tokens. One output row per (document,
-    sequence) fragment:
+    Documents are sharded into ``num_buckets`` streams by
+    ``pmod(id, buckets)`` (non-negative bucket even for negative ids; for
+    non-negative ids this equals plain ``%``, which is what the SQL
+    oracle replays), laid out within each stream in ``id_col`` order, and
+    the stream is cut every ``seq_len`` whitespace tokens. Empty and
+    whitespace-only documents are excluded (they carry no tokens). One
+    output row per (document, sequence) fragment:
 
     - ``bucket``, ``seq_id`` — which packed sequence (per bucket).
     - ``doc_tok_start`` — offset of the fragment inside the document.
@@ -69,8 +72,14 @@ def pack_sequences(
     if seq_len <= 0 or num_buckets <= 0:
         raise ValueError("seq_len and num_buckets must be positive")
     L = F.lit(int(seq_len))
+    # split('') yields [''] (count 1), so blank text needs an explicit
+    # zero or a phantom token would occupy a slot in the packed stream
     n_toks = (
-        F.col(tokens_col) if tokens_col is not None else token_count(text_col)
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+            token_count(text_col)
+        )
     )
     base = df.select(
         F.col(id_col),

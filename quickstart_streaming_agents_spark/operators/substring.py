@@ -57,6 +57,8 @@ def duplicate_spans(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if min_df < 2:
+        raise ValueError("min_df must be >= 2 (1 would flag every window)")
     if gram_hash not in ("xxhash64", "md5"):
         raise ValueError("gram_hash must be 'xxhash64' or 'md5'")
 
@@ -115,22 +117,23 @@ def strip_duplicate_spans(
     )
     joined = df.select(id_col, text_col).join(spans_arr, id_col, "left")
     kept = F.expr(
-        "filter(transform(split(trim({t}), '\\\\s+'), (x, i) -> "
+        "filter(transform(__toks, (x, i) -> "
         "struct(x AS tok, CAST(i AS BIGINT) AS i)), p -> NOT exists("
         "coalesce(__spans, array()), sp -> p.i >= sp.st AND p.i < sp.en))"
-        .format(t=text_col)
     )
     return (
-        joined.withColumn("__kept", kept)
+        joined.withColumn(
+            "__toks", F.split(F.trim(F.col(text_col)), r"\s+")
+        )
+        .withColumn("__kept", kept)
         .select(
             id_col,
             F.array_join(F.expr("transform(__kept, p -> p.tok)"), " ").alias(
                 "clean_text"
             ),
-            (
-                F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-                - F.size("__kept")
-            ).cast("long").alias("n_tokens_removed"),
+            (F.size("__toks") - F.size("__kept")).cast("long").alias(
+                "n_tokens_removed"
+            ),
         )
     )
 

@@ -38,28 +38,47 @@ def snapshot_diff(
     columns by default, so only (id, 8-byte hash) pairs reach the join.
     Pass ``fingerprint_col`` to diff on a fingerprint the caller already
     computed (e.g. ``functions.text.doc_fingerprint`` for an
-    SQL-replayable md5).
+    SQL-replayable md5). Presence on each side is tracked with explicit
+    marker columns and fingerprints compare null-safely, so a NULL
+    fingerprint (e.g. a NULL text column) still classifies correctly.
     """
-    cols = content_cols or [c for c in old.columns if c != id_col]
-
-    def fp(df: DataFrame, alias: str) -> DataFrame:
-        if fingerprint_col is not None:
-            return df.select(
-                F.col(id_col), F.col(fingerprint_col).alias(alias)
+    if content_cols is None:
+        cols = [
+            c for c in old.columns if c != id_col and c in set(new.columns)
+        ]
+        if fingerprint_col is None and not cols:
+            raise ValueError(
+                "snapshots share no content columns; pass content_cols"
             )
+    else:
+        cols = list(content_cols)
+        missing = [
+            c
+            for c in cols
+            if c not in old.columns or c not in new.columns
+        ]
+        if missing:
+            raise ValueError(f"content columns missing from a snapshot: {missing}")
+
+    def fp(df: DataFrame, alias: str, marker: str) -> DataFrame:
+        key = (
+            F.col(fingerprint_col)
+            if fingerprint_col is not None
+            else F.xxhash64(*[F.col(c) for c in cols])
+        )
         return df.select(
-            F.col(id_col),
-            F.xxhash64(*[F.col(c) for c in cols]).alias(alias),
+            F.col(id_col), key.alias(alias), F.lit(True).alias(marker)
         )
 
-    o = fp(old, "old_fingerprint")
-    n = fp(new, "new_fingerprint")
+    o = fp(old, "old_fingerprint", "__in_old")
+    n = fp(new, "new_fingerprint", "__in_new")
     joined = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("old_fingerprint").isNull(), "added")
-        .when(F.col("new_fingerprint").isNull(), "removed")
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
         .when(
-            F.col("old_fingerprint") != F.col("new_fingerprint"), "changed"
+            ~F.col("old_fingerprint").eqNullSafe(F.col("new_fingerprint")),
+            "changed",
         )
         .otherwise("unchanged")
     )

@@ -1752,7 +1752,9 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
         SELECT doc_id, doc_id % 8 AS bucket,
-               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END::BIGINT AS n_tokens
         FROM documents
     ),
     nz AS (SELECT * FROM toks WHERE n_tokens > 0),
@@ -2834,10 +2836,6 @@ def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# CUBE grouping sets (rollup already covered by events_rollup): all four
-# aggregation levels of (event_type, source-hour bucket) in ONE Expand +
-# one shuffle — the plan you want instead of 4 unioned aggregations.
-# ---------------------------------------------------------------------------
 # PIVOT: per-user event-type counts as columns. Spark's pivot with an
 # explicit value list compiles to ONE hash aggregate with conditional
 # counts (identical to the CASE-sum plan) — one shuffle on user_id, no
@@ -2958,6 +2956,10 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# CUBE grouping sets (rollup already covered by events_rollup): all four
+# aggregation levels of (event_type, source-hour bucket) in ONE Expand +
+# one shuffle — the plan you want instead of 4 unioned aggregations.
 # ---------------------------------------------------------------------------
 @query(
     "events_cube",
@@ -3727,7 +3729,12 @@ FROM (
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data preparation: curate → exact-dedup →
     decontaminate → near-dup-cluster → split. See the block comment for
-    the plan shape; every stage is also hash-checked standalone."""
+    the plan shape; every stage is also hash-checked standalone.
+
+    The decontaminated set stays persisted for the session (it feeds two
+    branches of one lazy result, so there is no safe point to unpersist
+    inside the builder); callers running many pipelines in one session
+    release it with ``spark.catalog.clearCache()`` — bench.py does."""
     from quickstart_streaming_agents_spark.functions import text as tx
     from quickstart_streaming_agents_spark.operators.components import dedup_clusters
     from quickstart_streaming_agents_spark.operators.decontamination import (

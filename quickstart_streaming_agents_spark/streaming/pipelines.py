@@ -420,20 +420,11 @@ def decontamination_stream_pipeline(
     )
 
     stream = catalog.read_stream("decon_raw_docs", watermark=("ts", watermark))
-    grams = F.expr(
-        f"CASE WHEN size(__toks) >= {n} THEN array_distinct(transform("
-        f"sequence(0, size(__toks) - {n}), "
-        f"i -> concat_ws(' ', slice(__toks, i + 1, {n})))) "
-        f"ELSE array() END"
-    )
-    exploded = (
-        stream.select(
-            "doc_id", "ts",
-            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__toks"),
-        )
-        .select("doc_id", "ts", F.explode(grams).alias("shingle"))
-        .select("doc_id", "ts", F.xxhash64("shingle").alias("h"))
-    )
+    # identical shingle machinery to the batch rule — one source of truth,
+    # so the streaming ≡ batch contract can't drift
+    exploded = _norm_shingles(
+        stream, "doc_id", "text", n, keep_cols=["ts"]
+    ).select("doc_id", "ts", F.xxhash64("shingle").alias("h"))
     quarantined = (
         exploded.join(F.broadcast(bench), "h")
         .select("doc_id", "ts")

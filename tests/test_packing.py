@@ -127,3 +127,19 @@ def test_rejects_bad_params(spark):
         pack_sequences(docs, seq_len=0)
     with pytest.raises(ValueError):
         pack_sequences(docs, num_buckets=0)
+
+
+def test_blank_documents_occupy_no_slots(spark):
+    """'' and whitespace-only docs must not pack a phantom token (split('')
+    yields [''], which naive size() counts as 1)."""
+    df = spark.createDataFrame(
+        [(0, "one two three"), (1, ""), (2, "   "), (3, "four five")],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(df, seq_len=4, num_buckets=1).collect()
+    assert {r.doc_id for r in out} == {0, 3}
+    # doc 3 starts right after doc 0's 3 tokens — no gap from docs 1/2 —
+    # so its 2 tokens straddle the seq boundary: [3,4) of seq 0, [4,5) → 0 of seq 1
+    frag3 = {(r.seq_id, r.seq_tok_start, r.n_seq_tokens)
+             for r in out if r.doc_id == 3}
+    assert frag3 == {(0, 3, 1), (1, 0, 1)}

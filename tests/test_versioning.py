@@ -46,3 +46,29 @@ def test_include_unchanged_and_content_cols(spark):
         for r in fps
         if r.status == "changed"
     )
+
+
+def test_null_fingerprints_classify_by_presence(spark):
+    """A NULL fingerprint (NULL content) must not masquerade as a missing
+    row: presence comes from the join sides, equality is null-safe."""
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "beta"), (3, None)], "doc_id long, text string"
+    ).withColumn("fp", F.md5("text"))
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (4, "delta")], "doc_id long, text string"
+    ).withColumn("fp", F.md5("text"))
+    got = _rows(snapshot_diff(old, new, fingerprint_col="fp"))
+    # 1: NULL→NULL content = unchanged (excluded); 2: beta→NULL = changed;
+    # 3 removed; 4 added — none of the NULLs read as added/removed.
+    assert got == {(2, "changed"), (3, "removed"), (4, "added")}
+
+
+def test_content_cols_validated(spark):
+    import pytest
+
+    old = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, content_cols=["nope"])
