@@ -100,6 +100,7 @@ HEADLINE = [
     "events_pivot",
     "user_set_ops",
     "column_profile",
+    "label_centroids",
 ]
 
 

@@ -1193,6 +1193,54 @@ def simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup / similarity: global top-20 most-similar pairs.
+# Distributed vector aggregation: per-label mean embedding (centroids).
+# Plan: posexplode to (label, pos, val) rows — the 128× fan-out happens
+# map-side and partial aggregation collapses it to (label, pos) partial
+# sums BEFORE the one shuffle, so shuffle volume is |labels|×dim per map
+# task, not |rows|×dim. Reassembly (collect_list of (pos, avg) structs →
+# sort → values) moves |labels|×dim rows — trivial at any scale. This is
+# the centroid-update half of distributed k-means (similarity.ann_ivf
+# uses the same shape on a sample).
+# ---------------------------------------------------------------------------
+@query(
+    "label_centroids",
+    oracle="""
+    WITH ex AS (
+        SELECT label, unnest(range(0, len(embedding))) AS pos, embedding
+        FROM embeddings
+    ),
+    vals AS (
+        SELECT label, pos,
+               CAST(embedding[pos + 1] AS DOUBLE) AS v
+        FROM ex
+    ),
+    m AS (
+        SELECT label, pos, ROUND(AVG(v), 4) + 0.0 AS c, COUNT(*) AS n
+        FROM vals GROUP BY 1, 2
+    )
+    SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+           list(c ORDER BY pos) AS centroid
+    FROM m GROUP BY label
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per label — distributed centroid computation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    per_dim = ex.groupBy("label", "pos").agg(
+        (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("c"),
+        F.count("*").alias("n")
+    )
+    return per_dim.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n_vectors"),
+        F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .alias("centroid"),
+    ).select("label", "n_vectors", "centroid")
+
+
+# ---------------------------------------------------------------------------
 # Oracle via DuckDB list_cosine_similarity on the full pair join; Spark side
 # broadcasts the corpus and takes per-query top-k then a global limit (per-
 # query k ≥ global k makes the cutoff exact).
