@@ -101,6 +101,7 @@ HEADLINE = [
     "user_set_ops",
     "column_profile",
     "label_centroids",
+    "bpe_pair_freqs",
 ]
 
 

@@ -1192,7 +1192,37 @@ def simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup / similarity: global top-20 most-similar pairs.
+# BPE step 1 (operators/bpe.py): corpus-wide adjacent character-pair
+# frequencies over the word vocabulary — the data-parallel heart of
+# tokenizer learning (Sennrich et al. 2016). Corpus collapses to
+# (word, freq) first, so the pair count shuffles vocab-sized rows.
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_pair_freqs",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+    ),
+    wf AS (SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w),
+    p AS (
+        SELECT w, freq, unnest(range(1, len(w))) AS i
+        FROM wf WHERE len(w) >= 2
+    )
+    SELECT w[i] AS left_sym, w[i + 1] AS right_sym,
+           CAST(SUM(freq) AS BIGINT) AS pair_freq
+    FROM p GROUP BY 1, 2
+    """,
+)
+def bpe_pair_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent char-pair frequencies — BPE tokenizer learning's inner op."""
+    from quickstart_streaming_agents_spark.operators.bpe import pair_frequencies
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return pair_frequencies(docs)
+
+
+# ---------------------------------------------------------------------------
 # Distributed vector aggregation: per-label mean embedding (centroids).
 # Plan: posexplode to (label, pos, val) rows — the 128× fan-out happens
 # map-side and partial aggregation collapses it to (label, pos) partial
@@ -1241,6 +1271,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-dup / similarity: global top-20 most-similar pairs.
 # Oracle via DuckDB list_cosine_similarity on the full pair join; Spark side
 # broadcasts the corpus and takes per-query top-k then a global limit (per-
 # query k ≥ global k makes the cutoff exact).
