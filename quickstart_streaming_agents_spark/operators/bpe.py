@@ -38,12 +38,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from quickstart_streaming_agents_spark.functions.text import tokens
+
 
 def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
-    """(w, freq) over whitespace words — the one corpus-sized shuffle."""
-    words = df.select(
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
-    ).filter(F.col("w") != "")
+    """(w, freq) over whitespace words — the one corpus-sized shuffle.
+    Tokenization is the canonical functions.text.tokens()."""
+    words = df.select(F.explode(tokens(text_col)).alias("w")).filter(
+        F.col("w") != ""
+    )
     return words.groupBy("w").agg(F.count("*").alias("freq"))
 
 
@@ -51,9 +54,15 @@ def _char_symbols(col):
     """Word → array of single-character symbols (pure-Column JVM
     transform; works on any Column expression, not just named columns)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.transform(
-        F.sequence(F.lit(1), F.length(c)),
-        lambda i: F.substring(c, i, F.lit(1)),
+    # sequence(1, 0) would DESCEND to [1, 0] and emit two phantom ''
+    # symbols — empty input must produce an empty symbol array
+    return F.when(
+        F.length(c) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.substring(c, i, F.lit(1)),
+        )
     )
 
 
@@ -68,6 +77,18 @@ def _adjacent_pairs(syms_col: str):
     )
 
 
+def _pair_counts(vocab: DataFrame, left: str, right: str, freq: str) -> DataFrame:
+    """(left, right, freq) aggregate over a (freq, syms) vocabulary — the
+    single shape both the standalone op and the merge loop count with."""
+    return (
+        vocab.select("freq", F.explode(_adjacent_pairs("syms")).alias("p"))
+        .groupBy(
+            F.col("p.left_sym").alias(left), F.col("p.right_sym").alias(right)
+        )
+        .agg(F.sum("freq").alias(freq))
+    )
+
+
 def pair_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-wide adjacent character-pair frequencies (BPE step 1 at the
     char level): ``left_sym``, ``right_sym``, ``pair_freq``.
@@ -76,15 +97,8 @@ def pair_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     aggregate — both with map-side partial combine.
     """
     vocab = _word_vocab(df, text_col).withColumn("syms", _char_symbols("w"))
-    pairs = vocab.select(
-        "freq", F.explode(_adjacent_pairs("syms")).alias("p")
-    )
-    return (
-        pairs.groupBy(
-            F.col("p.left_sym").alias("left_sym"),
-            F.col("p.right_sym").alias("right_sym"),
-        )
-        .agg(F.sum("freq").cast("long").alias("pair_freq"))
+    return _pair_counts(vocab, "left_sym", "right_sym", "pair_freq").withColumn(
+        "pair_freq", F.col("pair_freq").cast("long")
     )
 
 
@@ -124,46 +138,42 @@ def learn_bpe_merges(
     Each iteration runs two narrow vocab-sized Spark stages and collects
     exactly one row. Stops early when no pair reaches ``min_pair_freq``.
     """
+    # localCheckpoint (eager) both caches the iteration state AND
+    # truncates lineage — without it the plan stacks one fold per merge
+    # and per-iteration analysis cost grows with the merge count.
     vocab = (
         _word_vocab(df, text_col)
         .withColumn("syms", _char_symbols("w"))
         .select("freq", "syms")
-        .persist()
+        .localCheckpoint()
     )
     fold = _merge_fold()
     merges: list[tuple[str, str]] = []
-    try:
-        for _ in range(num_merges):
-            top = (
-                vocab.select("freq", F.explode(_adjacent_pairs("syms")).alias("p"))
-                .groupBy(
-                    F.col("p.left_sym").alias("a"),
-                    F.col("p.right_sym").alias("b"),
-                )
-                .agg(F.sum("freq").alias("pf"))
-                .orderBy(F.col("pf").desc(), "a", "b")
-                .limit(1)
-                .collect()
-            )
-            if not top or top[0].pf < min_pair_freq:
-                break
-            a, b = top[0].a, top[0].b
-            merges.append((a, b))
-            nxt = vocab.withColumn(
-                "syms", fold(F.col("syms"), F.lit(a), F.lit(b))
-            ).persist()
-            nxt.count()  # materialize before dropping the parent
-            vocab.unpersist()
-            vocab = nxt
-    finally:
-        vocab.unpersist()
+    for _ in range(num_merges):
+        top = (
+            _pair_counts(vocab, "a", "b", "pf")
+            .orderBy(F.col("pf").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].pf < min_pair_freq:
+            break
+        a, b = top[0].a, top[0].b
+        merges.append((a, b))
+        vocab = vocab.withColumn(
+            "syms", fold(F.col("syms"), F.lit(a), F.lit(b))
+        ).localCheckpoint()
     return merges
 
 
 def bpe_segment(merges: list[tuple[str, str]]):
     """Column function applying learned merges in order to a word column —
-    the encode step, chained JVM folds, usable in any batch or streaming
-    projection."""
+    the encode step as chained JVM folds, usable in batch or streaming
+    projections for MODEST merge lists (each merge nests one aggregate()
+    in the expression tree, so a few hundred is the practical ceiling
+    before Catalyst analysis and codegen costs bite). Encoding with a
+    full 30-50k-merge vocabulary belongs in a broadcast merge-rank map
+    applied by an Arrow-batched UDF, not a column expression."""
     fold = _merge_fold()
 
     def seg(word_col):

@@ -94,6 +94,13 @@ def test_segment_reconstructs_word(spark):
     assert len(out.s) < len("newest")  # merges actually applied
 
 
+def test_segment_empty_string_yields_empty_array(spark):
+    """sequence(1, 0) descends in Spark — '' must not become ['', '']."""
+    seg = bpe_segment([("a", "b")])
+    out = spark.range(1).select(seg(F.lit("")).alias("s")).first().s
+    assert out == []
+
+
 def test_early_stop_below_min_freq(spark):
     df = spark.createDataFrame(
         [(1, "ab cd ef gh ij")], "id long, text string"
