@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from quickstart_streaming_agents_spark.functions.text import tokens
+
 
 def chunk_documents(
     df: DataFrame,
@@ -36,7 +38,7 @@ def chunk_documents(
     ids = id_cols or [df.columns[0]]
     stride = chunk_tokens - overlap_tokens
 
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = tokens(text_col)
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(stride)
     )

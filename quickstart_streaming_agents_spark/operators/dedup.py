@@ -27,7 +27,10 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
 from pyspark.sql import types as T
+
+from quickstart_streaming_agents_spark.functions.text import tokens
 
 # ---------------------------------------------------------------------------
 # exact
@@ -68,7 +71,7 @@ def shingle_df(
     via an explicit CASE. ``keep_cols`` pass through unchanged (e.g. an
     event-time column on a streaming input)."""
     extra = list(keep_cols or [])
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = tokens(text_col)
     d = df.select(
         F.col(id_col).alias("doc_id"), *[F.col(c) for c in extra],
         toks.alias("toks"),

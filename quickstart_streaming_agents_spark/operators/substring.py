@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from quickstart_streaming_agents_spark.functions.text import tokens
+
 
 def duplicate_spans(
     df: DataFrame,
@@ -123,7 +125,7 @@ def strip_duplicate_spans(
     )
     return (
         joined.withColumn(
-            "__toks", F.split(F.trim(F.col(text_col)), r"\s+")
+            "__toks", tokens(text_col)
         )
         .withColumn("__kept", kept)
         .select(
@@ -140,7 +142,7 @@ def strip_duplicate_spans(
 
 def _window_hashes(df, id_col, text_col, k, gram_hash):
     """(id, s, h): hash of the k-token window starting at token offset s."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = tokens(text_col)
     gram = F.array_join(F.slice(F.col("__toks"), F.col("s") + 1, k), " ")
     h = F.xxhash64(gram) if gram_hash == "xxhash64" else F.md5(gram)
     return (
