@@ -102,6 +102,8 @@ HEADLINE = [
     "column_profile",
     "label_centroids",
     "bpe_pair_freqs",
+    "forecast_revenue_change",
+    "promo_revenue_share",
 ]
 
 

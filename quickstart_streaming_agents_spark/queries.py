@@ -3036,6 +3036,90 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q6 analog: forecast-revenue-change — the canonical scan-only
+# aggregate. Every predicate pushes into the parquet scan (PushedFilters
+# carries all three), the sum is map-side partial, and the revenue is
+# carried as exact integer ten-thousandths (price 2dp × discount 2dp)
+# with half-up integer cent rounding, as in returned_item_customers.
+# ---------------------------------------------------------------------------
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT ((CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000)
+              AS BIGINT)) AS BIGINT) + 50) // 100) / 100.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.expr(
+                    "(sum(cast(round(l_extendedprice * l_discount * 10000)"
+                    " as long)) + 50) div 100"
+                )
+                / F.lit(100.0)
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 analog: promo revenue share in one month — conditional-sum
+# ratio over a fact⋈dim join (part broadcast at any reasonable dim size;
+# the month filter pushes into the fact scan). Numerator and denominator
+# both carried as exact integer ten-thousandths; the final ratio divides
+# two identical BIGINTs in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT ROUND(
+        100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+            THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+            ELSE 0 END)
+        / SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)),
+        4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    cents = F.expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 10000) as long)"
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0))
+                / F.sum(cents),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # CUBE grouping sets (rollup already covered by events_rollup): all four
 # aggregation levels of (event_type, source-hour bucket) in ONE Expand +
 # one shuffle — the plan you want instead of 4 unioned aggregations.
