@@ -457,3 +457,82 @@ def funnel_stream(
     return src.groupBy("user_id").applyInPandasWithState(
         per_key, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def pack_sequences_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 256,
+    num_buckets: int = 8,
+) -> DataFrame:
+    """Continuous sequence packing — the streaming twin of
+    ``operators/packing.pack_sequences`` with the identical output
+    contract (bucket, seq_id, doc_tok_start, seq_tok_start,
+    n_seq_tokens).
+
+    Token counting and bucket assignment run JVM-side before the
+    stateful stage; state per bucket is ONE long (the next token offset
+    in that bucket's stream), so the state store holds ``num_buckets``
+    scalars total. Layout equality with the batch operator holds under
+    the chronological-ingest contract every stateful op here shares
+    (docs arrive in ``id_col`` order per bucket); within a micro-batch,
+    rows are sorted by id so intra-batch order never matters.
+    """
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.functions.text import token_count
+
+    if seq_len <= 0 or num_buckets <= 0:
+        raise ValueError("seq_len and num_buckets must be positive")
+    n_toks = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        token_count(text_col)
+    )
+    src = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(int(num_buckets))).cast("long").alias("bucket"),
+        n_toks.cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", docs.schema[id_col].dataType),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("seq_id", T.LongType()),
+            T.StructField("doc_tok_start", T.LongType()),
+            T.StructField("seq_tok_start", T.LongType()),
+            T.StructField("n_seq_tokens", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("next_off", T.LongType())])
+
+    def per_bucket(key, pdfs, state: GroupState):
+        (bucket,) = key
+        (off,) = state.get if state.exists else (0,)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            "doc_id", kind="mergesort"
+        )
+        rows = []
+        for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+            start, end = off, off + int(n)
+            for seq in range(start // seq_len, (end - 1) // seq_len + 1):
+                lo = max(start, seq * seq_len)
+                hi = min(end, (seq + 1) * seq_len)
+                rows.append(
+                    (doc_id, bucket, seq, lo - start, lo - seq * seq_len, hi - lo)
+                )
+            off = end
+        state.update((int(off),))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "bucket", "seq_id", "doc_tok_start",
+                    "seq_tok_start", "n_seq_tokens",
+                ],
+            )
+
+    return src.groupBy("bucket").applyInPandasWithState(
+        per_bucket, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

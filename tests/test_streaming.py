@@ -569,3 +569,32 @@ def test_decontamination_stream_matches_batch(spark, catalog):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_packing_matches_batch(spark, catalog):
+    """Continuous packing must produce the identical (doc, sequence)
+    assignment as the batch operator on chronologically-ingested docs —
+    state is one offset scalar per bucket."""
+    from quickstart_streaming_agents_spark.operators.packing import pack_sequences
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+    from quickstart_streaming_agents_spark.streaming.ops import pack_sequences_stream
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    stamped = docs.withColumn(
+        "ts",
+        F.timestamp_micros(F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000),
+    )
+    catalog.create_table_as("pack_raw_docs", stamped)
+    packed = pack_sequences_stream(
+        catalog.read_stream("pack_raw_docs"), seq_len=64, num_buckets=4
+    )
+    catalog.create_table_as("packed_docs", packed, available_now=True)
+    catalog.await_all()
+    got = sorted(
+        tuple(r) for r in catalog.read_batch("packed_docs").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in pack_sequences(docs, seq_len=64, num_buckets=4).collect()
+    )
+    assert got == want and len(got) > 0
