@@ -598,3 +598,43 @@ def test_streaming_packing_matches_batch(spark, catalog):
         for r in pack_sequences(docs, seq_len=64, num_buckets=4).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_packing_state_survives_restart(spark, tmp_path):
+    """Two availableNow runs over doc-id halves sharing one checkpoint:
+    the restored per-bucket offsets must continue the token stream
+    exactly, so the union equals one batch pass over all docs."""
+    from quickstart_streaming_agents_spark.operators.packing import pack_sequences
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+    from quickstart_streaming_agents_spark.streaming.ops import pack_sequences_stream
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").cache()
+    mid = docs.selectExpr("percentile(doc_id, 0.5) p").collect()[0].p
+    src_dir = tmp_path / "dsrc"
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode("append") \
+        .parquet(str(src_dir))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(docs.schema).format("parquet")
+            .load(str(src_dir))
+        )
+        packed = pack_sequences_stream(stream, seq_len=64, num_buckets=4)
+        q = (
+            packed.writeStream.format("parquet").outputMode("append")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode("append") \
+        .parquet(str(src_dir))
+    run_once()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    want = sorted(
+        tuple(r) for r in pack_sequences(docs, seq_len=64, num_buckets=4).collect()
+    )
+    assert got == want and len(got) > 0
