@@ -104,6 +104,8 @@ HEADLINE = [
     "bpe_pair_freqs",
     "forecast_revenue_change",
     "promo_revenue_share",
+    "filter_project",
+    "scalar_funcs",
 ]
 
 
