@@ -106,6 +106,7 @@ HEADLINE = [
     "promo_revenue_share",
     "filter_project",
     "scalar_funcs",
+    "window_functions_suite",
 ]
 
 

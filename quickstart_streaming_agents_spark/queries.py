@@ -3036,6 +3036,47 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Classic OVER-window suite: rank/dense_rank/lag/lead/ntile/cume_dist in
+# one per-user window pass — one shuffle on user_id, every function
+# evaluated in the same Window operator. Ties are impossible (value
+# carries a per-event deterministic jitter in the fixture generator and
+# the ORDER BY tie-breaks on event_id), so rank semantics are exact.
+# ---------------------------------------------------------------------------
+@query(
+    "window_functions_suite",
+    oracle="""
+    SELECT event_id, user_id,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           lag(event_id) OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           ntile(4) OVER w AS quartile,
+           ROUND(cume_dist() OVER w, 6) AS cdist
+    FROM events
+    WHERE user_id < 40
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    """,
+)
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q6 analog: forecast-revenue-change — the canonical scan-only
 # aggregate. Every predicate pushes into the parquet scan (PushedFilters
 # carries all three), the sum is map-side partial, and the revenue is
