@@ -38,6 +38,20 @@ from pyspark.sql import functions as F
 from quickstart_streaming_agents_spark.functions.text import token_count
 
 
+def doc_token_count(text_col: str):
+    """Whitespace token count with the blank-document guard (split('')
+    yields [''] and would count 1) — the ONE counting rule batch and
+    streaming packing share."""
+    return F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        token_count(text_col)
+    )
+
+
+def bucket_of(id_col: str, num_buckets: int):
+    """The shared bucket key: pmod keeps it non-negative for any id."""
+    return F.pmod(F.col(id_col), F.lit(int(num_buckets))).cast("long")
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -72,18 +86,12 @@ def pack_sequences(
     if seq_len <= 0 or num_buckets <= 0:
         raise ValueError("seq_len and num_buckets must be positive")
     L = F.lit(int(seq_len))
-    # split('') yields [''] (count 1), so blank text needs an explicit
-    # zero or a phantom token would occupy a slot in the packed stream
     n_toks = (
-        F.col(tokens_col)
-        if tokens_col is not None
-        else F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
-            token_count(text_col)
-        )
+        F.col(tokens_col) if tokens_col is not None else doc_token_count(text_col)
     )
     base = df.select(
         F.col(id_col),
-        F.pmod(F.col(id_col), F.lit(int(num_buckets))).cast("long").alias("bucket"),
+        bucket_of(id_col, num_buckets).alias("bucket"),
         n_toks.cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
     w = (

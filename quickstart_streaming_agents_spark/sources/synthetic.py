@@ -72,6 +72,10 @@ class _BatchReader(DataSourceReader):
         self.parts = int(options.get("partitions", 8))
 
     def partitions(self):
+        if self.rows <= 0:
+            # an empty partition list is replaced by [None] upstream and
+            # read(None) would crash — one empty range yields 0 rows
+            return [_RangePartition(0, 0)]
         step = max(1, -(-self.rows // self.parts))
         return [
             _RangePartition(s, min(s + step, self.rows))
@@ -95,7 +99,10 @@ class _StreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start):
         lo = start["next"]
-        hi = min(lo + self.per_batch, self.max_rows)
+        # never move the offset backward: a restart with a lower maxRows
+        # than the checkpointed offset must emit nothing, not regress and
+        # re-emit already-sunk rows later
+        hi = max(lo, min(lo + self.per_batch, self.max_rows))
         # the prefetch cache both calls next() on this (must be an
         # iterator) and pickles it (generators can't pickle) — a list
         # iterator satisfies both

@@ -481,22 +481,22 @@ def pack_sequences_stream(
     """
     import pandas as pd
 
-    from quickstart_streaming_agents_spark.functions.text import token_count
+    from quickstart_streaming_agents_spark.operators.packing import (
+        bucket_of,
+        doc_token_count,
+    )
 
     if seq_len <= 0 or num_buckets <= 0:
         raise ValueError("seq_len and num_buckets must be positive")
-    n_toks = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
-        token_count(text_col)
-    )
     src = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.pmod(F.col(id_col), F.lit(int(num_buckets))).cast("long").alias("bucket"),
-        n_toks.cast("long").alias("n_tokens"),
+        F.col(id_col),
+        bucket_of(id_col, num_buckets).alias("bucket"),
+        doc_token_count(text_col).cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
 
     out_schema = T.StructType(
         [
-            T.StructField("doc_id", docs.schema[id_col].dataType),
+            T.StructField(id_col, docs.schema[id_col].dataType),
             T.StructField("bucket", T.LongType()),
             T.StructField("seq_id", T.LongType()),
             T.StructField("doc_tok_start", T.LongType()),
@@ -510,10 +510,10 @@ def pack_sequences_stream(
         (bucket,) = key
         (off,) = state.get if state.exists else (0,)
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            "doc_id", kind="mergesort"
+            id_col, kind="mergesort"
         )
         rows = []
-        for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+        for doc_id, n in zip(pdf[id_col], pdf["n_tokens"]):
             start, end = off, off + int(n)
             for seq in range(start // seq_len, (end - 1) // seq_len + 1):
                 lo = max(start, seq * seq_len)
@@ -527,7 +527,7 @@ def pack_sequences_stream(
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "bucket", "seq_id", "doc_tok_start",
+                    id_col, "bucket", "seq_id", "doc_tok_start",
                     "seq_tok_start", "n_seq_tokens",
                 ],
             )

@@ -60,3 +60,10 @@ def test_source_feeds_engine_operators(spark):
     )
     assert scored.filter(F.col("n") <= 0).count() == 0
     assert scored.count() == 300
+
+
+def test_zero_rows_yields_empty_frame(spark):
+    """rows=0 must produce an empty DataFrame, not crash (pyspark swaps an
+    empty partition list for [None])."""
+    df = _batch(spark, 0)
+    assert df.count() == 0
