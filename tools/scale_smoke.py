@@ -1,0 +1,75 @@
+"""Scale smoke: run the core curation operators on a generated corpus
+10-100x bigger than the sf0.1 fixture, straight from the syntheticdocs
+Python DataSource (no files touched). Not part of CI — a manual probe
+for "does the plan shape hold when the data grows", e.g.:
+
+    python tools/scale_smoke.py               # 1M docs
+    SMOKE_ROWS=5000000 python tools/scale_smoke.py
+
+Prints one timing line per stage. Expect near-linear growth in the
+map-only stages (scoring, packing's cumsum) and n-log-n-ish growth in
+the shuffling stages (dedup group-by) — superlinear jumps mean a plan
+regression worth investigating with .explain().
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    rows = int(os.environ.get("SMOKE_ROWS", 1_000_000))
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.functions import text as tx
+    from quickstart_streaming_agents_spark.operators.dedup import dedup_exact
+    from quickstart_streaming_agents_spark.operators.packing import pack_sequences
+    from quickstart_streaming_agents_spark.session import get_spark, ship_package
+    from quickstart_streaming_agents_spark.sources.synthetic import register
+
+    spark = get_spark("scale_smoke")
+    ship_package(spark)
+    register(spark)
+    docs = (
+        spark.read.format("syntheticdocs")
+        .option("rows", rows)
+        .option("partitions", spark.sparkContext.defaultParallelism)
+        .load()
+    )
+
+    def stage(name, df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        print(f"{name:28s} {time.perf_counter() - t0:7.2f}s  ({rows:,} docs)")
+
+    stage("generate+score (map-only)", docs.select(
+        "doc_id",
+        tx.lang_id("text").alias("lang_pred"),
+        tx.quality_score("text").alias("quality"),
+        tx.token_count("text").alias("n_tokens"),
+        tx.doc_fingerprint("text").alias("fingerprint"),
+    ))
+    scored = docs.select(
+        "doc_id", tx.doc_fingerprint("text").alias("fingerprint")
+    )
+    stage("exact dedup (1 shuffle)", dedup_exact(
+        scored, ["fingerprint"], ["doc_id"]
+    ))
+    stage("sequence packing (1 shuffle)", pack_sequences(
+        docs, seq_len=2048,
+        num_buckets=spark.sparkContext.defaultParallelism * 4,
+    ))
+    stage("lang histogram (1 shuffle)", docs.select(
+        tx.lang_id("text").alias("lang")
+    ).groupBy("lang").count())
+
+
+if __name__ == "__main__":
+    main()
