@@ -59,6 +59,10 @@ def ml_detect_anomalies_stream(
         T.StructField("last_ts", T.LongType()),
     ])
     in_cols = df.columns
+    # a null event time cannot be ordered: NaT would sort last but cast to
+    # INT64_MIN, corrupting the late-row search and the stored last_ts —
+    # drop such rows before they reach state
+    df = df.filter(F.col(ts).isNotNull())
 
     def per_key(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
         import numpy as np
@@ -147,6 +151,7 @@ def interval_join_stream(
     lower: str = "INTERVAL 6 HOURS",
     upper: str = "INTERVAL 0 SECONDS",
     how: str = "inner",
+    right_suffix: str = "",
 ) -> DataFrame:
     """``c JOIN a ON c.k = a.k AND c.ts BETWEEN a.ts - lower AND a.ts + upper``
     (LAB4-Walkthrough.md:231-235 analog).
@@ -165,9 +170,23 @@ def interval_join_stream(
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
     l, r = left.alias("l"), right.alias("r")
     joined = l.join(r, cond, how)
-    # project away the duplicate equi-key columns from the right side
-    keep = [F.col(f"l.{c}") for c in left.columns] + \
-           [F.col(f"r.{c}").alias(c) for c in right.columns if c not in on]
+    # project away the duplicate equi-key columns from the right side;
+    # any OTHER shared name would silently produce two identically-named
+    # output columns (ambiguous downstream) — suffix it or fail loudly
+    clash = [
+        c for c in right.columns
+        if c not in on and c in left.columns
+    ]
+    if clash and not right_suffix:
+        raise ValueError(
+            f"columns {clash} exist on both sides; pass right_suffix "
+            "to disambiguate (e.g. right_suffix='_r')"
+        )
+    keep = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}").alias(f"{c}{right_suffix}" if c in clash else c)
+        for c in right.columns
+        if c not in on
+    ]
     return joined.select(*keep)
 
 
@@ -212,27 +231,37 @@ class StreamingLimit:
     def __init__(self, n: int, order_by: list[str] | None = None):
         self.remaining = n
         self.order_by = order_by
+        self._done_epochs: set[int] = set()
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> DataFrame | None:
-        # Materialize the whole batch first: stateful upstream operators
-        # (interval joins) require every partition to be processed so their
-        # state-store commits land; a bare limit() short-circuits partitions
-        # and fails commit validation.
-        batch_df = batch_df.persist()
+        # Materialize the whole batch first — ALWAYS, even on the skip
+        # paths: stateful upstream operators (interval joins) require every
+        # partition to be processed so their state-store commits land; a
+        # bare limit() or an early return short-circuits partitions and
+        # fails commit validation.
+        cached = batch_df.persist()
         try:
-            n = batch_df.count()
-            if self.remaining <= 0 or n == 0:
+            n_rows = cached.count()
+            # At-least-once foreachBatch can re-deliver an epoch this
+            # instance already answered; emitting again would breach the
+            # global cap, so a re-delivered epoch emits nothing (under-fill
+            # on the rare partial-write crash is the safe side of the cap;
+            # a transactional sink is the exactly-once fix, as with any
+            # foreachBatch sink).
+            if epoch_id in self._done_epochs:
                 return None
-            if self.order_by:
-                batch_df = batch_df.orderBy(*self.order_by)
-            spark = batch_df.sparkSession
-            out = spark.createDataFrame(
-                batch_df.limit(self.remaining).collect(), batch_df.schema
-            )
-            self.remaining -= out.count()
-            return out
+            if self.remaining <= 0 or n_rows == 0:
+                self._done_epochs.add(epoch_id)
+                return None
+            src = cached.orderBy(*self.order_by) if self.order_by else cached
+            rows = src.limit(self.remaining).collect()
+            self.remaining -= len(rows)
+            self._done_epochs.add(epoch_id)
+            return cached.sparkSession.createDataFrame(rows, cached.schema)
         finally:
-            batch_df.unpersist()
+            # unpersist the frame that was actually cached — unpersisting a
+            # derived orderBy plan would leak the cache entry every batch
+            cached.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -281,14 +310,17 @@ def asof_join_stream(
     payload_t = build.select(*[F.col(c) for c in carried]).schema
     payload_struct = T.StructType(payload_t.fields)
 
-    tagged_probe = probe.select(
+    # null timestamps can't be ordered: a null-ts probe matches nothing
+    # (the batch twin's null-first sort gives it no preceding build row)
+    # and bypasses state below; a null-ts build row is dropped
+    tagged_probe = probe.filter(F.col(left_ts).isNotNull()).select(
         *keys,
         F.unix_micros(F.col(left_ts)).alias("__ts"),
         F.lit(1).alias("__probe"),
         *[F.col(c) for c in probe_only],
         F.lit(None).cast(payload_struct).alias("__payload"),
     )
-    tagged_build = build.select(
+    tagged_build = build.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.unix_micros(F.col(right_ts)).alias("__ts"),
         F.lit(0).alias("__probe"),
@@ -367,9 +399,17 @@ def asof_join_stream(
             yield out[[f.name for f in out_schema.fields]]
         state.update((bts, bpay))
 
-    return unioned.groupBy(*keys).applyInPandasWithState(
+    matched = unioned.groupBy(*keys).applyInPandasWithState(
         per_key, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+    null_probes = probe.filter(F.col(left_ts).isNull()).select(
+        *probe.columns,
+        *[
+            F.lit(None).cast(f.dataType).alias(f"{f.name}{suffix}")
+            for f in payload_t.fields
+        ],
+    )
+    return matched.unionByName(null_probes)
 
 
 # ---------------------------------------------------------------------------
@@ -450,7 +490,11 @@ def funnel_stream(
                     "user_id": [user] * len(out_stage),
                     "stage": pd.Series(out_stage, dtype="int32"),
                     "step": out_step,
-                    "step_ts": pd.to_datetime(pd.Series(out_ts), unit="us"),
+                    # utc=True → tz-aware column, so Arrow output cannot
+                    # re-interpret the instant under a non-UTC session tz
+                    "step_ts": pd.to_datetime(
+                        pd.Series(out_ts), unit="us", utc=True
+                    ),
                 }
             )
 

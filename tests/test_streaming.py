@@ -638,3 +638,48 @@ def test_streaming_packing_state_survives_restart(spark, tmp_path):
         tuple(r) for r in pack_sequences(docs, seq_len=64, num_buckets=4).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_interval_join_stream_rejects_silent_column_collisions(spark):
+    from quickstart_streaming_agents_spark.streaming.ops import interval_join_stream
+
+    l = spark.createDataFrame([(1, None, 1.0)], "k long, ts timestamp, value double") \
+        .withColumn("ts", F.current_timestamp()).withWatermark("ts", "1 minute")
+    r = spark.createDataFrame([(1, None, 2.0)], "k long, ts timestamp, value double") \
+        .withColumn("ts", F.current_timestamp()).withWatermark("ts", "1 minute")
+    import pytest
+    with pytest.raises(ValueError, match="right_suffix"):
+        interval_join_stream(l, r, on=["k"], left_ts="ts", right_ts="ts")
+    out = interval_join_stream(
+        l, r, on=["k"], left_ts="ts", right_ts="ts", right_suffix="_r"
+    )
+    assert set(out.columns) == {"k", "ts", "value", "ts_r", "value_r"}
+
+
+def test_streaming_asof_null_probe_ts_gets_null_payload(spark, catalog):
+    """A probe row with a null event time must flow through with a null
+    match (the batch twin's null-first sort semantics), not crash the
+    stateful operator."""
+    from quickstart_streaming_agents_spark.streaming.ops import asof_join_stream
+
+    probe = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 10.0), (1, None, 99.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    build = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7.0), (1, None, -1.0)],
+        "user_id long, ts string, quote double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    catalog.create_table_as("asof_np_probe", probe)
+    catalog.create_table_as("asof_np_build", build)
+    joined = asof_join_stream(
+        catalog.read_stream("asof_np_probe"),
+        catalog.read_stream("asof_np_build"),
+        on=["user_id"],
+    )
+    catalog.create_table_as("asof_np_out", joined, available_now=True)
+    catalog.await_all()
+    rows = {r.value: r for r in catalog.read_batch("asof_np_out").collect()}
+    assert rows[10.0].quote_asof == 7.0      # normal match
+    assert rows[99.0].quote_asof is None     # null-ts probe: null payload
+    assert len(rows) == 2                    # null-ts build row dropped
