@@ -131,8 +131,9 @@ def _unq(s: str) -> str:
 
 
 def _parse_props(block: str) -> dict[str, str]:
-    """``'k' = 'v', …`` inside a WITH (…) clause."""
-    return {_unq(k): _unq(v) for k, v in _PROP_RE.findall(block)}
+    """``'k' = 'v', …`` inside a WITH (…) clause. Keys are lowercased —
+    the corpus mixes 'task' and 'MAX_ITERATIONS' spellings."""
+    return {_unq(k).lower(): _unq(v) for k, v in _PROP_RE.findall(block)}
 
 
 def _with_props(stmt: str) -> dict[str, str]:
@@ -270,7 +271,7 @@ def rewrite_cumulate(sql: str) -> str:
         )
         last_end = f"timestamp_millis(unix_millis(w.start) + {size_ms})"
         repl = (
-            f"(SELECT * EXCEPT (w), w.start AS window_start, window_end, "
+            f"(SELECT * EXCEPT (w, window_end), w.start AS window_start, window_end, "
             f"window_end - INTERVAL 1 MILLISECOND AS window_time FROM ("
             f"SELECT *, explode(sequence({first_end}, {last_end}, "
             f"INTERVAL {step_n} {step_u})) AS window_end "
@@ -384,8 +385,13 @@ def _split_top_level(args: str) -> list[str]:
     return out
 
 
+# any existing frame clause — BETWEEN form or single-bound shorthand —
+# is REPLACED by the operator's training-window cap (appending a second
+# frame clause would be unparseable)
 _FRAME_RE = re.compile(
-    r"(RANGE|ROWS)\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+CURRENT\s+ROW", re.I
+    r"(RANGE|ROWS)\s+(BETWEEN\s+\S+(\s+\S+)?\s+AND\s+\S+(\s+\S+)?"
+    r"|UNBOUNDED\s+PRECEDING|\d+\s+PRECEDING|CURRENT\s+ROW)",
+    re.I,
 )
 
 
@@ -437,6 +443,8 @@ def rewrite_ml_detect_anomalies(sql: str, spark: SparkSession) -> str:
             )
         ov_open = close + 1 + over_m.end() - 1
         ov_close = _match_paren(sql, ov_open)
+        if ov_close < 0:
+            return sql  # unbalanced OVER(…) — let Spark's parser report it
         spec = sql[ov_open + 1:ov_close]
         capped = f"ROWS BETWEEN {max_n} PRECEDING AND CURRENT ROW"
         spec, n_sub = _FRAME_RE.subn(capped, spec)
@@ -493,6 +501,9 @@ def rewrite_laterals(sql: str) -> str:
                           args, re.S | re.I)
             repl = f"LATERAL vector_search_{vm.group(1)}({vm.group(2)})"
         else:
+            # the corpus passes the model/agent NAME as a backtick
+            # identifier; the UDTF wants a string literal
+            args = re.sub(r"^\s*`([^`]+)`", r"'\1'", args)
             repl = f"LATERAL {_UDTF_FOR[fn]}({args})"
         sql = sql[:m.start()] + repl + sql[outer_close + 1:]
 
@@ -535,6 +546,28 @@ def run_sql_script(
     return results
 
 
+def _ddl_name(obj: str, stmt: str) -> str:
+    """The (possibly backticked, possibly IF NOT EXISTS-prefixed) name of
+    a CREATE <obj> statement — the reference's emitted DDL uses backticks
+    (scripts/common/sql_extractors.py:255)."""
+    m = re.match(
+        rf"CREATE\s+{obj}\s+(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.-]+)",
+        stmt, re.I,
+    )
+    if not m:
+        raise ValueError(f"cannot parse CREATE {obj} name: {stmt[:80]!r}")
+    return m.group(1).strip("`")
+
+
+def _refresh_sql_surface(spark: SparkSession, cat: EngineCatalog) -> None:
+    """Catalog DDL just changed the model/agent set; re-register the SQL
+    UDFs/UDTFs so later statements in the same script see the new objects
+    (their closures snapshot the catalog at registration time)."""
+    from quickstart_streaming_agents_spark.sql import register_engine_sql
+
+    register_engine_sql(spark, cat)
+
+
 def _run_statement(spark: SparkSession, stmt: str, cat: EngineCatalog) -> StatementResult:
     head = stmt.split(None, 2)
     kw = head[0].upper() if head else ""
@@ -549,8 +582,7 @@ def _run_statement(spark: SparkSession, stmt: str, cat: EngineCatalog) -> Statem
         return StatementResult("noop", info={"statement": stmt})
 
     if kw == "CREATE" and second == "CONNECTION":
-        name = re.match(r"CREATE\s+CONNECTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)",
-                        stmt, re.I).group(1)
+        name = _ddl_name("CONNECTION", stmt)
         props = _with_props(stmt)
         cat.create_connection(
             name,
@@ -563,8 +595,7 @@ def _run_statement(spark: SparkSession, stmt: str, cat: EngineCatalog) -> Statem
         return StatementResult("connection", name)
 
     if kw == "CREATE" and second == "MODEL":
-        name = re.match(r"CREATE\s+MODEL\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)",
-                        stmt, re.I).group(1)
+        name = _ddl_name("MODEL", stmt)
         props = _with_props(stmt)
         out_m = re.search(r"OUTPUT\s*\(\s*(\w+)", stmt, re.I)
         task = props.get("task") or (
@@ -582,16 +613,18 @@ def _run_statement(spark: SparkSession, stmt: str, cat: EngineCatalog) -> Statem
             params=tuple((k, v) for k, v in props.items() if k not in reserved),
             connection=cat.connections.get(conn_name) if conn_name else None,
         )
+        _refresh_sql_surface(spark, cat)
         return StatementResult("model", name)
 
     if kw == "CREATE" and second == "TOOL":
-        name = re.match(r"CREATE\s+TOOL\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)",
-                        stmt, re.I).group(1)
-        conn = re.search(r"USING\s+CONNECTION\s+(\w+)", stmt, re.I)
+        name = _ddl_name("TOOL", stmt)
+        conn = re.search(r"USING\s+CONNECTION\s+(`[^`]+`|\w+)", stmt, re.I)
         props = _with_props(stmt)
         cat.create_tool(
             name,
-            connection=cat.connections.get(conn.group(1)) if conn else None,
+            connection=(
+                cat.connections.get(conn.group(1).strip("`")) if conn else None
+            ),
             allowed_tools=tuple(
                 t.strip() for t in props.get("allowed_tools", "").split(",") if t.strip()
             ),
@@ -600,16 +633,23 @@ def _run_statement(spark: SparkSession, stmt: str, cat: EngineCatalog) -> Statem
         return StatementResult("tool", name)
 
     if kw == "CREATE" and second == "AGENT":
-        name = re.match(r"CREATE\s+AGENT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)",
-                        stmt, re.I).group(1)
-        model = re.search(r"USING\s+MODEL\s+(\w+)", stmt, re.I).group(1)
+        name = _ddl_name("AGENT", stmt)
+        model = re.search(
+            r"USING\s+MODEL\s+(`[^`]+`|\w+)", stmt, re.I
+        ).group(1).strip("`")
         prompt_m = re.search(r"USING\s+PROMPT\s+'((?:[^']|'')*)'", stmt, re.I)
-        tools_m = re.search(r"USING\s+TOOLS\s+([\w,\s]+?)(?:\s+WITH\b|$)", stmt, re.I)
+        # terminate at COMMENT as well as WITH — LAB1's corpus statement
+        # carries a COMMENT between the tool list and the WITH clause —
+        # and accept backticked tool names
+        tools_m = re.search(
+            r"USING\s+TOOLS\s+([`\w,\s]+?)(?:\s+COMMENT\b|\s+WITH\b|$)",
+            stmt, re.I,
+        )
         props = _with_props(stmt)
         tools = tuple(
-            cat.tools[t.strip()]
+            cat.tools[t.strip().strip("`")]
             for t in (tools_m.group(1).split(",") if tools_m else [])
-            if t.strip() in cat.tools
+            if t.strip().strip("`") in cat.tools
         )
         cat.create_agent(
             name,
@@ -619,6 +659,7 @@ def _run_statement(spark: SparkSession, stmt: str, cat: EngineCatalog) -> Statem
             max_iterations=int(props.get("max_iterations", "10")),
             max_consecutive_failures=int(props.get("max_consecutive_failures", "2")),
         )
+        _refresh_sql_surface(spark, cat)
         return StatementResult("agent", name)
 
     if kw == "CREATE":  # CREATE TABLE … AS SELECT
@@ -637,10 +678,17 @@ def _run_statement(spark: SparkSession, stmt: str, cat: EngineCatalog) -> Statem
         return StatementResult("select", df=spark.sql(stmt))
 
     if kw == "INSERT":
-        m = re.match(r"INSERT\s+INTO\s+(`?\w+`?)\s+(.*)$", stmt, re.I | re.S)
+        m = re.match(
+            r"INSERT\s+INTO\s+(`[^`]+`|\w+)\s*(\([^)]*\))?\s*(.*)$",
+            stmt, re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse INSERT statement: {stmt[:80]!r}")
         name = m.group(1).strip("`")
-        body = m.group(2)
-        df = spark.sql(rewrite_flink(body, spark))
+        df = spark.sql(rewrite_flink(m.group(3), spark))
+        if m.group(2):  # explicit column list: INSERT INTO t(a, b) …
+            cols = [c.strip().strip("`") for c in m.group(2)[1:-1].split(",")]
+            df = df.toDF(*cols)
         if spark.catalog.tableExists(name):
             old = spark.table(name)
             df = old.unionAll(df.toDF(*old.columns))

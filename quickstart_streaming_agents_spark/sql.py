@@ -75,7 +75,9 @@ def register_engine_sql(spark: SparkSession,
 
     @udtf(returnType="response: string")
     class MlPredictT:
-        def eval(self, model_name: str, prompt: str):
+        def eval(self, model_name: str, prompt: str, settings=None):
+            # third arg: Flink's optional MAP['debug','true'] settings —
+            # accepted for corpus parity, no engine behavior keys yet
             from quickstart_streaming_agents_spark.providers import resolve_provider
 
             model = models[model_name]
@@ -84,12 +86,18 @@ def register_engine_sql(spark: SparkSession,
 
     @udtf(returnType="status: string, response: string")
     class AiRunAgent:
-        def eval(self, agent_name: str, prompt: str):
+        def eval(self, agent_name: str, prompt: str, *context):
+            # extra columns (LAB3 passes the zone key after the reason)
+            # join the prompt on newlines, mirroring how the reference
+            # feeds multi-column context to the agent
             from quickstart_streaming_agents_spark.functions.agents import (
                 run_agent_once,
             )
 
-            yield run_agent_once(agents[agent_name], prompt or "")
+            full = "\n".join(
+                [prompt or ""] + [str(c) for c in context if c is not None]
+            )
+            yield run_agent_once(agents[agent_name], full)
 
     spark.udtf.register("ml_predict_t", MlPredictT)
     spark.udtf.register("ai_run_agent", AiRunAgent)

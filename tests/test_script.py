@@ -383,3 +383,82 @@ def test_cumulate_dataframe_matches_sql_rewrite(spark):
     got = {tuple(r) for r in spark.sql(sql).collect()}
     want = {tuple(r) for r in QUERIES["cumulate_agg"](spark, SF_DIR).collect()}
     assert got == want and len(got) > 0
+
+
+def test_corpus_shaped_ddl_backticks_comment_uppercase(spark):
+    """The reference's emitted DDL uses backticked identifiers, a COMMENT
+    clause between USING TOOLS and WITH, and uppercase property keys
+    (scripts/common/sql_extractors.py:255, LAB1-Walkthrough.md:141-181) —
+    all must parse to the real names, tools, and params."""
+    cat = EngineCatalog()
+    run_sql_script(spark, """
+        CREATE CONNECTION IF NOT EXISTS `remote-mcp-connection` WITH (
+            'type' = 'mcp_server', 'endpoint' = 'http://localhost:9/mcp');
+        CREATE MODEL `price_model` INPUT (prompt STRING) OUTPUT (response STRING)
+            WITH ('provider' = 'fake', 'task' = 'text_generation');
+        CREATE TOOL `lab1_remote_mcp` USING CONNECTION `remote-mcp-connection`
+            WITH ('type' = 'mcp', 'allowed_tools' = 'http_get');
+        CREATE AGENT `price_match_agent` USING MODEL `price_model`
+            USING PROMPT 'find prices'
+            USING TOOLS `lab1_remote_mcp`
+            COMMENT 'agent for price matching'
+            WITH ('MAX_ITERATIONS' = '3');
+    """, catalog=cat)
+    assert "remote-mcp-connection" in cat.connections
+    agent = cat.agents["price_match_agent"]
+    assert [t.name for t in agent.tools] == ["lab1_remote_mcp"]
+    assert agent.max_iterations == 3
+
+
+def test_corpus_shaped_lateral_calls(spark):
+    """LAB1's 3-arg ML_PREDICT with a MAP settings literal and LAB3's
+    AI_RUN_AGENT with a backticked agent name + extra context column must
+    run, not fail on arity or unresolved identifiers."""
+    cat = EngineCatalog()
+    ship_package(spark)
+    run_sql_script(spark, """
+        CREATE MODEL `llm_textgen_model` INPUT (prompt STRING)
+            OUTPUT (response STRING) WITH ('provider' = 'fake');
+        CREATE AGENT `boat_dispatch_agent` USING MODEL `llm_textgen_model`
+            USING PROMPT 'dispatch boats';
+    """, catalog=cat)
+    spark.createDataFrame(
+        [("why no boats", "zone_a")], "question string, zone string"
+    ).createOrReplaceTempView("lab3_q")
+    out = run_sql_script(spark, """
+        SELECT q.question, r.response FROM lab3_q q,
+        LATERAL TABLE(ML_PREDICT('llm_textgen_model', q.question,
+                                 MAP['debug', 'true'])) r;
+        SELECT q.zone, a.status, a.response FROM lab3_q q,
+        LATERAL TABLE(AI_RUN_AGENT(`boat_dispatch_agent`, q.question, q.zone)) a
+    """, catalog=cat)
+    r1 = out[-2].df.collect()
+    r2 = out[-1].df.collect()
+    assert len(r1) == 1 and r1[0].response
+    assert len(r2) == 1 and r2[0].status == "SUCCESS"
+    assert "zone_a" in r2[0].response  # context column reached the agent
+
+
+def test_cumulate_rewrite_unique_columns(spark):
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.script import rewrite_cumulate
+
+    spark.createDataFrame(
+        [("2024-01-01 00:01:00", 1.0)], "ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp")) \
+        .createOrReplaceTempView("cum_t")
+    df = spark.sql(rewrite_cumulate(
+        "SELECT * FROM TABLE(CUMULATE(TABLE cum_t, DESCRIPTOR(ts), "
+        "INTERVAL '5' MINUTES, INTERVAL '10' MINUTES))"
+    ))
+    assert len(df.columns) == len(set(df.columns)), df.columns
+
+
+def test_insert_with_column_list(spark):
+    out = run_sql_script(spark, """
+        CREATE TABLE ins_t AS SELECT 1 AS a, 'x' AS b;
+        INSERT INTO ins_t(a, b) VALUES (2, 'y')
+    """, catalog=EngineCatalog())
+    rows = sorted((r.a, r.b) for r in out[-1].df.collect())
+    assert rows == [(1, "x"), (2, "y")]
