@@ -79,7 +79,7 @@ TOOL_EXECUTORS = {
 # fake agent-capable model step
 # ---------------------------------------------------------------------------
 
-def _fake_agent_step(transcript: str, agent: Agent, allowed: list[str]) -> str:
+def _fake_agent_step(transcript: str, allowed: list[str]) -> str:
     """Deterministic policy: call each allowed tool until it has succeeded
     (retrying failures, like a real agent), then emit a final labeled answer
     matching any requested verdict format."""
@@ -88,10 +88,10 @@ def _fake_agent_step(transcript: str, agent: Agent, allowed: list[str]) -> str:
             args = {"url": f"https://example.com/{tool_name}", "to": "user@example.com",
                     "subject": "automated", "body": {"q": transcript[:32]}}
             return "TOOL_CALL " + json.dumps({"tool": tool_name, "args": args})
-    m = re.search(r"verdict[s]? must be one of:?\s*\[([^\]]+)\]", transcript, re.I)
-    if m:
-        choices = [c.strip().strip("'\"") for c in m.group(1).split(",")]
-        pick = choices[int(hashlib.md5(transcript.encode()).hexdigest(), 16) % len(choices)]
+    from quickstart_streaming_agents_spark.providers import pick_verdict_choice
+
+    pick = pick_verdict_choice(transcript)
+    if pick is not None:
         return f"**Verdict:** {pick}\nReasoning: fake agent completed after tool use."
     return "AGENT_DONE: " + transcript[-80:]
 
@@ -100,17 +100,28 @@ def run_agent_once(agent: Agent, user_prompt: str) -> tuple[str, str]:
     """One bounded agent loop for one input row → (status, response)."""
     allowed = [t for tool in agent.tools for t in tool.allowed_tools]
     transcript = f"{agent.prompt}\n\nUSER: {user_prompt}"
+    if agent.model.provider != "fake" and allowed:
+        # a real model must be TOLD the tool wire format and the whitelist
+        # or it can never call a tool (the fake policy knows it natively)
+        transcript = (
+            "You may call tools. To call one, reply with EXACTLY one line:\n"
+            'TOOL_CALL {"tool": "<name>", "args": {...}}\n'
+            f"Available tools: {', '.join(allowed)}. Tool results come back "
+            "as TOOL_RESULT[<name>] lines; when finished, reply with your "
+            "final answer instead of a TOOL_CALL.\n\n"
+        ) + transcript
     consecutive_failures = 0
     last = ""
     for _ in range(max(1, agent.max_iterations)):
         if agent.model.provider == "fake":
-            step = _fake_agent_step(transcript, agent, allowed)
+            step = _fake_agent_step(transcript, allowed)
         else:  # real model: same wire format via the provider's textgen
             from quickstart_streaming_agents_spark.providers import resolve_provider
 
             step = resolve_provider(agent.model)([transcript], agent.model)[0]
         last = step
         if step.startswith("TOOL_CALL "):
+            name = "?"  # a parse failure must not blame the previous tool
             try:
                 call = json.loads(step[len("TOOL_CALL "):])
                 name = call.get("tool", "")
@@ -120,7 +131,6 @@ def run_agent_once(agent: Agent, user_prompt: str) -> tuple[str, str]:
                 transcript += f"\nTOOL_RESULT[{name}]: {result}"
                 consecutive_failures = 0
             except Exception as exc:  # noqa: BLE001 — any tool error counts
-                name = locals().get("name", "?")
                 transcript += f"\nTOOL_FAIL[{name}]: {exc}"
                 consecutive_failures += 1
                 if consecutive_failures >= agent.max_consecutive_failures:
@@ -147,6 +157,23 @@ def ai_run_agent(agent: Agent, prompt_col: str | Column) -> Column:
     return _run(col)
 
 
+def invoke_tool_once(
+    tool_name: str, prompt: str, extra_args: dict | None = None
+) -> tuple[str, str, str]:
+    """(tool_name, result, response) for one single-shot invocation — the
+    ONE implementation behind both the DataFrame and the SQL
+    AI_TOOL_INVOKE surfaces."""
+    try:
+        if tool_name not in TOOL_EXECUTORS:
+            raise KeyError(f"unknown tool {tool_name!r}")
+        args = {"url": f"https://example.com/?q={(prompt or '')[:24]}"}
+        args.update(extra_args or {})
+        result = TOOL_EXECUTORS[tool_name](args)
+        return (tool_name, result, f"tool {tool_name} ok")
+    except Exception as exc:  # noqa: BLE001 — any tool error counts
+        return (tool_name, "", f"tool {tool_name} failed: {exc}")
+
+
 def ai_tool_invoke(model: Model, prompt_col: str | Column, tools: tuple[Tool, ...]) -> Column:
     """Single-shot tool invocation: struct<tool_name, result, response>.
 
@@ -166,14 +193,10 @@ def ai_tool_invoke(model: Model, prompt_col: str | Column, tools: tuple[Tool, ..
     @F.pandas_udf(out_type)
     def _invoke(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for s in batches:
-            rows = []
-            for p in s.tolist():
-                name = allowed[0] if allowed else ""
-                try:
-                    result = TOOL_EXECUTORS[name]({"url": f"https://example.com/?q={(p or '')[:24]}"})
-                    rows.append((name, result, f"tool {name} ok"))
-                except Exception as exc:  # noqa: BLE001
-                    rows.append((name, "", f"tool {name} failed: {exc}"))
+            rows = [
+                invoke_tool_once(allowed[0] if allowed else "", p)
+                for p in s.tolist()
+            ]
             yield pd.DataFrame(rows, columns=["tool_name", "result", "response"], index=s.index)
 
     return _invoke(col)

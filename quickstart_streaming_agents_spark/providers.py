@@ -36,14 +36,24 @@ def fake_textgen(prompts: list[str], model: Model) -> list[str]:
     out = []
     for p in prompts:
         p = p or ""
-        m = re.search(r"verdict[s]? must be one of:?\s*\[([^\]]+)\]", p, re.I)
-        if m:
-            choices = [c.strip().strip("'\"") for c in m.group(1).split(",")]
-            pick = choices[int(hashlib.md5(p.encode()).hexdigest(), 16) % len(choices)]
+        pick = pick_verdict_choice(p)
+        if pick is not None:
             out.append(f"**Verdict:** {pick}\nReasoning: deterministic fake assessment.")
             continue
         out.append(f"FAKE[{model.name}]:{p[:48].upper()}")
     return out
+
+
+def pick_verdict_choice(text: str) -> str | None:
+    """If the text demands a labeled verdict from an explicit choice list
+    ("verdicts must be one of: [...]"), pick one deterministically (md5 of
+    the full text) — the ONE rule the fake textgen provider and the fake
+    agent policy share, so their verdict shapes can never drift."""
+    m = re.search(r"verdict[s]? must be one of:?\s*\[([^\]]+)\]", text, re.I)
+    if not m:
+        return None
+    choices = [c.strip().strip("'\"") for c in m.group(1).split(",")]
+    return choices[int(hashlib.md5(text.encode()).hexdigest(), 16) % len(choices)]
 
 
 def fake_embedding(texts: list[str], model: Model) -> list[list[float]]:

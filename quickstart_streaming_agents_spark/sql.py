@@ -123,23 +123,20 @@ def register_engine_sql(spark: SparkSession,
         tools: pd.Series,
         options: pd.Series,
     ) -> pd.DataFrame:
-        from quickstart_streaming_agents_spark.functions.agents import TOOL_EXECUTORS
+        from quickstart_streaming_agents_spark.functions.agents import (
+            invoke_tool_once,
+        )
 
         rows = []
         for name, p, targs, tmap in zip(names, prompts, input_args, tools):
             allowed = list(tmap.keys()) if tmap is not None else []
             tname = allowed[0] if allowed else ""
-            try:
-                if name not in models:
-                    raise KeyError(f"unknown model {name!r}")
-                if tname not in TOOL_EXECUTORS:
-                    raise KeyError(f"unknown tool {tname!r}")
-                args = {"url": f"https://example.com/?q={(p or '')[:24]}"}
-                args.update(targs or {})
-                result = TOOL_EXECUTORS[tname](args)
-                rows.append((tname, result, f"tool {tname} ok"))
-            except Exception as exc:  # noqa: BLE001 — any tool error counts
-                rows.append((tname, "", f"tool {tname} failed: {exc}"))
+            if name not in models:
+                rows.append(
+                    (tname, "", f"tool {tname} failed: 'unknown model {name!r}'")
+                )
+                continue
+            rows.append(invoke_tool_once(tname, p, targs))
         return pd.DataFrame(rows, columns=["tool_name", "result", "response"])
 
     spark.udf.register("ai_tool_invoke", _ai_tool_invoke)

@@ -229,3 +229,24 @@ def test_ml_predict_through_http_provider(stub_server, spark):
     df = spark.createDataFrame([("p1",), ("p2",), ("p3",)], "prompt string")
     rows = df.withColumn("response", ml_predict(model, "prompt")).collect()
     assert sorted(r["response"] for r in rows) == ["ECHO:p1", "ECHO:p2", "ECHO:p3"]
+
+
+def test_agent_real_model_receives_tool_contract(stub_server):
+    """A real model can only call tools if the transcript TELLS it the
+    TOOL_CALL wire format and the whitelist — assert the instruction
+    header and tool names reach the provider."""
+    from quickstart_streaming_agents_spark.functions.agents import run_agent_once
+    from quickstart_streaming_agents_spark.registries import Agent, Tool
+
+    stub_server.request_log.clear()
+    model = _model(stub_server, "/agent", provider="openai")
+    agent = Agent(
+        name="pricer", model=model, prompt="You check prices.",
+        tools=(Tool(name="web", allowed_tools=("http_get",)),),
+        max_iterations=5,
+    )
+    run_agent_once(agent, "check this")
+    first = [r for r in stub_server.request_log if r["path"] == "/agent"][0]
+    sent = first["body"]["messages"][-1]["content"]
+    assert 'TOOL_CALL {"tool"' in sent
+    assert "Available tools: http_get" in sent
