@@ -77,7 +77,16 @@ def norm_ppf(p: float) -> float:
 
 
 def _z_for_confidence(confidence_percentage: float) -> float:
+    if not 0.0 < confidence_percentage < 100.0:
+        raise ValueError(
+            f"confidence_percentage must be in (0, 100), got {confidence_percentage}"
+        )
     return norm_ppf(0.5 + confidence_percentage / 200.0)
+
+
+#: Rows scored per task in the chunked AR path. Each task additionally
+#: carries up to ``max_training_size`` duplicated prefix rows as history.
+AR_CHUNK_SIZE = 4096
 
 
 def ml_detect_anomalies(
@@ -92,25 +101,39 @@ def ml_detect_anomalies(
     stl_period: int = 0,
     detector: str = "ar",
     output_col: str = "anomaly_result",
-    ar_chunk_size: int | None = None,
+    ar_chunk_size: int | None = AR_CHUNK_SIZE,
     ridge_lambda: float = 1e-6,
 ) -> DataFrame:
     """Append ``output_col`` struct<forecast_value, upper_bound, lower_bound,
     is_anomaly> computed per key over the event-time-ordered metric history.
 
     ``ar_chunk_size`` bounds the AR detector's per-task row count (see
-    ``_ar``); ``None`` uses :data:`AR_CHUNK_SIZE`. ``ridge_lambda`` is the
-    AR fit's ridge stabilizer (0.0 = pure OLS, SQL-replayable at p=1).
+    ``_ar``; defaults to :data:`AR_CHUNK_SIZE`, ``None`` disables chunking
+    — one task per key). ``ridge_lambda`` is the AR fit's ridge stabilizer
+    (0.0 = pure OLS, SQL-replayable at p=1). Rows with a NULL metric carry
+    no signal and cannot train: they emit the no-verdict struct and do not
+    occupy a training-window slot (matching the zscore detector, whose
+    window aggregates skip nulls). Note the AR fit needs two residual rows,
+    so the first scored row of a key is at index max(min_training_size, 3).
     """
     if detector == "zscore":
         return _zscore(df, metric, ts, keys, min_training_size, max_training_size,
                        confidence_percentage, output_col)
     if detector == "ar":
-        return _ar(df, metric, ts, keys, min_training_size, max_training_size,
-                   confidence_percentage, enable_stl, stl_period, output_col,
-                   chunk_size=ar_chunk_size if ar_chunk_size is not None
-                   else AR_CHUNK_SIZE,
-                   ridge_lambda=ridge_lambda)
+        nulls = df.filter(F.col(metric).isNull()).withColumn(
+            output_col,
+            F.struct(
+                F.lit(None).cast("double").alias("forecast_value"),
+                F.lit(None).cast("double").alias("upper_bound"),
+                F.lit(None).cast("double").alias("lower_bound"),
+                F.lit(False).alias("is_anomaly"),
+            ),
+        )
+        scored = _ar(df.filter(F.col(metric).isNotNull()), metric, ts, keys,
+                     min_training_size, max_training_size,
+                     confidence_percentage, enable_stl, stl_period, output_col,
+                     chunk_size=ar_chunk_size, ridge_lambda=ridge_lambda)
+        return scored.unionByName(nulls)
     raise ValueError(f"unknown detector {detector!r}")
 
 
@@ -134,7 +157,13 @@ def _zscore(df, metric, ts, keys, min_n, max_n, confidence, output_col):
     lower = F.when(trained, m - F.lit(z) * sd)
     is_anom = F.when(
         trained,
-        (F.col(metric).cast("double") > upper) | (F.col(metric).cast("double") < lower),
+        # coalesce: a NULL metric compares to NULL, and a NULL is_anomaly
+        # would silently vanish from boolean filters — no verdict is False
+        F.coalesce(
+            (F.col(metric).cast("double") > upper)
+            | (F.col(metric).cast("double") < lower),
+            F.lit(False),
+        ),
     ).otherwise(F.lit(False))
     return df.withColumn(
         output_col,
@@ -209,9 +238,12 @@ def _ar_forecast_series(values, min_n, max_n, z, enable_stl, stl_period, start=0
     v = np.asarray(values, dtype=np.float64)
     season = np.zeros(n)
     if enable_stl and stl_period and stl_period > 1:
-        # Light-weight seasonal adjustment (seasonal means of the training
-        # prefix); the reference accepts enableStl but every use sets FALSE
-        # (LAB3-Walkthrough.md:126, LAB4-Walkthrough.md:158).
+        # Light-weight seasonal adjustment: per-phase means over the WHOLE
+        # series — two-pass batch semantics, not causal (appending data can
+        # shift earlier rows' seasonal term). The reference accepts
+        # enableStl but every use sets FALSE (LAB3-Walkthrough.md:126,
+        # LAB4-Walkthrough.md:158), so this stays a batch-only extra; the
+        # streaming operator rejects it.
         idx = np.arange(n) % stl_period
         for s in range(stl_period):
             mask = idx == s
@@ -237,9 +269,6 @@ def _ar_forecast_series(values, min_n, max_n, z, enable_stl, stl_period, start=0
     return forecast, upper, lower, is_anom
 
 
-#: Rows scored per task in the chunked AR path. Each task additionally
-#: carries up to ``max_training_size`` duplicated prefix rows as history.
-AR_CHUNK_SIZE = 4096
 
 
 def _ar(df, metric, ts, keys, min_n, max_n, confidence, enable_stl, stl_period,
@@ -297,26 +326,35 @@ def _ar(df, metric, ts, keys, min_n, max_n, confidence, enable_stl, stl_period,
 
         return df.groupBy(*keys).applyInPandas(per_key, schema=out_schema)
 
-    # Chunked path: JVM row_number per key orders the series once; each row
-    # lands in chunk floor((rn-1)/chunk_size), and the last max_n rows of a
-    # chunk are duplicated into the next chunk as history-only prefix.
+    # Chunked path: ONE JVM row_number pass orders the series; each row
+    # lands in chunk floor((rn-1)/chunk_size) and, when it sits in its
+    # chunk's last max_n rows, ALSO emits a history-only copy into the
+    # next chunk via an in-task explode. Emitting both copies from the
+    # same evaluated row matters: two independent window branches could
+    # rank tied timestamps differently per branch and silently hand the
+    # next chunk a different training prefix than the scored tail.
+    clash = {"_ar_rn", "_ar_chunk", "_ar_prefix"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with helpers: {sorted(clash)}")
     w = Window.partitionBy(*keys).orderBy(ts)
     rn = df.withColumn("_ar_rn", F.row_number().over(w))
-    scored_rows = rn.withColumn(
-        "_ar_chunk", ((F.col("_ar_rn") - 1) / F.lit(chunk_size)).cast("long")
-    ).withColumn("_ar_prefix", F.lit(False))
-    prefix_rows = (
-        rn.withColumn(
-            "_ar_chunk",
-            ((F.col("_ar_rn") - 1) / F.lit(chunk_size)).cast("long") + 1,
-        )
-        .filter(
-            F.col("_ar_rn")
-            > F.col("_ar_chunk") * F.lit(chunk_size) - F.lit(max_n)
-        )
-        .withColumn("_ar_prefix", F.lit(True))
+    chunk = ((F.col("_ar_rn") - 1) / F.lit(chunk_size)).cast("long")
+    in_tail = F.col("_ar_rn") > (chunk + 1) * F.lit(chunk_size) - F.lit(max_n)
+    dest = F.explode(
+        F.when(
+            in_tail,
+            F.array(
+                F.struct(chunk.alias("c"), F.lit(False).alias("p")),
+                F.struct((chunk + 1).alias("c"), F.lit(True).alias("p")),
+            ),
+        ).otherwise(F.array(F.struct(chunk.alias("c"), F.lit(False).alias("p"))))
     )
-    both = scored_rows.unionByName(prefix_rows)
+    both = (
+        rn.withColumn("_t", dest)
+        .withColumn("_ar_chunk", F.col("_t.c"))
+        .withColumn("_ar_prefix", F.col("_t.p"))
+        .drop("_t")
+    )
 
     def per_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_ar_rn", kind="mergesort").reset_index(drop=True)

@@ -142,7 +142,7 @@ def register_engine_sql(spark: SparkSession,
     spark.udf.register("ai_tool_invoke", _ai_tool_invoke)
 
 
-_MDA_CACHE: dict[tuple[int, int, float], str] = {}
+_MDA_CACHE: dict[tuple[int, int, float, float], str] = {}
 
 
 def register_ml_detect_anomalies_sql(
@@ -151,6 +151,7 @@ def register_ml_detect_anomalies_sql(
     max_training_size: int = 50,
     confidence_percentage: float = 95.0,
     enable_stl: bool = False,
+    ridge_lambda: float = 1e-6,
 ) -> str:
     """Register the SQL window-function form of ``ML_DETECT_ANOMALIES``
     (LAB3-Walkthrough.md:119-132, LAB4-Walkthrough.md:150-163 in
@@ -184,11 +185,14 @@ def register_ml_detect_anomalies_sql(
         ar_one_step,
     )
 
-    key = (int(min_training_size), int(max_training_size), float(confidence_percentage))
+    key = (int(min_training_size), int(max_training_size),
+           float(confidence_percentage), float(ridge_lambda))
     fn_name = _MDA_CACHE.get(key)
     if fn_name is None:
-        fn_name = "ml_da_{}_{}_{}".format(
-            key[0], key[1], str(key[2]).replace(".", "_").replace("-", "m")
+        fn_name = "ml_da_{}_{}_{}_{}".format(
+            key[0], key[1],
+            str(key[2]).replace(".", "_").replace("-", "m"),
+            str(key[3]).replace(".", "_").replace("-", "m"),
         )
         _MDA_CACHE[key] = fn_name
 
@@ -199,7 +203,7 @@ def register_ml_detect_anomalies_sql(
     def _detect(v):
         vals = v.to_numpy(dtype="float64")
         train = vals[:-1][-max_n:]
-        step = ar_one_step(train, min_n, z)
+        step = ar_one_step(train, min_n, z, lam=ridge_lambda)
         if step is None:
             return [None, None, None, 0.0]
         fc, up, lo = step

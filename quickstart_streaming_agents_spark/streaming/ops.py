@@ -30,6 +30,7 @@ def ml_detect_anomalies_stream(
     max_training_size: int = 50,
     confidence_percentage: float = 95.0,
     output_col: str = "anomaly_result",
+    ridge_lambda: float = 1e-6,
 ) -> DataFrame:
     """Streaming ``ML_DETECT_ANOMALIES`` (LAB3-Walkthrough.md:119-132 analog).
 
@@ -101,7 +102,7 @@ def ml_detect_anomalies_stream(
         # move last_ts forward). Both halves score in vectorized numpy.
         n_late = int(np.searchsorted(ts_int, last_ts, side="left"))
         if n_late:
-            step = ar_one_step(buf, min_training_size, z)
+            step = ar_one_step(buf, min_training_size, z, lam=ridge_lambda)
             if step is not None:
                 f0, u0, l0 = step
                 fc[:n_late] = f0
@@ -112,7 +113,8 @@ def ml_detect_anomalies_stream(
             series = np.concatenate([np.asarray(buf, dtype=np.float64), v[n_late:]])
             off = len(buf)
             f1, u1, l1, a1 = _ar_forecast_series(
-                series, min_training_size, max_training_size, z, False, 0, start=off
+                series, min_training_size, max_training_size, z, False, 0,
+                start=off, lam=ridge_lambda,
             )
             fc[n_late:] = f1[off:]
             up[n_late:] = u1[off:]

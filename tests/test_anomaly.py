@@ -10,6 +10,7 @@ from __future__ import annotations
 import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from quickstart_streaming_agents_spark.operators.anomaly import (
     ml_detect_anomalies,
@@ -116,3 +117,77 @@ def test_norm_ppf():
     assert abs(norm_ppf(0.975) - 1.959964) < 1e-5
     assert abs(norm_ppf(0.5)) < 1e-12
     assert abs(norm_ppf(0.9995) - 3.290527) < 1e-5
+
+
+def test_null_metric_rows_emit_no_verdict_and_do_not_poison_training(spark):
+    """A NULL metric must not occupy a training slot (NaN would poison
+    every fit containing it) — scored rows must match the same series
+    with the nulls absent."""
+    import pandas as pd
+
+    vals = [float(10 + (i % 5)) for i in range(60)]
+    rows = [("k", i, vals[i]) for i in range(60)]
+    # interleave nulls
+    rows += [("k", 1000 + i, None) for i in range(5)]
+    df = spark.createDataFrame(rows, "key string, tick long, metric double") \
+        .withColumn("ts", F.timestamp_micros(F.col("tick") * 1_000_000))
+    out = ml_detect_anomalies(
+        df, metric="metric", ts="ts", keys=["key"],
+        min_training_size=8, max_training_size=20,
+    )
+    got = {r.tick: r.anomaly_result for r in out.collect()}
+    assert len(got) == 65
+    for i in range(5):
+        res = got[1000 + i]
+        assert res.forecast_value is None and res.is_anomaly is False
+    clean = ml_detect_anomalies(
+        spark.createDataFrame(
+            [("k", i, vals[i]) for i in range(60)],
+            "key string, tick long, metric double",
+        ).withColumn("ts", F.timestamp_micros(F.col("tick") * 1_000_000)),
+        metric="metric", ts="ts", keys=["key"],
+        min_training_size=8, max_training_size=20,
+    )
+    want = {r.tick: r.anomaly_result for r in clean.collect()}
+    for i in range(60):
+        assert got[i] == want[i], i
+
+
+def test_chunked_parity_with_tied_timestamps(spark):
+    """Tied event times near chunk boundaries must not let the duplicated
+    training prefix diverge from the scored tail (both copies now come
+    from one evaluated row)."""
+    # heavy ties: 3 rows per timestamp; values equal within a tie group so
+    # the expected output is order-independent and the assertion is exact
+    rows = [("k", i // 3, float((i // 3) % 7)) for i in range(240)]
+    df = spark.createDataFrame(rows, "key string, tick long, metric double") \
+        .withColumn("ts", F.timestamp_micros(F.col("tick") * 1_000_000))
+    kwargs = dict(metric="metric", ts="ts", keys=["key"],
+                  min_training_size=8, max_training_size=16)
+    def coll(out):
+        return sorted(
+            (r.key, r.tick, repr(tuple(r.anomaly_result or ())))
+            for r in out.select("key", "tick", "anomaly_result").collect()
+        )
+
+    a = coll(ml_detect_anomalies(df, ar_chunk_size=16, **kwargs))
+    b = coll(ml_detect_anomalies(df, ar_chunk_size=None, **kwargs))
+    assert len(a) == len(b) == 240
+    assert a == b
+
+
+def test_rejects_out_of_range_confidence(spark):
+    df = spark.createDataFrame([("k", 1, 1.0)], "key string, tick long, metric double") \
+        .withColumn("ts", F.timestamp_micros(F.col("tick") * 1_000_000))
+    with pytest.raises(ValueError, match="confidence_percentage"):
+        ml_detect_anomalies(df, metric="metric", ts="ts", keys=["key"],
+                            confidence_percentage=100.0)
+
+
+def test_rejects_helper_column_collision(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 1.0, 9)], "key string, tick long, metric double, _ar_rn int"
+    ).withColumn("ts", F.timestamp_micros(F.col("tick") * 1_000_000))
+    with pytest.raises(ValueError, match="_ar_rn"):
+        ml_detect_anomalies(df, metric="metric", ts="ts", keys=["key"]) \
+            .collect()
