@@ -187,6 +187,17 @@ def _compile_encoder(schema):
     """Schema → f(out: bytearray, value) appending the Avro binary form."""
     if isinstance(schema, list):  # nullable union ["null", X]
         branches = [b for b in schema if b != "null"]
+        if len(branches) > 1:
+            # decoding such unions works (by wire index); ENCODING would
+            # need branch inference from the value — defer the error to
+            # actual encode so decode-only codecs still construct
+            def enc_unsupported(out, v):
+                raise TypeError(
+                    "encoding multi-branch unions is unsupported (a value's"
+                    f" branch cannot be inferred reliably): {schema!r}"
+                )
+
+            return enc_unsupported
         null_idx = schema.index("null")
         val_idx = 1 - null_idx
         inner = _compile_encoder(branches[0])
@@ -295,15 +306,18 @@ def _compile_encoder(schema):
 def _compile_decoder(schema):
     """Schema → f(buf, pos) -> (value, pos)."""
     if isinstance(schema, list):
-        branches = [b for b in schema if b != "null"]
-        null_idx = schema.index("null")
-        inner = _compile_decoder(branches[0])
+        # decode by the written branch index — a >2-branch union must not
+        # silently decode every branch with branch[0]'s decoder
+        decs = [
+            (None if b == "null" else _compile_decoder(b)) for b in schema
+        ]
 
         def dec_union(buf, pos):
             idx, pos = _read_long(buf, pos)
-            if idx == null_idx:
+            d = decs[idx]  # IndexError on a corrupt index is the right crash
+            if d is None:
                 return None, pos
-            return inner(buf, pos)
+            return d(buf, pos)
 
         return dec_union
 
@@ -439,7 +453,7 @@ def _compile_skipper(schema):
                 if t == "array"
                 else _compile_skipper(schema["values"])
             )
-            sskip = _compile_skipper("string")
+            sskip = _compile_skipper("string") if t == "map" else None
 
             def skip_blocks(buf, pos):
                 while True:
@@ -448,11 +462,10 @@ def _compile_skipper(schema):
                         return pos
                     if n < 0:  # negative count → byte size follows: O(1) skip
                         size, pos = _read_long(buf, pos)
-                        return_pos = pos + size
-                        pos = return_pos
+                        pos += size
                         continue
                     for _ in range(n):
-                        if t == "map":
+                        if sskip is not None:
                             pos = sskip(buf, pos)
                         pos = item(buf, pos)
 
@@ -482,6 +495,8 @@ def _compile_skipper(schema):
         return lambda buf, pos: pos + 4
     if schema == "boolean":
         return lambda buf, pos: pos + 1
+    if schema == "null":  # zero bytes on the wire
+        return lambda buf, pos: pos
     raise TypeError(f"no skipper for Avro schema {schema!r}")
 
 
@@ -515,8 +530,22 @@ def _resolvable(writer, reader) -> bool:
 def _default_value(schema, default):
     """JSON default from the reader schema → decoded-value space."""
     if isinstance(schema, list):
-        return None if default is None else _default_value(schema[-1], default)
+        # the spec ties a union field's default to the FIRST branch
+        return None if default is None else _default_value(schema[0], default)
     if isinstance(schema, dict):
+        lt = schema.get("logicalType")
+        if lt in ("timestamp-millis", "timestamp-micros") and default is not None:
+            unit = "ms" if lt == "timestamp-millis" else "us"
+            return pd.Timestamp(int(default), unit=unit).to_pydatetime()
+        if lt == "date" and default is not None:
+            return datetime.date(1970, 1, 1) + datetime.timedelta(days=int(default))
+        if lt == "decimal" and default is not None:
+            raw = default.encode("latin-1") if isinstance(default, str) else bytes(default)
+            import decimal as _decimal
+
+            return _decimal.Decimal(
+                int.from_bytes(raw, "big", signed=True)
+            ).scaleb(-schema["scale"])
         t = schema["type"]
         if t == "record":
             return {
@@ -533,11 +562,26 @@ def _default_value(schema, default):
     return default
 
 
+def _unreadable_branch(msg: str):
+    def _raise(buf, pos):
+        raise TypeError(msg)
+
+    return _raise
+
+
 def _compile_resolver(writer, reader):
     """(writer, reader) schemas → decoder in the reader's shape."""
     # writer union: resolve each branch against the reader independently
     if isinstance(writer, list):
-        branch_res = [_compile_resolver(b, reader) for b in writer]
+        # resolve branches lazily: a branch unreadable by the reader is an
+        # error only for a datum actually written with it (Avro spec,
+        # schema resolution) — not at codec construction
+        branch_res = []
+        for b in writer:
+            try:
+                branch_res.append(_compile_resolver(b, reader))
+            except TypeError as exc:
+                branch_res.append(_unreadable_branch(str(exc)))
 
         def res_wunion(buf, pos):
             idx, pos = _read_long(buf, pos)
@@ -632,7 +676,15 @@ def _compile_resolver(writer, reader):
     if wname == rname:
         # identical base type: the writer's decoder already yields the
         # value space (incl. logical-type conversion — spec resolves
-        # logical types via their underlying type)
+        # logical types via their underlying type). A DIFFERENT reader
+        # logical type would silently mix raw and converted values in one
+        # column — refuse loudly instead.
+        wlt = writer.get("logicalType") if isinstance(writer, dict) else None
+        rlt = reader.get("logicalType") if isinstance(reader, dict) else None
+        if wlt != rlt:
+            raise TypeError(
+                f"logical-type mismatch: writer {wlt!r} vs reader {rlt!r}"
+            )
         return _compile_decoder(writer)
     promote = _PROMOTIONS.get((wname, rname))
     if promote is None:
@@ -671,6 +723,8 @@ class AvroCodec:
         return bytes(out)
 
     def decode(self, msg: bytes):
+        if msg is None:
+            return None  # Kafka tombstone → null row, like from_json(null)
         if msg[0:1] != CONFLUENT_MAGIC:
             raise ValueError(f"bad magic byte {msg[0:1]!r}")
         sid = _struct.unpack(">I", msg[1:5])[0]

@@ -108,6 +108,8 @@ def read_topic(
     starting_offsets: str = "earliest",
     min_partitions: int | None = None,
     serde: str = "json",
+    schema_id: int = 1,
+    ts_logical: str = "micros",
 ) -> DataFrame:
     """S1: subscribe to a topic as a streaming DataFrame of typed rows."""
     if not kafka_available(spark):
@@ -126,7 +128,12 @@ def read_topic(
     if serde == "avro":
         from quickstart_streaming_agents_spark.sources.avro import decode_avro
 
-        return decode_avro(reader.load(), schema, ts_col=ts_col, watermark=watermark)
+        # schema_id must match the registry-assigned id for the topic —
+        # the default 1 only suits the hermetic round-trip tests
+        return decode_avro(
+            reader.load(), schema, schema_id=schema_id,
+            ts_logical=ts_logical, ts_col=ts_col, watermark=watermark,
+        )
     return decode_json(reader.load(), schema, ts_col, watermark)
 
 
@@ -138,6 +145,8 @@ def write_topic(
     key: str | None = None,
     mode: str = "append",
     serde: str = "json",
+    schema_id: int = 1,
+    ts_logical: str = "micros",
 ):
     """S2: continuous insert into a topic (CTAS sink half). Returns the
     started StreamingQuery."""
@@ -146,7 +155,7 @@ def write_topic(
     if serde == "avro":
         from quickstart_streaming_agents_spark.sources.avro import encode_avro
 
-        msgs = encode_avro(df, key=key)
+        msgs = encode_avro(df, key=key, schema_id=schema_id, ts_logical=ts_logical)
     else:
         msgs = encode_json(df, key=key)
     return (

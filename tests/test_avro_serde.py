@@ -313,3 +313,55 @@ def test_resolution_incompatible_rejected():
     reader = _rec([{"name": "a", "type": "int"}])
     with pytest.raises(TypeError, match="cannot resolve"):
         AvroCodec(writer, reader_schema=reader)
+
+
+def test_nullable_writer_only_field_is_skipped():
+    """Evolution's most common shape: the writer added a NULLABLE field the
+    reader doesn't know — must skip cleanly, both branches."""
+    writer = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "extra", "type": ["null", "string"]},
+        ],
+    }
+    reader = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    enc = AvroCodec(writer)
+    dec = AvroCodec(writer, reader_schema=reader)
+    assert dec.decode(enc.encode({"a": 7, "extra": "x"})) == {"a": 7}
+    assert dec.decode(enc.encode({"a": 8, "extra": None})) == {"a": 8}
+
+
+def test_writer_union_narrowed_to_nonunion_reader_lazy():
+    """Writer ["null","string"] read as "string": legal until a null datum
+    is actually written (Avro schema-resolution rules) — construction must
+    succeed and only the null datum must fail."""
+    writer = {"type": "record", "name": "r",
+              "fields": [{"name": "s", "type": ["null", "string"]}]}
+    reader = {"type": "record", "name": "r",
+              "fields": [{"name": "s", "type": "string"}]}
+    enc = AvroCodec(writer)
+    dec = AvroCodec(writer, reader_schema=reader)
+    assert dec.decode(enc.encode({"s": "ok"})) == {"s": "ok"}
+    import pytest
+    with pytest.raises(TypeError, match="null"):
+        dec.decode(enc.encode({"s": None}))
+
+
+def test_multi_branch_union_decodes_by_index():
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "v", "type": ["null", "long", "string"]}]}
+    # hand-encode the string branch (index 2)
+    import io
+    buf = bytearray(b"\x00" + (1).to_bytes(4, "big"))
+    buf.extend(b"\x04")          # zigzag(2) = 4 → union index 2
+    raw = "hi".encode()
+    buf.extend(bytes([len(raw) * 2]))  # zigzag length
+    buf.extend(raw)
+    dec = AvroCodec(schema)
+    assert dec.decode(bytes(buf)) == {"v": "hi"}
+
+
+def test_tombstone_decodes_to_none():
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "a", "type": "long"}]}
+    assert AvroCodec(schema).decode(None) is None
