@@ -30,6 +30,26 @@ from pyspark.sql import functions as F
 from quickstart_streaming_agents_spark.functions.text import tokens
 
 
+def _idf_expr():
+    """Lucene-form idf — the ONE definition every tier scores with."""
+    return F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+
+
+def _bm25_weight_expr(k1: float, b: float):
+    return _idf_expr() * (
+        F.col("tf")
+        * (F.lit(k1) + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+
+
 def postings(
     docs: DataFrame, *, doc_id: str = "doc_id", text: str = "text"
 ) -> DataFrame:
@@ -40,6 +60,7 @@ def postings(
     """
     return (
         docs.select(doc_id, F.explode(tokens(F.lower(F.col(text)))).alias("term"))
+        .filter(F.col("term") != "")  # split('') yields [''] for blank text
         .groupBy(doc_id, "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -93,9 +114,9 @@ def bm25_topk(
     # df(t) only for terms that can score: map-side broadcast semi join
     # on the postings, then a tiny per-term count.
     matched = post.join(F.broadcast(qterms.select("term").distinct()), "term")
-    dfreq = matched.groupBy("term").agg(
-        F.countDistinct(doc_id).alias("df")
-    )
+    # postings are distinct per (doc, term) already — a plain count equals
+    # countDistinct without the extra distinct-aggregate pass
+    dfreq = matched.groupBy("term").agg(F.count("*").alias("df"))
 
     cand = (
         matched.join(F.broadcast(qterms), "term")
@@ -103,20 +124,7 @@ def bm25_topk(
         .join(dl, doc_id)
         .crossJoin(F.broadcast(stats))
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    w = idf * (
-        F.col("tf")
-        * (F.lit(k1) + 1.0)
-        / (
-            F.col("tf")
-            + F.lit(k1)
-            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-        )
-    )
-    scored = cand.withColumn("w", w).groupBy(query_id, doc_id).agg(
+    scored = cand.withColumn("w", _bm25_weight_expr(k1, b)).groupBy(query_id, doc_id).agg(
         F.round(F.sum("w"), 6).alias("score")
     )
     rank_w = Window.partitionBy(query_id).orderBy(
@@ -145,23 +153,17 @@ def vocab_stats(
     (per-partition heap + driver merge, no global sort shuffle).
     """
     post = postings(docs, doc_id=doc_id, text=text).persist()
-    n_docs = docs.agg(F.countDistinct(doc_id).alias("n_docs"))
+    # N from the postings themselves — a second corpus scan would also
+    # count NULL-text docs the postings drop, skewing idf vs bm25_topk
+    n_docs = doc_lengths(post, doc_id=doc_id).agg(
+        F.count("*").alias("n_docs")
+    )
     term_stats = post.groupBy("term").agg(
-        F.countDistinct(doc_id).alias("df"), F.sum("tf").alias("cf")
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
     )
     return (
         term_stats.crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "idf",
-            F.round(
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                ),
-                6,
-            ),
-        )
+        .withColumn("idf", F.round(_idf_expr(), 6))
         .drop("n_docs")
         .orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(top_n)
@@ -189,26 +191,14 @@ def build_bm25_index(
     post = postings(docs, doc_id=doc_id, text=text).persist()
     dl = doc_lengths(post, doc_id=doc_id)
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    dfreq = post.groupBy("term").agg(F.countDistinct(doc_id).alias("df"))
+    dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
     weighted = (
         post.join(dl, doc_id)
         .join(dfreq, "term")
         .crossJoin(F.broadcast(stats))
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    w = idf * (
-        F.col("tf") * (F.lit(k1) + 1.0)
-        / (
-            F.col("tf")
-            + F.lit(k1)
-            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-        )
-    )
     return (
-        weighted.withColumn("w", w)
+        weighted.withColumn("w", _bm25_weight_expr(k1, b))
         .groupBy("term")
         .agg(
             F.max("df").alias("df"),
@@ -242,34 +232,44 @@ def bm25_search_broadcast(
     Results are identical to ``bm25_topk`` (same rounding, same
     (score DESC, doc_id ASC) tie-break).
     """
+    import decimal
+
     import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import (
         DoubleType,
+        IntegerType,
         LongType,
         StructField,
         StructType,
     )
 
-    # loud size guard before the driver materializes the index
-    n_entries = int(
-        index.select(F.sum(F.size("postings")).alias("n")).first()["n"] or 0
-    )
-    est = n_entries * 16  # 8-byte id + 8-byte weight per posting
-    if est > max_broadcast_bytes:
-        raise ValueError(
-            f"BM25 index ≈{est / 1e9:.1f} GB ({n_entries} postings) exceeds the "
-            f"broadcast tier bound ({max_broadcast_bytes / 1e9:.1f} GB); use the "
-            "distributed bm25_topk instead, or raise max_broadcast_bytes."
+    # guard + collect are two actions over the same expensive aggregation
+    # — persist across them so the index builds once
+    index = index.persist()
+    try:
+        n_entries = int(
+            index.select(F.sum(F.size("postings")).alias("n")).first()["n"] or 0
         )
-    local = {
-        r["term"]: (
-            np.array([p["doc_id"] for p in r["postings"]], dtype=np.int64),
-            np.array([p["w"] for p in r["postings"]], dtype=np.float64),
-        )
-        for r in index.collect()
-    }
+        est = n_entries * 16  # 8-byte id + 8-byte weight per posting
+        if est > max_broadcast_bytes:
+            raise ValueError(
+                f"BM25 index ≈{est / 1e9:.1f} GB ({n_entries} postings) exceeds the "
+                f"broadcast tier bound ({max_broadcast_bytes / 1e9:.1f} GB); use the "
+                "distributed bm25_topk instead, or raise max_broadcast_bytes."
+            )
+        id_dt = index.schema["postings"].dataType.elementType["doc_id"].dataType
+        id_np = np.int64 if isinstance(id_dt, (LongType, IntegerType)) else object
+        local = {
+            r["term"]: (
+                np.array([p["doc_id"] for p in r["postings"]], dtype=id_np),
+                np.array([p["w"] for p in r["postings"]], dtype=np.float64),
+            )
+            for r in index.collect()
+        }
+    finally:
+        index.unpersist()
     spark = queries.sparkSession
     b_index = spark.sparkContext.broadcast(local)
 
@@ -277,41 +277,62 @@ def bm25_search_broadcast(
     out_schema = StructType(
         [
             StructField(query_id, id_type),
-            StructField("doc_id", LongType()),
+            StructField("doc_id", id_dt),
             StructField("rank", LongType()),
             StructField("score", DoubleType()),
         ]
     )
 
+    def _round6(v: float) -> float:
+        # match Spark's F.round: HALF_UP on the shortest decimal repr —
+        # np.round is half-to-even on the binary value and can flip the
+        # last digit (and a rank boundary) vs the distributed tier
+        return float(
+            decimal.Decimal(repr(float(v))).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
     def score(batches):
         idx = b_index.value
         for pdf in batches:
             out_qid, out_doc, out_rank, out_score = [], [], [], []
-            for qid, qtext in zip(pdf[query_id], pdf[query_text]):
-                terms = {t for t in str(qtext).lower().strip().split() if t}
-                hits = [idx[t] for t in terms if t in idx]
+            for qid, qterms in zip(pdf[query_id], pdf["__qterms"]):
+                if qterms is None:
+                    continue  # null query text matches nothing, as in bm25_topk
+                hits = [idx[t] for t in qterms if t in idx]
                 if not hits:
                     continue
                 ids = np.concatenate([h[0] for h in hits])
                 ws = np.concatenate([h[1] for h in hits])
                 uniq, inv = np.unique(ids, return_inverse=True)
-                scores = np.round(np.bincount(inv, weights=ws), 6)
+                raw = np.bincount(inv, weights=ws)
+                scores = np.array([_round6(v) for v in raw])
                 order = np.lexsort((uniq, -scores))[:k]
                 for rank, j in enumerate(order, start=1):
                     out_qid.append(qid)
-                    out_doc.append(int(uniq[j]))
+                    out_doc.append(uniq[j] if id_np is object else int(uniq[j]))
                     out_rank.append(rank)
                     out_score.append(float(scores[j]))
             yield pd.DataFrame(
                 {
                     query_id: pd.Series(out_qid, dtype=object),
-                    "doc_id": out_doc,
+                    "doc_id": pd.Series(out_doc, dtype=object),
                     "rank": out_rank,
                     "score": out_score,
                 }
             )
 
-    return queries.mapInPandas(score, out_schema)
+    # tokenize JVM-side with the SAME tokenizer as the index build —
+    # a second Python tokenization (str.split: Unicode whitespace) would
+    # silently diverge from Java's \s+ on exotic whitespace
+    tagged = queries.withColumn(
+        "__qterms",
+        F.array_remove(
+            F.array_distinct(tokens(F.lower(F.col(query_text)))), ""
+        ),
+    )
+    return tagged.mapInPandas(score, out_schema)
 
 
 def unigram_logprob(
