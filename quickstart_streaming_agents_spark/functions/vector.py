@@ -29,15 +29,25 @@ def assert_broadcastable_corpus(
     vector_table: DataFrame,
     embedding_col: str = "embedding",
     max_broadcast_bytes: int = 1 << 30,
+    max_broadcast_rows: int = 2_000_000,
 ) -> int:
     """Fail loudly (not with a driver OOM) when a corpus is too big for the
     exact-broadcast tier. Returns the corpus row count.
 
-    The bound is estimated as rows × dim × 8 (the normalized float64
-    matrix). Oversized corpora should use the shuffle-shaped ANN operators
+    The byte bound estimates the normalized float64 matrix (rows × dim ×
+    8); the row bound additionally caps the per-row METADATA dicts that
+    are collected and broadcast alongside it (a low-dim corpus with fat
+    text columns can pass the matrix bound and still OOM the driver).
+    Oversized corpora should use the shuffle-shaped ANN operators
     (operators/similarity.ann_lsh / ann_ivf) instead.
     """
     n = vector_table.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"vector corpus has {n} rows > max_broadcast_rows "
+            f"{max_broadcast_rows}; metadata collection would risk a driver "
+            "OOM — use the ANN operators or raise the bound explicitly."
+        )
     first = vector_table.select(embedding_col).first()
     dim = len(first[0]) if first and first[0] is not None else 0
     est = n * dim * 8
@@ -70,6 +80,8 @@ def vector_search(
     """
     import numpy as np
 
+    # NULL embeddings can match nothing and would crash np.stack
+    vector_table = vector_table.filter(F.col(embedding_col).isNotNull())
     assert_broadcastable_corpus(vector_table, embedding_col, max_broadcast_bytes)
     meta_fields = [f for f in vector_table.schema.fields if f.name != embedding_col]
     meta_cols = [f.name for f in meta_fields]
@@ -77,6 +89,15 @@ def vector_search(
         list(meta_fields) + [T.StructField("score", T.DoubleType())]
     )
     out_schema = T.StructType(df.schema.fields + [T.StructField(output_col, T.ArrayType(elem_type))])
+    if exclude_self_on is not None:
+        df_dt = df.schema[exclude_self_on].dataType
+        id_dt = meta_fields[0].dataType
+        if df_dt != id_dt:
+            raise TypeError(
+                f"exclude_self_on column {exclude_self_on!r} is {df_dt}, the "
+                f"corpus id column {meta_fields[0].name!r} is {id_dt} — a "
+                "silent type mismatch would never mask any self-hit"
+            )
 
     # Driver-side collect of the bounded corpus; broadcast once per query.
     pdf = vector_table.select(*meta_cols, embedding_col).toPandas()
@@ -109,24 +130,34 @@ def vector_search(
         for pdf_in in batches:
             n = len(pdf_in)
             results: list[list[dict]] = [[] for _ in range(n)]
-            if n and kk > 0:
-                q_mat = np.stack(pdf_in[query_col].to_numpy()).astype(np.float64)
+            valid = (
+                pdf_in[query_col].notna().to_numpy() if n else np.zeros(0, bool)
+            )
+            if n and kk > 0 and valid.any():
+                vidx = np.flatnonzero(valid)
+                q_mat = np.stack(
+                    pdf_in[query_col].iloc[vidx].to_numpy()
+                ).astype(np.float64)
                 qn = np.linalg.norm(q_mat, axis=1)
                 qn[qn == 0] = 1.0
                 q_mat /= qn[:, None]
                 batch_ids = (
-                    pdf_in[exclude_self_on].to_numpy() if ids is not None else None
+                    pdf_in[exclude_self_on].iloc[vidx].to_numpy()
+                    if ids is not None else None
                 )
-                for lo in range(0, n, block):
-                    hi = min(n, lo + block)
+                nv = len(vidx)
+                for lo in range(0, nv, block):
+                    hi = min(nv, lo + block)
                     scores = q_mat[lo:hi] @ m.T
                     if ids is not None:
                         scores[ids[None, :] == batch_ids[lo:hi, None]] = -np.inf
                     part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
                     for bi in range(hi - lo):
                         top = part[bi]
-                        top = top[np.argsort(-scores[bi, top], kind="stable")]
-                        results[lo + bi] = [
+                        # (-score, corpus position): ties order by position
+                        # instead of argpartition's arbitrary internal order
+                        top = top[np.lexsort((top, -scores[bi, top]))]
+                        results[vidx[lo + bi]] = [
                             {**meta[j], "score": float(scores[bi, j])}
                             for j in top
                             if np.isfinite(scores[bi, j])
@@ -150,10 +181,13 @@ def vector_search_flat(
     """Lab2's flattened ``search_results`` contract: id_1..k, [chunk_1..k],
     score_1..k columns (terraform/lab2-vector-search/main.tf:280-300).
     Array indexing is 1-based in both Flink SQL and ``element_at``."""
+    out_col = kw.get("output_col", "search_results")
     out = vector_search(df, vector_table, query_col, k=k, **kw)
     cols = [F.col(c) for c in df.columns if c != query_col]
     for i in range(1, k + 1):
-        elem = F.element_at("search_results", i)
+        # try_element_at: fewer than k matches yields NULL columns, not an
+        # ANSI INVALID_ARRAY_INDEX error
+        elem = F.try_element_at(out_col, F.lit(i))
         cols.append(elem.getField(id_col).alias(f"{id_col}_{i}"))
         if text_col:
             cols.append(elem.getField(text_col).alias(f"{text_col}_{i}"))

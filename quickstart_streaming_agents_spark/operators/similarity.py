@@ -124,6 +124,9 @@ def ann_lsh(
 
     Candidates = bucket collisions in any probe table; exact cosine re-rank.
     """
+    # a NULL embedding can match nothing and would crash np.stack later
+    corpus = corpus.filter(F.col(emb_col).isNotNull())
+    queries = queries.filter(F.col(emb_col).isNotNull())
     first = corpus.select(emb_col).first()
     if first is None:  # empty corpus: nothing can match (empty-input safety)
         return _empty_topk(corpus.sparkSession)
@@ -173,7 +176,11 @@ def _rerank_topk(
     norm = F.sqrt(F.expr("aggregate(qe, 0D, (a, v) -> a + v * double(v))")) * F.sqrt(
         F.expr("aggregate(ce, 0D, (a, v) -> a + v * double(v))")
     )
-    scored = cand.withColumn("score", dot / norm).drop("qe", "ce")
+    # a zero vector yields 0/0 = NaN, which Spark sorts ABOVE every real
+    # score — define its similarity as 0 (the brute-force tier's guard)
+    scored = cand.withColumn(
+        "score", F.when(norm == 0, F.lit(0.0)).otherwise(dot / norm)
+    ).drop("qe", "ce")
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -304,6 +311,8 @@ def ann_ivf(
     corpora; LSH needs no training pass. Recall is tuned via
     (n_centroids, n_probe) and measured in tests vs brute force.
     """
+    corpus = corpus.filter(F.col(emb_col).isNotNull())
+    queries = queries.filter(F.col(emb_col).isNotNull())
     if corpus.select(emb_col).first() is None:  # empty corpus (see ann_lsh)
         return _empty_topk(corpus.sparkSession)
     cents = _train_centroids(corpus, emb_col, n_centroids, train_sample,

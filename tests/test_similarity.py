@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from quickstart_streaming_agents_spark.functions.vector import vector_search
@@ -97,3 +98,50 @@ def test_sample_frames_one_to_many(spark):
     assert len(rows) >= 5
     assert all(r["frame_idx"] % 10 == 0 for r in rows)
     assert all(isinstance(r["frame_payload"], (bytes, bytearray)) for r in rows)
+
+
+def test_vector_search_handles_null_query_and_short_corpus(spark):
+    from quickstart_streaming_agents_spark.functions.vector import (
+        vector_search,
+        vector_search_flat,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vid long, embedding array<float>"
+    )
+    df = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (11, None)], "qid long, q array<float>"
+    )
+    rows = {r.qid: r.search_results for r in
+            vector_search(df, corpus, "q", k=5).collect()}
+    assert len(rows[10]) == 2          # k capped at corpus size
+    assert rows[11] == []              # null query → empty results, no crash
+    # flattened form: fewer matches than k pads with NULLs (ANSI-safe)
+    flat = vector_search_flat(df, corpus, "q", k=5, id_col="vid", text_col=None)
+    r10 = [r for r in flat.collect() if r.qid == 10][0]
+    assert r10.vid_1 is not None and r10.vid_3 is None and r10.score_5 is None
+
+
+def test_vector_search_rejects_self_exclusion_type_mismatch(spark):
+    from quickstart_streaming_agents_spark.functions.vector import vector_search
+
+    corpus = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vid string, embedding array<float>"
+    )
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vid long, q array<float>")
+    with pytest.raises(TypeError, match="exclude_self_on"):
+        vector_search(df, corpus, "q", exclude_self_on="vid")
+
+
+def test_ann_ignores_null_embeddings(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.9, 0.1])],
+        "id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.05]), (11, None)], "id long, embedding array<float>"
+    )
+    got = ann_lsh(queries, corpus, "id", "id", num_planes=2, num_tables=4, k=2)
+    ids = {(r.query_id, r.match_id) for r in got.collect()}
+    assert all(q != 11 and m != 2 for q, m in ids)
+    assert any(q == 10 for q, _ in ids)
