@@ -34,15 +34,36 @@ from pyspark.sql import functions as F
 UNIT = float(1 << 60)
 
 
+def _norm_component(c: Column) -> Column:
+    """Collision-safe identity component: NULL gets a distinct sentinel
+    (concat_ws would silently SKIP it, colliding (a,NULL) with (NULL,a))
+    and literal backslashes/pipes are escaped so the '|' separator cannot
+    be forged by data. All no-ops for the typical numeric id columns, so
+    existing hashes are unchanged."""
+    esc = F.replace(
+        F.replace(c.cast("string"), F.lit("\\"), F.lit("\\\\")),
+        F.lit("|"),
+        F.lit("\\|"),
+    )
+    return F.coalesce(esc, F.lit("\\N"))
+
+
 def hash_unit(id_cols: list[str], salt: str = "") -> Column:
     """``[0, 1)`` uniform from row identity — stable across runs/partitions."""
-    key = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in id_cols])
+    key = F.concat_ws(
+        "|", F.lit(salt), *[_norm_component(F.col(c)) for c in id_cols]
+    )
     return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") / F.lit(UNIT)
 
 
 def hash_unit_sql(id_exprs: list[str], salt: str = "") -> str:
     """The DuckDB-side replay of :func:`hash_unit` (for oracle SQL)."""
-    key = f"concat_ws('|', '{salt}', {', '.join(f'({e})::VARCHAR' for e in id_exprs)})"
+    comps = ", ".join(
+        "coalesce(replace(replace(({e})::VARCHAR, '\\', '\\\\'), '|', '\\|'), '\\N')".format(e=e)
+        for e in id_exprs
+    )
+    q_salt = salt.replace("'", "''")
+    key = f"concat_ws('|', '{q_salt}', {comps})"
     return f"(('0x' || substr(md5({key}), 1, 15))::UBIGINT / 1152921504606846976.0)"
 
 
@@ -50,8 +71,9 @@ def deterministic_sample(
     df: DataFrame, id_cols: list[str], fraction: float, salt: str = ""
 ) -> DataFrame:
     """Keep ≈``fraction`` of rows, chosen by row-identity hash. Changing
-    ``salt`` draws an independent sample (e.g. train/val/test splits use
-    three salts with disjoint accept ranges — or just this with salts)."""
+    ``salt`` draws an INDEPENDENT sample — two salts' samples overlap, so
+    disjoint train/val/test splits need threshold RANGES on one salt
+    (as ``queries.dataset_split`` does), never separate salts."""
     return df.filter(hash_unit(id_cols, salt) < F.lit(float(fraction)))
 
 
@@ -79,12 +101,13 @@ def mix_rates(counts: dict[str, int], weights: dict[str, float]) -> dict[str, fl
     Pure double arithmetic in a fixed expression shape so the SQL oracle
     computes bit-identical rates.
     """
-    eligible = [s for s in weights if counts.get(s)]
+    eligible = [s for s in weights if counts.get(s) and weights[s] > 0]
     if not eligible:  # empty input: nothing to keep, and no rate to solve
         return {s: 0.0 for s in weights}
     m = min(counts[s] / weights[s] for s in eligible)
     return {
-        s: (weights[s] * m / counts[s] if counts.get(s) else 0.0) for s in weights
+        s: (weights[s] * m / counts[s] if s in eligible else 0.0)
+        for s in weights
     }
 
 

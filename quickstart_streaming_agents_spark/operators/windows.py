@@ -72,7 +72,30 @@ def cumulate(
     size/step rows at most, map-side, before the one shuffle.
 
     Returns ``window_start, window_end[, window_time], *keys, *aggs``.
+
+    Batch-only: after the explode, no groupBy key carries the event-time
+    attribute, so Structured Streaming cannot emit this aggregation in
+    append mode — the TVF's streaming analog is ``tumble`` at ``step``
+    granularity rolled up at read time.
     """
+    if df.isStreaming:
+        raise NotImplementedError(
+            "cumulate is batch-only (the exploded window ends drop the "
+            "event-time attribute); use tumble(step) + a read-time rollup "
+            "for the streaming form"
+        )
+    ms = {"second": 1000, "seconds": 1000, "minute": 60_000,
+          "minutes": 60_000, "hour": 3_600_000, "hours": 3_600_000,
+          "day": 86_400_000, "days": 86_400_000}
+
+    def _to_ms(spec: str) -> int:
+        n, unit = spec.split()
+        return int(n) * ms[unit.lower()]
+
+    if _to_ms(size) % _to_ms(step):
+        raise ValueError(
+            f"CUMULATE size must be a multiple of step ({size!r} vs {step!r})"
+        )
     step_expr = f"INTERVAL {step}"
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)

@@ -5,6 +5,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from quickstart_streaming_agents_spark.operators.sampling import (
+    hash_unit,
+    hash_unit_sql,
     deterministic_sample,
     domain_mix,
     mix_rates,
@@ -70,3 +72,39 @@ def test_stratified_sample_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_hash_unit_distinct_identities_distinct_hashes(spark):
+    """concat_ws silently skips NULLs and '|' is the separator — (a,NULL)
+    vs (NULL,a) and ('a|b','c') vs ('a','b|c') must NOT collide."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("alice", None), (None, "alice"), ("a|b", "c"), ("a", "b|c")],
+        "x string, y string",
+    )
+    vals = [r.h for r in df.select(hash_unit(["x", "y"], "s").alias("h")).collect()]
+    assert len(set(vals)) == 4
+
+
+def test_hash_unit_sql_replays_normalization(spark):
+    """The DuckDB form must hash identically for NULLs, pipes, and
+    backslashes — and quote-escape the salt."""
+    import duckdb
+
+    rows = [("alice", None), ("a|b", "c"), ("x\\y", "z"), ("plain", "7")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    sv = [round(r.h, 12) for r in
+          df.select(hash_unit(["x", "y"], "it's").alias("h")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x VARCHAR, y VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    dv = [round(r[0], 12) for r in
+          con.execute(f"SELECT {hash_unit_sql(['x', 'y'], chr(105)+chr(116)+chr(39)+chr(115))} FROM t").fetchall()]
+    assert sv == dv
+
+
+def test_mix_rates_zero_weight_excludes_stratum():
+    assert mix_rates({"en": 100, "zh": 50}, {"en": 1.0, "zh": 0.0}) == {
+        "en": 1.0, "zh": 0.0,
+    }
