@@ -167,14 +167,23 @@ def connected_components(
     sig = _edge_signature(edges)
     if local_threshold and sig[0] <= local_threshold:
         return _local_components(edges)
+    converged = False
     for _ in range(max_iter):
         edges = ckpt(_small_star(_large_star(edges)))
         new_sig = _edge_signature(edges)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
         if local_threshold and new_sig[0] <= local_threshold:
             return _local_components(edges)
+    if not converged:
+        # extracting a star forest from a non-converged edge set would
+        # silently emit conflicting component labels for some nodes
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; raise max_iter (expected rounds ~ log(diameter))"
+        )
     # Converged state is a star forest: every edge is (member, root).
     members = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = edges.select(
@@ -187,12 +196,16 @@ def dedup_clusters(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    **cc_kwargs,
 ) -> DataFrame:
     """Pairs → (id, component, cluster_size, is_canonical): the full dedup
     decision table. ``is_canonical`` marks the one row to keep per cluster
     (the min id — deterministic, join-free to apply: anti-join the
-    non-canonical ids against the corpus)."""
-    cc = connected_components(pairs, src, dst)
+    non-canonical ids against the corpus). Extra keyword arguments
+    (``checkpoint_dir``, ``max_iter``, ``local_threshold``) forward to
+    :func:`connected_components` — the at-scale reliable-checkpoint path
+    is reachable without bypassing this entry point."""
+    cc = connected_components(pairs, src, dst, **cc_kwargs)
     sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return cc.join(sizes, "component").select(
         "id",

@@ -108,10 +108,13 @@ def ngram_jaccard_pairs(
     hash; groups larger than ``max_shingle_df`` are dropped by a ``size()``
     filter (the stopword-run skew guard comes free — no separate
     doc-frequency pass, no anti-join), then each surviving group emits its
-    ordered doc pairs JVM-side via nested ``transform`` and pairs/sizes
-    aggregate from there. A shingle in >1000 docs carries no
-    pair-discrimination signal anyway: dropping it slightly lowers recall,
-    never precision, for thresholds > 0.5.
+    ordered doc pairs JVM-side via nested ``transform``. Per-doc sizes
+    (the Jaccard denominators) are counted over the UNCAPPED shingle set —
+    counting them post-cap would shrink only the hot doc's denominator and
+    could inflate a pair's Jaccard past the threshold. With true
+    denominators, dropping a hot shingle can only lose shared counts:
+    recall-only, never precision. A shingle in >1000 docs carries no
+    pair-discrimination signal anyway.
 
     ``max_shingle_df=None`` disables the cap and falls back to the
     self-equi-join plan, which never materializes a per-shingle doc list —
@@ -119,17 +122,16 @@ def ngram_jaccard_pairs(
     """
     sh = _shingle_hash_df(df, id_col, text_col, n)
     if max_shingle_df is not None:
-        # cached: both the sizes branch and the pairs branch read groups, and
-        # a second full shingle shuffle costs more than spilling this (the
-        # cap bounds row width; MEMORY_AND_DISK spills rather than OOMs).
+        # cached: the sizes branch and the group-by-shingle branch both
+        # read sh, and a second full shingle explode costs more than
+        # spilling this (MEMORY_AND_DISK spills rather than OOMs).
+        sh = sh.persist()
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
         groups = (
             sh.groupBy("shingle")
             .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
             .filter(F.size("ids") <= max_shingle_df)
-            .persist()
         )
-        kept = groups.select(F.explode("ids").alias("doc_id"))
-        sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
         pair_expr = F.expr(
             "flatten(transform(ids, (x, i) -> "
             "transform(slice(ids, i + 2, size(ids)), "
@@ -162,6 +164,19 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+
+def _require_integral_id(df: DataFrame, id_col: str, op: str) -> None:
+    """The minhash/simhash/embedding tiers key numpy arrays by int64 ids;
+    a non-numeric id would cast('long') to NULL and silently empty the
+    candidate join (or crash np casts). Fail loudly instead."""
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"{op} requires an integral id column; {id_col!r} is {dt}. "
+            "Map ids to int64 first (e.g. xxhash64), or use the "
+            "ngram_jaccard/connected-components tier, which keeps any id type."
+        )
+
 
 def _stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
@@ -198,6 +213,7 @@ def minhash_signatures(
     matrices stream through DRAM three times. Don't "optimize" this into
     one large matmul.
     """
+    _require_integral_id(df, id_col, "minhash_signatures")
     a_params, b_params = _minhash_params(num_hashes, seed)
     out_schema = T.StructType(
         [
@@ -221,7 +237,11 @@ def minhash_signatures(
                         for i in range(max(0, len(words) - shingle_n + 1))
                     }
                     if not grams:
-                        sigs.append([0] * num_hashes)
+                        # a shingle-less doc has no similarity signal; an
+                        # all-zero signature would make every short doc a
+                        # "perfect duplicate" of every other and collide
+                        # in every LSH band (quadratic blowup)
+                        sigs.append(None)
                         continue
                     x = np.fromiter(
                         (_stable_hash64(g) for g in grams), dtype=np.uint64, count=len(grams)
@@ -230,7 +250,8 @@ def minhash_signatures(
                     vals = a_params[:, None] * x[None, :] + b_params[:, None]
                     sig = vals.min(axis=1).astype(np.int64)  # reinterpret as signed for Spark LongType
                     sigs.append([int(v) for v in sig])
-                yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+                out = pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+                yield out[out["sig"].notna()]
         finally:
             np.seterr(**old_err)
 
@@ -255,6 +276,13 @@ def minhash_lsh_pairs(
     this the 100 TB path. est_jaccard = fraction of agreeing signature
     components (unbiased MinHash estimator).
     """
+    if bands < 1 or num_hashes % bands:
+        raise ValueError(
+            f"bands must divide num_hashes ({bands} vs {num_hashes}): "
+            "bands > num_hashes would hash empty slices (every doc collides "
+            "in every band — the quadratic join this operator exists to "
+            "avoid); a remainder silently drops trailing components"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed).cache()
     banded = sigs.select(
@@ -321,6 +349,8 @@ def embedding_near_dup_pairs(
         assert_broadcastable_corpus,
     )
 
+    _require_integral_id(df, id_col, "embedding_near_dup_pairs")
+    df = df.filter(F.col(emb_col).isNotNull())
     assert_broadcastable_corpus(df, emb_col, max_broadcast_bytes)
     pdf = df.select(id_col, emb_col).toPandas()
     ids = pdf[id_col].to_numpy()
@@ -340,7 +370,9 @@ def embedding_near_dup_pairs(
             T.StructField("score", T.DoubleType()),
         ]
     )
-    src = df.select(F.col(id_col).cast("long").alias("__id"), F.col(emb_col).alias("__emb"))
+    src = df.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(emb_col).alias("__emb")
+    ).filter(F.col("__emb").isNotNull())
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -374,6 +406,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             T.StructField("simhash", T.LongType()),
         ]
     )
+    _require_integral_id(df, id_col, "simhash_fingerprints")
     src = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("__text"))
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -385,7 +418,10 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             for text in pdf["__text"].tolist():
                 toks = (text or "").split()
                 if not toks:
-                    out.append(0)
+                    # token-less docs carry no signal; fingerprint 0 for
+                    # all of them would pair every empty doc with every
+                    # other (quadratic candidates)
+                    out.append(None)
                     continue
                 hs = np.fromiter(
                     (_stable_hash64(t) for t in toks), dtype=np.uint64, count=len(toks)
@@ -396,7 +432,8 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
                 packed = ((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
                 # reinterpret the uint64 fingerprint as signed int64 for Spark
                 out.append(int(packed.astype(np.int64)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+            res = pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+            yield res[res["simhash"].notna()]
 
     return src.mapInPandas(compute, schema=out_schema)
 
@@ -418,6 +455,12 @@ def simhash_pairs_from_fingerprints(
     fp: DataFrame, max_hamming: int = 3
 ) -> DataFrame:
     """Banded candidate join + Hamming verify over ``(doc_id, simhash)``."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit banding guarantees recall only for Hamming <= 3 "
+            f"(pigeonhole); max_hamming={max_hamming} would silently miss "
+            "pairs — re-band with more chunks instead"
+        )
     chunks = fp.select(
         "doc_id",
         "simhash",

@@ -198,3 +198,68 @@ def test_dedup_clusters_decision_table(spark):
     assert rows[1].is_canonical and rows[1].cluster_size == 3
     assert not rows[3].is_canonical and rows[3].component == 1
     assert rows[10].is_canonical and rows[10].cluster_size == 2
+
+
+def test_minhash_short_docs_emit_no_signature(spark):
+    """Docs with fewer tokens than shingle_n used to get identical all-zero
+    signatures — every pair of short docs became a 'perfect duplicate'."""
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, "thanks"), (3, "hello world"),
+         (4, "a much longer document with plenty of distinct words inside"),
+         (5, "a much longer document with plenty of distinct words inside")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(df, "doc_id", "text")
+    assert {r.doc_id for r in sigs.collect()} == {4, 5}
+    pairs = {(r.id_a, r.id_b) for r in
+             minhash_lsh_pairs(df, "doc_id", "text").collect()}
+    assert pairs == {(4, 5)}
+
+
+def test_lsh_and_simhash_parameter_guards(spark):
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+        simhash_pairs_from_fingerprints,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(df, "doc_id", "text", num_hashes=64, bands=128)
+    with pytest.raises(ValueError, match="Hamming"):
+        simhash_pairs(df, "doc_id", "text", max_hamming=4)
+    df2 = spark.createDataFrame([("u1", "a b c")], "doc_id string, text string")
+    with pytest.raises(TypeError, match="integral id"):
+        minhash_lsh_pairs(df2, "doc_id", "text")
+
+
+def test_ngram_cap_cannot_inflate_jaccard(spark):
+    """Sizes count the UNCAPPED shingle set, so dropping a hot shingle
+    can only lower a pair's jaccard (recall loss), never raise it past
+    the threshold (precision loss)."""
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    hot = "x y z"  # shared shingle made hot via many tiny docs containing it
+    docs = [(i, f"{hot}") for i in range(10, 30)]
+    # A: {hot, a-shingles...}; B shares only non-hot context with A partially
+    docs += [(1, "x y z p q r"), (2, "p q r s t u v w")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01,
+                                     max_shingle_df=None).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01,
+                                     max_shingle_df=5).collect()
+    }
+    for pair, j in capped.items():
+        assert j <= uncapped.get(pair, 0) + 1e-9, (pair, j, uncapped.get(pair))
