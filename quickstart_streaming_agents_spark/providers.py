@@ -124,10 +124,18 @@ def openai_compatible_textgen(prompts: list[str], model: Model) -> list[str]:
         "Authorization": f"Bearer {creds.get('api_key', '')}"
     }
     out = []
+    # gpt-5/o-series endpoints reject 'max_tokens'; the reference's Azure
+    # model sets max_completion_tokens (terraform/core/main.tf:495) — honor
+    # whichever the model declares
+    mct = model.param("max_completion_tokens", "")
     for p in prompts:
         body = {
             "messages": [{"role": "user", "content": p}],
-            "max_tokens": int(model.param("max_tokens", "1024")),
+            **(
+                {"max_completion_tokens": int(mct)}
+                if mct
+                else {"max_tokens": int(model.param("max_tokens", "1024"))}
+            ),
         }
         if model.param("model_name"):
             body["model"] = model.param("model_name")
@@ -141,13 +149,23 @@ def openai_compatible_embedding(texts: list[str], model: Model) -> list[list[flo
     if conn is None or not conn.endpoint:
         raise RuntimeError(f"model {model.name!r}: no connection/endpoint configured")
     creds = dict(conn.credentials)
-    headers = {"Authorization": f"Bearer {creds.get('api_key', '')}"}
-    resp = _http_post_json(
-        conn.endpoint, headers,
-        {"input": texts, "model": model.param("model_name", "")},
-        float(model.param("timeout", "30")),
-    )
-    return [d["embedding"] for d in resp["data"]]
+    # same auth split as the textgen sibling: Azure rejects Bearer for
+    # plain api keys
+    headers = {"api-key": creds.get("api_key", "")} if conn.type == "azureopenai" else {
+        "Authorization": f"Bearer {creds.get('api_key', '')}"
+    }
+    # OpenAI-compatible endpoints cap `input` items per request; an Arrow
+    # batch can exceed it, so chunk
+    chunk = int(model.param("max_inputs_per_request", "2048"))
+    out: list[list[float]] = []
+    for lo in range(0, len(texts), chunk):
+        resp = _http_post_json(
+            conn.endpoint, headers,
+            {"input": texts[lo:lo + chunk], "model": model.param("model_name", "")},
+            float(model.param("timeout", "30")),
+        )
+        out.extend(d["embedding"] for d in resp["data"])
+    return out
 
 
 def _bedrock_url(model: Model) -> tuple[str, dict]:

@@ -133,25 +133,43 @@ class EngineCatalog:
     def save(self, path: str) -> None:
         import json
 
+        # close the reference graph: agents may hold Model/Tool instances
+        # (and models/tools a Connection) that were never registered by
+        # name — serializing them by name alone would make load() KeyError
+        # or silently drop the connection
+        models = dict(self.models)
+        tools = dict(self.tools)
+        connections = dict(self.connections)
+        for a in self.agents.values():
+            models.setdefault(a.model.name, a.model)
+            for t in a.tools:
+                tools.setdefault(t.name, t)
+        for m in models.values():
+            if m.connection is not None:
+                connections.setdefault(m.connection.name, m.connection)
+        for t in tools.values():
+            if t.connection is not None:
+                connections.setdefault(t.connection.name, t.connection)
+
         doc = {
             "connections": [
                 {"name": c.name, "type": c.type, "endpoint": c.endpoint,
                  "credentials": [list(p) for p in c.credentials]}
-                for c in self.connections.values()
+                for c in connections.values()
             ],
             "models": [
                 {"name": m.name, "provider": m.provider, "task": m.task,
                  "params": [list(p) for p in m.params],
                  "connection": m.connection.name if m.connection else None,
                  "embedding_dim": m.embedding_dim}
-                for m in self.models.values()
+                for m in models.values()
             ],
             "tools": [
                 {"name": t.name,
                  "connection": t.connection.name if t.connection else None,
                  "allowed_tools": list(t.allowed_tools),
                  "request_timeout": t.request_timeout}
-                for t in self.tools.values()
+                for t in tools.values()
             ],
             "agents": [
                 {"name": a.name, "model": a.model.name, "prompt": a.prompt,

@@ -44,10 +44,15 @@ def parquet_ts_unit(path: str, col: str = "ts") -> str | None:
 
     p = path
     if os.path.isdir(p):
-        inner = [f for f in os.listdir(p) if f.endswith(".parquet")]
+        # recurse one probe file out of (possibly partitioned) subdirs
+        import glob as _glob
+
+        inner = sorted(
+            _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+        )
         if not inner:
             return None
-        p = os.path.join(p, sorted(inner)[0])
+        p = inner[0]
     schema = pq.read_schema(p)
     if col not in schema.names:
         return None

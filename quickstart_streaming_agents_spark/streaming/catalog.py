@@ -73,7 +73,13 @@ class StreamCatalog:
             d = Path(self.root) / "_sources" / name
             d.mkdir(parents=True, exist_ok=True)
             link = d / p.name
-            if not link.exists():
+            if link.is_symlink():
+                # re-registration with a different target (or a broken
+                # link) must not silently keep serving the old file
+                if link.resolve() != p.resolve():
+                    link.unlink()
+                    link.symlink_to(p)
+            elif not link.exists():
                 link.symlink_to(p)
             path = str(d)
         t = StreamTable(name=name, path=path, schema=schema, key=key,
@@ -130,10 +136,21 @@ class StreamCatalog:
         one sink row per result row, no retractions, which is what keeps
         agent stages from re-firing.
         """
+        existing = self.tables.get(name)
+        if existing is not None and existing.query is not None \
+                and existing.query.isActive:
+            # re-registering a live table: stop the old query first, or
+            # its handle is orphaned and the checkpoint dir collides
+            existing.query.stop()
         if not df.isStreaming:
             # batch CTAS (S4 INSERT VALUES / snapshot queries)
             path = str(self._dir(name))
-            df.write.mode("overwrite").parquet(path)
+            w = df.write.mode("overwrite")
+            if key:
+                # ST5: the PRIMARY KEY maps to the file-sink partition key
+                # so downstream per-key reads prune directories
+                w = w.partitionBy(key)
+            w.parquet(path)
             t = StreamTable(name=name, path=path, schema=df.schema, key=key)
             self.tables[name] = t
             return t
@@ -143,6 +160,8 @@ class StreamCatalog:
                   .option("path", str(path))
                   .option("checkpointLocation", str(path) + "_ckpt")
                   .queryName(name))
+        if key:
+            writer = writer.partitionBy(key)
         if available_now:
             writer = writer.trigger(availableNow=True)
         elif processing_time:
@@ -158,11 +177,19 @@ class StreamCatalog:
                                    available_now: bool = False) -> StreamTable:
         """CTAS where each micro-batch is post-processed driver-side
         (streaming LIMIT, agent stages with side effects)."""
+        existing = self.tables.get(name)
+        if existing is not None and existing.query is not None \
+                and existing.query.isActive:
+            existing.query.stop()
         path = self._dir(name)
         path.mkdir(parents=True, exist_ok=True)
-        # seed an empty file so read_batch never fails on an empty topic
-        empty = self.spark.createDataFrame([], schema)
-        empty.write.mode("overwrite").parquet(str(path))
+        # Seed an empty file so read_batch never fails on an empty topic —
+        # but ONLY on a fresh start: with an existing checkpoint the
+        # restarted query resumes from committed offsets and will not
+        # re-emit rows, so wiping the data dir would lose them forever.
+        if not Path(str(path) + "_ckpt").exists():
+            empty = self.spark.createDataFrame([], schema)
+            empty.write.mode("overwrite").parquet(str(path))
 
         def _sink(batch_df: DataFrame, epoch_id: int) -> None:
             out = batch_fn(batch_df, epoch_id)
@@ -182,13 +209,23 @@ class StreamCatalog:
     # -- lifecycle -----------------------------------------------------------
 
     def await_all(self, timeout: float | None = None) -> None:
+        """Wait for every live query; ``timeout`` bounds the TOTAL wait
+        (a shared deadline, not per-query)."""
+        import time as _time
+
+        deadline = None if timeout is None else _time.monotonic() + timeout
         for t in self.tables.values():
-            if t.query is not None:
-                terminated = t.query.awaitTermination(timeout)
-                # On a timed-out wait the query is still running — keep the
-                # handle so stop_all()/drop_table can still reach it.
-                if timeout is None or terminated:
-                    t.query = None
+            if t.query is None:
+                continue
+            remaining = (
+                None if deadline is None
+                else max(0.001, deadline - _time.monotonic())
+            )
+            terminated = t.query.awaitTermination(remaining)
+            # On a timed-out wait the query is still running — keep the
+            # handle so stop_all()/drop_table can still reach it.
+            if timeout is None or terminated:
+                t.query = None
 
     def stop_all(self) -> None:
         for t in self.tables.values():

@@ -683,3 +683,19 @@ def test_streaming_asof_null_probe_ts_gets_null_payload(spark, catalog):
     assert rows[10.0].quote_asof == 7.0      # normal match
     assert rows[99.0].quote_asof is None     # null-ts probe: null payload
     assert len(rows) == 2                    # null-ts build row dropped
+
+
+def test_ctas_key_partitions_the_sink(spark, catalog):
+    """ST5: a keyed CTAS lays the topic out partitioned by the key, so a
+    per-key read prunes directories (PartitionFilters on the scan)."""
+    import os
+
+    ev = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)],
+        "event_id long, event_type string, value double",
+    )
+    t = catalog.create_table_as("keyed_topic", ev, key="event_type")
+    subdirs = [d for d in os.listdir(t.path) if d.startswith("event_type=")]
+    assert sorted(subdirs) == ["event_type=a", "event_type=b"]
+    got = catalog.read_batch("keyed_topic").filter(F.col("event_type") == "a")
+    assert got.count() == 2
