@@ -42,15 +42,21 @@ def subword_token_count(text_col: str | Column) -> Column:
 
 def punct_ratio(text_col: str | Column) -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.length(F.regexp_replace(c, "[a-zA-Z0-9 ]", "")) / F.greatest(
+    # accented Latin-1 letters are letters, not punctuation — without the
+    # range, clean Spanish/German text pays the punctuation penalty
+    return F.length(F.regexp_replace(c, "[a-zA-ZÀ-ÿ0-9 ]", "")) / F.greatest(
         F.length(c), F.lit(1)
     )
 
 
-def _marker_count(text_col: str | Column, markers: tuple[str, ...]) -> Column:
+def _marker_count(text_col: str, markers: tuple[str, ...]) -> Column:
+    if not isinstance(text_col, str):
+        raise TypeError(
+            "_marker_count requires a column NAME (the expression is built "
+            "as SQL text); pass the column's name, not a Column object"
+        )
     lst = ", ".join(f"'{m}'" for m in markers)
-    t = text_col if isinstance(text_col, str) else None
-    expr_src = f"size(filter(split(trim(lower({t})), '\\\\s+'), x -> x IN ({lst})))"
+    expr_src = f"size(filter(split(trim(lower({text_col})), '\\\\s+'), x -> x IN ({lst})))"
     return F.expr(expr_src)
 
 
@@ -127,12 +133,14 @@ LANG_ORDER = ("en", "es", "de", "fr")
 
 
 def _clean_for_trigrams(text_col: str | Column) -> Column:
-    """lowercase, strip to [a-z ], pad one space each side — identical
-    normalization in the DuckDB oracle (lang_id SQL in queries.py)."""
+    """lowercase, strip to letters (incl. Latin-1 accents — the Spanish
+    profile's weighted trigrams contain ó/í and would otherwise be
+    unreachable), pad one space each side — identical normalization in
+    the DuckDB oracle (lang_id SQL in queries.py)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.concat(
         F.lit(" "),
-        F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), "[^a-z ]+", " "),
+        F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), "[^a-zà-ÿ ]+", " "),
         F.lit(" "),
     )
 
@@ -147,9 +155,15 @@ def trigrams_of(cleaned_col: str | Column) -> Column:
     elimination), turning the O(n) regex clean into O(n²) per row.
     """
     c = F.col(cleaned_col) if isinstance(cleaned_col, str) else cleaned_col
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - 2, F.lit(0))),
-        lambda i: F.substring(c, i, F.lit(3)),
+    # sequence(1, 0) DESCENDS to [1, 0] in Spark — inputs shorter than 3
+    # chars must yield an empty gram array, not two phantom short grams
+    return F.when(
+        F.length(c) < 3, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - 2),
+            lambda i: F.substring(c, i, F.lit(3)),
+        )
     )
 
 
@@ -294,7 +308,10 @@ def repetition_stats(df, id_cols: list[str], text_col: str = "text"):
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\+\d{1,3}-\d{3}-\d{4}", "<PHONE>"),
+    # E.164 runs (+15551234567) OR dashed groups (555-123-4567,
+    # +1-555-123-4567, +44-123-4567) — the old '\+\d{1,3}-\d{3}-\d{4}'
+    # missed every standard format longer than 7 digits
+    ("phone", r"\+\d{7,15}|\+?\d{1,3}-\d{3}-\d{3,4}(?:-\d{4})?", "<PHONE>"),
 )
 
 

@@ -58,7 +58,8 @@ def asof_join(
     state knob (in streaming terms: the watermark delay of the build side).
     """
     keys = list(on)
-    carried = [c for c in (right_cols or right.columns) if c not in keys]
+    src_cols = right.columns if right_cols is None else right_cols
+    carried = [c for c in src_cols if c not in keys]
     if right_ts not in carried:
         carried = [right_ts, *carried]
     if right_tiebreak is not None and right_tiebreak not in carried:
@@ -68,7 +69,14 @@ def asof_join(
     payload_t = right.select(*[F.col(c) for c in carried]).schema
     probe_ord, build_ord = (0, 1) if strict else (1, 0)
 
-    probe = left.select(
+    any_null_key = F.lit(False)
+    for kcol in keys:
+        any_null_key = any_null_key | F.col(kcol).isNull()
+    null_safe_keys = True  # NULL keys bypass the window (SQL semantics)
+    left_matched = left.filter(~any_null_key)
+    right = right.filter(~any_null_key)
+
+    probe = left_matched.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__probe"),
@@ -110,4 +118,17 @@ def asof_join(
     out_cols += [
         F.when(ok, F.col(f"__match.{c}")).alias(f"{c}{suffix}") for c in carried
     ]
-    return filled.filter(F.col("__probe") == 1).select(*out_cols)
+    matched_rows = filled.filter(F.col("__probe") == 1).select(*out_cols)
+    if not null_safe_keys:
+        return matched_rows
+    # SQL equality never matches NULL keys, but Window.partitionBy groups
+    # them together — route NULL-key probe rows around the window with a
+    # null payload so semantics (and the DuckDB ASOF oracle) agree
+    null_probe = left.filter(any_null_key).select(
+        *left.columns,
+        *[
+            F.lit(None).cast(payload_t[c].dataType).alias(f"{c}{suffix}")
+            for c in carried
+        ],
+    )
+    return matched_rows.unionByName(null_probe)

@@ -49,6 +49,10 @@ def salted_join(
     skewed_cols = [c for c in skewed.columns]
     other_cols = [c for c in other.columns if c not in on]
 
+    # Deterministic (retry-safe) salt from the full row. Caveat: EXACT
+    # duplicate rows share a salt and still co-locate — a hot key made of
+    # identical rows needs a distinguishing column (dedup first, or add a
+    # unique id upstream); rand() would spread them but breaks task retry.
     s = skewed.withColumn(
         SALT, F.pmod(F.xxhash64(*[F.col(c) for c in skewed_cols]), F.lit(salt))
     )
@@ -56,4 +60,7 @@ def salted_join(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
     )
     joined = s.join(o, on=on + [SALT], how=how)
+    if how.lower().replace("_", "") in ("leftsemi", "leftanti"):
+        # semi/anti output carries only the left side's columns
+        return joined.select(*skewed_cols)
     return joined.select(*skewed_cols, *other_cols)

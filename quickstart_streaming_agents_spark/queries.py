@@ -1508,7 +1508,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT doc_id, lang, text,
                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-               len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+               len(regexp_replace(text, '[a-zA-ZÀ-ÿ0-9 ]', '', 'g')) * 1.0
                    / greatest(len(text), 1) AS praw,
                len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                    x -> x IN ('the','a','and','of','to','in','is','it'))) * 1.0
@@ -1579,7 +1579,7 @@ WITH profile(lang, ngram, w) AS (
 ),
 d AS (
     SELECT doc_id,
-           ' ' || regexp_replace(lower(coalesce(text, '')), '[^a-z ]+', ' ', 'g')
+           ' ' || regexp_replace(lower(coalesce(text, '')), '[^a-zà-ÿ ]+', ' ', 'g')
                || ' ' AS t
     FROM documents
 ),
@@ -1659,7 +1659,7 @@ def lang_id_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
         SELECT doc_id, text,
                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-               len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+               len(regexp_replace(text, '[a-zA-ZÀ-ÿ0-9 ]', '', 'g')) * 1.0
                    / greatest(len(text), 1) AS praw,
                len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                    x -> x IN ('the','a','and','of','to','in','is','it'))) * 1.0
@@ -2103,13 +2103,13 @@ _PII_DIRTY_SQL = (
                AS n_emails,
            len(regexp_extract_all(t, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
                AS n_ips,
-           len(regexp_extract_all(t, '\\+\\d{{1,3}}-\\d{{3}}-\\d{{4}}')) AS n_phones,
+           len(regexp_extract_all(t, '\\+\\d{{7,15}}|\\+?\\d{{1,3}}-\\d{{3}}-\\d{{3,4}}(?:-\\d{{4}})?')) AS n_phones,
            regexp_replace(
                regexp_replace(
                    regexp_replace(t,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
                    '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
-               '\\+\\d{{1,3}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g') AS redacted
+               '\\+\\d{{7,15}}|\\+?\\d{{1,3}}-\\d{{3}}-\\d{{3,4}}(?:-\\d{{4}})?', '<PHONE>', 'g') AS redacted
     FROM dirty
     """,
 )
@@ -3809,7 +3809,7 @@ _TRAINING_PIPELINE_ORACLE = """
 WITH RECURSIVE scored AS (
     SELECT doc_id, text,
            len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-           len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+           len(regexp_replace(text, '[a-zA-ZÀ-ÿ0-9 ]', '', 'g')) * 1.0
                / greatest(len(text), 1) AS praw,
            len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                x -> x IN ('the','a','and','of','to','in','is','it'))) * 1.0

@@ -119,3 +119,23 @@ def test_hot_key_many_build_rows(spark):
         probe, build, on=["k"], right_cols=["q"]).collect()}
     assert out[_ts(50_000).timestamp() % 100_000] == 19_998
     assert out[_ts(1).timestamp() % 100_000] == 0
+
+
+def test_null_join_keys_never_match(spark):
+    """SQL equality (and DuckDB's ASOF JOIN oracle) never matches NULL
+    keys — the window partitioning must not group them together."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, "2024-01-01 00:10:00", 1), (1, "2024-01-01 00:10:00", 2)],
+        "k long, ts string, probe_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(None, "2024-01-01 00:00:00", 9.0), (1, "2024-01-01 00:00:00", 7.0)],
+        "k long, ts string, quote double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.probe_id: r.quote_asof
+           for r in asof_join(left, right, on=["k"]).collect()}
+    assert got == {1: None, 2: 7.0}  # NULL-key probe kept, never matched

@@ -38,3 +38,36 @@ def test_lang_scores_are_exact_integers(spark):
     # " the the the " → " th"(5)+"the"(5)+"he "(5) per occurrence ×3 = 45,
     # plus overlap trigrams "e t"(0)… — only profile hits count
     assert isinstance(row.s, int) and row.s == 45
+
+
+def test_accented_spanish_trigrams_reachable(spark):
+    """The Spanish profile's weighted 'ció'/'ión' trigrams must fire —
+    the old [^a-z ] cleaning deleted every accented letter."""
+    from quickstart_streaming_agents_spark.functions.text import lang_id_ngram
+
+    df = spark.createDataFrame(
+        [(1, "la información de la nación y la situación actual")],
+        "id long, text string",
+    )
+    row = df.select(lang_id_ngram("text").alias("lang")).first()
+    assert row.lang == "es"
+
+
+def test_punct_ratio_ignores_accented_letters(spark):
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.functions.text import punct_ratio
+
+    df = spark.createDataFrame([("El niño comió en el jardín",)], "t string")
+    assert df.select(punct_ratio("t").alias("p")).first().p == 0.0
+
+
+def test_phone_redaction_standard_formats(spark):
+    from quickstart_streaming_agents_spark.functions.text import pii_redact
+
+    df = spark.createDataFrame(
+        [("call +1-555-123-4567 or +15551234567 or 555-123-4567 now",)],
+        "t string",
+    )
+    out = df.select(pii_redact("t").alias("r")).first().r
+    assert out == "call <PHONE> or <PHONE> or <PHONE> now"
