@@ -30,27 +30,19 @@ def ml_predict(model: Model, input_col: str | Column) -> Column:
     ``task="embedding"`` → ArrayType(FloatType) ``embedding``.
     Use as ``df.withColumn("response", ml_predict(model, "prompt"))``.
     """
-    provider = resolve_provider(model)  # fail fast on the driver
+    resolve_provider(model)  # fail fast on the driver (raises for any
+    # task outside the provider registry)
     col = F.col(input_col) if isinstance(input_col, str) else input_col
+    ret_type = (
+        T.ArrayType(T.FloatType())
+        if model.task == "embedding"
+        else T.StringType()
+    )
 
-    if model.task == "text_generation":
+    @F.pandas_udf(ret_type)
+    def _infer(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        fn = resolve_provider(model)
+        for s in batches:
+            yield pd.Series(fn(s.fillna("").tolist(), model), index=s.index)
 
-        @F.pandas_udf(T.StringType())
-        def _predict(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-            fn = resolve_provider(model)
-            for s in batches:
-                yield pd.Series(fn(s.fillna("").tolist(), model), index=s.index)
-
-        return _predict(col)
-
-    if model.task == "embedding":
-
-        @F.pandas_udf(T.ArrayType(T.FloatType()))
-        def _embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-            fn = resolve_provider(model)
-            for s in batches:
-                yield pd.Series(fn(s.fillna("").tolist(), model), index=s.index)
-
-        return _embed(col)
-
-    raise ValueError(f"unsupported task {model.task!r} (provider {provider})")
+    return _infer(col)

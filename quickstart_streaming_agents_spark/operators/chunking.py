@@ -37,6 +37,9 @@ def chunk_documents(
         raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
     ids = id_cols or [df.columns[0]]
     stride = chunk_tokens - overlap_tokens
+    # null/blank documents have nothing to chunk — emitting a phantom
+    # empty chunk would get embedded and indexed downstream (rag_ingest)
+    df = df.filter(F.trim(F.col(text_col)) != "")
 
     words = tokens(text_col)
     starts = F.sequence(

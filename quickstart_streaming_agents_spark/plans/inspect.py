@@ -8,19 +8,28 @@ from pyspark.sql import DataFrame
 
 
 def physical_plan(df: DataFrame) -> str:
-    """The executed (post-AQE-prep) physical plan as text."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    """The executed (post-AQE-prep) physical plan as text.
+
+    After an action, an AdaptiveSparkPlan renders BOTH its final and its
+    initial plan — keeping the initial section would double-count
+    exchanges and resurrect operators AQE eliminated."""
+    return (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
 
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges (broadcast exchanges excluded)."""
-    return len(re.findall(r"Exchange (?:hash|range|Single)", physical_plan(df)))
+    return len(
+        re.findall(
+            r"Exchange (?:hash|range|roundrobin|Single)", physical_plan(df)
+        )
+    )
 
 
 def assert_no_exchange(df: DataFrame, msg: str = "") -> None:
-    plan = physical_plan(df)
-    assert "Exchange hashpartitioning" not in plan and \
-        "Exchange rangepartitioning" not in plan, msg or plan
+    assert count_exchanges(df) == 0, msg or physical_plan(df)
 
 
 def assert_no_row_python(df: DataFrame, msg: str = "") -> None:
@@ -33,9 +42,14 @@ def assert_no_row_python(df: DataFrame, msg: str = "") -> None:
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters entries of every scan in the plan (may be truncated
     by Spark's plan renderer for long filter lists)."""
-    # Spark's renderer truncates long filter lists mid-entry without a
-    # closing bracket, so capture to end of line rather than to "]".
-    return re.findall(r"PushedFilters: \[([^\n]*)", physical_plan(df))
+    # Capture up to the closing bracket when present; Spark's renderer
+    # can also truncate long lists mid-entry without one, so fall back to
+    # end-of-line minus any trailing ", ReadSchema: ..." junk.
+    out = []
+    for m in re.findall(r"PushedFilters: \[([^\n]*)", physical_plan(df)):
+        m = m.split("], ReadSchema")[0].rstrip("]")
+        out.append(m)
+    return out
 
 
 def scan_columns(df: DataFrame) -> list[list[str]]:

@@ -1796,7 +1796,7 @@ def domain_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH arr AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
-        FROM documents
+        FROM documents WHERE trim(text) <> ''
     ),
     st AS (
         SELECT doc_id, a,
@@ -1874,7 +1874,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH arr AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
-        FROM documents WHERE doc_id < 100
+        FROM documents WHERE doc_id < 100 AND trim(text) <> ''
     ),
     st AS (
         SELECT doc_id, a, unnest(range(0, greatest(len(a), 1), 48)) AS s

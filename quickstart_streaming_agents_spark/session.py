@@ -31,10 +31,12 @@ def ship_package(spark: SparkSession) -> None:
         return
     pkg_dir = Path(__file__).resolve().parent
     zpath = Path(tempfile.gettempdir()) / f"qssa_pkg_{os.getpid()}.zip"
-    if not zpath.exists():
-        with zipfile.ZipFile(zpath, "w") as zf:
-            for py in sorted(pkg_dir.rglob("*.py")):
-                zf.write(py, arcname=str(Path(pkg_dir.name) / py.relative_to(pkg_dir)))
+    # always rebuild: a recycled PID (or an in-process source edit) must
+    # not ship a stale snapshot to workers — zipping a few hundred KB is
+    # cheaper than a silent driver/worker code mismatch
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, arcname=str(Path(pkg_dir.name) / py.relative_to(pkg_dir)))
     sc.addPyFile(str(zpath))
     sc._qssa_pkg_shipped = True
 
@@ -65,8 +67,11 @@ def get_spark(app_name: str = "quickstart_streaming_agents_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
+        # wide scans must render every attribute or plan assertions on
+        # column pruning go vacuous behind '... N more fields' elision
+        .config("spark.sql.debug.maxToStringFields", "200")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     spark = builder.getOrCreate()

@@ -39,7 +39,11 @@ def write_bucketed(
     import shutil
     from urllib.parse import urlparse
 
-    shutil.rmtree(f"{urlparse(loc).path or loc}/{table}", ignore_errors=True)
+    base = urlparse(loc).path or loc
+    # managed layout: <warehouse>[/<db>.db]/<lowercased table dir>
+    parts = table.lower().split(".")
+    sub = f"{parts[0]}.db/{parts[1]}" if len(parts) == 2 else parts[0]
+    shutil.rmtree(f"{base}/{sub}", ignore_errors=True)
     w = df.write.bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

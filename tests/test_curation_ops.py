@@ -104,3 +104,17 @@ def test_gap_fill_locf_semantics(spark):
     # key b has a single observation -> single-row span, no gaps
     assert out[("b", 1)] == (99, 9.0, False)
     assert len(out) == 5
+
+
+def test_chunking_skips_null_and_blank_docs(spark):
+    from quickstart_streaming_agents_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = chunk_documents(df, id_cols=["doc_id"], chunk_tokens=4,
+                          overlap_tokens=0).collect()
+    assert {r.doc_id for r in got} == {1}
