@@ -319,12 +319,18 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("window_start", "window_time", "event_type", "event_count")
     # Candidate buckets per event: its own 6-h bucket, plus the next bucket
     # when ts sits exactly on the 1-ms lip (ts == next window_start − 1 ms
-    # satisfies ts >= window_time − 6h for the NEXT window too). Integer
-    # `div` keeps the bucket math exact at any epoch magnitude.
+    # satisfies ts >= window_time − 6h for the NEXT window too). The bucket
+    # start is an exact integer FLOOR via pmod — `div` truncates toward
+    # zero, which mis-buckets pre-epoch timestamps vs F.window's floor.
     cands = F.array_distinct(
         F.array(
-            F.timestamp_micros(F.expr(f"(unix_micros(ts) div {_SIX_H_US}) * {_SIX_H_US}")),
-            F.timestamp_micros(F.expr(f"((unix_micros(ts) + 1000) div {_SIX_H_US}) * {_SIX_H_US}")),
+            F.timestamp_micros(F.expr(
+                f"unix_micros(ts) - pmod(unix_micros(ts), {_SIX_H_US})"
+            )),
+            F.timestamp_micros(F.expr(
+                f"(unix_micros(ts) + 1000) - "
+                f"pmod(unix_micros(ts) + 1000, {_SIX_H_US})"
+            )),
         )
     )
     ev = events.withColumn("cand_ws", F.explode(cands))
@@ -902,10 +908,9 @@ def agent_price_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     agent = Agent(
         name="price_match_agent",
         model=DEFAULT_CATALOG.models["fake_textgen"],
-        prompt=(
-            "You are a price-match agent. Verify competitor pricing, then "
-            "email the customer. Verdicts must be one of: [PRICE_MATCH, NO_MATCH]"
-        ),
+        # _AGENT_PROMPT is the one source the oracle's md5 transcript
+        # replay interpolates — retyping it here could drift the verdict
+        prompt=_AGENT_PROMPT,
         tools=(tool,),
         max_iterations=10,
         max_consecutive_failures=2,
@@ -1735,8 +1740,7 @@ _STRAT_FRACTIONS = {"en": 0.5, "de": 1.0, "es": 0.25, "fr": 0.75, "zh": 0.1}
     oracle="""
     SELECT doc_id, lang, source, n_chars
     FROM documents
-    WHERE (('0x' || substr(md5(concat_ws('|', 'split1', doc_id::VARCHAR)), 1, 15))::UBIGINT
-           / 1152921504606846976.0)
+    WHERE (('0x' || substr(md5(concat_ws('|', 'split1', coalesce(replace(replace((doc_id)::VARCHAR, '\\', '\\\\'), '|', '\\|'), '\\N'))), 1, 15))::UBIGINT / 1152921504606846976.0)
           < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'es' THEN 0.25
                       WHEN 'fr' THEN 0.75 WHEN 'zh' THEN 0.1 ELSE 0.0 END
     """,
@@ -1770,8 +1774,7 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id, d.lang, d.source
     FROM documents d JOIN r ON d.lang = r.lang
-    WHERE (('0x' || substr(md5(concat_ws('|', 'mix', d.doc_id::VARCHAR)), 1, 15))::UBIGINT
-           / 1152921504606846976.0) < r.rate
+    WHERE (('0x' || substr(md5(concat_ws('|', 'mix', coalesce(replace(replace((d.doc_id)::VARCHAR, '\\', '\\\\'), '|', '\\|'), '\\N'))), 1, 15))::UBIGINT / 1152921504606846976.0) < r.rate
     """,
 )
 def domain_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2203,8 +2206,7 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
         SELECT doc_id, lang,
-               (('0x' || substr(md5(concat_ws('|', 'split-v1', doc_id::VARCHAR)), 1, 15))::UBIGINT
-                / 1152921504606846976.0) AS x
+               (('0x' || substr(md5(concat_ws('|', 'split-v1', coalesce(replace(replace((doc_id)::VARCHAR, '\\', '\\\\'), '|', '\\|'), '\\N'))), 1, 15))::UBIGINT / 1152921504606846976.0) AS x
         FROM documents
     )
     SELECT doc_id, lang,
@@ -2236,11 +2238,11 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_json_agg",
     oracle="""
     SELECT event_type,
-           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+           CAST(json_extract(try_cast(props AS JSON), '$.k') AS INT) % 10 AS k_bucket,
            count(*) AS n,
            round(sum(value), 2) AS total_value
     FROM events
-    WHERE json_extract(props, '$.k') IS NOT NULL
+    WHERE json_extract(try_cast(props AS JSON), '$.k') IS NOT NULL
     GROUP BY event_type, k_bucket
     """,
 )
@@ -2535,12 +2537,14 @@ def surge_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH joined AS ({_INTERVAL_JOIN_ORACLE})
     SELECT event_id, event_type, window_time, event_count
-    FROM joined ORDER BY event_id LIMIT 10
+    FROM joined ORDER BY event_id, window_time LIMIT 10
     """,
 )
 def investigation_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = QUERIES["interval_join"](spark, sf_dir)
-    return joined.orderBy("event_id").limit(10)
+    # window_time tie-break: an event on the 1-ms window lip legitimately
+    # matches two windows, and the LIMIT must cut identically per engine
+    return joined.orderBy("event_id", "window_time").limit(10)
 
 
 # ---------------------------------------------------------------------------
@@ -3170,10 +3174,9 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(floor(hour(ts) / 6) AS BIGINT) AS day_part,
-           CAST(CASE WHEN event_type IS NULL AND CAST(floor(hour(ts) / 6) AS BIGINT) IS NULL THEN 3
-                     WHEN event_type IS NULL THEN 2
-                     WHEN CAST(floor(hour(ts) / 6) AS BIGINT) IS NULL THEN 1
-                     ELSE 0 END AS BIGINT) AS lvl,
+           CAST(GROUPING(event_type) * 2
+                + GROUPING(CAST(floor(hour(ts) / 6) AS BIGINT))
+                AS BIGINT) AS lvl,
            COUNT(*) AS n_events,
            ROUND(SUM(value), 2) AS sum_value
     FROM events
@@ -3805,6 +3808,12 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # COMPOSITION end to end against a single chained DuckDB oracle, filters
 # always running before the shuffles they precede.
 # ---------------------------------------------------------------------------
+# KEEP IN SYNC: the scored/gated CTEs mirror curation_pipeline's oracle,
+# the 13-gram CTEs mirror decontamination's, the 3-gram pair CTEs mirror
+# ngram_jaccard_dedup's, and the recursive closure mirrors
+# dedup_components' — an edit to any standalone oracle (thresholds,
+# tie-breaks, tokenization) must be applied here too or the composite
+# silently disagrees with the stages it claims to compose.
 _TRAINING_PIPELINE_ORACLE = """
 WITH RECURSIVE scored AS (
     SELECT doc_id, text,
@@ -3922,8 +3931,7 @@ SELECT doc_id, lang_pred, quality, n_tokens,
             ELSE 'test' END AS split
 FROM (
     SELECT k.*,
-           (('0x' || substr(md5(concat_ws('|', 'split-v1', doc_id::VARCHAR)), 1, 15))::UBIGINT
-            / 1152921504606846976.0) AS x
+           (('0x' || substr(md5(concat_ws('|', 'split-v1', coalesce(replace(replace((doc_id)::VARCHAR, '\\', '\\\\'), '|', '\\|'), '\\N'))), 1, 15))::UBIGINT / 1152921504606846976.0) AS x
     FROM kept3 k
 )
 """
