@@ -130,7 +130,6 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
         best = float("inf")
         # min of 2 runs: first run includes plan compilation + codegen for
         # this query shape; min filters transient host noise out of the
@@ -138,6 +137,8 @@ def main() -> None:
         # can't distort the next. One failing query is recorded and skipped
         # rather than sinking the whole bench line.
         try:
+            fn = QUERIES[name]  # inside try: a stale HEADLINE name is
+            # recorded as an error, not a whole-bench crash
             for _ in range(2):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -145,7 +146,8 @@ def main() -> None:
                 spark.catalog.clearCache()
             timings[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001 — report, don't die
-            errors[name] = str(e).splitlines()[0][:200]
+            msg = str(e).splitlines() or [type(e).__name__]
+            errors[name] = msg[0][:200]
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)

@@ -201,13 +201,20 @@ def register_ml_detect_anomalies_sql(
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()), PandasUDFType.GROUPED_AGG)
     def _detect(v):
+        import numpy as np
+
         vals = v.to_numpy(dtype="float64")
-        train = vals[:-1][-max_n:]
+        cur = float(vals[-1]) if len(vals) else float("nan")
+        if np.isnan(cur):
+            return [None, None, None, 0.0]  # null metric: no verdict
+        # NULL metrics must not occupy training slots — one NaN would
+        # poison the normal-equation solve (batch-operator contract)
+        train = vals[:-1]
+        train = train[~np.isnan(train)][-max_n:]
         step = ar_one_step(train, min_n, z, lam=ridge_lambda)
         if step is None:
             return [None, None, None, 0.0]
         fc, up, lo = step
-        cur = float(vals[-1])
         return [fc, up, lo, 1.0 if (cur > up or cur < lo) else 0.0]
 
     spark.udf.register(fn_name, _detect)
@@ -251,6 +258,8 @@ def register_vector_table_sql(
     meta_cols = [f.name for f in meta_fields]
     if id_col not in meta_cols:
         raise ValueError(f"id_col {id_col!r} not in vector table columns {meta_cols}")
+    # NULL embeddings match nothing and would crash np.stack
+    vector_table = vector_table.filter(F.col(embedding_col).isNotNull())
     pdf = vector_table.select(*meta_cols, embedding_col).toPandas()
     mat = np.stack(pdf[embedding_col].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1)
@@ -277,7 +286,9 @@ def register_vector_table_sql(
             scores = m @ (q / qn if qn else q)
             kk = min(int(k), len(scores))
             top = np.argpartition(-scores, kk - 1)[:kk]
-            top = top[np.argsort(-scores[top], kind="stable")]
+            # ties order by corpus position (the DataFrame twin's rule),
+            # not argpartition's arbitrary internal order
+            top = top[np.lexsort((top, -scores[top]))]
             for rank, j in enumerate(top, start=1):
                 yield rows[j] + (float(scores[j]), rank)
 
@@ -316,7 +327,7 @@ def register_curation_sql(spark: SparkSession) -> None:
             RETURNS INT RETURN size(regexp_extract_all(t, '{q(BPE_PIECE_RE)}', 0))""",
         r"""CREATE OR REPLACE TEMPORARY FUNCTION punct_ratio(t STRING)
             RETURNS DOUBLE RETURN
-            length(regexp_replace(t, '[a-zA-Z0-9 ]', '')) / greatest(length(t), 1)""",
+            length(regexp_replace(t, '[a-zA-ZÀ-ÿ0-9 ]', '')) / greatest(length(t), 1)""",
         f"""CREATE OR REPLACE TEMPORARY FUNCTION stopword_ratio(t STRING)
             RETURNS DOUBLE RETURN
             size(filter(split(trim(lower(t)), '\\\\s+'), x -> x IN ({stop})))
@@ -359,23 +370,28 @@ def register_keyword_index_sql(
         build_bm25_index,
     )
 
-    index = build_bm25_index(docs, doc_id=doc_id, text=text_col)
-    n_entries = int(
-        index.select(F.sum(F.size("postings")).alias("n")).first()["n"] or 0
-    )
-    if n_entries * 16 > max_broadcast_bytes:
-        raise ValueError(
-            f"BM25 index ≈{n_entries * 16 / 1e9:.1f} GB exceeds the broadcast "
-            f"tier bound ({max_broadcast_bytes / 1e9:.1f} GB); use the "
-            "distributed operators/retrieval.bm25_topk instead."
+    # persist across the guard action and the collect so the expensive
+    # index aggregation builds once (same pattern as bm25_search_broadcast)
+    index = build_bm25_index(docs, doc_id=doc_id, text=text_col).persist()
+    try:
+        n_entries = int(
+            index.select(F.sum(F.size("postings")).alias("n")).first()["n"] or 0
         )
-    local = {
-        r["term"]: (
-            np.array([p["doc_id"] for p in r["postings"]], dtype=np.int64),
-            np.array([p["w"] for p in r["postings"]], dtype=np.float64),
-        )
-        for r in index.collect()
-    }
+        if n_entries * 16 > max_broadcast_bytes:
+            raise ValueError(
+                f"BM25 index ≈{n_entries * 16 / 1e9:.1f} GB exceeds the broadcast "
+                f"tier bound ({max_broadcast_bytes / 1e9:.1f} GB); use the "
+                "distributed operators/retrieval.bm25_topk instead."
+            )
+        local = {
+            r["term"]: (
+                np.array([p["doc_id"] for p in r["postings"]], dtype=np.int64),
+                np.array([p["w"] for p in r["postings"]], dtype=np.float64),
+            )
+            for r in index.collect()
+        }
+    finally:
+        index.unpersist()
     b = spark.sparkContext.broadcast(local)
 
     out_type = T.StructType(
@@ -388,17 +404,39 @@ def register_keyword_index_sql(
 
     class KeywordSearch:
         def eval(self, query_text, k: int):
+            import decimal
+            import re as _re
+
             import numpy as np
 
             idx = b.value
-            terms = {t for t in str(query_text or "").lower().strip().split() if t}
+            if query_text is None:
+                return  # null query matches nothing (bm25_topk semantics)
+            # ASCII \s split matches the JVM tokenizer that built the
+            # index; bare str.split would split Unicode whitespace too
+            terms = {
+                t
+                for t in _re.split(r"\s+", str(query_text).lower().strip(),
+                                   flags=_re.ASCII)
+                if t
+            }
             hits = [idx[t] for t in terms if t in idx]
             if not hits:
                 return
             ids = np.concatenate([h[0] for h in hits])
             ws = np.concatenate([h[1] for h in hits])
             uniq, inv = np.unique(ids, return_inverse=True)
-            scores = np.round(np.bincount(inv, weights=ws), 6)
+            raw = np.bincount(inv, weights=ws)
+            # HALF_UP like F.round — np.round's half-even can flip a rank
+            scores = np.array([
+                float(
+                    decimal.Decimal(repr(float(x))).quantize(
+                        decimal.Decimal("0.000001"),
+                        rounding=decimal.ROUND_HALF_UP,
+                    )
+                )
+                for x in raw
+            ])
             order = np.lexsort((uniq, -scores))[: int(k)]
             for rank, j in enumerate(order, start=1):
                 yield int(uniq[j]), float(scores[j]), rank
