@@ -69,6 +69,9 @@ def get_spark(app_name: str = "quickstart_streaming_agents_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
+        # stderr stage-progress bars flooded the driver's 2000-byte tail
+        # capture in round 3 — keep benchmark/driver output machine-clean
+        .config("spark.ui.showConsoleProgress", "false")
         # wide scans must render every attribute or plan assertions on
         # column pruning go vacuous behind '... N more fields' elision
         .config("spark.sql.debug.maxToStringFields", "200")
