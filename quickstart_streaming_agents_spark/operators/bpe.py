@@ -24,13 +24,13 @@ each word's symbol array (greedy left-to-right, the BPE contract) — no
 Python row code anywhere. The driver's only action per iteration is the
 argmax row (deterministic lexicographic tie-break).
 
-At 100 TB: the vocab build is the only corpus-sized shuffle. Each merge
-iteration then costs two narrow vocab-sized stages; learning the usual
-30-50k merges means that many driver round-trips, so real runs batch on
-top of this (merge the top-k non-overlapping pairs per round — the
-SentencePiece-style speedup, a small documented deviation from classic
-BPE). This module implements the classic exact loop; a batched round is
-a composition of the same two primitives.
+At 100 TB: the vocab build is the only corpus-sized shuffle. The merge
+loop then runs DRIVER-LOCAL over the collected vocabulary (bounded by
+``max_vocab_rows``, guarded) with incrementally maintained pair counts —
+2 Spark jobs total regardless of merge count, exactly the classic
+Sennrich et al. learner. The fully-distributed per-merge loop is kept
+as ``_learn_bpe_merges_distributed`` for equivalence testing and for a
+vocabulary too large to collect.
 """
 
 from __future__ import annotations
@@ -125,18 +125,111 @@ def _merge_fold():
     return fold
 
 
+def _merge_word(w: list[str], a: str, b: str) -> list[str]:
+    """Greedy left-to-right (a, b) → a+b merge — the exact semantics of
+    the JVM ``_merge_fold`` (a freshly merged symbol can immediately be
+    the left side of the next match, never re-split)."""
+    out: list[str] = []
+    ab = a + b
+    for x in w:
+        if out and out[-1] == a and x == b:
+            out[-1] = ab
+        else:
+            out.append(x)
+    return out
+
+
 def learn_bpe_merges(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 10,
     min_pair_freq: int = 2,
+    max_vocab_rows: int = 5_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus; returns them in
     order. Ties break lexicographically on (left, right) so the result
     is deterministic across runs and cluster layouts.
 
-    Each iteration runs two narrow vocab-sized Spark stages and collects
-    exactly one row. Stops early when no pair reaches ``min_pair_freq``.
+    Scale shape: the corpus-sized work is ONE distributed shuffle (the
+    word-vocabulary aggregate). The collapsed vocab is tiny relative to
+    the corpus — bounded by distinct whitespace words, in practice a few
+    million rows for a 100 TB text corpus — so it is collected ONCE and
+    the merge loop runs driver-local with incrementally maintained pair
+    counts (the classic Sennrich et al. 2016 learner). Total Spark jobs:
+    2 (count guard + collect), independent of ``num_merges`` — the
+    round-4 per-merge driver round-trip (32k merges = 32k Spark jobs of
+    pure scheduler overhead) is gone. ``max_vocab_rows`` fails loudly if
+    the vocabulary exceeds the driver budget (≈200 bytes/row → ~1 GB at
+    the default bound); raise it deliberately or pre-filter rare words.
+
+    Stops early when no pair reaches ``min_pair_freq``.
+    """
+    from collections import Counter, defaultdict
+
+    vocab_df = _word_vocab(df, text_col)
+    n_rows = vocab_df.count()
+    if n_rows > max_vocab_rows:
+        raise ValueError(
+            f"BPE word vocabulary has {n_rows} rows > max_vocab_rows="
+            f"{max_vocab_rows}; the driver-local merge loop would exceed "
+            "its memory budget. Pre-filter rare words (HAVING freq >= k) "
+            "or raise max_vocab_rows explicitly."
+        )
+    rows = vocab_df.collect()
+
+    words: list[list[str]] = [list(r.w) for r in rows]
+    freqs: list[int] = [r.freq for r in rows]
+    pair_counts: Counter = Counter()
+    where: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, w in enumerate(words):
+        f = freqs[i]
+        for p in zip(w, w[1:]):
+            pair_counts[p] += f
+            where[p].add(i)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        (a, b), best = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if best < min_pair_freq:
+            break
+        merges.append((a, b))
+        for i in sorted(where[(a, b)]):
+            old, f = words[i], freqs[i]
+            new = _merge_word(old, a, b)
+            words[i] = new
+            old_p = Counter(zip(old, old[1:]))
+            new_p = Counter(zip(new, new[1:]))
+            for p in old_p.keys() - new_p.keys():
+                where[p].discard(i)
+            for p in new_p.keys() - old_p.keys():
+                where[p].add(i)
+            for p in old_p.keys() | new_p.keys():
+                delta = (new_p[p] - old_p[p]) * f
+                if delta:
+                    pair_counts[p] += delta
+                    if pair_counts[p] <= 0:
+                        del pair_counts[p]
+        pair_counts.pop((a, b), None)
+        where.pop((a, b), None)
+    return merges
+
+
+def _learn_bpe_merges_distributed(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Round-4 fully-distributed merge loop, kept as the equivalence
+    oracle for the driver-local learner (tests/test_bpe.py) and for the
+    (pathological) case of a vocabulary too large to collect. One
+    pair-count shuffle + one argmax collect PER MERGE — correct, but at
+    real vocab sizes (32k merges) it is 32k Spark jobs of scheduler
+    overhead, which is why it is no longer the default path.
     """
     # localCheckpoint (eager) both caches the iteration state AND
     # truncates lineage — without it the plan stacks one fold per merge

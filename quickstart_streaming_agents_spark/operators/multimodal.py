@@ -1,12 +1,14 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Beyond-reference surface: opaque ``binary`` payload columns with typed
-metadata, processed by Arrow-batched ``mapInPandas`` decoders. The real
-decoders (Pillow/librosa/ffmpeg) are NOT in this container — the decode
-step is stubbed behind ``decoder="fake"`` (deterministic md5-derived
-features) or raises ``NotImplementedError`` for ``decoder="real"``. The
-Spark-side contract — schema, batch shape, partitioning, UDF signature —
-is real and tested; swapping in a real decoder touches one function.
+metadata, processed by Arrow-batched ``mapInPandas`` decoders.
+``decoder="real"`` performs a genuine byte decode for the two formats
+expressible without codec libraries — uncompressed 24-bpp BMP images and
+PCM-16 RIFF/WAVE audio, parsed with struct/numpy against the public
+specs and pinned by golden-byte tests. Formats that need Pillow/librosa/
+ffmpeg (not in this container) raise ``NotImplementedError`` at the same
+integration point. ``decoder="fake"`` remains the deterministic
+md5-derived stand-in whose features the DuckDB oracle can replay.
 
 At 100 TB: binaries live in parquet/object storage; ``mapInPandas``
 streams record batches so one oversized asset can't OOM an executor
@@ -18,8 +20,10 @@ from __future__ import annotations
 
 import hashlib
 import math
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -78,6 +82,122 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
     return [x / n for x in u]
 
 
+def _decode_bmp(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Real byte decode of an uncompressed 24-bpp BMP (the Windows DIB
+    format, public spec) — pure struct/numpy, no image libraries.
+
+    Returns (meta dict, H×W×3 uint8 RGB array). Handles bottom-up and
+    top-down row order and 4-byte row padding.
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bpp BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = height > 0
+    h, w = abs(height), width
+    row_bytes = (w * 3 + 3) // 4 * 4
+    need = pixel_off + row_bytes * h
+    if w <= 0 or h == 0 or len(payload) < need:
+        raise ValueError(f"truncated BMP: have {len(payload)}, need {need}")
+    px = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h,
+                       offset=pixel_off)
+    px = px.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        px = px[::-1]
+    rgb = px[:, :, ::-1]  # stored BGR
+    meta = {
+        "media_type": "image",
+        "width": int(w),
+        "height": int(h),
+        "n_frames": 1,
+        "duration_ms": 0,
+    }
+    return meta, rgb
+
+
+def _decode_wav(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Real byte decode of a PCM-16 RIFF/WAVE file (public spec) — pure
+    struct/numpy. Returns (meta dict, n_samples×channels int16 array).
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt)
+    if audio_fmt != 1 or bits != 16 or channels < 1 or rate < 1:
+        raise ValueError(
+            f"only PCM-16 WAV supported (fmt={audio_fmt}, bits={bits})"
+        )
+    usable = len(data) - len(data) % (2 * channels)
+    samples = np.frombuffer(data[:usable], dtype="<i2").reshape(-1, channels)
+    meta = {
+        "media_type": "audio",
+        "width": int(channels),
+        "height": None,
+        "n_frames": int(samples.shape[0]),
+        "duration_ms": int(round(samples.shape[0] * 1000 / rate)),
+    }
+    return meta, samples
+
+
+def _real_decode(payload: bytes, media_type: str) -> tuple[dict, np.ndarray]:
+    if media_type == "image":
+        return _decode_bmp(payload or b"")
+    if media_type == "audio":
+        return _decode_wav(payload or b"")
+    raise NotImplementedError(
+        f"real decoding of media_type={media_type!r} requires codec "
+        "libraries not present in this runtime (BMP images and PCM-16 "
+        "WAV audio decode for real; use decoder='fake' for others)"
+    )
+
+
+def _real_features(meta: dict, arr: np.ndarray, dim: int) -> list[float]:
+    """Deterministic content features from decoded samples.
+
+    Image: ``dim``-bin grayscale histogram (mass distribution of pixel
+    intensity). Audio: per-segment RMS over ``dim`` equal time slices.
+    Both L2-normalized float64 — order-stable, library-free.
+    """
+    if meta["media_type"] == "image":
+        gray = arr.astype(np.float64).mean(axis=2).ravel() / 255.0
+        hist, _ = np.histogram(gray, bins=dim, range=(0.0, 1.0))
+        v = hist.astype(np.float64)
+    else:
+        x = arr.astype(np.float64).mean(axis=1) / 32768.0
+        if x.size == 0:
+            v = np.zeros(dim)
+        else:
+            segs = np.array_split(x, dim)
+            v = np.array(
+                [math.sqrt(float(np.mean(s * s))) if s.size else 0.0
+                 for s in segs]
+            )
+    n = float(np.sqrt((v * v).sum())) or 1.0
+    return [float(c) for c in v / n]
+
+
 def extract_media_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -87,16 +207,18 @@ def extract_media_features(
 ) -> DataFrame:
     """Append ``media_meta`` struct + ``features`` array<float>.
 
-    ``decoder="real"`` is the integration point for actual image/audio
-    libraries; it raises until those are available in the runtime.
+    ``decoder="real"`` performs an actual byte decode — uncompressed
+    24-bpp BMP for ``media_type="image"``, PCM-16 WAV for ``"audio"``
+    (both pure struct/numpy against the public formats; no codec
+    libraries). Other media types still raise ``NotImplementedError``
+    until their codecs are available. ``decoder="fake"`` keeps the
+    deterministic md5-derived stand-in whose features are SQL-replayable
+    for the DuckDB oracle.
     """
-    if decoder == "real":
-        raise NotImplementedError(
-            "real media decoding requires image/audio libraries not present "
-            "in this runtime; use decoder='fake' for plumbing tests"
-        )
-    if decoder != "fake":
+    if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "real" and media_type not in ("image", "audio"):
+        _real_decode(b"", media_type)  # raises NotImplementedError
 
     out_schema = T.StructType(
         df.schema.fields
@@ -111,8 +233,19 @@ def extract_media_features(
         for pdf in batches:
             payloads = pdf[payload_col].tolist()
             out = pdf[in_cols].copy()
-            out["media_meta"] = [_fake_decode(p, media_type) for p in payloads]
-            out["features"] = [_fake_features(p, feature_dim) for p in payloads]
+            if decoder == "real":
+                decoded = [_real_decode(p, media_type) for p in payloads]
+                out["media_meta"] = [m for m, _ in decoded]
+                out["features"] = [
+                    _real_features(m, a, feature_dim) for m, a in decoded
+                ]
+            else:
+                out["media_meta"] = [
+                    _fake_decode(p, media_type) for p in payloads
+                ]
+                out["features"] = [
+                    _fake_features(p, feature_dim) for p in payloads
+                ]
             yield out
 
     return df.mapInPandas(decode, schema=out_schema)

@@ -107,3 +107,52 @@ def test_early_stop_below_min_freq(spark):
     )
     # every adjacent pair occurs exactly once < min_pair_freq=2 → no merges
     assert learn_bpe_merges(df, num_merges=5) == []
+
+
+def test_driver_local_learner_matches_distributed_loop(spark):
+    """The round-5 driver-local merge loop (2 Spark jobs total) must
+    produce exactly the merges of the round-4 fully-distributed loop on
+    the same corpus — same argmax, same tie-break, same greedy rewrite."""
+    from quickstart_streaming_agents_spark.operators.bpe import (
+        _learn_bpe_merges_distributed,
+    )
+
+    import random
+
+    rng = random.Random(99)
+    words = ["".join(rng.choice("abcde") for _ in range(rng.randint(2, 7)))
+             for _ in range(40)]
+    corpus = " ".join(rng.choice(words) for _ in range(300))
+    df = spark.createDataFrame([(1, corpus)], "id long, text string")
+    assert (
+        learn_bpe_merges(df, num_merges=12)
+        == _learn_bpe_merges_distributed(df, num_merges=12)
+    )
+
+
+def test_vocab_guard_fails_loudly(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd ee")], "id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        learn_bpe_merges(df, num_merges=2, max_vocab_rows=3)
+
+
+def test_many_merges_run_in_constant_spark_jobs(spark):
+    """200 merges on a long corpus must not take 200 Spark jobs — the
+    loop is driver-local after one collect. Proxy check: wall time stays
+    far under what 200 scheduler round-trips would cost, and the merges
+    prefix-match a smaller run (the loop is deterministic/greedy)."""
+    import random
+
+    rng = random.Random(7)
+    words = ["".join(rng.choice("abcdefgh") for _ in range(rng.randint(3, 9)))
+             for _ in range(300)]
+    corpus = " ".join(rng.choice(words) for _ in range(3000))
+    df = spark.createDataFrame([(1, corpus)], "id long, text string")
+    big = learn_bpe_merges(df, num_merges=200, min_pair_freq=1)
+    small = learn_bpe_merges(df, num_merges=50, min_pair_freq=1)
+    assert big[:50] == small
+    assert len(big) > 50
