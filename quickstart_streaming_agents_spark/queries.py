@@ -2753,7 +2753,8 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM post GROUP BY 1, 2),
     ts AS (
-        SELECT term, count(DISTINCT doc_id) AS df, sum(tf) AS cf
+        SELECT term, count(DISTINCT doc_id) AS df,
+               CAST(sum(tf) AS BIGINT) AS cf
         FROM tf GROUP BY 1
     ),
     n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
@@ -3729,7 +3730,7 @@ def cumulate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
     tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS t_total FROM tf),
     s AS (
-        SELECT tf.doc_id, sum(tf.tf) AS n_tokens,
+        SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
                sum(tf.tf * ln(vocab.cf / tot.t_total)) / sum(tf.tf) AS a
         FROM tf JOIN vocab USING (term) CROSS JOIN tot
         GROUP BY 1
