@@ -5,10 +5,15 @@ metadata, processed by Arrow-batched ``mapInPandas`` decoders.
 ``decoder="real"`` performs a genuine byte decode for the two formats
 expressible without codec libraries — uncompressed 24-bpp BMP images and
 PCM-16 RIFF/WAVE audio, parsed with struct/numpy against the public
-specs and pinned by golden-byte tests. Formats that need Pillow/librosa/
-ffmpeg (not in this container) raise ``NotImplementedError`` at the same
-integration point. ``decoder="fake"`` remains the deterministic
-md5-derived stand-in whose features the DuckDB oracle can replay.
+specs and pinned by golden-byte tests (tests/test_multimodal_real.py:
+hand-assembled hex payloads, encoder round-trips, analytic feature
+values, and the driver-checked multimodal_real_meta query). Formats that
+need Pillow/librosa/ffmpeg (not in this container) raise
+``NotImplementedError`` at the same integration point. The real path is
+per-row fault-tolerant (``on_error="null"``): a malformed or NULL asset
+yields NULL meta/features instead of failing the task. ``decoder="fake"``
+remains the deterministic md5-derived stand-in whose features the DuckDB
+oracle can replay.
 
 At 100 TB: binaries live in parquet/object storage; ``mapInPandas``
 streams record batches so one oversized asset can't OOM an executor
@@ -80,6 +85,46 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
         s += x * x
     n = math.sqrt(s) or 1.0
     return [x / n for x in u]
+
+
+def make_bmp(rgb: np.ndarray, top_down: bool = False) -> bytes:
+    """Encode an H×W×3 uint8 RGB array as an uncompressed 24-bpp BMP
+    (inverse of :func:`_decode_bmp`; public Windows DIB layout).
+
+    Fixture/test helper: lets tests and driver-checked queries synthesize
+    deterministic real-format payloads without any image library. Emits
+    the standard 14-byte file header + 40-byte BITMAPINFOHEADER, BGR pixel
+    order, rows padded to 4 bytes, bottom-up unless ``top_down``.
+    """
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    row_bytes = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (row_bytes - w * 3)
+    rows = rgb[:, :, ::-1] if top_down else rgb[::-1, :, ::-1]
+    body = b"".join(r.tobytes() + pad for r in rows)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+        len(body), 2835, 2835, 0, 0,
+    )
+    return header + dib + body
+
+
+def make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode int16 samples (1-D mono or n×channels) as a PCM-16
+    RIFF/WAVE file (inverse of :func:`_decode_wav`). Fixture/test helper.
+    """
+    samples = np.asarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    ch = samples.shape[1]
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
 def _decode_bmp(payload: bytes) -> tuple[dict, np.ndarray]:
@@ -204,6 +249,7 @@ def extract_media_features(
     media_type: str = "image",
     feature_dim: int = 8,
     decoder: str = "fake",
+    on_error: str = "null",
 ) -> DataFrame:
     """Append ``media_meta`` struct + ``features`` array<float>.
 
@@ -214,9 +260,17 @@ def extract_media_features(
     until their codecs are available. ``decoder="fake"`` keeps the
     deterministic md5-derived stand-in whose features are SQL-replayable
     for the DuckDB oracle.
+
+    ``on_error`` governs the real path's per-row failure behavior:
+    ``"null"`` (default) catches decode errors row-by-row and emits NULL
+    media_meta/features, so one malformed or NULL asset can't fail a
+    whole task (and, after Spark's retries, a 100 TB job);
+    ``"raise"`` propagates the first error for strict pipelines.
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"unknown on_error {on_error!r}")
     if decoder == "real" and media_type not in ("image", "audio"):
         _real_decode(b"", media_type)  # raises NotImplementedError
 
@@ -234,11 +288,20 @@ def extract_media_features(
             payloads = pdf[payload_col].tolist()
             out = pdf[in_cols].copy()
             if decoder == "real":
-                decoded = [_real_decode(p, media_type) for p in payloads]
-                out["media_meta"] = [m for m, _ in decoded]
-                out["features"] = [
-                    _real_features(m, a, feature_dim) for m, a in decoded
-                ]
+                metas: list[dict | None] = []
+                feats: list[list[float] | None] = []
+                for p in payloads:
+                    try:
+                        m, a = _real_decode(p, media_type)
+                        metas.append(m)
+                        feats.append(_real_features(m, a, feature_dim))
+                    except (ValueError, struct.error):
+                        if on_error == "raise":
+                            raise
+                        metas.append(None)
+                        feats.append(None)
+                out["media_meta"] = metas
+                out["features"] = feats
             else:
                 out["media_meta"] = [
                     _fake_decode(p, media_type) for p in payloads

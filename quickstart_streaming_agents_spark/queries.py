@@ -2341,6 +2341,114 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The REAL decoder path (uncompressed 24-bpp BMP / PCM-16 WAV, parsed
+# byte-for-byte per the public specs — operators/multimodal.py:_decode_bmp/
+# _decode_wav) driven end to end through mapInPandas, with deterministic
+# in-fixture payload synthesis the oracle replays analytically:
+#   even doc_id → constant-pixel BMP  w=1+id%5, h=1+id%3, gray v=id%256
+#                 → histogram features are one-hot (bin 0 iff v<=31)
+#   odd  doc_id → constant-amplitude mono 8 kHz WAV, n=8*(1+id%4) samples
+#                 → per-segment RMS features are uniformly 1/sqrt(8)
+#   id%19==0    → deliberately corrupt payload → on_error="null" emits NULL
+#                 meta/features (sentinel-coalesced below: NULL ints would
+#                 materialize as float64 in pandas and break the hash).
+_MULTIMODAL_REAL_META_ORACLE = """
+WITH base AS (
+    SELECT doc_id,
+           doc_id % 19 = 0 AS corrupt,
+           doc_id % 2 = 0 AS is_img
+    FROM documents
+)
+SELECT doc_id,
+    CASE WHEN corrupt THEN 'undecodable'
+         WHEN is_img THEN 'image' ELSE 'audio' END AS media_type,
+    CAST(CASE WHEN corrupt THEN -1
+              WHEN is_img THEN 1 + doc_id % 5 ELSE 1 END AS INT) AS width,
+    CAST(CASE WHEN corrupt OR NOT is_img THEN -1
+              ELSE 1 + doc_id % 3 END AS INT) AS height,
+    CAST(CASE WHEN corrupt THEN -1 WHEN is_img THEN 1
+              ELSE 8 * (1 + doc_id % 4) END AS INT) AS n_frames,
+    CAST(CASE WHEN corrupt THEN -1 WHEN is_img THEN 0
+              ELSE 1 + doc_id % 4 END AS BIGINT) AS duration_ms,
+    CASE WHEN corrupt THEN -1.0
+         WHEN is_img THEN (CASE WHEN doc_id % 256 <= 31 THEN 1.0 ELSE 0.0 END)
+         ELSE round(1 / sqrt(8), 6) END AS f0,
+    CAST(CASE WHEN corrupt THEN -1 WHEN is_img THEN 1 ELSE 8 END AS INT) AS nnz
+FROM base
+"""
+
+
+@query("multimodal_real_meta", oracle=_MULTIMODAL_REAL_META_ORACLE)
+def multimodal_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real byte decode (BMP + WAV) through the production mapInPandas path.
+
+    Payloads are synthesized Spark-side from doc_id arithmetic (make_bmp/
+    make_wav — the same encoders the golden-byte tests pin), decoded with
+    decoder="real", and projected to header fields + feature invariants
+    the DuckDB oracle derives in closed form. Every ~19th payload is
+    corrupt on purpose, proving one bad asset yields a NULL row instead of
+    failing the task (on_error="null")."""
+    import numpy as np
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        extract_media_features,
+        make_bmp,
+        make_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 19 == 0:
+                    payloads.append(b"deliberately corrupt")
+                elif i % 2 == 0:
+                    w, h, v = 1 + i % 5, 1 + i % 3, i % 256
+                    payloads.append(
+                        make_bmp(np.full((h, w, 3), v, dtype=np.uint8))
+                    )
+                else:
+                    n = 8 * (1 + i % 4)
+                    a = 1 + i % 30000
+                    payloads.append(
+                        make_wav(np.full(n, a, dtype=np.int16), rate=8000)
+                    )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    imgs = synth_df.filter(F.col("doc_id") % 2 == 0)
+    auds = synth_df.filter(F.col("doc_id") % 2 != 0)
+    decoded = extract_media_features(
+        imgs, "payload", media_type="image", decoder="real"
+    ).unionByName(
+        extract_media_features(auds, "payload", media_type="audio",
+                               decoder="real")
+    )
+    return decoded.select(
+        "doc_id",
+        F.coalesce(F.col("media_meta.media_type"),
+                   F.lit("undecodable")).alias("media_type"),
+        F.coalesce(F.col("media_meta.width").cast("int"),
+                   F.lit(-1)).alias("width"),
+        F.coalesce(F.col("media_meta.height").cast("int"),
+                   F.lit(-1)).alias("height"),
+        F.coalesce(F.col("media_meta.n_frames").cast("int"),
+                   F.lit(-1)).alias("n_frames"),
+        F.coalesce(F.col("media_meta.duration_ms").cast("bigint"),
+                   F.lit(-1).cast("bigint")).alias("duration_ms"),
+        F.coalesce(F.round(F.element_at("features", 1).cast("double"), 6),
+                   F.lit(-1.0)).alias("f0"),
+        F.coalesce(
+            F.size(F.filter("features", lambda x: x != F.lit(0.0))).cast("int"),
+            F.lit(-1),
+        ).alias("nnz"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A4 — scalar-subquery counts dashboard. Reference: the lab2 monitoring
 # query `SELECT (SELECT COUNT(*) FROM queries) AS …, …`
