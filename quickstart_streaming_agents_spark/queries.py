@@ -594,6 +594,135 @@ def anomaly_detect_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W1 (AR path, p=2, value-hashed): with min_training_size = max_training_size
+# = 8 every scored row trains on exactly t=8 prior values, so the lag order
+# is provably p = min(8, t-1, max(1, t//4)) = 2 and (ridge_lambda=0) the fit
+# is exact OLS over 6 observations of [1, lag1, lag2]. DuckDB replays the
+# 3×3 normal-equation solve in closed form: frame sums of the lagged metric
+# → centered covariances → 2×2 Cramer solve for (b1, b2), intercept from the
+# means, residual variance from cyy − b1·c1y − b2·c2y, dof = 6−3 = 3. The
+# metric is the integer window count cast to double, so every frame sum and
+# product is exactly representable and the only cross-engine noise is the
+# final solve rounding (~1e-13 relative, absorbed by round(·, 2)).
+# Together with anomaly_detect_ar1 this hash-pins the multi-lag branch of
+# ar_one_step (lag-matrix construction, newest-first forecast dot product,
+# dof) that the production anomaly_detect_ar (p ≤ 8, ridge) exercises
+# rows-only. Reference construct: LAB4-Walkthrough.md:150-163.
+# ---------------------------------------------------------------------------
+_AR2_ORACLE = f"""
+WITH a AS (
+    SELECT event_type,
+           CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP)
+               AS window_start,
+           CAST(count(*) AS DOUBLE) AS m
+    FROM events GROUP BY 1, 2
+),
+l AS (
+    SELECT event_type, window_start, m,
+           lag(m, 1) OVER w AS l1, lag(m, 2) OVER w AS l2
+    FROM a
+    WINDOW w AS (PARTITION BY event_type ORDER BY window_start)
+),
+r AS (
+    SELECT event_type, window_start, m, l1, l2,
+           count(m) OVER pw AS t,
+           sum(m)   OVER pw AS s8,
+           sum(m)       OVER fw AS sy,
+           sum(l1)      OVER fw AS s1,
+           sum(l2)      OVER fw AS s2,
+           sum(l1 * l1) OVER fw AS s11,
+           sum(l2 * l2) OVER fw AS s22,
+           sum(l1 * l2) OVER fw AS s12,
+           sum(l1 * m)  OVER fw AS s1y,
+           sum(l2 * m)  OVER fw AS s2y,
+           sum(m * m)   OVER fw AS syy
+    FROM l
+    WINDOW pw AS (PARTITION BY event_type ORDER BY window_start
+                  ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+           fw AS (PARTITION BY event_type ORDER BY window_start
+                  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+),
+c AS (
+    SELECT event_type, window_start, m, l1, l2, t,
+           s11 - s1 * s1 / 6 AS c11,
+           s22 - s2 * s2 / 6 AS c22,
+           s12 - s1 * s2 / 6 AS c12,
+           s1y - s1 * sy / 6 AS c1y,
+           s2y - s2 * sy / 6 AS c2y,
+           syy - sy * sy / 6 AS cyy,
+           s8 / 8 AS mean8, syy, sy, s1, s2
+    FROM r
+),
+b AS (
+    SELECT event_type, window_start, m, l1, l2, t, cyy, c1y, c2y,
+           c11 * c22 - c12 * c12 AS det,
+           (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+           (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2,
+           mean8, syy, sy, s1, s2
+    FROM c
+),
+-- det = 0 ⟺ the 6-row design is exactly collinear (constant lag windows:
+-- all sums are integers, so the cancellation is exact) ⟺ numpy's
+-- linalg.solve raises LinAlgError and ar_one_step falls back to
+-- beta = [mean(train8), 0, 0]: forecast = the 8-row training mean,
+-- residuals y − mean8 over the 6 regression rows.
+s AS (
+    SELECT event_type, window_start, m,
+           CASE WHEN t >= 8 THEN
+               CASE WHEN det = 0 THEN mean8
+                    ELSE (sy - b1 * s1 - b2 * s2) / 6 + b1 * l1 + b2 * l2
+               END
+           END AS fc,
+           CASE WHEN t >= 8 THEN {_AR1_Z!r} * sqrt(greatest(
+               CASE WHEN det = 0
+                    THEN syy - 2 * mean8 * sy + 6 * mean8 * mean8
+                    ELSE cyy - b1 * c1y - b2 * c2y END,
+               0) / 3)
+           END AS half
+    FROM b
+)
+-- +1e-9 before round: integer metrics make fc/bounds small-denominator
+-- rationals that land EXACTLY on .xx5 halfway points, where the engines'
+-- ~1e-13 solve noise falls on opposite sides; the nudge (≫ noise, ≪ grid)
+-- pushes both engines off the knife edge the same way. Mirrored in the
+-- Spark projection below.
+SELECT event_type, window_start, m,
+       round(fc + 1e-9, 2) AS forecast_value,
+       round(fc + half + 1e-9, 2) AS upper_bound,
+       round(fc - half + 1e-9, 2) AS lower_bound,
+       coalesce(m > fc + half OR m < fc - half, FALSE) AS is_anomaly
+FROM s
+"""
+
+
+@query("anomaly_detect_ar2", oracle=_AR2_ORACLE)
+def anomaly_detect_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2)/OLS configuration of ml_detect_anomalies, exact-oracle-checked
+    via a closed-form normal-equation replay (see comment above; reference
+    construct LAB4-Walkthrough.md:150-163)."""
+    events = load_table(spark, sf_dir, "events")
+    agg = tumble(
+        events, "ts", "6 hours", keys=["event_type"],
+        aggs=[F.count("*").cast("double").alias("m")],
+    ).select("window_start", "event_type", "m")
+    scored = ml_detect_anomalies(
+        agg, metric="m", ts="window_start", keys=["event_type"],
+        min_training_size=8, max_training_size=8,
+        confidence_percentage=95.0, detector="ar", ridge_lambda=0.0,
+    )
+    return scored.select(
+        "event_type", "window_start", "m",
+        F.round(F.col("anomaly_result.forecast_value") + 1e-9, 2)
+            .alias("forecast_value"),
+        F.round(F.col("anomaly_result.upper_bound") + 1e-9, 2)
+            .alias("upper_bound"),
+        F.round(F.col("anomaly_result.lower_bound") + 1e-9, 2)
+            .alias("lower_bound"),
+        F.col("anomaly_result.is_anomaly").alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q1-shaped pricing summary — the classic windowless hash aggregate,
 # exercising SUM/AVG/COUNT + arithmetic (F-math2) at fact-table scale.
 # Map-side partial agg → single shuffle on 2 low-cardinality keys.
