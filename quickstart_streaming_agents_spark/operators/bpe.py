@@ -166,16 +166,21 @@ def learn_bpe_merges(
     """
     from collections import Counter, defaultdict
 
-    vocab_df = _word_vocab(df, text_col)
-    n_rows = vocab_df.count()
-    if n_rows > max_vocab_rows:
-        raise ValueError(
-            f"BPE word vocabulary has {n_rows} rows > max_vocab_rows="
-            f"{max_vocab_rows}; the driver-local merge loop would exceed "
-            "its memory budget. Pre-filter rare words (HAVING freq >= k) "
-            "or raise max_vocab_rows explicitly."
-        )
-    rows = vocab_df.collect()
+    # persist: the guard count and the collect would otherwise each execute
+    # the corpus-sized vocabulary shuffle — the dominant cost at scale
+    vocab_df = _word_vocab(df, text_col).persist()
+    try:
+        n_rows = vocab_df.count()
+        if n_rows > max_vocab_rows:
+            raise ValueError(
+                f"BPE word vocabulary has {n_rows} rows > max_vocab_rows="
+                f"{max_vocab_rows}; the driver-local merge loop would exceed "
+                "its memory budget. Pre-filter rare words (HAVING freq >= k) "
+                "or raise max_vocab_rows explicitly."
+            )
+        rows = vocab_df.collect()
+    finally:
+        vocab_df.unpersist()
 
     words: list[list[str]] = [list(r.w) for r in rows]
     freqs: list[int] = [r.freq for r in rows]

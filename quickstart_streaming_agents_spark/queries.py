@@ -1361,10 +1361,11 @@ def bpe_pair_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Plan: posexplode to (label, pos, val) rows — the 128× fan-out happens
 # map-side and partial aggregation collapses it to (label, pos) partial
 # sums BEFORE the one shuffle, so shuffle volume is |labels|×dim per map
-# task, not |rows|×dim. Reassembly (collect_list of (pos, avg) structs →
-# sort → values) moves |labels|×dim rows — trivial at any scale. This is
-# the centroid-update half of distributed k-means (similarity.ann_ivf
-# uses the same shape on a sample).
+# task, not |rows|×dim. Output stays exploded at one row per (label,
+# dimension) — see the docstring; n_values counts the values averaged
+# into that cell (= the label's vector count when no embedding is short
+# or null). This is the centroid-update half of distributed k-means
+# (similarity.ann_ivf uses the same shape on a sample).
 # ---------------------------------------------------------------------------
 @query(
     "label_centroids",
@@ -1380,7 +1381,7 @@ def bpe_pair_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label, CAST(pos AS INTEGER) AS pos,
            ROUND(AVG(v), 4) + 0.0 AS centroid_value,
-           COUNT(*) AS n_vectors
+           COUNT(*) AS n_values
     FROM vals GROUP BY 1, 2
     """,
 )
@@ -1399,9 +1400,9 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("v", F.col("v").cast("double"))
     return ex.groupBy("label", "pos").agg(
         (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid_value"),
-        F.count("*").alias("n_vectors"),
+        F.count("*").alias("n_values"),
     ).select("label", F.col("pos").cast("int").alias("pos"),
-             "centroid_value", "n_vectors")
+             "centroid_value", "n_values")
 
 
 # ---------------------------------------------------------------------------
@@ -4175,16 +4176,11 @@ FROM (
 """
 
 
-@query("training_data_pipeline", oracle=_TRAINING_PIPELINE_ORACLE)
-def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-data preparation: curate → exact-dedup →
-    decontaminate → near-dup-cluster → split. See the block comment for
-    the plan shape; every stage is also hash-checked standalone.
-
-    The decontaminated set stays persisted for the session (it feeds two
-    branches of one lazy result, so there is no safe point to unpersist
-    inside the builder); callers running many pipelines in one session
-    release it with ``spark.catalog.clearCache()`` — bench.py does."""
+def build_training_pipeline(docs: DataFrame) -> DataFrame:
+    """Docs-DataFrame entry point for the flagship pipeline — shared by the
+    training_data_pipeline query (fixture parquet) and tools/scale_smoke.py
+    (synthetic corpora at 1–4M docs), so the scale probe exercises the
+    exact production plan, not a copy."""
     from quickstart_streaming_agents_spark.functions import text as tx
     from quickstart_streaming_agents_spark.operators.components import dedup_clusters
     from quickstart_streaming_agents_spark.operators.decontamination import (
@@ -4196,7 +4192,6 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from quickstart_streaming_agents_spark.operators.sampling import hash_unit
 
-    docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", "text",
         tx.lang_id("text").alias("lang_pred"),
@@ -4231,6 +4226,19 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
         .alias("split"),
     )
+
+
+@query("training_data_pipeline", oracle=_TRAINING_PIPELINE_ORACLE)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data preparation: curate → exact-dedup →
+    decontaminate → near-dup-cluster → split. See the block comment for
+    the plan shape; every stage is also hash-checked standalone.
+
+    The decontaminated set stays persisted for the session (it feeds two
+    branches of one lazy result, so there is no safe point to unpersist
+    inside the builder); callers running many pipelines in one session
+    release it with ``spark.catalog.clearCache()`` — bench.py does."""
+    return build_training_pipeline(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -4270,16 +4278,24 @@ _PACKED_SHARDS_ORACLE = (
 )
 
 
+def build_packed_shards(
+    docs: DataFrame, seq_len: int = 512, num_buckets: int = 4
+) -> DataFrame:
+    """Docs-DataFrame entry point for the packing capstone (see
+    build_training_pipeline)."""
+    from quickstart_streaming_agents_spark.operators.packing import pack_sequences
+
+    base = build_training_pipeline(docs)
+    train = base.filter(F.col("split") == "train").select("doc_id", "n_tokens")
+    return pack_sequences(
+        train, tokens_col="n_tokens", seq_len=seq_len, num_buckets=num_buckets
+    )
+
+
 @query("packed_training_shards", oracle=_PACKED_SHARDS_ORACLE)
 def packed_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curate → dedup → decontaminate → split → pack, end to end."""
-    from quickstart_streaming_agents_spark.operators.packing import pack_sequences
-
-    base = training_data_pipeline(spark, sf_dir)
-    train = base.filter(F.col("split") == "train").select("doc_id", "n_tokens")
-    return pack_sequences(
-        train, tokens_col="n_tokens", seq_len=512, num_buckets=4
-    )
+    return build_packed_shards(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -4484,57 +4500,69 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-verification rotation (round 5). The correctness harness
-# oracle-checks the FIRST 50 registry entries each round (CORRECTNESS_r04's
-# key set == insertion positions 0-49), so the 33 queries registered at
-# positions 50-82 had oracles but no driver row through round 4. This
-# rotation moves them — plus the reshaped label_centroids — into the checked
-# window; previously-green queries rotate behind and stay pinned every run
-# by tests/test_parity.py, which asserts ALL oracle pairs, not just 50.
+# Driver-verification rotation (round 6). The correctness harness
+# oracle-checks the FIRST 50 registry entries each round. Round 5 verified
+# the then-front 33 (all green except two oracle dtype artifacts, fixed this
+# round); this rotation leads with (a) the two dtype-fixed queries so their
+# fix gets a driver row, (b) the two queries new in round 6
+# (multimodal_real_meta, anomaly_detect_ar2), then (c) the 33 queries whose
+# latest driver row is round 4 — after round 6 no query's most recent driver
+# check is more than two rounds old. Rotated-out queries stay pinned every
+# run by tests/test_parity.py, which asserts ALL oracle pairs, not just 50.
 # ---------------------------------------------------------------------------
-_R5_CHECK_FIRST = [
-    "verdict_parse",
-    "tool_invoke",
-    "embedding_near_dup",
-    "bm25_search",
+_R6_CHECK_FIRST = [
     "vocab_top_terms",
-    "event_funnel",
-    "cohort_retention",
-    "semi_anti_customers",
-    "events_pivot",
-    "user_set_ops",
-    "column_profile",
-    "window_functions_suite",
-    "forecast_revenue_change",
-    "promo_revenue_share",
-    "events_cube",
-    "shipping_priority",
-    "local_supplier_volume",
-    "duplicate_spans",
-    "substring_dedup_clean",
-    "snapshot_diff",
-    "returned_item_customers",
-    "large_volume_orders",
-    "late_shipment_priority",
-    "cumulate_agg",
     "unigram_logprob_score",
-    "rolling_active_users",
-    "training_data_pipeline",
-    "packed_training_shards",
-    "latest_state_upsert",
-    "data_quality_report",
-    "exact_k_per_stratum",
-    "trending_per_window",
-    "value_histogram",
-    "label_centroids",
+    "multimodal_real_meta",
+    "anomaly_detect_ar2",
+    "agent_price_match",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "bpe_pair_freqs",
+    "counts_dashboard",
+    "curation_pipeline",
+    "dataset_split",
+    "decontamination",
+    "dedup_components",
+    "dedup_exact",
+    "doc_chunks",
+    "domain_mix",
+    "embedding_topk_pairs",
+    "events_rollup",
+    "gap_fill_locf",
+    "investigation_queue",
+    "lang_id_ngram",
+    "minhash_lsh_dedup",
+    "multimodal_features",
+    "multimodal_meta",
+    "ngram_jaccard_dedup",
+    "pii_redaction",
+    "props_json_agg",
+    "rag_ingest",
+    "repetition_filter",
+    "sequence_packing",
+    "session_window_agg",
+    "simhash_dedup",
+    "sliding_window_agg",
+    "stratified_sample",
+    "surge_enriched",
+    "text_analysis",
+    "value_percentiles",
 ]
 
 
 def _rotate(reg: dict, front: list[str]) -> dict:
+    # a stale rotation name must fail loudly at import, not silently shrink
+    # the driver-checked window (checked against QUERIES only: ORACLE
+    # legitimately lacks no_oracle entries)
+    if reg is QUERIES:
+        missing = [n for n in front if n not in reg]
+        if missing:
+            raise KeyError(f"rotation names not in registry: {missing}")
     out = {name: reg[name] for name in front if name in reg}
     out.update((name, v) for name, v in reg.items() if name not in out)
     return out
 
 
-QUERIES = _rotate(QUERIES, _R5_CHECK_FIRST)
-ORACLE = _rotate(ORACLE, _R5_CHECK_FIRST)
+QUERIES = _rotate(QUERIES, _R6_CHECK_FIRST)
+ORACLE = _rotate(ORACLE, _R6_CHECK_FIRST)

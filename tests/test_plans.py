@@ -168,3 +168,13 @@ def test_substring_ops_stay_jvm(spark):
         assert count_exchanges(df) <= 5, name
         plan = physical_plan(df)
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_capstone_exchange_counts_pinned(spark):
+    # The two most expensive registered queries must keep the PLANS.md
+    # exchange budgets (4 and 5): curate/score is map-only, each dedup/
+    # decontaminate/cluster/split stage adds exactly one shuffle, and
+    # packing adds only the per-bucket cumsum. A regression here is the
+    # difference between "fast at 100 TB" and "reshuffles the corpus".
+    assert count_exchanges(_q(spark, "training_data_pipeline")) == 4
+    assert count_exchanges(_q(spark, "packed_training_shards")) == 5

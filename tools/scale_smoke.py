@@ -44,8 +44,9 @@ def main() -> None:
         .load()
     )
 
-    def stage(name, df):
-        t0 = time.perf_counter()
+    def stage(name, df, t0=None):
+        if t0 is None:
+            t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         print(f"{name:28s} {time.perf_counter() - t0:7.2f}s  ({rows:,} docs)")
 
@@ -69,6 +70,41 @@ def main() -> None:
     stage("lang histogram (1 shuffle)", docs.select(
         tx.lang_id("text").alias("lang")
     ).groupBy("lang").count())
+
+    # Capstones end to end at generated scale: curate → exact-dedup →
+    # decontaminate → near-dup-cluster → split [→ pack]. These are the two
+    # most expensive registered queries; the point is that the plan shape
+    # holds when the corpus is 10-100x the sf0.1 fixture — no OOM, no
+    # driver-side materialization beyond dedup_clusters' bounded
+    # convergence counts. Timing wraps BUILD + write because
+    # dedup_clusters runs its convergence actions eagerly at build time.
+    # Exchange budget: the fixture plans are pinned at 4 / 5
+    # (tests/test_plans.py::test_capstone_exchange_counts_pinned); at
+    # generated scale the final anti-join correctly flips from broadcast
+    # to SortMergeJoin (+1 exchange each) — anything beyond that bound
+    # means a corpus-sized reshuffle crept in.
+    from quickstart_streaming_agents_spark.plans import count_exchanges
+    from quickstart_streaming_agents_spark.queries import (
+        build_packed_shards,
+        build_training_pipeline,
+    )
+
+    t0 = time.perf_counter()
+    flagship = build_training_pipeline(docs)
+    n_ex = count_exchanges(flagship)
+    assert n_ex <= 5, f"training pipeline exchanges regressed: {n_ex} > 5"
+    stage(f"training pipeline ({n_ex} exch)", flagship, t0)
+    spark.catalog.clearCache()  # release the pipeline's persisted stage
+
+    t0 = time.perf_counter()
+    packed = build_packed_shards(
+        docs, seq_len=2048,
+        num_buckets=spark.sparkContext.defaultParallelism * 4,
+    )
+    n_ex = count_exchanges(packed)
+    assert n_ex <= 6, f"packed shards exchanges regressed: {n_ex} > 6"
+    stage(f"packed shards ({n_ex} exch)", packed, t0)
+    spark.catalog.clearCache()
 
 
 if __name__ == "__main__":
