@@ -123,6 +123,7 @@ def connected_components(
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
     local_threshold: int = 1_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) undirected pair list → (id, component) with component =
     min node id of the connected component. Only nodes appearing in pairs
@@ -147,6 +148,11 @@ def connected_components(
     locally cuts the round count from ~log(n) to "first round that fits",
     and at test scale the whole graph takes the fast path immediately.
     Set 0 to force the pure distributed contraction.
+
+    ``stats``: pass a dict to receive ``{"rounds": r}`` — the number of
+    star-contraction rounds actually executed (0 when the local fast path
+    takes the whole graph). tests/test_dedup.py uses this to pin the
+    O(log n) convergence bound on a pathological path graph.
     """
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -165,12 +171,16 @@ def connected_components(
         .distinct()
     )
     sig = _edge_signature(edges)
+    if stats is not None:
+        stats["rounds"] = 0
     if local_threshold and sig[0] <= local_threshold:
         return _local_components(edges)
     converged = False
-    for _ in range(max_iter):
+    for i in range(max_iter):
         edges = ckpt(_small_star(_large_star(edges)))
         new_sig = _edge_signature(edges)
+        if stats is not None:
+            stats["rounds"] = i + 1
         if new_sig == sig:
             converged = True
             break

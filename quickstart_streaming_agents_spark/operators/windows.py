@@ -76,7 +76,12 @@ def cumulate(
     Batch-only: after the explode, no groupBy key carries the event-time
     attribute, so Structured Streaming cannot emit this aggregation in
     append mode — the TVF's streaming analog is ``tumble`` at ``step``
-    granularity rolled up at read time.
+    granularity rolled up at read time. This exclusion is never hit by the
+    reference corpus: no query in labs 1-4 (LAB1-Walkthrough.md through
+    LAB4-Walkthrough.md, terraform/lab2-vector-search/main.tf) uses
+    CUMULATE or HOP at all — every reference window is TUMBLE — so
+    streaming CUMULATE is beyond-reference surface (SURVEY §2 ST7), kept
+    batch-complete with the documented streaming rewrite.
     """
     if df.isStreaming:
         raise NotImplementedError(

@@ -146,6 +146,35 @@ def test_connected_components_converges_on_long_chain(spark):
     assert all(r.component == 0 for r in out)
 
 
+def test_connected_components_round_count_logarithmic(spark):
+    """Pathological 10k-node path graph: star contraction must stay
+    O(log n) rounds. Guard against a regression to per-hop min-propagation
+    (which would need ~n rounds and turn a 100 TB dedup into a thousands-
+    of-jobs driver loop). Bound: log2(n) + 4 slack rounds (+1 for the
+    convergence-detection round that re-observes a fixed point)."""
+    import math
+
+    from quickstart_streaming_agents_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 10_000
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    stats: dict = {}
+    out = connected_components(
+        df, max_iter=25, local_threshold=0, stats=stats
+    ).collect()
+    assert len(out) == n + 1
+    assert all(r.component == 0 for r in out)
+    bound = int(math.log2(n)) + 5
+    assert stats["rounds"] <= bound, (
+        f"star contraction took {stats['rounds']} rounds on a {n}-node "
+        f"path; expected <= {bound} (~log2 n)"
+    )
+
+
 def test_connected_components_local_finish_mid_iteration(spark):
     """A threshold between the initial and round-1 edge counts forces one
     distributed round, then the local union-find finish — both handoffs
