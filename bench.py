@@ -107,6 +107,8 @@ HEADLINE = [
     "filter_project",
     "scalar_funcs",
     "window_functions_suite",
+    "multimodal_real_meta",
+    "anomaly_detect_ar2",
 ]
 
 
