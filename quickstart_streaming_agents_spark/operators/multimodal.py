@@ -250,8 +250,14 @@ def extract_media_features(
     feature_dim: int = 8,
     decoder: str = "fake",
     on_error: str = "null",
+    media_type_col: str | None = None,
 ) -> DataFrame:
     """Append ``media_meta`` struct + ``features`` array<float>.
+
+    ``media_type_col`` names a string column holding each row's media
+    type ("image"/"audio"/...), the shape of a real mixed-media table —
+    one scan, per-row decoder dispatch. When None, ``media_type``
+    applies to every row.
 
     ``decoder="real"`` performs an actual byte decode — uncompressed
     24-bpp BMP for ``media_type="image"``, PCM-16 WAV for ``"audio"``
@@ -271,7 +277,8 @@ def extract_media_features(
         raise ValueError(f"unknown decoder {decoder!r}")
     if on_error not in ("null", "raise"):
         raise ValueError(f"unknown on_error {on_error!r}")
-    if decoder == "real" and media_type not in ("image", "audio"):
+    if (decoder == "real" and media_type_col is None
+            and media_type not in ("image", "audio")):
         _real_decode(b"", media_type)  # raises NotImplementedError
 
     out_schema = T.StructType(
@@ -286,16 +293,21 @@ def extract_media_features(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col].tolist()
+            mtypes = (
+                pdf[media_type_col].tolist()
+                if media_type_col is not None
+                else [media_type] * len(payloads)
+            )
             out = pdf[in_cols].copy()
             if decoder == "real":
                 metas: list[dict | None] = []
                 feats: list[list[float] | None] = []
-                for p in payloads:
+                for p, mt in zip(payloads, mtypes):
                     try:
-                        m, a = _real_decode(p, media_type)
+                        m, a = _real_decode(p, mt)
                         metas.append(m)
                         feats.append(_real_features(m, a, feature_dim))
-                    except (ValueError, struct.error):
+                    except (ValueError, struct.error, NotImplementedError):
                         if on_error == "raise":
                             raise
                         metas.append(None)
@@ -304,7 +316,7 @@ def extract_media_features(
                 out["features"] = feats
             else:
                 out["media_meta"] = [
-                    _fake_decode(p, media_type) for p in payloads
+                    _fake_decode(p, mt) for p, mt in zip(payloads, mtypes)
                 ]
                 out["features"] = [
                     _fake_features(p, feature_dim) for p in payloads

@@ -2532,8 +2532,9 @@ def multimodal_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(batches):
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
-            payloads = []
+            payloads, mtypes = [], []
             for i in ids:
+                mtypes.append("image" if i % 2 == 0 else "audio")
                 if i % 19 == 0:
                     payloads.append(b"deliberately corrupt")
                 elif i % 2 == 0:
@@ -2547,17 +2548,18 @@ def multimodal_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(
                         make_wav(np.full(n, a, dtype=np.int16), rate=8000)
                     )
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+            yield pd.DataFrame(
+                {"doc_id": ids, "mt": mtypes, "payload": payloads}
+            )
 
-    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
-    imgs = synth_df.filter(F.col("doc_id") % 2 == 0)
-    auds = synth_df.filter(F.col("doc_id") % 2 != 0)
-    decoded = extract_media_features(
-        imgs, "payload", media_type="image", decoder="real"
-    ).unionByName(
-        extract_media_features(auds, "payload", media_type="audio",
-                               decoder="real")
+    synth_df = docs.mapInPandas(
+        synth, schema="doc_id long, mt string, payload binary"
     )
+    # single scan, per-row decoder dispatch on the mt column — the shape
+    # of a real mixed-media table (no per-type branch + union)
+    decoded = extract_media_features(
+        synth_df, "payload", decoder="real", media_type_col="mt"
+    ).drop("mt")
     return decoded.select(
         "doc_id",
         F.coalesce(F.col("media_meta.media_type"),

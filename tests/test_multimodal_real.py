@@ -173,3 +173,22 @@ def test_decoder_real_audio_spark(spark):
     assert r.media_meta.n_frames == 16
     assert r.media_meta.duration_ms == 2
     assert r.features[0] == pytest.approx(1 / math.sqrt(8), rel=1e-6)
+
+
+def test_media_type_col_per_row_dispatch(spark):
+    rows = [
+        (1, "image", make_bmp(np.full((2, 2, 3), 10, dtype=np.uint8))),
+        (2, "audio", make_wav(np.full(8, 1000, dtype=np.int16))),
+        (3, "video", b"anything"),  # unsupported type → null, not task fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, mt string, payload binary")
+    out = (
+        extract_media_features(df, "payload", decoder="real",
+                               media_type_col="mt")
+        .select("doc_id", "media_meta.media_type", "media_meta.n_frames")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r.doc_id, r.media_type, r.n_frames) for r in out] == [
+        (1, "image", 1), (2, "audio", 8), (3, None, None),
+    ]
