@@ -109,6 +109,9 @@ HEADLINE = [
     "window_functions_suite",
     "multimodal_real_meta",
     "anomaly_detect_ar2",
+    "bpe_encode",
+    "line_dedup_clean",
+    "token_budget_mix",
 ]
 
 

@@ -495,3 +495,56 @@ def simhash_pairs_from_fingerprints(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level (C4-style)
+# ---------------------------------------------------------------------------
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-global line-level dedup: every distinct line keeps exactly
+    its FIRST occurrence (smallest (id, position)); all later occurrences
+    are removed and each document's surviving lines are reassembled in
+    original order. Documents with no surviving line drop out. The C4 /
+    RefinedWeb "three-sentence span" dedup shape (Raffel et al. 2020 §2.2,
+    Penedo et al. 2023) — the reference corpus has no line-level op, so
+    this is beyond-reference training-data surface.
+
+    Input: ``lines_col`` is an ``array<string>`` (callers split/chunk text
+    however their notion of "line" dictates — by newline, sentence
+    splitter, or fixed word windows). Returns (id, text, n_lines_kept)
+    with text = surviving lines joined by ``sep``.
+
+    Scale shape: two shuffles, both JVM — (1) hash-partition by the line
+    text for the global first-occurrence window (line bytes must move
+    once; that is inherent to exact line dedup), (2) regroup by id for
+    reassembly. ``row_number`` + filter stay in whole-stage codegen; no
+    driver materialization, no Python.
+    """
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(lines_col)).alias("pos", "line")
+    )
+    w = Window.partitionBy("line").orderBy(id_col, "pos")
+    first = (
+        ex.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        first.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.line,
+                ),
+                sep,
+            ).alias("text"),
+            F.count("*").cast("bigint").alias("n_lines_kept"),
+        )
+    )

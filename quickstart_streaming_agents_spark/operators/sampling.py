@@ -125,3 +125,58 @@ def domain_mix(
     }
     rates = mix_rates(counts, weights)
     return stratified_sample(df, stratum_col, rates, id_cols, default=0.0, salt=salt)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    stratum_col: str,
+    tokens_col: str,
+    weights: dict[str, float],
+    budget: int,
+    id_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic downsample realizing ``weights`` as the TOKEN mixture
+    within a total token ``budget`` — the data-mix allocator of LLM
+    pretraining recipes (domain weights are specified over tokens, not
+    documents; cf. the mixture tables of Gao et al. 2020 "The Pile" and
+    Touvron et al. 2023).
+
+    Stratum s with token total T_s gets target
+    ``t_s = weights[s] / W * budget`` (W = Σ weights) and keep-rate
+    ``r_s = min(1, (weights[s] * budget) / (W * T_s))`` — downsample-only:
+    a stratum with fewer tokens than its share keeps everything (capped at
+    1) and the realized total lands under budget rather than replicating
+    rows. Expected kept tokens per stratum ≈ min(t_s, T_s) since the
+    row-identity hash is independent of row token counts.
+
+    The rate expression is a FIXED shape — ``(w * budget) / (W * T)``, one
+    multiply each side of one divide — so a SQL oracle computing the same
+    doubles gets bit-identical rates and the same kept set.
+
+    Scale shape: one partial-agg shuffle of |strata| rows for the token
+    totals (collected — strata are domains, low cardinality by
+    construction), then a map-only hash filter fused into the scan.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col)
+        .agg(F.sum(tokens_col).alias("t"))
+        .collect()
+    }
+    w_total = sum(weights.values())
+    if w_total <= 0:
+        raise ValueError("weights must sum to > 0")
+    rates = {
+        s: (
+            min(1.0, (weights[s] * float(budget)) / (w_total * float(totals[s])))
+            if totals.get(s)
+            else 0.0
+        )
+        for s in weights
+    }
+    return stratified_sample(
+        df, stratum_col, rates, id_cols, default=0.0, salt=salt
+    )

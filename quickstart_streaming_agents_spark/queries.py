@@ -1357,6 +1357,124 @@ def bpe_pair_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE ENCODE (apply learned merges): corpus → subword frequency table under
+# a fixed merge list — the tokenizer-application half of bpe_pair_freqs /
+# learn_bpe_merges. Spark: the vocab trick (one corpus shuffle to (word,
+# freq)), then bpe_segment's greedy left-to-right JVM aggregate() fold per
+# merge, explode + one vocab-sized shuffle. Oracle: DuckDB list_reduce
+# replays the IDENTICAL fold per merge (sentinel-prefixed so the reduce
+# has an init element; stripped with [2:]) — equivalence against the
+# Python reference _merge_word is separately pinned in tests/test_bpe.py.
+# The merge list is chosen from the fixture vocabulary so every merge is
+# exercised ('the', 'spark', 'data', ...).
+# ---------------------------------------------------------------------------
+_BPE_ENCODE_MERGES = [("t", "h"), ("th", "e"), ("s", "p"), ("sp", "a"),
+                      ("d", "a")]
+
+
+def _bpe_fold_sql() -> str:
+    expr = "(['§'] || list_transform(range(1, len(w)+1), i -> w[i]))"
+    for a, b in _BPE_ENCODE_MERGES:
+        expr = (
+            f"list_reduce(list_transform({expr}, c -> [c]), "
+            f"(acc, s) -> CASE WHEN len(acc) > 0 AND acc[-1] = '{a}' "
+            f"AND s[1] = '{b}' "
+            f"THEN acc[1:len(acc)-1] || ['{a}{b}'] ELSE acc || s END)"
+        )
+    return f"({expr})[2:]"
+
+
+_BPE_ENCODE_ORACLE = f"""
+WITH words AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+    FROM documents
+),
+wf AS (SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w),
+enc AS (SELECT {_bpe_fold_sql()} AS syms, freq FROM wf)
+SELECT s.subword, CAST(sum(freq) AS BIGINT) AS freq
+FROM enc, unnest(enc.syms) AS s(subword)
+GROUP BY 1
+"""
+
+
+@query("bpe_encode", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a fixed BPE merge list to the corpus; emit the subword
+    frequency table (reference-adjacent: the encode step of the Sennrich
+    et al. 2016 recipe, operators/bpe.py)."""
+    from quickstart_streaming_agents_spark.functions.text import tokens
+    from quickstart_streaming_agents_spark.operators.bpe import bpe_segment
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = docs.select(F.explode(tokens("text")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("freq"))
+    seg = bpe_segment(_BPE_ENCODE_MERGES)
+    enc = vocab.select(F.explode(seg(F.col("w"))).alias("subword"), "freq")
+    return enc.groupBy("subword").agg(
+        F.sum("freq").cast("bigint").alias("freq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level dedup (operators/dedup.py:dedup_lines): every distinct
+# line keeps its first (doc_id, pos) occurrence corpus-wide; docs reassemble
+# from surviving lines. The fixture corpus has no newlines, so "lines" are
+# deterministic 3-word windows — the chunking is replayed identically in
+# SQL, making the whole explode → global-first window → reassembly path
+# value-hashable. Two JVM shuffles (line hash, doc regroup).
+# ---------------------------------------------------------------------------
+_LINE_DEDUP_ORACLE = """
+WITH w AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+    FROM documents WHERE trim(text) <> ''
+),
+p AS (
+    SELECT doc_id, words,
+           unnest(range(0, CAST(ceil(len(words) / 3.0) AS BIGINT))) AS pos
+    FROM w
+),
+l AS (
+    SELECT doc_id, pos,
+           array_to_string(words[pos * 3 + 1 : pos * 3 + 3], ' ') AS line
+    FROM p
+),
+r AS (
+    SELECT doc_id, pos, line,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+    FROM l
+)
+SELECT doc_id,
+       string_agg(line, ' | ' ORDER BY pos) AS text,
+       CAST(count(*) AS BIGINT) AS n_lines_kept
+FROM r WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
+@query("line_dedup_clean", oracle=_LINE_DEDUP_ORACLE)
+def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global line dedup, C4 §2.2 shape (keep first occurrence of
+    every distinct line, reassemble docs, drop emptied docs)."""
+    from quickstart_streaming_agents_spark.operators.dedup import dedup_lines
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.trim(F.col("text")) != "")
+    )
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(words) / F.lit(3.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(words, i * 3 + 1, 3), " "),
+    )
+    with_lines = docs.select("doc_id", lines.alias("lines"))
+    return dedup_lines(with_lines, "doc_id", "lines", sep=" | ")
+
+
+# ---------------------------------------------------------------------------
 # Distributed vector aggregation: per-label mean embedding (centroids).
 # Plan: posexplode to (label, pos, val) rows — the 128× fan-out happens
 # map-side and partial aggregation collapses it to (label, pos) partial
@@ -1918,6 +2036,59 @@ def domain_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix(docs, "lang", weights, id_cols=["doc_id"], salt="mix").select(
         "doc_id", "lang", "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget domain mixing (operators/sampling.token_budget_mix): the
+# LLM-pretraining data-mix allocator — weights are over TOKENS, not rows.
+# Source srcN gets weight 1 (N < 10) or 3 (N >= 10), W = 40, budget 6000
+# tokens; keep-rate_s = least(1, (w*6000)/(40*T_s)) with T_s the exact
+# per-source token total — the fixed (w*b)/(W*T) expression shape makes
+# the doubles bit-identical across engines, so the kept set hashes.
+# ---------------------------------------------------------------------------
+_TOKEN_MIX_ORACLE = """
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+           CASE WHEN CAST(substr(source, 4, 10) AS INT) < 10
+                THEN 1.0 ELSE 3.0 END AS wt
+    FROM documents
+),
+tot AS (SELECT source, sum(n_tokens)::DOUBLE AS ts FROM t GROUP BY source),
+r AS (
+    SELECT t.doc_id, t.source, t.n_tokens,
+           least(1.0, (t.wt * 6000.0) / (40.0 * tot.ts)) AS rate
+    FROM t JOIN tot USING (source)
+)
+SELECT doc_id, source, n_tokens
+FROM r
+WHERE (('0x' || substr(md5(concat_ws('|', 'mix-v1', coalesce(replace(replace((doc_id)::VARCHAR, '\\', '\\\\'), '|', '\\|'), '\\N'))), 1, 15))::UBIGINT / 1152921504606846976.0) < rate
+"""
+
+
+@query("token_budget_mix", oracle=_TOKEN_MIX_ORACLE)
+def token_budget_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted domain mixture: deterministic downsample to a
+    6000-token budget at source weights 1:3 (see block comment;
+    operators/sampling.token_budget_mix)."""
+    from quickstart_streaming_agents_spark.functions import text as tx
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        token_budget_mix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        tx.token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    weights = {
+        f"src{i}": (1.0 if i < 10 else 3.0) for i in range(20)
+    }
+    return token_budget_mix(
+        docs, "source", "n_tokens", weights, budget=6000,
+        id_cols=["doc_id"], salt="mix-v1",
+    ).select("doc_id", "source", "n_tokens")
 
 
 # ---------------------------------------------------------------------------
@@ -4506,8 +4677,9 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-checks the FIRST 50 registry entries each round. Round 5 verified
 # the then-front 33 (all green except two oracle dtype artifacts, fixed this
 # round); this rotation leads with (a) the two dtype-fixed queries so their
-# fix gets a driver row, (b) the two queries new in round 6
-# (multimodal_real_meta, anomaly_detect_ar2), then (c) the 33 queries whose
+# fix gets a driver row, (b) the five queries new in round 6
+# (multimodal_real_meta, anomaly_detect_ar2, bpe_encode, line_dedup_clean,
+# token_budget_mix), then (c) the 33 queries whose
 # latest driver row is round 4 — after round 6 no query's most recent driver
 # check is more than two rounds old. Rotated-out queries stay pinned every
 # run by tests/test_parity.py, which asserts ALL oracle pairs, not just 50.
@@ -4517,6 +4689,9 @@ _R6_CHECK_FIRST = [
     "unigram_logprob_score",
     "multimodal_real_meta",
     "anomaly_detect_ar2",
+    "bpe_encode",
+    "line_dedup_clean",
+    "token_budget_mix",
     "agent_price_match",
     "ann_ivf_topk",
     "ann_lsh_topk",

@@ -156,3 +156,33 @@ def test_many_merges_run_in_constant_spark_jobs(spark):
     small = learn_bpe_merges(df, num_merges=50, min_pair_freq=1)
     assert big[:50] == small
     assert len(big) > 50
+
+
+def test_bpe_encode_sql_fold_matches_merge_word():
+    """The DuckDB list_reduce fold used by the bpe_encode oracle must be
+    the exact greedy left-to-right semantics of _merge_word (and thus of
+    the JVM _merge_fold), including overlap cases (aa on aaa, chained
+    merges re-matching a freshly merged left symbol)."""
+    import duckdb
+
+    from quickstart_streaming_agents_spark.operators.bpe import _merge_word
+    from quickstart_streaming_agents_spark.queries import (
+        _BPE_ENCODE_MERGES,
+        _bpe_fold_sql,
+    )
+
+    words = [
+        "the", "spark", "data", "ththth", "aaa", "spa", "spark",
+        "thespa", "dada", "x", "tth", "hth", "sthe", "adat",
+    ]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT w, {_bpe_fold_sql()} AS syms "
+        "FROM (SELECT unnest(?) AS w)", [words]
+    ).fetchall()
+    con.close()
+    for w, syms in rows:
+        ref = list(w)
+        for a, b in _BPE_ENCODE_MERGES:
+            ref = _merge_word(ref, a, b)
+        assert syms == ref, (w, syms, ref)
