@@ -292,3 +292,27 @@ def test_ngram_cap_cannot_inflate_jaccard(spark):
     }
     for pair, j in capped.items():
         assert j <= uncapped.get(pair, 0) + 1e-9, (pair, j, uncapped.get(pair))
+
+
+def test_dedup_lines_first_occurrence_semantics(spark):
+    """C4-style contract on a hand-built corpus: a duplicated line keeps
+    only its smallest (doc_id, pos) occurrence; later docs lose it; docs
+    reassemble in original order; a fully-duplicated doc drops out."""
+    from quickstart_streaming_agents_spark.operators.dedup import dedup_lines
+
+    rows = [
+        (1, ["alpha", "beta", "alpha"]),   # in-doc dup: pos 2 copy dropped
+        (2, ["beta", "gamma"]),            # beta already owned by doc 1
+        (3, ["alpha", "beta"]),            # fully duplicated -> drops out
+        (4, ["delta"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lines array<string>")
+    out = {
+        r.doc_id: (r.text, r.n_lines_kept)
+        for r in dedup_lines(df, "doc_id", "lines", sep="\n").collect()
+    }
+    assert out == {
+        1: ("alpha\nbeta", 2),
+        2: ("gamma", 1),
+        4: ("delta", 1),
+    }

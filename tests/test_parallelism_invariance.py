@@ -32,6 +32,8 @@ CASES = [
     "minhash_lsh_dedup",
     "dedup_components",
     "latest_state_upsert",
+    "line_dedup_clean",
+    "token_budget_mix",
 ]
 
 LAYOUTS = [
