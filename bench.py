@@ -112,6 +112,7 @@ HEADLINE = [
     "bpe_encode",
     "line_dedup_clean",
     "token_budget_mix",
+    "scd2_merge",
 ]
 
 

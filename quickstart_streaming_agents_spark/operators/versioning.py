@@ -18,7 +18,7 @@ proportional to the churn, not the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -91,3 +91,75 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("status") != "unchanged")
     return out
+
+
+def scd2_merge(
+    history: DataFrame,
+    snapshot: DataFrame,
+    batch_time,
+    id_col: str = "doc_id",
+    fingerprint_col: str = "fingerprint",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Merge a new corpus snapshot into a type-2 version history — the
+    mutation counterpart of :func:`snapshot_diff` (dataset versioning:
+    every document version is kept with its validity interval, so any
+    past training set can be reconstructed as ``valid_from <= t <
+    coalesce(valid_to, inf)``).
+
+    ``history`` rows carry (id, fingerprint, valid_from, valid_to) with
+    ``valid_to IS NULL`` marking current versions; ``snapshot`` carries
+    (id, fingerprint) as of ``batch_time`` (a timestamp Column/literal).
+    Result is the full updated history:
+
+    - current row, id absent from snapshot  → closed at batch_time
+    - current row, fingerprint changed      → closed + new current row
+    - current row, fingerprint unchanged    → untouched
+    - id new in snapshot                    → new current row
+    - already-closed rows                   → untouched, never rejoined
+
+    Plan: ONE full-outer equi-join on the id between the CURRENT slice
+    and the snapshot (closed history is filtered out map-side and unioned
+    back — it never crosses the wire). Only (id, fingerprint) pairs move;
+    with both tables stored bucketed by id (sources/bucketed.py) the join
+    is exchange-free. Output size = |history| + churn.
+    """
+    t = batch_time if isinstance(batch_time, Column) else F.lit(batch_time)
+    t = t.cast("timestamp")
+
+    cur = history.filter(F.col(valid_to_col).isNull())
+    closed = history.filter(F.col(valid_to_col).isNotNull())
+
+    o = cur.select(
+        F.col(id_col),
+        F.col(fingerprint_col).alias("__ofp"),
+        F.col(valid_from_col).alias("__ovf"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = snapshot.select(
+        F.col(id_col),
+        F.col(fingerprint_col).alias("__nfp"),
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, id_col, "full_outer")
+    gone_or_changed = F.col("__in_new").isNull() | ~F.col("__ofp").eqNullSafe(
+        F.col("__nfp")
+    )
+    old_keep = j.filter(F.col("__in_old").isNotNull()).select(
+        F.col(id_col),
+        F.col("__ofp").alias(fingerprint_col),
+        F.col("__ovf").alias(valid_from_col),
+        F.when(gone_or_changed, t).alias(valid_to_col),
+    )
+    new_rows = j.filter(
+        F.col("__in_new").isNotNull()
+        & (F.col("__in_old").isNull() | ~F.col("__ofp").eqNullSafe(F.col("__nfp")))
+    ).select(
+        F.col(id_col),
+        F.col("__nfp").alias(fingerprint_col),
+        t.alias(valid_from_col),
+        F.lit(None).cast("timestamp").alias(valid_to_col),
+    )
+    base = closed.select(id_col, fingerprint_col, valid_from_col, valid_to_col)
+    return base.unionByName(old_keep).unionByName(new_rows)

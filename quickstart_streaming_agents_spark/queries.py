@@ -3913,6 +3913,93 @@ def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD2 history merge (operators/versioning.scd2_merge): fold the
+# snapshot_diff mutation into a type-2 version history — every document
+# version keeps its validity interval, so any past training set is
+# reconstructible as valid_from <= t < coalesce(valid_to, 'inf'). One
+# (id, fingerprint) full-outer join of the CURRENT slice vs the snapshot;
+# closed rows never cross the wire. Same mutation rule as snapshot_diff
+# (%13 revised, %31 removed, %29 added).
+# ---------------------------------------------------------------------------
+_SCD2_ORACLE = """
+WITH fp AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+    FROM documents
+),
+newt AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN text || ' revised'
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 31 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 29 = 0
+),
+nfp AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+    FROM newt
+),
+j AS (
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           o.f AS ofp, n.f AS nfp,
+           o.doc_id IS NOT NULL AS in_old, n.doc_id IS NOT NULL AS in_new
+    FROM fp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, ofp AS fingerprint,
+       TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+       CASE WHEN NOT in_new OR ofp <> nfp
+            THEN TIMESTAMP '2024-02-01 00:00:00' END AS valid_to,
+       NOT (NOT in_new OR ofp <> nfp) AS is_current
+FROM j WHERE in_old
+UNION ALL
+SELECT doc_id, nfp AS fingerprint,
+       TIMESTAMP '2024-02-01 00:00:00' AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to,
+       TRUE AS is_current
+FROM j WHERE in_new AND (NOT in_old OR ofp <> nfp)
+"""
+
+
+@query("scd2_merge", oracle=_SCD2_ORACLE)
+def scd2_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 version-history merge of a mutated corpus snapshot."""
+    from quickstart_streaming_agents_spark.functions.text import doc_fingerprint
+    from quickstart_streaming_agents_spark.operators.versioning import scd2_merge
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    history = docs.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fingerprint"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 31 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" revised")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 29 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    snapshot = new.select(
+        "doc_id", doc_fingerprint("text").alias("fingerprint")
+    )
+    merged = scd2_merge(history, snapshot, "2024-02-01 00:00:00")
+    return merged.select(
+        "doc_id", "fingerprint", "valid_from", "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q10 analog: returned-item revenue per customer in one quarter,
 # top 20. Plan: dim `nation` broadcast; orders quarter filter and the
 # returnflag filter both push into the scans, so the custkey/orderkey
@@ -4679,7 +4766,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round); this rotation leads with (a) the two dtype-fixed queries so their
 # fix gets a driver row, (b) the five queries new in round 6
 # (multimodal_real_meta, anomaly_detect_ar2, bpe_encode, line_dedup_clean,
-# token_budget_mix), then (c) the 33 queries whose
+# token_budget_mix, scd2_merge), then (c) the 33 queries whose
 # latest driver row is round 4 — after round 6 no query's most recent driver
 # check is more than two rounds old. Rotated-out queries stay pinned every
 # run by tests/test_parity.py, which asserts ALL oracle pairs, not just 50.
@@ -4692,6 +4779,7 @@ _R6_CHECK_FIRST = [
     "bpe_encode",
     "line_dedup_clean",
     "token_budget_mix",
+    "scd2_merge",
     "agent_price_match",
     "ann_ivf_topk",
     "ann_lsh_topk",
