@@ -39,16 +39,27 @@ from quickstart_streaming_agents_spark.functions.text import tokens
 def dedup_exact(df: DataFrame, cols: list[str], order_by: list[str]) -> DataFrame:
     """Keep the first row (by ``order_by``) per distinct ``cols`` tuple.
 
-    One shuffle on the dedup key; row_number + filter stays in
-    whole-stage codegen. Equivalent semantics to the reference's
-    PRIMARY-KEY upsert sinks (LAB4-Walkthrough.md:400) read back as a
-    compacted table.
+    One shuffle on the dedup key WITH map-side partial aggregation: the
+    winner is ``min(struct(order_by…, full_row))``, so a hot key (a 100 TB
+    corpus can hold billions of byte-identical documents — one
+    fingerprint) collapses to one candidate per map task BEFORE the
+    exchange. The previous ``row_number`` window formulation shipped every
+    duplicate to a single reducer and sorted them there — the classic
+    skew cliff this operator exists to avoid. Ties beyond ``order_by``
+    (callers here always pass a unique order key) break on the remaining
+    columns, strictly more deterministic than row_number's
+    partition-order pick. Requires orderable column types (struct min —
+    no map columns; use a window formulation for those).
+
+    Equivalent semantics to the reference's PRIMARY-KEY upsert sinks
+    (LAB4-Walkthrough.md:400) read back as a compacted table.
     """
-    w = Window.partitionBy(*cols).orderBy(*order_by)
+    payload = F.struct(*df.columns).alias("__row")
+    winner = F.min(F.struct(*[F.col(c) for c in order_by], payload))
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*cols)
+        .agg(winner.alias("__w"))
+        .select("__w.__row.*")
     )
 
 
@@ -521,19 +532,25 @@ def dedup_lines(
     with text = surviving lines joined by ``sep``.
 
     Scale shape: two shuffles, both JVM — (1) hash-partition by the line
-    text for the global first-occurrence window (line bytes must move
-    once; that is inherent to exact line dedup), (2) regroup by id for
-    reassembly. ``row_number`` + filter stay in whole-stage codegen; no
-    driver materialization, no Python.
+    text for the global first occurrence (line bytes must move once; that
+    is inherent to exact line dedup), (2) regroup by id for reassembly.
+    The first-occurrence winner is ``min(struct(id, pos))`` — a partial
+    aggregate, so a boilerplate line occurring in billions of documents
+    collapses map-side instead of sorting on one reducer (a windowed
+    row_number over PARTITION BY line would be exactly that skew cliff).
+    No driver materialization, no Python.
     """
     ex = df.select(
         F.col(id_col), F.posexplode(F.col(lines_col)).alias("pos", "line")
     )
-    w = Window.partitionBy("line").orderBy(id_col, "pos")
     first = (
-        ex.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        ex.groupBy("line")
+        .agg(F.min(F.struct(id_col, "pos")).alias("__w"))
+        .select(
+            F.col(f"__w.{id_col}").alias(id_col),
+            F.col("__w.pos").alias("pos"),
+            "line",
+        )
     )
     return (
         first.groupBy(id_col)
