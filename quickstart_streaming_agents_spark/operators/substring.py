@@ -92,12 +92,16 @@ def strip_duplicate_spans(
     ``n_tokens_removed``. Every input document appears exactly once;
     documents without repeated text pass through with 0 removed.
 
-    Plan on top of ``duplicate_spans``'s stages: choosing the canonical
-    occurrence is ONE ``row_number`` per window hash (same shuffle key as
-    the frequency count), the interval merge is the same keyed window,
-    and text reconstruction is a left join of spans-per-doc (collected to
-    an array — bounded by doc length / k) into a JVM higher-order filter
-    over the token array. No Python anywhere.
+    Plan on top of ``duplicate_spans``'s stages: the canonical occurrence
+    per window hash is ``min(struct(id, s))`` — a PARTIAL aggregate, so a
+    boilerplate window repeated billions of times collapses map-side —
+    and non-canonical occurrences come from an equi-join back on the hash
+    (1 winner row per hash on the build side; AQE skew-join can split a
+    hot hash's probe partition, which a row_number window never could).
+    The interval merge is the same keyed window, and text reconstruction
+    is a left join of spans-per-doc (collected to an array — bounded by
+    doc length / k) into a JVM higher-order filter over the token array.
+    No Python anywhere.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -105,10 +109,17 @@ def strip_duplicate_spans(
         raise ValueError("gram_hash must be 'xxhash64' or 'md5'")
 
     wins = _window_hashes(df, id_col, text_col, k, gram_hash)
-    rk = Window.partitionBy("h").orderBy(id_col, "s")
+    winner = wins.groupBy("h").agg(
+        F.min(F.struct(id_col, "s")).alias("__w")
+    )
     noncanon = (
-        wins.withColumn("rk", F.row_number().over(rk))
-        .filter(F.col("rk") >= 2)
+        wins.join(winner, "h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"__w.{id_col}"))
+                & (F.col("s") == F.col("__w.s"))
+            )
+        )
         .select(id_col, "s")
     )
     spans = _merge_windows(noncanon, id_col, k)

@@ -4578,21 +4578,23 @@ def packed_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def latest_state_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    """Latest-per-key as max(struct(ts, event_id, payload)) — one shuffle
+    WITH map-side partial aggregation, so a hot key (one user emitting
+    millions of events) collapses per map task instead of sorting on a
+    single reducer, which is what the row_number-over-window formulation
+    of this upsert compaction would do."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("ts").alias("last_ts"),
-            F.col("event_type").alias("last_event_type"),
-            F.col("value").alias("last_value"),
+    winner = F.max(
+        F.struct(
+            "ts", "event_id",
+            F.struct("event_type", "value").alias("__p"),
         )
+    ).alias("__w")
+    return ev.groupBy("user_id").agg(winner).select(
+        "user_id",
+        F.col("__w.ts").alias("last_ts"),
+        F.col("__w.__p.event_type").alias("last_event_type"),
+        F.col("__w.__p.value").alias("last_value"),
     )
 
 
