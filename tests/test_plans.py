@@ -178,3 +178,15 @@ def test_capstone_exchange_counts_pinned(spark):
     # difference between "fast at 100 TB" and "reshuffles the corpus".
     assert count_exchanges(_q(spark, "training_data_pipeline")) == 4
     assert count_exchanges(_q(spark, "packed_training_shards")) == 5
+
+
+def test_dedup_winners_partial_aggregate(spark):
+    # Hot-key safety: the first-occurrence/latest-state winner picks must
+    # be min/max(struct(...)) aggregates WITH a map-side partial phase —
+    # a regression to row_number-over-window re-sorts every hot key's
+    # rows on a single reducer.
+    for name in ("dedup_exact", "line_dedup_clean", "latest_state_upsert",
+                 "substring_dedup_clean"):
+        plan = physical_plan(_q(spark, name))
+        assert "partial_min(struct" in plan or "partial_max(struct" in plan, name
+        assert "RunningWindowFunction" not in plan, name
