@@ -109,8 +109,15 @@ def strip_duplicate_spans(
         raise ValueError("gram_hash must be 'xxhash64' or 'md5'")
 
     wins = _window_hashes(df, id_col, text_col, k, gram_hash)
-    winner = wins.groupBy("h").agg(
-        F.min(F.struct(id_col, "s")).alias("__w")
+    # build side: only hashes with >= 2 occurrences can yield a
+    # non-canonical row, so unique windows (the vast majority of a real
+    # corpus) never enter the join's build side
+    winner = (
+        wins.groupBy("h")
+        .agg(F.min(F.struct(id_col, "s")).alias("__w"),
+             F.count("*").alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .drop("__df")
     )
     noncanon = (
         wins.join(winner, "h")
