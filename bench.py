@@ -113,6 +113,8 @@ HEADLINE = [
     "line_dedup_clean",
     "token_budget_mix",
     "scd2_merge",
+    "hard_negative_mining",
+    "waiting_suppliers",
 ]
 
 

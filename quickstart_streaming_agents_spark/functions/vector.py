@@ -69,6 +69,7 @@ def vector_search(
     embedding_col: str = "embedding",
     output_col: str = "search_results",
     exclude_self_on: str | None = None,
+    exclude_equal_on: tuple[str, str] | None = None,
     max_broadcast_bytes: int = 1 << 30,
 ) -> DataFrame:
     """Append ``output_col``: top-k cosine matches from ``vector_table``.
@@ -76,7 +77,11 @@ def vector_search(
     Result element = struct of all vector-table columns except the embedding,
     plus ``score`` (cosine similarity, double). ``exclude_self_on`` names a
     df column matched against the table's first id column to drop self-hits
-    (used by self-similarity queries).
+    (used by self-similarity queries). ``exclude_equal_on`` = (df_col,
+    table_col) masks every match whose ``table_col`` equals the row's
+    ``df_col`` BEFORE top-k selection — e.g. hard-negative mining, where
+    the k nearest vectors with a DIFFERENT label are wanted exactly, not
+    "top-k+m then filter and hope".
     """
     import numpy as np
 
@@ -115,12 +120,18 @@ def vector_search(
     self_ids = (
         sc.broadcast(pdf[meta_cols[0]].to_numpy()) if exclude_self_on else None
     )
+    excl_vals = (
+        sc.broadcast(pdf[exclude_equal_on[1]].to_numpy())
+        if exclude_equal_on
+        else None
+    )
     in_cols = df.columns
 
     def search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = b_mat.value
         meta = b_meta.value
         ids = self_ids.value if self_ids is not None else None
+        evals = excl_vals.value if excl_vals is not None else None
         n_corpus = m.shape[0]
         # One BLAS matmul per row-block instead of one matvec per row; the
         # block height bounds the b×N score matrix at ~64 MB so a huge
@@ -145,12 +156,20 @@ def vector_search(
                     pdf_in[exclude_self_on].iloc[vidx].to_numpy()
                     if ids is not None else None
                 )
+                batch_evals = (
+                    pdf_in[exclude_equal_on[0]].iloc[vidx].to_numpy()
+                    if evals is not None else None
+                )
                 nv = len(vidx)
                 for lo in range(0, nv, block):
                     hi = min(nv, lo + block)
                     scores = q_mat[lo:hi] @ m.T
                     if ids is not None:
                         scores[ids[None, :] == batch_ids[lo:hi, None]] = -np.inf
+                    if evals is not None:
+                        scores[
+                            evals[None, :] == batch_evals[lo:hi, None]
+                        ] = -np.inf
                     part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
                     for bi in range(hi - lo):
                         top = part[bi]

@@ -1524,6 +1524,65 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hard-negative mining (embedding-model training data): for each query
+# vector, the k NEAREST vectors with a DIFFERENT label — the standard
+# negative-selection step of contrastive retrieval training (e.g. DPR,
+# Karpukhin et al. 2020 §3.2). The label mask applies BEFORE top-k inside
+# the broadcast-matmul search (functions/vector.py exclude_equal_on), so
+# the result is exact — not "top-k+m then filter and hope". Same
+# zero-shuffle query-side plan as vector_search_topk.
+# ---------------------------------------------------------------------------
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS query_label,
+               CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 20
+    ),
+    s AS (
+        SELECT q.query_id, q.query_label, e.vec_id AS negative_id,
+               e.label AS negative_label,
+               list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[]))
+                   AS score
+        FROM q CROSS JOIN embeddings e
+        WHERE e.label <> q.query_label
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, negative_id) AS rk
+        FROM s
+    )
+    SELECT query_id, query_label, negative_id, negative_label,
+           ROUND(score, 6) AS score, rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        "embedding",
+    )
+    searched = vector_search(
+        queries_df, emb, query_col="embedding", k=3,
+        exclude_equal_on=("query_label", "label"),
+    )
+    return searched.select(
+        "query_id", "query_label",
+        F.posexplode("search_results").alias("pos", "hit"),
+    ).select(
+        "query_id",
+        "query_label",
+        F.col("hit.vec_id").alias("negative_id"),
+        F.col("hit.label").alias("negative_label"),
+        F.round(F.col("hit.score"), 6).alias("score"),
+        (F.col("pos") + 1).cast("bigint").alias("rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup / similarity: global top-20 most-similar pairs.
 # Oracle via DuckDB list_cosine_similarity on the full pair join; Spark side
 # broadcasts the corpus and takes per-query top-k then a global limit (per-
@@ -4164,6 +4223,82 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q21 analog (suppliers who kept orders waiting): the classic
+# EXISTS / NOT EXISTS correlated-subquery pair, expressed Spark-first as a
+# LeftSemi + LeftAnti join against the same order-scoped lineitem set
+# ("late" adapted to the fixture schema: l_shipdate > o_orderdate + 60
+# days — the fixture has no receipt/commit dates). Plan: one equi-shuffle
+# on l_orderkey shared by both the semi and anti probes, supplier dim
+# broadcast, final agg on s_name. At 100 TB the order-key shuffles
+# co-locate and the non-equi suppkey predicate evaluates post-match
+# in-task — never a cartesian.
+# ---------------------------------------------------------------------------
+@query(
+    "waiting_suppliers",
+    oracle="""
+    WITH l AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ),
+    l1 AS (SELECT * FROM l WHERE late)
+    SELECT s.s_name AS supplier_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.late
+                        AND l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog — see block comment for the adaptation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    l = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_shipdate")
+             > F.expr("o_orderdate + INTERVAL 60 DAYS")).alias("late"),
+        )
+    )
+    l1 = l.filter("late")
+    l2 = l.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    qualified = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        qualified.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # CUMULATE window TVF on the DataFrame surface (operators/windows.cumulate;
 # the SQL script path derives the identical plan via
 # script.rewrite_cumulate). Growing 1h..6h windows within each 6h bucket;
@@ -4768,7 +4903,8 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round); this rotation leads with (a) the two dtype-fixed queries so their
 # fix gets a driver row, (b) the five queries new in round 6
 # (multimodal_real_meta, anomaly_detect_ar2, bpe_encode, line_dedup_clean,
-# token_budget_mix, scd2_merge), then (c) the 33 queries whose
+# token_budget_mix, scd2_merge, hard_negative_mining, waiting_suppliers),
+# then (c) the 33 queries whose
 # latest driver row is round 4 — after round 6 no query's most recent driver
 # check is more than two rounds old. Rotated-out queries stay pinned every
 # run by tests/test_parity.py, which asserts ALL oracle pairs, not just 50.
@@ -4782,6 +4918,8 @@ _R6_CHECK_FIRST = [
     "line_dedup_clean",
     "token_budget_mix",
     "scd2_merge",
+    "hard_negative_mining",
+    "waiting_suppliers",
     "agent_price_match",
     "ann_ivf_topk",
     "ann_lsh_topk",
