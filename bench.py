@@ -115,6 +115,7 @@ HEADLINE = [
     "scd2_merge",
     "hard_negative_mining",
     "waiting_suppliers",
+    "video_frame_sample",
 ]
 
 

@@ -2812,6 +2812,47 @@ def multimodal_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Video frame sampling (operators/multimodal.sample_frames): the 1→N
+# mapInPandas shape — every ~30th frame of each "video" becomes a row.
+# The fake decoder's frame count and per-frame payloads are md5-derived,
+# so the whole explode path is hash-checked (frame payload compared as
+# its hex digest).
+# ---------------------------------------------------------------------------
+@query(
+    "video_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, coalesce(text, '') AS t,
+               1 + ('0x' || substr(md5(coalesce(text, '')), 5, 2))::INT % 120
+                   AS n_frames
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, t, unnest(range(0, n_frames, 30)) AS frame_idx
+        FROM m
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(t || frame_idx) AS frame_fp
+    FROM f
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        attach_payload,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = sample_frames(attach_payload(docs, "text"), "payload",
+                           every_nth=30)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.lower(F.hex("frame_payload")).alias("frame_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A4 — scalar-subquery counts dashboard. Reference: the lab2 monitoring
 # query `SELECT (SELECT COUNT(*) FROM queries) AS …, …`
 # (LAB2-Walkthrough.md:84-88): one row, one count column per topic.
@@ -4903,7 +4944,8 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round); this rotation leads with (a) the two dtype-fixed queries so their
 # fix gets a driver row, (b) the five queries new in round 6
 # (multimodal_real_meta, anomaly_detect_ar2, bpe_encode, line_dedup_clean,
-# token_budget_mix, scd2_merge, hard_negative_mining, waiting_suppliers),
+# token_budget_mix, scd2_merge, hard_negative_mining, waiting_suppliers,
+# video_frame_sample),
 # then (c) the 33 queries whose
 # latest driver row is round 4 — after round 6 no query's most recent driver
 # check is more than two rounds old. Rotated-out queries stay pinned every
@@ -4920,6 +4962,7 @@ _R6_CHECK_FIRST = [
     "scd2_merge",
     "hard_negative_mining",
     "waiting_suppliers",
+    "video_frame_sample",
     "agent_price_match",
     "ann_ivf_topk",
     "ann_lsh_topk",
