@@ -158,6 +158,27 @@ def token_budget_mix(
     totals (collected — strata are domains, low cardinality by
     construction), then a map-only hash filter fused into the scan.
     """
+    rates = token_budget_rates(df, stratum_col, tokens_col, weights, budget)
+    return stratified_sample(
+        df, stratum_col, rates, id_cols, default=0.0, salt=salt
+    )
+
+
+def token_budget_rates(
+    df: DataFrame,
+    stratum_col: str,
+    tokens_col: str,
+    weights: dict[str, float],
+    budget: int,
+) -> dict[str, float]:
+    """The profile half of :func:`token_budget_mix`: per-stratum keep
+    rates from a (bounded) profile DataFrame. Exposed separately so a
+    STREAMING mixer can profile yesterday's corpus batch-side and apply
+    the resulting rates as a pure map-only filter on the live stream
+    (streaming/pipelines.token_mix_stream_pipeline) — a true global token
+    budget over an unbounded stream is undefined, so fixed profiled rates
+    realizing the target mixture are the honest contract.
+    """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     totals = {
@@ -169,7 +190,7 @@ def token_budget_mix(
     w_total = sum(weights.values())
     if w_total <= 0:
         raise ValueError("weights must sum to > 0")
-    rates = {
+    return {
         s: (
             min(1.0, (weights[s] * float(budget)) / (w_total * float(totals[s])))
             if totals.get(s)
@@ -177,6 +198,3 @@ def token_budget_mix(
         )
         for s in weights
     }
-    return stratified_sample(
-        df, stratum_col, rates, id_cols, default=0.0, salt=salt
-    )

@@ -433,3 +433,50 @@ def decontamination_stream_pipeline(
     catalog.create_table_as("contaminated_docs", quarantined, available_now=True)
     catalog.await_all()
     return catalog
+
+
+def token_mix_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+    weights: dict[str, float],
+    budget: int,
+    salt: str = "mix-v1",
+) -> StreamCatalog:
+    """Continuous token-budget domain mixing: rates are profiled ONCE from
+    a bounded profile batch (at 100 TB: the previous corpus snapshot's
+    per-domain token totals), then the live stream applies the pure
+    map-only identity-hash filter — no state, no shuffle, trivially
+    restartable. A true GLOBAL token budget over an unbounded stream is
+    undefined; fixed profiled rates realizing the target mixture (and the
+    budget in expectation over the profiled window) are the honest
+    streaming contract. Batch twin: queries.token_budget_mix (pinned
+    equal in tests/test_streaming.py — identical rates → identical
+    accept/reject decisions row by row).
+    """
+    from ..functions import text as tx
+    from ..operators.sampling import stratified_sample, token_budget_rates
+
+    spark = catalog.spark
+    profile = spark.read.parquet(documents_path).select(
+        "doc_id", "source", tx.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    rates = token_budget_rates(profile, "source", "n_tokens", weights, budget)
+
+    stamped = spark.read.parquet(documents_path).select(
+        "doc_id", "source", "text",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ).alias("ts"),
+    )
+    catalog.create_table_as("mix_raw_docs", stamped)
+
+    stream = catalog.read_stream("mix_raw_docs").select(
+        "doc_id", "source",
+        tx.token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    mixed = stratified_sample(
+        stream, "source", rates, id_cols=["doc_id"], default=0.0, salt=salt
+    )
+    catalog.create_table_as("mixed_docs", mixed, available_now=True)
+    catalog.await_all()
+    return catalog

@@ -699,3 +699,29 @@ def test_ctas_key_partitions_the_sink(spark, catalog):
     assert sorted(subdirs) == ["event_type=a", "event_type=b"]
     got = catalog.read_batch("keyed_topic").filter(F.col("event_type") == "a")
     assert got.count() == 2
+
+
+def test_token_mix_stream_matches_batch(spark, catalog):
+    """Streaming token-budget mixing (profiled rates + map-only filter)
+    must keep exactly the batch token_budget_mix set: same rates, same
+    identity hash, same accept/reject per row."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        token_mix_stream_pipeline,
+    )
+
+    weights = {f"src{i}": (1.0 if i < 10 else 3.0) for i in range(20)}
+    token_mix_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet",
+        weights=weights, budget=6000,
+    )
+    got = {
+        (r.doc_id, r.source, r.n_tokens)
+        for r in catalog.read_batch("mixed_docs").collect()
+    }
+    want = {
+        (r.doc_id, r.source, r.n_tokens)
+        for r in QUERIES["token_budget_mix"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(got) > 0
