@@ -480,3 +480,78 @@ def token_mix_stream_pipeline(
     catalog.create_table_as("mixed_docs", mixed, available_now=True)
     catalog.await_all()
     return catalog
+
+
+def line_dedup_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+    line_words: int = 3,
+    sep: str = " | ",
+    watermark: str = "1 day",
+) -> StreamCatalog:
+    """Continuous C4-style line dedup: documents → word-window lines
+    (map-only explode) → watermark-bounded FIRST-ARRIVAL per distinct
+    line (``dropDuplicatesWithinWatermark`` — bounded state, the only
+    honest contract over an unbounded stream; batch keeps the smallest
+    (doc_id, pos) instead, and the two agree on arrival-ordered fixtures)
+    → per-document reassembly as a watermarked windowed aggregation (a
+    document's lines share one event time, so the window groups them
+    back losslessly). Batch twin: operators/dedup.dedup_lines via
+    queries.line_dedup_clean, pinned equal in tests/test_streaming.py.
+    """
+    spark = catalog.spark
+    docs = spark.read.parquet(documents_path).filter(
+        F.trim(F.col("text")) != ""
+    )
+    stamped = docs.select(
+        "doc_id", "text",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ).alias("ts"),
+    )
+    # Watermark-advancing sentinel: append mode only emits a reassembly
+    # window once the watermark passes its end; a far-future row (unique
+    # line, filtered back out below) closes every real window when the
+    # bounded fixture run drains. A live deployment gets this for free
+    # from continuing traffic.
+    sentinel = docs.limit(1).select(
+        F.lit(-1).cast(docs.schema["doc_id"].dataType).alias("doc_id"),
+        F.lit("__watermark_sentinel__").alias("text"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.lit(30) * 86_400_000_000
+        ).alias("ts"),
+    )
+    catalog.create_table_as("line_raw_docs", stamped.unionByName(sentinel))
+
+    stream = catalog.read_stream("line_raw_docs", watermark=("ts", watermark))
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(words) / F.lit(float(line_words))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * line_words + 1, line_words), " "
+        ),
+    )
+    ex = stream.select(
+        "doc_id", "ts", F.posexplode(lines).alias("pos", "line")
+    )
+    first = ex.dropDuplicatesWithinWatermark(["line"])
+    reassembled = (
+        first.groupBy(F.window("ts", "1 hour"), F.col("doc_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.line,
+                ),
+                sep,
+            ).alias("text"),
+            F.count("*").cast("bigint").alias("n_lines_kept"),
+        )
+        .select("doc_id", "text", "n_lines_kept")
+        .filter(F.col("doc_id") >= 0)
+    )
+    catalog.create_table_as("line_deduped_docs", reassembled,
+                            available_now=True)
+    catalog.await_all()
+    return catalog

@@ -725,3 +725,27 @@ def test_token_mix_stream_matches_batch(spark, catalog):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_line_dedup_stream_matches_batch(spark, catalog):
+    """Streaming line dedup (first arrival per line within the watermark +
+    windowed reassembly) must equal the batch line_dedup_clean query on
+    the doc_id-ordered fixture, where first arrival == min (doc_id, pos)."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        line_dedup_stream_pipeline,
+    )
+
+    line_dedup_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet"
+    )
+    got = {
+        (r.doc_id, r.text, r.n_lines_kept)
+        for r in catalog.read_batch("line_deduped_docs").collect()
+    }
+    want = {
+        (r.doc_id, r.text, r.n_lines_kept)
+        for r in QUERIES["line_dedup_clean"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(got) > 0
