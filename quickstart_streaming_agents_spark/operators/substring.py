@@ -102,6 +102,15 @@ def strip_duplicate_spans(
     is a left join of spans-per-doc (collected to an array — bounded by
     doc length / k) into a JVM higher-order filter over the token array.
     No Python anywhere.
+
+    Deliberate tradeoff: "all but the first occurrence" needs the window
+    set twice (pick winners, then filter against them), so this plan
+    computes the map-only window-hash pass twice — ~2x the old
+    single-pass row_number formulation at toy scale (sf0.1 bench) — in
+    exchange for never serializing a hot hash onto one reducer.
+    Materializing the pass instead (persist/localCheckpoint) would pin
+    tokens x 24 bytes of executor storage — at 100 TB corpus scale that
+    is hundreds of TB, strictly worse than recomputing a map-only stage.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
