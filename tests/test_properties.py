@@ -257,3 +257,55 @@ def test_funnel_truth_is_input_order_invariant(events, rnd):
     assert _funnel_truth(shuffled) == a
     # stage times are non-decreasing by construction
     assert a == sorted(a)
+
+
+# ---------------------------------------------------------------------------
+# multimodal real-format codecs (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.integers(min_value=1, max_value=9),   # width incl. every pad residue
+    st.integers(min_value=1, max_value=6),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(w, h, top_down, seed):
+    import numpy as np
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_bmp,
+        make_bmp,
+    )
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    meta, decoded = _decode_bmp(make_bmp(rgb, top_down=top_down))
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert np.array_equal(decoded, rgb)
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767),
+             min_size=1, max_size=64),
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(vals, channels, rate):
+    import numpy as np
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_wav,
+        make_wav,
+    )
+
+    n = len(vals) - len(vals) % channels
+    if n == 0:
+        return
+    samples = np.array(vals[:n], dtype=np.int16).reshape(-1, channels)
+    meta, decoded = _decode_wav(make_wav(samples, rate=rate))
+    assert meta["width"] == channels
+    assert meta["n_frames"] == samples.shape[0]
+    assert meta["duration_ms"] == round(samples.shape[0] * 1000 / rate)
+    assert np.array_equal(decoded, samples)
