@@ -116,6 +116,7 @@ HEADLINE = [
     "hard_negative_mining",
     "waiting_suppliers",
     "video_frame_sample",
+    "topk_per_group_salted",
 ]
 
 

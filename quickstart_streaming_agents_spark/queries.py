@@ -270,6 +270,40 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Same top-k, SKEW-SAFE: the two-stage salted formulation
+# (operators/topk.grouped_topk) — a hot key's rows spread over 64 salt
+# buckets that each emit at most k candidates, so the merge stage's
+# per-reducer input is bounded at 64·k rows per key no matter how big the
+# group. Identical result to topk_per_group by construction (the oracle
+# is the same SQL), which IS the test that salting never changes ranks.
+# ---------------------------------------------------------------------------
+@query(
+    "topk_per_group_salted",
+    oracle="""
+    SELECT event_type, event_id, value, rk
+    FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id ASC) AS rk
+        FROM events
+    ) t
+    WHERE rk <= 3
+    """,
+)
+def topk_per_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quickstart_streaming_agents_spark.operators.topk import grouped_topk
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return grouped_topk(
+        events, keys=["event_type"],
+        order=[F.col("value").desc(), F.col("event_id").asc()],
+        k=3, salt_buckets=64,
+    )
+
+
+# ---------------------------------------------------------------------------
 # J2 — interval join: fact rows joined back to their window aggregate with
 # an event-time range predicate. Reference: claims ⋈ claims_anomalies_by_city
 # ON city AND ts ∈ [window_time − 6h, window_time] (LAB4-Walkthrough.md:231-235).
@@ -4945,7 +4979,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fix gets a driver row, (b) the five queries new in round 6
 # (multimodal_real_meta, anomaly_detect_ar2, bpe_encode, line_dedup_clean,
 # token_budget_mix, scd2_merge, hard_negative_mining, waiting_suppliers,
-# video_frame_sample),
+# video_frame_sample, topk_per_group_salted),
 # then (c) the 33 queries whose
 # latest driver row is round 4 — after round 6 no query's most recent driver
 # check is more than two rounds old. Rotated-out queries stay pinned every
@@ -4963,6 +4997,7 @@ _R6_CHECK_FIRST = [
     "hard_negative_mining",
     "waiting_suppliers",
     "video_frame_sample",
+    "topk_per_group_salted",
     "agent_price_match",
     "ann_ivf_topk",
     "ann_lsh_topk",

@@ -37,3 +37,34 @@ def test_salted_join_spreads_hot_key(spark):
         SALT, F.pmod(F.xxhash64("k", "id"), F.lit(8))
     )
     assert salted.select(SALT).distinct().count() == 8
+
+
+def test_grouped_topk_hot_key_matches_plain_window(spark):
+    """One key holding 50k of 51k rows (pathological skew): the salted
+    two-stage top-k must return exactly the plain-window answer, for
+    several k and bucket counts including salt_buckets=1 (degenerate ==
+    plain) and k > group size (short groups emit all rows)."""
+    from pyspark.sql import Window
+
+    from quickstart_streaming_agents_spark.operators.topk import grouped_topk
+
+    rows = [("hot", i, float((i * 7919) % 10007)) for i in range(50_000)]
+    rows += [("cold", 100_000 + i, float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+
+    for k, buckets in [(3, 64), (10, 8), (5, 1), (7, 64)]:
+        w = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("id"))
+        want = {
+            (r.k, r.id, r.rk)
+            for r in df.select(
+                "k", "id", F.row_number().over(w).alias("rk")
+            ).filter(F.col("rk") <= k).collect()
+        }
+        got = {
+            (r.k, r.id, r.rk)
+            for r in grouped_topk(
+                df, ["k"], [F.col("v").desc(), F.col("id")], k,
+                salt_buckets=buckets,
+            ).collect()
+        }
+        assert got == want, (k, buckets)
