@@ -117,6 +117,7 @@ HEADLINE = [
     "waiting_suppliers",
     "video_frame_sample",
     "topk_per_group_salted",
+    "series_correlation",
 ]
 
 

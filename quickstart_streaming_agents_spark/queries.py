@@ -4298,6 +4298,59 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-series similarity: Pearson correlation of the per-type hourly event
+# count series, every type pair (time-series similarity search's exact
+# all-pairs tier; cf. EDBT'19 streaming-similarity line of work). Plan:
+# one windowed aggregate to build the series, a self equi-join ON THE HOUR
+# (never a cartesian — pairs form per aligned bucket), one pair-keyed corr
+# aggregate. Pearson is scale-invariant, so integer counts make the only
+# cross-engine noise the final double accumulation — absorbed by round(4).
+# ---------------------------------------------------------------------------
+@query(
+    "series_correlation",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP)
+                   AS h,
+               CAST(count(*) AS DOUBLE) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           round(corr(a.c, b.c), 4) AS corr
+    FROM s a JOIN s b ON a.h = b.h AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    s = (
+        events.groupBy(
+            "event_type",
+            F.window("ts", "1 hour").getField("start").alias("h"),
+        )
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.round(F.corr("a.c", "b.c"), 4).alias("corr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q21 analog (suppliers who kept orders waiting): the classic
 # EXISTS / NOT EXISTS correlated-subquery pair, expressed Spark-first as a
 # LeftSemi + LeftAnti join against the same order-scoped lineitem set
@@ -4979,7 +5032,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fix gets a driver row, (b) the five queries new in round 6
 # (multimodal_real_meta, anomaly_detect_ar2, bpe_encode, line_dedup_clean,
 # token_budget_mix, scd2_merge, hard_negative_mining, waiting_suppliers,
-# video_frame_sample, topk_per_group_salted),
+# video_frame_sample, topk_per_group_salted, series_correlation),
 # then (c) the 33 queries whose
 # latest driver row is round 4 — after round 6 no query's most recent driver
 # check is more than two rounds old. Rotated-out queries stay pinned every
@@ -4998,6 +5051,7 @@ _R6_CHECK_FIRST = [
     "waiting_suppliers",
     "video_frame_sample",
     "topk_per_group_salted",
+    "series_correlation",
     "agent_price_match",
     "ann_ivf_topk",
     "ann_lsh_topk",
