@@ -118,6 +118,7 @@ HEADLINE = [
     "video_frame_sample",
     "topk_per_group_salted",
     "series_correlation",
+    "curation_funnel",
 ]
 
 

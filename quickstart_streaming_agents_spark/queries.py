@@ -4576,7 +4576,7 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_components' — an edit to any standalone oracle (thresholds,
 # tie-breaks, tokenization) must be applied here too or the composite
 # silently disagrees with the stages it claims to compose.
-_TRAINING_PIPELINE_ORACLE = """
+_TP_CTES = """
 WITH RECURSIVE scored AS (
     SELECT doc_id, text,
            len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
@@ -4687,6 +4687,9 @@ kept3 AS (
     SELECT k.* FROM kept2 k LEFT JOIN noncanon n ON k.doc_id = n.id
     WHERE n.id IS NULL
 )
+"""
+
+_TRAINING_PIPELINE_ORACLE = _TP_CTES + """
 SELECT doc_id, lang_pred, quality, n_tokens,
        CASE WHEN x < 0.8 THEN 'train'
             WHEN x < 0.9 THEN 'val'
@@ -4698,12 +4701,31 @@ FROM (
 )
 """
 
+# Funnel observability over the SAME CTEs (one source of truth — the
+# funnel oracle cannot drift from the flagship oracle's stage
+# definitions): documents surviving each curation stage.
+_FUNNEL_ORACLE = _TP_CTES + """
+SELECT 'a_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL SELECT 'b_gated', CAST(count(*) AS BIGINT) FROM gated
+UNION ALL SELECT 'c_exact_deduped', CAST(count(*) AS BIGINT) FROM kept1
+UNION ALL SELECT 'd_decontaminated', CAST(count(*) AS BIGINT) FROM kept2
+UNION ALL SELECT 'e_near_deduped', CAST(count(*) AS BIGINT) FROM kept3
+"""
 
-def build_training_pipeline(docs: DataFrame) -> DataFrame:
+
+
+def build_training_pipeline(
+    docs: DataFrame, stages: dict | None = None
+) -> DataFrame:
     """Docs-DataFrame entry point for the flagship pipeline — shared by the
     training_data_pipeline query (fixture parquet) and tools/scale_smoke.py
     (synthetic corpora at 1–4M docs), so the scale probe exercises the
-    exact production plan, not a copy."""
+    exact production plan, not a copy.
+
+    Pass a dict as ``stages`` to receive the intermediate stage
+    DataFrames (gated / exact-deduped / decontaminated / near-deduped) —
+    the curation_funnel observability query counts them without
+    re-deriving (and therefore never drifting from) the stage logic."""
     from quickstart_streaming_agents_spark.functions import text as tx
     from quickstart_streaming_agents_spark.operators.components import dedup_clusters
     from quickstart_streaming_agents_spark.operators.decontamination import (
@@ -4743,12 +4765,49 @@ def build_training_pipeline(docs: DataFrame) -> DataFrame:
         F.col("id").alias("doc_id")
     )
     kept3 = kept2.join(noncanon, "doc_id", "left_anti")
+    if stages is not None:
+        stages.update(gated=gated, exact_deduped=kept1,
+                      decontaminated=kept2, near_deduped=kept3)
     u = hash_unit(["doc_id"], salt="split-v1")
     return kept3.select(
         "doc_id", "lang_pred", "quality", "n_tokens",
         F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
         .alias("split"),
     )
+
+
+@query("curation_funnel", oracle=_FUNNEL_ORACLE)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel observability: documents surviving each stage of
+    the flagship pipeline (input → quality/lang gate → exact dedup →
+    decontamination → near-dup dedup). Counts come from the SAME stage
+    DataFrames the pipeline runs (build_training_pipeline's stages hook),
+    and the oracle reuses the flagship oracle's CTEs verbatim — neither
+    side can drift from the pipeline itself. The stage prefix letters pin
+    the funnel order through the driver's name-sorted canonicalization."""
+    docs = load_table(spark, sf_dir, "documents")
+    stages: dict = {}
+    build_training_pipeline(docs, stages=stages)
+    parts = [
+        docs.agg(F.count("*").cast("bigint").alias("n_docs")).select(
+            F.lit("a_input").alias("stage"), "n_docs"
+        )
+    ]
+    for label, df in [
+        ("b_gated", stages["gated"]),
+        ("c_exact_deduped", stages["exact_deduped"]),
+        ("d_decontaminated", stages["decontaminated"]),
+        ("e_near_deduped", stages["near_deduped"]),
+    ]:
+        parts.append(
+            df.agg(F.count("*").cast("bigint").alias("n_docs")).select(
+                F.lit(label).alias("stage"), "n_docs"
+            )
+        )
+    out = parts[0]
+    for pdf_ in parts[1:]:
+        out = out.unionByName(pdf_)
+    return out
 
 
 @query("training_data_pipeline", oracle=_TRAINING_PIPELINE_ORACLE)
@@ -5032,7 +5091,8 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fix gets a driver row, (b) the five queries new in round 6
 # (multimodal_real_meta, anomaly_detect_ar2, bpe_encode, line_dedup_clean,
 # token_budget_mix, scd2_merge, hard_negative_mining, waiting_suppliers,
-# video_frame_sample, topk_per_group_salted, series_correlation),
+# video_frame_sample, topk_per_group_salted, series_correlation,
+# curation_funnel),
 # then (c) the 33 queries whose
 # latest driver row is round 4 — after round 6 no query's most recent driver
 # check is more than two rounds old. Rotated-out queries stay pinned every
@@ -5052,6 +5112,7 @@ _R6_CHECK_FIRST = [
     "video_frame_sample",
     "topk_per_group_salted",
     "series_correlation",
+    "curation_funnel",
     "agent_price_match",
     "ann_ivf_topk",
     "ann_lsh_topk",
