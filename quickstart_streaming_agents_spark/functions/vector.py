@@ -103,6 +103,16 @@ def vector_search(
                 f"corpus id column {meta_fields[0].name!r} is {id_dt} — a "
                 "silent type mismatch would never mask any self-hit"
             )
+    if exclude_equal_on is not None:
+        df_dt = df.schema[exclude_equal_on[0]].dataType
+        tbl_dt = vector_table.schema[exclude_equal_on[1]].dataType
+        if df_dt != tbl_dt:
+            raise TypeError(
+                f"exclude_equal_on df column {exclude_equal_on[0]!r} is "
+                f"{df_dt}, table column {exclude_equal_on[1]!r} is {tbl_dt} "
+                "— a silent type mismatch would mask nothing and quietly "
+                "return same-label 'negatives'"
+            )
 
     # Driver-side collect of the bounded corpus; broadcast once per query.
     pdf = vector_table.select(*meta_cols, embedding_col).toPandas()

@@ -512,6 +512,22 @@ def simhash_pairs_from_fingerprints(
 # line-level (C4-style)
 # ---------------------------------------------------------------------------
 
+def word_window_lines(text_col, n: int = 3, joiner: str = " "):
+    """Chunk whitespace words into fixed-``n``-word "lines" (an
+    array<string> Column) — the fixture corpus has no newlines, so the
+    line-dedup surfaces derive lines this way. ONE definition shared by
+    the batch query, the streaming twin, and the scale smoke, so the
+    chunk rule cannot drift between them (the oracle replays it in SQL).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(F.trim(c), r"\s+")
+    n_lines = F.ceil(F.size(words) / F.lit(float(n))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(words, i * n + 1, n), joiner),
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -43,18 +43,26 @@ def grouped_topk(
     order: list[Column],
     k: int,
     salt_buckets: int = 64,
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Exact top-k rows per ``keys`` group under ``order`` (use
     ``F.col(c).desc()`` etc.), with bounded per-reducer state. Returns the
-    input columns plus ``rk`` (1-based rank)."""
+    input columns plus ``rk`` (1-based rank).
+
+    ``salt_on`` names the columns hashed into the salt (default: every
+    input column). The salt only spreads work — any deterministic
+    row-level value is correct, and a hash collision merely co-locates
+    two rows — but pass ``salt_on`` explicitly when the frame carries
+    non-hashable payload columns (xxhash64 rejects map types) or when
+    bucket assignment must stay stable as payload columns come and go."""
     if k < 1:
         raise ValueError("k must be >= 1")
     if salt_buckets < 1:
         raise ValueError("salt_buckets must be >= 1")
-    # salt from the full row identity via the order columns' source names:
-    # any deterministic row-level value works; xxhash64 over all columns
-    # is collision-tolerant (a collision only co-locates two rows).
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    salt_cols = salt_on if salt_on is not None else df.columns
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets)
+    )
     w1 = Window.partitionBy(*keys, "__salt").orderBy(*order)
     stage1 = (
         df.withColumn("__salt", salt)

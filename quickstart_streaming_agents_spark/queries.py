@@ -689,31 +689,36 @@ c AS (
 ),
 b AS (
     SELECT event_type, window_start, m, l1, l2, t, cyy, c1y, c2y,
+           c11, c22,
            c11 * c22 - c12 * c12 AS det,
            (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
            (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2,
            mean8, syy, sy, s1, s2
     FROM c
 ),
--- det = 0 ⟺ the 6-row design is exactly collinear (constant lag windows:
--- all sums are integers, so the cancellation is exact) ⟺ numpy's
--- linalg.solve raises LinAlgError and ar_one_step falls back to
--- beta = [mean(train8), 0, 0]: forecast = the 8-row training mean,
--- residuals y − mean8 over the 6 regression rows.
+-- Conditioning gate, identical on both engines: every input to det is an
+-- exactly-representable integer sum, and both engines evaluate the SAME
+-- expression tree (r/c CTEs here, JVM window functions in the Spark
+-- query), so `stable` is a bit-identical boolean. Ill-conditioned rows
+-- (|det| within 1e-4 of the c11*c22 scale — exact collinearity lands at
+-- det = 0 up to that same fp noise) are masked to NULL on BOTH sides:
+-- there the two solvers (numpy LAPACK on the raw normal equations vs the
+-- centered Cramer replay, error ~1e-13 x condition number) could
+-- legitimately diverge past the round(2) guard, and numpy may or may not
+-- raise LinAlgError depending on pivoting noise.
 s AS (
     SELECT event_type, window_start, m,
-           CASE WHEN t >= 8 THEN
-               CASE WHEN det = 0 THEN mean8
-                    ELSE (sy - b1 * s1 - b2 * s2) / 6 + b1 * l1 + b2 * l2
-               END
-           END AS fc,
-           CASE WHEN t >= 8 THEN {_AR1_Z!r} * sqrt(greatest(
-               CASE WHEN det = 0
-                    THEN syy - 2 * mean8 * sy + 6 * mean8 * mean8
-                    ELSE cyy - b1 * c1y - b2 * c2y END,
-               0) / 3)
-           END AS half
+           t >= 8 AND abs(det) > 1e-4 * greatest(1.0, c11 * c22) AS stable,
+           (sy - b1 * s1 - b2 * s2) / 6 + b1 * l1 + b2 * l2 AS fc0,
+           {_AR1_Z!r} * sqrt(greatest(cyy - b1 * c1y - b2 * c2y, 0) / 3)
+               AS half0
     FROM b
+),
+s2 AS (
+    SELECT event_type, window_start, m,
+           CASE WHEN stable THEN fc0 END AS fc,
+           CASE WHEN stable THEN half0 END AS half
+    FROM s
 )
 -- +1e-9 before round: integer metrics make fc/bounds small-denominator
 -- rationals that land EXACTLY on .xx5 halfway points, where the engines'
@@ -725,34 +730,94 @@ SELECT event_type, window_start, m,
        round(fc + half + 1e-9, 2) AS upper_bound,
        round(fc - half + 1e-9, 2) AS lower_bound,
        coalesce(m > fc + half OR m < fc - half, FALSE) AS is_anomaly
-FROM s
+FROM s2
 """
+
+
+def _ar2_stability_gate(agg: DataFrame) -> DataFrame:
+    """Append ``__stable`` to a (window_start, event_type, m) series — the
+    AR(2) normal-equation conditioning gate, expression-identical to the
+    anomaly_detect_ar2 oracle's det computation (see that query's
+    docstring). Exactly-collinear training windows (constant series,
+    arithmetic progressions) come out unstable. Separated out so
+    tests/test_anomaly.py can probe it with adversarial series."""
+    from pyspark.sql import Window
+
+    seq = Window.partitionBy("event_type").orderBy("window_start")
+    lagged = agg.select(
+        "*",
+        F.lag("m", 1).over(seq).alias("__l1"),
+        F.lag("m", 2).over(seq).alias("__l2"),
+    )
+    fw = seq.rowsBetween(-6, -1)
+    pw = seq.rowsBetween(-8, -1)
+    sums = lagged.select(
+        "window_start", "event_type", "m",
+        F.count("m").over(pw).alias("__t"),
+        F.sum("__l1").over(fw).alias("__s1"),
+        F.sum("__l2").over(fw).alias("__s2"),
+        F.sum(F.col("__l1") * F.col("__l1")).over(fw).alias("__s11"),
+        F.sum(F.col("__l2") * F.col("__l2")).over(fw).alias("__s22"),
+        F.sum(F.col("__l1") * F.col("__l2")).over(fw).alias("__s12"),
+    )
+    c11 = F.col("__s11") - F.col("__s1") * F.col("__s1") / 6
+    c22 = F.col("__s22") - F.col("__s2") * F.col("__s2") / 6
+    c12 = F.col("__s12") - F.col("__s1") * F.col("__s2") / 6
+    det = c11 * c22 - c12 * c12
+    return sums.select(
+        "window_start", "event_type", "m",
+        (
+            (F.col("__t") >= 8)
+            & (F.abs(det) > 1e-4 * F.greatest(F.lit(1.0), c11 * c22))
+        ).alias("__stable"),
+    )
 
 
 @query("anomaly_detect_ar2", oracle=_AR2_ORACLE)
 def anomaly_detect_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AR(2)/OLS configuration of ml_detect_anomalies, exact-oracle-checked
     via a closed-form normal-equation replay (see comment above; reference
-    construct LAB4-Walkthrough.md:150-163)."""
+    construct LAB4-Walkthrough.md:150-163).
+
+    The __stable conditioning gate mirrors the oracle's bit-for-bit (same
+    integer-exact window sums, same expression tree, evaluated JVM-side
+    BEFORE the applyInPandas scorer and carried through it): rows where
+    the AR(2) normal equations are ill-conditioned are masked to NULL on
+    both sides, because there numpy's LAPACK solve and the oracle's
+    centered Cramer replay legitimately diverge (error ~1e-13 x condition
+    number) and numpy's LinAlgError fallback depends on pivoting noise."""
+    from pyspark.sql import Window
+
     events = load_table(spark, sf_dir, "events")
     agg = tumble(
         events, "ts", "6 hours", keys=["event_type"],
         aggs=[F.count("*").cast("double").alias("m")],
     ).select("window_start", "event_type", "m")
+
+    gated = _ar2_stability_gate(agg)
     scored = ml_detect_anomalies(
-        agg, metric="m", ts="window_start", keys=["event_type"],
+        gated, metric="m", ts="window_start", keys=["event_type"],
         min_training_size=8, max_training_size=8,
         confidence_percentage=95.0, detector="ar", ridge_lambda=0.0,
     )
+    stable = F.col("__stable")
     return scored.select(
         "event_type", "window_start", "m",
-        F.round(F.col("anomaly_result.forecast_value") + 1e-9, 2)
-            .alias("forecast_value"),
-        F.round(F.col("anomaly_result.upper_bound") + 1e-9, 2)
-            .alias("upper_bound"),
-        F.round(F.col("anomaly_result.lower_bound") + 1e-9, 2)
-            .alias("lower_bound"),
-        F.col("anomaly_result.is_anomaly").alias("is_anomaly"),
+        F.when(
+            stable,
+            F.round(F.col("anomaly_result.forecast_value") + 1e-9, 2),
+        ).alias("forecast_value"),
+        F.when(
+            stable,
+            F.round(F.col("anomaly_result.upper_bound") + 1e-9, 2),
+        ).alias("upper_bound"),
+        F.when(
+            stable,
+            F.round(F.col("anomaly_result.lower_bound") + 1e-9, 2),
+        ).alias("lower_bound"),
+        F.coalesce(
+            F.when(stable, F.col("anomaly_result.is_anomaly")), F.lit(False)
+        ).alias("is_anomaly"),
     )
 
 
@@ -1491,20 +1556,19 @@ GROUP BY doc_id
 def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-global line dedup, C4 §2.2 shape (keep first occurrence of
     every distinct line, reassemble docs, drop emptied docs)."""
-    from quickstart_streaming_agents_spark.operators.dedup import dedup_lines
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        dedup_lines,
+        word_window_lines,
+    )
 
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.trim(F.col("text")) != "")
     )
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    n_lines = F.ceil(F.size(words) / F.lit(3.0)).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.array_join(F.slice(words, i * 3 + 1, 3), " "),
+    with_lines = docs.select(
+        "doc_id", word_window_lines("text", 3).alias("lines")
     )
-    with_lines = docs.select("doc_id", lines.alias("lines"))
     return dedup_lines(with_lines, "doc_id", "lines", sep=" | ")
 
 
@@ -4302,9 +4366,15 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count series, every type pair (time-series similarity search's exact
 # all-pairs tier; cf. EDBT'19 streaming-similarity line of work). Plan:
 # one windowed aggregate to build the series, a self equi-join ON THE HOUR
-# (never a cartesian — pairs form per aligned bucket), one pair-keyed corr
-# aggregate. Pearson is scale-invariant, so integer counts make the only
-# cross-engine noise the final double accumulation — absorbed by round(4).
+# (never a cartesian — pairs form per aligned bucket), one pair-keyed sum
+# aggregate. Pearson is computed from the EXPLICIT raw sums — identical
+# algebra on both engines over exactly-representable integer sums, so the
+# only cross-engine noise is the final sqrt/divide (absorbed by
+# round(4)) — and NOT via the built-in corr(), whose zero-variance case
+# raises DIVIDE_BY_ZERO under Spark 4's default ANSI mode while DuckDB
+# returns NULL. Pairs with an undefined correlation (a zero-variance
+# series: denominator exactly 0 in both engines) are dropped, not
+# NULL-emitted, keeping the result NULL-free for the hash compare.
 # ---------------------------------------------------------------------------
 @query(
     "series_correlation",
@@ -4315,12 +4385,22 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS h,
                CAST(count(*) AS DOUBLE) AS c
         FROM events GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS DOUBLE) AS n,
+               sum(a.c) AS sx, sum(b.c) AS sy,
+               sum(a.c * a.c) AS sxx, sum(b.c * b.c) AS syy,
+               sum(a.c * b.c) AS sxy
+        FROM s a JOIN s b ON a.h = b.h AND a.event_type < b.event_type
+        GROUP BY 1, 2
     )
-    SELECT a.event_type AS type_a, b.event_type AS type_b,
-           CAST(count(*) AS BIGINT) AS n_hours,
-           round(corr(a.c, b.c), 4) AS corr
-    FROM s a JOIN s b ON a.h = b.h AND a.event_type < b.event_type
-    GROUP BY 1, 2
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+               AS corr
+    FROM j
+    WHERE (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
     """,
 )
 def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4333,7 +4413,7 @@ def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("double").alias("c"))
     )
     a, b = s.alias("a"), s.alias("b")
-    return (
+    j = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
@@ -4344,8 +4424,28 @@ def series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.event_type").alias("type_b"),
         )
         .agg(
-            F.count("*").cast("bigint").alias("n_hours"),
-            F.round(F.corr("a.c", "b.c"), 4).alias("corr"),
+            F.count("*").cast("double").alias("n"),
+            F.sum("a.c").alias("sx"),
+            F.sum("b.c").alias("sy"),
+            F.sum(F.col("a.c") * F.col("a.c")).alias("sxx"),
+            F.sum(F.col("b.c") * F.col("b.c")).alias("syy"),
+            F.sum(F.col("a.c") * F.col("b.c")).alias("sxy"),
+        )
+    )
+    denom = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        j.filter(denom > 0)
+        .select(
+            "type_a", "type_b",
+            F.col("n").cast("bigint").alias("n_hours"),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(denom),
+                4,
+            ).alias("corr"),
         )
     )
 
@@ -4715,7 +4815,7 @@ UNION ALL SELECT 'e_near_deduped', CAST(count(*) AS BIGINT) FROM kept3
 
 
 def build_training_pipeline(
-    docs: DataFrame, stages: dict | None = None
+    docs: DataFrame, stages: dict | None = None, persist: bool = True
 ) -> DataFrame:
     """Docs-DataFrame entry point for the flagship pipeline — shared by the
     training_data_pipeline query (fixture parquet) and tools/scale_smoke.py
@@ -4725,7 +4825,10 @@ def build_training_pipeline(
     Pass a dict as ``stages`` to receive the intermediate stage
     DataFrames (gated / exact-deduped / decontaminated / near-deduped) —
     the curation_funnel observability query counts them without
-    re-deriving (and therefore never drifting from) the stage logic."""
+    re-deriving (and therefore never drifting from) the stage logic.
+    ``persist=False`` skips caching the decontaminated set — right for
+    one-pass diagnostic consumers (the funnel) that would otherwise leave
+    an extra cached copy resident per invocation."""
     from quickstart_streaming_agents_spark.functions import text as tx
     from quickstart_streaming_agents_spark.operators.components import dedup_clusters
     from quickstart_streaming_agents_spark.operators.decontamination import (
@@ -4758,8 +4861,9 @@ def build_training_pipeline(
         contamination_flags(kept1, benchmark, n=13)
         .filter(~F.col("contaminated"))
         .select("doc_id", "text", "lang_pred", "quality", "n_tokens")
-        .persist()
     )
+    if persist:
+        kept2 = kept2.persist()
     pairs = ngram_jaccard_pairs(kept2, "doc_id", "text", n=3, threshold=0.5)
     noncanon = dedup_clusters(pairs).filter(~F.col("is_canonical")).select(
         F.col("id").alias("doc_id")
@@ -4787,7 +4891,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the funnel order through the driver's name-sorted canonicalization."""
     docs = load_table(spark, sf_dir, "documents")
     stages: dict = {}
-    build_training_pipeline(docs, stages=stages)
+    build_training_pipeline(docs, stages=stages, persist=False)
     parts = [
         docs.agg(F.count("*").cast("bigint").alias("n_docs")).select(
             F.lit("a_input").alias("stage"), "n_docs"
@@ -5088,7 +5192,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-checks the FIRST 50 registry entries each round. Round 5 verified
 # the then-front 33 (all green except two oracle dtype artifacts, fixed this
 # round); this rotation leads with (a) the two dtype-fixed queries so their
-# fix gets a driver row, (b) the five queries new in round 6
+# fix gets a driver row, (b) the twelve queries new in round 6
 # (multimodal_real_meta, anomaly_detect_ar2, bpe_encode, line_dedup_clean,
 # token_budget_mix, scd2_merge, hard_negative_mining, waiting_suppliers,
 # video_frame_sample, topk_per_group_salted, series_correlation,

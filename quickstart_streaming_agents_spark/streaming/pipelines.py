@@ -487,7 +487,7 @@ def line_dedup_stream_pipeline(
     documents_path: str,
     line_words: int = 3,
     sep: str = " | ",
-    watermark: str = "1 day",
+    watermark: str = "7 days",
 ) -> StreamCatalog:
     """Continuous C4-style line dedup: documents → word-window lines
     (map-only explode) → watermark-bounded FIRST-ARRIVAL per distinct
@@ -498,6 +498,19 @@ def line_dedup_stream_pipeline(
     document's lines share one event time, so the window groups them
     back losslessly). Batch twin: operators/dedup.dedup_lines via
     queries.line_dedup_clean, pinned equal in tests/test_streaming.py.
+
+    Stream/batch agreement contract: "first arrival" is well-defined per
+    micro-batch only up to the source's partition order. The parity test
+    holds because the fixture parquet reads as a SINGLE input split
+    (well under spark.sql.files.maxPartitionBytes), so every line reaches
+    the dedup state in doc_id order — the batch winner. A multi-split
+    source keeps correct FIRST-ARRIVAL semantics but may keep a different
+    (doc, pos) copy than batch's global min; that is the honest streaming
+    contract, not a bug. The watermark horizon must also cover the
+    fixture's synthetic event-time span (1 s per doc_id — 7 days covers
+    ~600k docs); lines older than the horizon age out of state and would
+    dedup only within their horizon, exactly as documented for
+    dropDuplicatesWithinWatermark.
     """
     spark = catalog.spark
     docs = spark.read.parquet(documents_path).filter(
@@ -523,17 +536,14 @@ def line_dedup_stream_pipeline(
     )
     catalog.create_table_as("line_raw_docs", stamped.unionByName(sentinel))
 
+    from ..operators.dedup import word_window_lines
+
     stream = catalog.read_stream("line_raw_docs", watermark=("ts", watermark))
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    n_lines = F.ceil(F.size(words) / F.lit(float(line_words))).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.array_join(
-            F.slice(words, i * line_words + 1, line_words), " "
-        ),
-    )
     ex = stream.select(
-        "doc_id", "ts", F.posexplode(lines).alias("pos", "line")
+        "doc_id", "ts",
+        F.posexplode(word_window_lines("text", line_words)).alias(
+            "pos", "line"
+        ),
     )
     first = ex.dropDuplicatesWithinWatermark(["line"])
     reassembled = (

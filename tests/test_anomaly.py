@@ -191,3 +191,38 @@ def test_rejects_helper_column_collision(spark):
     with pytest.raises(ValueError, match="_ar_rn"):
         ml_detect_anomalies(df, metric="metric", ts="ts", keys=["key"]) \
             .collect()
+
+
+def test_ar2_stability_gate_masks_collinear_windows(spark):
+    """Exactly-collinear AR(2) training windows — constant series and
+    arithmetic progressions — must be flagged unstable (the two engines'
+    solvers legitimately diverge there; anomaly_detect_ar2 masks them to
+    NULL on both sides), while a generic noisy series stays stable."""
+    import datetime
+
+    from quickstart_streaming_agents_spark.queries import _ar2_stability_gate
+
+    def series(name, vals):
+        base = datetime.datetime(2024, 1, 1)
+        return [
+            (base + datetime.timedelta(hours=6 * i), name, float(v))
+            for i, v in enumerate(vals)
+        ]
+
+    rows = (
+        series("constant", [5] * 12)
+        + series("arith_prog", [3 + 2 * i for i in range(12)])
+        + series("noisy", [3, 7, 2, 9, 4, 8, 1, 6, 5, 9, 2, 7])
+    )
+    df = spark.createDataFrame(
+        rows, "window_start timestamp, event_type string, m double"
+    )
+    out = _ar2_stability_gate(df).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append((r.window_start, r["__stable"]))
+    for t in ("constant", "arith_prog"):
+        scored = [s for _, s in sorted(by_type[t])][8:]
+        assert scored and not any(scored), f"{t} windows must be unstable"
+    noisy_scored = [s for _, s in sorted(by_type["noisy"])][8:]
+    assert noisy_scored and all(noisy_scored), "noisy series must be stable"

@@ -145,3 +145,19 @@ def test_ann_ignores_null_embeddings(spark):
     ids = {(r.query_id, r.match_id) for r in got.collect()}
     assert all(q != 11 and m != 2 for q, m in ids)
     assert any(q == 10 for q, _ in ids)
+
+
+def test_exclude_equal_on_type_mismatch_raises(spark):
+    import pytest as _pytest
+
+    from quickstart_streaming_agents_spark.functions.vector import vector_search
+
+    corpus = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0])], "vec_id long, label string, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(1, 7, [1.0, 0.0])], "qid long, label int, embedding array<double>"
+    )
+    with _pytest.raises(TypeError, match="exclude_equal_on"):
+        vector_search(queries, corpus, "embedding",
+                      exclude_equal_on=("label", "label"))

@@ -91,17 +91,15 @@ def main() -> None:
 
     # Round-6 corpus-sized ops: line dedup (2 shuffles, partial-agg
     # winners) and the salted top-k (bounded reducer state by design).
-    from quickstart_streaming_agents_spark.operators.dedup import dedup_lines
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        dedup_lines,
+        word_window_lines,
+    )
     from quickstart_streaming_agents_spark.operators.topk import grouped_topk
 
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    n_lines = F.ceil(F.size(words) / F.lit(3.0)).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.array_join(F.slice(words, i * 3 + 1, 3), " "),
-    )
     stage("line dedup (2 shuffles)", dedup_lines(
-        docs.select("doc_id", lines.alias("lines")), "doc_id", "lines"
+        docs.select("doc_id", word_window_lines("text", 3).alias("lines")),
+        "doc_id", "lines"
     ))
     stage("salted top-k (2 shuffles)", grouped_topk(
         docs.select("lang", "doc_id",
