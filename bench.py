@@ -119,6 +119,7 @@ HEADLINE = [
     "topk_per_group_salted",
     "series_correlation",
     "curation_funnel",
+    "incremental_ingest_dedup",
 ]
 
 

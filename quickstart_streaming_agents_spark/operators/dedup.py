@@ -581,3 +581,82 @@ def dedup_lines(
             F.count("*").cast("bigint").alias("n_lines_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus (incremental-ingest)
+# ---------------------------------------------------------------------------
+
+def cross_corpus_jaccard_pairs(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1_000,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two corpora only (old_id, new_id, jaccard) —
+    the incremental-ingest shape: dedup an incoming snapshot against the
+    existing corpus without re-paying the old×old comparison the periodic
+    full dedup already did. Ids may overlap across corpora (they are
+    independent keyspaces).
+
+    Plan: one shuffle groups both sides' shingle hashes together; each
+    group emits only old×new pairs (never old×old or new×new), with the
+    same hot-shingle df cap as ngram_jaccard_pairs; Jaccard denominators
+    are per-side exact shingle counts. At 100 TB + a daily crawl the
+    emitted candidate space is |cross matches|, not |corpus|².
+    """
+    so = _shingle_hash_df(old, id_col, text_col, n).withColumn(
+        "side", F.lit(0)
+    )
+    sn = _shingle_hash_df(new, id_col, text_col, n).withColumn(
+        "side", F.lit(1)
+    )
+    sh = so.unionByName(sn).persist()
+    sizes = sh.groupBy("side", "doc_id").agg(
+        F.count("*").alias("n_shingles")
+    )
+    groups = (
+        sh.groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(F.col("side") == 0, F.col("doc_id")))
+            ).alias("old_ids"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("side") == 1, F.col("doc_id")))
+            ).alias("new_ids"),
+        )
+        .filter(
+            (F.size("old_ids") > 0)
+            & (F.size("new_ids") > 0)
+            & (F.size("old_ids") + F.size("new_ids") <= max_shingle_df)
+        )
+    )
+    pair_expr = F.expr(
+        "flatten(transform(old_ids, x -> "
+        "transform(new_ids, y -> struct(x AS old_id, y AS new_id))))"
+    )
+    shared = (
+        groups.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.old_id").alias("old_id"),
+                 F.col("p.new_id").alias("new_id"))
+        .agg(F.count("*").alias("shared"))
+    )
+    so_sizes = sizes.filter("side = 0").select(
+        F.col("doc_id").alias("old_id"), F.col("n_shingles").alias("na")
+    )
+    sn_sizes = sizes.filter("side = 1").select(
+        F.col("doc_id").alias("new_id"), F.col("n_shingles").alias("nb")
+    )
+    return (
+        shared.join(so_sizes, "old_id")
+        .join(sn_sizes, "new_id")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("old_id", "new_id", F.round("jaccard", 6).alias("jaccard"))
+    )

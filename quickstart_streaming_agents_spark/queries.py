@@ -4111,6 +4111,90 @@ def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental-ingest near-dup (operators/dedup.cross_corpus_jaccard_pairs):
+# dedup an incoming snapshot against the EXISTING corpus — pairs are
+# emitted old×new only, never old×old (already deduped) or new×new (the
+# next full pass's job). Snapshot = the standard mutation (%13 revised,
+# %31 removed, %29 added); unchanged docs come back at jaccard 1.0 and
+# revisions just under it, which is exactly the incremental signal. The
+# fixture has no shingle anywhere near the df cap, so the oracle omits
+# the cap branch (same convention as the ngram_jaccard_dedup oracle).
+# ---------------------------------------------------------------------------
+_CROSS_CORPUS_ORACLE = """
+WITH newt AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN text || ' revised'
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 31 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 29 = 0
+),
+wo AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       FROM documents),
+wn AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       FROM newt),
+go AS (
+    SELECT DISTINCT doc_id, ng FROM (
+        SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       for i in range(1, greatest(len(w) - 1, 1))]) AS ng
+        FROM wo
+    )
+),
+gn AS (
+    SELECT DISTINCT doc_id, ng FROM (
+        SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       for i in range(1, greatest(len(w) - 1, 1))]) AS ng
+        FROM wn
+    )
+),
+szo AS (SELECT doc_id, count(*) AS n FROM go GROUP BY 1),
+szn AS (SELECT doc_id, count(*) AS n FROM gn GROUP BY 1),
+p AS (
+    SELECT o.doc_id AS old_id, nn.doc_id AS new_id, count(*) AS shared
+    FROM go o JOIN gn nn ON o.ng = nn.ng
+    GROUP BY 1, 2
+)
+SELECT old_id, new_id,
+       round(shared * 1.0 / (so.n + sn.n - shared), 6) AS jaccard
+FROM p
+JOIN szo so ON so.doc_id = p.old_id
+JOIN szn sn ON sn.doc_id = p.new_id
+WHERE shared * 1.0 / (so.n + sn.n - shared) >= 0.5
+"""
+
+
+@query("incremental_ingest_dedup", oracle=_CROSS_CORPUS_ORACLE)
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming snapshot near-dup'd against the existing corpus (old×new
+    pairs only; see block comment)."""
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        cross_corpus_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 31 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" revised")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 29 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return cross_corpus_jaccard_pairs(
+        docs, new, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD2 history merge (operators/versioning.scd2_merge): fold the
 # snapshot_diff mutation into a type-2 version history — every document
 # version keeps its validity interval, so any past training set is
@@ -5192,11 +5276,11 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-checks the FIRST 50 registry entries each round. Round 5 verified
 # the then-front 33 (all green except two oracle dtype artifacts, fixed this
 # round); this rotation leads with (a) the two dtype-fixed queries so their
-# fix gets a driver row, (b) the twelve queries new in round 6
+# fix gets a driver row, (b) the thirteen queries new in round 6
 # (multimodal_real_meta, anomaly_detect_ar2, bpe_encode, line_dedup_clean,
 # token_budget_mix, scd2_merge, hard_negative_mining, waiting_suppliers,
 # video_frame_sample, topk_per_group_salted, series_correlation,
-# curation_funnel),
+# curation_funnel, incremental_ingest_dedup),
 # then (c) the 33 queries whose
 # latest driver row is round 4 — after round 6 no query's most recent driver
 # check is more than two rounds old. Rotated-out queries stay pinned every
@@ -5217,6 +5301,7 @@ _R6_CHECK_FIRST = [
     "topk_per_group_salted",
     "series_correlation",
     "curation_funnel",
+    "incremental_ingest_dedup",
     "agent_price_match",
     "ann_ivf_topk",
     "ann_lsh_topk",
