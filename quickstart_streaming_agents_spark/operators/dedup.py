@@ -607,6 +607,13 @@ def cross_corpus_jaccard_pairs(
     same hot-shingle df cap as ngram_jaccard_pairs; Jaccard denominators
     are per-side exact shingle counts. At 100 TB + a daily crawl the
     emitted candidate space is |cross matches|, not |corpus|².
+
+    Cache contract: the unioned shingle-hash frame is ``persist()``-ed
+    because two branches (per-doc sizes, per-shingle groups) read it; the
+    result is lazy, so this function cannot unpersist it itself. Callers
+    must ``spark.catalog.clearCache()`` (as bench.py does per query) or
+    ``unpersist`` via the catalog once the result is materialized, or the
+    shingle hashes stay pinned in executor storage for the session.
     """
     so = _shingle_hash_df(old, id_col, text_col, n).withColumn(
         "side", F.lit(0)

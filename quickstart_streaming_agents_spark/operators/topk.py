@@ -59,6 +59,12 @@ def grouped_topk(
         raise ValueError("k must be >= 1")
     if salt_buckets < 1:
         raise ValueError("salt_buckets must be >= 1")
+    clash = {"__salt", "__r1", "rk"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"grouped_topk uses helper columns {sorted(clash)}; rename them "
+            "in the input frame (withColumn would silently overwrite them)"
+        )
     salt_cols = salt_on if salt_on is not None else df.columns
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets)
