@@ -2,14 +2,17 @@
 
 Beyond-reference surface: opaque ``binary`` payload columns with typed
 metadata, processed by Arrow-batched ``mapInPandas`` decoders.
-``decoder="real"`` performs a genuine byte decode for the two formats
-expressible without codec libraries — uncompressed 24-bpp BMP images and
-PCM-16 RIFF/WAVE audio, parsed with struct/numpy against the public
-specs and pinned by golden-byte tests (tests/test_multimodal_real.py:
-hand-assembled hex payloads, encoder round-trips, analytic feature
-values, and the driver-checked multimodal_real_meta query). Formats that
-need Pillow/librosa/ffmpeg (not in this container) raise
-``NotImplementedError`` at the same integration point. The real path is
+``decoder="real"`` performs a genuine byte decode for the formats
+expressible without codec libraries — 8-bit PNG (stdlib zlib inflate +
+all five scanline filters, CRC-verified), uncompressed 24-bpp BMP
+images, and PCM-16 RIFF/WAVE audio, parsed with struct/numpy/zlib
+against the public specs and pinned by golden-byte tests
+(tests/test_multimodal_real.py: hand-assembled hex payloads, encoder
+round-trips, analytic feature values, and the driver-checked
+multimodal_real_meta / multimodal_png_meta queries). Image payloads are
+container-sniffed per row on magic bytes (PNG signature vs 'BM').
+Formats that need Pillow/librosa/ffmpeg (JPEG, MP3 — not in this
+container) raise ``NotImplementedError`` at the same integration point. The real path is
 per-row fault-tolerant (``on_error="null"``): a malformed or NULL asset
 yields NULL meta/features instead of failing the task. ``decoder="fake"``
 remains the deterministic md5-derived stand-in whose features the DuckDB
@@ -26,6 +29,7 @@ from __future__ import annotations
 import hashlib
 import math
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -108,6 +112,201 @@ def make_bmp(rgb: np.ndarray, top_down: bool = False) -> bytes:
         len(body), 2835, 2835, 0, 0,
     )
     return header + dib + body
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (8-bit depth): gray, RGB, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick the neighbor (left a,
+    up b, up-left c) closest to a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def make_png(
+    rgb: np.ndarray,
+    color_type: int = 2,
+    filter_type: int = 0,
+) -> bytes:
+    """Encode an H×W×3 uint8 RGB array as an 8-bit PNG (inverse of
+    :func:`_decode_png`; RFC 2083 layout: signature + IHDR + one IDAT +
+    IEND, CRC32 per chunk, zlib-compressed filtered scanlines).
+
+    Fixture/test helper. ``color_type`` picks the stored representation
+    (0 gray — channel mean; 2 RGB; 4 gray+alpha; 6 RGBA — alpha 255) and
+    ``filter_type`` (0..4) applies that PNG filter to EVERY scanline, so
+    tests can exercise each of the decoder's five reconstruction paths
+    against a payload this encoder actually filtered forward.
+    """
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"invalid PNG filter type {filter_type}")
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    ch = _PNG_CHANNELS[color_type]
+    if color_type == 0:
+        raw = rgb.mean(axis=2).astype(np.uint8)[..., None]
+    elif color_type == 2:
+        raw = rgb
+    elif color_type == 4:
+        gray = rgb.mean(axis=2).astype(np.uint8)[..., None]
+        raw = np.concatenate([gray, np.full((h, w, 1), 255, np.uint8)], 2)
+    else:  # 6
+        raw = np.concatenate([rgb, np.full((h, w, 1), 255, np.uint8)], 2)
+    stride = w * ch
+    flat = raw.reshape(h, stride)
+    prior = bytes(stride)
+    out = bytearray()
+    for y in range(h):
+        line = flat[y].tobytes()
+        out.append(filter_type)
+        if filter_type == 0:
+            out += line
+        else:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prior[i]
+                c = prior[i - ch] if i >= ch else 0
+                if filter_type == 1:
+                    pred = a
+                elif filter_type == 2:
+                    pred = b
+                elif filter_type == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, c)
+                out.append((line[i] - pred) & 0xFF)
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Real byte decode of an 8-bit non-interlaced PNG (RFC 2083) with
+    nothing beyond stdlib ``zlib`` — chunk walk with CRC32 verification,
+    IDAT concatenation, inflate, and reconstruction of all five scanline
+    filters (None/Sub/Up/Average/Paeth). Color types 0/2/4/6 (gray, RGB,
+    gray+alpha, RGBA); gray replicates to 3 channels and alpha is dropped,
+    so the return is always (meta, H×W×3 uint8 RGB) like :func:`_decode_bmp`.
+
+    Palette (type 3), 16-bit depth, and Adam7 interlace raise ValueError —
+    rare in training corpora and out of scope for a zero-dependency path.
+    Filter reconstruction is a per-byte Python loop only for scanlines that
+    actually use Sub/Average/Paeth (left-neighbor recurrences are inherently
+    sequential); None/Up scanlines are vectorized.
+    """
+    if len(payload) < len(_PNG_SIG) or payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"only 8-bit gray/RGB/alpha PNG supported (depth={depth}, "
+            f"color_type={color_type})"
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG compression/filter/interlace mode")
+    if w < 1 or h < 1:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    if len(raw) != (stride + 1) * h:
+        raise ValueError(
+            f"PNG scanline data: have {len(raw)}, want {(stride + 1) * h}"
+        )
+    img = np.empty((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        )
+        prior = img[y - 1] if y else zero
+        if ft == 0:
+            img[y] = line
+        elif ft == 2:
+            img[y] = line + prior  # uint8 wraps mod 256
+        elif ft in (1, 3, 4):
+            cur = img[y]
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prior[i])
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prior[i - ch]) if i >= ch else 0
+                    pred = _paeth(a, b, c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter byte {ft} on row {y}")
+    px = img.reshape(h, w, ch)
+    if color_type == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif color_type == 2:
+        rgb = px
+    elif color_type == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:
+        rgb = px[:, :, :3]
+    meta = {
+        "media_type": "image",
+        "width": int(w),
+        "height": int(h),
+        "n_frames": 1,
+        "duration_ms": 0,
+    }
+    return meta, rgb
 
 
 def make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
@@ -208,12 +407,16 @@ def _decode_wav(payload: bytes) -> tuple[dict, np.ndarray]:
 
 def _real_decode(payload: bytes, media_type: str) -> tuple[dict, np.ndarray]:
     if media_type == "image":
-        return _decode_bmp(payload or b"")
+        p = payload or b""
+        # container sniff on magic bytes: PNG signature vs BMP 'BM'
+        if p[: len(_PNG_SIG)] == _PNG_SIG:
+            return _decode_png(p)
+        return _decode_bmp(p)
     if media_type == "audio":
         return _decode_wav(payload or b"")
     raise NotImplementedError(
         f"real decoding of media_type={media_type!r} requires codec "
-        "libraries not present in this runtime (BMP images and PCM-16 "
+        "libraries not present in this runtime (PNG/BMP images and PCM-16 "
         "WAV audio decode for real; use decoder='fake' for others)"
     )
 

@@ -2909,6 +2909,89 @@ def multimodal_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The stdlib-zlib PNG decoder (operators/multimodal.py:_decode_png —
+# chunk walk + CRC32 + inflate + all five scanline-filter
+# reconstructions, RFC 2083) driven end to end through the production
+# mapInPandas path. Payload synthesis varies EVERY decoder dimension per
+# row so production exercises each code path the golden-byte tests pin:
+#   filter_type  = id % 5   (None/Sub/Up/Average/Paeth forward-filtered)
+#   color_type   = {0,2,4,6}[id % 4]  (gray / RGB / gray+alpha / RGBA)
+#   constant px  v = id % 256, w = 1 + id % 6, h = 1 + id % 4
+#   id % 19 == 0 → TRUNCATED PNG (valid signature, torn chunk) → the
+#                  on_error="null" row-tolerance path, sentinel-coalesced.
+# A constant-v image's grayscale histogram is one-hot, so the oracle
+# derives the hot bin analytically: LEAST(FLOOR(v·8/255), 7) (exact —
+# v/255 can never tie a bin edge for 0<v<255 since 255∤8i).
+_MULTIMODAL_PNG_META_ORACLE = """
+WITH base AS (
+    SELECT doc_id,
+           doc_id % 19 = 0 AS corrupt,
+           doc_id % 256 AS v
+    FROM documents
+)
+SELECT doc_id,
+    CASE WHEN corrupt THEN 'undecodable' ELSE 'image' END AS media_type,
+    CAST(CASE WHEN corrupt THEN -1 ELSE 1 + doc_id % 6 END AS INT) AS width,
+    CAST(CASE WHEN corrupt THEN -1 ELSE 1 + doc_id % 4 END AS INT) AS height,
+    CAST(CASE WHEN corrupt THEN -1
+              ELSE 1 + LEAST(CAST(FLOOR(v * 8.0 / 255.0) AS INT), 7)
+         END AS BIGINT) AS hot_bin,
+    CAST(CASE WHEN corrupt THEN -1.0 ELSE 1.0 END AS DOUBLE) AS hot_val
+FROM base
+"""
+
+
+@query("multimodal_png_meta", oracle=_MULTIMODAL_PNG_META_ORACLE)
+def multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG byte decode through the production mapInPandas path —
+    encoder-forward-filtered payloads covering all 5 PNG filters × 4
+    color types, plus deliberate truncation every ~19th row (see the
+    oracle comment above for the per-row synthesis rules)."""
+    import numpy as np
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        extract_media_features,
+        make_png,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                w, h, v = 1 + i % 6, 1 + i % 4, i % 256
+                p = make_png(
+                    np.full((h, w, 3), v, dtype=np.uint8),
+                    color_type=(0, 2, 4, 6)[i % 4],
+                    filter_type=i % 5,
+                )
+                # torn mid-IHDR: signature intact, chunk truncated
+                payloads.append(p[:25] if i % 19 == 0 else p)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    decoded = extract_media_features(synth_df, "payload",
+                                     media_type="image", decoder="real")
+    return decoded.select(
+        "doc_id",
+        F.coalesce(F.col("media_meta.media_type"),
+                   F.lit("undecodable")).alias("media_type"),
+        F.coalesce(F.col("media_meta.width").cast("int"),
+                   F.lit(-1)).alias("width"),
+        F.coalesce(F.col("media_meta.height").cast("int"),
+                   F.lit(-1)).alias("height"),
+        # constant image → one-hot histogram: position of the 1.0 IS the
+        # hot bin (1-based), and its value must be exactly 1.0
+        F.coalesce(F.array_position("features", 1.0),
+                   F.lit(-1).cast("bigint")).alias("hot_bin"),
+        F.coalesce(F.array_max("features").cast("double"),
+                   F.lit(-1.0)).alias("hot_val"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Video frame sampling (operators/multimodal.sample_frames): the 1→N
 # mapInPandas shape — every ~30th frame of each "video" becomes a row.
