@@ -4694,6 +4694,151 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q2 analog (min-cost-per-group join-back) on the fixture star
+# schema (no partsupp table: lineitem serves as the part×supplier cost
+# relation; cost = l_extendedprice·(1−l_discount), a per-row IEEE
+# product both engines compute bit-identically, so the min-equality
+# join-back needs no rounding). The user-facing shape is the correlated
+# scalar subquery `WHERE cost = (SELECT min(cost) … WHERE same part)` —
+# the oracle keeps that form; the Spark plan is the decorrelated one: a
+# per-(part,supplier) partial agg (map-side combine shrinks lineitem
+# before its ONE shuffle), then min-per-part via a window over the
+# aggregated frame — group size is bounded by suppliers-per-part, so
+# the window partition can't skew — and an equality filter. Dims
+# (supplier⋈nation⋈region, part) broadcast. No correlated re-execution,
+# no join-back exchange at all.
+# ---------------------------------------------------------------------------
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               min(l.l_extendedprice * (1 - l.l_discount)) AS supp_cost
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY 1, 2
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name AS supplier_name,
+           n.n_name AS nation_name, s.s_acctbal, c.supp_cost
+    FROM cost c
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'PROMO'
+      AND c.supp_cost = (SELECT min(c2.supp_cost) FROM cost c2
+                         WHERE c2.l_partkey = c.l_partkey)
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog — see block comment for the adaptation."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal",
+                F.col("n_name").alias("nation_name"))
+    )
+    cost = (
+        li.join(F.broadcast(eu_supp.select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice")
+                   * (F.lit(1) - F.col("l_discount"))).alias("supp_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        cost.withColumn("min_cost", F.min("supp_cost").over(w))
+        .filter(F.col("supp_cost") == F.col("min_cost"))
+        .drop("min_cost")
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu_supp), best.l_suppkey == eu_supp.s_suppkey)
+        .select("p_partkey", "p_name",
+                F.col("s_name").alias("supplier_name"),
+                "nation_name", "s_acctbal", "supp_cost")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 analog (nested EXISTS over an aggregated threshold) without
+# partsupp: a supplier qualifies if, for SOME part named 'small %',
+# their 1996 shipped quantity exceeds 30% of that part's total 1996
+# shipments (Q20's `ps_availqty > 0.5·sum(l_quantity)` correlated
+# threshold, re-anchored to shipped-share). l_quantity is integral, so
+# the double sums are exact in both engines and the 0.3·total product
+# is bit-identical. Oracle keeps the nested-EXISTS user shape; Spark
+# runs the decorrelated plan: ONE partial-agg shuffle to per-
+# (part,supplier) quantities, the per-part total via a window over that
+# aggregated frame (bounded by suppliers-per-part), the share filter,
+# a broadcast semi-join on the name-filtered part dim, and a final
+# semi-join up to supplier — no correlated re-execution, lineitem
+# scanned once.
+# ---------------------------------------------------------------------------
+@query(
+    "excess_quota_suppliers",
+    oracle="""
+    WITH sp AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    )
+    SELECT s.s_name AS supplier_name, n.n_name AS nation_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE EXISTS (
+        SELECT 1 FROM sp
+        JOIN part p ON p.p_partkey = sp.l_partkey
+        WHERE sp.l_suppkey = s.s_suppkey
+          AND p.p_name LIKE 'small %'
+          AND sp.q > 0.3 * (SELECT sum(sp2.q) FROM sp sp2
+                            WHERE sp2.l_partkey = sp.l_partkey)
+    )
+    """,
+)
+def excess_quota_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog — see block comment for the adaptation."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small %")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    w = Window.partitionBy("l_partkey")
+    qualified = (
+        sp.withColumn("total_q", F.sum("q").over(w))
+        .filter(F.col("q") > 0.3 * F.col("total_q"))
+        .join(F.broadcast(p.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_suppkey")
+    )
+    return (
+        s.join(qualified, s.s_suppkey == qualified.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("s_name").alias("supplier_name"),
+                F.col("n_name").alias("nation_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # CUMULATE window TVF on the DataFrame surface (operators/windows.cumulate;
 # the SQL script path derives the identical plan via
 # script.rewrite_cumulate). Growing 1h..6h windows within each 6h bucket;
