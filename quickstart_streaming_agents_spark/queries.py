@@ -5127,7 +5127,10 @@ UNION ALL SELECT 'e_near_deduped', CAST(count(*) AS BIGINT) FROM kept3
 
 
 def build_training_pipeline(
-    docs: DataFrame, stages: dict | None = None, persist: bool = True
+    docs: DataFrame,
+    stages: dict | None = None,
+    persist: bool = True,
+    observations: dict | None = None,
 ) -> DataFrame:
     """Docs-DataFrame entry point for the flagship pipeline — shared by the
     training_data_pipeline query (fixture parquet) and tools/scale_smoke.py
@@ -5140,7 +5143,19 @@ def build_training_pipeline(
     re-deriving (and therefore never drifting from) the stage logic.
     ``persist=False`` skips caching the decontaminated set — right for
     one-pass diagnostic consumers (the funnel) that would otherwise leave
-    an extra cached copy resident per invocation."""
+    an extra cached copy resident per invocation.
+
+    Pass a dict as ``observations`` to have each stage wrapped in a
+    ``df.observe`` row counter (keys ``a_input``/``b_gated``/
+    ``c_exact_deduped``/``d_decontaminated``, each a
+    ``pyspark.sql.Observation`` whose ``n`` metric fills in after ONE
+    action on the returned chain) — free funnel observability without
+    re-executing any stage. The input counter observes the 1:1 scored
+    projection, not ``docs`` itself: docs also feeds the benchmark
+    branch, and an observe node executing in two subtrees would
+    double-count. Stage counters sit below the (persisted) dual-consumer
+    decontamination stage, so each fires exactly once per execution."""
+    from pyspark.sql import Observation
     from quickstart_streaming_agents_spark.functions import text as tx
     from quickstart_streaming_agents_spark.operators.components import dedup_clusters
     from quickstart_streaming_agents_spark.operators.decontamination import (
@@ -5152,28 +5167,35 @@ def build_training_pipeline(
     )
     from quickstart_streaming_agents_spark.operators.sampling import hash_unit
 
-    scored = docs.select(
+    def observe(key: str, df: DataFrame) -> DataFrame:
+        if observations is None:
+            return df
+        obs = Observation()
+        observations[key] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("n"))
+
+    scored = observe("a_input", docs.select(
         "doc_id", "text",
         tx.lang_id("text").alias("lang_pred"),
         tx.quality_score("text").alias("quality"),
         tx.token_count("text").alias("n_tokens"),
         tx.doc_fingerprint("text").alias("fingerprint"),
-    )
-    gated = scored.filter(
+    ))
+    gated = observe("b_gated", scored.filter(
         (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
         & (F.col("n_tokens") >= 20)
-    )
-    kept1 = dedup_exact(gated, ["fingerprint"], ["doc_id"]).select(
-        "doc_id", "text", "lang_pred", "quality", "n_tokens"
-    )
+    ))
+    kept1 = observe("c_exact_deduped", dedup_exact(
+        gated, ["fingerprint"], ["doc_id"]
+    ).select("doc_id", "text", "lang_pred", "quality", "n_tokens"))
     benchmark = docs.filter(F.col("doc_id") % 17 == 0).select("text")
     # kept2 feeds BOTH the near-dup pair branch and the final anti-join —
     # persist it or the whole curate→dedup→decontaminate upstream runs twice
-    kept2 = (
+    kept2 = observe("d_decontaminated", (
         contamination_flags(kept1, benchmark, n=13)
         .filter(~F.col("contaminated"))
         .select("doc_id", "text", "lang_pred", "quality", "n_tokens")
-    )
+    ))
     if persist:
         kept2 = kept2.persist()
     pairs = ngram_jaccard_pairs(kept2, "doc_id", "text", n=3, threshold=0.5)
@@ -5196,34 +5218,33 @@ def build_training_pipeline(
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-funnel observability: documents surviving each stage of
     the flagship pipeline (input → quality/lang gate → exact dedup →
-    decontamination → near-dup dedup). Counts come from the SAME stage
-    DataFrames the pipeline runs (build_training_pipeline's stages hook),
-    and the oracle reuses the flagship oracle's CTEs verbatim — neither
-    side can drift from the pipeline itself. The stage prefix letters pin
-    the funnel order through the driver's name-sorted canonicalization."""
+    decontamination → near-dup dedup) in ONE pipeline execution.
+
+    Stage counts come from ``df.observe`` row counters injected at the
+    SAME stage DataFrames the pipeline runs (build_training_pipeline's
+    observations hook), filled by a single action on the final stage —
+    nothing upstream re-executes, unlike a per-stage ``count()`` loop
+    which re-derives the whole prefix chain per stage. The oracle reuses
+    the flagship oracle's CTEs verbatim, so neither side can drift from
+    the pipeline itself. The stage prefix letters pin the funnel order
+    through the driver's name-sorted canonicalization. The 5 collected
+    scalars are driver-side by design (observability output); the
+    decontamination cache is released before returning."""
     docs = load_table(spark, sf_dir, "documents")
     stages: dict = {}
-    build_training_pipeline(docs, stages=stages, persist=False)
-    parts = [
-        docs.agg(F.count("*").cast("bigint").alias("n_docs")).select(
-            F.lit("a_input").alias("stage"), "n_docs"
-        )
-    ]
-    for label, df in [
-        ("b_gated", stages["gated"]),
-        ("c_exact_deduped", stages["exact_deduped"]),
-        ("d_decontaminated", stages["decontaminated"]),
-        ("e_near_deduped", stages["near_deduped"]),
-    ]:
-        parts.append(
-            df.agg(F.count("*").cast("bigint").alias("n_docs")).select(
-                F.lit(label).alias("stage"), "n_docs"
-            )
-        )
-    out = parts[0]
-    for pdf_ in parts[1:]:
-        out = out.unionByName(pdf_)
-    return out
+    observations: dict = {}
+    build_training_pipeline(docs, stages=stages, persist=True,
+                            observations=observations)
+    try:
+        # the one action: fires every observe counter below it
+        n_final = stages["near_deduped"].count()
+    finally:
+        stages["decontaminated"].unpersist()
+    counts = [(k, int(observations[k].get["n"]))
+              for k in ("a_input", "b_gated", "c_exact_deduped",
+                        "d_decontaminated")]
+    counts.append(("e_near_deduped", int(n_final)))
+    return spark.createDataFrame(counts, "stage string, n_docs bigint")
 
 
 @query("training_data_pipeline", oracle=_TRAINING_PIPELINE_ORACLE)
