@@ -120,6 +120,9 @@ HEADLINE = [
     "series_correlation",
     "curation_funnel",
     "incremental_ingest_dedup",
+    "multimodal_png_meta",
+    "min_cost_supplier",
+    "excess_quota_suppliers",
 ]
 
 
@@ -184,11 +187,15 @@ def main() -> None:
 
     # Final line: same schema, sized to survive the 2000-byte tail intact.
     # Keep the total exact; include per-query times (2-decimal) in
-    # descending-cost order until the byte budget is reached, recording how
-    # many small queries were elided and where the full detail lives.
+    # descending-cost order (deterministic: ties broken by name) until the
+    # byte budget is reached, recording how many small queries were elided
+    # and where the full detail lives. total_queries pins the contract:
+    # len(queries) + queries_omitted + len(errors) == total_queries, so
+    # round-over-round comparisons never silently lose the tail.
     budget = 1800
     compact = dict(out)
     compact["full"] = "BENCH_FULL.json"
+    compact["total_queries"] = len(HEADLINE)
     ranked = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
     for keep in range(len(ranked), -1, -1):
         compact["queries"] = {k: round(v, 2) for k, v in ranked[:keep]}

@@ -5521,69 +5521,72 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-verification rotation (round 6). The correctness harness
-# oracle-checks the FIRST 50 registry entries each round. Round 5 verified
-# the then-front 33 (all green except two oracle dtype artifacts, fixed this
-# round); this rotation leads with (a) the two dtype-fixed queries so their
-# fix gets a driver row, (b) the thirteen queries new in round 6
-# (multimodal_real_meta, anomaly_detect_ar2, bpe_encode, line_dedup_clean,
-# token_budget_mix, scd2_merge, hard_negative_mining, waiting_suppliers,
-# video_frame_sample, topk_per_group_salted, series_correlation,
-# curation_funnel, incremental_ingest_dedup),
-# then (c) the 33 queries whose
-# latest driver row is round 4 — after round 6 no query's most recent driver
-# check is more than two rounds old. Rotated-out queries stay pinned every
-# run by tests/test_parity.py, which asserts ALL oracle pairs, not just 50.
+# Driver-verification rotation (round 7). The correctness harness
+# oracle-checks the FIRST 50 registry entries each round; round 6's window
+# went 50/50 green. This rotation leads with (a) the eight queries whose
+# implementations were rewritten in round 6 (skew-proof partial-agg plans:
+# substring/duplicate-spans/upsert/topk/vector-topk/snapshot-diff/flagship/
+# packing) but whose latest external driver row predates the rewrite,
+# (b) the three queries new since the r6 window closed (multimodal_png_meta,
+# min_cost_supplier, excess_quota_suppliers) plus curation_funnel, rewritten
+# this round as a single-pass df.observe plan, then (c) every remaining
+# query whose latest driver row is round-5-dated — exactly 50 names, so
+# after round 7 no query's most recent external check is more than two
+# rounds old AND every row reflects the current implementation. Rotated-out
+# queries stay pinned every run by tests/test_parity.py, which asserts ALL
+# oracle pairs, not just 50.
 # ---------------------------------------------------------------------------
-_R6_CHECK_FIRST = [
-    "vocab_top_terms",
-    "unigram_logprob_score",
-    "multimodal_real_meta",
-    "anomaly_detect_ar2",
-    "bpe_encode",
-    "line_dedup_clean",
-    "token_budget_mix",
-    "scd2_merge",
-    "hard_negative_mining",
-    "waiting_suppliers",
-    "video_frame_sample",
-    "topk_per_group_salted",
-    "series_correlation",
+_R7_CHECK_FIRST = [
+    "substring_dedup_clean",
+    "duplicate_spans",
+    "latest_state_upsert",
+    "topk_per_group",
+    "vector_search_topk",
+    "snapshot_diff",
+    "training_data_pipeline",
+    "packed_training_shards",
+    "multimodal_png_meta",
+    "min_cost_supplier",
+    "excess_quota_suppliers",
     "curation_funnel",
-    "incremental_ingest_dedup",
-    "agent_price_match",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "bpe_pair_freqs",
-    "counts_dashboard",
-    "curation_pipeline",
-    "dataset_split",
-    "decontamination",
-    "dedup_components",
-    "dedup_exact",
-    "doc_chunks",
-    "domain_mix",
-    "embedding_topk_pairs",
-    "events_rollup",
-    "gap_fill_locf",
-    "investigation_queue",
-    "lang_id_ngram",
-    "minhash_lsh_dedup",
-    "multimodal_features",
-    "multimodal_meta",
-    "ngram_jaccard_dedup",
-    "pii_redaction",
-    "props_json_agg",
-    "rag_ingest",
-    "repetition_filter",
-    "sequence_packing",
-    "session_window_agg",
-    "simhash_dedup",
-    "sliding_window_agg",
-    "stratified_sample",
-    "surge_enriched",
-    "text_analysis",
-    "value_percentiles",
+    "tumble_6h_avg",
+    "filter_project",
+    "scalar_funcs",
+    "interval_join",
+    "asof_attribution",
+    "anomaly_zscore",
+    "anomaly_detect_ar",
+    "anomaly_detect_ar1",
+    "pricing_summary",
+    "ml_predict_textgen",
+    "ml_predict_embedding",
+    "rag_pipeline",
+    "label_centroids",
+    "verdict_parse",
+    "tool_invoke",
+    "embedding_near_dup",
+    "bm25_search",
+    "event_funnel",
+    "cohort_retention",
+    "semi_anti_customers",
+    "events_pivot",
+    "user_set_ops",
+    "column_profile",
+    "window_functions_suite",
+    "forecast_revenue_change",
+    "promo_revenue_share",
+    "events_cube",
+    "shipping_priority",
+    "local_supplier_volume",
+    "returned_item_customers",
+    "large_volume_orders",
+    "late_shipment_priority",
+    "cumulate_agg",
+    "rolling_active_users",
+    "data_quality_report",
+    "exact_k_per_stratum",
+    "trending_per_window",
+    "value_histogram",
 ]
 
 
@@ -5600,5 +5603,5 @@ def _rotate(reg: dict, front: list[str]) -> dict:
     return out
 
 
-QUERIES = _rotate(QUERIES, _R6_CHECK_FIRST)
-ORACLE = _rotate(ORACLE, _R6_CHECK_FIRST)
+QUERIES = _rotate(QUERIES, _R7_CHECK_FIRST)
+ORACLE = _rotate(ORACLE, _R7_CHECK_FIRST)
