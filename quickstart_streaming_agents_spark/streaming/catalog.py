@@ -206,6 +206,80 @@ class StreamCatalog:
         self.tables[name] = t
         return t
 
+    def create_table_changelog(self, name: str, df: DataFrame,
+                               available_now: bool = False,
+                               processing_time: str | None = None,
+                               ) -> StreamTable:
+        """ST4's other half: the reference's DEFAULT CTAS emission is
+        changelog/update — ``changelog.mode=append`` is an *override* it
+        applies to agent-feeding tables (LAB3-Walkthrough.md:226 in
+        /root/reference). Here the same aggregate stream runs in Spark's
+        ``update`` output mode: every micro-batch emits the rows whose
+        aggregate value CHANGED that batch (including windows a watermark
+        would suppress in append mode), so a window can re-emit with a new
+        value — the upsert-topic shape a Kafka changelog sink carries.
+
+        Spark file sinks are append-only, so the changelog lands via
+        ``foreachBatch``: each batch's changed rows are appended to the
+        topic tagged with ``__epoch`` (the micro-batch id — the changelog
+        sequence number; on a Kafka sink this ordering is the partition
+        offset). ``read_batch`` exposes the raw changelog (re-emissions
+        visible); ``read_batch_latest`` compacts it to the current view,
+        exactly what a compacted-topic consumer materializes.
+
+        Scale note: update mode keeps the same (window × key) aggregation
+        state as append mode — no extra state — and each batch's sink
+        write is proportional to *changed* keys, not total state.
+        """
+        from pyspark.sql import functions as F
+
+        existing = self.tables.get(name)
+        if existing is not None and existing.query is not None \
+                and existing.query.isActive:
+            existing.query.stop()
+        path = self._dir(name)
+        path.mkdir(parents=True, exist_ok=True)
+        out_schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField("__epoch", T.LongType(), False)]
+        )
+        # seed only on fresh start (same rationale as create_table_foreach_batch)
+        if not Path(str(path) + "_ckpt").exists():
+            self.spark.createDataFrame([], out_schema) \
+                .write.mode("overwrite").parquet(str(path))
+
+        def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.withColumn("__epoch", F.lit(int(epoch_id))) \
+                .write.mode("append").parquet(str(path))
+
+        writer = (df.writeStream.outputMode("update").foreachBatch(_sink)
+                  .option("checkpointLocation", str(path) + "_ckpt")
+                  .queryName(name))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        q = writer.start()
+        t = StreamTable(name=name, path=str(path), schema=out_schema,
+                        query=q)
+        self.tables[name] = t
+        return t
+
+    def read_batch_latest(self, name: str, keys: list[str]) -> DataFrame:
+        """Materialize the current view of a changelog topic written by
+        ``create_table_changelog``: the latest emission per key — what a
+        compacted-topic consumer sees. Partial-agg ``max_by`` on the
+        ``__epoch`` sequence number (update mode emits at most one row per
+        key per batch, so the max is unique); hot keys collapse map-side,
+        never a per-key window sort."""
+        from pyspark.sql import functions as F
+
+        df = self.read_batch(name)
+        vals = [c for c in df.columns if c not in keys and c != "__epoch"]
+        return df.groupBy(*keys).agg(
+            *[F.max_by(F.col(c), F.col("__epoch")).alias(c) for c in vals]
+        )
+
     # -- lifecycle -----------------------------------------------------------
 
     def await_all(self, timeout: float | None = None) -> None:

@@ -749,3 +749,100 @@ def test_line_dedup_stream_matches_batch(spark, catalog):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_update_mode_changelog_vs_append(spark, catalog, tmp_path):
+    """ST4, both halves: the reference's DEFAULT CTAS emission is
+    changelog/update — ``changelog.mode=append`` is an override it applies
+    to agent-feeding tables (LAB3-Walkthrough.md:226 in /root/reference).
+    Drive the lab3-shaped tumble (1-day buckets — dense enough at this SF
+    that the split-straddling window provably has events on both sides)
+    through TWO availableNow runs over chronological halves of the events
+    fixture, once per mode, and pin the emission-set distinction:
+
+      * append + watermark: each window emitted AT MOST ONCE, and windows
+        the final watermark has not closed are suppressed entirely;
+      * update (changelog): a window RE-EMITS when a later batch changes
+        its aggregate, no window is suppressed, and compacting the
+        changelog (latest emission per window) reproduces the batch
+        aggregate over ALL windows — including the tail windows append
+        never shows.
+    """
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+
+    events = load_table(spark, SF_DIR, "events") \
+        .select("ts", "event_type").cache()
+    # split point chosen INSIDE the densest (day, type) window, strictly
+    # between its first and last event — that window is guaranteed events
+    # on both sides of the split, so update-mode re-emission must occur
+    dense = (events.groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
+             .agg(F.count("*").alias("n"),
+                  F.min(F.col("ts").cast("double")).alias("lo"),
+                  F.max(F.col("ts").cast("double")).alias("hi"))
+             .orderBy(F.desc("n"), "d", "event_type").first())
+    assert dense.n >= 2 and dense.lo < dense.hi
+    mid = (dense.lo + dense.hi) / 2.0
+    src = tmp_path / "esrc"
+
+    def agg_stream():
+        ev = (spark.readStream.schema(events.schema).format("parquet")
+              .load(str(src)))
+        return tumble(
+            ev, "ts", "1 day", keys=["event_type"],
+            aggs=[F.count("*").alias("event_count")],
+            watermark="5 seconds",
+        )
+
+    def run_both():
+        catalog.create_table_as("counts_append", agg_stream(),
+                                available_now=True)
+        catalog.create_table_changelog("counts_changelog", agg_stream(),
+                                       available_now=True)
+        catalog.await_all()
+
+    events.filter(F.col("ts").cast("double") <= mid) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    run_both()  # first half
+    events.filter(F.col("ts").cast("double") > mid) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    run_both()  # second half: same checkpoints, watermark/state restored
+
+    key = ("window_start", "event_type")
+    append_rows = [((r.window_start, r.event_type), r.event_count)
+                   for r in catalog.read_batch("counts_append").collect()]
+    changelog = [((r.window_start, r.event_type), r.event_count, r.epoch)
+                 for r in catalog.read_batch("counts_changelog")
+                 .select("window_start", "event_type", "event_count",
+                         F.col("__epoch").alias("epoch"))
+                 .collect()]
+    latest = {(r.window_start, r.event_type): r.event_count
+              for r in catalog.read_batch_latest(
+                  "counts_changelog", list(key)).collect()}
+
+    full_batch = {(r.window_start, r.event_type): r.event_count
+                  for r in tumble(
+                      events, "ts", "1 day", keys=["event_type"],
+                      aggs=[F.count("*").alias("event_count")],
+                  ).collect()}
+    closed = {(r.window_start, r.event_type): r.event_count
+              for r in _emitted_windows_batch(spark, "1 day")
+              .select("window_start", "event_type", "event_count").collect()}
+    events.unpersist()
+
+    # append: at-most-once per window, only watermark-closed windows
+    append_keys = [k for k, _ in append_rows]
+    assert len(append_keys) == len(set(append_keys))
+    assert dict(append_rows) == closed
+
+    # update: compacted view == full batch aggregate, nothing suppressed
+    assert latest == full_batch
+    assert set(latest) > set(dict(append_rows))  # strictly more windows
+
+    # update: re-emission really happened — some window straddling the
+    # split appears in BOTH runs' epochs with a growing count
+    emissions: dict = {}
+    for k, n, e in changelog:
+        emissions.setdefault(k, []).append((e, n))
+    multi = {k: sorted(v) for k, v in emissions.items() if len(v) > 1}
+    assert multi, "no window re-emitted across batches"
+    assert any(v[-1][1] > v[0][1] for v in multi.values())
