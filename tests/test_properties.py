@@ -309,3 +309,60 @@ def test_wav_roundtrip_property(vals, channels, rate):
     assert meta["n_frames"] == samples.shape[0]
     assert meta["duration_ms"] == round(samples.shape[0] * 1000 / rate)
     assert np.array_equal(decoded, samples)
+
+
+# --- AR(p=3) closed-form pin -------------------------------------------------
+# The driver-checked oracles bracket the production AR solver at p=1
+# (anomaly_detect_ar1, SQL regr_* replay) and p=2 (anomaly_detect_ar2,
+# normal-equation replay); the general p path has no SQL-expressible oracle.
+# Pin it at p=3 (training length 12..15 => p = t//4 = 3) against an
+# INDEPENDENT NumPy formulation: ridge least squares solved as the
+# augmented system lstsq([A; sqrt(lam) I], [y; 0]) — mathematically the
+# same minimizer as ar_one_step's normal equations, numerically a
+# different code path (QR on the augmented matrix vs solve on AtA).
+
+def _ar3_reference(train, z, lam):
+    import numpy as np
+
+    train = np.asarray(train, dtype=np.float64)
+    t = len(train)
+    p = 3
+    y = train[p:]
+    A = np.stack(
+        [np.ones(len(y))] + [train[p - lag:t - lag] for lag in (1, 2, 3)],
+        axis=1,
+    )
+    aug_A = np.vstack([A, np.sqrt(lam) * np.eye(4)])
+    aug_y = np.concatenate([y, np.zeros(4)])
+    beta, *_ = np.linalg.lstsq(aug_A, aug_y, rcond=None)
+    resid = y - A @ beta
+    dof = max(1, len(y) - 4)
+    sigma = float(np.sqrt((resid @ resid) / dof))
+    fc = float(beta[0] + beta[1] * train[-1] + beta[2] * train[-2]
+               + beta[3] * train[-3])
+    return fc, fc + z * sigma, fc - z * sigma
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e3, max_value=1e3,
+                  allow_nan=False, allow_infinity=False),
+        min_size=12, max_size=15,
+    ),
+    st.floats(min_value=0.5, max_value=4.0),
+)
+@settings(max_examples=150, deadline=None)
+def test_ar_p3_matches_numpy_closed_form(train, z):
+    import numpy as np
+
+    from quickstart_streaming_agents_spark.operators.anomaly import ar_one_step
+
+    lam = 1e-6
+    got = ar_one_step(train, min_n=8, z=z, lam=lam)
+    assert got is not None
+    want = _ar3_reference(train, z, lam)
+    scale = max(1.0, float(np.max(np.abs(train))))
+    for g, w in zip(got, want):
+        # shared scale-aware tolerance: both solvers regularize with the
+        # same lam, so agreement is limited only by conditioning noise
+        assert abs(g - w) <= 1e-6 * scale + 1e-8, (got, want, train)
