@@ -1,0 +1,211 @@
+"""Streaming scale smoke: >=1M events through the stateful streaming
+operators, recording per-micro-batch throughput and state-store size from
+StreamingQuery progress, and ASSERTING state stays bounded (the streaming
+analog of tools/scale_smoke.py's batch probe). Not part of CI — a manual
+probe for "does the stateful plan hold when the stream grows":
+
+    python tools/stream_scale_smoke.py                  # 1M events, 1M docs
+    SMOKE_EVENTS=4000000 SMOKE_DOCS=2000000 python tools/stream_scale_smoke.py
+
+Two pipelines, chosen for opposite state profiles:
+
+  * ml_detect_anomalies_stream — per-KEY ring-buffer state
+    (applyInPandasWithState). Bound: state rows == key cardinality,
+    regardless of how many events flow through. A growing state row count
+    here means keys are leaking.
+  * pack_sequences_stream — per-BUCKET scalar state. Bound: state rows ==
+    num_buckets (8), the strongest possible bounded-state contract.
+
+Sources are written as N chronological parquet slices and streamed with
+maxFilesPerTrigger=1 so the run is genuinely multi-micro-batch (state
+crosses batch boundaries, exactly the production shape); sinks are noop
+foreachBatch so sink I/O never pollutes the state/throughput figures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+SLICES = 10
+
+
+def progress_rows(q) -> list[dict]:
+    out = []
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else json.loads(p.json)
+        st = (d.get("stateOperators") or [{}])[0]
+        if not d.get("numInputRows") and not st.get("numRowsTotal"):
+            continue
+        out.append(
+            {
+                "batch": d["batchId"],
+                "rows": d.get("numInputRows", 0),
+                "sec": d.get("durationMs", {}).get("triggerExecution", 0) / 1e3,
+                "state_rows": st.get("numRowsTotal"),
+                "state_mb": round((st.get("memoryUsedBytes") or 0) / 1e6, 2),
+            }
+        )
+    return out
+
+
+def report(name: str, prog: list[dict], state_bound: int, bound_desc: str) -> None:
+    for p in prog:
+        print(
+            f"  batch {p['batch']:>3}  rows {p['rows']:>9,}  {p['sec']:7.2f}s"
+            f"  state_rows {p['state_rows']}  state_mb {p['state_mb']}"
+        )
+    rows_total = sum(p["rows"] for p in prog)
+    sec_total = sum(p["sec"] for p in prog) or 1e-9
+    print(
+        f"{name}: {rows_total:,} rows in {sec_total:.1f}s"
+        f" = {rows_total / sec_total:,.0f} rows/s over {len(prog)} micro-batches"
+    )
+    peaks = [p["state_rows"] for p in prog if p["state_rows"] is not None]
+    assert peaks, f"{name}: no state-operator progress recorded"
+    assert max(peaks) <= state_bound, (
+        f"{name}: state grew past its bound — {max(peaks):,} > {state_bound:,}"
+    )
+    # no unbounded growth: once every key/bucket has been seen (first
+    # batch — sources interleave keys round-robin), state must PLATEAU
+    assert peaks[-1] == max(peaks), f"{name}: state still growing at end: {peaks}"
+    print(f"  state bounded: peak {max(peaks):,} <= {state_bound:,} ({bound_desc})\n")
+
+
+def write_slices(df, ts_col: str, slice_col, out_dir: str) -> None:
+    """Write SLICES sequential parquet slices (increasing mtime) so the
+    file stream replays them as ordered micro-batches — a file-backed
+    stand-in for a Kafka topic's chronological partitions."""
+    for k in range(SLICES):
+        df.filter(slice_col == k).coalesce(2).write.mode("append").parquet(out_dir)
+        time.sleep(0.05)  # distinct mtimes => deterministic file order
+
+
+def smoke_anomaly(spark, events: int, workdir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.streaming.ops import (
+        ml_detect_anomalies_stream,
+    )
+
+    nkeys = 1000
+    src = f"{workdir}/events_src"
+    per_slice = -(-events // SLICES)
+    # JVM-side generation: round-robin keys, strictly increasing event time,
+    # deterministic metric wobble; sliced by id (= by time) so the replayed
+    # micro-batches are chronological (the ingest contract)
+    gen = spark.range(events).select(
+        F.concat(F.lit("zone_"), (F.col("id") % nkeys)).alias("zone"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + (F.col("id") / nkeys).cast("long") * 60_000_000
+        ).alias("window_time"),
+        (50 + ((F.col("id") * 7 + (F.col("id") % nkeys) * 13) % 11)).cast(
+            "double"
+        ).alias("event_count"),
+        F.least(F.lit(SLICES - 1), (F.col("id") / per_slice).cast("int")).alias("slc"),
+    )
+    write_slices(gen, "window_time", F.col("slc"), src)
+
+    schema = "zone string, window_time timestamp, event_count double"
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", "2").load(src)
+    )
+    scored = ml_detect_anomalies_stream(
+        stream, metric="event_count", ts="window_time", keys=["zone"],
+        min_training_size=8, max_training_size=50,
+    )
+    q = (
+        scored.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _: df.write.format("noop").mode("overwrite").save()
+        )
+        .option("checkpointLocation", f"{workdir}/anom_ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    report(
+        f"ml_detect_anomalies_stream ({events:,} events, {nkeys} keys)",
+        progress_rows(q), state_bound=nkeys,
+        bound_desc="one ring buffer per key",
+    )
+
+
+def smoke_packing(spark, docs: int, workdir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.streaming.ops import pack_sequences_stream
+
+    src = f"{workdir}/docs_src"
+    per_slice = -(-docs // SLICES)
+    words = ("data stream table window join the of and to in model vector "
+             "agent anomaly query plan shuffle state topic schema").split()
+    warr = F.array(*[F.lit(w) for w in words])
+    gen = spark.range(docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19) + (F.col("id") % 30).cast("int")),
+                lambda i: F.element_at(
+                    warr, ((F.col("id") * 31 + i * 7) % len(words) + 1).cast("int")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+        F.least(F.lit(SLICES - 1), (F.col("id") / per_slice).cast("int")).alias("slc"),
+    )
+    write_slices(gen, "doc_id", F.col("slc"), src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, slc int")
+        .format("parquet").option("maxFilesPerTrigger", "2").load(src)
+        .select("doc_id", "text")
+    )
+    packed = pack_sequences_stream(stream, seq_len=256, num_buckets=8)
+    q = (
+        packed.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _: df.write.format("noop").mode("overwrite").save()
+        )
+        .option("checkpointLocation", f"{workdir}/pack_ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    report(
+        f"pack_sequences_stream ({docs:,} docs, 8 buckets)",
+        progress_rows(q), state_bound=8,
+        bound_desc="one token-offset scalar per bucket",
+    )
+
+
+def main() -> None:
+    events = int(os.environ.get("SMOKE_EVENTS", 1_000_000))
+    docs = int(os.environ.get("SMOKE_DOCS", 1_000_000))
+
+    from quickstart_streaming_agents_spark.session import get_spark, ship_package
+
+    spark = get_spark("stream_scale_smoke")
+    ship_package(spark)
+    workdir = tempfile.mkdtemp(prefix="stream_smoke_")
+    t0 = time.perf_counter()
+    try:
+        smoke_anomaly(spark, events, workdir)
+        smoke_packing(spark, docs, workdir)
+        print(f"total wall: {time.perf_counter() - t0:.1f}s")
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
