@@ -123,6 +123,12 @@ HEADLINE = [
     "multimodal_png_meta",
     "min_cost_supplier",
     "excess_quota_suppliers",
+    "gopher_quality_flags",
+    "dsir_importance_weights",
+    "semantic_dedup",
+    "small_quantity_revenue",
+    "dormant_customer_balance",
+    "important_parts",
 ]
 
 

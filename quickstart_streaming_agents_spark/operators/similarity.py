@@ -330,3 +330,72 @@ def ann_ivf(
         # distinct clusters ⇒ pairs are already unique, no distinct needed
     )
     return _rerank_topk(cand, queries, corpus, query_id, corpus_id, emb_col, k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    emb_col: str = "embedding",
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    train_sample: int = 20_000,
+    train_iters: int = 5,
+    seed: int = 42,
+    init: str = "hash",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): spherical k-means partitioning, then
+    intra-cluster cosine pruning — an item is dropped iff some SMALLER-id
+    member of its own cluster is within ``threshold`` cosine (the
+    keep-one-per-near-dup-group rule, with min-id as the deterministic
+    keeper). Returns ``(id_col, cluster, kept)`` for every corpus row.
+
+    Scale shape: k-means training is the bounded-sample driver recipe
+    shared with ann_ivf; assignment is one mapInPandas matmul pass over
+    the corpus; candidate pairs exist only WITHIN clusters (SemDeDup's
+    point — with C scaled ∝ corpus size the per-cluster population stays
+    bounded, so pair work is O(n·cluster_size), never corpus²), joined on
+    the cluster key; and the pair cosine itself is a JVM
+    zip_with/aggregate fold — whole-stage codegen, no Python in the
+    prune path. The fold matches the SQL oracle's list_transform sum
+    element order, so threshold comparisons are bit-identical.
+    """
+    cents = _train_centroids(
+        corpus, emb_col, n_centroids, train_sample, train_iters, seed,
+        init=init, id_col=id_col,
+    )
+    assign = _assign_df(corpus, id_col, emb_col, cents, n_probe=1)
+    e = F.col(emb_col).cast("array<double>")
+    sq = F.aggregate(
+        F.transform(e, lambda y: y * y), F.lit(0.0), lambda a, x: a + x
+    )
+    en = corpus.select(
+        F.col(id_col).cast("long").alias("item_id"),
+        F.transform(e, lambda x: x / F.sqrt(sq)).alias("__en"),
+    )
+    m = assign.join(en, "item_id")
+    a = m.select(
+        F.col("item_id").alias("id_a"), F.col("cluster").alias("cl"),
+        F.col("__en").alias("ea"),
+    )
+    b = m.select(
+        F.col("item_id").alias("id_b"), F.col("cluster").alias("clb"),
+        F.col("__en").alias("eb"),
+    )
+    cos = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    dup = (
+        a.join(b, (F.col("cl") == F.col("clb")) & (F.col("id_a") < F.col("id_b")))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("id_b").alias("item_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dup.withColumn("__dup", F.lit(True)), "item_id", "left")
+        .select(
+            F.col("item_id").alias(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+            (~F.coalesce(F.col("__dup"), F.lit(False))).alias("kept"),
+        )
+    )

@@ -1793,11 +1793,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(queries_df, emb, "qid", "vec_id", k=3, num_planes=4, num_tables=16)
 
 
-def _ivf_oracle(
-    iters: int = 5, n_centroids: int = 16, n_probe: int = 6, k: int = 3,
-    dim: int = 64, seed: int = 42,
+def _kmeans_casg_cte(
+    iters: int = 5, n_centroids: int = 16, dim: int = 64, seed: int = 42,
 ) -> str:
-    """DuckDB replay of the ENTIRE IVF pipeline, k-means training included.
+    """Shared DuckDB replay of the hash-init spherical k-means: normalized
+    corpus (cn), ``iters`` unrolled train iterations, final corpus
+    assignment (casg). Prefix of BOTH the ann_ivf_topk and semantic_dedup
+    oracles — one source of truth for the k-means semantics.
 
     With init="hash" the training sample and seeds are md5-derived (no
     RNG), so the fixed-iteration spherical k-means unrolls into chained
@@ -1857,7 +1859,20 @@ def _ivf_oracle(
                            j -> cn.e[j] * ct.e[j]), 'sum') DESC, ct.cl) AS rk
             FROM cn, cent{iters} ct
         ) WHERE rk = 1
-    ),
+    )"""
+    return sql
+
+
+def _ivf_oracle(
+    iters: int = 5, n_centroids: int = 16, n_probe: int = 6, k: int = 3,
+    dim: int = 64, seed: int = 42,
+) -> str:
+    """DuckDB replay of the ENTIRE IVF pipeline: the shared k-means/casg
+    prefix (_kmeans_casg_cte) + multi-probe query assignment, candidate
+    generation, exact re-rank."""
+    d1 = dim + 1
+    sql = _kmeans_casg_cte(iters, n_centroids, dim, seed)
+    sql += f""",
     qasg AS (
         SELECT qid, cl FROM (
             SELECT cn.mid AS qid, ct.cl,
@@ -5521,22 +5536,385 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q17 analog (correlated per-group average): revenue from
+# small-quantity Brand#1 lineitems, where "small" means below 70% of that
+# part's own average quantity (Q17's `l_quantity < 0.2*avg(l_quantity)`
+# correlated scalar, threshold re-anchored so every fixture SF yields
+# rows). Oracle keeps the correlated-subquery user shape; Spark runs the
+# decorrelated plan: broadcast semi-join on the brand-filtered part dim
+# FIRST (legal — the correlation key is p_partkey, so restricting
+# lineitem to surviving parts cannot change their per-part averages),
+# then ONE groupBy(l_partkey) average and a join-back on the same key
+# (AQE reuses the partitioning — no second lineitem scan, no correlated
+# re-execution), the quantity filter, and a single-row global sum.
+# l_quantity is integral so 0.7*avg compares bit-identically; revenue is
+# summed in integer cents before the final ROUND.
+# ---------------------------------------------------------------------------
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 700.0, 2)
+               AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < 0.7 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                                WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog — see block comment for the adaptation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    branded = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"), "left_semi",
+    )
+    pa = branded.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    small = branded.withColumnRenamed("l_partkey", "lk").join(
+        pa, F.col("lk") == pa.l_partkey
+    ).filter(F.col("l_quantity") < 0.7 * F.col("aq"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return small.agg(
+        F.round(F.sum(cents) / 700.0, 2).alias("avg_yearly")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 analog (scalar subquery + NOT EXISTS anti-join): dormant
+# high-balance customers — above the average positive balance, with no
+# order since 1999 — counted per nation (the fixture has no c_phone, so
+# Q22's country-code substring group re-anchors to c_nationkey; the
+# decorrelation shapes are identical). Spark plan: the global average is
+# ONE 1-row aggregate broadcast into a degenerate join (never a
+# correlated re-execution), dormancy is a left_anti join against the
+# date-pruned orders scan, then a single keyed aggregation. Balances are
+# summed in integer cents before the final ROUND.
+# ---------------------------------------------------------------------------
+@query(
+    "dormant_customer_balance",
+    oracle="""
+    SELECT c.c_nationkey AS nation_group,
+           count(*) AS numcust,
+           round(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+               AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY 1
+    """,
+)
+def dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog — see block comment for the adaptation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    dormant = rich.join(
+        o, rich.c_custkey == o.o_custkey, "left_anti"
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    return dormant.groupBy(F.col("c_nationkey").alias("nation_group")).agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum(cents) / 100.0, 2).alias("totacctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 analog (GROUP BY ... HAVING vs a global scalar): parts whose
+# discounted revenue exceeds 1.5x the mean per-part revenue (the fixture
+# has no partsupp, so Q11's inventory value re-anchors to lineitem
+# revenue; the fraction is mean-relative so every SF yields rows —
+# Q11's own FRACTION scales with SF for the same reason). Spark plan:
+# ONE groupBy(l_partkey) partial-agg shuffle; the global total and part
+# count come from a second 1-row aggregate OVER THE AGGREGATED frame
+# (2k rows at sf0.01, not the lineitem scan) broadcast back into the
+# HAVING filter. Revenue is summed in integer ten-thousandths (price
+# cents x discount hundredths) so both engines' doubles agree exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "important_parts",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(100 - round(l_discount * 100) AS BIGINT)) AS v
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey AS part_key, round(v / 10000.0, 2) AS part_value
+    FROM pv, (SELECT sum(v) AS t, count(*) AS np FROM pv) g
+    WHERE v > 1.5 * t / np
+    """,
+)
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog — see block comment for the adaptation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100)).cast("bigint")
+    )
+    pv = li.groupBy("l_partkey").agg(F.sum(v).alias("v"))
+    g = pv.agg(F.sum("v").alias("t"), F.count("*").alias("np"))
+    return (
+        pv.join(F.broadcast(g))
+        .filter(F.col("v") > 1.5 * F.col("t") / F.col("np"))
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            F.round(F.col("v") / 10000.0, 2).alias("part_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Table A1) as per-document flags:
+# word-count bounds, mean-word-length band, alphabetic-word fraction,
+# minimum stop-word hits, and the conjunction gate. Complements the
+# repetition_filter query (Gopher A1.1's dup-word/top-bigram screens).
+# All JVM-side higher-order array functions over ONE split — no shuffle
+# at all (map-only): at 100 TB this runs at scan speed. Line-shaped rules
+# (bullet/ellipsis line ratios) are omitted: the fixture corpus is
+# single-line, so they would be constant-true and verify nothing.
+# Integer counts divide into doubles identically in both engines, so
+# ROUND(x, 4) hash-matches.
+# ---------------------------------------------------------------------------
+@query(
+    "gopher_quality_flags",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               len(a) AS n_words,
+               list_aggregate(list_transform(a, x -> len(x)), 'sum')
+                   AS chars,
+               len(list_filter(a, x -> regexp_matches(x, '^[a-z]+$')))
+                   AS n_alpha,
+               len(list_filter(a, x -> x IN ('the','be','to','of','and',
+                                             'that','have','with')))
+                   AS n_stopwords
+        FROM w
+    )
+    SELECT doc_id, n_words,
+           round(chars * 1.0 / greatest(n_words, 1), 4) AS mean_word_len,
+           round(n_alpha * 1.0 / greatest(n_words, 1), 4) AS frac_alpha,
+           n_stopwords,
+           (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+           (chars * 1.0 / greatest(n_words, 1) BETWEEN 3 AND 10)
+               AS ok_mean_word_len,
+           (n_alpha * 1.0 / greatest(n_words, 1) >= 0.8) AS ok_alpha_frac,
+           (n_stopwords >= 2) AS ok_stopwords,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (chars * 1.0 / greatest(n_words, 1) BETWEEN 3 AND 10)
+            AND (n_alpha * 1.0 / greatest(n_words, 1) >= 0.8)
+            AND (n_stopwords >= 2)) AS keep
+    FROM s
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule gate — see block comment. Reference scope: the labs'
+    curation stages filter on engine-computed quality columns the same
+    way (LAB3-Walkthrough.md filters on is_anomaly; this is the
+    LLM-data-pipeline analog over documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    stop = F.array(*[F.lit(s) for s in
+                     ("the", "be", "to", "of", "and", "that", "have", "with")])
+    base = docs.select(
+        "doc_id",
+        F.size(a).alias("n_words"),
+        F.aggregate(
+            F.transform(a, lambda x: F.length(x)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        ).alias("chars"),
+        F.size(F.filter(a, lambda x: x.rlike("^[a-z]+$"))).alias("n_alpha"),
+        F.size(F.filter(a, lambda x: F.array_contains(stop, x)))
+            .alias("n_stopwords"),
+    )
+    nz = F.greatest(F.col("n_words"), F.lit(1))
+    mwl = F.col("chars") / nz
+    fal = F.col("n_alpha") / nz
+    ok_wc = F.col("n_words").between(50, 100000)
+    ok_mwl = mwl.between(3, 10)
+    ok_fa = fal >= 0.8
+    ok_sw = F.col("n_stopwords") >= 2
+    return base.select(
+        "doc_id", "n_words",
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(fal, 4).alias("frac_alpha"),
+        "n_stopwords",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_fa.alias("ok_alpha_frac"),
+        ok_sw.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_fa & ok_sw).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023): hashed-unigram
+# bag-of-words likelihood ratio between a target domain (source='src0',
+# the in-domain proxy) and the full corpus. Feature hashing uses the
+# engine's stable md5 scheme — ('0x'||substr(md5(w),1,15))::UBIGINT in
+# DuckDB == conv(substr(md5(w),1,15),16,10) in Spark — into 1024
+# buckets; bucket log-ratios are Laplace-smoothed (+0.5). Plan shape:
+# the bucket table is at most 1024 rows built from two tiny aggregates,
+# BROADCAST into the map-side token stream; the only real shuffle is the
+# final per-document sum — at 100 TB this is one pass over the corpus
+# plus a broadcast, the same shape DSIR uses to scan CommonCrawl.
+# ln() may differ by 1 ULP between engines, so the per-doc sum is
+# ROUND(x, 4)-pinned.
+# ---------------------------------------------------------------------------
+@query(
+    "dsir_importance_weights",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(unnest(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'))), 1, 15)
+               )::UBIGINT % 1024 AS b
+        FROM documents
+    ),
+    tc AS (SELECT b, count(*) AS c FROM tok WHERE source = 'src0' GROUP BY b),
+    sc AS (SELECT b, count(*) AS c FROM tok GROUP BY b),
+    tot AS (
+        SELECT (SELECT count(*) FROM tok WHERE source = 'src0') AS tt,
+               (SELECT count(*) FROM tok) AS st
+    ),
+    llr AS (
+        SELECT sc.b,
+               ln((coalesce(tc.c, 0) + 0.5) / (tot.tt + 512.0))
+               - ln((sc.c + 0.5) / (tot.st + 512.0)) AS r
+        FROM sc LEFT JOIN tc ON tc.b = sc.b, tot
+    )
+    SELECT tok.doc_id, any_value(tok.source) AS source,
+           count(*) AS n_tokens,
+           round(sum(llr.r), 4) AS log_importance
+    FROM tok JOIN llr ON llr.b = tok.b
+    GROUP BY tok.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting — see block comment.
+
+    Plan: target and background bucket counts come from ONE conditional
+    aggregation over the token stream (1024 partial-agg rows), and the
+    corpus totals from a second aggregate OVER THAT 1024-row frame — the
+    corpus itself is scanned exactly twice (bucket profile + per-doc
+    weighting), each time map-only into a keyed partial agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).select(
+        "doc_id", "source",
+        (F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+         % 1024).alias("b"),
+    )
+    counts = tok.groupBy("b").agg(
+        F.count("*").alias("c_src"),
+        F.count(F.when(F.col("source") == "src0", 1)).alias("c_tgt"),
+    )
+    tot = counts.agg(
+        F.sum("c_src").alias("st"), F.sum("c_tgt").alias("tt")
+    )
+    llr = counts.join(F.broadcast(tot)).select(
+        "b",
+        (F.log((F.col("c_tgt") + 0.5) / (F.col("tt") + 512.0))
+         - F.log((F.col("c_src") + 0.5) / (F.col("st") + 512.0))
+         ).alias("r"),
+    )
+    return (
+        tok.join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("source")).alias("source"),
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("r"), 4).alias("log_importance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023) — semantic dedup over embeddings: the
+# corpus is spherical-k-means clustered (hash-init: the SAME SQL-
+# replayable recipe as ann_ivf_topk — the oracle reuses _kmeans_casg_cte
+# verbatim, one source of truth), then within each cluster any vector
+# whose cosine to a smaller-id cluster-mate reaches the threshold is
+# dropped. Candidate pairs never leave their cluster: pair work is
+# O(n · cluster_size), the reason SemDeDup scales where all-pairs can't.
+# The pair cosine is a JVM fold matching the oracle's element order —
+# threshold comparisons are bit-identical, no rounding needed.
+# ---------------------------------------------------------------------------
+def _semdedup_oracle(
+    iters: int = 5, n_centroids: int = 16, dim: int = 64, seed: int = 42,
+    threshold: float = 0.4,
+) -> str:
+    d1 = dim + 1
+    sql = _kmeans_casg_cte(iters, n_centroids, dim, seed)
+    sql += f""",
+    pairs AS (
+        SELECT a.mid AS id_a, b.mid AS id_b
+        FROM casg a JOIN casg b ON a.cl = b.cl AND a.mid < b.mid
+        JOIN cn ea ON ea.mid = a.mid
+        JOIN cn eb ON eb.mid = b.mid
+        WHERE list_aggregate(list_transform(range(1, {d1}),
+                  j -> ea.e[j] * eb.e[j]), 'sum') >= {threshold}
+    ),
+    dup AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT casg.mid AS vec_id, casg.cl AS cluster,
+           (dup.id_b IS NULL) AS kept
+    FROM casg LEFT JOIN dup ON dup.id_b = casg.mid
+    """
+    return sql
+
+
+@query("semantic_dedup", oracle=_semdedup_oracle())
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — see block comment for plan + oracle provenance."""
+    from quickstart_streaming_agents_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.4, n_centroids=16,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation (round 7). The correctness harness
 # oracle-checks the FIRST 50 registry entries each round; round 6's window
-# went 50/50 green. This rotation leads with (a) the eight queries whose
-# implementations were rewritten in round 6 (skew-proof partial-agg plans:
-# substring/duplicate-spans/upsert/topk/vector-topk/snapshot-diff/flagship/
-# packing) but whose latest external driver row predates the rewrite,
-# (b) the three queries new since the r6 window closed (multimodal_png_meta,
-# min_cost_supplier, excess_quota_suppliers) plus curation_funnel, rewritten
-# this round as a single-pass df.observe plan, then (c) every remaining
-# query whose latest driver row is round-5-dated — exactly 50 names, so
-# after round 7 no query's most recent external check is more than two
-# rounds old AND every row reflects the current implementation. Rotated-out
-# queries stay pinned every run by tests/test_parity.py, which asserts ALL
-# oracle pairs, not just 50.
+# went 50/50 green. This rotation leads with (a) the six queries brand-new
+# in round 7 (gopher_quality_flags, dsir_importance_weights,
+# semantic_dedup, small_quantity_revenue, dormant_customer_balance,
+# important_parts — never externally checked), (b) the eight queries whose
+# implementations were rewritten in round 6 (skew-proof partial-agg plans)
+# but whose latest external driver row predates the rewrite, (c) the three
+# queries new since the r6 window closed (multimodal_png_meta,
+# min_cost_supplier, excess_quota_suppliers) plus curation_funnel,
+# rewritten this round as a single-pass df.observe plan, then (d) the
+# round-5-dated queries, oldest-unverified-first — 50 names total. The six
+# r5-dated names displaced by (a) (data_quality_report, exact_k_per_stratum,
+# trending_per_window, value_histogram, rolling_active_users, cumulate_agg)
+# have UNCHANGED implementations since their r5 green row and stay pinned
+# every run by tests/test_parity.py, which asserts ALL oracle pairs.
 # ---------------------------------------------------------------------------
 _R7_CHECK_FIRST = [
+    "gopher_quality_flags",
+    "dsir_importance_weights",
+    "semantic_dedup",
+    "small_quantity_revenue",
+    "dormant_customer_balance",
+    "important_parts",
     "substring_dedup_clean",
     "duplicate_spans",
     "latest_state_upsert",
@@ -5581,12 +5959,6 @@ _R7_CHECK_FIRST = [
     "returned_item_customers",
     "large_volume_orders",
     "late_shipment_priority",
-    "cumulate_agg",
-    "rolling_active_users",
-    "data_quality_report",
-    "exact_k_per_stratum",
-    "trending_per_window",
-    "value_histogram",
 ]
 
 
