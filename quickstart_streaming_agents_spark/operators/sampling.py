@@ -198,3 +198,54 @@ def token_budget_rates(
         )
         for s in weights
     }
+
+
+def dsir_token_bucket(word_col: Column, n_buckets: int = 1024) -> Column:
+    """Stable hashed-feature bucket for a token: md5-prefix mod n_buckets
+    — the engine's SQL-replayable hash scheme
+    (('0x'||substr(md5(w),1,15))::UBIGINT % n in DuckDB)."""
+    return (
+        F.conv(F.substring(F.md5(word_col), 1, 15), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def dsir_bucket_llr(
+    docs: DataFrame,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023) bucket table: Laplace-smoothed (+0.5)
+    log-likelihood ratio ln p_target(b) − ln p_background(b) per hashed
+    unigram bucket. Returns ≤``n_buckets`` rows
+    ``(b, r, tt, st)`` — tt/st are the target/background token totals
+    repeated per row so callers can derive the unseen-bucket default
+    ratio without a second scan.
+
+    Plan: ONE conditional aggregation over the token stream (n_buckets
+    partial-agg rows), totals from a second aggregate over that tiny
+    frame; the corpus is scanned once, map-only into the keyed partial
+    agg. Shared by the batch dsir_importance_weights query and the
+    streaming profile-then-score pipeline — one source of truth for the
+    ratio semantics.
+    """
+    half = n_buckets / 2.0
+    tok = docs.select(
+        is_target.alias("__t"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).select("__t", dsir_token_bucket(F.col("w"), n_buckets).alias("b"))
+    counts = tok.groupBy("b").agg(
+        F.count("*").alias("c_src"),
+        F.count(F.when(F.col("__t"), 1)).alias("c_tgt"),
+    )
+    tot = counts.agg(F.sum("c_src").alias("st"), F.sum("c_tgt").alias("tt"))
+    return counts.join(F.broadcast(tot)).select(
+        "b",
+        (F.log((F.col("c_tgt") + 0.5) / (F.col("tt") + half))
+         - F.log((F.col("c_src") + 0.5) / (F.col("st") + half))
+         ).alias("r"),
+        "tt", "st",
+    )

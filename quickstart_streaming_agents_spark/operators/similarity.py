@@ -359,6 +359,16 @@ def semantic_dedup(
     prune path. The fold matches the SQL oracle's list_transform sum
     element order, so threshold comparisons are bit-identical.
     """
+    corpus = corpus.filter(F.col(emb_col).isNotNull())
+    if corpus.select(emb_col).first() is None:  # empty corpus (see ann_ivf)
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], T.StructType([
+                T.StructField(id_col, T.LongType()),
+                T.StructField("cluster", T.LongType()),
+                T.StructField("kept", T.BooleanType()),
+            ])
+        )
     cents = _train_centroids(
         corpus, emb_col, n_centroids, train_sample, train_iters, seed,
         init=init, id_col=id_col,

@@ -5805,35 +5805,27 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weighting — see block comment.
 
-    Plan: target and background bucket counts come from ONE conditional
-    aggregation over the token stream (1024 partial-agg rows), and the
-    corpus totals from a second aggregate OVER THAT 1024-row frame — the
-    corpus itself is scanned exactly twice (bucket profile + per-doc
-    weighting), each time map-only into a keyed partial agg."""
+    Plan: the ≤1024-row bucket LLR table comes from ONE conditional
+    aggregation over the token stream (operators/sampling.dsir_bucket_llr
+    — shared with the streaming profile-then-score pipeline), broadcast
+    into the per-doc weighting pass — the corpus is scanned exactly
+    twice (bucket profile + weighting), each time map-only into a keyed
+    partial agg."""
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        dsir_bucket_llr,
+        dsir_token_bucket,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
+    llr = dsir_bucket_llr(docs, "text", F.col("source") == "src0")
     tok = docs.select(
         "doc_id", "source",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
     ).select(
-        "doc_id", "source",
-        (F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
-         % 1024).alias("b"),
-    )
-    counts = tok.groupBy("b").agg(
-        F.count("*").alias("c_src"),
-        F.count(F.when(F.col("source") == "src0", 1)).alias("c_tgt"),
-    )
-    tot = counts.agg(
-        F.sum("c_src").alias("st"), F.sum("c_tgt").alias("tt")
-    )
-    llr = counts.join(F.broadcast(tot)).select(
-        "b",
-        (F.log((F.col("c_tgt") + 0.5) / (F.col("tt") + 512.0))
-         - F.log((F.col("c_src") + 0.5) / (F.col("st") + 512.0))
-         ).alias("r"),
+        "doc_id", "source", dsir_token_bucket(F.col("w")).alias("b"),
     )
     return (
-        tok.join(F.broadcast(llr), "b")
+        tok.join(F.broadcast(llr.select("b", "r")), "b")
         .groupBy("doc_id")
         .agg(
             F.any_value(F.col("source")).alias("source"),

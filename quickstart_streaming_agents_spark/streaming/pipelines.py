@@ -565,3 +565,76 @@ def line_dedup_stream_pipeline(
                             available_now=True)
     catalog.await_all()
     return catalog
+
+
+def dsir_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+    target_source: str = "src0",
+    n_buckets: int = 1024,
+) -> StreamCatalog:
+    """Continuous DSIR importance scoring: the ≤``n_buckets``-row bucket
+    log-likelihood-ratio table is profiled ONCE from a bounded profile
+    batch (at 100 TB: the previous corpus snapshot — the recipe DSIR
+    itself uses to score CommonCrawl), collected driver-side, and baked
+    into the stream plan as a literal map. The live stream then scores
+    each document MAP-ONLY with JVM higher-order functions — tokens fold
+    through bucket→ratio lookups inside whole-stage codegen: no state,
+    no shuffle, no Python, trivially restartable. Tokens hashing to a
+    bucket unseen in the profile get the correctly-smoothed unseen-bucket
+    ratio (0.5-count on both sides), not zero.
+
+    Batch twin: queries.dsir_importance_weights shares the profile
+    aggregation verbatim (operators/sampling.dsir_bucket_llr); parity is
+    pinned in tests/test_streaming.py. The only divergence channel is
+    float summation order (token order here vs hash-agg order in batch),
+    sub-ULP at ROUND(4).
+    """
+    from ..operators.sampling import dsir_bucket_llr, dsir_token_bucket
+
+    spark = catalog.spark
+    profile = spark.read.parquet(documents_path)
+    rows = dsir_bucket_llr(
+        profile, "text", F.col("source") == target_source, n_buckets
+    ).collect()
+    if rows:
+        tt, st = rows[0]["tt"], rows[0]["st"]
+        half = n_buckets / 2.0
+        import math
+
+        unseen = (math.log(0.5 / (tt + half)) - math.log(0.5 / (st + half)))
+    else:  # empty profile corpus: every ratio is the (degenerate) default
+        unseen = 0.0
+    ratio_map = F.map_from_arrays(
+        F.array(*[F.lit(int(r["b"])) for r in rows]),
+        F.array(*[F.lit(float(r["r"])) for r in rows]),
+    )
+
+    stamped = profile.select(
+        "doc_id", "source", "text",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ).alias("ts"),
+    )
+    catalog.create_table_as("dsir_raw_docs", stamped)
+
+    stream = catalog.read_stream("dsir_raw_docs")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    weight = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.coalesce(
+                F.element_at(ratio_map, dsir_token_bucket(w, n_buckets)),
+                F.lit(unseen),
+            ),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    scored = stream.select(
+        "doc_id", "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(weight, 4).alias("log_importance"),
+    )
+    catalog.create_table_as("dsir_scored_docs", scored, available_now=True)
+    catalog.await_all()
+    return catalog

@@ -846,3 +846,26 @@ def test_update_mode_changelog_vs_append(spark, catalog, tmp_path):
     multi = {k: sorted(v) for k, v in emissions.items() if len(v) > 1}
     assert multi, "no window re-emitted across batches"
     assert any(v[-1][1] > v[0][1] for v in multi.values())
+
+
+def test_dsir_stream_matches_batch(spark, catalog):
+    """Streaming DSIR scoring (profile-then-score, zero state, map-only)
+    must equal the batch dsir_importance_weights query row for row —
+    same profile aggregation (operators/sampling.dsir_bucket_llr), same
+    hashed buckets, ROUND(4)-pinned weights."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        dsir_stream_pipeline,
+    )
+
+    dsir_stream_pipeline(catalog, documents_path=f"{SF_DIR}/documents.parquet")
+    got = {
+        (r.doc_id, r.source, r.n_tokens, r.log_importance)
+        for r in catalog.read_batch("dsir_scored_docs").collect()
+    }
+    want = {
+        (r.doc_id, r.source, r.n_tokens, r.log_importance)
+        for r in QUERIES["dsir_importance_weights"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(got) > 0
