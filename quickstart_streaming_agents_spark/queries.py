@@ -5255,7 +5255,17 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_final = stages["near_deduped"].count()
     finally:
         stages["decontaminated"].unpersist()
-    counts = [(k, int(observations[k].get["n"]))
+
+    def obs_n(key: str) -> int:
+        # PropagateEmptyRelation can optimize an observe node away when
+        # its subtree is provably empty (e.g. an empty fixture dir) — the
+        # metric then never fires and .get raises; the pruned count IS 0
+        try:
+            return int(observations[key].get["n"])
+        except Exception:
+            return 0
+
+    counts = [(k, obs_n(k))
               for k in ("a_input", "b_gated", "c_exact_deduped",
                         "d_decontaminated")]
     counts.append(("e_near_deduped", int(n_final)))
