@@ -129,6 +129,7 @@ HEADLINE = [
     "small_quantity_revenue",
     "dormant_customer_balance",
     "important_parts",
+    "multimodal_gif_meta",
 ]
 
 

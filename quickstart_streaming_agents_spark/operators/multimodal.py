@@ -4,15 +4,19 @@ Beyond-reference surface: opaque ``binary`` payload columns with typed
 metadata, processed by Arrow-batched ``mapInPandas`` decoders.
 ``decoder="real"`` performs a genuine byte decode for the formats
 expressible without codec libraries — 8-bit PNG (stdlib zlib inflate +
-all five scanline filters, CRC-verified), uncompressed 24-bpp BMP
-images, and PCM-16 RIFF/WAVE audio, parsed with struct/numpy/zlib
-against the public specs and pinned by golden-byte tests
-(tests/test_multimodal_real.py: hand-assembled hex payloads, encoder
-round-trips, analytic feature values, and the driver-checked
-multimodal_real_meta / multimodal_png_meta queries). Image payloads are
-container-sniffed per row on magic bytes (PNG signature vs 'BM').
-Formats that need Pillow/librosa/ffmpeg (JPEG, MP3 — not in this
-container) raise ``NotImplementedError`` at the same integration point. The real path is
+all five scanline filters, CRC-verified), GIF87a/89a including
+multi-frame animations (pure-Python LZW with variable code widths),
+uncompressed 24-bpp BMP images, and PCM-16 RIFF/WAVE audio, parsed with
+struct/numpy/zlib against the public specs and pinned by golden-byte
+tests (tests/test_multimodal_real.py: hand-assembled hex payloads +
+a canonical third-party GIF, encoder round-trips, analytic feature
+values, and the driver-checked multimodal_real_meta /
+multimodal_png_meta / multimodal_gif_meta queries). Image payloads are
+container-sniffed per row on magic bytes (PNG signature vs GIF vs
+'BM'); media_type="video" decodes animated GIF for real (n_frames +
+summed frame delays). Formats that need Pillow/librosa/ffmpeg (JPEG,
+MP3, MP4 — not in this container) raise ``NotImplementedError`` at the
+same integration point. The real path is
 per-row fault-tolerant (``on_error="null"``): a malformed or NULL asset
 yields NULL meta/features instead of failing the task. ``decoder="fake"``
 remains the deterministic md5-derived stand-in whose features the DuckDB
@@ -309,6 +313,281 @@ def _decode_png(payload: bytes) -> tuple[dict, np.ndarray]:
     return meta, rgb
 
 
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — pure-stdlib LZW codec. The variable-code-size
+# convention is the standard one (encoder grows the code width when the
+# next table slot reaches 1<<code_size at add time, which the decoder —
+# lagging the encoder by exactly one table add — mirrors at
+# (1<<code_size)-1); it is pinned in bytes by tests/test_multimodal_real.py
+# against a canonical third-party 1x1 GIF payload and by encoder→decoder
+# round trips that force code widths through 3→4→5 bits.
+# ---------------------------------------------------------------------------
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_encode(min_code_size: int, indices) -> bytes:
+    """GIF-variant LZW: emits CLEAR first, grows code width as the table
+    fills, resets at 4096 entries, terminates with END. LSB-first bit
+    packing (GIF89a spec appendix)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {(i,): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, code_size = fresh()
+    emit(clear, code_size)
+    buf: tuple = ()
+    for px in indices:
+        nxt = buf + (int(px),)
+        if nxt in table:
+            buf = nxt
+            continue
+        emit(table[buf], code_size)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+        if next_code == 4096:
+            emit(clear, code_size)
+            table, next_code, code_size = fresh()
+        buf = (int(px),)
+    if buf:
+        emit(table[buf], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """Inverse of :func:`_gif_lzw_encode`; raises ValueError on a corrupt
+    stream or a stream that ends without the END code."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"invalid LZW min code size {min_code_size}")
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh():
+        return {i: (i,) for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, code_size = fresh()
+    out: list[int] = []
+    prev: tuple | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table, next_code, code_size = fresh()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code not in table:
+                    raise ValueError("corrupt LZW stream (bad first code)")
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError("corrupt LZW stream (code gap)")
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                # the decoder's table add lags the encoder's by one code,
+                # so its width bump fires one slot earlier — see header
+                if next_code == (1 << code_size) - 1 and code_size < 12:
+                    code_size += 1
+            out.extend(entry)
+            prev = entry
+    raise ValueError("LZW stream ended without END code")
+
+
+def make_gif(
+    frames: "np.ndarray | list[np.ndarray]",
+    delay_cs: int = 10,
+) -> bytes:
+    """Encode one or more H×W×3 uint8 RGB frames as an animated GIF89a
+    (inverse of :func:`_decode_gif`): global color table built from the
+    frames' distinct colors (≤256 required — quantization is out of
+    scope for a fixture encoder), one Graphic Control Extension carrying
+    ``delay_cs`` (centiseconds) per frame, LZW-compressed index streams
+    in ≤255-byte sub-blocks. Fixture/test helper."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in (
+        [frames] if isinstance(frames, np.ndarray) and frames.ndim == 3
+        else list(frames)
+    )]
+    h, w, _ = frames[0].shape
+    colors: list[tuple] = []
+    index: dict[tuple, int] = {}
+    idx_frames = []
+    for f in frames:
+        if f.shape != (h, w, 3):
+            raise ValueError("all frames must share one H×W×3 shape")
+        flat = f.reshape(-1, 3)
+        ids = np.empty(len(flat), dtype=np.int64)
+        for i, px in enumerate(map(tuple, flat)):
+            if px not in index:
+                index[px] = len(colors)
+                colors.append(px)
+            ids[i] = index[px]
+        idx_frames.append(ids)
+    if len(colors) > 256:
+        raise ValueError("make_gif needs ≤256 distinct colors")
+    gct_bits = max(1, (len(colors) - 1).bit_length())
+    gct = bytearray()
+    for px in colors:
+        gct += bytes(px)
+    gct += bytes(3 * ((1 << gct_bits) - len(colors)))
+    mcs = max(2, gct_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | ((gct_bits - 1) & 0x07))  # GCT present, size field
+    out += b"\x00\x00" + gct
+    for ids in idx_frames:
+        out += bytes((0x21, 0xF9, 0x04, 0x00))
+        out += struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(mcs)
+        lzw = _gif_lzw_encode(mcs, ids)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes, media_type: str = "image") -> tuple[dict, np.ndarray]:
+    """Real byte decode of a GIF87a/89a: logical screen descriptor,
+    global/local color tables, Graphic Control Extensions (frame delay),
+    per-frame LZW index streams (public spec; LZW convention pinned in
+    tests). Returns the FIRST frame as H×W×3 RGB plus n_frames and the
+    summed delay as duration_ms — a real multi-frame (video-shaped)
+    container decoded without codec libraries. Interlaced frames and
+    frames smaller than the logical screen are rejected (out of fixture
+    scope) rather than mis-decoded."""
+    p = payload or b""
+    if p[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    if len(p) < 13:
+        raise ValueError("truncated GIF header")
+    w, h = struct.unpack_from("<HH", p, 6)
+    packed = p[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 1 << ((packed & 0x07) + 1)
+        gct = np.frombuffer(p[pos:pos + 3 * n], dtype=np.uint8)
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    n_frames = 0
+    duration_ms = 0
+    first = None
+    pending_delay = 0
+    while True:
+        if pos >= len(p):
+            raise ValueError("GIF stream ended without trailer")
+        block = p[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(p):
+                raise ValueError("truncated extension")
+            label = p[pos]
+            pos += 1
+            sub = bytearray()
+            while True:
+                if pos >= len(p):
+                    raise ValueError("truncated extension sub-blocks")
+                ln = p[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                sub += p[pos:pos + ln]
+                pos += ln
+            if label == 0xF9 and len(sub) >= 3:
+                pending_delay = struct.unpack_from("<H", bytes(sub), 1)[0]
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(p):
+            raise ValueError("truncated image descriptor")
+        left, top, fw, fh = struct.unpack_from("<HHHH", p, pos)
+        fpacked = p[pos + 8]
+        pos += 9
+        table = gct
+        if fpacked & 0x80:
+            n = 1 << ((fpacked & 0x07) + 1)
+            table = np.frombuffer(p[pos:pos + 3 * n], dtype=np.uint8)
+            if len(table) < 3 * n:
+                raise ValueError("truncated local color table")
+            table = table.reshape(n, 3)
+            pos += 3 * n
+        if fpacked & 0x40:
+            raise ValueError("interlaced GIF frames not supported")
+        if (left, top, fw, fh) != (0, 0, w, h):
+            raise ValueError("partial-screen GIF frames not supported")
+        if table is None:
+            raise ValueError("GIF frame without a color table")
+        if pos >= len(p):
+            raise ValueError("truncated LZW header")
+        mcs = p[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            if pos >= len(p):
+                raise ValueError("truncated image sub-blocks")
+            ln = p[pos]
+            pos += 1
+            if ln == 0:
+                break
+            data += p[pos:pos + ln]
+            pos += ln
+        ids = _gif_lzw_decode(mcs, bytes(data))
+        if len(ids) < w * h:
+            raise ValueError("GIF frame decoded short")
+        if n_frames == 0:
+            idx = np.asarray(ids[: w * h], dtype=np.int64)
+            if idx.max(initial=0) >= len(table):
+                raise ValueError("GIF index out of color-table range")
+            first = table[idx].reshape(h, w, 3)
+        n_frames += 1
+        duration_ms += pending_delay * 10
+        pending_delay = 0
+    if first is None:
+        raise ValueError("GIF contains no image frame")
+    meta = {
+        "media_type": media_type,
+        "width": int(w),
+        "height": int(h),
+        "n_frames": int(n_frames),
+        "duration_ms": int(duration_ms),
+    }
+    return meta, first
+
+
 def make_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     """Encode int16 samples (1-D mono or n×channels) as a PCM-16
     RIFF/WAVE file (inverse of :func:`_decode_wav`). Fixture/test helper.
@@ -408,27 +687,41 @@ def _decode_wav(payload: bytes) -> tuple[dict, np.ndarray]:
 def _real_decode(payload: bytes, media_type: str) -> tuple[dict, np.ndarray]:
     if media_type == "image":
         p = payload or b""
-        # container sniff on magic bytes: PNG signature vs BMP 'BM'
+        # container sniff on magic bytes: PNG signature vs GIF vs BMP 'BM'
         if p[: len(_PNG_SIG)] == _PNG_SIG:
             return _decode_png(p)
+        if p[:6] in _GIF_SIGS:
+            return _decode_gif(p)
         return _decode_bmp(p)
+    if media_type == "video":
+        p = payload or b""
+        # GIF is the one multi-frame container decodable without codec
+        # libraries — anything else still needs ffmpeg
+        if p[:6] in _GIF_SIGS:
+            return _decode_gif(p, media_type="video")
+        raise NotImplementedError(
+            "real video decoding beyond animated GIF requires ffmpeg, "
+            "not present in this runtime"
+        )
     if media_type == "audio":
         return _decode_wav(payload or b"")
     raise NotImplementedError(
         f"real decoding of media_type={media_type!r} requires codec "
-        "libraries not present in this runtime (PNG/BMP images and PCM-16 "
-        "WAV audio decode for real; use decoder='fake' for others)"
+        "libraries not present in this runtime (PNG/GIF/BMP images, "
+        "animated-GIF video and PCM-16 WAV audio decode for real; use "
+        "decoder='fake' for others)"
     )
 
 
 def _real_features(meta: dict, arr: np.ndarray, dim: int) -> list[float]:
     """Deterministic content features from decoded samples.
 
-    Image: ``dim``-bin grayscale histogram (mass distribution of pixel
-    intensity). Audio: per-segment RMS over ``dim`` equal time slices.
-    Both L2-normalized float64 — order-stable, library-free.
+    Image (and video, over its first decoded frame): ``dim``-bin
+    grayscale histogram (mass distribution of pixel intensity). Audio:
+    per-segment RMS over ``dim`` equal time slices. Both L2-normalized
+    float64 — order-stable, library-free.
     """
-    if meta["media_type"] == "image":
+    if meta["media_type"] in ("image", "video"):
         gray = arr.astype(np.float64).mean(axis=2).ravel() / 255.0
         hist, _ = np.histogram(gray, bins=dim, range=(0.0, 1.0))
         v = hist.astype(np.float64)
@@ -462,13 +755,15 @@ def extract_media_features(
     one scan, per-row decoder dispatch. When None, ``media_type``
     applies to every row.
 
-    ``decoder="real"`` performs an actual byte decode — uncompressed
-    24-bpp BMP for ``media_type="image"``, PCM-16 WAV for ``"audio"``
-    (both pure struct/numpy against the public formats; no codec
+    ``decoder="real"`` performs an actual byte decode — PNG/GIF/24-bpp
+    BMP for ``media_type="image"``, animated GIF for ``"video"``
+    (n_frames + summed frame delays), PCM-16 WAV for ``"audio"`` (all
+    pure struct/numpy/zlib against the public formats; no codec
     libraries). Other media types still raise ``NotImplementedError``
-    until their codecs are available. ``decoder="fake"`` keeps the
-    deterministic md5-derived stand-in whose features are SQL-replayable
-    for the DuckDB oracle.
+    until their codecs are available; a video row whose payload is not a
+    GIF fails per-row into the ``on_error`` path. ``decoder="fake"``
+    keeps the deterministic md5-derived stand-in whose features are
+    SQL-replayable for the DuckDB oracle.
 
     ``on_error`` governs the real path's per-row failure behavior:
     ``"null"`` (default) catches decode errors row-by-row and emits NULL
@@ -481,7 +776,7 @@ def extract_media_features(
     if on_error not in ("null", "raise"):
         raise ValueError(f"unknown on_error {on_error!r}")
     if (decoder == "real" and media_type_col is None
-            and media_type not in ("image", "audio")):
+            and media_type not in ("image", "audio", "video")):
         _real_decode(b"", media_type)  # raises NotImplementedError
 
     out_schema = T.StructType(

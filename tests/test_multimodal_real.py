@@ -290,3 +290,107 @@ def test_real_decode_sniffs_png_vs_bmp(spark):
     # constant gray 10/255 → histogram one-hot in bin 0 for rows 1 and 2
     assert out[0].f0 == pytest.approx(1.0)
     assert out[1].f0 == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# GIF (operators/multimodal.make_gif / _decode_gif / LZW codec)
+# ---------------------------------------------------------------------------
+
+def test_decode_gif_canonical_third_party_bytes():
+    """A canonical minimal 1×1 GIF89a (white pixel, as emitted by standard
+    tools — widely published payload) must decode exactly: pins the LZW
+    bit-packing and block-walk conventions against real-world bytes, not
+    just against our own encoder."""
+    from quickstart_streaming_agents_spark.operators.multimodal import _decode_gif
+
+    canon = bytes.fromhex(
+        "47494638396101000100800000ffffff000000"
+        "21f90400000000002c00000000010001000002024401003b"
+    )
+    meta, arr = _decode_gif(canon)
+    assert meta == {"media_type": "image", "width": 1, "height": 1,
+                    "n_frames": 1, "duration_ms": 0}
+    assert arr.tolist() == [[[255, 255, 255]]]
+
+
+def test_gif_roundtrip_multiframe_and_delay():
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_gif,
+        make_gif,
+    )
+
+    rgb = np.zeros((2, 3, 3), np.uint8)
+    rgb[0, 0] = (255, 0, 0)
+    rgb[1, 2] = (0, 0, 255)
+    f2 = rgb.copy()
+    f2[0, 1] = (0, 255, 0)
+    p = make_gif([rgb, f2], delay_cs=7)
+    meta, arr = _decode_gif(p, media_type="video")
+    assert meta == {"media_type": "video", "width": 3, "height": 2,
+                    "n_frames": 2, "duration_ms": 140}
+    assert (arr == rgb).all()  # first frame, exact
+
+
+def test_gif_lzw_code_width_growth_roundtrip():
+    """Force the LZW code width through its growth path (the off-by-one
+    between encoder-side and decoder-side width bumps is THE classic GIF
+    codec bug): 200 distinct colors over a 40×50 frame grows 8→12-bit
+    codes; a 7-color pattern grows 3→4→5-bit codes. Both must round-trip
+    bit-exactly."""
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_gif,
+        make_gif,
+    )
+
+    rng = np.random.RandomState(7)
+    palette = rng.randint(0, 256, size=(200, 3)).astype(np.uint8)
+    rgb = palette[rng.randint(0, 200, size=(40, 50))]
+    meta, arr = _decode_gif(make_gif(rgb, delay_cs=3))
+    assert (arr == rgb).all() and meta["n_frames"] == 1
+
+    pal2 = np.array([[i * 30 % 256, i * 7 % 256, i * 11 % 256]
+                     for i in range(7)], np.uint8)
+    rgb2 = pal2[(np.arange(30 * 30) % 7).reshape(30, 30)]
+    _, a2 = _decode_gif(make_gif(rgb2))
+    assert (a2 == rgb2).all()
+
+
+def test_decode_gif_rejects_malformed():
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_gif,
+        make_gif,
+    )
+
+    good = make_gif(np.full((2, 2, 3), 9, np.uint8))
+    for bad in (b"", b"GIF89a", good[:20], good[:-1],
+                b"NOTGIF" + good[6:]):
+        with pytest.raises(ValueError):
+            _decode_gif(bad)
+
+
+def test_decoder_real_video_gif_spark(spark):
+    """media_type='video' + animated GIF through the production
+    mapInPandas path: real n_frames/duration decode, histogram features
+    over the first frame, non-GIF video payload lands on the
+    NotImplementedError → on_error='null' tolerance path."""
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        extract_media_features,
+        make_gif,
+    )
+
+    rgb = np.full((3, 4, 3), 128, np.uint8)
+    f2 = np.full((3, 4, 3), 64, np.uint8)
+    rows = [
+        (1, bytearray(make_gif([rgb, f2], delay_cs=5))),
+        (2, bytearray(b"\x00\x00\x00\x18ftypmp42 not decodable")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in extract_media_features(
+        df, "payload", media_type="video", decoder="real",
+    ).select("doc_id", "media_meta.*", "features").collect()}
+    ok = out[1]
+    assert (ok.media_type, ok.width, ok.height, ok.n_frames,
+            ok.duration_ms) == ("video", 4, 3, 2, 100)
+    # constant-128 first frame → one-hot histogram at bin 5 of 8 (1-based)
+    assert ok.features[4] == pytest.approx(1.0)
+    assert out[2].media_type is None and out[2].features is None
