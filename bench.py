@@ -130,6 +130,7 @@ HEADLINE = [
     "dormant_customer_balance",
     "important_parts",
     "multimodal_gif_meta",
+    "video_frame_sample_real",
 ]
 
 

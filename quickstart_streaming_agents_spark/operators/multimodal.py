@@ -476,15 +476,18 @@ def make_gif(
     return bytes(out)
 
 
-def _decode_gif(payload: bytes, media_type: str = "image") -> tuple[dict, np.ndarray]:
+def _decode_gif(payload: bytes, media_type: str = "image",
+                collect_all: bool = False):
     """Real byte decode of a GIF87a/89a: logical screen descriptor,
     global/local color tables, Graphic Control Extensions (frame delay),
     per-frame LZW index streams (public spec; LZW convention pinned in
-    tests). Returns the FIRST frame as H×W×3 RGB plus n_frames and the
-    summed delay as duration_ms — a real multi-frame (video-shaped)
-    container decoded without codec libraries. Interlaced frames and
-    frames smaller than the logical screen are rejected (out of fixture
-    scope) rather than mis-decoded."""
+    tests). Returns ``(meta, first_frame)`` — H×W×3 RGB plus n_frames
+    and the summed delay as duration_ms — a real multi-frame
+    (video-shaped) container decoded without codec libraries; with
+    ``collect_all`` additionally returns the full decoded frame list
+    (the frame-sampling path). Interlaced frames and frames smaller
+    than the logical screen are rejected (out of fixture scope) rather
+    than mis-decoded."""
     p = payload or b""
     if p[:6] not in _GIF_SIGS:
         raise ValueError("not a GIF payload")
@@ -504,6 +507,7 @@ def _decode_gif(payload: bytes, media_type: str = "image") -> tuple[dict, np.nda
     n_frames = 0
     duration_ms = 0
     first = None
+    all_frames: list = []
     pending_delay = 0
     while True:
         if pos >= len(p):
@@ -568,11 +572,15 @@ def _decode_gif(payload: bytes, media_type: str = "image") -> tuple[dict, np.nda
         ids = _gif_lzw_decode(mcs, bytes(data))
         if len(ids) < w * h:
             raise ValueError("GIF frame decoded short")
-        if n_frames == 0:
+        if n_frames == 0 or collect_all:
             idx = np.asarray(ids[: w * h], dtype=np.int64)
             if idx.max(initial=0) >= len(table):
                 raise ValueError("GIF index out of color-table range")
-            first = table[idx].reshape(h, w, 3)
+            frame = table[idx].reshape(h, w, 3)
+            if n_frames == 0:
+                first = frame
+            if collect_all:
+                all_frames.append(frame)
         n_frames += 1
         duration_ms += pending_delay * 10
         pending_delay = 0
@@ -585,6 +593,8 @@ def _decode_gif(payload: bytes, media_type: str = "image") -> tuple[dict, np.nda
         "n_frames": int(n_frames),
         "duration_ms": int(duration_ms),
     }
+    if collect_all:
+        return meta, first, all_frames
     return meta, first
 
 
@@ -829,14 +839,25 @@ def sample_frames(
     payload_col: str = "payload",
     every_nth: int = 30,
     decoder: str = "fake",
+    on_error: str = "null",
 ) -> DataFrame:
     """Video → one row per sampled frame (frame_idx, frame_payload).
 
-    Fake decoder derives per-frame payloads deterministically; the real one
-    would emit decoded frame bytes. Demonstrates the 1→N mapInPandas shape.
+    ``decoder="real"`` decodes animated GIFs for real (the one
+    multi-frame container expressible without ffmpeg) and re-encodes
+    every sampled frame as a standalone 8-bit PNG — the emitted
+    frame_payload is itself decodable by the image path, the actual
+    video→frames→image-corpus pipeline shape. A non-GIF or torn payload
+    follows ``on_error`` ("null" skips the row, "raise" propagates).
+    The fake decoder keeps the md5-derived SQL-replayable stand-in.
+    Either way: 1→N mapInPandas, record-batch streamed.
     """
-    if decoder != "fake":
-        raise NotImplementedError("real frame sampling requires ffmpeg-class deps")
+    if decoder not in ("fake", "real"):
+        raise NotImplementedError(
+            "real frame sampling beyond animated GIF requires ffmpeg-class deps"
+        )
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"unknown on_error {on_error!r}")
     out_schema = T.StructType(
         df.schema.fields
         + [
@@ -850,13 +871,30 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for i in range(len(pdf)):
-                payload = pdf[payload_col].iloc[i] or b""
-                meta = _fake_decode(payload, "video")
+                payload = bytes(pdf[payload_col].iloc[i] or b"")
+                if decoder == "fake":
+                    meta = _fake_decode(payload, "video")
+                    for fi in range(0, meta["n_frames"], every_nth):
+                        rows.append(
+                            {**{c: pdf[c].iloc[i] for c in in_cols},
+                             "frame_idx": fi,
+                             "frame_payload": hashlib.md5(
+                                 payload + str(fi).encode()).digest()}
+                        )
+                    continue
+                try:
+                    meta, _, frames = _decode_gif(
+                        payload, media_type="video", collect_all=True
+                    )
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
                 for fi in range(0, meta["n_frames"], every_nth):
                     rows.append(
                         {**{c: pdf[c].iloc[i] for c in in_cols},
                          "frame_idx": fi,
-                         "frame_payload": hashlib.md5(payload + str(fi).encode()).digest()}
+                         "frame_payload": make_png(frames[fi])}
                     )
             yield pd.DataFrame(rows, columns=in_cols + ["frame_idx", "frame_payload"])
 

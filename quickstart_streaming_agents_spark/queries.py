@@ -5978,22 +5978,100 @@ def multimodal_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Real video frame sampling: animated-GIF payloads decoded frame by
+# frame (pure-Python LZW), every 2nd frame re-encoded as a standalone
+# 8-bit PNG, then each sampled frame REDECODED through the real image
+# path — one plan chaining GIF decode → PNG encode → PNG decode, the
+# actual video→frames→image-corpus pipeline. Synthesis:
+#   n_frames = 1 + id % 5, frame f constant v_f = (id + 17·f) % 256,
+#   w = 1 + id % 4, h = 1 + id % 3; id % 23 == 0 → torn payload whose
+#   rows are DROPPED by on_error="null" (the honest sampling contract:
+#   an undecodable video contributes no frames).
+# Constant frame → one-hot histogram: hot_bin = 1+LEAST(FLOOR(v·8/255),7).
+_VIDEO_FRAME_SAMPLE_REAL_ORACLE = """
+WITH base AS (
+    SELECT doc_id, 1 + doc_id % 5 AS nf
+    FROM documents WHERE doc_id % 23 <> 0
+),
+fr AS (
+    SELECT doc_id, unnest(range(0, nf, 2)) AS frame_idx, nf FROM base
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       'image' AS media_type,
+       CAST(1 + doc_id % 4 AS INT) AS width,
+       CAST(1 + doc_id % 3 AS INT) AS height,
+       CAST(1 + LEAST(CAST(FLOOR(((doc_id + 17 * frame_idx) % 256)
+                                 * 8.0 / 255.0) AS INT), 7) AS BIGINT)
+           AS hot_bin
+FROM fr
+"""
+
+
+@query("video_frame_sample_real", oracle=_VIDEO_FRAME_SAMPLE_REAL_ORACLE)
+def video_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF frame sampling through the production 1→N mapInPandas
+    path, each emitted frame redecoded as a PNG image — synthesis rules
+    in the oracle comment above."""
+    import numpy as np
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        extract_media_features,
+        make_gif,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                w, h, nf = 1 + i % 4, 1 + i % 3, 1 + i % 5
+                frames = [
+                    np.full((h, w, 3), (i + 17 * f) % 256, dtype=np.uint8)
+                    for f in range(nf)
+                ]
+                p = make_gif(frames, delay_cs=3)
+                payloads.append(p[:15] if i % 23 == 0 else p)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    sampled = sample_frames(synth_df, "payload", every_nth=2, decoder="real")
+    redecoded = extract_media_features(
+        sampled.drop("payload"), "frame_payload",
+        media_type="image", decoder="real",
+    )
+    return redecoded.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.width").cast("int").alias("width"),
+        F.col("media_meta.height").cast("int").alias("height"),
+        F.array_position("features", 1.0).alias("hot_bin"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification rotation (round 7). The correctness harness
 # oracle-checks the FIRST 50 registry entries each round; round 6's window
 # went 50/50 green. This rotation leads with (a) the seven queries
 # brand-new in round 7 (gopher_quality_flags, dsir_importance_weights,
 # semantic_dedup, small_quantity_revenue, dormant_customer_balance,
-# important_parts, multimodal_gif_meta — never externally checked), (b) the eight queries whose
+# important_parts, multimodal_gif_meta, video_frame_sample_real — never
+# externally checked), (b) the eight queries whose
 # implementations were rewritten in round 6 (skew-proof partial-agg plans)
 # but whose latest external driver row predates the rewrite, (c) the three
 # queries new since the r6 window closed (multimodal_png_meta,
 # min_cost_supplier, excess_quota_suppliers) plus curation_funnel,
 # rewritten this round as a single-pass df.observe plan, then (d) the
 # round-5-dated queries, oldest-unverified-first — 50 names total. The
-# seven r5-dated names displaced by (a) (data_quality_report,
+# r5-dated names displaced by (a) (data_quality_report,
 # exact_k_per_stratum, trending_per_window, value_histogram,
-# rolling_active_users, cumulate_agg, late_shipment_priority)
+# rolling_active_users, cumulate_agg, late_shipment_priority,
+# large_volume_orders)
 # have UNCHANGED implementations since their r5 green row and stay pinned
 # every run by tests/test_parity.py, which asserts ALL oracle pairs.
 # ---------------------------------------------------------------------------
@@ -6014,6 +6092,7 @@ _R7_CHECK_FIRST = [
     "packed_training_shards",
     "multimodal_png_meta",
     "multimodal_gif_meta",
+    "video_frame_sample_real",
     "min_cost_supplier",
     "excess_quota_suppliers",
     "curation_funnel",
@@ -6047,7 +6126,6 @@ _R7_CHECK_FIRST = [
     "shipping_priority",
     "local_supplier_volume",
     "returned_item_customers",
-    "large_volume_orders",
 ]
 
 

@@ -394,3 +394,30 @@ def test_decoder_real_video_gif_spark(spark):
     # constant-128 first frame → one-hot histogram at bin 5 of 8 (1-based)
     assert ok.features[4] == pytest.approx(1.0)
     assert out[2].media_type is None and out[2].features is None
+
+
+def test_sample_frames_real_gif(spark):
+    """Real frame sampling: every_nth GIF frames re-encoded as standalone
+    PNGs (each decodable by the image path), torn payloads dropped by
+    on_error='null', propagated by on_error='raise'."""
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_png,
+        make_gif,
+        sample_frames,
+    )
+
+    frames = [np.full((2, 2, 3), v, np.uint8) for v in (10, 80, 200, 30, 99)]
+    good = make_gif(frames, delay_cs=2)
+    rows = [(1, bytearray(good)), (2, bytearray(good[:15]))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = sample_frames(df, "payload", every_nth=2, decoder="real").collect()
+    assert sorted((r.doc_id, r.frame_idx) for r in out) == \
+        [(1, 0), (1, 2), (1, 4)]
+    for r in out:
+        meta, arr = _decode_png(bytes(r.frame_payload))
+        assert (meta["width"], meta["height"]) == (2, 2)
+        assert (arr == frames[r.frame_idx]).all()
+
+    with pytest.raises(Exception):
+        sample_frames(df, "payload", every_nth=2, decoder="real",
+                      on_error="raise").collect()
