@@ -131,6 +131,10 @@ HEADLINE = [
     "important_parts",
     "multimodal_gif_meta",
     "video_frame_sample_real",
+    "customer_order_distribution",
+    "disjunctive_revenue",
+    "part_supplier_variety",
+    "nation_trade_volume",
 ]
 
 

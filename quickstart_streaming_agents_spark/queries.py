@@ -6055,13 +6055,224 @@ def video_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q13 analog (left-outer count-of-counts): how many customers
+# placed exactly k non-urgent orders — INCLUDING the zero-order
+# customers Q13's LEFT JOIN exists to keep. Spark plan decorrelates by
+# PRE-AGGREGATING orders to per-customer counts BEFORE the join (orders
+# rows collapse map-side in the partial agg; the join then moves one row
+# per customer, not one per order), left-joins customer to coalesce the
+# missing keys to 0, and finishes with a tiny second agg over ≤ a few
+# hundred distinct counts. At 100 TB the only big shuffle is the keyed
+# partial agg on o_custkey.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_order_distribution",
+    oracle="""
+    WITH co AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY 1
+    )
+    SELECT c_count, count(*) AS custdist FROM co GROUP BY 1
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog — see block comment for the plan shape."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders")
+    )
+    counts = c.join(
+        per_cust, c.c_custkey == per_cust.o_custkey, "left"
+    ).select(F.coalesce("n_orders", F.lit(0)).alias("c_count"))
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 analog (disjunctive OR-of-conjunctions pushdown): discounted
+# revenue over three brand/size/quantity bands. The classic Q19 lesson
+# is that the OR is NOT a black box — its derivable envelopes ARE pushed
+# into both scans (p_brand IN (…) prunes the part scan, the quantity
+# hull 1..50 prunes lineitem) while only the residual cross-table OR is
+# evaluated post-join. The part side is filtered-then-broadcast, so
+# lineitem never shuffles at all: one scan, one broadcast hash join, one
+# 1-row aggregate. Revenue summed in integer ten-thousandths (cents ×
+# discount hundredths) so both engines hash-match exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * CAST(100 - round(l.l_discount * 100) AS BIGINT))
+                 / 10000.0, 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog — see block comment for the pushdown shape."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 50)  # hull of the three bands
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    band = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    joined = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+        li.l_partkey == F.col("p_partkey"),
+    ).filter(band)
+    tenk = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100)).cast("bigint")
+    )
+    return joined.agg(F.round(F.sum(tenk) / 10000.0, 2).alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 analog (NOT IN anti-join + COUNT DISTINCT): how many
+# distinct suppliers ship each (brand, type, size) part family,
+# excluding one brand and excluding "complaint" suppliers (re-anchored
+# to negative account balance — the fixture has no s_comment). The NOT
+# IN subquery decorrelates to a broadcast LEFT ANTI join on the
+# (tiny, pre-filtered) bad-supplier set — never a correlated probe; the
+# fixture's s_suppkey is non-null so NOT IN ≡ anti-join on both engines.
+# The distinct count is Spark's standard two-phase expand/partial-agg —
+# the one keyed shuffle; part is filtered-then-broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "part_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog — see block comment for the anti-join shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#5")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    clean = li.join(
+        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return (
+        clean.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            clean.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 analog (multi-dim snowflake + year bucketing): cross-border
+# trade volume per (supplier nation, customer nation, ship year), for
+# all nation pairs rather than Q7's two-nation literal so every fixture
+# SF yields rows. Scale shape: the two big-big joins
+# (lineitem⋈orders on orderkey, then ⋈customer on custkey) are the only
+# real shuffles and AQE handles their sizing; supplier and the two
+# nation legs are broadcast (dims). The inequality n1<>n2 is a residual
+# on broadcast columns — no extra exchange. Revenue summed in integer
+# ten-thousandths AND half-up-rounded to cents in the integer domain
+# ((t+50) div 100) before the only float division — groups here are
+# large enough to land on exact .xx5 ties where a double round(…, 2)
+# diverges by one ulp between engines.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_trade_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           ((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(100 - round(l.l_discount * 100) AS BIGINT))
+             + 50) // 100) / 100.0 AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog — see block comment for the join topology."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    tenk = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100)).cast("bigint")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("sn_key") != F.col("cn_key"))
+        .withColumn("__tenk", tenk)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            (F.expr("(sum(__tenk) + 50) div 100") / 100.0).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation (round 7). The correctness harness
 # oracle-checks the FIRST 50 registry entries each round; round 6's window
-# went 50/50 green. This rotation leads with (a) the seven queries
+# went 50/50 green. This rotation leads with (a) the queries
 # brand-new in round 7 (gopher_quality_flags, dsir_importance_weights,
 # semantic_dedup, small_quantity_revenue, dormant_customer_balance,
-# important_parts, multimodal_gif_meta, video_frame_sample_real — never
-# externally checked), (b) the eight queries whose
+# important_parts, customer_order_distribution, disjunctive_revenue,
+# part_supplier_variety, nation_trade_volume, multimodal_gif_meta,
+# video_frame_sample_real — never externally checked), (b) the eight queries whose
 # implementations were rewritten in round 6 (skew-proof partial-agg plans)
 # but whose latest external driver row predates the rewrite, (c) the three
 # queries new since the r6 window closed (multimodal_png_meta,
@@ -6071,7 +6282,8 @@ def video_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r5-dated names displaced by (a) (data_quality_report,
 # exact_k_per_stratum, trending_per_window, value_histogram,
 # rolling_active_users, cumulate_agg, late_shipment_priority,
-# large_volume_orders)
+# large_volume_orders, events_cube, shipping_priority,
+# local_supplier_volume, returned_item_customers)
 # have UNCHANGED implementations since their r5 green row and stay pinned
 # every run by tests/test_parity.py, which asserts ALL oracle pairs.
 # ---------------------------------------------------------------------------
@@ -6082,6 +6294,10 @@ _R7_CHECK_FIRST = [
     "small_quantity_revenue",
     "dormant_customer_balance",
     "important_parts",
+    "customer_order_distribution",
+    "disjunctive_revenue",
+    "part_supplier_variety",
+    "nation_trade_volume",
     "substring_dedup_clean",
     "duplicate_spans",
     "latest_state_upsert",
@@ -6122,10 +6338,6 @@ _R7_CHECK_FIRST = [
     "window_functions_suite",
     "forecast_revenue_change",
     "promo_revenue_share",
-    "events_cube",
-    "shipping_priority",
-    "local_supplier_volume",
-    "returned_item_customers",
 ]
 
 
