@@ -135,6 +135,7 @@ HEADLINE = [
     "disjunctive_revenue",
     "part_supplier_variety",
     "nation_trade_volume",
+    "multimodal_jpeg_meta",
 ]
 
 

@@ -3,7 +3,9 @@
 Beyond-reference surface: opaque ``binary`` payload columns with typed
 metadata, processed by Arrow-batched ``mapInPandas`` decoders.
 ``decoder="real"`` performs a genuine byte decode for the formats
-expressible without codec libraries — 8-bit PNG (stdlib zlib inflate +
+expressible without codec libraries — baseline JPEG (T.81 sequential
+DCT: Huffman entropy decode, dequantize, orthonormal IDCT, 4:4:4/4:2:2/
+4:2:0 upsampling, restart markers), 8-bit PNG (stdlib zlib inflate +
 all five scanline filters, CRC-verified), GIF87a/89a including
 multi-frame animations (pure-Python LZW with variable code widths),
 uncompressed 24-bpp BMP images, and PCM-16 RIFF/WAVE audio, parsed with
@@ -11,11 +13,13 @@ struct/numpy/zlib against the public specs and pinned by golden-byte
 tests (tests/test_multimodal_real.py: hand-assembled hex payloads +
 a canonical third-party GIF, encoder round-trips, analytic feature
 values, and the driver-checked multimodal_real_meta /
-multimodal_png_meta / multimodal_gif_meta queries). Image payloads are
+multimodal_png_meta / multimodal_gif_meta / multimodal_jpeg_meta
+queries). Image payloads are
 container-sniffed per row on magic bytes (PNG signature vs GIF vs
-'BM'); media_type="video" decodes animated GIF for real (n_frames +
-summed frame delays). Formats that need Pillow/librosa/ffmpeg (JPEG,
-MP3, MP4 — not in this container) raise ``NotImplementedError`` at the
+FFD8 SOI vs 'BM'); media_type="video" decodes animated GIF for real
+(n_frames + summed frame delays). Formats that genuinely need
+librosa/ffmpeg (MP3, MP4 — not in this container) raise
+``NotImplementedError`` at the
 same integration point. The real path is
 per-row fault-tolerant (``on_error="null"``): a malformed or NULL asset
 yields NULL meta/features instead of failing the task. ``decoder="fake"``
@@ -694,6 +698,590 @@ def _decode_wav(payload: bytes) -> tuple[dict, np.ndarray]:
     return meta, samples
 
 
+# ---------------------------------------------------------------------------
+# JPEG (ITU-T T.81 baseline sequential DCT, public spec) — pure
+# numpy/stdlib codec, no image libraries. Encoder: JFIF header, Annex-K
+# quantization tables scaled by the libjpeg quality convention (or
+# caller-supplied tables — all-ones makes constant blocks bit-exact),
+# Annex-K Huffman tables, 4:4:4 or 4:2:0 chroma subsampling, grayscale,
+# optional restart intervals. Decoder: marker walk (DQT 8/16-bit, SOF0/1,
+# DHT, DRI, APPn/COM skip), canonical-Huffman entropy decode with byte
+# unstuffing and restart resync, dequantize → de-zigzag → orthonormal
+# IDCT (one 8×8 matrix sandwich per block), nearest-neighbor chroma
+# upsample, YCbCr→RGB. Progressive (SOF2), arithmetic coding, and 12-bit
+# precision raise ValueError. Both directions share the zigzag order,
+# the DCT basis matrix, and the Huffman table specs, so the codec is
+# self-consistent by construction and pinned by round-trip + marker
+# structure tests in tests/test_multimodal_real.py.
+# ---------------------------------------------------------------------------
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_JPEG_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+_JPEG_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# Annex-K Huffman specs: (class, table id) -> (BITS[16], HUFFVAL).
+_JPEG_STD_HUFF = {
+    ("dc", 0): (
+        [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+        list(range(12)),
+    ),
+    ("dc", 1): (
+        [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+        list(range(12)),
+    ),
+    ("ac", 0): (
+        [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+        [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+            0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+            0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+            0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+            0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+            0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+            0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+            0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+            0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+            0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+            0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+            0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+            0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+            0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+            0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+            0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+            0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+            0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+            0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+            0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ],
+    ),
+    ("ac", 1): (
+        [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+        [
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+            0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+            0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+            0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+            0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+            0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+            0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+            0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+            0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+            0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+            0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+            0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+            0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+            0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+            0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+            0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+            0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+            0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+            0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ],
+    ),
+}
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    m = np.zeros((8, 8))
+    for k in range(8):
+        s = math.sqrt(1.0 / 8) if k == 0 else math.sqrt(2.0 / 8)
+        for n in range(8):
+            m[k, n] = s * math.cos(math.pi * (2 * n + 1) * k / 16)
+    return m
+
+
+_JPEG_DCT = _jpeg_dct_matrix()
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) for a canonical Huffman table (T.81 C.2)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value for entropy decoding."""
+    return {
+        (length, code): v
+        for v, (code, length) in _jpeg_canonical_codes(bits, vals).items()
+    }
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            b = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)  # pad with 1s
+
+
+def _jpeg_quantize_block(block: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    c = _JPEG_DCT @ (block.astype(np.float64) - 128.0) @ _JPEG_DCT.T
+    scaled = c / qt
+    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+
+
+def _jpeg_encode_block(
+    w: _JpegBitWriter,
+    zz: np.ndarray,
+    prev_dc: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    def magnitude(v: int) -> tuple[int, int]:
+        s = int(abs(v)).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    diff = int(zz[0]) - prev_dc
+    s, extra = magnitude(diff)
+    code, length = dc_codes[s]
+    w.write(code, length)
+    if s:
+        w.write(extra, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zrl, zl = ac_codes[0xF0]
+            w.write(zrl, zl)
+            run -= 16
+        s, extra = magnitude(v)
+        code, length = ac_codes[(run << 4) | s]
+        w.write(code, length)
+        w.write(extra, s)
+        run = 0
+    if run:
+        eob, el = ac_codes[0x00]
+        w.write(eob, el)
+    return int(zz[0])
+
+
+def _jpeg_scale_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    # libjpeg quality convention (public jcparam.c behavior)
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (base * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int64)
+
+
+def make_jpeg(
+    rgb: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode H×W×3 uint8 RGB (or H×W grayscale) as a baseline JFIF JPEG.
+
+    ``quant_tables=(ones, ones)`` makes constant-color blocks decode
+    bit-exactly (only the integral DC coefficient survives the DCT);
+    ``subsampling`` is ``"444"`` or ``"420"`` (2×2 box-averaged chroma);
+    ``restart_interval`` > 0 emits DRI + FFD0-D7 resync markers every
+    that many MCUs.
+    """
+    arr = np.asarray(rgb, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError(f"expected H×W×3 RGB or H×W gray, got {arr.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    h, w = arr.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError(f"invalid image dimensions {w}x{h}")
+    if quant_tables is None:
+        qts = (_jpeg_scale_qt(_JPEG_QT_LUMA, quality),
+               _jpeg_scale_qt(_JPEG_QT_CHROMA, quality))
+    else:
+        qts = (np.asarray(quant_tables[0], dtype=np.int64).reshape(8, 8),
+               np.asarray(quant_tables[1], dtype=np.int64).reshape(8, 8))
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samp = [(1, 1)]
+        comp_qt = [0]
+    else:
+        f = arr.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            # pad to even, 2x2 box average
+            def down(p: np.ndarray) -> np.ndarray:
+                pe = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                            mode="edge")
+                return (pe[0::2, 0::2] + pe[1::2, 0::2]
+                        + pe[0::2, 1::2] + pe[1::2, 1::2]) / 4.0
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        comp_qt = [0, 1, 1]
+
+    hmax = max(sh for sh, _ in samp)
+    vmax = max(sv for _, sv in samp)
+    mcu_cols = -(-w // (8 * hmax))
+    mcu_rows = -(-h // (8 * vmax))
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        th, tw = mcu_rows * sv * 8, mcu_cols * sh * 8
+        padded.append(np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        ))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)
+    for tid, qt in enumerate(qts[: 1 if gray else 2]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(qt.ravel()[z]) for z in _JPEG_ZIGZAG)
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        out += struct.pack(">BBB", ci + 1, (sh << 4) | sv, comp_qt[ci])
+    huff_ids = [("dc", 0), ("ac", 0)] if gray else \
+        [("dc", 0), ("ac", 0), ("dc", 1), ("ac", 1)]
+    for cls, tid in huff_ids:
+        bits, vals = _JPEG_STD_HUFF[(cls, tid)]
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + len(vals), ((0 if cls == "dc" else 1) << 4) | tid
+        )
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        out += struct.pack(">BB", ci + 1, (t << 4) | t)
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+
+    enc = {
+        (cls, tid): _jpeg_canonical_codes(*_JPEG_STD_HUFF[(cls, tid)])
+        for cls, tid in set(huff_ids)
+    }
+    writer = _JpegBitWriter()
+    prev_dc = [0] * ncomp
+    n_mcu = mcu_rows * mcu_cols
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.flush()
+            out += writer.out
+            writer = _JpegBitWriter()
+            out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+            prev_dc = [0] * ncomp
+        my, mx = divmod(mcu, mcu_cols)
+        for ci in range(ncomp):
+            sh, sv = samp[ci]
+            tdc = 0 if ci == 0 else 1
+            qt = qts[comp_qt[ci]]
+            for by in range(sv):
+                for bx in range(sh):
+                    y0 = (my * sv + by) * 8
+                    x0 = (mx * sh + bx) * 8
+                    block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                    q = _jpeg_quantize_block(block, qt)
+                    zz = q.ravel()[_JPEG_ZIGZAG]
+                    prev_dc[ci] = _jpeg_encode_block(
+                        writer, zz, prev_dc[ci],
+                        enc[("dc", tdc)], enc[("ac", tdc)],
+                    )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy segment: unstuffs FF 00,
+    refuses to read past a real marker, and resyncs at FFD0-D7."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def read_bits(self, n: int) -> int:
+        while self._n < n:
+            if self.pos >= len(self.d):
+                raise ValueError("JPEG entropy data truncated")
+            b = self.d[self.pos]
+            if b == 0xFF:
+                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else -1
+                if nxt != 0x00:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                    )
+                self.pos += 2
+            else:
+                self.pos += 1
+            self._acc = (self._acc << 8) | b
+            self._n += 8
+        v = (self._acc >> (self._n - n)) & ((1 << n) - 1)
+        self._n -= n
+        self._acc &= (1 << self._n) - 1
+        return v
+
+    def expect_restart(self, k: int) -> None:
+        self._acc = 0
+        self._n = 0  # byte-align: partial bits before RSTn are padding
+        if self.d[self.pos : self.pos + 2] != bytes([0xFF, 0xD0 + k]):
+            raise ValueError(
+                f"expected restart marker RST{k} at offset {self.pos}"
+            )
+        self.pos += 2
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bits(1)
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
+
+
+def _decode_jpeg(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Real byte decode of a baseline sequential JPEG (ITU-T T.81) —
+    see the section comment above for scope. Returns (meta, H×W×3 RGB)
+    like the PNG/GIF/BMP paths; grayscale replicates to 3 channels."""
+    p = payload or b""
+    if p[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    restart = 0
+    frame = None
+    while True:
+        if pos + 4 > len(p):
+            raise ValueError("truncated JPEG before SOS")
+        if p[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at offset {pos}")
+        marker = p[pos + 1]
+        seg_len = struct.unpack_from(">H", p, pos + 2)[0]
+        body = p[pos + 4 : pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    vals = np.frombuffer(body, np.uint8, 64, i).astype(np.int64)
+                    i += 64
+                elif pq == 1:
+                    vals = np.frombuffer(
+                        body, ">u2", 64, i
+                    ).astype(np.int64)
+                    i += 128
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
+                qt = np.zeros(64, dtype=np.int64)
+                qt[_JPEG_ZIGZAG] = vals
+                qts[tq] = qt.reshape(8, 8)
+        elif marker in (0xC0, 0xC1):  # SOF0/1: (extended) sequential
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"only 8-bit JPEG supported (got {prec})")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                sh, sv = hv >> 4, hv & 0x0F
+                if not (1 <= sh <= 2 and 1 <= sv <= 2):
+                    raise ValueError(f"unsupported sampling {sh}x{sv}")
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline/extended sequential JPEG supported "
+                f"(SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                huff[(cls, tid)] = _jpeg_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy scan follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            pos = pos + 2 + seg_len
+            break
+        elif 0xE0 <= marker <= 0xEF or marker == 0xFE:  # APPn / COM
+            pass
+        elif marker == 0xD9:
+            raise ValueError("JPEG EOI before any scan")
+        else:
+            raise ValueError(f"unsupported JPEG marker 0xFF{marker:02X}")
+        if marker != 0xDA:
+            pos = pos + 2 + seg_len
+
+    fh, fw, comps = frame
+    if fh < 1 or fw < 1:
+        raise ValueError(f"invalid JPEG dimensions {fw}x{fh}")
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, tdc, tac in scan:
+        if cs not in by_id:
+            raise ValueError(f"SOS references unknown component {cs}")
+        order.append((by_id[cs], tdc, tac))
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_cols = -(-fw // (8 * hmax))
+    mcu_rows = -(-fh // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcu_rows * c["v"] * 8, mcu_cols * c["h"] * 8))
+        for c in comps
+    }
+    reader = _JpegBitReader(p, pos)
+    prev_dc = {c["id"]: 0 for c in comps}
+    for mcu in range(mcu_rows * mcu_cols):
+        if restart and mcu and mcu % restart == 0:
+            reader.expect_restart((mcu // restart - 1) % 8)
+            prev_dc = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcu_cols)
+        for c, tdc, tac in order:
+            if c["tq"] not in qts:
+                raise ValueError(f"missing quantization table {c['tq']}")
+            if (0, tdc) not in huff or (1, tac) not in huff:
+                raise ValueError("missing Huffman table for scan")
+            qt = qts[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = np.zeros(64, dtype=np.int64)
+                    s = reader.decode_huff(huff[(0, tdc)])
+                    diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
+                    prev_dc[c["id"]] += diff
+                    zz[0] = prev_dc[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_huff(huff[(1, tac)])
+                        run, size = rs >> 4, rs & 0x0F
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        zz[k] = _jpeg_extend(reader.read_bits(size), size)
+                        k += 1
+                    blk = np.zeros(64, dtype=np.float64)
+                    blk[_JPEG_ZIGZAG] = zz * qt.ravel()[_JPEG_ZIGZAG]
+                    px = _JPEG_DCT.T @ blk.reshape(8, 8) @ _JPEG_DCT + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+
+    full = {}
+    for c in comps:
+        pl = planes[c["id"]]
+        pl = np.repeat(pl, vmax // c["v"], axis=0)
+        pl = np.repeat(pl, hmax // c["h"], axis=1)
+        full[c["id"]] = pl[:fh, :fw]
+    if len(comps) == 1:
+        g = np.clip(np.round(full[comps[0]["id"]]), 0, 255).astype(np.uint8)
+        rgb = np.repeat(g[:, :, None], 3, axis=2)
+    elif len(comps) == 3:
+        y = full[comps[0]["id"]]
+        cb = full[comps[1]["id"]] - 128.0
+        cr = full[comps[2]["id"]] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.clip(
+            np.round(np.stack([r, g, b], axis=2)), 0, 255
+        ).astype(np.uint8)
+    else:
+        raise ValueError(f"unsupported JPEG component count {len(comps)}")
+    meta = {
+        "media_type": "image",
+        "width": int(fw),
+        "height": int(fh),
+        "n_frames": 1,
+        "duration_ms": 0,
+    }
+    return meta, rgb
+
+
 def _real_decode(payload: bytes, media_type: str) -> tuple[dict, np.ndarray]:
     if media_type == "image":
         p = payload or b""
@@ -702,6 +1290,8 @@ def _real_decode(payload: bytes, media_type: str) -> tuple[dict, np.ndarray]:
             return _decode_png(p)
         if p[:6] in _GIF_SIGS:
             return _decode_gif(p)
+        if p[:2] == b"\xff\xd8":
+            return _decode_jpeg(p)
         return _decode_bmp(p)
     if media_type == "video":
         p = payload or b""
@@ -717,7 +1307,7 @@ def _real_decode(payload: bytes, media_type: str) -> tuple[dict, np.ndarray]:
         return _decode_wav(payload or b"")
     raise NotImplementedError(
         f"real decoding of media_type={media_type!r} requires codec "
-        "libraries not present in this runtime (PNG/GIF/BMP images, "
+        "libraries not present in this runtime (JPEG/PNG/GIF/BMP images, "
         "animated-GIF video and PCM-16 WAV audio decode for real; use "
         "decoder='fake' for others)"
     )

@@ -6054,6 +6054,83 @@ def video_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Real baseline-JPEG decode through the production image path. Synthesis
+# (constant-color JPEGs with ALL-ONES quantization tables, which decode
+# bit-exactly: only the integral DC coefficient survives the DCT, so no
+# quantization or rounding error — see test_jpeg_constant_blocks_bit_exact):
+#   w = 3 + id % 13, h = 2 + id % 9, constant v = id % 256;
+#   id % 5 == 0 → grayscale single-component JPEG, else RGB with
+#   id % 2 choosing 4:4:4 vs 4:2:0 chroma layout (both exact on a
+#   constant image); id % 23 == 0 → payload torn inside the APP0
+#   segment (SOI intact), decoded to NULL by on_error="null".
+# Constant image → one-hot 8-bin histogram: hot_bin = 1+LEAST(v·8/255,7).
+_MULTIMODAL_JPEG_META_ORACLE = """
+WITH base AS (
+    SELECT doc_id,
+           doc_id % 23 = 0 AS corrupt,
+           doc_id % 256 AS v
+    FROM documents
+)
+SELECT doc_id,
+    CASE WHEN corrupt THEN 'undecodable' ELSE 'image' END AS media_type,
+    CAST(CASE WHEN corrupt THEN -1 ELSE 3 + doc_id % 13 END AS INT) AS width,
+    CAST(CASE WHEN corrupt THEN -1 ELSE 2 + doc_id % 9 END AS INT) AS height,
+    CAST(CASE WHEN corrupt THEN -1
+              ELSE 1 + LEAST(CAST(FLOOR(v * 8.0 / 255.0) AS INT), 7)
+         END AS BIGINT) AS hot_bin
+FROM base
+"""
+
+
+@query("multimodal_jpeg_meta", oracle=_MULTIMODAL_JPEG_META_ORACLE)
+def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real T.81 baseline JPEG decode (Huffman entropy decode → dequant →
+    IDCT → color transform) through the production mapInPandas image
+    path — synthesis rules in the oracle comment above."""
+    import numpy as np
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        extract_media_features,
+        make_jpeg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ones = (np.ones((8, 8), np.int64), np.ones((8, 8), np.int64))
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                w, h, v = 3 + i % 13, 2 + i % 9, i % 256
+                if i % 5 == 0:
+                    img = np.full((h, w), v, dtype=np.uint8)
+                    sub = "444"
+                else:
+                    img = np.full((h, w, 3), v, dtype=np.uint8)
+                    sub = "420" if i % 2 == 0 else "444"
+                p = make_jpeg(img, subsampling=sub, quant_tables=ones)
+                # torn inside APP0: SOI intact, segment truncated
+                payloads.append(p[:20] if i % 23 == 0 else p)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    decoded = extract_media_features(synth_df, "payload",
+                                     media_type="image", decoder="real")
+    return decoded.select(
+        "doc_id",
+        F.coalesce(F.col("media_meta.media_type"),
+                   F.lit("undecodable")).alias("media_type"),
+        F.coalesce(F.col("media_meta.width").cast("int"),
+                   F.lit(-1)).alias("width"),
+        F.coalesce(F.col("media_meta.height").cast("int"),
+                   F.lit(-1)).alias("height"),
+        F.coalesce(F.array_position("features", 1.0),
+                   F.lit(-1).cast("bigint")).alias("hot_bin"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q13 analog (left-outer count-of-counts): how many customers
 # placed exactly k non-urgent orders — INCLUDING the zero-order

@@ -421,3 +421,157 @@ def test_sample_frames_real_gif(spark):
     with pytest.raises(Exception):
         sample_frames(df, "payload", every_nth=2, decoder="real",
                       on_error="raise").collect()
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline T.81 codec
+# ---------------------------------------------------------------------------
+
+_ONES_QT = (np.ones((8, 8), np.int64), np.ones((8, 8), np.int64))
+
+
+def test_jpeg_constant_blocks_bit_exact_with_flat_tables():
+    """With all-ones quantization tables a constant-color image survives
+    the full encode→decode cycle bit-exactly: only the (integral) DC
+    coefficient is nonzero, so no quantization or DCT rounding error."""
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_jpeg,
+        make_jpeg,
+    )
+
+    for v in (0, 37, 128, 200, 255):
+        img = np.full((16, 24, 3), v, np.uint8)
+        meta, out = _decode_jpeg(make_jpeg(img, quant_tables=_ONES_QT))
+        assert (meta["width"], meta["height"]) == (24, 16)
+        assert meta["media_type"] == "image" and meta["n_frames"] == 1
+        assert (out == img).all()
+
+
+def test_jpeg_marker_structure():
+    """The emitted stream is structurally valid baseline JFIF: SOI, APP0
+    JFIF, two DQTs, SOF0 with 3 components, four DHTs, SOS, EOI — walked
+    by an independent marker scanner (not the decoder)."""
+    from quickstart_streaming_agents_spark.operators.multimodal import make_jpeg
+
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    p = make_jpeg(img, quality=80)
+    assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+    pos, seen = 2, []
+    while True:
+        assert p[pos] == 0xFF
+        marker = p[pos + 1]
+        seen.append(marker)
+        if marker == 0xDA:
+            break
+        seg_len = int.from_bytes(p[pos + 2 : pos + 4], "big")
+        pos += 2 + seg_len
+    assert seen[0] == 0xE0  # APP0 JFIF first
+    assert p[6:11] == b"JFIF\x00"
+    assert seen.count(0xDB) == 2 and seen.count(0xC4) == 4
+    assert seen.count(0xC0) == 1 and seen[-1] == 0xDA
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_jpeg_roundtrip_tolerance(subsampling):
+    """Lossy round trip at quality 95 stays close on a smooth gradient
+    (both chroma layouts) and luma is preserved even under 4:2:0."""
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_jpeg,
+        make_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [(yy * 5) % 256, (xx * 3) % 256, (yy + xx) % 256], axis=2
+    ).astype(np.uint8)
+    meta, out = _decode_jpeg(make_jpeg(img, quality=95, subsampling=subsampling))
+    assert (meta["width"], meta["height"]) == (40, 24)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 3.0
+
+
+def test_jpeg_quality_monotone_and_grayscale():
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_jpeg,
+        make_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (21, 19, 3), np.uint8)
+    errs = [
+        np.abs(
+            _decode_jpeg(make_jpeg(img, quality=q))[1].astype(int)
+            - img.astype(int)
+        ).mean()
+        for q in (10, 50, 95)
+    ]
+    assert errs[0] > errs[1] > errs[2]
+
+    g = rng.randint(0, 256, (10, 13), np.uint8)
+    meta, out = _decode_jpeg(make_jpeg(g, quality=95))
+    assert (meta["width"], meta["height"]) == (13, 10)
+    # grayscale replicates to 3 identical channels
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).mean() < 4.0
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI + RSTn markers: encoder emits them every 3 MCUs, decoder
+    resyncs and resets DC predictors — same tolerance as without."""
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_jpeg,
+        make_jpeg,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (33, 47, 3), np.uint8)
+    p = make_jpeg(img, quality=92, restart_interval=3)
+    assert b"\xff\xdd" in p  # DRI present
+    assert any(bytes([0xFF, 0xD0 + k]) in p for k in range(8))
+    _, out = _decode_jpeg(p)
+    _, base = _decode_jpeg(make_jpeg(img, quality=92))
+    # restart markers change framing only, not reconstruction quality
+    a = np.abs(out.astype(int) - img.astype(int)).mean()
+    b = np.abs(base.astype(int) - img.astype(int)).mean()
+    assert abs(a - b) < 1.0
+
+
+def test_decode_jpeg_rejects_malformed():
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_jpeg,
+        make_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="SOI"):
+        _decode_jpeg(b"not a jpeg")
+    good = make_jpeg(np.full((8, 8, 3), 99, np.uint8))
+    with pytest.raises(ValueError):
+        _decode_jpeg(good[:40])  # truncated before SOS
+    # flip SOF0 to SOF2 (progressive) — must be refused, not mis-decoded
+    prog = bytearray(good)
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="sequential"):
+        _decode_jpeg(bytes(prog))
+
+
+def test_real_decode_sniffs_jpeg(spark):
+    """FFD8 payloads route to the JPEG path inside the Spark plan, next
+    to PNG/GIF/BMP rows in the same column."""
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        make_jpeg,
+    )
+
+    jpg = make_jpeg(np.full((6, 9, 3), 200, np.uint8), quant_tables=_ONES_QT)
+    png = make_png(np.full((4, 5, 3), 10, np.uint8))
+    rows = [(1, bytearray(jpg)), (2, bytearray(png))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.doc_id: r
+        for r in extract_media_features(
+            df, "payload", media_type="image", decoder="real"
+        ).collect()
+    }
+    assert (out[1].media_meta.width, out[1].media_meta.height) == (9, 6)
+    assert (out[2].media_meta.width, out[2].media_meta.height) == (5, 4)
+    # constant 200 -> one-hot histogram bin 7 of 8 (0-based 6): 200/255*8=6.27
+    assert out[1].features[6] == pytest.approx(1.0)
