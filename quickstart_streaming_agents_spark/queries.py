@@ -6360,7 +6360,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact_k_per_stratum, trending_per_window, value_histogram,
 # rolling_active_users, cumulate_agg, late_shipment_priority,
 # large_volume_orders, events_cube, shipping_priority,
-# local_supplier_volume, returned_item_customers)
+# local_supplier_volume, returned_item_customers, promo_revenue_share)
 # have UNCHANGED implementations since their r5 green row and stay pinned
 # every run by tests/test_parity.py, which asserts ALL oracle pairs.
 # ---------------------------------------------------------------------------
@@ -6386,6 +6386,7 @@ _R7_CHECK_FIRST = [
     "multimodal_png_meta",
     "multimodal_gif_meta",
     "video_frame_sample_real",
+    "multimodal_jpeg_meta",
     "min_cost_supplier",
     "excess_quota_suppliers",
     "curation_funnel",
@@ -6414,7 +6415,6 @@ _R7_CHECK_FIRST = [
     "column_profile",
     "window_functions_suite",
     "forecast_revenue_change",
-    "promo_revenue_share",
 ]
 
 
