@@ -136,6 +136,7 @@ HEADLINE = [
     "part_supplier_variety",
     "nation_trade_volume",
     "multimodal_jpeg_meta",
+    "quality_classifier_score",
 ]
 
 

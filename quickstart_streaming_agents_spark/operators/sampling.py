@@ -249,3 +249,77 @@ def dsir_bucket_llr(
          ).alias("r"),
         "tt", "st",
     )
+
+
+def hashed_linear_classifier_score(
+    docs: DataFrame,
+    text_col: str,
+    n_buckets: int = 4096,
+    weight_mod: int = 2001,
+) -> DataFrame:
+    """fastText-style linear text classifier scoring (Joulin et al.
+    2016) — the "pretrained quality classifier" stage of LLM data
+    curation (GPT-3 §A / LLaMA used exactly this model family to filter
+    CommonCrawl against a curated positive class): a document's score is
+    the mean weight of its hashed unigram+bigram features through a
+    linear model.
+
+    Weights here are the engine's deterministic stand-in for a trained
+    model — integer weights in [-(weight_mod-1)/2, +(weight_mod-1)/2]
+    derived from the md5 of the bucket id, so the DuckDB oracle can
+    replay scoring bit-for-bit (swap in a real weight table by joining
+    on ``b`` without changing the plan shape). Bigrams hash into the
+    same bucket space as unigrams, as fastText does.
+
+    Per document: ``raw_margin`` = Σ w(b) over all features (exact
+    BIGINT — no float accumulation, so no cross-engine sum-order
+    drift), ``score`` = raw_margin / (scale · n_features) in a single
+    exact division, ``keep`` = raw_margin > 0.
+
+    Plan: map-only — tokenize, build both feature arrays, and fold the
+    weight sum entirely inside JVM higher-order array functions; ZERO
+    shuffle, zero Python. At 100 TB this runs at scan speed and the
+    keep-filter pushes into the next stage.
+    """
+    half = (weight_mod - 1) // 2
+
+    def bucket(col: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+            % n_buckets
+        )
+
+    def weight(b: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(F.md5(b.cast("string")), 1, 15), 16, 10
+            ).cast("long")
+            % weight_mod
+        ) - half
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d = docs.withColumn("__ts", toks)
+    uni = F.transform(F.col("__ts"), bucket)
+    bi = F.when(
+        F.size("__ts") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__ts") - 1),
+            lambda i: bucket(
+                F.concat(
+                    F.element_at("__ts", i), F.lit(" "),
+                    F.element_at("__ts", i + 1),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    feats = F.concat(uni, bi)
+    margin = F.aggregate(
+        feats, F.lit(0).cast("long"), lambda acc, b: acc + weight(b)
+    )
+    return d.select(
+        *[c for c in docs.columns],
+        F.size(feats).cast("bigint").alias("n_features"),
+        margin.alias("raw_margin"),
+        (margin / (float(half) * F.size(feats))).alias("score"),
+        (margin > 0).alias("keep"),
+    ).drop("__ts")

@@ -6132,6 +6132,60 @@ def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# fastText-style hashed linear classifier scoring (Joulin et al. 2016) —
+# the "pretrained quality classifier" filtering stage of LLM curation
+# (GPT-3 appendix A / LLaMA CommonCrawl filtering use exactly this model
+# family). Unigram+bigram features hash into one 4096-bucket space;
+# deterministic md5-derived integer weights stand in for a trained model
+# so the oracle replays scoring bit-for-bit (a real weight table joins
+# on b without changing the plan). raw_margin is an exact BIGINT fold —
+# no float accumulation order to drift. Plan: map-only JVM higher-order
+# array functions, ZERO shuffle — scan speed at 100 TB.
+# ---------------------------------------------------------------------------
+_QUALITY_CLASSIFIER_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, source,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+    FROM documents
+),
+feats AS (
+    SELECT doc_id, ('0x'||substr(md5(unnest(ts)),1,15))::UBIGINT % 4096 AS b
+    FROM tok
+    UNION ALL
+    SELECT doc_id,
+           ('0x'||substr(md5(ts[i] || ' ' || ts[i+1]),1,15))::UBIGINT % 4096
+    FROM tok, unnest(range(1, len(ts))) AS t(i)
+),
+scored AS (
+    SELECT doc_id, count(*) AS n_features,
+           sum(CAST(('0x'||substr(md5(CAST(b AS VARCHAR)),1,15))::UBIGINT
+                    % 2001 AS BIGINT) - 1000) AS raw_margin
+    FROM feats GROUP BY doc_id
+)
+SELECT s.doc_id, t.source, s.n_features, s.raw_margin,
+       s.raw_margin / (1000.0 * s.n_features) AS score,
+       s.raw_margin > 0 AS keep
+FROM scored s JOIN tok t ON t.doc_id = s.doc_id
+"""
+
+
+@query("quality_classifier_score", oracle=_QUALITY_CLASSIFIER_ORACLE)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality-classifier scoring over documents — see
+    block comment; operator in operators/sampling.py."""
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        hashed_linear_classifier_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return hashed_linear_classifier_score(docs, "text").select(
+        "doc_id", "source", "n_features", "raw_margin", "score", "keep"
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q13 analog (left-outer count-of-counts): how many customers
 # placed exactly k non-urgent orders — INCLUDING the zero-order
 # customers Q13's LEFT JOIN exists to keep. Spark plan decorrelates by
@@ -6360,7 +6414,8 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact_k_per_stratum, trending_per_window, value_histogram,
 # rolling_active_users, cumulate_agg, late_shipment_priority,
 # large_volume_orders, events_cube, shipping_priority,
-# local_supplier_volume, returned_item_customers, promo_revenue_share)
+# local_supplier_volume, returned_item_customers, promo_revenue_share,
+# forecast_revenue_change)
 # have UNCHANGED implementations since their r5 green row and stay pinned
 # every run by tests/test_parity.py, which asserts ALL oracle pairs.
 # ---------------------------------------------------------------------------
@@ -6375,6 +6430,7 @@ _R7_CHECK_FIRST = [
     "disjunctive_revenue",
     "part_supplier_variety",
     "nation_trade_volume",
+    "quality_classifier_score",
     "substring_dedup_clean",
     "duplicate_spans",
     "latest_state_upsert",
@@ -6414,7 +6470,6 @@ _R7_CHECK_FIRST = [
     "user_set_ops",
     "column_profile",
     "window_functions_suite",
-    "forecast_revenue_change",
 ]
 
 
