@@ -137,6 +137,7 @@ HEADLINE = [
     "nation_trade_volume",
     "multimodal_jpeg_meta",
     "quality_classifier_score",
+    "pca_project",
 ]
 
 

@@ -6186,6 +6186,28 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distributed PCA over the embeddings table — the dimensionality-
+# reduction step in front of clustering/ANN/SemDeDup. Single-pass
+# BLAS moments (one mapInPandas scan), tiny (1+d+d²)-row combine +
+# collect, driver-side eigh, then a map-only JVM projection fold —
+# operators/pca.py documents the 100 TB shape. Eigendecomposition has
+# no SQL replay, so this is a rows-only driver check (like
+# anomaly_detect_ar); numerical correctness is pinned by
+# tests/test_pca.py against an independent NumPy full-matrix PCA,
+# including partition-count invariance of the fitted basis.
+# ---------------------------------------------------------------------------
+@query("pca_project")  # non-SQL-expressible (eigh) → rows-only check
+def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 principal-component projection of the embeddings corpus."""
+    from quickstart_streaming_agents_spark.operators.pca import pca
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    return pca(emb, "embedding", k=4).drop("embedding")
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q13 analog (left-outer count-of-counts): how many customers
 # placed exactly k non-urgent orders — INCLUDING the zero-order
 # customers Q13's LEFT JOIN exists to keep. Spark plan decorrelates by
@@ -6415,7 +6437,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rolling_active_users, cumulate_agg, late_shipment_priority,
 # large_volume_orders, events_cube, shipping_priority,
 # local_supplier_volume, returned_item_customers, promo_revenue_share,
-# forecast_revenue_change)
+# forecast_revenue_change, events_pivot)
 # have UNCHANGED implementations since their r5 green row and stay pinned
 # every run by tests/test_parity.py, which asserts ALL oracle pairs.
 # ---------------------------------------------------------------------------
@@ -6431,6 +6453,7 @@ _R7_CHECK_FIRST = [
     "part_supplier_variety",
     "nation_trade_volume",
     "quality_classifier_score",
+    "pca_project",
     "substring_dedup_clean",
     "duplicate_spans",
     "latest_state_upsert",
@@ -6466,7 +6489,6 @@ _R7_CHECK_FIRST = [
     "event_funnel",
     "cohort_retention",
     "semi_anti_customers",
-    "events_pivot",
     "user_set_ops",
     "column_profile",
     "window_functions_suite",

@@ -1,0 +1,90 @@
+"""Distributed PCA pinned against an independent full-matrix NumPy PCA.
+
+The operator computes covariance from single-pass distributed moments
+(Σx, Σxxᵀ); the reference here recomputes it the textbook way
+(center first, then X_cᵀX_c) — different arithmetic path, same answer
+to float tolerance. No SQL oracle is possible (eigendecomposition), so
+this test is the correctness pin backing the rows-only driver check of
+the ``pca_project`` query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from quickstart_streaming_agents_spark.operators.pca import (
+    pca,
+    pca_fit,
+    pca_project,
+)
+
+
+def _reference_pca(x: np.ndarray, k: int):
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = xc.T @ xc / (len(x) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    idx = np.argsort(evals)[::-1][:k]
+    comp = evecs[:, idx]
+    for j in range(k):
+        if comp[np.argmax(np.abs(comp[:, j])), j] < 0:
+            comp[:, j] = -comp[:, j]
+    return mean, comp, evals[idx]
+
+
+def _make_df(spark, x):
+    rows = [(i, [float(v) for v in row]) for i, row in enumerate(x)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pca_matches_numpy_reference(spark):
+    rng = np.random.RandomState(42)
+    # anisotropic cloud: distinct, well-separated eigenvalues
+    basis = rng.randn(6, 6)
+    x = rng.randn(300, 6) * np.array([8.0, 4.0, 2.0, 1.0, 0.5, 0.25]) @ basis
+    df = _make_df(spark, x).repartition(7)  # moments cross partitions
+
+    mean, comp, evals = pca_fit(df, "embedding", k=3)
+    rmean, rcomp, revals = _reference_pca(x, 3)
+
+    np.testing.assert_allclose(mean, rmean, atol=1e-9)
+    np.testing.assert_allclose(evals, revals, rtol=1e-8)
+    np.testing.assert_allclose(comp, rcomp, atol=1e-7)
+    # components are orthonormal
+    np.testing.assert_allclose(comp.T @ comp, np.eye(3), atol=1e-10)
+
+    out = pca_project(df, "embedding", mean, comp).collect()
+    got = {r.vec_id: [r.pc1, r.pc2, r.pc3] for r in out}
+    want = (x - rmean) @ rcomp
+    for i in range(len(x)):
+        np.testing.assert_allclose(got[i], want[i], atol=1e-7)
+    # projected variance per axis equals the eigenvalue
+    proj = np.array([got[i] for i in range(len(x))])
+    np.testing.assert_allclose(proj.var(axis=0, ddof=1), revals, rtol=1e-6)
+
+
+def test_pca_partition_invariance(spark):
+    rng = np.random.RandomState(7)
+    x = rng.randn(100, 5)
+    a = pca_fit(_make_df(spark, x).repartition(1), "embedding", 2)
+    b = pca_fit(_make_df(spark, x).repartition(13), "embedding", 2)
+    np.testing.assert_allclose(a[0], b[0], atol=1e-12)
+    np.testing.assert_allclose(a[1], b[1], atol=1e-9)
+
+
+def test_pca_guards(spark):
+    df = _make_df(spark, np.zeros((1, 4)))
+    with pytest.raises(ValueError, match=">= 2 vectors"):
+        pca_fit(df, "embedding", 2)
+    df2 = _make_df(spark, np.zeros((5, 4)))
+    with pytest.raises(ValueError, match="1 <= k <= dim"):
+        pca_fit(df2, "embedding", 9)
+
+
+def test_pca_end_to_end_helper(spark):
+    rng = np.random.RandomState(1)
+    x = rng.randn(60, 4)
+    out = pca(_make_df(spark, x), "embedding", k=2)
+    assert out.columns[-2:] == ["pc1", "pc2"]
+    assert out.count() == 60
