@@ -138,6 +138,7 @@ HEADLINE = [
     "multimodal_jpeg_meta",
     "quality_classifier_score",
     "pca_project",
+    "media_probe_meta",
 ]
 
 

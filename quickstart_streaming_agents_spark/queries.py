@@ -6208,6 +6208,133 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Header-only media probing over a mixed 7-container corpus — the
+# scan-speed triage stage before any decode (route/filter/partition
+# assets on container + dims + duration). MP3 frame-walk and MP4
+# box-walk metadata are REAL (public header formats need no codec);
+# PNG/GIF/JPEG probes read headers only (no inflate, no LZW, no entropy
+# decode). Synthesis per doc_id i (container = i % 7):
+#   0 png  w=1+i%6 h=1+i%4 | 1 gif w=1+i%5 h=1+i%3 nf=1+i%4
+#     delay=(1+i%3)·10ms (video iff nf>1) | 2 jpeg w=3+i%9 h=2+i%7
+#   3 bmp  w=1+i%8 h=1+i%5 | 4 wav n=104+8·(i%50) samples @8kHz,
+#     ch=1+i%2 → dur=n/8 ms exactly | 5 mp3 nf=3+i%7 @128kbps/44.1kHz,
+#     mono iff i odd → dur=round(nf·1152000/44100)
+#   6 mp4 w=16·(1+i%4) h=9·(1+i%4) dur=100·(1+i%20) ms (timescale 1000)
+#   i%23==0 → garbage payload → NULL container+meta (on_error="null").
+# ---------------------------------------------------------------------------
+_MEDIA_PROBE_ORACLE = """
+WITH base AS (
+    SELECT doc_id, doc_id % 23 = 0 AS corrupt, doc_id % 7 AS c
+    FROM documents
+)
+SELECT doc_id,
+    CASE WHEN corrupt THEN NULL
+         ELSE ['png','gif','jpeg','bmp','wav','mp3','mp4'][c + 1]
+    END AS container,
+    CASE WHEN corrupt THEN NULL
+         WHEN c IN (0, 2, 3) THEN 'image'
+         WHEN c = 1 THEN CASE WHEN 1 + doc_id % 4 > 1
+                              THEN 'video' ELSE 'image' END
+         WHEN c IN (4, 5) THEN 'audio'
+         ELSE 'video' END AS media_type,
+    CAST(CASE WHEN corrupt THEN NULL
+         WHEN c = 0 THEN 1 + doc_id % 6
+         WHEN c = 1 THEN 1 + doc_id % 5
+         WHEN c = 2 THEN 3 + doc_id % 9
+         WHEN c = 3 THEN 1 + doc_id % 8
+         WHEN c = 4 THEN 1 + doc_id % 2
+         WHEN c = 5 THEN CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END
+         ELSE 16 * (1 + doc_id % 4) END AS INT) AS width,
+    CAST(CASE WHEN corrupt THEN NULL
+         WHEN c = 0 THEN 1 + doc_id % 4
+         WHEN c = 1 THEN 1 + doc_id % 3
+         WHEN c = 2 THEN 2 + doc_id % 7
+         WHEN c = 3 THEN 1 + doc_id % 5
+         WHEN c IN (4, 5) THEN NULL
+         ELSE 9 * (1 + doc_id % 4) END AS INT) AS height,
+    CAST(CASE WHEN corrupt THEN NULL
+         WHEN c IN (0, 2, 3) THEN 1
+         WHEN c = 1 THEN 1 + doc_id % 4
+         WHEN c = 4 THEN 104 + 8 * (doc_id % 50)
+         WHEN c = 5 THEN 3 + doc_id % 7
+         ELSE NULL END AS INT) AS n_frames,
+    CAST(CASE WHEN corrupt THEN NULL
+         WHEN c IN (0, 2, 3) THEN 0
+         WHEN c = 1 THEN (1 + doc_id % 4) * (1 + doc_id % 3) * 10
+         WHEN c = 4 THEN (104 + 8 * (doc_id % 50)) / 8
+         WHEN c = 5 THEN round((3 + doc_id % 7) * 1152000.0 / 44100)
+         ELSE 100 * (1 + doc_id % 20) END AS BIGINT) AS duration_ms
+FROM base
+"""
+
+
+@query("media_probe_meta", oracle=_MEDIA_PROBE_ORACLE)
+def media_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only triage probe over a mixed 7-container corpus —
+    synthesis rules in the oracle comment above."""
+    import numpy as np
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        make_bmp,
+        make_gif,
+        make_jpeg,
+        make_mp3,
+        make_mp4,
+        make_png,
+        make_wav,
+        probe_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ones = (np.ones((8, 8), np.int64), np.ones((8, 8), np.int64))
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 23 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                    continue
+                c = i % 7
+                if c == 0:
+                    p = make_png(np.zeros((1 + i % 4, 1 + i % 6, 3), np.uint8))
+                elif c == 1:
+                    nf = 1 + i % 4
+                    frames = [np.zeros((1 + i % 3, 1 + i % 5, 3), np.uint8)
+                              for _ in range(nf)]
+                    p = make_gif(frames, delay_cs=1 + i % 3)
+                elif c == 2:
+                    p = make_jpeg(np.zeros((2 + i % 7, 3 + i % 9, 3), np.uint8),
+                                  quant_tables=ones)
+                elif c == 3:
+                    p = make_bmp(np.zeros((1 + i % 5, 1 + i % 8, 3), np.uint8))
+                elif c == 4:
+                    n = 104 + 8 * (i % 50)
+                    p = make_wav(np.zeros((n, 1 + i % 2), np.int16), rate=8000)
+                elif c == 5:
+                    p = make_mp3(3 + i % 7, 128, 44100, mono=bool(i % 2))
+                else:
+                    k = 1 + i % 4
+                    p = make_mp4(16 * k, 9 * k, 100 * (1 + i % 20))
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    probed = probe_media(synth_df, "payload")
+    return probed.select(
+        "doc_id",
+        "container",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.n_frames").alias("n_frames"),
+        F.col("media_meta.duration_ms").alias("duration_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q13 analog (left-outer count-of-counts): how many customers
 # placed exactly k non-urgent orders — INCLUDING the zero-order
 # customers Q13's LEFT JOIN exists to keep. Spark plan decorrelates by
@@ -6437,7 +6564,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rolling_active_users, cumulate_agg, late_shipment_priority,
 # large_volume_orders, events_cube, shipping_priority,
 # local_supplier_volume, returned_item_customers, promo_revenue_share,
-# forecast_revenue_change, events_pivot)
+# forecast_revenue_change, events_pivot, user_set_ops)
 # have UNCHANGED implementations since their r5 green row and stay pinned
 # every run by tests/test_parity.py, which asserts ALL oracle pairs.
 # ---------------------------------------------------------------------------
@@ -6466,6 +6593,7 @@ _R7_CHECK_FIRST = [
     "multimodal_gif_meta",
     "video_frame_sample_real",
     "multimodal_jpeg_meta",
+    "media_probe_meta",
     "min_cost_supplier",
     "excess_quota_suppliers",
     "curation_funnel",
@@ -6489,7 +6617,6 @@ _R7_CHECK_FIRST = [
     "event_funnel",
     "cohort_retention",
     "semi_anti_customers",
-    "user_set_ops",
     "column_profile",
     "window_functions_suite",
 ]

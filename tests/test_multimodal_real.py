@@ -575,3 +575,74 @@ def test_real_decode_sniffs_jpeg(spark):
     assert (out[2].media_meta.width, out[2].media_meta.height) == (5, 4)
     # constant 200 -> one-hot histogram bin 7 of 8 (0-based 6): 200/255*8=6.27
     assert out[1].features[6] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Header-only probing (probe_media) — triage without decode
+# ---------------------------------------------------------------------------
+
+def test_probe_all_containers():
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _probe, make_gif, make_jpeg, make_mp3, make_mp4,
+    )
+
+    c, m = _probe(make_mp3(10, 128, 44100))
+    assert c == "mp3" and m["media_type"] == "audio"
+    assert m["n_frames"] == 10 and m["width"] == 2
+    assert m["duration_ms"] == round(10 * 1152 * 1000 / 44100)
+
+    c, m = _probe(make_mp3(5, 64, 32000, mono=True, id3_pad=17))
+    assert (m["n_frames"], m["width"], m["duration_ms"]) == (5, 1, 180)
+
+    c, m = _probe(make_mp4(640, 360, 2500))
+    assert c == "mp4" and m["media_type"] == "video"
+    assert (m["width"], m["height"], m["duration_ms"]) == (640, 360, 2500)
+    assert m["n_frames"] is None  # sample tables are decode territory
+
+    # GIF frame count + delays WITHOUT LZW decompression
+    frames = [np.full((2, 4, 3), v, np.uint8) for v in (1, 2, 3)]
+    c, m = _probe(make_gif(frames, delay_cs=7))
+    assert c == "gif" and (m["n_frames"], m["duration_ms"]) == (3, 210)
+
+    # progressive JPEG probes fine even though the decoder refuses it
+    p = bytearray(make_jpeg(np.zeros((6, 9, 3), np.uint8)))
+    p[p.find(b"\xff\xc0") + 1] = 0xC2
+    c, m = _probe(bytes(p))
+    assert c == "jpeg" and (m["width"], m["height"]) == (9, 6)
+
+
+def test_probe_rejects_malformed():
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _probe, make_mp3,
+    )
+
+    with pytest.raises(ValueError, match="unrecognized"):
+        _probe(b"garbage!")
+    with pytest.raises(ValueError, match="no valid MPEG"):
+        _probe(b"ID3\x04\x00\x00\x00\x00\x00\x00")  # tag, no frames
+    # truncated final frame: complete frames still count
+    good = make_mp3(4, 128, 44100)
+    from quickstart_streaming_agents_spark.operators.multimodal import _probe as pr
+    _, m = pr(good[:-10])
+    assert m["n_frames"] == 3
+
+
+def test_probe_media_spark_mixed_corpus(spark):
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        make_mp3, make_mp4, make_png, probe_media,
+    )
+
+    rows = [
+        (1, bytearray(make_png(np.zeros((3, 5, 3), np.uint8)))),
+        (2, bytearray(make_mp3(6, 192, 48000))),
+        (3, bytearray(make_mp4(320, 180, 1500))),
+        (4, bytearray(b"not media")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in probe_media(df, "payload").collect()}
+    assert out[1].container == "png" and out[1].media_meta.width == 5
+    assert out[2].container == "mp3" and out[2].media_meta.n_frames == 6
+    assert out[3].container == "mp4" and out[3].media_meta.duration_ms == 1500
+    assert out[4].container is None and out[4].media_meta is None
+    with pytest.raises(Exception):
+        probe_media(df, "payload", on_error="raise").collect()
