@@ -638,3 +638,48 @@ def dsir_stream_pipeline(
     catalog.create_table_as("dsir_scored_docs", scored, available_now=True)
     catalog.await_all()
     return catalog
+
+
+def quality_filter_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+) -> StreamCatalog:
+    """Continuous quality-classifier filtering — the streaming half of
+    the fastText-style gate (queries.quality_classifier_score): each
+    arriving document is scored by the SAME operator
+    (operators/sampling.hashed_linear_classifier_score — a JVM
+    higher-order fold over hashed unigram+bigram features) and only
+    ``keep`` rows reach the curated topic; rejects land on a quarantine
+    topic with their margin for audit. Completely stateless and
+    shuffle-free: the weight table is part of the expression (a real
+    trained model would broadcast-join on the bucket id — still
+    stateless), so the stream is map-only, trivially restartable, and
+    parity with batch is EXACT (integer margins — no float summation
+    order to drift, unlike the ROUND(4)-pinned DSIR twin).
+    """
+    from ..operators.sampling import hashed_linear_classifier_score
+
+    spark = catalog.spark
+    docs = spark.read.parquet(documents_path)
+    stamped = docs.select(
+        "doc_id", "source", "text",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ).alias("ts"),
+    )
+    catalog.create_table_as("qc_raw_docs", stamped)
+
+    stream = catalog.read_stream("qc_raw_docs")
+    scored = hashed_linear_classifier_score(stream, "text").select(
+        "doc_id", "source", "n_features", "raw_margin", "score", "keep"
+    )
+    catalog.create_table_as(
+        "qc_curated_docs", scored.filter(F.col("keep")).drop("keep"),
+        available_now=True,
+    )
+    catalog.create_table_as(
+        "qc_quarantine_docs", scored.filter(~F.col("keep")).drop("keep"),
+        available_now=True,
+    )
+    catalog.await_all()
+    return catalog

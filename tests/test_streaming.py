@@ -869,3 +869,34 @@ def test_dsir_stream_matches_batch(spark, catalog):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_quality_filter_stream_matches_batch(spark, catalog):
+    """Streaming classifier gate must EXACTLY partition the corpus the
+    way the batch quality_classifier_score query does — integer margins,
+    so parity is bit-exact with no rounding pin needed."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        quality_filter_stream_pipeline,
+    )
+
+    quality_filter_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet"
+    )
+    kept = {
+        (r.doc_id, r.source, r.n_features, r.raw_margin, r.score)
+        for r in catalog.read_batch("qc_curated_docs").collect()
+    }
+    rejected = {
+        r.doc_id
+        for r in catalog.read_batch("qc_quarantine_docs").collect()
+    }
+    batch = QUERIES["quality_classifier_score"](spark, SF_DIR).collect()
+    want_kept = {
+        (r.doc_id, r.source, r.n_features, r.raw_margin, r.score)
+        for r in batch if r.keep
+    }
+    want_rejected = {r.doc_id for r in batch if not r.keep}
+    assert kept == want_kept
+    assert rejected == want_rejected
+    assert kept and rejected  # both sides of the gate exercised

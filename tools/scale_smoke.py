@@ -107,6 +107,32 @@ def main() -> None:
         keys=["lang"], order=[F.col("v").desc(), F.col("doc_id")], k=5,
     ))
 
+    # Round-7 additions: the fastText-style classifier (map-only JVM
+    # fold — must track the generate+score map-only line, i.e. linear
+    # at scan speed) and distributed PCA (single moment pass + map-only
+    # projection; vectors synthesized from the doc hash so the stage is
+    # self-contained).
+    from quickstart_streaming_agents_spark.operators.pca import pca
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        hashed_linear_classifier_score,
+    )
+
+    stage("classifier score (map-only)", hashed_linear_classifier_score(
+        docs.select("doc_id", "text"), "text"
+    ))
+    vecs = docs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: (
+                F.conv(F.substring(F.md5(F.concat_ws("|", "doc_id", i)), 1, 15),
+                       16, 10).cast("double") / F.lit(float(1 << 60))
+            ),
+        ).alias("embedding"),
+    )
+    t0 = time.perf_counter()
+    stage("pca fit+project (d=16,k=4)", pca(vecs, "embedding", k=4), t0)
+
     t0 = time.perf_counter()
     flagship = build_training_pipeline(docs)
     n_ex = count_exchanges(flagship)
