@@ -139,6 +139,7 @@ HEADLINE = [
     "quality_classifier_score",
     "pca_project",
     "media_probe_meta",
+    "winnowing_dedup_pairs",
 ]
 
 

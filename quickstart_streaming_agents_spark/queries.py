@@ -6335,6 +6335,118 @@ def media_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003 — the MOSS local
+# document-fingerprinting algorithm): hash overlapping word 3-grams in
+# ORDER, then keep the minimum hash of every 4-hash window
+# (array_distinct of window minima). Guarantee: any shared run of
+# ≥ w+k−1 tokens shares ≥1 fingerprint — position-robust near-dup
+# candidates at ~2/(w+1) the density of the full shingle set (cheaper
+# candidate join than ngram_jaccard's distinct-shingle explode; a
+# different documented family, not a variant of MinHash). Fingerprints
+# shared by >64 docs are dropped before pairing (the hot-shingle cap
+# discipline — boilerplate grams can't create a quadratic hot key).
+# Plan: map-only fingerprint fold (JVM higher-order slices), one
+# explode, freq agg + equi self-join on the fingerprint — never
+# all-pairs. Pairs must share ≥2 fingerprints.
+# ---------------------------------------------------------------------------
+_WINNOWING_ORACLE = r"""
+WITH d AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 3
+                THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                      for i in range(1, len(w) - 1)]
+                ELSE [array_to_string(w, ' ')] END AS grams
+    FROM d
+),
+h AS (
+    SELECT doc_id,
+           list_transform(
+               grams, s -> ('0x' || substr(md5(s), 1, 15))::UBIGINT
+           ) AS hs
+    FROM g
+),
+f AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(hs) >= 4
+             THEN [list_min(hs[j:j+3]) for j in range(1, len(hs) - 2)]
+             ELSE [list_min(hs)] END)) AS fp
+    FROM h
+),
+ok AS (SELECT fp FROM f GROUP BY fp HAVING count(DISTINCT doc_id) <= 64),
+fk AS (SELECT f.doc_id, f.fp FROM f JOIN ok ON ok.fp = f.fp)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+@query("winnowing_dedup_pairs", oracle=_WINNOWING_ORACLE)
+def winnowing_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint near-dup candidates — see block
+    comment for the algorithm and scale shape."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+
+    def h(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    grams = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+            ),
+        ),
+    ).otherwise(F.array(F.array_join(w, " ")))
+    # NOTE: the "obvious" array formulation — transform(sequence(...),
+    # j -> array_min(slice(hashes, j, 4))) — re-inlines the `hashes`
+    # expression into EVERY window lambda (Catalyst has no cross-lambda
+    # CSE), recomputing all n md5s per window: O(n²) hashes/doc, ~100 s
+    # at sf0.01. Explode-then-window computes each md5 exactly once and
+    # takes the rolling min as a rows-between window — one keyed
+    # shuffle, O(n·w) JVM work.
+    e = docs.select("doc_id", F.posexplode(grams).alias("j", "g")).select(
+        "doc_id", "j", h(F.col("g")).alias("hv")
+    )
+    per_doc = Window.partitionBy("doc_id")
+    roll = Window.partitionBy("doc_id").orderBy("j").rowsBetween(0, 3)
+    m = F.max("j").over(per_doc) + 1
+    fp_col = F.when(
+        m >= 4,
+        F.when(F.col("j") <= m - 4, F.min("hv").over(roll)),
+    ).otherwise(F.min("hv").over(per_doc))
+    f = (
+        e.select("doc_id", fp_col.alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+    )
+    ok = (
+        f.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("c"))
+        .filter(F.col("c") <= 64)
+        .select("fp")
+    )
+    fk = f.join(ok, "fp")
+    a = fk.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fk.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q13 analog (left-outer count-of-counts): how many customers
 # placed exactly k non-urgent orders — INCLUDING the zero-order
 # customers Q13's LEFT JOIN exists to keep. Spark plan decorrelates by
@@ -6564,7 +6676,8 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rolling_active_users, cumulate_agg, late_shipment_priority,
 # large_volume_orders, events_cube, shipping_priority,
 # local_supplier_volume, returned_item_customers, promo_revenue_share,
-# forecast_revenue_change, events_pivot, user_set_ops)
+# forecast_revenue_change, events_pivot, user_set_ops,
+# semi_anti_customers)
 # have UNCHANGED implementations since their r5 green row and stay pinned
 # every run by tests/test_parity.py, which asserts ALL oracle pairs.
 # ---------------------------------------------------------------------------
@@ -6580,6 +6693,7 @@ _R7_CHECK_FIRST = [
     "part_supplier_variety",
     "nation_trade_volume",
     "quality_classifier_score",
+    "winnowing_dedup_pairs",
     "pca_project",
     "substring_dedup_clean",
     "duplicate_spans",
@@ -6616,7 +6730,6 @@ _R7_CHECK_FIRST = [
     "bm25_search",
     "event_funnel",
     "cohort_retention",
-    "semi_anti_customers",
     "column_profile",
     "window_functions_suite",
 ]
