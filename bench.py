@@ -140,6 +140,8 @@ HEADLINE = [
     "pca_project",
     "media_probe_meta",
     "winnowing_dedup_pairs",
+    "nation_market_share",
+    "nation_profit",
 ]
 
 

@@ -6447,6 +6447,156 @@ def winnowing_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q8 analog (conditional market share per year): among revenue
+# from ASIA-region customers, NATION_2-supplied share per ship year —
+# Q8's sum(CASE)/sum() two-level shape with the region restriction
+# pushed through the customer→nation snowflake. Spark plan: the
+# customer-side region filter is resolved INSIDE the broadcast dims
+# (nation⋈region collapses to an isin list at plan time — no region
+# scan at run time), lineitem⋈orders is the one big join, supplier and
+# nation broadcast. Share = ratio of two exact integer sums → one
+# division, bit-identical across engines.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_market_share",
+    oracle="""
+    SELECT CAST(year(l.l_shipdate) AS INT) AS o_year,
+           sum(CASE WHEN n1.n_name = 'NATION_2'
+                    THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * CAST(100 - round(l.l_discount * 100) AS BIGINT)
+                    ELSE 0 END)
+           * 1.0 /
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(100 - round(l.l_discount * 100) AS BIGINT))
+               AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n2.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog — see block comment for the plan shape."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    tenk = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100)).cast("bigint")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(asia_cust, o.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .withColumn("__tenk", tenk)
+        .groupBy(F.year("l_shipdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2",
+                           F.col("__tenk")).otherwise(F.lit(0).cast("bigint"))
+                )
+                * 1.0
+                / F.sum("__tenk")
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 analog (profit by nation and year): revenue minus a cost
+# proxy (the fixture has no partsupp, so cost re-anchors to
+# p_retailprice·l_quantity·0.8) for parts named like '%bolt%', grouped
+# by supplier nation and order year — Q9's pattern-filtered snowflake
+# profit rollup. All terms are summed in an exact integer domain
+# (ten-thousandths) and half-up-rounded to cents with (t+5000) div
+# 10000 BEFORE the one float division, so .xx5 ties can't drift between
+# engines. Plan: part pattern filter pushed into the broadcast dim,
+# lineitem⋈orders the one big join.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_profit",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           ((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(100 - round(l.l_discount * 100) AS BIGINT)
+                 - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                   * CAST(round(l.l_quantity * 80) AS BIGINT))
+             + 5000) // 10000) / 100.0 AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+)
+def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog — see block comment for the adaptation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100)).cast("bigint")
+        - F.round(F.col("p_retailprice") * 100).cast("bigint")
+        * F.round(F.col("l_quantity") * 80).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .withColumn("__amt", amount)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            # Spark's integer `div` and DuckDB's integer `//` BOTH
+            # truncate toward zero (verified on negatives), so the
+            # half-up cent rounding is engine-identical for either sign
+            (F.expr("(sum(__amt) + 5000) div 10000") / 100.0).alias("profit")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q13 analog (left-outer count-of-counts): how many customers
 # placed exactly k non-urgent orders — INCLUDING the zero-order
 # customers Q13's LEFT JOIN exists to keep. Spark plan decorrelates by
@@ -6677,7 +6827,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # large_volume_orders, events_cube, shipping_priority,
 # local_supplier_volume, returned_item_customers, promo_revenue_share,
 # forecast_revenue_change, events_pivot, user_set_ops,
-# semi_anti_customers)
+# semi_anti_customers, event_funnel, bm25_search)
 # have UNCHANGED implementations since their r5 green row and stay pinned
 # every run by tests/test_parity.py, which asserts ALL oracle pairs.
 # ---------------------------------------------------------------------------
@@ -6692,6 +6842,8 @@ _R7_CHECK_FIRST = [
     "disjunctive_revenue",
     "part_supplier_variety",
     "nation_trade_volume",
+    "nation_market_share",
+    "nation_profit",
     "quality_classifier_score",
     "winnowing_dedup_pairs",
     "pca_project",
@@ -6727,8 +6879,6 @@ _R7_CHECK_FIRST = [
     "verdict_parse",
     "tool_invoke",
     "embedding_near_dup",
-    "bm25_search",
-    "event_funnel",
     "cohort_retention",
     "column_profile",
     "window_functions_suite",
