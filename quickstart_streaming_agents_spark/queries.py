@@ -6198,13 +6198,28 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("pca_project")  # non-SQL-expressible (eigh) → rows-only check
 def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-4 principal-component projection of the embeddings corpus."""
-    from quickstart_streaming_agents_spark.operators.pca import pca
+    """Top-4 principal-component projection of the embeddings corpus.
+
+    A degenerate corpus (empty, or a single vector — no covariance)
+    projects to NULL coordinates instead of failing: curation pipelines
+    run on arbitrary slices, and the empty-slice contract
+    (tests/test_empty_inputs.py) applies to every registered query."""
+    from quickstart_streaming_agents_spark.operators.pca import (
+        pca_fit,
+        pca_project as project,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
-    return pca(emb, "embedding", k=4).drop("embedding")
+    try:
+        mean, comp, _ = pca_fit(emb, "embedding", k=4)
+    except ValueError:  # < 2 vectors: basis undefined
+        return emb.select(
+            "vec_id", "label",
+            *[F.lit(None).cast("double").alias(f"pc{j + 1}") for j in range(4)],
+        )
+    return project(emb, "embedding", mean, comp).drop("embedding")
 
 
 # ---------------------------------------------------------------------------
