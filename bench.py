@@ -142,6 +142,7 @@ HEADLINE = [
     "winnowing_dedup_pairs",
     "nation_market_share",
     "nation_profit",
+    "key_skew_histogram",
 ]
 
 

@@ -6612,6 +6612,57 @@ def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Key-skew diagnostic — the profile you run on a join/agg key BEFORE
+# deciding between a plain shuffle, broadcast, AQE skew hints, or the
+# salted two-stage plan (operators/topk.py): log2-bucketed histogram of
+# per-key frequencies plus each bucket's share of total rows, entirely
+# in exact integers (no percentile-function semantics to drift between
+# engines). Reading it: mass concentrated in high buckets ⇒ hot keys ⇒
+# salting; everything in bucket 0-3 ⇒ plain hash shuffle is fine.
+# Plan: one keyed partial-agg shuffle (the same cost as the join's own
+# shuffle would be) + a tiny bucket rollup. share_pct = ratio of two
+# exact BIGINTs rounded at 4 — engine-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "key_skew_histogram",
+    oracle="""
+    WITH kc AS (
+        SELECT user_id, count(*) AS c FROM events GROUP BY 1
+    ),
+    t AS (SELECT sum(c) AS total FROM kc)
+    SELECT CAST(length(bin(c)) - 1 AS INT) AS freq_bucket,
+           count(*) AS n_keys,
+           min(c) AS min_freq,
+           max(c) AS max_freq,
+           round(sum(c) * 1.0 / t.total, 4) AS share_pct
+    FROM kc, t
+    GROUP BY 1, t.total
+    """,
+)
+def key_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile over events.user_id — see block comment."""
+    ev = load_table(spark, sf_dir, "events")
+    kc = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    t = kc.agg(F.sum("c").alias("total"))
+    return (
+        kc.join(F.broadcast(t))
+        .groupBy(
+            # length(bin(c))-1 == floor(log2(c)) in EXACT integer ops —
+            # libm log2 can land a hair under an integer at powers of 2
+            (F.length(F.bin("c")) - 1).cast("int").alias("freq_bucket"),
+            "total",
+        )
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.min("c").alias("min_freq"),
+            F.max("c").alias("max_freq"),
+            F.round(F.sum("c") * 1.0 / F.first("total"), 4).alias("share_pct"),
+        )
+        .drop("total")
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q13 analog (left-outer count-of-counts): how many customers
 # placed exactly k non-urgent orders — INCLUDING the zero-order
 # customers Q13's LEFT JOIN exists to keep. Spark plan decorrelates by
@@ -6842,7 +6893,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # large_volume_orders, events_cube, shipping_priority,
 # local_supplier_volume, returned_item_customers, promo_revenue_share,
 # forecast_revenue_change, events_pivot, user_set_ops,
-# semi_anti_customers, event_funnel, bm25_search)
+# semi_anti_customers, event_funnel, bm25_search, verdict_parse)
 # have UNCHANGED implementations since their r5 green row and stay pinned
 # every run by tests/test_parity.py, which asserts ALL oracle pairs.
 # ---------------------------------------------------------------------------
@@ -6861,6 +6912,7 @@ _R7_CHECK_FIRST = [
     "nation_profit",
     "quality_classifier_score",
     "winnowing_dedup_pairs",
+    "key_skew_histogram",
     "pca_project",
     "substring_dedup_clean",
     "duplicate_spans",
@@ -6891,7 +6943,6 @@ _R7_CHECK_FIRST = [
     "ml_predict_embedding",
     "rag_pipeline",
     "label_centroids",
-    "verdict_parse",
     "tool_invoke",
     "embedding_near_dup",
     "cohort_retention",
