@@ -366,3 +366,59 @@ def test_ar_p3_matches_numpy_closed_form(train, z):
         # shared scale-aware tolerance: both solvers regularize with the
         # same lam, so agreement is limited only by conditioning noise
         assert abs(g - w) <= 1e-6 * scale + 1e-8, (got, want, train)
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (operators/multimodal.py) — pure-Python T.81 baseline
+# ---------------------------------------------------------------------------
+
+@given(
+    st.integers(min_value=1, max_value=40),   # width
+    st.integers(min_value=1, max_value=40),   # height
+    st.integers(min_value=0, max_value=255),  # constant value
+    st.sampled_from(["444", "420"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_constant_exact_any_shape(w, h, v, subsampling):
+    """All-ones quant tables + constant image ⇒ bit-exact round trip at
+    EVERY shape (incl. non-multiple-of-8/16 dims exercising edge-pad),
+    both chroma layouts."""
+    import numpy as np
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_jpeg,
+        make_jpeg,
+    )
+
+    ones = (np.ones((8, 8), np.int64), np.ones((8, 8), np.int64))
+    img = np.full((h, w, 3), v, np.uint8)
+    meta, out = _decode_jpeg(
+        make_jpeg(img, quant_tables=ones, subsampling=subsampling)
+    )
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert (out == img).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=32),
+    st.integers(min_value=1, max_value=32),
+    st.integers(min_value=0, max_value=2**32 - 1),  # rng seed
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_q95_bounded_error_any_shape(w, h, seed):
+    """Random content at quality 95 (4:4:4) stays within a tight error
+    bound for any shape — quantization error only, no structural bugs
+    (a mis-placed block or wrong zigzag would blow this bound up)."""
+    import numpy as np
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_jpeg,
+        make_jpeg,
+    )
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, 3), np.uint8)
+    meta, out = _decode_jpeg(make_jpeg(img, quality=95))
+    assert (meta["width"], meta["height"]) == (w, h)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 12.0 and err.max() <= 70
