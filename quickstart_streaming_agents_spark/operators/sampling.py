@@ -300,16 +300,19 @@ def hashed_linear_classifier_score(
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     d = docs.withColumn("__ts", toks)
     uni = F.transform(F.col("__ts"), bucket)
+    # bigrams via shifted-slice zip_with, NOT element_at inside a
+    # transform lambda: CollapseProject substitutes __ts back to the
+    # split expression at every use, and element_at per index would
+    # re-run the split O(n) times per doc (no cross-lambda CSE)
+    n = F.size("__ts")
     bi = F.when(
-        F.size("__ts") >= 2,
+        n >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size("__ts") - 1),
-            lambda i: bucket(
-                F.concat(
-                    F.element_at("__ts", i), F.lit(" "),
-                    F.element_at("__ts", i + 1),
-                )
+            F.zip_with(
+                F.slice("__ts", 1, n - 1), F.slice("__ts", 2, n - 1),
+                lambda x, y: F.concat(x, F.lit(" "), y),
             ),
+            bucket,
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     feats = F.concat(uni, bi)

@@ -6411,14 +6411,21 @@ def winnowing_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def h(col):
         return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
+    # grams via shifted-slice zip_with, NOT element_at inside a
+    # transform lambda: element_at(w, i) re-inlines the regex split per
+    # element access (no cross-lambda CSE) — O(n²) splits per doc, 5×
+    # slower end to end. zip_with references the split a constant
+    # number of times.
+    n = F.size(w)
     grams = F.when(
-        F.size(w) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i), F.element_at(w, i + 1),
-                F.element_at(w, i + 2),
+        n >= 3,
+        F.zip_with(
+            F.slice(w, 1, n - 2),
+            F.zip_with(
+                F.slice(w, 2, n - 2), F.slice(w, 3, n - 2),
+                lambda x, y: F.concat(x, F.lit(" "), y),
             ),
+            lambda x, yz: F.concat(x, F.lit(" "), yz),
         ),
     ).otherwise(F.array(F.array_join(w, " ")))
     # NOTE: the "obvious" array formulation — transform(sequence(...),
