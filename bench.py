@@ -143,6 +143,7 @@ HEADLINE = [
     "nation_market_share",
     "nation_profit",
     "key_skew_histogram",
+    "chat_template_render",
 ]
 
 

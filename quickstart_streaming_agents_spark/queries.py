@@ -6670,6 +6670,72 @@ def key_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SFT chat-template rendering — the instruction-tuning data-prep stage:
+# structure a document into (user, assistant) turns, render the
+# training string with special tokens, and emit the ASSISTANT SPAN
+# character offsets the trainer needs for loss masking (labels outside
+# the span are -100). Everything is JVM string/length arithmetic — the
+# mask offsets are DERIVED from the same lengths the rendering uses, so
+# they cannot drift from the rendered string (the bug class this stage
+# is notorious for). Synthesis: user turn = first half of the words,
+# assistant turn = second half; both rejoined with single spaces.
+# Template: <|user|>U<|assistant|>A<|end|>. assistant span =
+# [len("<|user|>")+len(U)+len("<|assistant|>"),  span_start+len(A)).
+# Plan: map-only, zero shuffle — scan speed at 100 TB.
+# ---------------------------------------------------------------------------
+_CHAT_TEMPLATE_ORACLE = r"""
+WITH w AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+    FROM documents
+),
+t AS (
+    SELECT doc_id,
+           array_to_string(ws[1:greatest(len(ws)//2, 1)], ' ') AS u,
+           array_to_string(ws[greatest(len(ws)//2, 1) + 1:len(ws)], ' ') AS a
+    FROM w
+)
+SELECT doc_id,
+       '<|user|>' || u || '<|assistant|>' || a || '<|end|>' AS rendered,
+       CAST(8 + length(u) + 13 AS BIGINT) AS mask_start,
+       CAST(8 + length(u) + 13 + length(a) AS BIGINT) AS mask_end,
+       CAST(length(u) + length(a) + 28 AS BIGINT) AS rendered_len,
+       round(length(a) * 1.0
+             / greatest(length(u) + length(a), 1), 4) AS assistant_frac
+FROM t
+"""
+
+
+@query("chat_template_render", oracle=_CHAT_TEMPLATE_ORACLE)
+def chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template rendering with loss-mask offsets — see block
+    comment for the turn synthesis and the derived-offsets invariant."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(ws)
+    half = F.greatest(F.floor(n / 2).cast("int"), F.lit(1))
+    d = docs.select(
+        "doc_id",
+        F.array_join(F.slice(ws, 1, half), " ").alias("u"),
+        F.array_join(
+            F.slice(ws, half + 1, F.greatest(n - half, F.lit(0))), " "
+        ).alias("a"),
+    )
+    lu, la = F.length("u").cast("bigint"), F.length("a").cast("bigint")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<|user|>"), F.col("u"),
+            F.lit("<|assistant|>"), F.col("a"), F.lit("<|end|>"),
+        ).alias("rendered"),
+        (F.lit(8) + lu + 13).alias("mask_start"),
+        (F.lit(8) + lu + 13 + la).alias("mask_end"),
+        (lu + la + 28).alias("rendered_len"),
+        F.round(la * 1.0 / F.greatest(lu + la, F.lit(1)), 4)
+         .alias("assistant_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q13 analog (left-outer count-of-counts): how many customers
 # placed exactly k non-urgent orders — INCLUDING the zero-order
 # customers Q13's LEFT JOIN exists to keep. Spark plan decorrelates by
@@ -6900,7 +6966,8 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # large_volume_orders, events_cube, shipping_priority,
 # local_supplier_volume, returned_item_customers, promo_revenue_share,
 # forecast_revenue_change, events_pivot, user_set_ops,
-# semi_anti_customers, event_funnel, bm25_search, verdict_parse)
+# semi_anti_customers, event_funnel, bm25_search, verdict_parse,
+# label_centroids)
 # have UNCHANGED implementations since their r5 green row and stay pinned
 # every run by tests/test_parity.py, which asserts ALL oracle pairs.
 # ---------------------------------------------------------------------------
@@ -6918,6 +6985,7 @@ _R7_CHECK_FIRST = [
     "nation_market_share",
     "nation_profit",
     "quality_classifier_score",
+    "chat_template_render",
     "winnowing_dedup_pairs",
     "key_skew_histogram",
     "pca_project",
@@ -6949,7 +7017,6 @@ _R7_CHECK_FIRST = [
     "ml_predict_textgen",
     "ml_predict_embedding",
     "rag_pipeline",
-    "label_centroids",
     "tool_invoke",
     "embedding_near_dup",
     "cohort_retention",
