@@ -109,6 +109,12 @@ def pca_project(
     ``zip_with`` + ``aggregate`` folds, zero Python, zero shuffle."""
     d, k = components.shape
     cols = list(df.columns)
+    clash = {f"{out_prefix}{j + 1}" for j in range(k)} & set(cols)
+    if clash:
+        raise ValueError(
+            f"pca_project output columns {sorted(clash)} already exist in "
+            "the input; pass a different out_prefix"
+        )
     offs = mean @ components  # (k,) — constant per component
     out = []
     for j in range(k):

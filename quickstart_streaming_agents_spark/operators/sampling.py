@@ -281,6 +281,14 @@ def hashed_linear_classifier_score(
     shuffle, zero Python. At 100 TB this runs at scan speed and the
     keep-filter pushes into the next stage.
     """
+    clash = {"__ts", "n_features", "raw_margin", "score", "keep"} & set(
+        docs.columns
+    )
+    if clash:
+        raise ValueError(
+            f"hashed_linear_classifier_score would overwrite input "
+            f"columns {sorted(clash)}; rename them first"
+        )
     half = (weight_mod - 1) // 2
 
     def bucket(col: Column) -> Column:

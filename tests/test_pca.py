@@ -88,3 +88,14 @@ def test_pca_end_to_end_helper(spark):
     out = pca(_make_df(spark, x), "embedding", k=2)
     assert out.columns[-2:] == ["pc1", "pc2"]
     assert out.count() == 60
+
+
+def test_pca_project_refuses_column_clash(spark):
+    rng = np.random.RandomState(2)
+    x = rng.randn(10, 3)
+    df = _make_df(spark, x).withColumn(
+        "pc1", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(0.0)
+    )
+    mean, comp, _ = pca_fit(_make_df(spark, x), "embedding", 2)
+    with pytest.raises(ValueError, match="already exist"):
+        pca_project(df, "embedding", mean, comp)

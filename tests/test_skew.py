@@ -68,3 +68,15 @@ def test_grouped_topk_hot_key_matches_plain_window(spark):
             ).collect()
         }
         assert got == want, (k, buckets)
+
+
+def test_classifier_refuses_column_clash(spark):
+    import pytest
+
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        hashed_linear_classifier_score,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overwrite input"):
+        hashed_linear_classifier_score(df.withColumn("keep", F.lit(True)), "text")
