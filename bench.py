@@ -144,6 +144,7 @@ HEADLINE = [
     "nation_profit",
     "key_skew_histogram",
     "chat_template_render",
+    "ann_pq_adc_topk",
 ]
 
 

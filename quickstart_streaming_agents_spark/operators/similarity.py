@@ -409,3 +409,108 @@ def semantic_dedup(
             (~F.coalesce(F.col("__dup"), F.lit(False))).alias("kept"),
         )
     )
+
+
+def pq_adc(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    emb_col: str = "embedding",
+    k: int = 5,
+    m: int = 2,
+    n_centroids: int = 8,
+    train_sample: int = 20_000,
+    train_iters: int = 3,
+    seed: int = 42,
+    init: str = "hash",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring
+    (Jégou et al. 2011): the embedding splits into ``m`` subspaces, each
+    with its own spherical-k-means codebook; every corpus vector is
+    stored as ``m`` small codes (here 2×3 bits replacing 64 floats —
+    the memory-compression tier below IVF), and a query is scored
+    against CODES, not vectors: score = Σ_m cos(q_m, codebook_m[code]).
+
+    Scale shape: codebooks train on a bounded sample (driver numpy, the
+    IVF recipe); corpus encoding is one distributed map emitting
+    ``m`` ints per id; scoring broadcasts the (tiny) query set and
+    streams the corpus codes — the classic PQ linear scan where each
+    candidate costs m array lookups, no decompression, no shuffle until
+    the final per-query top-k window. Per-subspace dots are sequential
+    JVM zip_with folds, so with ``init="hash"`` the DuckDB oracle
+    replays BOTH codebook trainings (tagged k-means CTEs) and the full
+    ADC ranking (queries._pq_oracle).
+    """
+    first = corpus.select(emb_col).first()
+    if first is None or first[0] is None:
+        out = _empty_topk(corpus.sparkSession)
+        return out.withColumnRenamed("score", "adc_score")
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    width = dim // m
+
+    codes = None
+    codebooks = []
+    for si in range(m):
+        sub = corpus.select(
+            F.col(corpus_id),
+            F.slice(emb_col, si * width + 1, width).alias("__sub"),
+        )
+        cents = _train_centroids(
+            sub, "__sub", n_centroids, train_sample, train_iters, seed,
+            init=init, id_col=corpus_id,
+        )
+        codebooks.append(cents)
+        a = _assign_df(sub, corpus_id, "__sub", cents, 1).select(
+            "item_id", F.col("cluster").alias(f"__c{si}")
+        )
+        codes = a if codes is None else codes.join(a, "item_id")
+
+    def nsub(si: int):
+        sub = F.transform(
+            F.slice(emb_col, si * width + 1, width),
+            lambda x: x.cast("double"),
+        )
+        nrm = F.sqrt(
+            F.aggregate(sub, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        return F.transform(sub, lambda x: x / nrm)
+
+    q = queries.filter(F.col(emb_col).isNotNull()).select(
+        F.col(query_id).cast("long").alias("query_id"),
+        *[nsub(si).alias(f"__q{si}") for si in range(m)],
+    )
+    lits = [
+        F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cb])
+        for cb in codebooks
+    ]
+    scored = codes.crossJoin(F.broadcast(q))
+    score = None
+    for si in range(m):
+        cvec = F.element_at(lits[si], F.col(f"__c{si}") + 1)
+        d = F.aggregate(
+            F.zip_with(F.col(f"__q{si}"), cvec, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        score = d if score is None else score + d
+
+    from pyspark.sql import Window
+
+    wn = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("match_id")
+    )
+    return (
+        scored.select(
+            "query_id", F.col("item_id").alias("match_id"),
+            score.alias("__score"),
+        )
+        .withColumn("rk", F.row_number().over(wn))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "match_id",
+            F.round("__score", 6).alias("adc_score"), "rk",
+        )
+    )

@@ -1795,6 +1795,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_casg_cte(
     iters: int = 5, n_centroids: int = 16, dim: int = 64, seed: int = 42,
+    tag: str = "", emb_expr: str = "embedding", with_kw: bool = True,
 ) -> str:
     """Shared DuckDB replay of the hash-init spherical k-means: normalized
     corpus (cn), ``iters`` unrolled train iterations, final corpus
@@ -1807,57 +1808,66 @@ def _kmeans_casg_cte(
     element-wise member sum re-normalized (empty clusters keep the
     previous centroid, matching _train_centroids). Float divergence vs
     numpy is ~1e-15 and only matters through discrete argmax/rank ties —
-    measure-zero on continuous embeddings."""
+    measure-zero on continuous embeddings.
+
+    ``tag`` suffixes every CTE name so two instances compose in one
+    query (the PQ oracle trains one k-means PER SUBSPACE); ``emb_expr``
+    selects the trained vector (e.g. ``embedding[1:32]`` for a PQ
+    subspace); ``with_kw=False`` omits the leading WITH for chaining.
+    Defaults reproduce the original SQL byte for byte, so the
+    long-green ann_ivf_topk / semantic_dedup oracles are untouched."""
     d1 = dim + 1
+    t = tag
+    kw = "WITH" if with_kw else ""
     sql = f"""
-    WITH c AS (SELECT vec_id AS mid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    cn AS (
+    {kw} c{t} AS (SELECT vec_id AS mid, CAST({emb_expr} AS DOUBLE[]) AS e FROM embeddings),
+    cn{t} AS (
         SELECT mid, list_transform(e, x -> x / sqrt(
             list_aggregate(list_transform(e, y -> y * y), 'sum'))) AS e
-        FROM c
+        FROM c{t}
     ),
-    cent0 AS (
+    cent0{t} AS (
         SELECT cl, e FROM (
             SELECT row_number() OVER (ORDER BY md5('ivf:{seed}:' || mid), mid) - 1
                        AS cl, e
-            FROM cn
+            FROM cn{t}
         ) WHERE cl < {n_centroids}
     )"""
     for i in range(1, iters + 1):
         p = i - 1
         sql += f""",
-    asg{i} AS (
+    asg{i}{t} AS (
         SELECT mid, cl FROM (
-            SELECT cn.mid, ct.cl,
-                   row_number() OVER (PARTITION BY cn.mid ORDER BY
+            SELECT cn{t}.mid, ct.cl,
+                   row_number() OVER (PARTITION BY cn{t}.mid ORDER BY
                        list_aggregate(list_transform(range(1, {d1}),
-                           j -> cn.e[j] * ct.e[j]), 'sum') DESC, ct.cl) AS rk
-            FROM cn, cent{p} ct
+                           j -> cn{t}.e[j] * ct.e[j]), 'sum') DESC, ct.cl) AS rk
+            FROM cn{t}, cent{p}{t} ct
         ) WHERE rk = 1
     ),
-    upd{i} AS (
-        SELECT a.cl, j.j AS dim, sum(cn.e[j.j]) AS s
-        FROM asg{i} a JOIN cn USING (mid), range(1, {d1}) j(j)
+    upd{i}{t} AS (
+        SELECT a.cl, j.j AS dim, sum(cn{t}.e[j.j]) AS s
+        FROM asg{i}{t} a JOIN cn{t} USING (mid), range(1, {d1}) j(j)
         GROUP BY 1, 2
     ),
-    vec{i} AS (
+    vec{i}{t} AS (
         SELECT cl, list(s ORDER BY dim) AS v, sqrt(sum(s * s)) AS nrm
-        FROM upd{i} GROUP BY cl
+        FROM upd{i}{t} GROUP BY cl
     ),
-    cent{i} AS (
+    cent{i}{t} AS (
         SELECT p.cl,
                CASE WHEN v.nrm > 0 THEN list_transform(v.v, x -> x / v.nrm)
                     ELSE p.e END AS e
-        FROM cent{p} p LEFT JOIN vec{i} v USING (cl)
+        FROM cent{p}{t} p LEFT JOIN vec{i}{t} v USING (cl)
     )"""
     sql += f""",
-    casg AS (
+    casg{t} AS (
         SELECT mid, cl FROM (
-            SELECT cn.mid, ct.cl,
-                   row_number() OVER (PARTITION BY cn.mid ORDER BY
+            SELECT cn{t}.mid, ct.cl,
+                   row_number() OVER (PARTITION BY cn{t}.mid ORDER BY
                        list_aggregate(list_transform(range(1, {d1}),
-                           j -> cn.e[j] * ct.e[j]), 'sum') DESC, ct.cl) AS rk
-            FROM cn, cent{iters} ct
+                           j -> cn{t}.e[j] * ct.e[j]), 'sum') DESC, ct.cl) AS rk
+            FROM cn{t}, cent{iters}{t} ct
         ) WHERE rk = 1
     )"""
     return sql
@@ -6736,6 +6746,79 @@ def chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product-quantization ANN with ADC scoring (Jégou et al. 2011) — the
+# memory-compression tier below IVF: 64 floats per vector become 2
+# 3-bit codes; queries score against codebook entries, never raw
+# vectors. The oracle replays BOTH per-subspace spherical k-means
+# trainings (the tagged _kmeans_casg_cte instances — same machinery
+# that has kept ann_ivf_topk and semantic_dedup green) plus corpus
+# encoding and the full ADC ranking. Per-subspace dots are sequential
+# folds on both engines; ties (all vectors sharing a code pair score
+# identically, by construction of PQ) break by match_id.
+# ---------------------------------------------------------------------------
+def _pq_oracle(
+    iters: int = 3, n_centroids: int = 8, m_width: int = 32, k: int = 5,
+    seed: int = 42,
+) -> str:
+    w1 = m_width + 1
+    sql = _kmeans_casg_cte(
+        iters, n_centroids, m_width, seed, tag="a",
+        emb_expr=f"embedding[1:{m_width}]",
+    )
+    sql += "," + _kmeans_casg_cte(
+        iters, n_centroids, m_width, seed, tag="b",
+        emb_expr=f"embedding[{m_width + 1}:{2 * m_width}]", with_kw=False,
+    )
+    sql += f""",
+    codes AS (
+        SELECT a.mid, a.cl AS c0, b.cl AS c1
+        FROM casga a JOIN casgb b USING (mid)
+    ),
+    s0 AS (
+        SELECT q.mid AS qid, ct.cl,
+               list_aggregate(list_transform(range(1, {w1}),
+                   j -> q.e[j] * ct.e[j]), 'sum') AS d
+        FROM cna q, cent{iters}a ct WHERE q.mid < 20
+    ),
+    s1 AS (
+        SELECT q.mid AS qid, ct.cl,
+               list_aggregate(list_transform(range(1, {w1}),
+                   j -> q.e[j] * ct.e[j]), 'sum') AS d
+        FROM cnb q, cent{iters}b ct WHERE q.mid < 20
+    ),
+    scored AS (
+        SELECT s0.qid AS query_id, codes.mid AS match_id,
+               s0.d + s1.d AS score
+        FROM codes, s0, s1
+        WHERE s0.qid = s1.qid AND s0.cl = codes.c0 AND s1.cl = codes.c1
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, match_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, match_id, ROUND(score, 6) AS adc_score, rk
+    FROM r WHERE rk <= {k}
+    """
+    return sql
+
+
+@query("ann_pq_adc_topk", oracle=_pq_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC ANN over the embeddings corpus (2 subspaces × 8
+    centroids, hash init) — see block comment; operator in
+    operators/similarity.pq_adc."""
+    from quickstart_streaming_agents_spark.operators.similarity import pq_adc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return pq_adc(queries_df, emb, "qid", "vec_id", k=5,
+                  m=2, n_centroids=8, train_iters=3, init="hash")
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q13 analog (left-outer count-of-counts): how many customers
 # placed exactly k non-urgent orders — INCLUDING the zero-order
 # customers Q13's LEFT JOIN exists to keep. Spark plan decorrelates by
@@ -6967,7 +7050,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # local_supplier_volume, returned_item_customers, promo_revenue_share,
 # forecast_revenue_change, events_pivot, user_set_ops,
 # semi_anti_customers, event_funnel, bm25_search, verdict_parse,
-# label_centroids)
+# label_centroids, rag_pipeline)
 # have UNCHANGED implementations since their r5 green row and stay pinned
 # every run by tests/test_parity.py, which asserts ALL oracle pairs.
 # ---------------------------------------------------------------------------
@@ -6986,6 +7069,7 @@ _R7_CHECK_FIRST = [
     "nation_profit",
     "quality_classifier_score",
     "chat_template_render",
+    "ann_pq_adc_topk",
     "winnowing_dedup_pairs",
     "key_skew_histogram",
     "pca_project",
@@ -7016,7 +7100,6 @@ _R7_CHECK_FIRST = [
     "pricing_summary",
     "ml_predict_textgen",
     "ml_predict_embedding",
-    "rag_pipeline",
     "tool_invoke",
     "embedding_near_dup",
     "cohort_retention",
