@@ -667,3 +667,75 @@ def cross_corpus_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("old_id", "new_id", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_words: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003 — the MOSS local
+    fingerprinting scheme): hash overlapping ``gram_words``-word grams
+    in order, keep the minimum hash of every ``window``-hash window,
+    return distinct ``(id, fp)`` rows. Guarantee: documents sharing any
+    run of ≥ window+gram_words−1 tokens share ≥1 fingerprint, at
+    ~2/(window+1) the density of the full shingle set.
+
+    ONE definition shared by queries.winnowing_dedup_pairs and the
+    scale smoke, so the gram/window rule cannot drift between them
+    (the oracle replays it in SQL).
+
+    Plan notes (both lessons are load-bearing at scale): grams build
+    via shifted-slice ``zip_with`` — ``element_at`` inside a transform
+    lambda would re-inline the regex split per element (no cross-lambda
+    CSE, O(n²) splits/doc); the rolling window min runs explode-side as
+    a rows-between window so each md5 is computed exactly once — the
+    array-slice formulation re-inlines the whole hash array per window.
+    One keyed shuffle (the window sort) + the distinct.
+    """
+    from pyspark.sql import Window as W
+
+    if gram_words < 1 or window < 1:
+        raise ValueError("gram_words and window must be >= 1")
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(w)
+    pair = F.zip_with(
+        F.slice(w, 2, n - (gram_words - 1)),
+        F.slice(w, 3, n - (gram_words - 1)),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    ) if gram_words == 3 else None
+    if gram_words == 3:
+        grams = F.when(
+            n >= 3,
+            F.zip_with(F.slice(w, 1, n - 2), pair,
+                       lambda x, yz: F.concat(x, F.lit(" "), yz)),
+        ).otherwise(F.array(F.array_join(w, " ")))
+    elif gram_words == 2:
+        grams = F.when(
+            n >= 2,
+            F.zip_with(F.slice(w, 1, n - 1), F.slice(w, 2, n - 1),
+                       lambda x, y: F.concat(x, F.lit(" "), y)),
+        ).otherwise(F.array(F.array_join(w, " ")))
+    elif gram_words == 1:
+        grams = w
+    else:
+        raise ValueError("gram_words > 3 not implemented (fixture scope)")
+
+    e = df.select(F.col(id_col), F.posexplode(grams).alias("j", "g")).select(
+        id_col, "j",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("hv"),
+    )
+    per_doc = W.partitionBy(id_col)
+    roll = W.partitionBy(id_col).orderBy("j").rowsBetween(0, window - 1)
+    m = F.max("j").over(per_doc) + 1
+    fp = F.when(
+        m >= window,
+        F.when(F.col("j") <= m - window, F.min("hv").over(roll)),
+    ).otherwise(F.min("hv").over(per_doc))
+    return (
+        e.select(id_col, fp.alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+    )

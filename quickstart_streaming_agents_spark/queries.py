@@ -6412,54 +6412,16 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 @query("winnowing_dedup_pairs", oracle=_WINNOWING_ORACLE)
 def winnowing_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint near-dup candidates — see block
-    comment for the algorithm and scale shape."""
-    from pyspark.sql import Window
+    comment for the algorithm; the fingerprint fold lives in
+    operators/dedup.winnowing_fingerprints (ONE definition shared with
+    the scale smoke, incl. both documented cross-lambda-CSE plan
+    lessons)."""
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    w = F.split(F.trim(F.col("text")), r"\s+")
-
-    def h(col):
-        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-
-    # grams via shifted-slice zip_with, NOT element_at inside a
-    # transform lambda: element_at(w, i) re-inlines the regex split per
-    # element access (no cross-lambda CSE) — O(n²) splits per doc, 5×
-    # slower end to end. zip_with references the split a constant
-    # number of times.
-    n = F.size(w)
-    grams = F.when(
-        n >= 3,
-        F.zip_with(
-            F.slice(w, 1, n - 2),
-            F.zip_with(
-                F.slice(w, 2, n - 2), F.slice(w, 3, n - 2),
-                lambda x, y: F.concat(x, F.lit(" "), y),
-            ),
-            lambda x, yz: F.concat(x, F.lit(" "), yz),
-        ),
-    ).otherwise(F.array(F.array_join(w, " ")))
-    # NOTE: the "obvious" array formulation — transform(sequence(...),
-    # j -> array_min(slice(hashes, j, 4))) — re-inlines the `hashes`
-    # expression into EVERY window lambda (Catalyst has no cross-lambda
-    # CSE), recomputing all n md5s per window: O(n²) hashes/doc, ~100 s
-    # at sf0.01. Explode-then-window computes each md5 exactly once and
-    # takes the rolling min as a rows-between window — one keyed
-    # shuffle, O(n·w) JVM work.
-    e = docs.select("doc_id", F.posexplode(grams).alias("j", "g")).select(
-        "doc_id", "j", h(F.col("g")).alias("hv")
-    )
-    per_doc = Window.partitionBy("doc_id")
-    roll = Window.partitionBy("doc_id").orderBy("j").rowsBetween(0, 3)
-    m = F.max("j").over(per_doc) + 1
-    fp_col = F.when(
-        m >= 4,
-        F.when(F.col("j") <= m - 4, F.min("hv").over(roll)),
-    ).otherwise(F.min("hv").over(per_doc))
-    f = (
-        e.select("doc_id", fp_col.alias("fp"))
-        .filter(F.col("fp").isNotNull())
-        .distinct()
-    )
+    f = winnowing_fingerprints(docs, "doc_id", "text")
     ok = (
         f.groupBy("fp")
         .agg(F.count_distinct("doc_id").alias("c"))

@@ -80,3 +80,25 @@ def test_classifier_refuses_column_clash(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="overwrite input"):
         hashed_linear_classifier_score(df.withColumn("keep", F.lit(True)), "text")
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """Schleimer et al.'s local guarantee: two documents sharing any run
+    of >= window+gram_words-1 = 6 tokens share at least one
+    fingerprint, regardless of where the run sits in either document."""
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token run
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"{shared} seven eight nine ten eleven twelve"),
+        (3, "totally different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps: dict[int, set] = {}
+    for r in winnowing_fingerprints(df, "doc_id", "text").collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "guaranteed shared fingerprint missing"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])

@@ -120,38 +120,16 @@ def main() -> None:
     stage("classifier score (map-only)", hashed_linear_classifier_score(
         docs.select("doc_id", "text"), "text"
     ))
-    # Winnowing fingerprint fold (the per-doc part of
-    # queries.winnowing_dedup_pairs): zip_with gram build + md5 + rolling
-    # window min + distinct — one keyed shuffle. The pair join is
-    # corpus-statistics-dependent, so the smoke measures the
-    # fingerprinting itself.
-    wtok = F.split(F.trim(F.col("text")), r"\s+")
-    nw = F.size(wtok)
-    grams = F.when(
-        nw >= 3,
-        F.zip_with(
-            F.slice(wtok, 1, nw - 2),
-            F.zip_with(F.slice(wtok, 2, nw - 2), F.slice(wtok, 3, nw - 2),
-                       lambda x, y: F.concat(x, F.lit(" "), y)),
-            lambda x, yz: F.concat(x, F.lit(" "), yz),
-        ),
-    ).otherwise(F.array(F.array_join(wtok, " ")))
-    from pyspark.sql import Window as W
-
-    ew = docs.select("doc_id", F.posexplode(grams).alias("j", "g")).select(
-        "doc_id", "j",
-        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("hv"),
+    # Winnowing fingerprint fold (shared operator — ONE definition with
+    # queries.winnowing_dedup_pairs; the pair join is corpus-statistics-
+    # dependent, so the smoke measures the fingerprinting itself).
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        winnowing_fingerprints,
     )
-    mj = F.max("j").over(W.partitionBy("doc_id")) + 1
-    fpc = F.when(
-        mj >= 4,
-        F.when(F.col("j") <= mj - 4,
-               F.min("hv").over(W.partitionBy("doc_id").orderBy("j")
-                                .rowsBetween(0, 3))),
-    ).otherwise(F.min("hv").over(W.partitionBy("doc_id")))
-    stage("winnowing fingerprints", ew.select(
-        "doc_id", fpc.alias("fp")
-    ).filter(F.col("fp").isNotNull()).distinct())
+
+    stage("winnowing fingerprints", winnowing_fingerprints(
+        docs.select("doc_id", "text"), "doc_id", "text"
+    ))
     vecs = docs.select(
         "doc_id",
         F.transform(
