@@ -683,3 +683,109 @@ def quality_filter_stream_pipeline(
     )
     catalog.await_all()
     return catalog
+
+
+def media_triage_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+) -> StreamCatalog:
+    """Continuous media triage — the streaming half of
+    queries.media_probe_meta: every arriving binary asset is probed
+    HEADER-ONLY (operators/multimodal.probe_media — container sniff +
+    dims/duration/frame-count, no sample decode) and routed by media
+    class: image/audio/video topics for downstream decode fleets, an
+    unrecognized-payload quarantine for audit. Stateless mapInPandas,
+    no shuffle, restartable at any batch boundary; parity with the
+    batch probe is exact (header parsing is deterministic byte work).
+
+    The asset synthesis reuses the batch query's 7-container generator
+    shape in miniature: deterministic payloads derived from doc_id so
+    the stream is reproducible without touching binary fixtures.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        make_bmp,
+        make_gif,
+        make_mp3,
+        make_mp4,
+        make_png,
+        make_wav,
+        probe_media,
+    )
+
+    spark = catalog.spark
+    docs = spark.read.parquet(documents_path).select("doc_id").limit(200)
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                c = i % 7
+                if i % 23 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                elif c == 0:
+                    payloads.append(
+                        make_png(np.zeros((1 + i % 4, 1 + i % 6, 3), np.uint8))
+                    )
+                elif c == 1:
+                    payloads.append(make_gif(
+                        [np.zeros((1 + i % 3, 1 + i % 5, 3), np.uint8)]
+                        * (1 + i % 4),
+                        delay_cs=1 + i % 3,
+                    ))
+                elif c == 2:
+                    payloads.append(
+                        make_bmp(np.zeros((1 + i % 5, 1 + i % 8, 3), np.uint8))
+                    )
+                elif c == 3:
+                    payloads.append(make_wav(
+                        np.zeros((104 + 8 * (i % 50), 1 + i % 2), np.int16),
+                        rate=8000,
+                    ))
+                elif c == 4:
+                    payloads.append(make_mp3(3 + i % 7, 128, 44100,
+                                             mono=bool(i % 2)))
+                elif c == 5:
+                    k = 1 + i % 4
+                    payloads.append(make_mp4(16 * k, 9 * k,
+                                             100 * (1 + i % 20)))
+                else:
+                    payloads.append(
+                        make_png(np.zeros((2, 2, 3), np.uint8))
+                    )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    assets = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    stamped = assets.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ),
+    )
+    catalog.create_table_as("media_raw_assets", stamped)
+
+    stream = catalog.read_stream("media_raw_assets")
+    probed = probe_media(stream, "payload").select(
+        "doc_id", "container",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.n_frames").alias("n_frames"),
+        F.col("media_meta.duration_ms").alias("duration_ms"),
+    )
+    for mt in ("image", "audio", "video"):
+        catalog.create_table_as(
+            f"media_{mt}_assets",
+            probed.filter(F.col("media_type") == mt),
+            available_now=True,
+        )
+    catalog.create_table_as(
+        "media_quarantine",
+        probed.filter(F.col("container").isNull()).select("doc_id"),
+        available_now=True,
+    )
+    catalog.await_all()
+    return catalog

@@ -900,3 +900,42 @@ def test_quality_filter_stream_matches_batch(spark, catalog):
     assert kept == want_kept
     assert rejected == want_rejected
     assert kept and rejected  # both sides of the gate exercised
+
+
+def test_media_triage_stream_matches_batch(spark, catalog):
+    """Streaming header-only triage must route every asset exactly as a
+    batch probe of the same payloads would — byte-deterministic, so
+    parity is exact, and the four routes partition the input."""
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        probe_media,
+    )
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        media_triage_stream_pipeline,
+    )
+
+    media_triage_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet"
+    )
+    routed = {}
+    for mt in ("image", "audio", "video"):
+        for r in catalog.read_batch(f"media_{mt}_assets").collect():
+            routed[r.doc_id] = (mt, r.container, r.width, r.height,
+                                r.n_frames, r.duration_ms)
+    quarantined = {
+        r.doc_id for r in catalog.read_batch("media_quarantine").collect()
+    }
+
+    raw = catalog.read_batch("media_raw_assets")
+    want_rows = probe_media(raw, "payload").collect()
+    want, want_q = {}, set()
+    for r in want_rows:
+        if r.container is None:
+            want_q.add(r.doc_id)
+        else:
+            m = r.media_meta
+            want[r.doc_id] = (m.media_type, r.container, m.width, m.height,
+                              m.n_frames, m.duration_ms)
+    assert routed == want
+    assert quarantined == want_q
+    assert len(routed) + len(quarantined) == raw.count()  # a partition
+    assert quarantined and len(routed) > 100
