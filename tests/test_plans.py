@@ -190,3 +190,20 @@ def test_dedup_winners_partial_aggregate(spark):
         plan = physical_plan(_q(spark, name))
         assert "partial_min(struct" in plan or "partial_max(struct" in plan, name
         assert "RunningWindowFunction" not in plan, name
+
+
+def test_round7_query_plan_budgets_pinned(spark):
+    """Round-7 additions keep their PLANS.md shapes: the map-only
+    queries must stay at ZERO exchanges (scan-speed at 100 TB), the
+    snowflake analogs at exactly one big shuffle with everything else
+    broadcast, and the winnowing pair miner within its 4-exchange
+    budget. A regression here is a corpus reshuffle creeping in."""
+    for name in ("quality_classifier_score", "chat_template_render"):
+        assert count_exchanges(_q(spark, name)) == 0, name
+    for name in ("nation_profit", "nation_market_share",
+                 "disjunctive_revenue"):
+        assert count_exchanges(_q(spark, name)) == 1, name
+    # raw-plan count (pre-AQE exchange reuse; PLANS.md reports 4 after
+    # reuse): window sort, distinct, freq agg, fp join, pair agg
+    assert count_exchanges(_q(spark, "winnowing_dedup_pairs")) <= 6
+    assert count_exchanges(_q(spark, "ann_pq_adc_topk")) <= 1
