@@ -145,6 +145,7 @@ HEADLINE = [
     "key_skew_histogram",
     "chat_template_render",
     "ann_pq_adc_topk",
+    "ccnet_ppl_buckets",
 ]
 
 

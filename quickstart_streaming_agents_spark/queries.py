@@ -4916,12 +4916,13 @@ def cumulate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # far from the corpus token distribution score low. One postings shuffle
 # + term-keyed join + doc-keyed weighted mean, all JVM.
 # ---------------------------------------------------------------------------
-@query(
-    "unigram_logprob_score",
-    oracle="""
+# Shared CTE prefix: per-doc unigram-LM mean log-prob — ONE definition
+# for the unigram_logprob_score oracle and the CCNet bucket oracle, so
+# the LM semantics cannot drift between them.
+_UNIGRAM_LM_CTE = r"""
     WITH post AS (
         SELECT doc_id,
-               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
         FROM documents
     ),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM post GROUP BY 1, 2),
@@ -4932,7 +4933,12 @@ def cumulate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(tf.tf * ln(vocab.cf / tot.t_total)) / sum(tf.tf) AS a
         FROM tf JOIN vocab USING (term) CROSS JOIN tot
         GROUP BY 1
-    )
+    )"""
+
+
+@query(
+    "unigram_logprob_score",
+    oracle=_UNIGRAM_LM_CTE + """
     SELECT doc_id, n_tokens,
            round(a, 6) AS avg_logprob,
            round(exp(-a), 4) AS ppl_proxy
@@ -6781,6 +6787,57 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (Wenzek et al. 2020 §4.3): per language,
+# rank documents by LM score and split into head/middle/tail terciles —
+# the published CommonCrawl curation recipe (train on head, drop or
+# re-weight tail). The LM is the engine's unigram log-prob scorer
+# (shared _UNIGRAM_LM_CTE — one definition with
+# unigram_logprob_score); the tercile is NTILE(3) ordered by the
+# ROUNDED score (round-6) with doc_id tie-break, so both engines rank
+# bit-identical values identically — ordering by the raw double would
+# let a sub-ULP sum divergence flip a boundary row's bucket.
+# Plan: the scorer's postings shuffle + one window per language.
+# ---------------------------------------------------------------------------
+@query(
+    "ccnet_ppl_buckets",
+    oracle=_UNIGRAM_LM_CTE + """,
+    lg AS (SELECT doc_id, lang FROM documents),
+    r AS (
+        SELECT s.doc_id, lg.lang, round(s.a, 6) AS avg_logprob,
+               ntile(3) OVER (PARTITION BY lg.lang
+                              ORDER BY round(s.a, 6) DESC, s.doc_id) AS b
+        FROM s JOIN lg USING (doc_id)
+    )
+    SELECT doc_id, lang, avg_logprob,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+    FROM r
+    """,
+)
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles per language — see
+    block comment for the recipe and the rounded-ordering invariant."""
+    from pyspark.sql import Window
+
+    from quickstart_streaming_agents_spark.operators.retrieval import (
+        unigram_logprob,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs).select("doc_id", "avg_logprob")
+    with_lang = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    b = F.ntile(3).over(w)
+    return with_lang.select(
+        "doc_id", "lang", "avg_logprob",
+        F.when(b == 1, "head").when(b == 2, "middle")
+         .otherwise("tail").alias("ppl_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q13 analog (left-outer count-of-counts): how many customers
 # placed exactly k non-urgent orders — INCLUDING the zero-order
 # customers Q13's LEFT JOIN exists to keep. Spark plan decorrelates by
@@ -7012,7 +7069,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # local_supplier_volume, returned_item_customers, promo_revenue_share,
 # forecast_revenue_change, events_pivot, user_set_ops,
 # semi_anti_customers, event_funnel, bm25_search, verdict_parse,
-# label_centroids, rag_pipeline)
+# label_centroids, rag_pipeline, pricing_summary)
 # have UNCHANGED implementations since their r5 green row and stay pinned
 # every run by tests/test_parity.py, which asserts ALL oracle pairs.
 # ---------------------------------------------------------------------------
@@ -7032,6 +7089,7 @@ _R7_CHECK_FIRST = [
     "quality_classifier_score",
     "chat_template_render",
     "ann_pq_adc_topk",
+    "ccnet_ppl_buckets",
     "winnowing_dedup_pairs",
     "key_skew_histogram",
     "pca_project",
@@ -7059,7 +7117,6 @@ _R7_CHECK_FIRST = [
     "anomaly_zscore",
     "anomaly_detect_ar",
     "anomaly_detect_ar1",
-    "pricing_summary",
     "ml_predict_textgen",
     "ml_predict_embedding",
     "tool_invoke",
