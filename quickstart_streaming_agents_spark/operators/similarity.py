@@ -442,6 +442,7 @@ def pq_adc(
     replays BOTH codebook trainings (tagged k-means CTEs) and the full
     ADC ranking (queries._pq_oracle).
     """
+    corpus = corpus.filter(F.col(emb_col).isNotNull())  # same as ann_ivf
     first = corpus.select(emb_col).first()
     if first is None or first[0] is None:
         out = _empty_topk(corpus.sparkSession)
