@@ -47,9 +47,14 @@ def pca_fit(
     Returns ``(mean (d,), components (d, k), eigenvalues (k,))``,
     eigenvalues descending. See module docstring for the plan shape.
     """
+    # NULL-embedding contract shared with ann_ivf/ann_lsh/pq_adc
+    # (commit d10f326): dirty rows are dropped, they don't poison the
+    # fit — and dimensionality must not depend on the scan order
+    # putting a NULL first.
+    df = df.filter(F.col(vec_col).isNotNull())
     first = df.select(vec_col).first()
-    if first is None or first[0] is None:
-        raise ValueError("pca_fit: empty input or NULL first vector")
+    if first is None:
+        raise ValueError("pca_fit: need >= 2 vectors, got 0")
     d = len(first[0])
     if not (1 <= k <= d):
         raise ValueError(f"pca_fit: need 1 <= k <= dim, got k={k}, dim={d}")
@@ -96,6 +101,70 @@ def pca_fit(
         if a[np.argmax(np.abs(a))] < 0:
             comp[:, j] = -a
     return mean, comp, evals[idx]
+
+
+def pca_moments_int(
+    df: DataFrame, vec_col: str, scale_bits: int = 10
+) -> DataFrame:
+    """Exact integer-scaled moment sums — the SQL-replayable sibling of
+    ``pca_fit``'s moment pass (the only stage of PCA besides ``eigh``,
+    which has no SQL form).
+
+    Each coordinate is quantized ``q = floor(x · 2^scale_bits)``:
+    float32 → double is exact and multiplying by a power of two is
+    exact, so the floor sees the true value and every downstream
+    sum/product is BIGINT — bit-identical under any partitioning,
+    accumulation order, or engine. Output rows:
+
+    - ``(-1, -1, n)`` — vector count
+    - ``(i, -1, Σ q_i)`` — first moments, i in 0..d-1
+    - ``(i, j, Σ q_i·q_j)`` for i ≤ j — upper-triangle second moments
+
+    Plan: one ``mapInPandas`` scan emits ``1 + d + d(d+1)/2`` labeled
+    rows per Arrow batch (int64 matmul — exact), then a tiny
+    ``groupBy(i, j)`` partial-agg combine. Same 100 TB shape as
+    ``pca_fit``: the shuffle carries only per-batch moment rows, never
+    vectors.
+    """
+    df = df.filter(F.col(vec_col).isNotNull())
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "i int, j int, val long"
+        )
+    d = len(first[0])
+    scale = float(1 << scale_bits)
+    iu, ju = np.triu_indices(d)
+    labels_i = np.concatenate([[-1], np.arange(d), iu]).astype(np.int32)
+    labels_j = np.concatenate(
+        [[-1], np.full(d, -1), ju]
+    ).astype(np.int32)
+
+    def batch_moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = [v for v in pdf.iloc[:, 0] if v is not None]
+            if not vecs:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vecs]
+            )
+            if x.shape[1] != d:
+                raise ValueError(
+                    f"pca_moments_int: ragged dim {x.shape[1]} != {d}"
+                )
+            q = np.floor(x * scale).astype(np.int64)
+            m2 = q.T @ q  # int64 matmul — exact
+            vals = np.concatenate(
+                [[np.int64(len(q))], q.sum(axis=0), m2[iu, ju]]
+            )
+            yield pd.DataFrame(
+                {"i": labels_i, "j": labels_j, "val": vals}
+            )
+
+    moments = df.select(vec_col).mapInPandas(
+        batch_moments, schema="i int, j int, val long"
+    )
+    return moments.groupBy("i", "j").agg(F.sum("val").alias("val"))
 
 
 def pca_project(

@@ -99,3 +99,63 @@ def test_pca_project_refuses_column_clash(spark):
     mean, comp, _ = pca_fit(_make_df(spark, x), "embedding", 2)
     with pytest.raises(ValueError, match="already exist"):
         pca_project(df, "embedding", mean, comp)
+
+
+def test_pca_fit_skips_null_vectors(spark):
+    """A NULL embedding anywhere — including the FIRST scanned row —
+    is dropped, not fatal, and does not change the fitted basis
+    (ADVICE r7: fit must not depend on scan order of one dirty row)."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(40, 4)
+    clean = _make_df(spark, x)
+    dirty = spark.createDataFrame(
+        [(999, None)], "vec_id long, embedding array<double>"
+    ).union(clean).coalesce(1)  # NULL row first in scan order
+    a = pca_fit(clean, "embedding", 2)
+    b = pca_fit(dirty, "embedding", 2)
+    np.testing.assert_allclose(a[0], b[0], atol=1e-12)
+    np.testing.assert_allclose(a[1], b[1], atol=1e-9)
+
+
+def test_pca_projected_variance_monotone(spark):
+    """Invariant backing the rows-only pca_project driver row: the
+    sample variance of the projected coordinates is non-increasing
+    pc1 ≥ pc2 ≥ … ≥ pck and matches the fitted eigenvalues."""
+    rng = np.random.RandomState(4)
+    x = rng.randn(200, 6) @ np.diag([5.0, 3.0, 2.0, 1.0, 0.5, 0.1])
+    df = _make_df(spark, x)
+    mean, comp, evals = pca_fit(df, "embedding", 4)
+    pdf = (
+        pca_project(df, "embedding", mean, comp)
+        .select("pc1", "pc2", "pc3", "pc4")
+        .toPandas()
+    )
+    var = pdf.var(ddof=1).to_numpy()
+    assert np.all(np.diff(var) <= 1e-9), var
+    np.testing.assert_allclose(var, evals, rtol=1e-6)
+
+
+def test_pca_moments_matches_numpy(spark):
+    """Integer-scaled moment rows equal a direct NumPy quantization —
+    the in-repo twin of the pca_moments DuckDB oracle."""
+    from quickstart_streaming_agents_spark.operators.pca import (
+        pca_moments_int,
+    )
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(50, 3)
+    q = np.floor(x * 1024).astype(np.int64)
+    rows = {
+        (r["i"], r["j"]): r["val"]
+        for r in pca_moments_int(
+            _make_df(spark, x).repartition(7), "embedding"
+        ).collect()
+    }
+    assert rows[(-1, -1)] == 50
+    s1 = q.sum(axis=0)
+    m2 = q.T @ q
+    for i in range(3):
+        assert rows[(i, -1)] == s1[i]
+        for j in range(i, 3):
+            assert rows[(i, j)] == m2[i, j]
+    assert len(rows) == 1 + 3 + 6
