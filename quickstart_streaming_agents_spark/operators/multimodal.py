@@ -1122,6 +1122,10 @@ def _decode_jpeg(payload: bytes) -> tuple[dict, np.ndarray]:
             raise ValueError("truncated JPEG before SOS")
         if p[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at offset {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — spec-legal in third-party files; consume them.
+        while pos + 1 < len(p) and p[pos + 1] == 0xFF:
+            pos += 1
         marker = p[pos + 1]
         seg_len = struct.unpack_from(">H", p, pos + 2)[0]
         body = p[pos + 4 : pos + 2 + seg_len]
@@ -1608,6 +1612,10 @@ def _probe_gif(p: bytes) -> dict:
 
     n_frames = 0
     duration_ms = 0
+    # GCE delay applies to the NEXT image frame (GIF89a 23.c) — mirror
+    # the decoder's pending_delay so a trailing/orphan GCE contributes
+    # nothing and probe≡decode duration parity holds.
+    pending_delay = 0
     while True:
         if pos >= len(p):
             raise ValueError("GIF missing trailer")
@@ -1620,7 +1628,7 @@ def _probe_gif(p: bytes) -> dict:
             label = p[pos + 1]
             q = pos + 2
             if label == 0xF9 and q + 1 + p[q] <= len(p) and p[q] >= 4:
-                duration_ms += struct.unpack_from("<H", p, q + 2)[0] * 10
+                pending_delay = struct.unpack_from("<H", p, q + 2)[0]
             pos = skip_subblocks(q)
         elif b == 0x2C:  # image descriptor
             if pos + 10 > len(p):
@@ -1632,6 +1640,8 @@ def _probe_gif(p: bytes) -> dict:
             pos += 1  # LZW min code size
             pos = skip_subblocks(pos)  # compressed data skipped, not decoded
             n_frames += 1
+            duration_ms += pending_delay * 10
+            pending_delay = 0
         else:
             raise ValueError(f"unknown GIF block 0x{b:02X}")
     return {
@@ -1648,6 +1658,8 @@ def _probe_jpeg(p: bytes) -> dict:
     while pos + 4 <= len(p):
         if p[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        while pos + 1 < len(p) and p[pos + 1] == 0xFF:  # T.81 B.1.1.2 fill
+            pos += 1
         marker = p[pos + 1]
         if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
             pos += 2

@@ -5275,11 +5275,20 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     def obs_n(key: str) -> int:
         # PropagateEmptyRelation can optimize an observe node away when
         # its subtree is provably empty (e.g. an empty fixture dir) — the
-        # metric then never fires and .get raises; the pruned count IS 0
+        # metric then never fires; the pruned count IS 0. ONLY that case
+        # maps to 0, and only when consistent with the final stage being
+        # empty: an unknown stage name, a Py4J failure, or a missing
+        # metric on a non-empty run must raise, not report a zero-count
+        # stage (ADVICE r7).
+        obs = observations[key]  # renamed/unregistered stage: KeyError
         try:
-            return int(observations[key].get["n"])
+            metrics = obs.get
+            n = metrics["n"]
         except Exception:
-            return 0
+            if n_final == 0:
+                return 0
+            raise
+        return int(n)
 
     counts = [(k, obs_n(k))
               for k in ("a_input", "b_gated", "c_exact_deduped",

@@ -708,6 +708,7 @@ def media_triage_stream_pipeline(
     from ..operators.multimodal import (
         make_bmp,
         make_gif,
+        make_jpeg,
         make_mp3,
         make_mp4,
         make_png,
@@ -717,8 +718,12 @@ def media_triage_stream_pipeline(
 
     spark = catalog.spark
     docs = spark.read.parquet(documents_path).select("doc_id").limit(200)
+    ones = (np.ones((8, 8), np.int64), np.ones((8, 8), np.int64))
 
     def synth(batches):
+        # Same residue→container mapping as the batch media_probe_meta
+        # generator (queries.py), so the streaming triage exercises
+        # every probe path the batch query does — including JPEG.
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
             payloads = []
@@ -737,25 +742,26 @@ def media_triage_stream_pipeline(
                         delay_cs=1 + i % 3,
                     ))
                 elif c == 2:
+                    payloads.append(make_jpeg(
+                        np.zeros((2 + i % 7, 3 + i % 9, 3), np.uint8),
+                        quant_tables=ones,
+                    ))
+                elif c == 3:
                     payloads.append(
                         make_bmp(np.zeros((1 + i % 5, 1 + i % 8, 3), np.uint8))
                     )
-                elif c == 3:
+                elif c == 4:
                     payloads.append(make_wav(
                         np.zeros((104 + 8 * (i % 50), 1 + i % 2), np.int16),
                         rate=8000,
                     ))
-                elif c == 4:
+                elif c == 5:
                     payloads.append(make_mp3(3 + i % 7, 128, 44100,
                                              mono=bool(i % 2)))
-                elif c == 5:
+                else:
                     k = 1 + i % 4
                     payloads.append(make_mp4(16 * k, 9 * k,
                                              100 * (1 + i % 20)))
-                else:
-                    payloads.append(
-                        make_png(np.zeros((2, 2, 3), np.uint8))
-                    )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     assets = docs.mapInPandas(synth, schema="doc_id long, payload binary")

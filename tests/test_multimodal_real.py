@@ -646,3 +646,52 @@ def test_probe_media_spark_mixed_corpus(spark):
     assert out[4].container is None and out[4].media_meta is None
     with pytest.raises(Exception):
         probe_media(df, "payload", on_error="raise").collect()
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker code. Third-party baseline files use this; both the decoder
+    and the header-only probe must skip the padding (ADVICE r7)."""
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_jpeg,
+        _probe_jpeg,
+        make_jpeg,
+    )
+
+    img = np.full((16, 24, 3), 37, np.uint8)
+    clean = make_jpeg(img, quant_tables=_ONES_QT)
+    # pad before SOF0 and before SOS (ones-QT bodies contain no 0xFF,
+    # and entropy data byte-stuffs 0xFF, so these matches are markers)
+    padded = clean.replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1)
+    padded = padded.replace(b"\xff\xda", b"\xff\xff\xda", 1)
+    assert len(padded) == len(clean) + 3
+    meta, out = _decode_jpeg(padded)
+    assert (meta["width"], meta["height"]) == (24, 16)
+    assert (out == img).all()  # constant image + flat tables: bit-exact
+    pm = _probe_jpeg(padded)
+    assert (pm["width"], pm["height"]) == (24, 16)
+
+
+def test_probe_gif_orphan_gce_duration_parity():
+    """A trailing Graphic Control Extension with no following image
+    frame contributes no duration: the probe must agree with the
+    decoder, which only attaches a GCE delay to the next image
+    descriptor (ADVICE r7: the probe summed every GCE)."""
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_gif,
+        _probe,
+        _probe_gif,
+        make_gif,
+    )
+
+    frames = [np.full((2, 3, 3), v, np.uint8) for v in (10, 20)]
+    p = make_gif(frames, delay_cs=5)
+    assert p[-1] == 0x3B
+    orphan_gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # delay 10cs, no frame
+    dirty = p[:-1] + orphan_gce + b"\x3b"
+    meta, _ = _decode_gif(dirty, media_type="video")
+    pm = _probe_gif(dirty)
+    assert meta["duration_ms"] == pm["duration_ms"] == 100  # 2 × 5cs only
+    assert pm["n_frames"] == 2
+    c, m2 = _probe(dirty)
+    assert c == "gif" and m2 == pm

@@ -939,3 +939,8 @@ def test_media_triage_stream_matches_batch(spark, catalog):
     assert quarantined == want_q
     assert len(routed) + len(quarantined) == raw.count()  # a partition
     assert quarantined and len(routed) > 100
+    # every container the batch generator emits is exercised (ADVICE r7:
+    # the old synth mapping dropped JPEG entirely)
+    assert {c for _, c, *_ in routed.values()} == {
+        "png", "gif", "jpeg", "bmp", "wav", "mp3", "mp4"
+    }
