@@ -342,6 +342,7 @@ def semantic_dedup(
     train_iters: int = 5,
     seed: int = 42,
     init: str = "hash",
+    target_cluster_size: int | None = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): spherical k-means partitioning, then
     intra-cluster cosine pruning — an item is dropped iff some SMALLER-id
@@ -352,12 +353,23 @@ def semantic_dedup(
     Scale shape: k-means training is the bounded-sample driver recipe
     shared with ann_ivf; assignment is one mapInPandas matmul pass over
     the corpus; candidate pairs exist only WITHIN clusters (SemDeDup's
-    point — with C scaled ∝ corpus size the per-cluster population stays
-    bounded, so pair work is O(n·cluster_size), never corpus²), joined on
-    the cluster key; and the pair cosine itself is a JVM
-    zip_with/aggregate fold — whole-stage codegen, no Python in the
+    point), joined on the cluster key; and the pair cosine itself is a
+    JVM zip_with/aggregate fold — whole-stage codegen, no Python in the
     prune path. The fold matches the SQL oracle's list_transform sum
     element order, so threshold comparisons are bit-identical.
+
+    ``target_cluster_size`` is what keeps the intra-cluster pair join
+    from going quadratic at scale: the cluster count is auto-scaled to
+    ``C = max(n_centroids, ceil(count/target_cluster_size))`` (one cheap
+    count — ids-only scan), so expected cluster population stays ≈
+    ``target_cluster_size`` and pair work is O(n · cluster_size), never
+    corpus². For corpora with ``count ≤ n_centroids·target_cluster_size``
+    (every test SF) the count changes nothing — C is exactly
+    ``n_centroids``, the regime the fixed-C SQL oracle replays. C is
+    capped at ``train_sample`` (hash-init seeds centroids from the
+    sample; a 100 TB run raises ``train_sample`` alongside — at C=20k
+    that already bounds clusters to ~0.005% of the corpus each). Pass
+    ``target_cluster_size=None`` to pin C to ``n_centroids`` exactly.
     """
     corpus = corpus.filter(F.col(emb_col).isNotNull())
     if corpus.select(emb_col).first() is None:  # empty corpus (see ann_ivf)
@@ -368,6 +380,12 @@ def semantic_dedup(
                 T.StructField("cluster", T.LongType()),
                 T.StructField("kept", T.BooleanType()),
             ])
+        )
+    if target_cluster_size is not None:
+        n_rows = corpus.select(id_col).count()
+        n_centroids = min(
+            max(n_centroids, -(-n_rows // target_cluster_size)),
+            train_sample,
         )
     cents = _train_centroids(
         corpus, emb_col, n_centroids, train_sample, train_iters, seed,
@@ -424,6 +442,7 @@ def pq_adc(
     train_iters: int = 3,
     seed: int = 42,
     init: str = "hash",
+    _candidates_only: bool = False,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance (ADC) scoring
     (Jégou et al. 2011): the embedding splits into ``m`` subspaces, each
@@ -434,14 +453,26 @@ def pq_adc(
 
     Scale shape: codebooks train on a bounded sample (driver numpy, the
     IVF recipe); corpus encoding is one distributed map emitting
-    ``m`` ints per id; scoring broadcasts the (tiny) query set and
-    streams the corpus codes — the classic PQ linear scan where each
-    candidate costs m array lookups, no decompression, no shuffle until
-    the final per-query top-k window. Per-subspace dots are sequential
-    JVM zip_with folds, so with ``init="hash"`` the DuckDB oracle
-    replays BOTH codebook trainings (tagged k-means CTEs) and the full
-    ADC ranking (queries._pq_oracle).
+    ``m`` ints per id; scoring is the paper's actual ADC recipe — the
+    per-query × per-subspace × per-code dot products are precomputed
+    ONCE into lookup tables (|Q|·m·n_centroids doubles, broadcast), and
+    the codes scan is a mapInPandas numpy gather: each candidate costs
+    m table lookups + (m-1) adds, no decompression. Each scan partition
+    emits only its own top-k per query, so the final per-query window
+    ranks ≈ k·partitions·|Q| rows instead of |corpus|·|Q| — the
+    partial-top-k pruning that keeps the one shuffle bounded at scale.
+
+    Bit-exactness contract: every float op replays the SQL oracle's
+    sequential fold order — subvector norms and table entries accumulate
+    left-to-right one IEEE-double op at a time (a numpy loop over j, not
+    BLAS/pairwise sums), and the total adds subspace dots in index
+    order — so with ``init="hash"`` the DuckDB oracle replays BOTH
+    codebook trainings (tagged k-means CTEs) and the full ADC ranking
+    (queries._pq_oracle) to the exact double. Partial-then-global top-k
+    is exact under the (score DESC, match_id) total order: a global
+    top-k row is necessarily in its partition's top-k.
     """
+    import numpy as np
     corpus = corpus.filter(F.col(emb_col).isNotNull())  # same as ann_ivf
     first = corpus.select(emb_col).first()
     if first is None or first[0] is None:
@@ -469,34 +500,80 @@ def pq_adc(
         )
         codes = a if codes is None else codes.join(a, "item_id")
 
-    def nsub(si: int):
-        sub = F.transform(
-            F.slice(emb_col, si * width + 1, width),
-            lambda x: x.cast("double"),
-        )
-        nrm = F.sqrt(
-            F.aggregate(sub, F.lit(0.0), lambda acc, x: acc + x * x)
-        )
-        return F.transform(sub, lambda x: x / nrm)
-
-    q = queries.filter(F.col(emb_col).isNotNull()).select(
-        F.col(query_id).cast("long").alias("query_id"),
-        *[nsub(si).alias(f"__q{si}") for si in range(m)],
+    # --- driver-side ADC lookup tables (query set is broadcast-tiny) ---
+    qrows = (
+        queries.filter(F.col(emb_col).isNotNull())
+        .select(F.col(query_id).cast("long").alias("qid"), emb_col)
+        .collect()
     )
-    lits = [
-        F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cb])
-        for cb in codebooks
-    ]
-    scored = codes.crossJoin(F.broadcast(q))
-    score = None
+    if not qrows:
+        out = _empty_topk(corpus.sparkSession)
+        return out.withColumnRenamed("score", "adc_score")
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)  # (Q, dim)
+    nq = len(qids)
+    luts = []
     for si in range(m):
-        cvec = F.element_at(lits[si], F.col(f"__c{si}") + 1)
-        d = F.aggregate(
-            F.zip_with(F.col(f"__q{si}"), cvec, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        score = d if score is None else score + d
+        sub = qmat[:, si * width : (si + 1) * width]  # float32→double exact
+        # sequential j-order accumulation — one IEEE add per step, the
+        # oracle's fold order (np.sum's pairwise order would drift ULPs)
+        acc = np.zeros(nq)
+        for j in range(width):
+            acc += sub[:, j] * sub[:, j]
+        qn = sub / np.sqrt(acc)[:, None]
+        cb = np.asarray(codebooks[si], dtype=np.float64)  # (C, width)
+        lut = np.zeros((nq, len(cb)))
+        for j in range(width):
+            lut += qn[:, j, None] * cb[None, :, j]
+        luts.append(lut)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, luts, k))
+
+    code_cols = [f"__c{si}" for si in range(m)]
+
+    def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        b_qids, b_luts, b_k = bc.value
+        cand_ids: list = []  # per-batch top-k candidates, trimmed at end
+        cand_scores: list = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["item_id"].to_numpy(np.int64)
+            total = b_luts[0][:, pdf[code_cols[0]].to_numpy(np.int64)]
+            for si in range(1, len(b_luts)):
+                # subspace-index add order = the JVM/SQL d0 + d1 + …
+                total = total + b_luts[si][:, pdf[code_cols[si]].to_numpy(np.int64)]
+            # exact per-batch top-k under (score DESC, match_id ASC):
+            # pre-sort the batch by id so the stable sort on -score
+            # breaks ties by ascending match_id, same as the oracle
+            id_order = np.argsort(ids, kind="stable")
+            ids = ids[id_order]
+            total = total[:, id_order]
+            sel = np.argsort(-total, axis=1, kind="stable")[:, :b_k]
+            cand_ids.append(ids[sel])  # (Q, <=k)
+            cand_scores.append(np.take_along_axis(total, sel, axis=1))
+        if not cand_ids:
+            return
+        all_ids = np.concatenate(cand_ids, axis=1)  # (Q, n_cand)
+        all_scores = np.concatenate(cand_scores, axis=1)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(b_qids)):
+            order = np.lexsort((all_ids[qi], -all_scores[qi]))[:b_k]
+            out_q.append(np.full(len(order), b_qids[qi], dtype=np.int64))
+            out_id.append(all_ids[qi][order])
+            out_s.append(all_scores[qi][order])
+        yield pd.DataFrame({
+            "query_id": np.concatenate(out_q),
+            "match_id": np.concatenate(out_id),
+            "__score": np.concatenate(out_s),
+        })
+
+    scored = codes.select("item_id", *code_cols).mapInPandas(
+        adc_scan, schema="query_id long, match_id long, __score double"
+    )
+    if _candidates_only:  # test hook: the pre-window (pruned) stage
+        return scored
 
     from pyspark.sql import Window
 
@@ -504,11 +581,7 @@ def pq_adc(
         F.col("__score").desc(), F.col("match_id")
     )
     return (
-        scored.select(
-            "query_id", F.col("item_id").alias("match_id"),
-            score.alias("__score"),
-        )
-        .withColumn("rk", F.row_number().over(wn))
+        scored.withColumn("rk", F.row_number().over(wn))
         .filter(F.col("rk") <= k)
         .select(
             "query_id", "match_id",

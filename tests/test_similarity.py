@@ -190,3 +190,85 @@ def test_pq_adc_ranks_reasonably_vs_bruteforce(spark):
     # random guessing would put the true NN at ~n/2; sharing the query's
     # code pair bounds it near n/(8*8) on average if codes carry signal
     assert mean_rank < n_corpus / 4, f"true-NN mean ADC rank {mean_rank:.0f}"
+
+
+def test_semantic_dedup_autoscales_cluster_count(spark):
+    """target_cluster_size bounds the intra-cluster pair join at scale:
+    C = max(n_centroids, ceil(count/target)) (capped at train_sample).
+    Pinned three ways: (a) the formula — auto-scaled output is
+    IDENTICAL to an explicit n_centroids=C run; (b) the oracle regime —
+    at test scale the default target changes nothing vs fixed C=16;
+    (c) the bound — cluster populations stay near the target."""
+    import numpy as np
+
+    from quickstart_streaming_agents_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    ship_package(spark)
+    rng = np.random.RandomState(11)
+    rows = [(int(i), rng.randn(16).tolist()) for i in range(2000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # (a) 2000 rows / target 100 -> C = max(16, 20) = 20
+    auto = semantic_dedup(df, "vec_id", target_cluster_size=100)
+    explicit = semantic_dedup(
+        df, "vec_id", n_centroids=20, target_cluster_size=None
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+    # (b) default target (4096): count <= 16*4096 -> C stays 16, the
+    # fixed-C configuration the semantic_dedup SQL oracle replays
+    dflt = semantic_dedup(df, "vec_id")
+    fixed = semantic_dedup(df, "vec_id", target_cluster_size=None)
+    assert sorted(map(tuple, dflt.collect())) == sorted(
+        map(tuple, fixed.collect())
+    )
+
+    # (c) populations bounded: spherical k-means on isotropic data is
+    # roughly balanced; 6x the target catches any quadratic collapse
+    # (a single-cluster degeneration would show 2000)
+    pops = [
+        r["n"] for r in auto.groupBy("cluster").agg(
+            F.count("*").alias("n")
+        ).collect()
+    ]
+    assert len(pops) >= 10 and max(pops) <= 600, (len(pops), max(pops))
+
+
+def test_pq_adc_partial_topk_bounds_shuffle_input(spark):
+    """The ADC scan emits at most k rows per query PER PARTITION — the
+    final per-query window ranks ≈ k·partitions·|Q| rows, never
+    |corpus|·|Q| (VERDICT r7 #5). Pinned on a 12-partition corpus, plus
+    exactness: the pruned result equals a brute-force replay of the
+    same LUT scoring over ALL corpus rows."""
+    import numpy as np
+
+    from quickstart_streaming_agents_spark.operators.similarity import pq_adc
+
+    ship_package(spark)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.repartition(12)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    n_q = q.count()
+    k = 5
+
+    cand = pq_adc(q, corpus, "qid", "vec_id", k=k, _candidates_only=True)
+    n_cand = cand.count()
+    assert n_cand <= k * 12 * n_q, (n_cand, k * 12 * n_q)
+    n_corpus = corpus.count()
+    assert n_cand < n_corpus * n_q  # the pruning actually pruned
+
+    # candidate stage is partition-count invariant in RESULT: top-k over
+    # candidates == top-k over the unpartitioned scan
+    got = sorted(
+        map(tuple, pq_adc(q, corpus, "qid", "vec_id", k=k).collect())
+    )
+    want = sorted(
+        map(tuple, pq_adc(q, emb.coalesce(1), "qid", "vec_id", k=k).collect())
+    )
+    assert got == want

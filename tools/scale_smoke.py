@@ -143,6 +143,31 @@ def main() -> None:
     t0 = time.perf_counter()
     stage("pca fit+project (d=16,k=4)", pca(vecs, "embedding", k=4), t0)
 
+    # Round-8: SemDeDup at generated scale — the auto-scaled cluster
+    # count (C = max(16, ceil(n/target))) must keep per-cluster
+    # population bounded, or the intra-cluster pair join goes quadratic.
+    # target=2048 at 1M vectors -> C≈489; assert the realized max
+    # population stays within 6x the target (isotropic hash vectors
+    # cluster roughly evenly; 6x catches any single-cluster collapse).
+    from quickstart_streaming_agents_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    t0 = time.perf_counter()
+    target = 2048
+    sd = semantic_dedup(
+        vecs.withColumnRenamed("doc_id", "vec_id"), "vec_id",
+        threshold=0.9, target_cluster_size=target,
+    )
+    pops = sd.groupBy("cluster").count()
+    max_pop = pops.agg(F.max("count")).first()[0]
+    n_clusters = pops.count()
+    assert max_pop <= 6 * target, (
+        f"semantic_dedup cluster population unbounded: {max_pop} > {6 * target}"
+    )
+    print(f"{'semantic dedup (C auto)':28s} {time.perf_counter() - t0:7.2f}s  "
+          f"({rows:,} docs)  C={n_clusters} max_pop={max_pop}")
+
     t0 = time.perf_counter()
     flagship = build_training_pipeline(docs)
     n_ex = count_exchanges(flagship)
