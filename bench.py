@@ -146,7 +146,37 @@ HEADLINE = [
     "chat_template_render",
     "ann_pq_adc_topk",
     "ccnet_ppl_buckets",
+    "quality_classifier_digest",
+    "pca_moments",
 ]
+
+
+def _isolated_one(name: str) -> None:
+    """Run ONE query in this (fresh) process and print a JSON line.
+
+    Forked by main() for the heavy queries: in-sequence timing of
+    flagship-class queries can be distorted 1.6x by GC pressure from
+    the 100+ queries before them (the r7 87s-vs-138s flagship
+    discrepancy), so the bench contract records a fresh-JVM figure
+    alongside the in-sequence one. Timing starts after session+warmup,
+    so JVM startup is not attributed to the query."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.session import get_spark, ship_package
+    from quickstart_streaming_agents_spark.sources.parquet import load_tables
+
+    spark = get_spark(f"bench-iso-{name}")
+    ship_package(spark)
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).count()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    spark.stop()
+    print(json.dumps({"query": name, "sec": round(best, 3)}), flush=True)
 
 
 def main() -> None:
@@ -200,6 +230,33 @@ def main() -> None:
     if errors:
         out["errors"] = errors
 
+    # Fresh-JVM isolation figures for the heavy (>= 3 s) queries: the
+    # in-sequence numbers above can carry GC pressure from the full
+    # sweep; `isolated` records each heavy query re-run alone in a
+    # forked interpreter (own JVM, warmup excluded from timing).
+    # SPARK_GRAFT_ISOLATE=0 skips the extra ~20 s/query of JVM spin-up.
+    if os.environ.get("SPARK_GRAFT_ISOLATE", "1") != "0":
+        import subprocess
+
+        isolated: dict[str, float] = {}
+        for name in sorted(
+            (n for n, t in timings.items() if t >= 3.0),
+            key=lambda n: -timings[n],
+        ):
+            try:
+                res = subprocess.run(
+                    [sys.executable, __file__, "--isolated-one", name],
+                    capture_output=True, text=True, timeout=900,
+                )
+                for ln in reversed(res.stdout.splitlines()):
+                    if ln.startswith('{"query"'):
+                        isolated[name] = json.loads(ln)["sec"]
+                        break
+            except Exception:  # noqa: BLE001 — isolation is best-effort
+                pass
+        if isolated:
+            out["isolated"] = isolated
+
     # Full-precision record for the judge (the driver's stdout tail capture
     # is 2000 bytes — the complete 83-query line does not fit in it).
     (REPO / "BENCH_FULL.json").write_text(json.dumps(out, indent=1) + "\n")
@@ -237,4 +294,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--isolated-one":
+        _isolated_one(sys.argv[2])
+    else:
+        main()

@@ -4721,9 +4721,12 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # TPC-H Q2 analog (min-cost-per-group join-back) on the fixture star
 # schema (no partsupp table: lineitem serves as the part×supplier cost
-# relation; cost = l_extendedprice·(1−l_discount), a per-row IEEE
-# product both engines compute bit-identically, so the min-equality
-# join-back needs no rounding). The user-facing shape is the correlated
+# relation; cost = l_extendedprice·(1−l_discount), carried in EXACT
+# integer ten-thousandths — the __tenk recipe shared with Q7/Q8/Q9 —
+# so the min-equality join-back compares BIGINTs and the emitted
+# supp_cost is a 4-decimal value, immune to driver float
+# canonicalization, the r8 plan_audit float-risk class). The
+# user-facing shape is the correlated
 # scalar subquery `WHERE cost = (SELECT min(cost) … WHERE same part)` —
 # the oracle keeps that form; the Spark plan is the decorrelated one: a
 # per-(part,supplier) partial agg (map-side combine shrinks lineitem
@@ -4738,7 +4741,9 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cost AS (
         SELECT l.l_partkey, l.l_suppkey,
-               min(l.l_extendedprice * (1 - l.l_discount)) AS supp_cost
+               min(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                   AS tenk
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -4747,14 +4752,15 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT p.p_partkey, p.p_name, s.s_name AS supplier_name,
-           n.n_name AS nation_name, s.s_acctbal, c.supp_cost
+           n.n_name AS nation_name, s.s_acctbal,
+           c.tenk / 10000.0 AS supp_cost
     FROM cost c
     JOIN part p ON p.p_partkey = c.l_partkey
     JOIN supplier s ON s.s_suppkey = c.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
     WHERE p.p_type = 'PROMO'
-      AND c.supp_cost = (SELECT min(c2.supp_cost) FROM cost c2
-                         WHERE c2.l_partkey = c.l_partkey)
+      AND c.tenk = (SELECT min(c2.tenk) FROM cost c2
+                    WHERE c2.l_partkey = c.l_partkey)
     """,
 )
 def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4772,25 +4778,29 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal",
                 F.col("n_name").alias("nation_name"))
     )
+    tenk = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100)).cast("bigint")
+    )
     cost = (
         li.join(F.broadcast(eu_supp.select("s_suppkey")),
                 li.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.col("l_extendedprice")
-                   * (F.lit(1) - F.col("l_discount"))).alias("supp_cost"))
+        .agg(F.min(tenk).alias("tenk"))
     )
     w = Window.partitionBy("l_partkey")
     best = (
-        cost.withColumn("min_cost", F.min("supp_cost").over(w))
-        .filter(F.col("supp_cost") == F.col("min_cost"))
-        .drop("min_cost")
+        cost.withColumn("min_tenk", F.min("tenk").over(w))
+        .filter(F.col("tenk") == F.col("min_tenk"))
+        .drop("min_tenk")
     )
     return (
         best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
         .join(F.broadcast(eu_supp), best.l_suppkey == eu_supp.s_suppkey)
         .select("p_partkey", "p_name",
                 F.col("s_name").alias("supplier_name"),
-                "nation_name", "s_acctbal", "supp_cost")
+                "nation_name", "s_acctbal",
+                (F.col("tenk") / 10000.0).alias("supp_cost"))
     )
 
 
@@ -7183,82 +7193,81 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-verification rotation (round 7). The correctness harness
-# oracle-checks the FIRST 50 registry entries each round; round 6's window
-# went 50/50 green. This rotation leads with (a) the queries
-# brand-new in round 7 (gopher_quality_flags, dsir_importance_weights,
-# semantic_dedup, small_quantity_revenue, dormant_customer_balance,
-# important_parts, customer_order_distribution, disjunctive_revenue,
-# part_supplier_variety, nation_trade_volume, multimodal_gif_meta,
-# video_frame_sample_real — never externally checked), (b) the eight queries whose
-# implementations were rewritten in round 6 (skew-proof partial-agg plans)
-# but whose latest external driver row predates the rewrite, (c) the three
-# queries new since the r6 window closed (multimodal_png_meta,
-# min_cost_supplier, excess_quota_suppliers) plus curation_funnel,
-# rewritten this round as a single-pass df.observe plan, then (d) the
-# round-5-dated queries, oldest-unverified-first — 50 names total. The
-# r5-dated names displaced by (a) (data_quality_report,
-# exact_k_per_stratum, trending_per_window, value_histogram,
-# rolling_active_users, cumulate_agg, late_shipment_priority,
-# large_volume_orders, events_cube, shipping_priority,
-# local_supplier_volume, returned_item_customers, promo_revenue_share,
-# forecast_revenue_change, events_pivot, user_set_ops,
-# semi_anti_customers, event_funnel, bm25_search, verdict_parse,
-# label_centroids, rag_pipeline, pricing_summary)
-# have UNCHANGED implementations since their r5 green row and stay pinned
-# every run by tests/test_parity.py, which asserts ALL oracle pairs.
+# Driver-verification rotation (round 8). The correctness harness
+# oracle-checks the FIRST 50 registry entries each round; round 7's
+# window went 49/50 hash-green (quality_classifier_score was the one
+# hash-red row — canonicalization-fragile raw double, now rounded to 9
+# on both sides). This rotation leads with (a) the two queries new this
+# round (quality_classifier_digest — the float-free per-row-md5
+# diagnostic sibling; pca_moments — the exact-integer PCA moment
+# oracle), (b) the classifier retry, (c) the 23 round-5-dated queries
+# that violated the <=2-round freshness rule (all pinned every run by
+# tests/test_parity.py, unchanged implementations since their r5 green
+# rows), (d) the six queries whose implementations changed this round
+# (ann_pq_adc_topk ADC-LUT partial-top-k rewrite; semantic_dedup
+# centroid auto-scaling; curation_funnel obs_n narrowing; the three
+# media queries sitting on the JPEG fill-byte / GIF orphan-GCE codec
+# fixes, and min_cost_supplier's integer-tenk cost rewrite flagged by
+# the new plan_audit float-risk lint), then (e) 17 of the 49 round-6-dated rows, spread across the
+# join/dedup/ANN/streaming-window families. The 31 r6-dated rows left
+# out stay parity-pinned in-repo and rotate in next round.
 # ---------------------------------------------------------------------------
-_R7_CHECK_FIRST = [
-    "gopher_quality_flags",
-    "dsir_importance_weights",
-    "semantic_dedup",
-    "small_quantity_revenue",
-    "dormant_customer_balance",
-    "important_parts",
-    "customer_order_distribution",
-    "disjunctive_revenue",
-    "part_supplier_variety",
-    "nation_trade_volume",
-    "nation_market_share",
-    "nation_profit",
+_R8_CHECK_FIRST = [
+    # (a) new this round
+    "quality_classifier_digest",
+    "pca_moments",
+    # (b) the r7 red row, hardened
     "quality_classifier_score",
-    "chat_template_render",
+    # (c) r5-dated freshness violations
+    "bm25_search",
+    "cumulate_agg",
+    "data_quality_report",
+    "event_funnel",
+    "events_cube",
+    "events_pivot",
+    "exact_k_per_stratum",
+    "forecast_revenue_change",
+    "label_centroids",
+    "large_volume_orders",
+    "late_shipment_priority",
+    "local_supplier_volume",
+    "pricing_summary",
+    "promo_revenue_share",
+    "rag_pipeline",
+    "returned_item_customers",
+    "rolling_active_users",
+    "semi_anti_customers",
+    "shipping_priority",
+    "trending_per_window",
+    "user_set_ops",
+    "value_histogram",
+    "verdict_parse",
+    # (d) implementations changed in round 8
     "ann_pq_adc_topk",
-    "ccnet_ppl_buckets",
-    "winnowing_dedup_pairs",
-    "key_skew_histogram",
-    "pca_project",
-    "substring_dedup_clean",
-    "duplicate_spans",
-    "latest_state_upsert",
-    "topk_per_group",
-    "vector_search_topk",
-    "snapshot_diff",
-    "training_data_pipeline",
-    "packed_training_shards",
-    "multimodal_png_meta",
-    "multimodal_gif_meta",
-    "video_frame_sample_real",
-    "multimodal_jpeg_meta",
-    "media_probe_meta",
-    "min_cost_supplier",
-    "excess_quota_suppliers",
+    "semantic_dedup",
     "curation_funnel",
-    "tumble_6h_avg",
-    "filter_project",
-    "scalar_funcs",
-    "interval_join",
-    "asof_attribution",
-    "anomaly_zscore",
-    "anomaly_detect_ar",
-    "anomaly_detect_ar1",
-    "ml_predict_textgen",
-    "ml_predict_embedding",
-    "tool_invoke",
-    "embedding_near_dup",
-    "cohort_retention",
-    "column_profile",
-    "window_functions_suite",
+    "media_probe_meta",
+    "multimodal_gif_meta",
+    "multimodal_jpeg_meta",
+    "min_cost_supplier",
+    # (e) r6-dated refresh
+    "agent_price_match",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "anomaly_detect_ar2",
+    "counts_dashboard",
+    "curation_pipeline",
+    "dedup_components",
+    "dedup_exact",
+    "enriched_orders",
+    "investigation_queue",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_dedup",
+    "sequence_packing",
+    "session_window_agg",
+    "simhash_dedup",
+    "sliding_window_agg",
+    "surge_enriched",
 ]
 
 
@@ -7275,5 +7284,5 @@ def _rotate(reg: dict, front: list[str]) -> dict:
     return out
 
 
-QUERIES = _rotate(QUERIES, _R7_CHECK_FIRST)
-ORACLE = _rotate(ORACLE, _R7_CHECK_FIRST)
+QUERIES = _rotate(QUERIES, _R8_CHECK_FIRST)
+ORACLE = _rotate(ORACLE, _R8_CHECK_FIRST)

@@ -685,6 +685,145 @@ def quality_filter_stream_pipeline(
     return catalog
 
 
+def ccnet_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+    vocab_cap: int = 300_000,
+) -> StreamCatalog:
+    """Continuous CCNet perplexity bucketing — the streaming half of
+    queries.ccnet_ppl_buckets, shaped exactly like the DSIR twin
+    (profile-then-score): everything corpus-derived is frozen from a
+    bounded profile pass, then the live stream is scored and bucketed
+    MAP-ONLY — no state, no shuffle, trivially restartable.
+
+    Frozen from the profile (at 100 TB: the previous corpus snapshot,
+    the same recipe CCNet itself uses — its KenLM is pretrained, not
+    fit on the stream):
+
+    - the unigram LM — per-term ``ln(cf/T)`` computed by the SAME JVM
+      expressions as the batch operator (collected, then baked into the
+      plan as a map literal; ``vocab_cap`` guards the driver — a corpus
+      whose vocabulary exceeds it should hash terms into bounded
+      buckets first, the dsir_token_bucket recipe);
+    - the per-language head/middle tercile BOUNDARIES — the last
+      (score, doc_id) pair of each NTILE(3) bucket under the batch
+      query's exact order (rounded score DESC, doc_id ASC), so an
+      arriving doc's bucket is two tuple comparisons.
+
+    Parity with batch: boundaries are exact tuples from the batch
+    window, and scores round to 6 like batch — the only divergence
+    channel is float summation order inside a doc (token-order fold
+    here vs tf-weighted hash-agg order in batch), sub-ULP at ROUND(6),
+    the same pin as the DSIR twin's ROUND(4). Unseen terms get the
+    0.5-smoothed floor ``ln(0.5/(T+0.5))``; docs in languages absent
+    from the profile bucket as 'tail' (frozen-model semantics).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    from ..operators.retrieval import postings, unigram_logprob
+
+    spark = catalog.spark
+    profile = spark.read.parquet(documents_path)
+
+    # frozen LM — JVM-computed ln(cf/T) so literals are bit-identical
+    # to the batch operator's F.log values (no Python-libm drift)
+    post = postings(profile)
+    vocab = (
+        post.groupBy("term").agg(F.sum("tf").alias("cf"))
+        .crossJoin(F.broadcast(
+            post.agg(F.sum("tf").cast("double").alias("t_total"))
+        ))
+        .select("term", F.log(F.col("cf") / F.col("t_total")).alias("lp"),
+                "t_total")
+    )
+    vrows = vocab.collect()
+    if len(vrows) > vocab_cap:
+        raise ValueError(
+            f"profile vocabulary {len(vrows)} exceeds vocab_cap "
+            f"{vocab_cap}; hash terms into bounded buckets first "
+            "(see operators/sampling.dsir_token_bucket)"
+        )
+    t_total = vrows[0]["t_total"] if vrows else 0.0
+    unseen = math.log(0.5 / (t_total + 0.5)) if vrows else 0.0
+    lm_map = F.map_from_arrays(
+        F.array(*[F.lit(r["term"]) for r in vrows]),
+        F.array(*[F.lit(float(r["lp"])) for r in vrows]),
+    )
+
+    # frozen tercile boundaries: last (score, doc_id) of head and of
+    # middle per language, under (round-6 score DESC, doc_id ASC) —
+    # encoded as the ascending key (-score, doc_id) so "in bucket" is
+    # one lexicographic struct comparison
+    scored = unigram_logprob(profile).select("doc_id", "avg_logprob").join(
+        profile.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    key = F.struct(
+        (-F.col("avg_logprob")).alias("ns"), F.col("doc_id").alias("id")
+    )
+    ranked = scored.withColumn("b", F.ntile(3).over(w))
+    brows = ranked.groupBy("lang").agg(
+        F.max(F.when(F.col("b") == 1, key)).alias("h"),
+        F.max(F.when(F.col("b") == 2, key)).alias("m"),
+    ).collect()
+    langs = [r["lang"] for r in brows]
+
+    def bound_map(field: str, part: str) -> F.Column:
+        return F.map_from_arrays(
+            F.array(*[F.lit(r["lang"]) for r in brows if r[part] is not None]),
+            F.array(*[
+                F.lit(r[part][field]) for r in brows if r[part] is not None
+            ]),
+        )
+
+    stamped = profile.select(
+        "doc_id", "lang", "text",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ).alias("ts"),
+    )
+    catalog.create_table_as("ccnet_raw_docs", stamped)
+
+    stream = catalog.read_stream("ccnet_raw_docs")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    s = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.coalesce(F.element_at(lm_map, t), F.lit(unseen)),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    avg = F.round(s / F.size(toks).cast("double"), 6)
+    ns = -avg
+
+    def le(part: str) -> F.Column:
+        bns = F.element_at(bound_map("ns", part), F.col("lang"))
+        bid = F.element_at(bound_map("id", part), F.col("lang"))
+        return bns.isNotNull() & (
+            (ns < bns) | ((ns == bns) & (F.col("doc_id") <= bid))
+        )
+
+    bucketed = stream.filter(F.size(toks) > 0).select(
+        "doc_id", "lang", avg.alias("avg_logprob"),
+        F.when(~F.col("lang").isin(langs) if langs else F.lit(True), "tail")
+        .when(le("h"), "head")
+        .when(le("m"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+    catalog.create_table_as("ccnet_bucketed_docs", bucketed,
+                            available_now=True)
+    catalog.await_all()
+    return catalog
+
+
 def media_triage_stream_pipeline(
     catalog: StreamCatalog,
     documents_path: str,

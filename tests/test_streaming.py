@@ -871,6 +871,31 @@ def test_dsir_stream_matches_batch(spark, catalog):
     assert len(got) > 0
 
 
+def test_ccnet_stream_matches_batch(spark, catalog):
+    """Streaming CCNet bucketing (profile-then-score: frozen JVM LM +
+    frozen per-language tercile boundary tuples, map-only) must equal
+    the batch ccnet_ppl_buckets query row for row on the profile
+    corpus — boundaries are exact (score, doc_id) pairs from the batch
+    window, scores ROUND(6)-pinned like the batch column."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        ccnet_stream_pipeline,
+    )
+
+    ccnet_stream_pipeline(catalog, documents_path=f"{SF_DIR}/documents.parquet")
+    got = {
+        (r.doc_id, r.lang, r.avg_logprob, r.ppl_bucket)
+        for r in catalog.read_batch("ccnet_bucketed_docs").collect()
+    }
+    want = {
+        (r.doc_id, r.lang, r.avg_logprob, r.ppl_bucket)
+        for r in QUERIES["ccnet_ppl_buckets"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    assert {b for *_, b in got} == {"head", "middle", "tail"}
+
+
 def test_quality_filter_stream_matches_batch(spark, catalog):
     """Streaming classifier gate must EXACTLY partition the corpus the
     way the batch quality_classifier_score query does — integer margins,
