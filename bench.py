@@ -148,6 +148,8 @@ HEADLINE = [
     "ccnet_ppl_buckets",
     "quality_classifier_digest",
     "pca_moments",
+    "image_dhash",
+    "image_phash_dedup",
 ]
 
 

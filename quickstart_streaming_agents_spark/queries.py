@@ -6511,6 +6511,149 @@ def media_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Perceptual-hash (dHash) image dedup — operators/phash.py (Krawetz
+# 2013): decode -> integer luma -> 8x9 area-average -> 64 dHash bits as
+# FOUR 16-bit bands (BIGINT-safe, and the bands ARE the Hamming-LSH
+# buckets: hamming <= 3 over 64 bits pigeonholes into >= 1 equal band).
+# Fixture synthesis keeps the oracle exact: per-doc 8x9 GRAY BMPs
+# (r=g=b=v so integer luma returns v bit-for-bit, and no resize at 8x9)
+# with md5-derived pixels v(r,c) = md5(base:r:c)%256, base = doc_id%150
+# (150 = 0 mod 3, so unperturbed same-base docs recur -> exact dups);
+# docs with doc_id%3 != 0 get ONE pixel perturbed by (doc_id%5)*37 at
+# (doc_id%8, doc_id%9) — a single pixel flips <= 2 dHash bits, so
+# same-base pairs span hamming 0..4, straddling the <= 3 threshold;
+# every 23rd payload is garbage (NULL bands, kept — the on_error
+# contract). DuckDB replays pixels, bits, band packing, the banded
+# self-join (with the hot-bucket cap), bit_count(xor) Hamming, and the
+# min-id keeper rule integer-for-integer.
+# ---------------------------------------------------------------------------
+_PHASH_PX_CTE = r"""
+WITH d AS (SELECT doc_id FROM documents),
+px AS (
+    SELECT d.doc_id, t.r, u.c,
+           (('0x' || substr(md5((d.doc_id % 150) || ':' || t.r || ':' || u.c),
+                            1, 15))::UBIGINT % 256
+            + CASE WHEN d.doc_id % 3 <> 0 AND t.r = d.doc_id % 8
+                        AND u.c = d.doc_id % 9
+                   THEN (d.doc_id % 5) * 37 ELSE 0 END) % 256 AS v
+    FROM d, unnest(range(0, 8)) AS t(r), unnest(range(0, 9)) AS u(c)
+    WHERE d.doc_id % 23 <> 0
+),
+bits AS (
+    SELECT a.doc_id, a.r, a.c,
+           CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+    FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.r = a.r
+                       AND b.c = a.c + 1
+    WHERE a.c < 8
+),
+bands AS (
+    SELECT doc_id, CAST(r // 2 AS INT) AS i,
+           SUM(CAST(bit AS BIGINT) << ((r % 2) * 8 + c)) AS v
+    FROM bits GROUP BY 1, 2
+),
+wide AS (
+    SELECT doc_id,
+           MAX(CASE WHEN i = 0 THEN v END) AS b0,
+           MAX(CASE WHEN i = 1 THEN v END) AS b1,
+           MAX(CASE WHEN i = 2 THEN v END) AS b2,
+           MAX(CASE WHEN i = 3 THEN v END) AS b3
+    FROM bands GROUP BY 1
+)
+"""
+
+_IMAGE_DHASH_ORACLE = _PHASH_PX_CTE + """
+SELECT doc_id, b0, b1, b2, b3 FROM wide
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL FROM d WHERE doc_id % 23 = 0
+"""
+
+_IMAGE_PHASH_DEDUP_ORACLE = _PHASH_PX_CTE + """,
+expl AS (
+    SELECT w.doc_id, t.i,
+           CASE t.i WHEN 0 THEN b0 WHEN 1 THEN b1
+                    WHEN 2 THEN b2 ELSE b3 END AS v,
+           b0, b1, b2, b3
+    FROM wide w, unnest(range(0, 4)) AS t(i)
+    QUALIFY COUNT(*) OVER (PARTITION BY t.i,
+        CASE t.i WHEN 0 THEN b0 WHEN 1 THEN b1
+                 WHEN 2 THEN b2 ELSE b3 END) <= 4096
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+           + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+           AS hamming
+    FROM expl a JOIN expl b
+      ON a.i = b.i AND a.v = b.v AND a.doc_id < b.doc_id
+),
+dup AS (SELECT DISTINCT id_b FROM pairs WHERE hamming <= 3)
+SELECT w.doc_id, b0, b1, b2, b3, (dup.id_b IS NULL) AS kept
+FROM wide w LEFT JOIN dup ON dup.id_b = w.doc_id
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, TRUE FROM d WHERE doc_id % 23 = 0
+"""
+
+
+def _synth_phash_bmps(docs: DataFrame) -> DataFrame:
+    """doc_id -> deterministic 8x9 gray BMP payload (see block comment);
+    every 23rd payload is garbage for the on_error path."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.multimodal import make_bmp
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 23 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                    continue
+                base = i % 150
+                img = np.empty((8, 9, 3), np.uint8)
+                for r in range(8):
+                    for c in range(9):
+                        v = int(hashlib.md5(
+                            f"{base}:{r}:{c}".encode()
+                        ).hexdigest()[:15], 16) % 256
+                        if i % 3 != 0 and r == i % 8 and c == i % 9:
+                            v = (v + (i % 5) * 37) % 256
+                        img[r, c, :] = v
+                payloads.append(make_bmp(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
+@query("image_dhash", oracle=_IMAGE_DHASH_ORACLE)
+def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 64-bit dHash as four 16-bit bands — see block comment;
+    operator in operators/phash.py (real BMP decode -> integer luma ->
+    dHash band packing, map-only, zero shuffle)."""
+    from quickstart_streaming_agents_spark.operators.phash import dhash_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dhash_images(_synth_phash_bmps(docs), "doc_id", "payload")
+
+
+@query("image_phash_dedup", oracle=_IMAGE_PHASH_DEDUP_ORACLE)
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-Hamming-LSH image near-dup dedup with min-id keepers —
+    see block comment; operator in operators/phash.py. Plan: map-only
+    hashing, ONE band shuffle shared by the bucket-cap window and the
+    candidate equi-join, broadcast dup-id anti-set."""
+    from quickstart_streaming_agents_spark.operators.phash import phash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phash_dedup(_synth_phash_bmps(docs), "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer et al. 2003 — the MOSS local
 # document-fingerprinting algorithm): hash overlapping word 3-grams in
 # ORDER, then keep the minimum hash of every 4-hash window
@@ -7200,7 +7343,8 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on both sides). This rotation leads with (a) the two queries new this
 # round (quality_classifier_digest — the float-free per-row-md5
 # diagnostic sibling; pca_moments — the exact-integer PCA moment
-# oracle), (b) the classifier retry, (c) the 23 round-5-dated queries
+# oracle; image_dhash / image_phash_dedup — the new perceptual-hash
+# image dedup family), (b) the classifier retry, (c) the 23 round-5-dated queries
 # that violated the <=2-round freshness rule (all pinned every run by
 # tests/test_parity.py, unchanged implementations since their r5 green
 # rows), (d) the six queries whose implementations changed this round
@@ -7208,7 +7352,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid auto-scaling; curation_funnel obs_n narrowing; the three
 # media queries sitting on the JPEG fill-byte / GIF orphan-GCE codec
 # fixes, and min_cost_supplier's integer-tenk cost rewrite flagged by
-# the new plan_audit float-risk lint), then (e) 17 of the 49 round-6-dated rows, spread across the
+# the new plan_audit float-risk lint), then (e) 15 of the 49 round-6-dated rows, spread across the
 # join/dedup/ANN/streaming-window families. The 31 r6-dated rows left
 # out stay parity-pinned in-repo and rotate in next round.
 # ---------------------------------------------------------------------------
@@ -7216,6 +7360,8 @@ _R8_CHECK_FIRST = [
     # (a) new this round
     "quality_classifier_digest",
     "pca_moments",
+    "image_dhash",
+    "image_phash_dedup",
     # (b) the r7 red row, hardened
     "quality_classifier_score",
     # (c) r5-dated freshness violations
@@ -7266,8 +7412,6 @@ _R8_CHECK_FIRST = [
     "sequence_packing",
     "session_window_agg",
     "simhash_dedup",
-    "sliding_window_agg",
-    "surge_enriched",
 ]
 
 

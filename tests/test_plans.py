@@ -207,3 +207,16 @@ def test_round7_query_plan_budgets_pinned(spark):
     # reuse): window sort, distinct, freq agg, fp join, pair agg
     assert count_exchanges(_q(spark, "winnowing_dedup_pairs")) <= 6
     assert count_exchanges(_q(spark, "ann_pq_adc_topk")) <= 1
+
+
+def test_round8_query_plan_budgets_pinned(spark):
+    """Round-8 additions keep their shapes: dHash computation and the
+    quality digest are map-only (scan-speed at 100 TB); the PCA moment
+    pass collapses to the tiny (1+d+d(d+1)/2)-row combine in ONE
+    exchange; the banded phash dedup stays within its 4-exchange
+    budget (band window, candidate self-join reuse, dup distinct,
+    keeper join)."""
+    for name in ("image_dhash", "quality_classifier_digest"):
+        assert count_exchanges(_q(spark, name)) == 0, name
+    assert count_exchanges(_q(spark, "pca_moments")) == 1
+    assert count_exchanges(_q(spark, "image_phash_dedup")) <= 4
