@@ -73,22 +73,20 @@ def cumulate(
 
     Returns ``window_start, window_end[, window_time], *keys, *aggs``.
 
-    Batch-only: after the explode, no groupBy key carries the event-time
-    attribute, so Structured Streaming cannot emit this aggregation in
-    append mode — the TVF's streaming analog is ``tumble`` at ``step``
-    granularity rolled up at read time. This exclusion is never hit by the
-    reference corpus: no query in labs 1-4 (LAB1-Walkthrough.md through
-    LAB4-Walkthrough.md, terraform/lab2-vector-search/main.tf) uses
-    CUMULATE or HOP at all — every reference window is TUMBLE — so
-    streaming CUMULATE is beyond-reference surface (SURVEY §2 ST7), kept
-    batch-complete with the documented streaming rewrite.
+    Streaming: the explode drops the ``ts_col`` event-time attribute,
+    so the watermark is RE-DECLARED on the exploded ``window_end``
+    column instead, with delay ``watermark + size``. That bound is what
+    makes append mode correct: an event at ``ts`` contributes rows with
+    ``window_end ≤ ts + size``, so ``max(window_end) ≤ max(ts) + size``
+    and the derived watermark ``max(window_end) − (delay + size)`` never
+    runs ahead of the true event-time watermark ``max(ts) − delay`` —
+    no cumulate window is finalized before every ``≤ delay``-late event
+    that belongs to it can still arrive. The cost is emission lag (a
+    window may close up to ``size`` later than its tumble equivalent)
+    and per-row fan-out of ``size/step`` state entries — the documented
+    price of the TVF. Never hit by the reference corpus (labs 1-4 use
+    TUMBLE exclusively): beyond-reference surface, SURVEY §2 ST7.
     """
-    if df.isStreaming:
-        raise NotImplementedError(
-            "cumulate is batch-only (the exploded window ends drop the "
-            "event-time attribute); use tumble(step) + a read-time rollup "
-            "for the streaming form"
-        )
     ms = {"second": 1000, "seconds": 1000, "minute": 60_000,
           "minutes": 60_000, "hour": 3_600_000, "hours": 3_600_000,
           "day": 86_400_000, "days": 86_400_000}
@@ -101,8 +99,13 @@ def cumulate(
         raise ValueError(
             f"CUMULATE size must be a multiple of step ({size!r} vs {step!r})"
         )
+    if df.isStreaming and watermark is None:
+        raise ValueError(
+            "streaming cumulate requires a watermark (append-mode "
+            "aggregation cannot finalize windows without one)"
+        )
     step_expr = f"INTERVAL {step}"
-    if watermark is not None:
+    if watermark is not None and not df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     bucketed = df.withColumn("__w", F.window(F.col(ts_col), size))
     first_end = F.expr(
@@ -115,6 +118,11 @@ def cumulate(
         "window_end",
         F.explode(F.sequence(first_end, F.col("__w.end"), F.expr(step_expr))),
     )
+    if df.isStreaming:
+        delay_ms = _to_ms(watermark) + _to_ms(size)
+        exploded = exploded.withWatermark(
+            "window_end", f"{delay_ms} milliseconds"
+        )
     out = (
         exploded.groupBy(
             F.col("__w.start").alias("window_start"),
