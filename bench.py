@@ -150,6 +150,7 @@ HEADLINE = [
     "pca_moments",
     "image_dhash",
     "image_phash_dedup",
+    "mp4_demux_samples",
 ]
 
 

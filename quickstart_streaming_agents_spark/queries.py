@@ -6511,6 +6511,81 @@ def media_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Real MP4 container demux — operators/multimodal.demux_mp4_samples:
+# every sample's (dts, size, byte range) resolved from real ISO
+# 14496-12 stts/stsz/stsc/stco tables and sliced out of mdat; codec
+# decode of the extracted bytes is the documented container-limited
+# stub. Synthesis is closed-form so DuckDB replays the whole demux:
+# doc_id -> n = 3 + doc_id%6 samples, sample k carries the UTF-8 of
+# "{doc_id}:{k}:" padded with 'x' to pad = 1 + md5("sz:doc:k")%64
+# extra bytes, 40 ms cadence; odd doc_ids split samples across two
+# chunks (exercising the stsc/stco run logic — offsets differ but the
+# contiguous layout keeps the SQL prefix-sum-free); every 23rd payload
+# is garbage and demuxes to nothing (the on_error "null" path).
+# ---------------------------------------------------------------------------
+_MP4_DEMUX_ORACLE = r"""
+WITH d AS (
+    SELECT doc_id, 3 + doc_id % 6 AS n FROM documents
+    WHERE doc_id % 23 <> 0
+),
+s AS (
+    SELECT d.doc_id, t.k,
+           d.doc_id || ':' || t.k || ':' AS prefix,
+           1 + ('0x' || substr(md5('sz:' || d.doc_id || ':' || t.k),
+                               1, 15))::UBIGINT % 64 AS pad
+    FROM d, unnest(range(0, CAST(d.n AS BIGINT))) AS t(k)
+)
+SELECT doc_id, CAST(k AS INT) AS sample_idx,
+       CAST(k * 40 AS BIGINT) AS dts_ms,
+       CAST(length(prefix) + pad AS BIGINT) AS sample_size,
+       md5(prefix || repeat('x', CAST(pad AS INT))) AS sample_md5
+FROM s
+"""
+
+
+@query("mp4_demux_samples", oracle=_MP4_DEMUX_ORACLE)
+def mp4_demux_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MP4 sample-table demux — see block comment; operator in
+    operators/multimodal.py (map-only 1->N mapInPandas, zero
+    shuffle)."""
+    import hashlib
+
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        demux_mp4_samples,
+        make_mp4,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 23 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                    continue
+                n = 3 + i % 6
+                samples = []
+                for k in range(n):
+                    prefix = f"{i}:{k}:"
+                    pad = 1 + int(hashlib.md5(
+                        f"sz:{i}:{k}".encode()
+                    ).hexdigest()[:15], 16) % 64
+                    samples.append((prefix + "x" * pad).encode())
+                payloads.append(make_mp4(
+                    16, 9, 40 * n, samples=samples,
+                    two_chunks=bool(i % 2),
+                ))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return demux_mp4_samples(synth_df, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
 # Perceptual-hash (dHash) image dedup — operators/phash.py (Krawetz
 # 2013): decode -> integer luma -> 8x9 area-average -> 64 dHash bits as
 # FOUR 16-bit bands (BIGINT-safe, and the bands ARE the Hamming-LSH
@@ -7344,7 +7419,8 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round (quality_classifier_digest — the float-free per-row-md5
 # diagnostic sibling; pca_moments — the exact-integer PCA moment
 # oracle; image_dhash / image_phash_dedup — the new perceptual-hash
-# image dedup family), (b) the classifier retry, (c) the 23 round-5-dated queries
+# image dedup family; mp4_demux_samples — real ISO-BMFF sample-table
+# demux), (b) the classifier retry, (c) the 23 round-5-dated queries
 # that violated the <=2-round freshness rule (all pinned every run by
 # tests/test_parity.py, unchanged implementations since their r5 green
 # rows), (d) the six queries whose implementations changed this round
@@ -7352,7 +7428,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid auto-scaling; curation_funnel obs_n narrowing; the three
 # media queries sitting on the JPEG fill-byte / GIF orphan-GCE codec
 # fixes, and min_cost_supplier's integer-tenk cost rewrite flagged by
-# the new plan_audit float-risk lint), then (e) 15 of the 49 round-6-dated rows, spread across the
+# the new plan_audit float-risk lint), then (e) 14 of the 49 round-6-dated rows, spread across the
 # join/dedup/ANN/streaming-window families. The 31 r6-dated rows left
 # out stay parity-pinned in-repo and rotate in next round.
 # ---------------------------------------------------------------------------
@@ -7362,6 +7438,7 @@ _R8_CHECK_FIRST = [
     "pca_moments",
     "image_dhash",
     "image_phash_dedup",
+    "mp4_demux_samples",
     # (b) the r7 red row, hardened
     "quality_classifier_score",
     # (c) r5-dated freshness violations
@@ -7411,7 +7488,6 @@ _R8_CHECK_FIRST = [
     "ngram_jaccard_dedup",
     "sequence_packing",
     "session_window_agg",
-    "simhash_dedup",
 ]
 
 

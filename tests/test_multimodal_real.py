@@ -695,3 +695,67 @@ def test_probe_gif_orphan_gce_duration_parity():
     assert pm["n_frames"] == 2
     c, m2 = _probe(dirty)
     assert c == "gif" and m2 == pm
+
+
+def test_mp4_sample_table_demux_roundtrip():
+    """make_mp4's sample tables resolve back to the exact payload byte
+    ranges: per-sample stsz, uniform stsz, one-chunk and two-chunk
+    stsc/stco layouts, dts from the stts run."""
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _probe_mp4,
+        make_mp4,
+        mp4_sample_table,
+    )
+
+    samples = [b"alpha", b"bravo-longer", b"c", b"dddddddd", b"ee"]
+    for two in (False, True):
+        p = make_mp4(640, 360, 200, samples=samples, two_chunks=two)
+        tab = mp4_sample_table(p)
+        assert [r["sample_idx"] for r in tab] == list(range(5))
+        assert [r["dts_ms"] for r in tab] == [0, 40, 80, 120, 160]
+        for i, r in enumerate(tab):
+            assert p[r["offset"]: r["offset"] + r["size"]] == samples[i]
+        assert _probe_mp4(p)["n_frames"] == 5  # header-only stts count
+
+    uni = make_mp4(16, 9, 120, samples=[b"xxxx"] * 3)
+    tab = mp4_sample_table(uni)
+    assert [r["size"] for r in tab] == [4, 4, 4]  # uniform stsz path
+
+    skeleton = make_mp4(16, 9, 120)  # legacy skeleton: probe-only
+    assert _probe_mp4(skeleton)["n_frames"] is None
+    with pytest.raises(ValueError, match="mdia"):
+        mp4_sample_table(skeleton)
+
+
+def test_demux_mp4_samples_spark(spark):
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        demux_mp4_samples,
+        make_mp4,
+    )
+    from quickstart_streaming_agents_spark.session import ship_package
+
+    ship_package(spark)
+    rows = [
+        (1, bytearray(make_mp4(16, 9, 120, samples=[b"aa", b"bbb", b"c"]))),
+        (2, bytearray(make_mp4(16, 9, 80, samples=[b"dd", b"e"],
+                               two_chunks=True))),
+        (3, b"not an mp4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {(r.doc_id, r.sample_idx): (r.dts_ms, r.sample_size, r.sample_md5)
+           for r in demux_mp4_samples(df).collect()}
+    import hashlib
+    want = {
+        (1, 0): (0, 2, hashlib.md5(b"aa").hexdigest()),
+        (1, 1): (40, 3, hashlib.md5(b"bbb").hexdigest()),
+        (1, 2): (80, 1, hashlib.md5(b"c").hexdigest()),
+        (2, 0): (0, 2, hashlib.md5(b"dd").hexdigest()),
+        (2, 1): (40, 1, hashlib.md5(b"e").hexdigest()),
+    }
+    assert got == want  # doc 3 demuxes to nothing (on_error="null")
+    # every_nth skips; on_error="raise" propagates
+    assert demux_mp4_samples(df, every_nth=2).count() == 3
+    with pytest.raises(Exception):
+        demux_mp4_samples(df, on_error="raise").collect()
+    with pytest.raises(ValueError, match="every_nth"):
+        demux_mp4_samples(df, every_nth=0)
