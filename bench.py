@@ -151,6 +151,8 @@ HEADLINE = [
     "image_dhash",
     "image_phash_dedup",
     "mp4_demux_samples",
+    "audio_energy_sig",
+    "audio_near_dup",
 ]
 
 

@@ -1,0 +1,190 @@
+"""Audio energy-signature fingerprinting and near-dup detection.
+
+Beyond-reference surface (SURVEY §M8 multimodal curation): the audio
+analog of the dHash image family (operators/phash.py) — re-encoded or
+slightly-edited copies of the same recording land on nearby energy
+signatures and are caught by banded LSH. All-integer arithmetic, so a
+SQL oracle replays every step.
+
+Recipe:
+
+1. decode — the real RIFF/WAVE PCM-16 codec (operators/multimodal),
+   channel 0 (no inter-channel averaging: keeps every op integer);
+2. the first ``n_windows × window_samples`` samples (zero-padded —
+   silence — when shorter) split into fixed windows; per-window ENERGY
+   ``E_w = Σ s²`` is an exact BIGINT (int16² · window ≤ 2^39);
+3. per-window log-energy bucket ``bit_length(E_w)`` (0 for silence) —
+   the exact integer ``floor(log2)+1``, the same no-libm idiom as
+   key_skew_histogram's ``length(bin(c))`` buckets;
+4. the signature is the bucket sequence; its four QUARTERS are md5'd
+   into band digests b0..b3 — the LSH buckets.
+
+Near-dup: pigeonhole — two signatures differing in ≤ ``max_diff ≤ 3``
+windows agree on ≥ 1 of the 4 quarter digests (one differing window
+perturbs exactly one quarter), so candidates come from one equi-join
+on (band index, digest), never all-pairs; the exact differing-window
+count (a JVM zip_with fold over the bucket arrays) filters candidates.
+100 TB shape: the band shuffle moves a digest + 8 small ints per row;
+hot bands (silence-only clips all hashing alike) capped at
+``max_bucket`` like the hot-shingle / phash-band caps.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def energy_signature_py(samples, window_samples: int, n_windows: int) -> list[int]:
+    """Channel-0 int16 samples → per-window bit_length(Σ s²) buckets."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    need = window_samples * n_windows
+    if len(s) < need:
+        s = np.concatenate([s, np.zeros(need - len(s), dtype=np.int64)])
+    s = s[:need].reshape(n_windows, window_samples)
+    energies = (s * s).sum(axis=1)
+    return [int(e).bit_length() for e in energies]
+
+
+def _band_digests(sig: list[int]) -> list[str]:
+    q = len(sig) // 4
+    return [
+        hashlib.md5(
+            ":".join(str(b) for b in sig[j * q : (j + 1) * q]).encode()
+        ).hexdigest()
+        for j in range(4)
+    ]
+
+
+def audio_energy_sig(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window_samples: int = 256,
+    n_windows: int = 8,
+    on_error: str = "null",
+) -> DataFrame:
+    """Per-clip energy signature: ``(id_col, sig, b0..b3)`` where
+    ``sig`` is the ':'-joined bucket sequence and b0..b3 the quarter
+    digests. NULLs for undecodable payloads under ``on_error="null"``
+    (the probe_media contract)."""
+    if n_windows % 4:
+        raise ValueError("n_windows must be divisible into 4 bands")
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_wav,
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _, arr = _decode_wav(bytes(payload or b""))
+                    sig = energy_signature_py(
+                        arr[:, 0], window_samples, n_windows
+                    )
+                    rows.append(
+                        [i, ":".join(map(str, sig)), *_band_digests(sig)]
+                    )
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    rows.append([i, None, None, None, None, None])
+            yield pd.DataFrame(
+                rows, columns=[id_col, "sig", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        compute,
+        schema=(f"{id_col} long, sig string, b0 string, b1 string, "
+                "b2 string, b3 string"),
+    )
+
+
+def audio_near_dup_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_diff: int = 1,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Near-duplicate pairs ``(id_a, id_b, n_diff)``, ``id_a < id_b``,
+    from banded LSH over ``(id, sig, b0..b3)`` rows. Exact for
+    ``max_diff ≤ 3`` (4-band pigeonhole) outside over-``max_bucket``
+    bands, which are skipped (bounded fan-out)."""
+    if not 0 <= max_diff <= 3:
+        raise ValueError(
+            f"max_diff must be in [0, 3] for 4-band pigeonhole "
+            f"exactness, got {max_diff}"
+        )
+    h = sigs.filter(F.col("sig").isNotNull())
+    bands = h.select(
+        F.col(id_col).alias("item_id"), "sig",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("i"), F.col(f"b{j}").alias("v"))
+                for j in range(4)
+            ])
+        ).alias("band"),
+    ).select("item_id", "sig", "band.i", "band.v")
+    wb = Window.partitionBy("i", "v")
+    bands = bands.withColumn("__n", F.count("*").over(wb)).filter(
+        F.col("__n") <= max_bucket
+    ).drop("__n")
+    a = bands.select(
+        F.col("item_id").alias("id_a"), "i", "v",
+        F.col("sig").alias("sig_a"),
+    )
+    b = bands.select(
+        F.col("item_id").alias("id_b"), "i", "v",
+        F.col("sig").alias("sig_b"),
+    )
+    n_diff = F.aggregate(
+        F.zip_with(
+            F.split("sig_a", ":"), F.split("sig_b", ":"),
+            lambda x, y: F.when(x == y, 0).otherwise(1),
+        ),
+        F.lit(0), lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, ["i", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .select("id_a", "id_b", n_diff.cast("int").alias("n_diff"))
+        .filter(F.col("n_diff") <= max_diff)
+    )
+
+
+def audio_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window_samples: int = 256,
+    n_windows: int = 8,
+    max_diff: int = 1,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Keep-one-per-near-dup-group over an audio payload column:
+    ``(id_col, sig, kept)``; min-id keeper, undecodable clips keep a
+    NULL signature and ``kept = true`` (same contract as phash_dedup)."""
+    sigs = audio_energy_sig(df, id_col, payload_col, window_samples,
+                            n_windows)
+    dup = (
+        audio_near_dup_pairs(sigs, id_col, max_diff, max_bucket)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return sigs.join(dup, id_col, "left").select(
+        id_col, "sig",
+        (~F.coalesce(F.col("__dup"), F.lit(False))).alias("kept"),
+    )

@@ -6511,6 +6511,152 @@ def media_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio energy-signature fingerprint + near-dup dedup — operators/
+# afp.py, the audio analog of the dHash image family: real WAV decode
+# -> per-window exact-BIGINT energies -> bit_length log buckets (the
+# key_skew_histogram no-libm idiom) -> quarter md5 digests as the
+# 4-band LSH, pigeonhole-exact for <= 3 differing windows. Synthesis
+# keeps the oracle exact AND cheap: 8 windows of 256 BLOCK-CONSTANT
+# samples per clip (amp(base, w) = md5("afp:base:w") % 32768 - 16384,
+# base = doc_id % 150), so E_w = amp^2 * 256 is one md5 per (doc,
+# window); docs with doc_id % 3 != 0 get window (doc_id % 8)'s
+# amplitude shifted by (doc_id % 5) * 997 (mod 32768) — same-base pairs
+# differ in 0, 1 or 2 windows, straddling the max_diff = 1 threshold;
+# every 23rd payload is garbage (NULL signature, kept).
+# ---------------------------------------------------------------------------
+_AFP_SIG_CTE = r"""
+WITH d AS (SELECT doc_id FROM documents),
+amps AS (
+    SELECT d.doc_id, t.w,
+           CAST((('0x' || substr(md5('afp:' || (d.doc_id % 150) || ':'
+                                     || t.w), 1, 15))::UBIGINT % 32768
+                 + CASE WHEN d.doc_id % 3 <> 0 AND t.w = d.doc_id % 8
+                        THEN (d.doc_id % 5) * 997 ELSE 0 END)
+                % 32768 AS BIGINT) - 16384 AS amp
+    FROM d, unnest(range(0, 8)) AS t(w)
+    WHERE d.doc_id % 23 <> 0
+),
+sigw AS (
+    SELECT doc_id, w,
+           CASE WHEN amp = 0 THEN 0
+                ELSE length(bin(amp * amp * 256)) END AS b
+    FROM amps
+),
+sigs AS (
+    SELECT doc_id, string_agg(CAST(b AS VARCHAR), ':' ORDER BY w) AS sig
+    FROM sigw GROUP BY doc_id
+),
+bq AS (
+    SELECT doc_id, CAST(w // 2 AS INT) AS j,
+           md5(string_agg(CAST(b AS VARCHAR), ':' ORDER BY w)) AS dg
+    FROM sigw GROUP BY doc_id, w // 2
+),
+wide AS (
+    SELECT s.doc_id, s.sig,
+           MAX(CASE WHEN j = 0 THEN dg END) AS b0,
+           MAX(CASE WHEN j = 1 THEN dg END) AS b1,
+           MAX(CASE WHEN j = 2 THEN dg END) AS b2,
+           MAX(CASE WHEN j = 3 THEN dg END) AS b3
+    FROM sigs s JOIN bq USING (doc_id) GROUP BY s.doc_id, s.sig
+)
+"""
+
+_AUDIO_SIG_ORACLE = _AFP_SIG_CTE + """
+SELECT doc_id, sig, b0, b1, b2, b3 FROM wide
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL FROM d WHERE doc_id % 23 = 0
+"""
+
+_AUDIO_DEDUP_ORACLE = _AFP_SIG_CTE + """,
+expl AS (
+    SELECT w.doc_id, w.sig, t.j AS i,
+           CASE t.j WHEN 0 THEN b0 WHEN 1 THEN b1
+                    WHEN 2 THEN b2 ELSE b3 END AS v
+    FROM wide w, unnest(range(0, 4)) AS t(j)
+    QUALIFY COUNT(*) OVER (PARTITION BY t.j,
+        CASE t.j WHEN 0 THEN b0 WHEN 1 THEN b1
+                 WHEN 2 THEN b2 ELSE b3 END) <= 4096
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sa, b.sig AS sb
+    FROM expl a JOIN expl b
+      ON a.i = b.i AND a.v = b.v AND a.doc_id < b.doc_id
+),
+dup AS (
+    SELECT DISTINCT id_b FROM pairs
+    WHERE length(list_filter(range(1, 9),
+              k -> string_split(sa, ':')[k] <> string_split(sb, ':')[k]))
+          <= 1
+)
+SELECT w.doc_id, w.sig, (dup.id_b IS NULL) AS kept
+FROM wide w LEFT JOIN dup ON dup.id_b = w.doc_id
+UNION ALL
+SELECT doc_id, NULL, TRUE FROM d WHERE doc_id % 23 = 0
+"""
+
+
+def _synth_afp_wavs(docs: DataFrame) -> DataFrame:
+    """doc_id -> deterministic block-constant PCM-16 WAV (see block
+    comment); every 23rd payload is garbage for the on_error path."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.multimodal import make_wav
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 23 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                    continue
+                base = i % 150
+                amps = []
+                for w in range(8):
+                    a = int(hashlib.md5(
+                        f"afp:{base}:{w}".encode()
+                    ).hexdigest()[:15], 16) % 32768
+                    if i % 3 != 0 and w == i % 8:
+                        a = (a + (i % 5) * 997) % 32768
+                    amps.append(a - 16384)
+                samples = np.repeat(
+                    np.asarray(amps, dtype=np.int16), 256
+                ).reshape(-1, 1)
+                payloads.append(make_wav(samples, rate=8000))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
+@query("audio_energy_sig", oracle=_AUDIO_SIG_ORACLE)
+def audio_energy_sig_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio energy signature + band digests — see block
+    comment; operator in operators/afp.py (map-only, zero shuffle)."""
+    from quickstart_streaming_agents_spark.operators.afp import (
+        audio_energy_sig,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_energy_sig(_synth_afp_wavs(docs), "doc_id", "payload")
+
+
+@query("audio_near_dup", oracle=_AUDIO_DEDUP_ORACLE)
+def audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded audio near-dup dedup with min-id keepers — see block
+    comment; operator in operators/afp.py."""
+    from quickstart_streaming_agents_spark.operators.afp import audio_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_dedup(_synth_afp_wavs(docs), "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
 # Real MP4 container demux — operators/multimodal.demux_mp4_samples:
 # every sample's (dts, size, byte range) resolved from real ISO
 # 14496-12 stts/stsz/stsc/stco tables and sliced out of mdat; codec
@@ -7420,7 +7566,8 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # diagnostic sibling; pca_moments — the exact-integer PCA moment
 # oracle; image_dhash / image_phash_dedup — the new perceptual-hash
 # image dedup family; mp4_demux_samples — real ISO-BMFF sample-table
-# demux), (b) the classifier retry, (c) the 23 round-5-dated queries
+# demux; audio_energy_sig / audio_near_dup — the integer audio
+# fingerprint dedup family), (b) the classifier retry, (c) the 23 round-5-dated queries
 # that violated the <=2-round freshness rule (all pinned every run by
 # tests/test_parity.py, unchanged implementations since their r5 green
 # rows), (d) the six queries whose implementations changed this round
@@ -7428,7 +7575,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid auto-scaling; curation_funnel obs_n narrowing; the three
 # media queries sitting on the JPEG fill-byte / GIF orphan-GCE codec
 # fixes, and min_cost_supplier's integer-tenk cost rewrite flagged by
-# the new plan_audit float-risk lint), then (e) 14 of the 49 round-6-dated rows, spread across the
+# the new plan_audit float-risk lint), then (e) 12 of the 49 round-6-dated rows, spread across the
 # join/dedup/ANN/streaming-window families. The 31 r6-dated rows left
 # out stay parity-pinned in-repo and rotate in next round.
 # ---------------------------------------------------------------------------
@@ -7439,6 +7586,8 @@ _R8_CHECK_FIRST = [
     "image_dhash",
     "image_phash_dedup",
     "mp4_demux_samples",
+    "audio_energy_sig",
+    "audio_near_dup",
     # (b) the r7 red row, hardened
     "quality_classifier_score",
     # (c) r5-dated freshness violations
@@ -7486,8 +7635,6 @@ _R8_CHECK_FIRST = [
     "investigation_queue",
     "minhash_lsh_dedup",
     "ngram_jaccard_dedup",
-    "sequence_packing",
-    "session_window_agg",
 ]
 
 
