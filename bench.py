@@ -153,6 +153,7 @@ HEADLINE = [
     "mp4_demux_samples",
     "audio_energy_sig",
     "audio_near_dup",
+    "mp3_demux_frames",
 ]
 
 

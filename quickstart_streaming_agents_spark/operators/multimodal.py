@@ -1616,6 +1616,94 @@ def make_mp3(
     return bytes(out)
 
 
+def mp3_frame_table(p: bytes) -> list[dict]:
+    """Real MPEG-1 Layer III frame walk: skips an ID3v2 tag (syncsafe
+    length), then reads EVERY frame header — so variable-bitrate
+    streams resolve correctly — returning per-frame ``(frame_idx,
+    offset, size, bitrate_kbps, samplerate_hz, channels, dts_ms)``.
+    dts accumulates the layer's fixed 1152 samples/frame. A truncated
+    final frame is dropped (the _probe_mp3 convention). Codec decode
+    of the frame payload (Huffman + IMDCT + synthesis filterbank) is
+    the genuinely container-limited stub; the byte ranges here are the
+    real demux a decode fleet would consume."""
+    pos = 0
+    if p[:3] == b"ID3":
+        if len(p) < 10:
+            raise ValueError("truncated ID3 header")
+        ss = p[6:10]
+        pos = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+    out: list[dict] = []
+    samples_elapsed = 0
+    while pos + 4 <= len(p):
+        if p[pos] != 0xFF or (p[pos + 1] & 0xFE) != 0xFA:
+            break
+        brix = p[pos + 2] >> 4
+        srix = (p[pos + 2] >> 2) & 0x03
+        pad = (p[pos + 2] >> 1) & 0x01
+        if brix not in _MP3_BITRATE_KBPS or srix not in _MP3_SR_HZ:
+            raise ValueError("invalid MP3 frame header indices")
+        bitrate = _MP3_BITRATE_KBPS[brix]
+        sr = _MP3_SR_HZ[srix]
+        channels = 1 if (p[pos + 3] >> 6) == 3 else 2
+        flen = 144 * bitrate * 1000 // sr + pad
+        if pos + flen > len(p):
+            break  # truncated final frame
+        out.append({
+            "frame_idx": len(out),
+            "offset": pos,
+            "size": flen,
+            "bitrate_kbps": bitrate,
+            "samplerate_hz": sr,
+            "channels": channels,
+            "dts_ms": samples_elapsed * 1000 // sr,
+        })
+        samples_elapsed += 1152
+        pos += flen
+    if not out:
+        raise ValueError("no valid MPEG-1 Layer III frame found")
+    return out
+
+
+def demux_mp3_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    on_error: str = "null",
+) -> DataFrame:
+    """Real MP3 frame demux — one row per frame with its byte range,
+    header fields and decode timestamp (``mp3_frame_table``), the audio
+    sibling of demux_mp4_samples. Map-only 1→N mapInPandas; per-row
+    ``on_error`` ("null" skips undemuxable payloads, "raise" fails)."""
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    tab = mp3_frame_table(bytes(payload or b""))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                for r in tab:
+                    rows.append({id_col: i, **r})
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "offset", "size",
+                         "bitrate_kbps", "samplerate_hz", "channels",
+                         "dts_ms"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        demux,
+        schema=(f"{id_col} long, frame_idx int, offset long, size long, "
+                "bitrate_kbps int, samplerate_hz int, channels int, "
+                "dts_ms long"),
+    )
+
+
 def make_mp4(
     width: int, height: int, duration_ms: int, timescale: int = 1000,
     samples: list[bytes] | None = None,

@@ -6511,6 +6511,75 @@ def media_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Real MP3 frame demux — operators/multimodal.demux_mp3_frames: the
+# audio sibling of mp4_demux_samples. Every frame header is read (VBR
+# streams resolve correctly), ID3v2 syncsafe skip, per-frame byte
+# range + header fields + accumulated 1152-samples/frame decode
+# timestamps; codec decode of the frame payload is the documented
+# container-limited stub. Synthesis is closed-form (make_mp3 emits
+# unpadded constant-bitrate frames), so DuckDB replays offsets, sizes
+# and timestamps integer-for-integer; every 23rd payload is garbage
+# and demuxes to nothing.
+# ---------------------------------------------------------------------------
+_MP3_DEMUX_ORACLE = """
+WITH d AS (
+    SELECT doc_id,
+           3 + doc_id % 7 AS n,
+           CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 96
+                           WHEN 2 THEN 128 ELSE 192 END AS br,
+           CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                           ELSE 32000 END AS sr,
+           CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS ch,
+           CASE WHEN doc_id % 17 = 0 THEN 0
+                ELSE 10 + doc_id % 17 END AS hdr
+    FROM documents WHERE doc_id % 23 <> 0
+)
+SELECT doc_id, CAST(t.k AS INT) AS frame_idx,
+       CAST(hdr + t.k * (144 * br * 1000 // sr) AS BIGINT) AS offset,
+       CAST(144 * br * 1000 // sr AS BIGINT) AS size,
+       CAST(br AS INT) AS bitrate_kbps,
+       CAST(sr AS INT) AS samplerate_hz,
+       CAST(ch AS INT) AS channels,
+       CAST(t.k * 1152 * 1000 // sr AS BIGINT) AS dts_ms
+FROM d, unnest(range(0, CAST(n AS BIGINT))) AS t(k)
+"""
+
+
+@query("mp3_demux_frames", oracle=_MP3_DEMUX_ORACLE)
+def mp3_demux_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MP3 frame-walk demux — see block comment; operator in
+    operators/multimodal.py (map-only 1->N mapInPandas)."""
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        demux_mp3_frames,
+        make_mp3,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 23 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                    continue
+                payloads.append(make_mp3(
+                    3 + i % 7,
+                    bitrate_kbps=[64, 96, 128, 192][i % 4],
+                    samplerate_hz=[44100, 48000, 32000][i % 3],
+                    mono=bool(i % 2),
+                    id3_pad=i % 17,
+                ))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return demux_mp3_frames(synth_df, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
 # Audio energy-signature fingerprint + near-dup dedup — operators/
 # afp.py, the audio analog of the dHash image family: real WAV decode
 # -> per-window exact-BIGINT energies -> bit_length log buckets (the
@@ -7567,7 +7636,8 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle; image_dhash / image_phash_dedup — the new perceptual-hash
 # image dedup family; mp4_demux_samples — real ISO-BMFF sample-table
 # demux; audio_energy_sig / audio_near_dup — the integer audio
-# fingerprint dedup family), (b) the classifier retry, (c) the 23 round-5-dated queries
+# fingerprint dedup family; mp3_demux_frames — the MP3 frame-walk
+# demux sibling), (b) the classifier retry, (c) the 23 round-5-dated queries
 # that violated the <=2-round freshness rule (all pinned every run by
 # tests/test_parity.py, unchanged implementations since their r5 green
 # rows), (d) the six queries whose implementations changed this round
@@ -7575,7 +7645,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid auto-scaling; curation_funnel obs_n narrowing; the three
 # media queries sitting on the JPEG fill-byte / GIF orphan-GCE codec
 # fixes, and min_cost_supplier's integer-tenk cost rewrite flagged by
-# the new plan_audit float-risk lint), then (e) 12 of the 49 round-6-dated rows, spread across the
+# the new plan_audit float-risk lint), then (e) 11 of the 49 round-6-dated rows, spread across the
 # join/dedup/ANN/streaming-window families. The 31 r6-dated rows left
 # out stay parity-pinned in-repo and rotate in next round.
 # ---------------------------------------------------------------------------
@@ -7588,6 +7658,7 @@ _R8_CHECK_FIRST = [
     "mp4_demux_samples",
     "audio_energy_sig",
     "audio_near_dup",
+    "mp3_demux_frames",
     # (b) the r7 red row, hardened
     "quality_classifier_score",
     # (c) r5-dated freshness violations
@@ -7634,7 +7705,6 @@ _R8_CHECK_FIRST = [
     "enriched_orders",
     "investigation_queue",
     "minhash_lsh_dedup",
-    "ngram_jaccard_dedup",
 ]
 
 

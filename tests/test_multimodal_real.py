@@ -759,3 +759,41 @@ def test_demux_mp4_samples_spark(spark):
         demux_mp4_samples(df, on_error="raise").collect()
     with pytest.raises(ValueError, match="every_nth"):
         demux_mp4_samples(df, every_nth=0)
+
+
+def test_mp3_frame_table_walk():
+    """Frame walk resolves byte ranges, header fields and 1152-sample
+    timestamps; ID3v2 skip, truncated-final-frame drop, and a
+    VBR-style concatenation (two streams back to back with different
+    bitrates) all behave."""
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        make_mp3,
+        mp3_frame_table,
+    )
+
+    p = make_mp3(4, bitrate_kbps=128, samplerate_hz=44100, id3_pad=13)
+    tab = mp3_frame_table(p)
+    flen = 144 * 128 * 1000 // 44100
+    assert [r["frame_idx"] for r in tab] == [0, 1, 2, 3]
+    assert [r["offset"] for r in tab] == [23 + k * flen for k in range(4)]
+    assert all(r["size"] == flen and r["bitrate_kbps"] == 128
+               and r["samplerate_hz"] == 44100 and r["channels"] == 2
+               for r in tab)
+    assert [r["dts_ms"] for r in tab] == [
+        k * 1152 * 1000 // 44100 for k in range(4)
+    ]
+    assert len(mp3_frame_table(p[:-5])) == 3  # truncated final frame
+
+    # per-frame header read: a bitrate change mid-stream is tracked
+    vbr = make_mp3(2, bitrate_kbps=64, samplerate_hz=32000) + make_mp3(
+        1, bitrate_kbps=192, samplerate_hz=32000, mono=True
+    )
+    tab = mp3_frame_table(vbr)
+    assert [(r["bitrate_kbps"], r["channels"]) for r in tab] == [
+        (64, 2), (64, 2), (192, 1)
+    ]
+    assert tab[2]["offset"] == 2 * (144 * 64 * 1000 // 32000)
+    assert tab[2]["dts_ms"] == 2 * 1152 * 1000 // 32000
+
+    with pytest.raises(ValueError, match="no valid"):
+        mp3_frame_table(b"ID3\x04\x00\x00\x00\x00\x00\x00")
