@@ -824,6 +824,107 @@ def ccnet_stream_pipeline(
     return catalog
 
 
+def media_dedup_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+    max_hamming: int = 3,
+) -> StreamCatalog:
+    """Continuous image dedup GATE — the streaming half of
+    queries.image_phash_dedup: every arriving image is dHashed by the
+    SAME operator (operators/phash.dhash_images) and checked against a
+    FROZEN reference index (the profile corpus's band-exploded dHash
+    table — at 100 TB: the previous corpus snapshot, the DSIR/CCNet
+    profile-then-stream recipe). An arriving image routes to the
+    curated topic iff no SMALLER-id reference image is within
+    ``max_hamming``; near-dups land on a quarantine topic with their
+    match distance. Undecodable payloads pass through curated with
+    NULL bands (a dup cannot be proven — the batch contract).
+
+    The per-batch check runs inside foreachBatch, so the banded
+    equi-join + Hamming filter is a plain BATCH plan per micro-batch —
+    no streaming state at all (the reference index is frozen), exactly
+    restartable. Parity with batch is EXACT, not approximate: a doc's
+    verdict depends only on the frozen profile and its own bytes, so
+    kept(stream doc) == kept(batch image_phash_dedup doc) when the
+    profile IS the corpus (pinned in tests/test_streaming.py).
+    """
+    from pyspark.sql import types as T
+
+    from ..operators.phash import dhash_images
+
+    spark = catalog.spark
+    docs = spark.read.parquet(documents_path).select("doc_id")
+    from ..queries import _synth_phash_bmps  # one synth definition
+
+    assets = _synth_phash_bmps(docs)
+    stamped = assets.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ),
+    )
+    catalog.create_table_as("pdup_raw_imgs", stamped)
+
+    # frozen reference: band-exploded dHash index of the profile
+    ref_bands = (
+        dhash_images(spark.read.parquet(
+            catalog.tables["pdup_raw_imgs"].path
+        ), "doc_id", "payload")
+        .filter(F.col("b0").isNotNull())
+        .select(
+            F.col("doc_id").alias("ref_id"),
+            *[F.col(f"b{j}").alias(f"r{j}") for j in range(4)],
+            F.explode(F.array(*[
+                F.struct(F.lit(j).alias("i"), F.col(f"b{j}").alias("v"))
+                for j in range(4)
+            ])).alias("band"),
+        )
+        .select("ref_id", "r0", "r1", "r2", "r3", "band.i", "band.v")
+        .persist()
+    )
+    ref_bands.count()  # materialize the frozen index once
+
+    ham = sum(
+        F.bit_count(F.col(f"b{j}").bitwiseXOR(F.col(f"r{j}")))
+        for j in range(4)
+    )
+
+    def gate(batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        h = dhash_images(batch_df, "doc_id", "payload")
+        bands = h.filter(F.col("b0").isNotNull()).select(
+            "doc_id", "b0", "b1", "b2", "b3",
+            F.explode(F.array(*[
+                F.struct(F.lit(j).alias("i"), F.col(f"b{j}").alias("v"))
+                for j in range(4)
+            ])).alias("band"),
+        ).select("doc_id", "b0", "b1", "b2", "b3", "band.i", "band.v")
+        dup = (
+            bands.join(ref_bands, ["i", "v"])
+            .filter(F.col("ref_id") < F.col("doc_id"))
+            .filter(ham <= max_hamming)
+            .groupBy("doc_id")
+            .agg(F.min("ref_id").alias("dup_of"), F.min(ham).alias("ham"))
+        )
+        return h.join(dup, "doc_id", "left").select(
+            "doc_id", "b0", "b1", "b2", "b3", "dup_of",
+            F.col("ham").cast("int").alias("hamming"),
+        )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        *[T.StructField(f"b{j}", T.LongType()) for j in range(4)],
+        T.StructField("dup_of", T.LongType()),
+        T.StructField("hamming", T.IntegerType()),
+    ])
+    stream = catalog.read_stream("pdup_raw_imgs")
+    catalog.create_table_foreach_batch(
+        "pdup_gated", stream, gate, schema=schema, available_now=True
+    )
+    catalog.await_all()
+    ref_bands.unpersist()
+    return catalog
+
+
 def media_triage_stream_pipeline(
     catalog: StreamCatalog,
     documents_path: str,

@@ -1029,3 +1029,34 @@ def test_streaming_cumulate_requires_watermark(spark, catalog):
     with pytest.raises(ValueError, match="watermark"):
         cumulate(ev, "ts", step="1 hour", size="2 hours", keys=[],
                  aggs=[F.count("*").alias("n")])
+
+
+def test_media_dedup_stream_matches_batch(spark, catalog):
+    """Streaming phash dedup gate (frozen reference index, per-batch
+    banded join inside foreachBatch — zero streaming state) must agree
+    with the batch image_phash_dedup verdict for every doc when the
+    profile IS the corpus, and every reported near-dup must point at a
+    smaller-id reference within the Hamming threshold."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        media_dedup_stream_pipeline,
+    )
+
+    media_dedup_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet"
+    )
+    got = {r.doc_id: (r.dup_of, r.hamming, r.b0, r.b1, r.b2, r.b3)
+           for r in catalog.read_batch("pdup_gated").collect()}
+    want = {r.doc_id: (r.kept, r.b0, r.b1, r.b2, r.b3)
+            for r in QUERIES["image_phash_dedup"](spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    n_dups = 0
+    for doc_id, (dup_of, ham, *bands) in got.items():
+        kept, *wbands = want[doc_id]
+        assert bands == wbands, doc_id
+        assert (dup_of is None) == kept, doc_id
+        if dup_of is not None:
+            n_dups += 1
+            assert dup_of < doc_id
+            assert 0 <= ham <= 3
+    assert n_dups > 0 and n_dups < len(got)
