@@ -154,6 +154,7 @@ HEADLINE = [
     "audio_energy_sig",
     "audio_near_dup",
     "mp3_demux_frames",
+    "link_pagerank",
 ]
 
 

@@ -223,3 +223,71 @@ def dedup_clusters(
         "cluster_size",
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_id: str = "node",
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """EXACT-integer PageRank power iteration — the link-graph quality
+    prior used by published corpus-curation recipes (host/page rank as
+    a quality-weighting signal for CommonCrawl-style corpora; the
+    algorithm is Page et al. 1999, the fixed-point arithmetic is what
+    makes it engine-replayable).
+
+    Ranks live in integer ``scale``-units (default micro-units):
+    every node starts at ``scale``; one iteration is
+
+        r'(v) = (100−d)·scale/100 + d · Σ_{u→v} (r(u) // outdeg(u)) // 100
+
+    with ``//`` integer division — BIGINT end to end, so ANY
+    partitioning, accumulation order, or engine computes bit-identical
+    ranks (no float summation drift, the same exactness discipline as
+    the __tenk money pipelines). Multi-edges contribute once per edge;
+    dangling nodes contribute nothing (their mass decays — callers
+    wanting the redistribute variant add a dangling-sum term, one
+    extra agg).
+
+    Plan per iteration: edges ⋈ ranks on src (the one big shuffle),
+    map-side integer division by the broadcast-joined out-degree,
+    partial-agg SUM by dst, left join back to the node set for the
+    teleport floor. O(iters) shuffles — the canonical distributed PR
+    shape; lineage is truncated each round like connected_components.
+    """
+    if not 1 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [1, 100], got {damping_pct}")
+    deg = edges.groupBy(src).agg(F.count("*").alias("__dg"))
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).join(
+        deg.select(F.col(src).alias("__s"), "__dg"), "__s"
+    )
+    teleport = (100 - damping_pct) * scale // 100
+    ranks = nodes.select(F.col(node_id).alias("__n")).withColumn(
+        "__r", F.lit(scale).cast("long")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.__s == ranks.__n)
+            .select("__d", F.expr("__r div __dg").alias("__c"))
+            .groupBy("__d")
+            .agg(F.sum("__c").alias("__sum"))
+        )
+        ranks = (
+            nodes.select(F.col(node_id).alias("__n"))
+            .join(contrib, F.col("__n") == F.col("__d"), "left")
+            .select(
+                "__n",
+                (F.lit(teleport)
+                 + F.expr(f"({damping_pct} * coalesce(__sum, 0)) div 100")
+                 ).cast("long").alias("__r"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(
+        F.col("__n").alias(node_id), F.col("__r").alias("rank_scaled")
+    )

@@ -6511,6 +6511,89 @@ def media_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact-integer PageRank (Page et al. 1999) over a synthesized link
+# graph — the link-graph quality prior of published corpus-curation
+# recipes (host rank as a CommonCrawl quality-weighting signal).
+# operators/components.pagerank_int holds ranks in integer micro-units
+# and iterates r' = 150000 + 85*Sum(r//outdeg)//100 — BIGINT end to
+# end, so any partitioning/engine computes bit-identical ranks (all
+# values nonnegative, so Spark div == DuckDB // exactly). The graph:
+# node u emits 1 + u%3 edges to md5("edge:u:j") % N — multi-edges and
+# self-loops kept, replayed verbatim by the oracle; 3 unrolled
+# iterations. Plan: one edges-joins-ranks shuffle per iteration with
+# broadcast out-degrees and partial-agg sums — the canonical
+# distributed PR shape.
+# ---------------------------------------------------------------------------
+_PAGERANK_ORACLE = """
+WITH nn AS (SELECT count(*) AS cnt FROM documents),
+nodes AS (SELECT doc_id FROM documents),
+edges AS (
+    SELECT d.doc_id AS s,
+           CAST(('0x' || substr(md5('edge:' || d.doc_id || ':' || t.j),
+                                1, 15))::UBIGINT
+                % (SELECT cnt FROM nn) AS BIGINT) AS t_
+    FROM nodes d,
+         unnest(range(0, CAST(1 + d.doc_id % 3 AS BIGINT))) AS t(j)
+),
+deg AS (SELECT s, count(*) AS dg FROM edges GROUP BY s),
+r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+c1 AS (SELECT e.t_ AS node, SUM(r0.r // d.dg) AS sm
+       FROM edges e JOIN r0 ON r0.node = e.s JOIN deg d ON d.s = e.s
+       GROUP BY e.t_),
+r1 AS (SELECT n.doc_id AS node,
+              CAST(150000 + (85 * COALESCE(c1.sm, 0)) // 100 AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c1 ON c1.node = n.doc_id),
+c2 AS (SELECT e.t_ AS node, SUM(r1.r // d.dg) AS sm
+       FROM edges e JOIN r1 ON r1.node = e.s JOIN deg d ON d.s = e.s
+       GROUP BY e.t_),
+r2 AS (SELECT n.doc_id AS node,
+              CAST(150000 + (85 * COALESCE(c2.sm, 0)) // 100 AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c2 ON c2.node = n.doc_id),
+c3 AS (SELECT e.t_ AS node, SUM(r2.r // d.dg) AS sm
+       FROM edges e JOIN r2 ON r2.node = e.s JOIN deg d ON d.s = e.s
+       GROUP BY e.t_),
+r3 AS (SELECT n.doc_id AS node,
+              CAST(150000 + (85 * COALESCE(c3.sm, 0)) // 100 AS BIGINT) AS r
+       FROM nodes n LEFT JOIN c3 ON c3.node = n.doc_id)
+SELECT node AS doc_id, r AS rank_scaled FROM r3
+"""
+
+
+@query("link_pagerank", oracle=_PAGERANK_ORACLE)
+def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank over the synthesized doc link graph —
+    see block comment; operator in operators/components.py."""
+    from quickstart_streaming_agents_spark.operators.components import (
+        pagerank_int,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+            ).alias("j"),
+        )
+        .select(
+            "src",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(
+                            F.lit("edge:"), F.col("src").cast("string"),
+                            F.lit(":"), F.col("j").cast("string"),
+                        )), 1, 15,
+                    ), 16, 10,
+                ).cast("bigint") % F.lit(n)
+            ).alias("dst"),
+        )
+    )
+    return pagerank_int(edges, docs, node_id="doc_id", iters=3)
+
+
+# ---------------------------------------------------------------------------
 # Real MP3 frame demux — operators/multimodal.demux_mp3_frames: the
 # audio sibling of mp4_demux_samples. Every frame header is read (VBR
 # streams resolve correctly), ID3v2 syncsafe skip, per-frame byte
@@ -7637,7 +7720,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # image dedup family; mp4_demux_samples — real ISO-BMFF sample-table
 # demux; audio_energy_sig / audio_near_dup — the integer audio
 # fingerprint dedup family; mp3_demux_frames — the MP3 frame-walk
-# demux sibling), (b) the classifier retry, (c) the 23 round-5-dated queries
+# demux sibling; link_pagerank — exact-integer PageRank), (b) the classifier retry, (c) the 23 round-5-dated queries
 # that violated the <=2-round freshness rule (all pinned every run by
 # tests/test_parity.py, unchanged implementations since their r5 green
 # rows), (d) the six queries whose implementations changed this round
@@ -7645,7 +7728,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid auto-scaling; curation_funnel obs_n narrowing; the three
 # media queries sitting on the JPEG fill-byte / GIF orphan-GCE codec
 # fixes, and min_cost_supplier's integer-tenk cost rewrite flagged by
-# the new plan_audit float-risk lint), then (e) 11 of the 49 round-6-dated rows, spread across the
+# the new plan_audit float-risk lint), then (e) 10 of the 49 round-6-dated rows, spread across the
 # join/dedup/ANN/streaming-window families. The 31 r6-dated rows left
 # out stay parity-pinned in-repo and rotate in next round.
 # ---------------------------------------------------------------------------
@@ -7659,6 +7742,7 @@ _R8_CHECK_FIRST = [
     "audio_energy_sig",
     "audio_near_dup",
     "mp3_demux_frames",
+    "link_pagerank",
     # (b) the r7 red row, hardened
     "quality_classifier_score",
     # (c) r5-dated freshness violations
@@ -7704,7 +7788,6 @@ _R8_CHECK_FIRST = [
     "dedup_exact",
     "enriched_orders",
     "investigation_queue",
-    "minhash_lsh_dedup",
 ]
 
 

@@ -670,8 +670,11 @@ def quality_filter_stream_pipeline(
     catalog.create_table_as("qc_raw_docs", stamped)
 
     stream = catalog.read_stream("qc_raw_docs")
+    # score rounded to 9 like the batch query (r8: the raw double was
+    # the one driver-hash-fragile column; keep the twins identical)
     scored = hashed_linear_classifier_score(stream, "text").select(
-        "doc_id", "source", "n_features", "raw_margin", "score", "keep"
+        "doc_id", "source", "n_features", "raw_margin",
+        F.round("score", 9).alias("score"), "keep",
     )
     catalog.create_table_as(
         "qc_curated_docs", scored.filter(F.col("keep")).drop("keep"),

@@ -102,3 +102,40 @@ def test_winnowing_guarantee_shared_run(spark):
         fps.setdefault(r.doc_id, set()).add(r.fp)
     assert fps[1] & fps[2], "guaranteed shared fingerprint missing"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_pagerank_int_hand_computed_and_partition_invariant(spark):
+    """Integer PageRank on a hand-checkable 3-cycle plus a dangler:
+    ranks follow the exact fixed-point recurrence, identical under any
+    partitioning (BIGINT ops commute), and a multi-edge counts once
+    per edge."""
+    from quickstart_streaming_agents_spark.operators.components import (
+        pagerank_int,
+    )
+
+    # 0 -> 1, 1 -> 2, 2 -> 0 (cycle): every node keeps rank 1_000_000
+    # under r' = 150000 + 85 * (r // 1) // 100 = 150000 + 850000
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    cyc = [(0, 1), (1, 2), (2, 0), (3, 0), (3, 0)]  # 3 is a multi-edge src
+    edges = spark.createDataFrame(cyc, "src long, dst long")
+    got = {r.node: r.rank_scaled
+           for r in pagerank_int(edges, nodes, iters=1).collect()}
+    # node 0 receives from 2 (deg 1) and TWO edges from 3 (deg 2):
+    # 150000 + 85*(1000000 + 2*500000)//100
+    assert got[0] == 150000 + 85 * 2_000_000 // 100
+    assert got[1] == got[2] == 1_000_000
+    assert got[3] == 150_000  # dangler receives nothing
+
+    big_edges = edges.repartition(7)
+    got2 = {r.node: r.rank_scaled
+            for r in pagerank_int(big_edges, nodes.repartition(5),
+                                  iters=3).collect()}
+    got3 = {r.node: r.rank_scaled
+            for r in pagerank_int(edges.coalesce(1), nodes.coalesce(1),
+                                  iters=3).collect()}
+    assert got2 == got3  # bit-identical under any partitioning
+
+    import pytest
+
+    with pytest.raises(ValueError, match="damping_pct"):
+        pagerank_int(edges, nodes, damping_pct=0)
