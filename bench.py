@@ -155,6 +155,7 @@ HEADLINE = [
     "audio_near_dup",
     "mp3_demux_frames",
     "link_pagerank",
+    "zorder_key",
 ]
 
 

@@ -6511,6 +6511,58 @@ def media_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Z-order (Morton) layout key — operators/layout.py: interleave the
+# bits of two bucketed dimensions into one BIGINT so a range-partition
+# on it keeps every partition's bounding box tight in BOTH dimensions
+# (the Delta/Iceberg OPTIMIZE ZORDER trick, Morton 1966). Pure JVM
+# shiftleft/shiftright/& — exact, SQL-replayable bit for bit. The
+# query emits the key for lineitem bucketed on (l_partkey % 1024,
+# l_suppkey % 1024); the locality property itself (per-partition
+# bounding-box area vs a single-column sort) is pinned in
+# tests/test_layout.py.
+# ---------------------------------------------------------------------------
+_ZORDER_ORACLE = """
+WITH b AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_partkey % 1024 AS BIGINT) AS x,
+           CAST(l_suppkey % 1024 AS BIGINT) AS y
+    FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, x, y,
+       CAST((((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1)
+         + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3)
+         + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5)
+         + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7)
+         + (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9)
+         + (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11)
+         + (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13)
+         + (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15)
+         + (((x >> 8) & 1) << 16) + (((y >> 8) & 1) << 17)
+         + (((x >> 9) & 1) << 18) + (((y >> 9) & 1) << 19)
+        AS BIGINT) AS zval
+FROM b
+"""
+
+
+@query("zorder_key", oracle=_ZORDER_ORACLE)
+def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton layout key over two bucketed lineitem dims — see block
+    comment; operator in operators/layout.py (map-only, zero
+    shuffle)."""
+    from quickstart_streaming_agents_spark.operators.layout import zvalue
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_partkey") % 1024).cast("long").alias("x"),
+        (F.col("l_suppkey") % 1024).cast("long").alias("y"),
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", "x", "y",
+        zvalue(["x", "y"], bits=10).alias("zval"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact-integer PageRank (Page et al. 1999) over a synthesized link
 # graph — the link-graph quality prior of published corpus-curation
 # recipes (host rank as a CommonCrawl quality-weighting signal).
@@ -7720,7 +7772,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # image dedup family; mp4_demux_samples — real ISO-BMFF sample-table
 # demux; audio_energy_sig / audio_near_dup — the integer audio
 # fingerprint dedup family; mp3_demux_frames — the MP3 frame-walk
-# demux sibling; link_pagerank — exact-integer PageRank), (b) the classifier retry, (c) the 23 round-5-dated queries
+# demux sibling; link_pagerank — exact-integer PageRank; zorder_key — Morton layout keys), (b) the classifier retry, (c) the 23 round-5-dated queries
 # that violated the <=2-round freshness rule (all pinned every run by
 # tests/test_parity.py, unchanged implementations since their r5 green
 # rows), (d) the six queries whose implementations changed this round
@@ -7728,7 +7780,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid auto-scaling; curation_funnel obs_n narrowing; the three
 # media queries sitting on the JPEG fill-byte / GIF orphan-GCE codec
 # fixes, and min_cost_supplier's integer-tenk cost rewrite flagged by
-# the new plan_audit float-risk lint), then (e) 10 of the 49 round-6-dated rows, spread across the
+# the new plan_audit float-risk lint), then (e) 9 of the 49 round-6-dated rows, spread across the
 # join/dedup/ANN/streaming-window families. The 31 r6-dated rows left
 # out stay parity-pinned in-repo and rotate in next round.
 # ---------------------------------------------------------------------------
@@ -7743,6 +7795,7 @@ _R8_CHECK_FIRST = [
     "audio_near_dup",
     "mp3_demux_frames",
     "link_pagerank",
+    "zorder_key",
     # (b) the r7 red row, hardened
     "quality_classifier_score",
     # (c) r5-dated freshness violations
@@ -7787,7 +7840,6 @@ _R8_CHECK_FIRST = [
     "dedup_components",
     "dedup_exact",
     "enriched_orders",
-    "investigation_queue",
 ]
 
 

@@ -1060,3 +1060,48 @@ def test_media_dedup_stream_matches_batch(spark, catalog):
             assert dup_of < doc_id
             assert 0 <= ham <= 3
     assert n_dups > 0 and n_dups < len(got)
+
+
+def test_streaming_session_window_matches_batch(spark, catalog):
+    """Streaming session windows (10-min gap, watermarked, append mode)
+    must emit exactly the batch session_window_agg sessions whose end
+    the final watermark passed — session merging handled by Spark's
+    session state, values ROUND(2)-pinned like the batch query (ST7's
+    streaming half)."""
+    catalog.register_events_source("events", EVENTS)
+    ev = catalog.read_stream("events")
+    agg = (
+        ev.withWatermark("ts", "5 seconds")
+        .groupBy(F.session_window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("event_count"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "event_type", "event_count", "total_value",
+        )
+    )
+    catalog.create_table_as("sessions", agg, available_now=True)
+    catalog.await_all()
+    got = {
+        (r.session_start, r.session_end, r.event_type):
+            (r.event_count, r.total_value)
+        for r in catalog.read_batch("sessions").collect()
+    }
+
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+
+    import datetime
+    max_ts = load_table(spark, SF_DIR, "events").agg(
+        F.max("ts")
+    ).first()[0]
+    cutoff = max_ts - datetime.timedelta(seconds=5)
+    want = {
+        (r.session_start, r.session_end, r.event_type):
+            (r.event_count, r.total_value)
+        for r in QUERIES["session_window_agg"](spark, SF_DIR).collect()
+        if r.session_end <= cutoff
+    }
+    assert got == want
+    assert len(got) > 50
