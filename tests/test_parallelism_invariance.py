@@ -34,6 +34,13 @@ CASES = [
     "latest_state_upsert",
     "line_dedup_clean",
     "token_budget_mix",
+    # r8 integer-exact additions: iterative fixed-point ranks, banded
+    # Hamming keepers, Morton keys, partial-top-k ADC ranking
+    "link_pagerank",
+    "image_phash_dedup",
+    "audio_near_dup",
+    "zorder_key",
+    "ann_pq_adc_topk",
 ]
 
 LAYOUTS = [

@@ -168,6 +168,36 @@ def main() -> None:
     print(f"{'semantic dedup (C auto)':28s} {time.perf_counter() - t0:7.2f}s  "
           f"({rows:,} docs)  C={n_clusters} max_pop={max_pop}")
 
+    # Round-8: exact-integer PageRank at generated scale (the one
+    # intentionally iterative op — O(iters) shuffles by design) and the
+    # Morton-key layout pass (map-only key + one range exchange).
+    from quickstart_streaming_agents_spark.operators.components import (
+        pagerank_int,
+    )
+    from quickstart_streaming_agents_spark.operators.layout import (
+        zorder_repartition,
+    )
+
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = nodes.select(
+        F.col("node").alias("src"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("node") % 3).cast("int"))
+        ).alias("j"),
+    ).select(
+        "src",
+        (F.conv(F.substring(F.md5(F.concat_ws(":", "src", "j")), 1, 15),
+                16, 10).cast("bigint") % F.lit(rows)).alias("dst"),
+    )
+    stage("pagerank 3 iters (int)", pagerank_int(edges, nodes, iters=3))
+    stage("zorder layout (1 range ex)", zorder_repartition(
+        docs.select("doc_id",
+                    (F.col("doc_id") % 1024).alias("x"),
+                    (F.xxhash64("doc_id") % 1024 + 1024).alias("y")),
+        ["x", "y"], bits=11,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    ))
+
     t0 = time.perf_counter()
     flagship = build_training_pipeline(docs)
     n_ex = count_exchanges(flagship)
