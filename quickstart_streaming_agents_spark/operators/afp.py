@@ -35,7 +35,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -135,10 +135,13 @@ def audio_near_dup_pairs(
             ])
         ).alias("band"),
     ).select("item_id", "sig", "band.i", "band.v")
-    wb = Window.partitionBy("i", "v")
-    bands = bands.withColumn("__n", F.count("*").over(wb)).filter(
-        F.col("__n") <= max_bucket
-    ).drop("__n")
+    # hot-bucket skip via partial-agg count + broadcast anti-join (see
+    # phash_near_dup_pairs — same 100 TB rationale)
+    hot = (
+        bands.groupBy("i", "v").count()
+        .filter(F.col("count") > max_bucket).select("i", "v")
+    )
+    bands = bands.join(F.broadcast(hot), ["i", "v"], "left_anti")
     a = bands.select(
         F.col("item_id").alias("id_a"), "i", "v",
         F.col("sig").alias("sig_a"),
@@ -175,9 +178,13 @@ def audio_dedup(
 ) -> DataFrame:
     """Keep-one-per-near-dup-group over an audio payload column:
     ``(id_col, sig, kept)``; min-id keeper, undecodable clips keep a
-    NULL signature and ``kept = true`` (same contract as phash_dedup)."""
+    NULL signature and ``kept = true`` (same contract as phash_dedup).
+
+    The signature frame is persisted — three plan branches consume it
+    and recomputing re-runs the Python decode (same contract and
+    release rule as phash_dedup)."""
     sigs = audio_energy_sig(df, id_col, payload_col, window_samples,
-                            n_windows)
+                            n_windows).persist()
     dup = (
         audio_near_dup_pairs(sigs, id_col, max_diff, max_bucket)
         .select(F.col("id_b").alias(id_col))

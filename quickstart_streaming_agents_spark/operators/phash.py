@@ -37,7 +37,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -157,10 +157,14 @@ def phash_near_dup_pairs(
             ])
         ).alias("band"),
     ).select("item_id", "b0", "b1", "b2", "b3", "band.i", "band.v")
-    wb = Window.partitionBy("i", "v")
-    bands = bands.withColumn("__n", F.count("*").over(wb)).filter(
-        F.col("__n") <= max_bucket
-    ).drop("__n")
+    # hot-bucket skip via a partial-agg count + broadcast anti-join on
+    # the (tiny) over-cap list — hot keys collapse map-side, unlike a
+    # count-over-window, which would SORT all 4n band rows per reducer
+    hot = (
+        bands.groupBy("i", "v").count()
+        .filter(F.col("count") > max_bucket).select("i", "v")
+    )
+    bands = bands.join(F.broadcast(hot), ["i", "v"], "left_anti")
     a = bands.select(
         F.col("item_id").alias("id_a"), "i", "v",
         *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)],
@@ -198,8 +202,14 @@ def phash_dedup(
     iff some SMALLER-id image is within ``max_hamming`` (min-id is the
     deterministic keeper — the SemDeDup/embedding_near_dup rule).
     Undecodable payloads keep NULL bands and ``kept = true`` (a dup
-    cannot be proven)."""
-    hashes = dhash_images(df, id_col, payload_col)
+    cannot be proven).
+
+    The hash frame is persisted: it feeds three plan branches (hot-list
+    agg, candidate join, keeper join) and recomputing it re-runs the
+    Python decode per branch. It is tiny (5 ints/row) next to the
+    payloads; callers running many pipelines release it with
+    ``spark.catalog.clearCache()`` (bench.py does)."""
+    hashes = dhash_images(df, id_col, payload_col).persist()
     dup = (
         phash_near_dup_pairs(hashes, id_col, max_hamming, max_bucket)
         .select(F.col("id_b").alias(id_col))

@@ -928,6 +928,98 @@ def media_dedup_stream_pipeline(
     return catalog
 
 
+def audio_dedup_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+    max_diff: int = 1,
+) -> StreamCatalog:
+    """Continuous audio dedup GATE — the streaming half of
+    queries.audio_near_dup, same frozen-reference-index shape as
+    media_dedup_stream_pipeline: the profile corpus's energy-signature
+    band table is computed once and frozen, then every arriving clip is
+    fingerprinted by the SAME operator (operators/afp.audio_energy_sig)
+    and checked against it inside foreachBatch (plain batch plan per
+    micro-batch, zero streaming state, exactly restartable). Routes
+    with (dup_of, n_diff) pointing at the smallest matching reference
+    id; undecodable clips pass with a NULL signature (the batch
+    contract). Parity with the batch query's kept flags is EXACT when
+    the profile IS the corpus (pinned in tests)."""
+    from pyspark.sql import types as T
+
+    from ..operators.afp import audio_energy_sig
+
+    spark = catalog.spark
+    docs = spark.read.parquet(documents_path).select("doc_id")
+    from ..queries import _synth_afp_wavs  # one synth definition
+
+    stamped = _synth_afp_wavs(docs).withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ),
+    )
+    catalog.create_table_as("adup_raw_clips", stamped)
+
+    ref_bands = (
+        audio_energy_sig(spark.read.parquet(
+            catalog.tables["adup_raw_clips"].path
+        ), "doc_id", "payload")
+        .filter(F.col("sig").isNotNull())
+        .select(
+            F.col("doc_id").alias("ref_id"),
+            F.col("sig").alias("ref_sig"),
+            F.explode(F.array(*[
+                F.struct(F.lit(j).alias("i"), F.col(f"b{j}").alias("v"))
+                for j in range(4)
+            ])).alias("band"),
+        )
+        .select("ref_id", "ref_sig", "band.i", "band.v")
+        .persist()
+    )
+    ref_bands.count()  # materialize the frozen index once
+
+    n_diff = F.aggregate(
+        F.zip_with(
+            F.split("sig", ":"), F.split("ref_sig", ":"),
+            lambda x, y: F.when(x == y, 0).otherwise(1),
+        ),
+        F.lit(0), lambda acc, x: acc + x,
+    )
+
+    def gate(batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        h = audio_energy_sig(batch_df, "doc_id", "payload")
+        bands = h.filter(F.col("sig").isNotNull()).select(
+            "doc_id", "sig",
+            F.explode(F.array(*[
+                F.struct(F.lit(j).alias("i"), F.col(f"b{j}").alias("v"))
+                for j in range(4)
+            ])).alias("band"),
+        ).select("doc_id", "sig", "band.i", "band.v")
+        dup = (
+            bands.join(ref_bands, ["i", "v"])
+            .filter(F.col("ref_id") < F.col("doc_id"))
+            .filter(n_diff <= max_diff)
+            .groupBy("doc_id")
+            .agg(F.min("ref_id").alias("dup_of"))
+        )
+        return h.join(dup, "doc_id", "left").select(
+            "doc_id", "sig", "dup_of"
+        )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sig", T.StringType()),
+        T.StructField("dup_of", T.LongType()),
+    ])
+    stream = catalog.read_stream("adup_raw_clips")
+    catalog.create_table_foreach_batch(
+        "adup_gated", stream, gate, schema=schema, available_now=True
+    )
+    catalog.await_all()
+    ref_bands.unpersist()
+    return catalog
+
+
 def media_triage_stream_pipeline(
     catalog: StreamCatalog,
     documents_path: str,

@@ -1105,3 +1105,32 @@ def test_streaming_session_window_matches_batch(spark, catalog):
     }
     assert got == want
     assert len(got) > 50
+
+
+def test_audio_dedup_stream_matches_batch(spark, catalog):
+    """Streaming audio dedup gate (frozen reference band index,
+    per-batch join inside foreachBatch — zero streaming state) must
+    agree with the batch audio_near_dup verdict for every clip when
+    the profile IS the corpus."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        audio_dedup_stream_pipeline,
+    )
+
+    audio_dedup_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet"
+    )
+    got = {r.doc_id: (r.dup_of, r.sig)
+           for r in catalog.read_batch("adup_gated").collect()}
+    want = {r.doc_id: (r.kept, r.sig)
+            for r in QUERIES["audio_near_dup"](spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    n_dups = 0
+    for doc_id, (dup_of, sig) in got.items():
+        kept, wsig = want[doc_id]
+        assert sig == wsig, doc_id
+        assert (dup_of is None) == kept, doc_id
+        if dup_of is not None:
+            n_dups += 1
+            assert dup_of < doc_id
+    assert 0 < n_dups < len(got)
