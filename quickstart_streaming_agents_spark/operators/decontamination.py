@@ -18,7 +18,7 @@ abnormally large benchmark sets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import shingle_df
@@ -112,4 +112,143 @@ def decontaminate(
     )
     return flagged.filter(~F.col("contaminated")).drop(
         "n_contaminated_ngrams", "contaminated"
+    )
+
+
+def bloom_bitset(
+    keys: DataFrame,
+    key_col: str = "h",
+    *,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> list[int]:
+    """Build a Bloom-filter bitset over a key column, distributively.
+
+    Bit positions come from ``xxhash64(seed_i, key)`` for k seeds; the
+    bits are OR-folded into 64-bit words by a ``groupBy(word)`` partial
+    aggregate (≤ m_bits/64 groups — map-side collapse, bounded shuffle),
+    and only the finished ≤ m_bits/64 longs reach the driver — the same
+    bounded-collect contract as the k-means codebooks. Returns the word
+    list (length m_bits/64) for embedding as a broadcast literal.
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            # pyspark's shiftleft() only takes a literal int shift; the SQL
+            # function accepts a column — call it directly
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"),
+                (F.col("pos") % 64).cast("int"),
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    out = [0] * (m_bits // 64)
+    for r in words:
+        out[r.w] = r.bits
+    return out
+
+
+def bloom_member(
+    key: Column,
+    bloom_col: Column,
+    *,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> Column:
+    """Membership test against a bitset carried as an ``array<long>``
+    column (broadcast one-row table) — all k bits set. Pure JVM
+    bit-arithmetic, map-only; false positives possible, false negatives
+    impossible (the property the exact confirm join relies on)."""
+    tests = []
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits))
+        word = F.element_at(bloom_col, (pos / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        tests.append(word.bitwiseAND(mask) != 0)
+    out = tests[0]
+    for t in tests[1:]:
+        out = out & t
+    return out
+
+
+def bloom_contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-prefiltered decontamination — identical output to
+    ``contamination_flags``, different 100 TB shape.
+
+    ``contamination_flags`` broadcasts the benchmark's shingle set as a
+    join hash table; at hundreds of millions of benchmark shingles that
+    table stops fitting in executor memory. This tier compresses it to a
+    Bloom bitset (m_bits/8 bytes, ~10x smaller than the 8-byte-key hash
+    table at 1% FPR), streams the corpus shingles through the map-only
+    membership test, and exact-confirms ONLY the survivors against the
+    real shingle set — Bloom filters have no false negatives, so the
+    confirm join removes the false positives and the final rows equal the
+    exact join's, while the join input shrinks from |corpus shingles| to
+    |true hits| + FPR·|corpus shingles|.
+    """
+    corp = _norm_shingles(df, id_col, text_col, n).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    bench = (
+        _norm_shingles(
+            benchmark.select(
+                F.lit(0).alias("__bid"),
+                F.col(bench_text_col or text_col).alias("__btext"),
+            ),
+            "__bid",
+            "__btext",
+            n,
+        )
+        .select(F.xxhash64("shingle").alias("h"))
+        .distinct()
+    )
+    words = bloom_bitset(bench, "h", m_bits=m_bits, k=k)
+    spark = df.sparkSession
+    bloom_df = spark.createDataFrame([(words,)], "bloom: array<bigint>")
+    candidates = (
+        corp.crossJoin(F.broadcast(bloom_df))
+        .filter(bloom_member(F.col("h"), F.col("bloom"), m_bits=m_bits, k=k))
+        .drop("bloom")
+    )
+    hits = (
+        candidates.join(F.broadcast(bench), "h")  # exact confirm: FPs drop
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+        .withColumnRenamed("doc_id", "__hit_id")
+    )
+    joined = df.join(F.broadcast(hits), df[id_col] == F.col("__hit_id"), "left")
+    return joined.select(
+        *[df[c] for c in df.columns],
+        F.coalesce("n_contaminated_ngrams", F.lit(0).cast("long")).alias(
+            "n_contaminated_ngrams"
+        ),
+        (F.coalesce("n_contaminated_ngrams", F.lit(0).cast("long")) > 0).alias(
+            "contaminated"
+        ),
     )

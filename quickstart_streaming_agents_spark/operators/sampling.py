@@ -27,7 +27,7 @@ executors inside the filter expression.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: 2^60 — divisor turning the 60-bit md5 prefix into a unit uniform.
@@ -334,3 +334,72 @@ def hashed_linear_classifier_score(
         (margin / (float(half) * F.size(feats))).alias("score"),
         (margin > 0).alias("keep"),
     ).drop("__ts")
+
+
+def temperature_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    token_count_col: Column | str,
+    *,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled multilingual/domain sampling allocation — the
+    mT5/XLM-R recipe: stratum s gets sampling weight T_s^alpha / sum(T^alpha),
+    flattening the head so low-resource strata aren't drowned (alpha=1 is
+    proportional, alpha->0 is uniform).
+
+    Returns one row per stratum: ``(stratum, n_tokens, w_int, weight,
+    target_tokens, epochs)``. ``target_tokens`` allocates ``budget`` by
+    the weights; ``epochs = target/n_tokens`` > 1 flags strata that will
+    be over-sampled (repeat epochs) at the requested temperature.
+
+    Exactness contract: at the default alpha=0.5 the scaled weight is
+    ``floor(sqrt(T_s))`` — IEEE sqrt is correctly rounded in every
+    engine, so ``w_int`` is an exact BIGINT and the allocation
+    ``budget*w/S`` is pure integer arithmetic a SQL oracle replays
+    bit-for-bit (floor(sqrt) == isqrt for token counts up to ~2^40,
+    far past any real per-stratum total). Other alphas go through
+    ``pow`` — documented cross-engine 1-ULP risk, fine for in-engine
+    use, not for hash-checked oracles.
+
+    Scale shape: ONE partial aggregate over the corpus (map-side sums
+    per stratum), then |strata|-row window arithmetic — nothing else
+    moves. At 100 TB this is the same single-exchange profile as
+    `mix_rates`/`token_budget_rates`.
+    """
+    tok = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    )
+    per = df.groupBy(stratum_col).agg(
+        F.sum(tok).cast("long").alias("n_tokens")
+    )
+    if alpha == 0.5:
+        w = F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
+    else:
+        w = F.floor(F.pow(F.col("n_tokens"), F.lit(alpha))).cast("long")
+    per = per.withColumn("w_int", w)
+    # the global window runs over the |strata|-row aggregate, not the
+    # corpus — a deliberate single-partition pass on a tiny frame
+    s = F.sum("w_int").over(Window.partitionBy())
+    scaled = per.select(
+        stratum_col,
+        "n_tokens",
+        "w_int",
+        s.alias("__s"),
+        (F.lit(int(budget)) * F.col("w_int")).alias("__num"),
+    )
+    return scaled.select(
+        stratum_col,
+        "n_tokens",
+        "w_int",
+        # single IEEE division + round — bit-identical across engines
+        F.round(F.col("w_int") / F.col("__s"), 9).alias("weight"),
+        # integer division (Spark `div` == DuckDB `//` on non-negatives)
+        F.expr("__num div __s").cast("long").alias("target_tokens"),
+        F.round(
+            F.expr("__num div __s").cast("long") / F.col("n_tokens"), 6
+        ).alias("epochs"),
+    )

@@ -2221,6 +2221,55 @@ def domain_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temperature-scaled sampling allocation (operators/sampling.
+# temperature_allocation): the mT5/XLM-R multilingual recipe — stratum
+# weight T^alpha / sum(T^alpha) flattens the language head. alpha=0.5
+# rides IEEE sqrt (correctly rounded everywhere), so w_int is an exact
+# BIGINT and the budget split is integer `div` arithmetic — the whole
+# row hashes except two single-division rounded doubles. One partial
+# aggregate over the corpus; everything after is |strata|-row math.
+# ---------------------------------------------------------------------------
+@query(
+    "temperature_mix",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT lang, n_tokens,
+               CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w_int
+        FROM t
+    ),
+    s AS (SELECT CAST(sum(w_int) AS BIGINT) AS s FROM w)
+    SELECT lang, n_tokens, w_int,
+           round(w_int / s.s, 9) AS weight,
+           CAST((1000000 * w_int) // s.s AS BIGINT) AS target_tokens,
+           round(CAST((1000000 * w_int) // s.s AS BIGINT) / n_tokens, 6)
+               AS epochs
+    FROM w CROSS JOIN s
+    """,
+)
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token budget at temperature alpha=0.5 over a
+    1M-token budget; epochs > 1 marks over-sampled low-resource langs."""
+    from quickstart_streaming_agents_spark.functions.text import token_count
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        temperature_allocation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_allocation(
+        docs.select("lang", token_count("text").alias("nt")),
+        "lang",
+        "nt",
+        budget=1_000_000,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token-budget domain mixing (operators/sampling.token_budget_mix): the
 # LLM-pretraining data-mix allocator — weights are over TOKENS, not rows.
 # Source srcN gets weight 1 (N < 10) or 3 (N >= 10), W = 40, budget 6000
@@ -2674,6 +2723,58 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     benchmark = docs.filter(F.col("doc_id") % 17 == 0).select("text")
     return contamination_flags(docs, benchmark, n=13).select(
+        "doc_id", "lang", "n_contaminated_ngrams", "contaminated"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (operators/decontamination.py):
+# identical OUTPUT to `decontamination` (same oracle SQL — Bloom filters
+# have no false negatives and the exact confirm join drops the false
+# positives), different 100 TB shape: the benchmark shingle set is
+# compressed to an m-bit bitset broadcast as ONE array<long> row, the
+# corpus streams map-only through the k-probe membership test, and only
+# the survivors pay the exact join. The tier for benchmark sets too big
+# to broadcast as a join hash table.
+# ---------------------------------------------------------------------------
+@query(
+    "bloom_decontamination",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+        FROM documents
+    ),
+    corp AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(a) >= 13
+                 THEN list_distinct(list_transform(range(0, len(a) - 12),
+                      i -> array_to_string(list_slice(a, i + 1, i + 13), ' ')))
+                 ELSE CAST([] AS VARCHAR[]) END) AS g
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM corp WHERE doc_id % 17 = 0),
+    hits AS (
+        SELECT c.doc_id, count(DISTINCT c.g) AS n_hits
+        FROM corp c JOIN bench b USING (g) GROUP BY c.doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           coalesce(h.n_hits, 0) AS n_contaminated_ngrams,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style 13-gram decontamination through the Bloom tier: the
+    bitset prefilter feeds the exact confirm join, so the result equals
+    `decontamination`'s while the join input is a Bloom-pruned sliver."""
+    from quickstart_streaming_agents_spark.operators.decontamination import (
+        bloom_contamination_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return bloom_contamination_flags(docs, benchmark, n=13).select(
         "doc_id", "lang", "n_contaminated_ngrams", "contaminated"
     )
 
@@ -3486,6 +3587,75 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return vocab_stats(docs, top_n=40)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (operators/cms.py): the bounded-memory
+# frequency tier next to HLL/KLL (tests/test_sketches.py). Diagnostic
+# query compares the sketch's point estimates against exact collection
+# frequencies for the top-20 terms — the measurement that licenses
+# swapping an exact vocab-wide shuffle for a depth·width sketch at
+# 100 TB. md5-derived buckets make the sketch integer-exact replayable
+# in DuckDB; CMS guarantees cms_est >= exact_cf on every row.
+# ---------------------------------------------------------------------------
+@query(
+    "cms_heavy_hitters",
+    oracle="""
+    WITH post AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+            FROM documents
+        ) WHERE term <> '' GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT term, CAST(sum(tf) AS BIGINT) AS exact_cf
+        FROM post GROUP BY 1
+        ORDER BY exact_cf DESC, term ASC LIMIT 20
+    ),
+    j AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    cells AS (
+        SELECT j,
+               CAST(('0x' || substr(md5('cms-v1:' || j::VARCHAR || ':' || term),
+                     1, 15))::UBIGINT % 1024 AS BIGINT) AS bucket,
+               CAST(sum(tf) AS BIGINT) AS cnt
+        FROM post CROSS JOIN j
+        GROUP BY 1, 2
+    ),
+    probe AS (
+        SELECT t.term, t.exact_cf, j.j,
+               CAST(('0x' || substr(md5('cms-v1:' || j.j::VARCHAR || ':' || t.term),
+                     1, 15))::UBIGINT % 1024 AS BIGINT) AS bucket
+        FROM top t CROSS JOIN j
+    )
+    SELECT p.term, p.exact_cf,
+           CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+    FROM probe p LEFT JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+    GROUP BY 1, 2
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs count-min estimates for the corpus's top-20 terms.
+
+    The postings frame feeds both the exact top-20 and the sketch cells;
+    it is persisted so the tokenize+count shuffle runs once (released by
+    bench.py's clearCache, the phash_dedup contract)."""
+    from quickstart_streaming_agents_spark.operators.cms import (
+        cms_cells,
+        cms_estimate,
+    )
+    from quickstart_streaming_agents_spark.operators.retrieval import postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = postings(docs).persist()
+    top = (
+        post.groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("exact_cf"))
+        .orderBy(F.col("exact_cf").desc(), F.col("term").asc())
+        .limit(20)
+    )
+    cells = cms_cells(post, "term", "tf", depth=4, width=1024)
+    return cms_estimate(cells, top, "term", depth=4, width=1024)
 
 
 # ---------------------------------------------------------------------------
@@ -7830,16 +8000,20 @@ _R8_CHECK_FIRST = [
     "multimodal_gif_meta",
     "multimodal_jpeg_meta",
     "min_cost_supplier",
+    # (f) new in the second half of round 8 — never driver-checked, so
+    # they outrank three more r6-dated refreshes (enriched_orders is
+    # smoke-run by entry() every round regardless; counts_dashboard and
+    # dedup_exact stay parity-pinned in-repo and rotate next round)
+    "cms_heavy_hitters",
+    "bloom_decontamination",
+    "temperature_mix",
     # (e) r6-dated refresh
     "agent_price_match",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anomaly_detect_ar2",
-    "counts_dashboard",
     "curation_pipeline",
     "dedup_components",
-    "dedup_exact",
-    "enriched_orders",
 ]
 
 

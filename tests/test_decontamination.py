@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from quickstart_streaming_agents_spark.operators.decontamination import (
     contamination_flags,
@@ -58,3 +59,55 @@ def test_corpus_never_shuffles(spark):
     # remaining exchanges touch only benchmark shingles (distinct) and the
     # matched-row count — never full corpus rows
     assert count_exchanges(df) <= 2, plan
+
+
+def test_bloom_tier_equals_exact_tier(spark):
+    """bloom_contamination_flags must produce row-identical output to
+    contamination_flags on the same inputs — no false negatives from the
+    bitset, no surviving false positives past the confirm join."""
+    from quickstart_streaming_agents_spark.operators.decontamination import (
+        bloom_contamination_flags,
+    )
+
+    exact = {
+        tuple(r)
+        for r in contamination_flags(
+            _corpus(spark), _benchmark(spark), n=10
+        ).collect()
+    }
+    bloom = {
+        tuple(r)
+        for r in bloom_contamination_flags(
+            _corpus(spark), _benchmark(spark), n=10, m_bits=1 << 10, k=3
+        ).collect()
+    }
+    assert bloom == exact
+
+
+def test_bloom_bitset_no_false_negatives_and_low_fpr(spark):
+    """Every inserted key must test positive (the Bloom guarantee the
+    confirm join relies on); disjoint keys must mostly test negative —
+    the pruning that makes the tier worth its bits."""
+    from quickstart_streaming_agents_spark.operators.decontamination import (
+        bloom_bitset,
+        bloom_member,
+    )
+
+    m_bits, k = 1 << 14, 3
+    members = spark.range(0, 1000).select(F.xxhash64("id").alias("h"))
+    others = spark.range(1000, 21000).select(F.xxhash64("id").alias("h"))
+    words = bloom_bitset(members, "h", m_bits=m_bits, k=k)
+    assert len(words) == m_bits // 64
+    bloom_df = spark.createDataFrame([(words,)], "bloom: array<bigint>")
+
+    def hits(df):
+        return (
+            df.crossJoin(F.broadcast(bloom_df))
+            .filter(bloom_member(F.col("h"), F.col("bloom"), m_bits=m_bits, k=k))
+            .count()
+        )
+
+    assert hits(members) == 1000  # zero false negatives
+    fpr = hits(others) / 20000
+    # theoretical FPR at n=1000, m=16384, k=3 is ~0.45%; allow 4x slack
+    assert fpr < 0.02, fpr

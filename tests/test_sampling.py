@@ -108,3 +108,52 @@ def test_mix_rates_zero_weight_excludes_stratum():
     assert mix_rates({"en": 100, "zh": 50}, {"en": 1.0, "zh": 0.0}) == {
         "en": 1.0, "zh": 0.0,
     }
+
+
+def test_temperature_allocation_flattens_and_sums_to_budget(spark):
+    """alpha=0.5 must compress the head/tail weight ratio vs the
+    proportional (alpha=1) mix while preserving the ordering, and the
+    integer allocation must not exceed the budget (floor division) nor
+    undershoot it by more than |strata| rounding units."""
+    from quickstart_streaming_agents_spark.functions.text import token_count
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        temperature_allocation,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "lang", token_count("text").alias("nt")
+    )
+    budget = 1_000_000
+    rows = {
+        r.lang: r
+        for r in temperature_allocation(
+            docs, "lang", "nt", budget=budget
+        ).collect()
+    }
+    toks = {k: r.n_tokens for k, r in rows.items()}
+    hi, lo = max(toks, key=toks.get), min(toks, key=toks.get)
+    w = {k: r.weight for k, r in rows.items()}
+    assert w[hi] == max(w.values()) and w[lo] == min(w.values())
+    # sqrt temperature compresses the ratio toward 1
+    assert 1 < w[hi] / w[lo] < toks[hi] / toks[lo]
+    total = sum(r.target_tokens for r in rows.values())
+    assert budget - len(rows) * 2 <= total <= budget
+    for r in rows.values():
+        assert abs(r.epochs - r.target_tokens / r.n_tokens) < 1e-6
+
+
+def test_temperature_allocation_single_corpus_exchange(spark):
+    """The corpus contributes ONE partial aggregate; the window/division
+    arithmetic runs on the |strata|-row frame only."""
+    from quickstart_streaming_agents_spark.functions.text import token_count
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        temperature_allocation,
+    )
+    from quickstart_streaming_agents_spark.plans import count_exchanges
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "lang", token_count("text").alias("nt")
+    )
+    df = temperature_allocation(docs, "lang", "nt", budget=1000)
+    # stratum agg + the single-partition window collapse on agg output
+    assert count_exchanges(df) <= 2

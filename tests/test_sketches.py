@@ -52,3 +52,51 @@ def test_sketches_are_single_shuffle(spark):
     )
     # partial sketches merge map-side; one exchange moves only merged state
     assert count_exchanges(df) == 1
+
+
+def test_cms_never_underestimates_and_collides_at_narrow_width(spark):
+    """CMS point estimates are >= exact on EVERY term (the one-sided
+    error guarantee), and a collision-heavy width actually produces
+    over-estimates — proving the min-over-rows path is exercised, not
+    just hash-identity at a roomy width."""
+    from quickstart_streaming_agents_spark.operators.cms import (
+        cms_cells,
+        cms_estimate,
+    )
+    from quickstart_streaming_agents_spark.operators.retrieval import postings
+
+    docs = load_table(spark, SF_DIR, "documents")
+    post = postings(docs).persist()
+    try:
+        exact = post.groupBy("term").agg(
+            F.sum("tf").cast("long").alias("exact_cf")
+        )
+        cells = cms_cells(post, "term", "tf", depth=2, width=32)
+        est = cms_estimate(cells, exact, "term", depth=2, width=32)
+        rows = est.collect()
+        assert all(r.cms_est >= r.exact_cf for r in rows)
+        assert any(r.cms_est > r.exact_cf for r in rows)  # collisions real
+        total = sum(r.exact_cf for r in rows)
+        # CM bound: err <= (e/width)*N per row at the given confidence;
+        # assert the loose 3x version so the test pins accuracy, not luck
+        import math
+
+        bound = 3 * math.e / 32 * total
+        assert all(r.cms_est - r.exact_cf <= bound for r in rows)
+    finally:
+        post.unpersist()
+
+
+def test_cms_cells_bounded_and_single_shuffle(spark):
+    """The sketch aggregate must collapse map-side: one exchange, and the
+    finished sketch is capped at depth*width rows no matter the corpus."""
+    from quickstart_streaming_agents_spark.operators.cms import cms_cells
+    from quickstart_streaming_agents_spark.operators.retrieval import postings
+    from quickstart_streaming_agents_spark.plans import count_exchanges
+
+    docs = load_table(spark, SF_DIR, "documents")
+    cells = cms_cells(postings(docs), "term", "tf", depth=4, width=64)
+    assert count_exchanges(cells) <= 2  # postings agg + cells agg
+    assert cells.count() <= 4 * 64
+    plan = cells._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in plan.lower()  # map-side combine present
