@@ -156,6 +156,11 @@ HEADLINE = [
     "mp3_demux_frames",
     "link_pagerank",
     "zorder_key",
+    "cms_heavy_hitters",
+    "bloom_decontamination",
+    "temperature_mix",
+    "ann_sq8_topk",
+    "bigram_backoff_score",
 ]
 
 

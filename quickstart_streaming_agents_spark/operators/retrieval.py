@@ -374,3 +374,99 @@ def unigram_logprob(
         F.round("__avg", 6).alias("avg_logprob"),
         F.round(F.exp(-F.col("__avg")), 4).alias("ppl_proxy"),
     )
+
+
+def bigram_backoff_logprob(
+    docs: DataFrame,
+    profile: DataFrame | None = None,
+    *,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-doc mean bigram log-probability under Stupid Backoff (Brants
+    et al. 2007 — the web-scale LM smoothing that needs no discounting
+    pass): S(w_i|w_{i-1}) = c(w_{i-1} w_i)/c(w_{i-1}) when the profile
+    saw the bigram, else alpha * c(w_i)/N; the first token scores as its
+    unigram. A tighter perplexity proxy than `unigram_logprob` for
+    quality filtering — word-salad documents with plausible unigrams
+    fall off the bigram cliff.
+
+    ``profile`` is the corpus the LM counts come from (the CCNet/DSIR
+    recipe: profile on the trusted snapshot, score the incoming corpus);
+    default None profiles on ``docs`` itself — note that self-profiling
+    can never back off (every scored bigram is in its own count table),
+    so pass a real profile when n_backoff should mean anything. Words
+    unseen in the profile take a 0.5 pseudo-count (seen-word scores are
+    untouched — the DSIR smoothing convention).
+
+    Returns ``(doc_id, n_tokens, n_backoff, avg_logprob, ppl_proxy)``
+    with ``n_backoff`` = positions that fell back to the unigram path.
+
+    Plan: one doc-keyed window (lag) builds (prev, w) positions — the
+    natural per-document partition, no array retention per exploded row;
+    unigram and bigram count tables come from two partial-agg shuffles
+    keyed by term/pair (map-side collapse on repeated n-grams); counts
+    attach by equi-join (broadcast at fixture scale via AQE, shuffle-hash
+    at vocab scale); one final doc-keyed average. No Python anywhere.
+    """
+
+    def _positions(d: DataFrame) -> DataFrame:
+        toks = tokens(F.lower(F.col(text)))
+        p = (
+            d.select(F.col(doc_id), F.posexplode(toks).alias("i", "w"))
+            .filter(F.col("w") != "")
+        )
+        prevw = F.lag("w").over(Window.partitionBy(doc_id).orderBy("i"))
+        return p.select(doc_id, "i", "w", prevw.alias("prev"))
+
+    pos = _positions(docs)
+    ppos = pos if profile is None else _positions(profile)
+
+    uni = ppos.groupBy("w").agg(F.count("*").alias("cw"))
+    total = uni.agg(F.sum("cw").cast("double").alias("n_total"))
+    big = (
+        ppos.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count("*").alias("cpw"))
+    )
+
+    uprev = uni.select(
+        F.col("w").alias("prev"), F.col("cw").alias("cprev")
+    )
+    scored = (
+        pos.join(uni, "w", "left")
+        .join(big, ["prev", "w"], "left")
+        .join(uprev, "prev", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    # OOV unigram: 0.5 pseudo-count; seen words keep their exact count
+    ucw = F.coalesce(F.col("cw").cast("double"), F.lit(0.5))
+    lp = (
+        F.when(
+            F.col("prev").isNull(),
+            F.log(ucw / F.col("n_total")),
+        )
+        .when(
+            F.col("cpw").isNotNull(),
+            F.log(F.col("cpw") / F.col("cprev")),
+        )
+        .otherwise(
+            F.log(F.lit(float(alpha))) + F.log(ucw / F.col("n_total"))
+        )
+    )
+    backoff = (
+        F.col("prev").isNotNull() & F.col("cpw").isNull()
+    ).cast("long")
+    agg = scored.groupBy(doc_id).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(backoff).alias("n_backoff"),
+        (F.sum(lp) / F.count("*")).alias("__avg"),
+    )
+    return agg.select(
+        doc_id,
+        "n_tokens",
+        "n_backoff",
+        F.round("__avg", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("__avg")), 4).alias("ppl_proxy"),
+    )

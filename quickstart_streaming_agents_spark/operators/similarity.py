@@ -588,3 +588,119 @@ def pq_adc(
             F.round("__score", 6).alias("adc_score"), "rk",
         )
     )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    emb_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Scalar-quantization (SQ8) ANN — the FAISS ScalarQuantizer tier:
+    each dimension is independently quantized to 8 bits against its
+    corpus-wide [min, max] range, so a d-dim float vector stores as d
+    bytes (4x smaller than float32, no codebook training), and queries
+    score against the mid-bucket reconstruction by inner product.
+
+    Where it sits in the family: brute (exact) > IVF (cluster pruning)
+    > SQ8 (4x memory, near-exact) > PQ/ADC (16-32x memory, coarser).
+
+    Scale shape: the bounds pass is ONE partial aggregate with at most
+    ``dim`` groups (map-side collapse, bounded driver collect — the
+    codebook contract); encoding is map-only JVM `transform`; scoring
+    broadcasts the query set and folds reconstruction·query per pair in
+    index order (sequential IEEE adds — the oracle's
+    ``list_aggregate('sum')`` order, same pairing `ann_ivf_topk` pins);
+    the final per-query top-k runs through `grouped_topk`'s salted
+    two-stage rank, so no reducer ever holds a query's full score list.
+
+    Exactness: min/max over floats are order-free, every quantize /
+    reconstruct step is straight-line IEEE double arithmetic in fixed
+    shape, and codes are exact INTs — a DuckDB oracle replays the whole
+    pipeline bit-for-bit (queries.ann_sq8_topk).
+    """
+    from .topk import grouped_topk
+
+    corpus = corpus.filter(F.col(emb_col).isNotNull())
+    first = corpus.select(emb_col).first()
+    if first is None or first[0] is None:
+        return _empty_topk(corpus.sparkSession)
+    dim = len(first[0])
+    spark = corpus.sparkSession
+
+    bounds_rows = (
+        corpus.select(F.posexplode(emb_col).alias("j", "x"))
+        .groupBy("j")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    mins = [0.0] * dim
+    maxs = [0.0] * dim
+    for r in bounds_rows:
+        mins[r.j] = float(r.mn)  # float32 -> double is exact
+        maxs[r.j] = float(r.mx)
+    bounds = spark.createDataFrame(
+        [(mins, maxs)], "mins: array<double>, maxs: array<double>"
+    )
+
+    def _code(x, i):
+        mn = F.get("mins", i)
+        mx = F.get("maxs", i)
+        return (
+            F.when(mx == mn, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(255),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (x.cast("double") - mn) * F.lit(255.0) / (mx - mn)
+                        ).cast("int"),
+                    ),
+                )
+            )
+            .cast("int")
+        )
+
+    enc = corpus.crossJoin(F.broadcast(bounds)).select(
+        F.col(corpus_id).cast("long").alias("match_id"),
+        F.transform(emb_col, _code).alias("codes"),
+        "mins",
+        "maxs",
+    )
+
+    q = queries.filter(F.col(emb_col).isNotNull()).select(
+        F.col(query_id).cast("long").alias("query_id"),
+        F.col(emb_col).alias("__q"),
+    )
+
+    def _term(acc, j):
+        mn = F.get("mins", j)
+        mx = F.get("maxs", j)
+        recon = mn + (F.get("codes", j).cast("double") + F.lit(0.5)) * (
+            mx - mn
+        ) / F.lit(255.0)
+        return acc + recon * F.get("__q", j).cast("double")
+
+    scored = enc.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "match_id",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)), F.lit(0.0), _term
+        ).alias("score"),
+    )
+    top = grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("match_id").asc()],
+        k,
+        salt_on=["query_id", "match_id"],
+    )
+    return top.select(
+        "query_id",
+        "match_id",
+        F.round("score", 6).alias("score"),
+        F.col("rk").cast("long").alias("rk"),
+    )

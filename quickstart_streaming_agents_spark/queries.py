@@ -1934,6 +1934,72 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQ8 scalar-quantization ANN (operators/similarity.sq8_topk): the 4x
+# memory tier between IVF and PQ — per-dimension 8-bit codes against
+# corpus [min,max], mid-bucket reconstruction scored by inner product.
+# Every step is straight-line IEEE double arithmetic in fixed shape
+# (bounds are order-free float min/max; the score fold adds in index
+# order, matching list_aggregate('sum')), so the oracle replays
+# quantize -> reconstruct -> rank bit-for-bit. Top-k via grouped_topk's
+# salted two-stage rank — no reducer holds a query's full score list.
+# ---------------------------------------------------------------------------
+@query(
+    "ann_sq8_topk",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS mid, embedding AS e FROM embeddings
+        WHERE embedding IS NOT NULL
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS e FROM embeddings
+        WHERE vec_id < 20 AND embedding IS NOT NULL
+    ),
+    b AS (
+        SELECT j, CAST(min(e[j]) AS DOUBLE) AS mn,
+               CAST(max(e[j]) AS DOUBLE) AS mx
+        FROM c CROSS JOIN range(1, 65) r(j) GROUP BY j
+    ),
+    ba AS (
+        SELECT list(mn ORDER BY j) AS mins, list(mx ORDER BY j) AS maxs
+        FROM b
+    ),
+    scored AS (
+        SELECT q.qid AS query_id, c.mid AS match_id,
+               list_aggregate(list_transform(range(1, 65), j ->
+                   (ba.mins[j] +
+                    (CAST(CASE WHEN ba.maxs[j] = ba.mins[j] THEN 0
+                          ELSE least(255, greatest(0,
+                               CAST(floor((CAST(c.e[j] AS DOUBLE) - ba.mins[j])
+                                    * 255.0 / (ba.maxs[j] - ba.mins[j]))
+                                    AS INT)))
+                          END AS DOUBLE) + 0.5)
+                    * (ba.maxs[j] - ba.mins[j]) / 255.0)
+                   * CAST(q.e[j] AS DOUBLE)), 'sum') AS score
+        FROM c CROSS JOIN q CROSS JOIN ba
+    ),
+    r AS (
+        SELECT query_id, match_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, match_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, match_id, ROUND(score, 6) AS score, rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 top-5 by reconstructed inner product; recall vs brute force
+    pinned in tests/test_similarity.py."""
+    from quickstart_streaming_agents_spark.operators.similarity import sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return sq8_topk(queries_df, emb, "qid", "vec_id", k=5)
+
+
+# ---------------------------------------------------------------------------
 # Text analysis: token count, punctuation/stopword ratios, language ID,
 # quality score, content fingerprint — all JVM expressions, oracle-checked.
 # ---------------------------------------------------------------------------
@@ -5135,6 +5201,75 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stupid-Backoff bigram LM score (operators/retrieval.
+# bigram_backoff_logprob — Brants et al. 2007): the tighter perplexity
+# proxy above `unigram_logprob_score` — word-salad docs with plausible
+# unigrams fall off the bigram cliff. One doc-keyed lag window builds
+# (prev, w) positions; two partial-agg count shuffles; counts attach by
+# equi-join; one doc-keyed average. n_backoff (exact BIGINT) counts the
+# unigram-fallback positions.
+# ---------------------------------------------------------------------------
+@query(
+    "bigram_backoff_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, s.i AS i, s.w AS w, s.prev AS prev FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(a) + 1),
+                i -> {'i': i, 'w': a[i],
+                      'prev': CASE WHEN i > 1 THEN a[i-1] END})) AS s
+            FROM t
+        ) WHERE s.w <> ''
+    ),
+    pp AS (SELECT * FROM p WHERE doc_id % 2 = 0),
+    uni AS (SELECT w, count(*) AS cw FROM pp GROUP BY 1),
+    tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS n_total FROM uni),
+    big AS (
+        SELECT prev, w, count(*) AS cpw FROM pp
+        WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               CASE WHEN p.prev IS NULL
+                    THEN ln(coalesce(CAST(u.cw AS DOUBLE), 0.5) / tot.n_total)
+                    WHEN b2.cpw IS NOT NULL THEN ln(b2.cpw / up.cprev)
+                    ELSE ln(0.4) +
+                         ln(coalesce(CAST(u.cw AS DOUBLE), 0.5) / tot.n_total)
+               END AS lp,
+               CASE WHEN p.prev IS NOT NULL AND b2.cpw IS NULL
+                    THEN 1 ELSE 0 END AS bo
+        FROM p
+        LEFT JOIN uni u USING (w)
+        LEFT JOIN big b2 ON b2.prev = p.prev AND b2.w = p.w
+        LEFT JOIN (SELECT w AS prev, cw AS cprev FROM uni) up
+               ON up.prev = p.prev
+        CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(bo) AS BIGINT) AS n_backoff,
+           round(sum(lp) / count(*), 6) AS avg_logprob,
+           round(exp(-(sum(lp) / count(*))), 4) AS ppl_proxy
+    FROM scored GROUP BY 1
+    """,
+)
+def bigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff bigram LM score for every doc, profiled on the
+    even-doc_id half (the CCNet shape: trusted snapshot profiles, full
+    corpus scores) — so unseen-bigram backoff genuinely fires on the
+    held-out half (self-profiling trivially never backs off)."""
+    from quickstart_streaming_agents_spark.operators.retrieval import (
+        bigram_backoff_logprob,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_backoff_logprob(docs, docs.filter(F.col("doc_id") % 2 == 0))
+
+
+# ---------------------------------------------------------------------------
 # Rolling 7-day distinct active users per day. Exact sliding distinct
 # counts can't ride a window frame (COUNT(DISTINCT) OVER RANGE isn't
 # supported/scalable); the scalable exact plan is: dedup to (day, user)
@@ -8007,13 +8142,15 @@ _R8_CHECK_FIRST = [
     "cms_heavy_hitters",
     "bloom_decontamination",
     "temperature_mix",
-    # (e) r6-dated refresh
-    "agent_price_match",
+    "ann_sq8_topk",
+    "bigram_backoff_score",
+    # (e) r6-dated refresh (agent_price_match and dedup_components keep
+    # green r6 rows and rotate next round; never-checked new queries
+    # outrank refreshes for the 50 slots)
     "ann_ivf_topk",
     "ann_lsh_topk",
     "anomaly_detect_ar2",
     "curation_pipeline",
-    "dedup_components",
 ]
 
 

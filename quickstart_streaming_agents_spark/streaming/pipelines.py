@@ -640,6 +640,67 @@ def dsir_stream_pipeline(
     return catalog
 
 
+def temperature_mix_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+    budget: int = 100_000,
+) -> StreamCatalog:
+    """Continuous temperature-mix sampler — the streaming half of
+    queries.temperature_mix, same profile-then-stream shape as
+    dsir_stream_pipeline: the per-language allocation is computed ONCE
+    from a bounded profile corpus (operators/sampling.
+    temperature_allocation at alpha=0.5 — exact integer targets), the
+    per-language keep-rate ``least(1, target_tokens/lang_tokens)`` is
+    baked into the stream plan as a literal map, and every arriving doc
+    passes a MAP-ONLY deterministic-hash gate (`hash_unit` — same doc
+    kept on every run/restart/partitioning). No state, no shuffle, no
+    Python. A language absent from the profile defaults to keep-rate 1
+    (never silently drop a novel stratum — quarantine-by-keeping).
+
+    Parity contract: kept set is EXACTLY the batch rule's output when
+    the profile is the corpus (pinned in tests/test_streaming.py).
+    """
+    from ..functions.text import token_count
+    from ..operators.sampling import hash_unit, temperature_allocation
+
+    spark = catalog.spark
+    profile = spark.read.parquet(documents_path)
+    alloc = temperature_allocation(
+        profile.select("lang", token_count("text").alias("nt")),
+        "lang",
+        "nt",
+        budget=budget,
+    ).collect()
+    # exact-integer target / exact-integer total -> one IEEE division:
+    # the same double any replay computes
+    rates = {
+        r["lang"]: min(1.0, r["target_tokens"] / r["n_tokens"])
+        for r in alloc
+        if r["n_tokens"]
+    }
+    rate_map = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in sorted(rates)]),
+        F.array(*[F.lit(rates[k]) for k in sorted(rates)]),
+    )
+
+    stamped = profile.select(
+        "doc_id", "lang", "source",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ).alias("ts"),
+    )
+    catalog.create_table_as("tmix_raw_docs", stamped)
+
+    stream = catalog.read_stream("tmix_raw_docs")
+    kept = stream.filter(
+        hash_unit(["doc_id"], salt="temp-mix")
+        < F.coalesce(F.element_at(rate_map, F.col("lang")), F.lit(1.0))
+    ).select("doc_id", "lang", "source")
+    catalog.create_table_as("tmix_sampled_docs", kept, available_now=True)
+    catalog.await_all()
+    return catalog
+
+
 def quality_filter_stream_pipeline(
     catalog: StreamCatalog,
     documents_path: str,

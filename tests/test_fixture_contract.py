@@ -135,3 +135,15 @@ def test_no_config_mutation_for_us_fixture(spark):
     assert (
         spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
     )
+
+
+def test_bench_headline_covers_the_whole_registry():
+    """BENCH_FULL's total_queries contract says every registered query
+    gets a bench figure — a new @query without a HEADLINE entry would
+    silently shrink coverage, so pin set equality here."""
+    import bench
+
+    from quickstart_streaming_agents_spark.queries import QUERIES
+
+    assert set(bench.HEADLINE) == set(QUERIES)
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))  # no dupes

@@ -200,3 +200,56 @@ def test_bm25_plan_reads_cached_index_once(spark):
     df = QUERIES["bm25_search"](spark, SF_DIR)
     plan = physical_plan(df)
     assert "InMemoryTableScan" in plan
+
+
+def test_bigram_backoff_paths_and_math(spark):
+    """All three scoring paths (seen bigram, backoff, OOV unigram) fire
+    and match an independent Python reference on a crafted profile/score
+    split."""
+    import math
+
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.operators.retrieval import (
+        bigram_backoff_logprob,
+    )
+
+    profile = spark.createDataFrame([
+        Row(doc_id=0, text="a b a b c"),
+        Row(doc_id=2, text="a b c a"),
+    ])
+    scored = spark.createDataFrame([
+        Row(doc_id=1, text="a b c"),    # all bigrams seen
+        Row(doc_id=3, text="c b a"),    # 'c b' unseen -> backoff
+        Row(doc_id=5, text="a zz b"),   # OOV word 'zz' both directions
+    ])
+    out = {r.doc_id: r for r in bigram_backoff_logprob(
+        scored, profile).collect()}
+
+    # profile counts: a=4, b=3, c=2, N=9; bigrams: ab=3, ba=1, bc=2, ca=1
+    N = 9.0
+    uni = {"a": 4, "b": 3, "c": 2}
+    big = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 2, ("c", "a"): 1}
+
+    def ref(toks):
+        lps, bo = [], 0
+        for i, w in enumerate(toks):
+            cw = uni.get(w, 0.5)
+            if i == 0:
+                lps.append(math.log(cw / N))
+            elif (toks[i - 1], w) in big:
+                lps.append(math.log(
+                    big[(toks[i - 1], w)] / uni[toks[i - 1]]))
+            else:
+                bo += 1
+                lps.append(math.log(0.4) + math.log(cw / N))
+        return sum(lps) / len(lps), bo
+
+    for doc_id, text in [(1, "a b c"), (3, "c b a"), (5, "a zz b")]:
+        want_avg, want_bo = ref(text.split())
+        r = out[doc_id]
+        assert r.n_backoff == want_bo, (doc_id, r.n_backoff, want_bo)
+        assert abs(r.avg_logprob - want_avg) < 1e-6, (doc_id,)
+    assert out[1].n_backoff == 0
+    assert out[3].n_backoff == 1  # 'c b' unseen ('b a' IS in profile)
+    assert out[5].n_backoff == 2  # 'a zz' and 'zz b' both back off

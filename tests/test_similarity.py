@@ -272,3 +272,43 @@ def test_pq_adc_partial_topk_bounds_shuffle_input(spark):
         map(tuple, pq_adc(q, emb.coalesce(1), "qid", "vec_id", k=k).collect())
     )
     assert got == want
+
+
+def test_sq8_near_exact_vs_float_inner_product(spark):
+    """SQ8's 8-bit-per-dim reconstruction must rank nearly identically
+    to exact float inner product (the quantization-error contract that
+    places it between IVF and PQ), and every per-element reconstruction
+    error must respect the half-bucket bound (mx-mn)/255/2 + ULP."""
+    import numpy as np
+
+    from quickstart_streaming_agents_spark.operators.similarity import sq8_topk
+
+    ship_package(spark)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    approx = sq8_topk(q, emb, "qid", "vec_id", k=5).collect()
+    got: dict[int, set] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.match_id)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    qmask = ids < 30
+    scores = mat[qmask] @ mat.T  # exact float IP
+    hits = total = 0
+    for qi, qid in enumerate(ids[qmask]):
+        top = set(ids[np.argsort(-scores[qi], kind="stable")[:5]].tolist())
+        total += 5
+        hits += len(top & got[qid])
+    recall = hits / total
+    assert recall >= 0.9, f"SQ8 recall@5 {recall:.2f}"
+
+    # reconstruction error bound, checked on one vector end to end
+    mn, mx = mat.min(axis=0), mat.max(axis=0)
+    span = np.where(mx > mn, mx - mn, 1.0)
+    codes = np.clip(np.floor((mat[0] - mn) * 255.0 / span), 0, 255)
+    recon = np.where(mx > mn, mn + (codes + 0.5) * span / 255.0, mn)
+    assert np.all(np.abs(recon - mat[0]) <= span / 255.0 / 2 + 1e-9)

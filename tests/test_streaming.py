@@ -1134,3 +1134,50 @@ def test_audio_dedup_stream_matches_batch(spark, catalog):
             n_dups += 1
             assert dup_of < doc_id
     assert 0 < n_dups < len(got)
+
+
+def test_temperature_mix_stream_matches_batch_rule(spark, catalog):
+    """The streaming temperature sampler (frozen allocation -> map-only
+    hash gate) must keep EXACTLY the docs the batch rule keeps when the
+    profile is the corpus, and must downsample the over-represented
+    language while keeping small strata whole (epochs >= 1 -> rate 1)."""
+    from quickstart_streaming_agents_spark.functions.text import token_count
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        hash_unit,
+        temperature_allocation,
+    )
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        temperature_mix_stream_pipeline,
+    )
+
+    budget = 10_000
+    temperature_mix_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet", budget=budget
+    )
+    got = {r.doc_id for r in catalog.read_batch("tmix_sampled_docs").collect()}
+
+    docs = load_table(spark, SF_DIR, "documents")
+    alloc = temperature_allocation(
+        docs.select("lang", token_count("text").alias("nt")),
+        "lang", "nt", budget=budget,
+    ).collect()
+    rates = {r.lang: min(1.0, r.target_tokens / r.n_tokens) for r in alloc}
+    import pyspark.sql.functions as F
+
+    want_rows = docs.select(
+        "doc_id", "lang", hash_unit(["doc_id"], salt="temp-mix").alias("u")
+    ).collect()
+    want = {r.doc_id for r in want_rows if r.u < rates[r.lang]}
+    assert got == want
+    assert 0 < len(got) < docs.count()  # really sampled, really kept some
+    # at a 10k budget every language downsamples; per-lang kept fraction
+    # must track its rate within binomial noise
+    per = {}
+    for r in want_rows:
+        per.setdefault(r.lang, [0, 0])
+        per[r.lang][1] += 1
+        if r.doc_id in got:
+            per[r.lang][0] += 1
+    for lang, (kept_n, n) in per.items():
+        assert abs(kept_n / n - rates[lang]) < 0.15, (lang, kept_n / n)

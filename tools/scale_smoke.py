@@ -198,6 +198,65 @@ def main() -> None:
         num_partitions=spark.sparkContext.defaultParallelism,
     ))
 
+    # Round-8b: count-min sketch — fed RAW token occurrences (explode,
+    # no per-doc pre-aggregate: the whole point is that the only shuffle
+    # is the cells agg, whose key space is d*w no matter the corpus);
+    # ASSERT the cap.
+    from quickstart_streaming_agents_spark.operators.cms import cms_cells
+
+    t0 = time.perf_counter()
+    occurrences = docs.select(
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term") != "")
+    cells = cms_cells(occurrences, "term", None, depth=4, width=4096)
+    n_cells = cells.count()
+    assert n_cells <= 4 * 4096, f"CMS cells unbounded: {n_cells}"
+    print(f"{'cms sketch (d=4,w=4096)':28s} {time.perf_counter() - t0:7.2f}s  "
+          f"({rows:,} docs)  cells={n_cells}")
+
+    # Round-8b: Bloom-prefiltered decontamination — the bitset stays
+    # m/64 longs however big the benchmark, and the prefilter must prune
+    # the exact-confirm join's input to a sliver of the corpus shingles.
+    from quickstart_streaming_agents_spark.operators.decontamination import (
+        _norm_shingles,
+        bloom_bitset,
+        bloom_member,
+    )
+
+    t0 = time.perf_counter()
+    m_bits, kk = 1 << 22, 3
+    corp_sh = _norm_shingles(docs, "doc_id", "text", 13).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    bench_sh = (
+        _norm_shingles(
+            docs.filter(F.col("doc_id") % 1000 == 0).select(
+                F.lit(0).alias("__bid"), F.col("text").alias("__btext")
+            ),
+            "__bid", "__btext", 13,
+        ).select(F.xxhash64("shingle").alias("h")).distinct()
+    )
+    words = bloom_bitset(bench_sh, "h", m_bits=m_bits, k=kk)
+    assert len(words) == m_bits // 64
+    bloom_df = spark.createDataFrame([(words,)], "bloom: array<bigint>")
+    total_sh, cand = (
+        corp_sh.crossJoin(F.broadcast(bloom_df))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                bloom_member(F.col("h"), F.col("bloom"),
+                             m_bits=m_bits, k=kk).cast("long")
+            ).alias("c"),
+        )
+        .first()
+    )
+    assert cand < 0.1 * total_sh, (
+        f"bloom prefilter not pruning: {cand}/{total_sh}"
+    )
+    print(f"{'bloom decon prefilter':28s} {time.perf_counter() - t0:7.2f}s  "
+          f"({rows:,} docs)  candidates={cand:,}/{total_sh:,} "
+          f"({100.0 * cand / total_sh:.2f}%)")
+
     t0 = time.perf_counter()
     flagship = build_training_pipeline(docs)
     n_ex = count_exchanges(flagship)
