@@ -161,6 +161,8 @@ HEADLINE = [
     "temperature_mix",
     "ann_sq8_topk",
     "bigram_backoff_score",
+    "edit_distance_dedup",
+    "token_entropy_score",
 ]
 
 

@@ -739,3 +739,50 @@ def winnowing_fingerprints(
         .filter(F.col("fp").isNotNull())
         .distinct()
     )
+
+
+def edit_distance_confirmed_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    jaccard_floor: float = 0.5,
+    max_dist: int = 64,
+    max_shingle_df: int | None = 1_000,
+) -> DataFrame:
+    """Two-tier near-dup: cheap n-gram-Jaccard candidates confirmed by
+    TRUE character edit distance — the precision tier set-overlap alone
+    can't give (bag-of-shingles is blind to ordering and small local
+    rewrites; Levenshtein is the ground-truth string metric).
+
+    Returns candidates (id_a < id_b) with ``jaccard``, ``edit_distance``
+    (NULL when the distance exceeds ``max_dist`` — Spark's 3-arg
+    levenshtein early-exits at the threshold, O(max_dist·min_len) per
+    pair instead of O(len_a·len_b)), and ``confirmed``.
+
+    Scale shape: the quadratic-looking Levenshtein is only ever paid on
+    the candidate pairs the bucketed Jaccard tier emits (bounded by true
+    near-dup cluster sizes), never corpus²; texts attach to pairs by two
+    id-keyed equi-joins. Integer distances — exact in any engine.
+    """
+    cand = ngram_jaccard_pairs(
+        df, id_col, text_col, n, jaccard_floor, max_shingle_df
+    )
+    ta = df.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
+    )
+    tb = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
+    )
+    lev = F.levenshtein("__ta", "__tb", max_dist)
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.when(lev >= 0, lev).cast("long").alias("edit_distance"),
+            (lev >= 0).alias("confirmed"),
+        )
+    )

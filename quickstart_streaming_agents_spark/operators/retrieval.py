@@ -470,3 +470,37 @@ def bigram_backoff_logprob(
         F.round("__avg", 6).alias("avg_logprob"),
         F.round(F.exp(-F.col("__avg")), 4).alias("ppl_proxy"),
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Per-doc token-distribution diversity: Shannon entropy of the
+    within-doc term distribution plus type-token ratio — the repetition/
+    diversity signals quality pipelines gate on (low entropy = chant-like
+    repetition; TTR near 1 with high n = unnaturally non-repeating).
+
+    entropy = -Σ (tf/dl)·ln(tf/dl) computed in ONE aggregate pass via
+    the identity ln(dl) − Σ tf·ln(tf)/dl (no second join for dl).
+
+    Plan: the postings shuffle, then one doc-keyed partial aggregate.
+    """
+    post = postings(docs, doc_id=doc_id, text=text)
+    agg = post.groupBy(doc_id).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("distinct_tokens"),
+        F.sum(F.col("tf") * F.log("tf")).alias("__stlt"),
+    )
+    ent = F.log(F.col("n_tokens")) - F.col("__stlt") / F.col("n_tokens")
+    return agg.select(
+        doc_id,
+        "n_tokens",
+        "distinct_tokens",
+        F.round(F.col("distinct_tokens") / F.col("n_tokens"), 9).alias(
+            "type_token_ratio"
+        ),
+        F.round(ent, 6).alias("token_entropy"),
+    )

@@ -1238,6 +1238,69 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Edit-distance-confirmed near-dup (operators/dedup.
+# edit_distance_confirmed_pairs): the precision tier over the Jaccard
+# candidates — bag-of-shingles is blind to ordering/local rewrites, true
+# Levenshtein is not. Spark's 3-arg levenshtein early-exits at the
+# threshold (O(max_dist·min_len) per pair); the quadratic metric is only
+# ever paid on candidate pairs, never corpus². Integer distances — exact
+# in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "edit_distance_dedup",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, ng FROM (
+            SELECT doc_id,
+                   unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           for i in range(1, greatest(len(w) - 1, 1))]) AS ng
+            FROM d
+        )
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT id_a, id_b,
+               ROUND(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard
+        FROM p
+        JOIN sz sa ON sa.doc_id = p.id_a
+        JOIN sz sb ON sb.doc_id = p.id_b
+        WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+    ),
+    lv AS (
+        SELECT c.id_a, c.id_b, c.jaccard,
+               levenshtein(da.text, db.text) AS lev
+        FROM cand c
+        JOIN d da ON da.doc_id = c.id_a
+        JOIN d db ON db.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard,
+           CASE WHEN lev <= 64 THEN CAST(lev AS BIGINT) END AS edit_distance,
+           lev <= 64 AS confirmed
+    FROM lv
+    """,
+)
+def edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard candidates with true-edit-distance confirmation."""
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        edit_distance_confirmed_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_distance_confirmed_pairs(
+        docs, "doc_id", "text", n=3, jaccard_floor=0.5, max_dist=64
+    )
+
+
+# ---------------------------------------------------------------------------
 # Near-dup pairs → dedup clusters: distributed connected components
 # (large-star/small-star contraction, operators/components.py). Oracle:
 # DuckDB computes the same pairs, then the transitive closure via a
@@ -5201,6 +5264,44 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token-entropy diversity score (operators/retrieval.token_entropy):
+# Shannon entropy of each doc's term distribution + type-token ratio —
+# the repetition/diversity gates next to the Gopher rules. Entropy in
+# ONE aggregate pass via ln(dl) − Σ tf·ln(tf)/dl (no dl re-join).
+# ---------------------------------------------------------------------------
+@query(
+    "token_entropy_score",
+    oracle="""
+    WITH post AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+            FROM documents
+        ) WHERE term <> '' GROUP BY 1, 2
+    ),
+    a AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS distinct_tokens,
+               sum(tf * ln(tf)) AS stlt
+        FROM post GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, distinct_tokens,
+           round(distinct_tokens / n_tokens, 9) AS type_token_ratio,
+           round(ln(n_tokens) - stlt / n_tokens, 6) AS token_entropy
+    FROM a
+    """,
+)
+def token_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc token diversity: entropy + TTR per document."""
+    from quickstart_streaming_agents_spark.operators.retrieval import (
+        token_entropy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs)
+
+
+# ---------------------------------------------------------------------------
 # Stupid-Backoff bigram LM score (operators/retrieval.
 # bigram_backoff_logprob — Brants et al. 2007): the tighter perplexity
 # proxy above `unigram_logprob_score` — word-salad docs with plausible
@@ -8144,13 +8245,15 @@ _R8_CHECK_FIRST = [
     "temperature_mix",
     "ann_sq8_topk",
     "bigram_backoff_score",
-    # (e) r6-dated refresh (agent_price_match and dedup_components keep
-    # green r6 rows and rotate next round; never-checked new queries
-    # outrank refreshes for the 50 slots)
+    "edit_distance_dedup",
+    "token_entropy_score",
+    # (e) r6-dated refresh (agent_price_match, dedup_components,
+    # anomaly_detect_ar2 and curation_pipeline keep green r6 rows and
+    # MUST rotate in round 9 — never-checked new queries outrank
+    # refreshes for the 50 slots; ann_ivf/ann_lsh stay so the whole ANN
+    # family carries same-round rows next to the new sq8)
     "ann_ivf_topk",
     "ann_lsh_topk",
-    "anomaly_detect_ar2",
-    "curation_pipeline",
 ]
 
 

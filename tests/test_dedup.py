@@ -316,3 +316,37 @@ def test_dedup_lines_first_occurrence_semantics(spark):
         2: ("gamma", 1),
         4: ("delta", 1),
     }
+
+
+def test_edit_distance_confirm_rejects_block_swaps(spark):
+    """A block-swapped document shares almost all its 3-gram shingles
+    (high Jaccard) yet sits a whole block away in edit distance — the
+    precision case set-overlap alone gets wrong. The confirm tier must
+    emit the candidate with a NULL distance and confirmed=false, while a
+    genuinely-close pair confirms with its exact distance."""
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        edit_distance_confirmed_pairs,
+    )
+
+    blk_a = " ".join(f"alpha{i}" for i in range(20))
+    blk_b = " ".join(f"beta{i}" for i in range(20))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"{blk_a} {blk_b}"),
+        Row(doc_id=2, text=f"{blk_b} {blk_a}"),      # swap: far in edits
+        Row(doc_id=3, text=f"{blk_a} {blk_b} tail"),  # near: 5 edits
+    ])
+    out = {(r.id_a, r.id_b): r for r in edit_distance_confirmed_pairs(
+        docs, "doc_id", "text", n=3, jaccard_floor=0.5, max_dist=10
+    ).collect()}
+
+    assert (1, 3) in out
+    r13 = out[(1, 3)]
+    assert r13.confirmed and r13.edit_distance == 5  # ' tail'
+
+    assert (1, 2) in out  # candidate tier finds it...
+    r12 = out[(1, 2)]
+    assert not r12.confirmed  # ...confirm tier rejects it
+    assert r12.edit_distance is None
+    assert r12.jaccard >= 0.5

@@ -253,3 +253,27 @@ def test_bigram_backoff_paths_and_math(spark):
     assert out[1].n_backoff == 0
     assert out[3].n_backoff == 1  # 'c b' unseen ('b a' IS in profile)
     assert out[5].n_backoff == 2  # 'a zz' and 'zz b' both back off
+
+
+def test_token_entropy_orders_repetition_and_hits_uniform_bound(spark):
+    """A chant-like doc must score below a diverse doc; a perfectly
+    uniform doc must hit exactly ln(k) (the entropy maximum for k types,
+    checked to the query's rounding); TTR is exact."""
+    import math
+
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.operators.retrieval import (
+        token_entropy,
+    )
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="buy buy buy buy buy buy buy now"),
+        Row(doc_id=2, text="eight distinct words appear exactly once here today"),
+        Row(doc_id=3, text="a b c d a b c d"),  # uniform over 4 types
+    ])
+    out = {r.doc_id: r for r in token_entropy(docs).collect()}
+    assert out[1].token_entropy < out[2].token_entropy
+    assert abs(out[3].token_entropy - math.log(4)) < 1e-6
+    assert out[2].type_token_ratio == 1.0
+    assert out[1].distinct_tokens == 2 and out[1].n_tokens == 8
