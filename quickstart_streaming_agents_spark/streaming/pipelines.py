@@ -375,6 +375,7 @@ def decontamination_stream_pipeline(
     watermark: str = "10 seconds",
     n: int = 13,
     bench_mod: int = 17,
+    bloom_m_bits: int | None = None,
 ) -> StreamCatalog:
     """Continuous benchmark decontamination: a quarantine feed of
     contaminated doc ids over a documents stream.
@@ -393,6 +394,14 @@ def decontamination_stream_pipeline(
     Documents carry no event time, so ingestion stamps a deterministic
     synthetic ``ts`` from doc_id order (stand-in for the Kafka ingestion
     timestamp a real feed provides).
+
+    ``bloom_m_bits`` switches on the Bloom tier for benchmark sets too
+    large to broadcast as a join hash table (the batch
+    `bloom_decontamination` shape): the frozen bitset rides the stream
+    plan as one array<long> literal row, the map-only k-probe membership
+    test prunes the shingle flow, and the (still broadcast) exact set
+    confirms the survivors — output provably identical to the exact
+    tier, pinned in tests.
     """
     spark = catalog.spark
     docs = spark.read.parquet(documents_path)
@@ -425,6 +434,17 @@ def decontamination_stream_pipeline(
     exploded = _norm_shingles(
         stream, "doc_id", "text", n, keep_cols=["ts"]
     ).select("doc_id", "ts", F.xxhash64("shingle").alias("h"))
+    if bloom_m_bits is not None:
+        from ..operators.decontamination import bloom_bitset, bloom_member
+
+        words = bloom_bitset(bench, "h", m_bits=bloom_m_bits, k=3)
+        bloom_df = spark.createDataFrame([(words,)], "bloom: array<bigint>")
+        exploded = (
+            exploded.crossJoin(F.broadcast(bloom_df))
+            .filter(bloom_member(F.col("h"), F.col("bloom"),
+                                 m_bits=bloom_m_bits, k=3))
+            .drop("bloom")
+        )
     quarantined = (
         exploded.join(F.broadcast(bench), "h")
         .select("doc_id", "ts")
@@ -636,6 +656,49 @@ def dsir_stream_pipeline(
         F.round(weight, 4).alias("log_importance"),
     )
     catalog.create_table_as("dsir_scored_docs", scored, available_now=True)
+    catalog.await_all()
+    return catalog
+
+
+def pca_stream_pipeline(
+    catalog: StreamCatalog,
+    embeddings_path: str,
+    k: int = 4,
+) -> StreamCatalog:
+    """Continuous PCA projection — the streaming half of
+    queries.pca_project, same profile-then-stream shape as DSIR/CCNet/
+    temperature-mix: the basis is fitted ONCE on a profile corpus
+    (operators/pca.pca_fit — single-pass BLAS moments + driver eigh,
+    the recipe PCA itself prescribes: you don't refit a basis per
+    micro-batch), then every arriving vector is projected MAP-ONLY by
+    the same JVM zip_with/aggregate folds the batch query uses — no
+    state, no shuffle, no Python on the stream, trivially restartable.
+    New corpus epochs mean refitting and restarting with a new frozen
+    basis (the honest contract; bases change by release).
+
+    Parity: identical frozen basis + identical fold ⇒ projections are
+    BIT-EXACT equal to a batch `pca_project` over the same rows (pinned
+    in tests/test_streaming.py).
+    """
+    from ..operators.pca import pca_fit, pca_project
+
+    spark = catalog.spark
+    emb = spark.read.parquet(embeddings_path)
+    mean, comps, _evals = pca_fit(emb, "embedding", k)
+
+    stamped = emb.select(
+        "vec_id", "embedding",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("vec_id") * 1_000_000
+        ).alias("ts"),
+    )
+    catalog.create_table_as("pca_raw_vecs", stamped)
+
+    stream = catalog.read_stream("pca_raw_vecs")
+    projected = pca_project(stream, "embedding", mean, comps).select(
+        "vec_id", *[f"pc{i + 1}" for i in range(k)]
+    )
+    catalog.create_table_as("pca_projected", projected, available_now=True)
     catalog.await_all()
     return catalog
 

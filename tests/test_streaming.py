@@ -1181,3 +1181,67 @@ def test_temperature_mix_stream_matches_batch_rule(spark, catalog):
             per[r.lang][0] += 1
     for lang, (kept_n, n) in per.items():
         assert abs(kept_n / n - rates[lang]) < 0.15, (lang, kept_n / n)
+
+
+def test_pca_stream_matches_batch_projection_bit_exact(spark, catalog):
+    """The streaming PCA gate projects with the SAME frozen basis and the
+    SAME JVM folds as batch pca_project — so outputs must be bit-exact
+    equal (not merely close) row for row."""
+    from quickstart_streaming_agents_spark.operators.pca import (
+        pca_fit,
+        pca_project,
+    )
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        pca_stream_pipeline,
+    )
+
+    path = f"{SF_DIR}/embeddings.parquet"
+    pca_stream_pipeline(catalog, embeddings_path=path, k=4)
+    got = {
+        r.vec_id: (r.pc1, r.pc2, r.pc3, r.pc4)
+        for r in catalog.read_batch("pca_projected").collect()
+    }
+
+    emb = spark.read.parquet(path)
+    mean, comps, _ = pca_fit(emb, "embedding", 4)
+    want = {
+        r.vec_id: (r.pc1, r.pc2, r.pc3, r.pc4)
+        for r in pca_project(emb, "embedding", mean, comps)
+        .select("vec_id", "pc1", "pc2", "pc3", "pc4")
+        .collect()
+    }
+    assert len(got) == len(want) > 100
+    # bit-exact: same frozen basis, same fold — tolerate NOTHING
+    assert got == want
+
+
+def test_decontamination_stream_bloom_tier_matches_exact(spark, catalog):
+    """With bloom_m_bits set, the stream gate prefilters the shingle flow
+    through the frozen bitset before the exact confirm join — and must
+    quarantine EXACTLY the same docs as the exact tier (no false
+    negatives; false positives die at the confirm join)."""
+    from quickstart_streaming_agents_spark.operators.decontamination import (
+        contamination_flags,
+    )
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        decontamination_stream_pipeline,
+    )
+
+    decontamination_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet",
+        watermark="1 day", bloom_m_bits=1 << 14,
+    )
+    got = {
+        r.doc_id for r in catalog.read_batch("contaminated_docs").collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    want = {
+        r.doc_id
+        for r in contamination_flags(
+            docs.select("doc_id", "text"), bench, n=13
+        ).collect()
+        if r.contaminated
+    }
+    assert got == want and len(got) > 0
