@@ -41,6 +41,15 @@ CASES = [
     "audio_near_dup",
     "zorder_key",
     "ann_pq_adc_topk",
+    # r8b: sketch cells (d·w-keyed agg), Bloom prefilter + confirm,
+    # sqrt-integer allocation, salted SQ8 top-k, candidate+Levenshtein,
+    # lag-window LM scoring
+    "cms_heavy_hitters",
+    "bloom_decontamination",
+    "temperature_mix",
+    "ann_sq8_topk",
+    "edit_distance_dedup",
+    "bigram_backoff_score",
 ]
 
 LAYOUTS = [
