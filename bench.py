@@ -163,6 +163,7 @@ HEADLINE = [
     "bigram_backoff_score",
     "edit_distance_dedup",
     "token_entropy_score",
+    "url_canonical_dedup",
 ]
 
 

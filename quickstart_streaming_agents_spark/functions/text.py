@@ -330,3 +330,33 @@ def pii_counts(text_col: str | Column) -> dict[str, Column]:
         kind: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
         for kind, pat, _ in PII_PATTERNS
     }
+
+
+def url_canonicalize(url_col: str | Column) -> Column:
+    """Canonical form of a URL for host/page-level dedup (the RefinedWeb/
+    CCNet URL-dedup convention): lowercase scheme+host, strip the
+    fragment, strip ``utm_*`` tracking parameters (dropping a trailing
+    ``?``/``&``), and strip one trailing slash from a non-root path.
+    The path/query keep their case (paths ARE case-sensitive).
+
+    Pure JVM regexp chain, map-only; every pattern is RE2-compatible so
+    a DuckDB oracle replays it verbatim (the `BPE_PIECE_RE` contract).
+    """
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    # 1. fragment off
+    c = F.regexp_replace(c, "#.*$", "")
+    # 2. utm params off: "utm_x=y&" inside, or "utm_x=y" at the end;
+    #    then a dangling "?"/"&" left behind
+    c = F.regexp_replace(c, "utm_[A-Za-z0-9_]*=[^&#]*&", "")
+    c = F.regexp_replace(c, "[?&]utm_[A-Za-z0-9_]*=[^&#]*$", "")
+    c = F.regexp_replace(c, "utm_[A-Za-z0-9_]*=[^&#]*$", "")
+    c = F.regexp_replace(c, "[?&]$", "")
+    # 3. lowercase scheme://host (authority ends at /, ?, or end)
+    scheme_host = F.lower(F.regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1))
+    rest = F.regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    # 4. strip www. and a default port from the host
+    scheme_host = F.regexp_replace(scheme_host, "://www\\.", "://")
+    scheme_host = F.regexp_replace(scheme_host, ":(80|443)$", "")
+    # 5. one trailing slash off a non-root path (no query present)
+    rest = F.regexp_replace(rest, "^(/.+?)/$", "$1")
+    return F.concat(scheme_host, rest)

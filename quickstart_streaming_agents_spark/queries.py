@@ -5264,6 +5264,93 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization + page-level dedup (functions/text.
+# url_canonicalize): the RefinedWeb/CCNet web-pipeline stage — lowercase
+# scheme+host, strip www./default port/fragment/utm_* tracking params/
+# one trailing slash, then keep min doc_id per canonical page. URLs are
+# synthesized deterministically from doc_id (mixed case, www, ports,
+# fragments, tracking params, trailing slashes) so every rule fires.
+# Map-only RE2-compatible regexp chain + ONE partial-agg min per page.
+# ---------------------------------------------------------------------------
+@query(
+    "url_canonical_dedup",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'HTTPS://' ||
+               CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+               'Site' || (doc_id % 7)::VARCHAR || '.Example.COM' ||
+               CASE WHEN doc_id % 13 = 0 THEN ':443' ELSE '' END ||
+               '/Page/' || (doc_id % 50)::VARCHAR ||
+               CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN '?utm_source=feed' || (doc_id % 4)::VARCHAR
+                    ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END AS url
+        FROM documents
+    ),
+    c0 AS (
+        SELECT doc_id, url,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               url, '#.*$', '', 'g'),
+               'utm_[A-Za-z0-9_]*=[^&#]*&', '', 'g'),
+               '[?&]utm_[A-Za-z0-9_]*=[^&#]*$', '', 'g'),
+               'utm_[A-Za-z0-9_]*=[^&#]*$', '', 'g') AS s
+        FROM u
+    ),
+    c1 AS (SELECT doc_id, url, regexp_replace(s, '[?&]$', '', 'g') AS s FROM c0),
+    c2 AS (
+        SELECT doc_id, url,
+           regexp_replace(regexp_replace(
+               lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)),
+               '://www\\.', '://', 'g'), ':(80|443)$', '', 'g')
+           ||
+           regexp_replace(
+               regexp_replace(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '', 'g'),
+               '^(/.+?)/$', '\\1', 'g') AS canonical_url
+        FROM c1
+    ),
+    k AS (SELECT canonical_url, min(doc_id) AS keeper FROM c2 GROUP BY 1)
+    SELECT c2.doc_id, c2.url, c2.canonical_url,
+           c2.doc_id = k.keeper AS kept
+    FROM c2 JOIN k USING (canonical_url)
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize synthesized messy URLs and keep one doc per page."""
+    from quickstart_streaming_agents_spark.functions.text import (
+        url_canonicalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("Site"), (d % 7).cast("string"), F.lit(".Example.COM"),
+        F.when(d % 13 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Page/"), (d % 50).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("?utm_source=feed"), (d % 4).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    withc = docs.select(
+        "doc_id", url.alias("url"),
+        url_canonicalize(url).alias("canonical_url"),
+    )
+    keepers = withc.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("__keeper")
+    )
+    return withc.join(keepers, "canonical_url").select(
+        "doc_id", "url", "canonical_url",
+        (F.col("doc_id") == F.col("__keeper")).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token-entropy diversity score (operators/retrieval.token_entropy):
 # Shannon entropy of each doc's term distribution + type-token ratio —
 # the repetition/diversity gates next to the Gopher rules. Entropy in
@@ -8247,13 +8334,13 @@ _R8_CHECK_FIRST = [
     "bigram_backoff_score",
     "edit_distance_dedup",
     "token_entropy_score",
+    "url_canonical_dedup",
     # (e) r6-dated refresh (agent_price_match, dedup_components,
-    # anomaly_detect_ar2 and curation_pipeline keep green r6 rows and
-    # MUST rotate in round 9 — never-checked new queries outrank
-    # refreshes for the 50 slots; ann_ivf/ann_lsh stay so the whole ANN
-    # family carries same-round rows next to the new sq8)
+    # anomaly_detect_ar2, curation_pipeline and ann_lsh_topk keep green
+    # r6 rows and MUST rotate in round 9 — never-checked new queries
+    # outrank refreshes for the 50 slots; ann_ivf stays so the ANN
+    # baseline carries a same-round row next to the new sq8)
     "ann_ivf_topk",
-    "ann_lsh_topk",
 ]
 
 

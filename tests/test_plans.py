@@ -220,3 +220,22 @@ def test_round8_query_plan_budgets_pinned(spark):
         assert count_exchanges(_q(spark, name)) == 0, name
     assert count_exchanges(_q(spark, "pca_moments")) == 1
     assert count_exchanges(_q(spark, "image_phash_dedup")) <= 4
+
+
+def test_round8b_query_plan_budgets_pinned(spark):
+    """Second-half round-8 additions keep their shapes: the CMS cells
+    aggregate + probe stays within 2 exchanges (the sketch itself is
+    broadcast); temperature allocation is one corpus agg + the tiny
+    strata window; SQ8 is the bounds agg + the salted top-k (encode and
+    scoring are map-only); the Bloom tier adds NO exchange over the
+    shingle flow (bitset rides as a broadcast literal); entropy is the
+    postings agg + doc agg."""
+    # raw pre-reuse count: postings agg feeds both the exact top-k and
+    # the cells agg through a persist (PLANS.md reports 2 after reuse)
+    assert count_exchanges(_q(spark, "cms_heavy_hitters")) <= 4
+    assert count_exchanges(_q(spark, "temperature_mix")) <= 2
+    assert count_exchanges(_q(spark, "ann_sq8_topk")) <= 2
+    assert count_exchanges(_q(spark, "bloom_decontamination")) <= 2
+    assert count_exchanges(_q(spark, "token_entropy_score")) <= 2
+    assert count_exchanges(_q(spark, "edit_distance_dedup")) <= 4
+    assert count_exchanges(_q(spark, "bigram_backoff_score")) <= 7

@@ -71,3 +71,31 @@ def test_phone_redaction_standard_formats(spark):
     )
     out = df.select(pii_redact("t").alias("r")).first().r
     assert out == "call <PHONE> or <PHONE> or <PHONE> now"
+
+
+def test_url_canonicalize_rules(spark):
+    """Each canonicalization rule in isolation + the ones that must NOT
+    fire: non-tracking query params survive, the root-path slash stays,
+    path case is preserved, non-default ports are preserved."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.functions.text import (
+        url_canonicalize,
+    )
+
+    cases = {
+        "HTTP://WWW.Ex.COM:80/A/B/": "http://ex.com/A/B",
+        "https://ex.com/page?utm_source=x&q=1": "https://ex.com/page?q=1",
+        "https://ex.com/page?q=1&utm_medium=y": "https://ex.com/page?q=1",
+        "https://ex.com/page?utm_only=z": "https://ex.com/page",
+        "https://ex.com/#frag": "https://ex.com/",   # root slash stays
+        "https://ex.com:8080/a": "https://ex.com:8080/a",  # real port kept
+        "https://ex.com/CaseSensitive/Path": "https://ex.com/CaseSensitive/Path",
+        "https://ex.com:443/x#y": "https://ex.com/x",
+    }
+    df = spark.createDataFrame(
+        [(u,) for u in cases], ["url"]
+    ).select("url", url_canonicalize(F.col("url")).alias("c"))
+    got = {r.url: r.c for r in df.collect()}
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u], want)

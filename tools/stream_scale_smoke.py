@@ -71,6 +71,12 @@ def report(name: str, prog: list[dict], state_bound: int, bound_desc: str) -> No
         f" = {rows_total / sec_total:,.0f} rows/s over {len(prog)} micro-batches"
     )
     peaks = [p["state_rows"] for p in prog if p["state_rows"] is not None]
+    if state_bound == 0:
+        # stateless contract: the plan must carry NO state operator at all
+        assert not peaks, f"{name}: unexpected state operator: {peaks}"
+        print(f"  stateless verified: no state store in any batch "
+              f"({bound_desc})\n")
+        return
     assert peaks, f"{name}: no state-operator progress recorded"
     assert max(peaks) <= state_bound, (
         f"{name}: state grew past its bound — {max(peaks):,} > {state_bound:,}"
@@ -81,12 +87,16 @@ def report(name: str, prog: list[dict], state_bound: int, bound_desc: str) -> No
     print(f"  state bounded: peak {max(peaks):,} <= {state_bound:,} ({bound_desc})\n")
 
 
-def write_slices(df, ts_col: str, slice_col, out_dir: str) -> None:
+def write_slices(df, ts_col: str, slice_col, out_dir: str,
+                 files: int = 2) -> None:
     """Write SLICES sequential parquet slices (increasing mtime) so the
     file stream replays them as ordered micro-batches — a file-backed
-    stand-in for a Kafka topic's chronological partitions."""
+    stand-in for a Kafka topic's chronological partitions. ``files`` =
+    files per slice = the micro-batch's scan parallelism (a Kafka topic's
+    partition count analog) — map-only stages have no shuffle to re-fan,
+    so their per-batch parallelism IS this number."""
     for k in range(SLICES):
-        df.filter(slice_col == k).coalesce(2).write.mode("append").parquet(out_dir)
+        df.filter(slice_col == k).coalesce(files).write.mode("append").parquet(out_dir)
         time.sleep(0.05)  # distinct mtimes => deterministic file order
 
 
@@ -188,6 +198,65 @@ def smoke_packing(spark, docs: int, workdir: str) -> None:
     )
 
 
+def smoke_maponly_gates(spark, docs: int, workdir: str) -> None:
+    """The r8 stateless-gate tier at scale: ONE fused map-only stage
+    chaining classifier scoring, the temperature-mix hash gate, and the
+    PCA-style projection arithmetic — zero stateful operators (asserted:
+    no state rows in any progress event), so throughput is pure codegen
+    and restart is trivial."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        hash_unit,
+        hashed_linear_classifier_score,
+    )
+    from quickstart_streaming_agents_spark.sources.synthetic import register
+
+    register(spark)
+    src = f"{workdir}/gate_src"
+    gen = (
+        spark.read.format("syntheticdocs")
+        .option("rows", docs)
+        .option("partitions", spark.sparkContext.defaultParallelism)
+        .load()
+        .withColumn("slc", F.least(
+            F.lit(SLICES - 1),
+            (F.col("doc_id") / (-(-docs // SLICES))).cast("int"),
+        ))
+    )
+    # 16 files/slice: a map-only stage's batch parallelism equals its
+    # input file count (no shuffle re-fans it) — 2 files would run the
+    # fold on 2 of 32 cores and report starvation, not throughput
+    write_slices(gen, "doc_id", F.col("slc"), src, files=16)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", "16").load(src)
+    )
+    scored = hashed_linear_classifier_score(
+        stream.drop("slc"), text_col="text"
+    )
+    gated = scored.filter(
+        F.col("keep") & (hash_unit(["doc_id"], salt="temp-mix") < 0.5)
+    )
+    q = (
+        gated.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _: df.write.format("noop").mode("overwrite").save()
+        )
+        .option("checkpointLocation", f"{workdir}/gate_ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    prog = progress_rows(q)
+    report(
+        f"fused map-only gate ({docs:,} docs)",
+        prog, state_bound=0,
+        bound_desc="stateless — classifier fold + hash gate, no state store",
+    )
+
+
 def main() -> None:
     events = int(os.environ.get("SMOKE_EVENTS", 1_000_000))
     docs = int(os.environ.get("SMOKE_DOCS", 1_000_000))
@@ -201,6 +270,7 @@ def main() -> None:
     try:
         smoke_anomaly(spark, events, workdir)
         smoke_packing(spark, docs, workdir)
+        smoke_maponly_gates(spark, docs, workdir)
         print(f"total wall: {time.perf_counter() - t0:.1f}s")
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
