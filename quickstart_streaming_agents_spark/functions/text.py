@@ -345,18 +345,24 @@ def url_canonicalize(url_col: str | Column) -> Column:
     c = F.col(url_col) if isinstance(url_col, str) else url_col
     # 1. fragment off
     c = F.regexp_replace(c, "#.*$", "")
-    # 2. utm params off: "utm_x=y&" inside, or "utm_x=y" at the end;
-    #    then a dangling "?"/"&" left behind
-    c = F.regexp_replace(c, "utm_[A-Za-z0-9_]*=[^&#]*&", "")
-    c = F.regexp_replace(c, "[?&]utm_[A-Za-z0-9_]*=[^&#]*$", "")
-    c = F.regexp_replace(c, "utm_[A-Za-z0-9_]*=[^&#]*$", "")
-    c = F.regexp_replace(c, "[?&]$", "")
+    # 2. utm params off — ANCHORED to a parameter boundary so a param
+    #    merely CONTAINING "utm_" (autumn_utm_x, my_utm_y) is never
+    #    touched. Order matters: (a) every &-led utm param drops with
+    #    its own & (replace-all handles consecutive ones — each carries
+    #    its own separator); (b) a ?-led utm param followed by a
+    #    survivor promotes that survivor onto the "?"; (c) a lone ?-led
+    #    utm param drops with the "?".
+    c = F.regexp_replace(c, "&utm_[A-Za-z0-9_]*=[^&#]*", "")
+    c = F.regexp_replace(c, "[?]utm_[A-Za-z0-9_]*=[^&#]*&", "?")
+    c = F.regexp_replace(c, "[?]utm_[A-Za-z0-9_]*=[^&#]*$", "")
     # 3. lowercase scheme://host (authority ends at /, ?, or end)
     scheme_host = F.lower(F.regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1))
     rest = F.regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
-    # 4. strip www. and a default port from the host
+    # 4. strip www. and the scheme's OWN default port only (an http
+    #    service on :443 is a different endpoint than the https page)
     scheme_host = F.regexp_replace(scheme_host, "://www\\.", "://")
-    scheme_host = F.regexp_replace(scheme_host, ":(80|443)$", "")
+    scheme_host = F.regexp_replace(scheme_host, "^(http://[^:/]*):80$", "$1")
+    scheme_host = F.regexp_replace(scheme_host, "^(https://[^:/]*):443$", "$1")
     # 5. one trailing slash off a non-root path (no query present)
     rest = F.regexp_replace(rest, "^(/.+?)/$", "$1")
     return F.concat(scheme_host, rest)

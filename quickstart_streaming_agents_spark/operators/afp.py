@@ -125,23 +125,16 @@ def audio_near_dup_pairs(
             f"max_diff must be in [0, 3] for 4-band pigeonhole "
             f"exactness, got {max_diff}"
         )
-    h = sigs.filter(F.col("sig").isNotNull())
-    bands = h.select(
-        F.col(id_col).alias("item_id"), "sig",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(j).alias("i"), F.col(f"b{j}").alias("v"))
-                for j in range(4)
-            ])
-        ).alias("band"),
-    ).select("item_id", "sig", "band.i", "band.v")
-    # hot-bucket skip via partial-agg count + broadcast anti-join (see
-    # phash_near_dup_pairs — same 100 TB rationale)
-    hot = (
-        bands.groupBy("i", "v").count()
-        .filter(F.col("count") > max_bucket).select("i", "v")
+    from .dedup import cap_hot_buckets, explode_bands
+
+    h = sigs.filter(F.col("sig").isNotNull()).select(
+        F.col(id_col).alias("item_id"), "sig", "b0", "b1", "b2", "b3"
     )
-    bands = bands.join(F.broadcast(hot), ["i", "v"], "left_anti")
+    bands = cap_hot_buckets(
+        explode_bands(h, "item_id", ["b0", "b1", "b2", "b3"],
+                      keep_cols=["sig"]),
+        max_bucket,
+    )
     a = bands.select(
         F.col("item_id").alias("id_a"), "i", "v",
         F.col("sig").alias("sig_a"),

@@ -786,3 +786,51 @@ def edit_distance_confirmed_pairs(
             (lev >= 0).alias("confirmed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# shared banded-LSH plumbing (phash / afp / their streaming gates)
+# ---------------------------------------------------------------------------
+
+def explode_bands(
+    df: DataFrame,
+    id_col: str,
+    band_cols: list[str],
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per (row, band): ``(id_col, *keep_cols, i, v)`` with
+    ``i`` the band index and ``v`` that band's value — the candidate
+    key every banded-LSH family (dHash bands, audio energy bands)
+    buckets on. Map-only explode; NULL band rows are dropped (an
+    undecodable payload can never collide)."""
+    extra = list(keep_cols or [])
+    out = df.filter(F.col(band_cols[0]).isNotNull()).select(
+        id_col,
+        *extra,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("i"), F.col(c).alias("v"))
+                for j, c in enumerate(band_cols)
+            ])
+        ).alias("band"),
+    )
+    return out.select(id_col, *extra, "band.i", "band.v")
+
+
+def cap_hot_buckets(
+    bands: DataFrame,
+    max_bucket: int,
+    keys: tuple[str, str] = ("i", "v"),
+) -> DataFrame:
+    """Drop every row of a bucket larger than ``max_bucket`` — the
+    degenerate-band skew guard (an all-silent audio band, a flat-image
+    dHash band). Partial-agg count + broadcast anti-join on the tiny
+    over-cap list: hot keys collapse map-side, unlike a
+    count-over-window, which would SORT all band rows per reducer.
+    THE one definition the batch pair miners and the streaming gates
+    share — a cap-policy fix lands everywhere at once."""
+    hot = (
+        bands.groupBy(*keys).count()
+        .filter(F.col("count") > max_bucket).select(*keys)
+    )
+    return bands.join(F.broadcast(hot), list(keys), "left_anti")

@@ -1633,7 +1633,13 @@ def mp3_frame_table(p: bytes) -> list[dict]:
         ss = p[6:10]
         pos = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
     out: list[dict] = []
-    samples_elapsed = 0
+    # dts accumulates per SAMPLERATE RUN: dividing the global elapsed
+    # sample count by the CURRENT frame's rate would retroactively
+    # rescale every earlier frame's duration when the rate changes
+    # mid-stream (each header is read precisely so such streams demux).
+    base_ms = 0
+    samples_at_sr = 0
+    cur_sr: int | None = None
     while pos + 4 <= len(p):
         if p[pos] != 0xFF or (p[pos + 1] & 0xFE) != 0xFA:
             break
@@ -1648,6 +1654,11 @@ def mp3_frame_table(p: bytes) -> list[dict]:
         flen = 144 * bitrate * 1000 // sr + pad
         if pos + flen > len(p):
             break  # truncated final frame
+        if sr != cur_sr:
+            if cur_sr is not None:
+                base_ms += samples_at_sr * 1000 // cur_sr
+            cur_sr = sr
+            samples_at_sr = 0
         out.append({
             "frame_idx": len(out),
             "offset": pos,
@@ -1655,9 +1666,9 @@ def mp3_frame_table(p: bytes) -> list[dict]:
             "bitrate_kbps": bitrate,
             "samplerate_hz": sr,
             "channels": channels,
-            "dts_ms": samples_elapsed * 1000 // sr,
+            "dts_ms": base_ms + samples_at_sr * 1000 // sr,
         })
-        samples_elapsed += 1152
+        samples_at_sr += 1152
         pos += flen
     if not out:
         raise ValueError("no valid MPEG-1 Layer III frame found")

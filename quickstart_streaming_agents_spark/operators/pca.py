@@ -129,8 +129,11 @@ def pca_moments_int(
     df = df.filter(F.col(vec_col).isNotNull())
     first = df.select(vec_col).first()
     if first is None:
+        # the documented contract (and the DuckDB oracle's count CTE)
+        # always emits the (-1, -1, n) count row — n = 0 here, not an
+        # empty frame
         return df.sparkSession.createDataFrame(
-            [], "i int, j int, val long"
+            [(-1, -1, 0)], "i int, j int, val long"
         )
     d = len(first[0])
     scale = float(1 << scale_bits)

@@ -55,6 +55,15 @@ def dhash_grid(arr, h: int = 8, w: int = 9):
         luma = a.astype(np.int64)
     if luma.shape == (h, w):
         return luma
+    # images smaller than the grid are VALID (thumbnails, icons):
+    # nearest-neighbor upscale to at least (h, w) first — array_split
+    # would otherwise produce empty blocks and crash on rs[0]. Repeating
+    # pixels leaves >=grid-size images' hashes untouched (this branch
+    # only fires when a dimension is under the grid).
+    if luma.shape[0] < h:
+        luma = np.repeat(luma, -(-h // luma.shape[0]), axis=0)
+    if luma.shape[1] < w:
+        luma = np.repeat(luma, -(-w // luma.shape[1]), axis=1)
     out = np.empty((h, w), dtype=np.int64)
     rows = np.array_split(np.arange(luma.shape[0]), h)
     cols = np.array_split(np.arange(luma.shape[1]), w)
@@ -144,27 +153,14 @@ def phash_near_dup_pairs(
             f"max_hamming must be in [0, 3] for 4-band pigeonhole "
             f"exactness, got {max_hamming}"
         )
-    h = hashes.filter(
-        F.col("b0").isNotNull() & F.col("b1").isNotNull()
-        & F.col("b2").isNotNull() & F.col("b3").isNotNull()
+    from .dedup import cap_hot_buckets, explode_bands
+
+    h = hashes.select(F.col(id_col).alias("item_id"), "b0", "b1", "b2", "b3")
+    bands = cap_hot_buckets(
+        explode_bands(h, "item_id", ["b0", "b1", "b2", "b3"],
+                      keep_cols=["b0", "b1", "b2", "b3"]),
+        max_bucket,
     )
-    bands = h.select(
-        F.col(id_col).alias("item_id"), "b0", "b1", "b2", "b3",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(j).alias("i"), F.col(f"b{j}").alias("v"))
-                for j in range(4)
-            ])
-        ).alias("band"),
-    ).select("item_id", "b0", "b1", "b2", "b3", "band.i", "band.v")
-    # hot-bucket skip via a partial-agg count + broadcast anti-join on
-    # the (tiny) over-cap list — hot keys collapse map-side, unlike a
-    # count-over-window, which would SORT all 4n band rows per reducer
-    hot = (
-        bands.groupBy("i", "v").count()
-        .filter(F.col("count") > max_bucket).select("i", "v")
-    )
-    bands = bands.join(F.broadcast(hot), ["i", "v"], "left_anti")
     a = bands.select(
         F.col("item_id").alias("id_a"), "i", "v",
         *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)],

@@ -87,13 +87,28 @@ def cumulate(
     price of the TVF. Never hit by the reference corpus (labs 1-4 use
     TUMBLE exclusively): beyond-reference surface, SURVEY §2 ST7.
     """
-    ms = {"second": 1000, "seconds": 1000, "minute": 60_000,
+    ms = {"millisecond": 1, "milliseconds": 1,
+          "second": 1000, "seconds": 1000, "minute": 60_000,
           "minutes": 60_000, "hour": 3_600_000, "hours": 3_600_000,
-          "day": 86_400_000, "days": 86_400_000}
+          "day": 86_400_000, "days": 86_400_000,
+          "week": 604_800_000, "weeks": 604_800_000}
 
     def _to_ms(spec: str) -> int:
-        n, unit = spec.split()
-        return int(n) * ms[unit.lower()]
+        # accept every interval string withWatermark accepts on this
+        # surface: compound specs ("1 minute 30 seconds") sum their
+        # "<n> <unit>" pairs
+        parts = spec.split()
+        if len(parts) % 2:
+            raise ValueError(f"bad interval spec {spec!r}")
+        total = 0
+        for i in range(0, len(parts), 2):
+            unit = parts[i + 1].lower()
+            if unit not in ms:
+                raise ValueError(
+                    f"unsupported interval unit {parts[i + 1]!r} in {spec!r}"
+                )
+            total += int(parts[i]) * ms[unit]
+        return total
 
     if _to_ms(size) % _to_ms(step):
         raise ValueError(

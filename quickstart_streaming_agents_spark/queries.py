@@ -5289,21 +5289,22 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END AS url
         FROM documents
     ),
-    c0 AS (
+    c1 AS (
         SELECT doc_id, url,
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                url, '#.*$', '', 'g'),
-               'utm_[A-Za-z0-9_]*=[^&#]*&', '', 'g'),
-               '[?&]utm_[A-Za-z0-9_]*=[^&#]*$', '', 'g'),
-               'utm_[A-Za-z0-9_]*=[^&#]*$', '', 'g') AS s
+               '&utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
+               '[?]utm_[A-Za-z0-9_]*=[^&#]*&', '?', 'g'),
+               '[?]utm_[A-Za-z0-9_]*=[^&#]*$', '', 'g') AS s
         FROM u
     ),
-    c1 AS (SELECT doc_id, url, regexp_replace(s, '[?&]$', '', 'g') AS s FROM c0),
     c2 AS (
         SELECT doc_id, url,
-           regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
                lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)),
-               '://www\\.', '://', 'g'), ':(80|443)$', '', 'g')
+               '://www\\.', '://', 'g'),
+               '^(http://[^:/]*):80$', '\\1', 'g'),
+               '^(https://[^:/]*):443$', '\\1', 'g')
            ||
            regexp_replace(
                regexp_replace(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '', 'g'),

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators.dedup import explode_bands
 from ..operators.windows import tumble
 from .catalog import StreamCatalog
 from .ops import StreamingLimit, interval_join_stream, ml_detect_anomalies_stream
@@ -993,22 +994,16 @@ def media_dedup_stream_pipeline(
     catalog.create_table_as("pdup_raw_imgs", stamped)
 
     # frozen reference: band-exploded dHash index of the profile
-    ref_bands = (
-        dhash_images(spark.read.parquet(
-            catalog.tables["pdup_raw_imgs"].path
-        ), "doc_id", "payload")
-        .filter(F.col("b0").isNotNull())
-        .select(
-            F.col("doc_id").alias("ref_id"),
-            *[F.col(f"b{j}").alias(f"r{j}") for j in range(4)],
-            F.explode(F.array(*[
-                F.struct(F.lit(j).alias("i"), F.col(f"b{j}").alias("v"))
-                for j in range(4)
-            ])).alias("band"),
-        )
-        .select("ref_id", "r0", "r1", "r2", "r3", "band.i", "band.v")
-        .persist()
+    ref_hashes = dhash_images(spark.read.parquet(
+        catalog.tables["pdup_raw_imgs"].path
+    ), "doc_id", "payload").select(
+        F.col("doc_id").alias("ref_id"),
+        *[F.col(f"b{j}").alias(f"r{j}") for j in range(4)],
     )
+    ref_bands = explode_bands(
+        ref_hashes, "ref_id", [f"r{j}" for j in range(4)],
+        keep_cols=[f"r{j}" for j in range(4)],
+    ).persist()
     ref_bands.count()  # materialize the frozen index once
 
     ham = sum(
@@ -1018,19 +1013,23 @@ def media_dedup_stream_pipeline(
 
     def gate(batch_df: DataFrame, epoch_id: int) -> DataFrame:
         h = dhash_images(batch_df, "doc_id", "payload")
-        bands = h.filter(F.col("b0").isNotNull()).select(
-            "doc_id", "b0", "b1", "b2", "b3",
-            F.explode(F.array(*[
-                F.struct(F.lit(j).alias("i"), F.col(f"b{j}").alias("v"))
-                for j in range(4)
-            ])).alias("band"),
-        ).select("doc_id", "b0", "b1", "b2", "b3", "band.i", "band.v")
+        bands = explode_bands(
+            h, "doc_id", [f"b{j}" for j in range(4)],
+            keep_cols=[f"b{j}" for j in range(4)],
+        )
+        # min over the (ref_id, ham) PAIR — two independent mins could
+        # pair the smallest ref with a DIFFERENT reference's distance
         dup = (
             bands.join(ref_bands, ["i", "v"])
             .filter(F.col("ref_id") < F.col("doc_id"))
             .filter(ham <= max_hamming)
             .groupBy("doc_id")
-            .agg(F.min("ref_id").alias("dup_of"), F.min(ham).alias("ham"))
+            .agg(F.min(F.struct(F.col("ref_id"), ham.alias("h"))).alias("__m"))
+            .select(
+                "doc_id",
+                F.col("__m.ref_id").alias("dup_of"),
+                F.col("__m.h").alias("ham"),
+            )
         )
         return h.join(dup, "doc_id", "left").select(
             "doc_id", "b0", "b1", "b2", "b3", "dup_of",
@@ -1084,7 +1083,7 @@ def audio_dedup_stream_pipeline(
     )
     catalog.create_table_as("adup_raw_clips", stamped)
 
-    ref_bands = (
+    ref_sigs = (
         audio_energy_sig(spark.read.parquet(
             catalog.tables["adup_raw_clips"].path
         ), "doc_id", "payload")
@@ -1092,14 +1091,13 @@ def audio_dedup_stream_pipeline(
         .select(
             F.col("doc_id").alias("ref_id"),
             F.col("sig").alias("ref_sig"),
-            F.explode(F.array(*[
-                F.struct(F.lit(j).alias("i"), F.col(f"b{j}").alias("v"))
-                for j in range(4)
-            ])).alias("band"),
+            "b0", "b1", "b2", "b3",
         )
-        .select("ref_id", "ref_sig", "band.i", "band.v")
-        .persist()
     )
+    ref_bands = explode_bands(
+        ref_sigs, "ref_id", [f"b{j}" for j in range(4)],
+        keep_cols=["ref_sig"],
+    ).persist()
     ref_bands.count()  # materialize the frozen index once
 
     n_diff = F.aggregate(
@@ -1112,13 +1110,10 @@ def audio_dedup_stream_pipeline(
 
     def gate(batch_df: DataFrame, epoch_id: int) -> DataFrame:
         h = audio_energy_sig(batch_df, "doc_id", "payload")
-        bands = h.filter(F.col("sig").isNotNull()).select(
-            "doc_id", "sig",
-            F.explode(F.array(*[
-                F.struct(F.lit(j).alias("i"), F.col(f"b{j}").alias("v"))
-                for j in range(4)
-            ])).alias("band"),
-        ).select("doc_id", "sig", "band.i", "band.v")
+        bands = explode_bands(
+            h.filter(F.col("sig").isNotNull()),
+            "doc_id", [f"b{j}" for j in range(4)], keep_cols=["sig"],
+        )
         dup = (
             bands.join(ref_bands, ["i", "v"])
             .filter(F.col("ref_id") < F.col("doc_id"))

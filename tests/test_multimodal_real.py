@@ -797,3 +797,22 @@ def test_mp3_frame_table_walk():
 
     with pytest.raises(ValueError, match="no valid"):
         mp3_frame_table(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+
+
+def test_mp3_dts_survives_samplerate_change():
+    """dts must accumulate per samplerate RUN: frames after a mid-stream
+    rate switch keep the earlier frames' true elapsed time instead of
+    retroactively rescaling it with the new rate."""
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        make_mp3,
+        mp3_frame_table,
+    )
+
+    p = make_mp3(2, samplerate_hz=32000) + make_mp3(3, samplerate_hz=48000)
+    tab = mp3_frame_table(p)
+    assert [f["samplerate_hz"] for f in tab] == [32000] * 2 + [48000] * 3
+    # 2 frames at 32 kHz elapse 2*1152/32000 s = 72 ms, NOT 48 ms
+    assert tab[2]["dts_ms"] == 2 * 1152 * 1000 // 32000 == 72
+    assert tab[3]["dts_ms"] == 72 + 1152 * 1000 // 48000
+    # constant-rate prefix unchanged by the fix
+    assert tab[1]["dts_ms"] == 1152 * 1000 // 32000

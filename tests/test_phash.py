@@ -131,3 +131,22 @@ def test_phash_dedup_min_id_keeper(spark):
                spark.createDataFrame(rows, "doc_id long, payload binary")
            ).collect()}
     assert out == {10: True, 20: False, 30: False, 40: True}
+
+
+def test_dhash_handles_images_smaller_than_grid(spark):
+    """Valid images below the 8x9 grid (thumbnails, icons) must hash,
+    not crash or be misclassified as undecodable — nearest-neighbor
+    upscale feeds the same area-average path."""
+    import numpy as np
+
+    from quickstart_streaming_agents_spark.operators.multimodal import make_bmp
+    from quickstart_streaming_agents_spark.operators.phash import dhash_images
+
+    tiny = np.zeros((4, 4, 3), dtype=np.uint8)
+    tiny[2:, :, :] = 200  # top-dark / bottom-bright 4x4
+    rows = [(1, make_bmp(tiny)), (2, make_bmp(np.full((2, 3, 3), 9, np.uint8)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+           for r in dhash_images(df, on_error="raise").collect()}
+    assert None not in got[1] and None not in got[2]
+    assert got[2] == (0, 0, 0, 0)  # constant image -> no gradients

@@ -1245,3 +1245,25 @@ def test_decontamination_stream_bloom_tier_matches_exact(spark, catalog):
         if r.contaminated
     }
     assert got == want and len(got) > 0
+
+
+def test_cumulate_accepts_compound_and_millisecond_intervals(spark, catalog):
+    """The interval parser must accept every spec withWatermark accepts
+    on this surface: compound ('1 minute 30 seconds') and millisecond
+    units — these previously crashed the streaming cumulate entry."""
+    from quickstart_streaming_agents_spark.operators.windows import cumulate
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_DIR, "events").limit(200)
+    out = cumulate(
+        ev, "ts", step="45 seconds", size="1 minute 30 seconds",
+        keys=["event_type"], aggs=[F.count("*").alias("n")],
+        watermark="500 milliseconds",
+    )
+    assert out.count() > 0
+    try:
+        cumulate(ev, "ts", step="1 fortnight", size="2 fortnight",
+                 keys=[], aggs=[F.count("*").alias("n")])
+        raise AssertionError("bad unit accepted")
+    except ValueError as e:
+        assert "fortnight" in str(e)

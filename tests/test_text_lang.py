@@ -92,6 +92,17 @@ def test_url_canonicalize_rules(spark):
         "https://ex.com:8080/a": "https://ex.com:8080/a",  # real port kept
         "https://ex.com/CaseSensitive/Path": "https://ex.com/CaseSensitive/Path",
         "https://ex.com:443/x#y": "https://ex.com/x",
+        # params merely CONTAINING utm_ are NOT tracking params
+        "https://ex.com/p?autumn_utm_x=1": "https://ex.com/p?autumn_utm_x=1",
+        "https://ex.com/p?a=1&my_utm_y=3&b=2": "https://ex.com/p?a=1&my_utm_y=3&b=2",
+        # consecutive utm params all drop; survivors keep their order
+        "https://ex.com/p?utm_a=1&utm_b=2&q=3": "https://ex.com/p?q=3",
+        "https://ex.com/p?utm_a=1&utm_b=2": "https://ex.com/p",
+        "https://ex.com/p?q=1&utm_a=2&r=3": "https://ex.com/p?q=1&r=3",
+        # default ports are scheme-conditional: http on :443 is a
+        # DIFFERENT endpoint, never merged with the https page
+        "http://ex.com:443/a": "http://ex.com:443/a",
+        "https://ex.com:80/a": "https://ex.com:80/a",
     }
     df = spark.createDataFrame(
         [(u,) for u in cases], ["url"]
