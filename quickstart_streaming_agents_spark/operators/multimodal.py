@@ -2145,6 +2145,111 @@ def _probe_mp4(p: bytes) -> dict:
     }
 
 
+def _probe_webp(p: bytes) -> dict:
+    """Header-only WebP probe (RIFF fourcc 'WEBP'): VP8 (lossy) frame
+    tag + start code for dims; VP8L (lossless) 14-bit packed dims;
+    VP8X (extended) 24-bit canvas dims, with ANMF chunk walk for
+    animated files (frame count + summed durations) — no VP8 entropy
+    decode anywhere, the probe_media scan-speed contract."""
+    if len(p) < 20 or p[12:16] not in (b"VP8 ", b"VP8L", b"VP8X"):
+        raise ValueError("WEBP missing VP8/VP8L/VP8X chunk")
+    # the RIFF size field makes truncation at ANY boundary detectable —
+    # without it a payload torn exactly between chunks would silently
+    # probe as a 0-frame animation
+    declared = struct.unpack_from("<I", p, 4)[0]
+    if declared + 8 > len(p):
+        raise ValueError("truncated WEBP (RIFF size exceeds payload)")
+    kind = p[12:16]
+    clen = struct.unpack_from("<I", p, 16)[0]
+    body = 20
+    if kind == b"VP8 ":
+        # 3-byte frame tag, then start code 9D 01 2A, then 14-bit dims
+        if clen < 10 or body + 10 > len(p) or p[body + 3 : body + 6] != b"\x9d\x01\x2a":
+            raise ValueError("bad VP8 key frame header")
+        w = struct.unpack_from("<H", p, body + 6)[0] & 0x3FFF
+        h = struct.unpack_from("<H", p, body + 8)[0] & 0x3FFF
+        return {"media_type": "image", "width": int(w), "height": int(h),
+                "n_frames": 1, "duration_ms": 0}
+    if kind == b"VP8L":
+        if clen < 5 or body + 5 > len(p) or p[body] != 0x2F:
+            raise ValueError("bad VP8L signature")
+        bits = struct.unpack_from("<I", p, body + 1)[0]
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return {"media_type": "image", "width": int(w), "height": int(h),
+                "n_frames": 1, "duration_ms": 0}
+    # VP8X: flags(1) reserved(3) canvas w-1 (24le) h-1 (24le)
+    if clen < 10 or body + 10 > len(p):
+        raise ValueError("truncated VP8X chunk")
+    flags = p[body]
+    w = int.from_bytes(p[body + 4 : body + 7], "little") + 1
+    h = int.from_bytes(p[body + 7 : body + 10], "little") + 1
+    n_frames, duration_ms = 1, 0
+    if flags & 0x02:  # animation bit: walk ANMF chunks
+        n_frames, duration_ms = 0, 0
+        pos = body + clen + (clen & 1)
+        while pos + 8 <= len(p):
+            fourcc = p[pos : pos + 4]
+            sz = struct.unpack_from("<I", p, pos + 4)[0]
+            if pos + 8 + sz > len(p):
+                raise ValueError("truncated WEBP chunk")
+            if fourcc == b"ANMF":
+                if sz < 16:
+                    raise ValueError("short ANMF header")
+                n_frames += 1
+                duration_ms += int.from_bytes(
+                    p[pos + 8 + 12 : pos + 8 + 15], "little"
+                )
+            pos += 8 + sz + (sz & 1)
+        if n_frames == 0:
+            raise ValueError("animated WebP with no ANMF chunk")
+    return {
+        "media_type": "video" if n_frames > 1 else "image",
+        "width": int(w),
+        "height": int(h),
+        "n_frames": int(n_frames),
+        "duration_ms": int(duration_ms),
+    }
+
+
+def make_webp(
+    width: int,
+    height: int,
+    *,
+    kind: str = "vp8",
+    frames: int = 1,
+    frame_ms: int = 40,
+) -> bytes:
+    """Assemble a structurally valid WebP: correct RIFF framing and
+    VP8/VP8L/VP8X headers with zeroed (undecodable) frame payloads —
+    real enough for any header prober, by construction undecodable as
+    pixels (the make_mp3/make_mp4 probe-vs-decode convention)."""
+    if kind == "vp8":
+        tag = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", width, height)
+        chunk = b"VP8 " + struct.pack("<I", len(tag)) + tag
+    elif kind == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14)
+        body = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(body)) + body + b"\x00"
+    elif kind == "vp8x":
+        flags = 0x02 if frames > 1 else 0x00
+        body = bytes([flags]) + bytes(3) + (width - 1).to_bytes(
+            3, "little"
+        ) + (height - 1).to_bytes(3, "little")
+        chunk = b"VP8X" + struct.pack("<I", len(body)) + body
+        if frames > 1:
+            for _ in range(frames):
+                anmf = (bytes(6) + (width - 1).to_bytes(3, "little")
+                        + (height - 1).to_bytes(3, "little")
+                        + int(frame_ms).to_bytes(3, "little") + b"\x00"
+                        + b"\x00" * 8)
+                chunk += b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+    else:
+        raise ValueError(f"unknown WebP kind {kind!r}")
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
 def _probe(payload: bytes) -> tuple[str, dict]:
     """Sniff + header-only probe. Returns (container, media_meta)."""
     p = payload or b""
@@ -2165,6 +2270,8 @@ def _probe(payload: bytes) -> tuple[str, dict]:
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         meta, _ = _decode_wav(p)
         return "wav", meta
+    if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        return "webp", _probe_webp(p)
     if p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF
                            and (p[1] & 0xFE) == 0xFA):
         return "mp3", _probe_mp3(p)

@@ -6878,7 +6878,7 @@ def pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Header-only media probing over a mixed 7-container corpus — the
+# Header-only media probing over a mixed 8-container corpus — the
 # scan-speed triage stage before any decode (route/filter/partition
 # assets on container + dims + duration). MP3 frame-walk and MP4
 # box-walk metadata are REAL (public header formats need no codec);
@@ -6890,22 +6890,26 @@ def pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     ch=1+i%2 → dur=n/8 ms exactly | 5 mp3 nf=3+i%7 @128kbps/44.1kHz,
 #     mono iff i odd → dur=round(nf·1152000/44100)
 #   6 mp4 w=16·(1+i%4) h=9·(1+i%4) dur=100·(1+i%20) ms (timescale 1000)
+#   7 webp w=2+i%9 h=1+i%6, chunk kind by i%3 (VP8 lossy / VP8L
+#     lossless / VP8X-animated with 2+i%4 frames @40ms → video)
 #   i%23==0 → garbage payload → NULL container+meta (on_error="null").
 # ---------------------------------------------------------------------------
 _MEDIA_PROBE_ORACLE = """
 WITH base AS (
-    SELECT doc_id, doc_id % 23 = 0 AS corrupt, doc_id % 7 AS c
+    SELECT doc_id, doc_id % 23 = 0 AS corrupt, doc_id % 8 AS c
     FROM documents
 )
 SELECT doc_id,
     CASE WHEN corrupt THEN NULL
-         ELSE ['png','gif','jpeg','bmp','wav','mp3','mp4'][c + 1]
+         ELSE ['png','gif','jpeg','bmp','wav','mp3','mp4','webp'][c + 1]
     END AS container,
     CASE WHEN corrupt THEN NULL
          WHEN c IN (0, 2, 3) THEN 'image'
          WHEN c = 1 THEN CASE WHEN 1 + doc_id % 4 > 1
                               THEN 'video' ELSE 'image' END
          WHEN c IN (4, 5) THEN 'audio'
+         WHEN c = 7 THEN CASE WHEN doc_id % 3 = 2
+                              THEN 'video' ELSE 'image' END
          ELSE 'video' END AS media_type,
     CAST(CASE WHEN corrupt THEN NULL
          WHEN c = 0 THEN 1 + doc_id % 6
@@ -6914,6 +6918,7 @@ SELECT doc_id,
          WHEN c = 3 THEN 1 + doc_id % 8
          WHEN c = 4 THEN 1 + doc_id % 2
          WHEN c = 5 THEN CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END
+         WHEN c = 7 THEN 2 + doc_id % 9
          ELSE 16 * (1 + doc_id % 4) END AS INT) AS width,
     CAST(CASE WHEN corrupt THEN NULL
          WHEN c = 0 THEN 1 + doc_id % 4
@@ -6921,18 +6926,23 @@ SELECT doc_id,
          WHEN c = 2 THEN 2 + doc_id % 7
          WHEN c = 3 THEN 1 + doc_id % 5
          WHEN c IN (4, 5) THEN NULL
+         WHEN c = 7 THEN 1 + doc_id % 6
          ELSE 9 * (1 + doc_id % 4) END AS INT) AS height,
     CAST(CASE WHEN corrupt THEN NULL
          WHEN c IN (0, 2, 3) THEN 1
          WHEN c = 1 THEN 1 + doc_id % 4
          WHEN c = 4 THEN 104 + 8 * (doc_id % 50)
          WHEN c = 5 THEN 3 + doc_id % 7
+         WHEN c = 7 THEN CASE WHEN doc_id % 3 = 2
+                              THEN 2 + doc_id % 4 ELSE 1 END
          ELSE NULL END AS INT) AS n_frames,
     CAST(CASE WHEN corrupt THEN NULL
          WHEN c IN (0, 2, 3) THEN 0
          WHEN c = 1 THEN (1 + doc_id % 4) * (1 + doc_id % 3) * 10
          WHEN c = 4 THEN (104 + 8 * (doc_id % 50)) / 8
          WHEN c = 5 THEN round((3 + doc_id % 7) * 1152000.0 / 44100)
+         WHEN c = 7 THEN CASE WHEN doc_id % 3 = 2
+                              THEN (2 + doc_id % 4) * 40 ELSE 0 END
          ELSE 100 * (1 + doc_id % 20) END AS BIGINT) AS duration_ms
 FROM base
 """
@@ -6953,6 +6963,7 @@ def media_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_mp4,
         make_png,
         make_wav,
+        make_webp,
         probe_media,
     )
 
@@ -6967,7 +6978,7 @@ def media_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if i % 23 == 0:
                     payloads.append(b"garbage:" + str(i).encode())
                     continue
-                c = i % 7
+                c = i % 8
                 if c == 0:
                     p = make_png(np.zeros((1 + i % 4, 1 + i % 6, 3), np.uint8))
                 elif c == 1:
@@ -6985,9 +6996,16 @@ def media_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     p = make_wav(np.zeros((n, 1 + i % 2), np.int16), rate=8000)
                 elif c == 5:
                     p = make_mp3(3 + i % 7, 128, 44100, mono=bool(i % 2))
-                else:
+                elif c == 6:
                     k = 1 + i % 4
                     p = make_mp4(16 * k, 9 * k, 100 * (1 + i % 20))
+                else:
+                    kind = ("vp8", "vp8l", "vp8x")[i % 3]
+                    p = make_webp(
+                        2 + i % 9, 1 + i % 6, kind=kind,
+                        frames=(2 + i % 4) if i % 3 == 2 else 1,
+                        frame_ms=40,
+                    )
                 payloads.append(p)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 

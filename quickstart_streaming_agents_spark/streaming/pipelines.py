@@ -1167,6 +1167,7 @@ def media_triage_stream_pipeline(
         make_mp4,
         make_png,
         make_wav,
+        make_webp,
         probe_media,
     )
 
@@ -1177,12 +1178,13 @@ def media_triage_stream_pipeline(
     def synth(batches):
         # Same residue→container mapping as the batch media_probe_meta
         # generator (queries.py), so the streaming triage exercises
-        # every probe path the batch query does — including JPEG.
+        # every probe path the batch query does — including JPEG and
+        # the WebP family.
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
             payloads = []
             for i in ids:
-                c = i % 7
+                c = i % 8
                 if i % 23 == 0:
                     payloads.append(b"garbage:" + str(i).encode())
                 elif c == 0:
@@ -1212,10 +1214,17 @@ def media_triage_stream_pipeline(
                 elif c == 5:
                     payloads.append(make_mp3(3 + i % 7, 128, 44100,
                                              mono=bool(i % 2)))
-                else:
+                elif c == 6:
                     k = 1 + i % 4
                     payloads.append(make_mp4(16 * k, 9 * k,
                                              100 * (1 + i % 20)))
+                else:
+                    payloads.append(make_webp(
+                        2 + i % 9, 1 + i % 6,
+                        kind=("vp8", "vp8l", "vp8x")[i % 3],
+                        frames=(2 + i % 4) if i % 3 == 2 else 1,
+                        frame_ms=40,
+                    ))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     assets = docs.mapInPandas(synth, schema="doc_id long, payload binary")

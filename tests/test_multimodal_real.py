@@ -816,3 +816,28 @@ def test_mp3_dts_survives_samplerate_change():
     assert tab[3]["dts_ms"] == 72 + 1152 * 1000 // 48000
     # constant-rate prefix unchanged by the fix
     assert tab[1]["dts_ms"] == 1152 * 1000 // 32000
+
+
+def test_webp_probe_kinds_and_truncation():
+    """All three WebP chunk kinds probe header-only (lossy VP8 frame
+    tag, VP8L packed 14-bit dims, VP8X canvas + ANMF animation walk);
+    torn payloads reject with ValueError."""
+    import pytest
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _probe,
+        make_webp,
+    )
+
+    for kind in ("vp8", "vp8l", "vp8x"):
+        c, m = _probe(make_webp(33, 21, kind=kind))
+        assert c == "webp"
+        assert (m["width"], m["height"], m["n_frames"]) == (33, 21, 1)
+        assert m["media_type"] == "image" and m["duration_ms"] == 0
+    c, m = _probe(make_webp(64, 48, kind="vp8x", frames=3, frame_ms=50))
+    assert (m["media_type"], m["n_frames"], m["duration_ms"]) == ("video", 3, 150)
+    p = make_webp(64, 48, kind="vp8x", frames=3)
+    with pytest.raises(ValueError):
+        _probe(p[:30])  # torn mid-VP8X
+    with pytest.raises(ValueError):
+        _probe(p[:-4])  # torn mid-ANMF chain

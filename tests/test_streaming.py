@@ -967,7 +967,7 @@ def test_media_triage_stream_matches_batch(spark, catalog):
     # every container the batch generator emits is exercised (ADVICE r7:
     # the old synth mapping dropped JPEG entirely)
     assert {c for _, c, *_ in routed.values()} == {
-        "png", "gif", "jpeg", "bmp", "wav", "mp3", "mp4"
+        "png", "gif", "jpeg", "bmp", "wav", "mp3", "mp4", "webp"
     }
 
 
