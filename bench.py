@@ -164,6 +164,7 @@ HEADLINE = [
     "edit_distance_dedup",
     "token_entropy_score",
     "url_canonical_dedup",
+    "gzip_text_ingest",
 ]
 
 

@@ -1,0 +1,83 @@
+"""Compressed-text ingestion — the WARC/json.gz tier.
+
+Beyond-reference surface: web-scale corpora arrive compressed
+(Common Crawl WARC/WET are gzip members; JSONL exports are .gz/.zst).
+A 100 TB pipeline's first stage is therefore a decompress-and-validate
+map: payload bytes → text + integrity metadata, with per-row fault
+tolerance (a torn member must quarantine the ROW, not kill the job —
+the multimodal ``on_error`` contract).
+
+Spark-first shape: ``mapInPandas`` over Arrow record batches (stdlib
+``zlib``/``gzip`` — no external codec), map-only: the decompressor
+fuses into the scan, no shuffle at any corpus size. zstd/lz4 members
+would follow the same signature behind an import-try (libraries not in
+this runtime — the MP3-decode convention).
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def gzip_compress(text: str, level: int = 6) -> bytes:
+    """Deterministic gzip member for a text (mtime pinned to 0 so the
+    same text always yields identical bytes — the synth contract)."""
+    return gzip.compress(text.encode("utf-8"), compresslevel=level, mtime=0)
+
+
+def decompress_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    on_error: str = "null",
+) -> DataFrame:
+    """Per-row gzip/zlib-member decode: ``(id_col, text, n_bytes,
+    digest)`` with digest = md5 hex of the decompressed UTF-8 text.
+
+    Accepts gzip members (magic ``1f 8b``) and raw zlib streams;
+    ``on_error="null"`` emits NULL text/meta for torn or non-compressed
+    payloads, ``"raise"`` fails the job. Map-only — at 100 TB this is a
+    scan-fused stage like the media probes.
+    """
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, texts, sizes, digests = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    p = bytes(payload)
+                    if p[:2] == b"\x1f\x8b":
+                        raw = gzip.decompress(p)
+                    else:
+                        raw = zlib.decompress(p)
+                    t = raw.decode("utf-8")
+                    texts.append(t)
+                    sizes.append(len(raw))
+                    digests.append(hashlib.md5(raw).hexdigest())
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    texts.append(None)
+                    sizes.append(None)
+                    digests.append(None)
+                ids.append(i)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "text": texts,
+                    "n_bytes": pd.array(sizes, dtype="Int64"),
+                    "digest": digests,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode, schema=f"{id_col} long, text string, n_bytes long, digest string"
+    )

@@ -5264,6 +5264,57 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Compressed-text ingestion (operators/compress.decompress_text): the
+# WARC/json.gz first stage — per-row gzip-member decode with torn-
+# payload quarantine, map-only (scan-fused at 100 TB). The engine path
+# REALLY decompresses (payloads synthesized with pinned mtime=0 gzip);
+# the oracle replays the expected text analytically (md5/strlen of the
+# source text), so a decoder bug cannot hide behind its own synth.
+# ---------------------------------------------------------------------------
+@query(
+    "gzip_text_ingest",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 23 = 0 THEN NULL
+                ELSE CAST(strlen(text) AS BIGINT) END AS n_bytes,
+           CASE WHEN doc_id % 23 = 0 THEN NULL ELSE md5(text) END AS digest,
+           doc_id % 23 <> 0 AS ok
+    FROM documents
+    """,
+)
+def gzip_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decompress a synthesized gzip corpus (every 23rd payload torn)
+    and emit integrity metadata per row."""
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.compress import (
+        decompress_text,
+        gzip_compress,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                if i % 23 == 0:
+                    out.append(gzip_compress(t)[:10])  # torn member
+                else:
+                    out.append(gzip_compress(t))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    payloads = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    dec = decompress_text(payloads)
+    return dec.select(
+        "doc_id",
+        "n_bytes",
+        "digest",
+        F.col("digest").isNotNull().alias("ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization + page-level dedup (functions/text.
 # url_canonicalize): the RefinedWeb/CCNet web-pipeline stage — lowercase
 # scheme+host, strip www./default port/fragment/utm_* tracking params/
@@ -8354,12 +8405,11 @@ _R8_CHECK_FIRST = [
     "edit_distance_dedup",
     "token_entropy_score",
     "url_canonical_dedup",
-    # (e) r6-dated refresh (agent_price_match, dedup_components,
-    # anomaly_detect_ar2, curation_pipeline and ann_lsh_topk keep green
-    # r6 rows and MUST rotate in round 9 — never-checked new queries
-    # outrank refreshes for the 50 slots; ann_ivf stays so the ANN
-    # baseline carries a same-round row next to the new sq8)
-    "ann_ivf_topk",
+    "gzip_text_ingest",
+    # NOTE round 9: the r6-dated refreshes displaced by this round's
+    # never-checked additions MUST rotate next — agent_price_match,
+    # dedup_components, anomaly_detect_ar2, curation_pipeline,
+    # ann_lsh_topk, ann_ivf_topk (all parity-pinned in-repo every run).
 ]
 
 

@@ -841,3 +841,44 @@ def test_webp_probe_kinds_and_truncation():
         _probe(p[:30])  # torn mid-VP8X
     with pytest.raises(ValueError):
         _probe(p[:-4])  # torn mid-ANMF chain
+
+
+
+def test_decompress_text_roundtrip_zlib_and_unicode(spark):
+    """gzip members, raw zlib streams, UTF-8 multibyte text and torn
+    payloads all follow the contract: real decompression with per-row
+    quarantine and byte-accurate integrity metadata."""
+    import hashlib
+    import zlib
+
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.operators.compress import (
+        decompress_text,
+        gzip_compress,
+    )
+
+    uni = "naive cafe \u00fcber 12\u20ac \u4e2d\u6587"
+    rows = [
+        Row(doc_id=1, payload=gzip_compress("hello world")),
+        Row(doc_id=2, payload=zlib.compress("raw zlib stream".encode())),
+        Row(doc_id=3, payload=gzip_compress(uni)),
+        Row(doc_id=4, payload=b"not compressed at all"),
+        Row(doc_id=5, payload=gzip_compress("torn")[:8]),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.doc_id: r for r in decompress_text(df).collect()}
+    assert got[1].text == "hello world" and got[1].n_bytes == 11
+    assert got[2].text == "raw zlib stream"
+    assert got[3].text == uni
+    assert got[3].n_bytes == len(uni.encode("utf-8"))  # BYTES, not chars
+    assert got[3].digest == hashlib.md5(uni.encode("utf-8")).hexdigest()
+    assert got[4].text is None and got[4].digest is None
+    assert got[5].text is None
+    # determinism of the synth side: pinned mtime -> identical bytes
+    assert gzip_compress("x") == gzip_compress("x")
+    try:
+        decompress_text(df, on_error="raise").collect()
+        raise AssertionError("raise mode did not propagate")
+    except Exception:
+        pass
