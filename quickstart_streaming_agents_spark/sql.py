@@ -341,6 +341,32 @@ def register_curation_sql(spark: SparkSession) -> None:
             conv(substring(md5(concat_ws('|', salt, k)), 1, 15), 16, 10)
             / 1152921504606846976.0""",
     ]
+    # url_canonical: the same regexp chain as functions.text.
+    # url_canonicalize (single-sourced semantics; the strip chain is
+    # inlined twice because a SQL UDF body has no local bindings —
+    # constant-count references, not a per-element lambda, so no
+    # cross-lambda CSE hazard)
+    strip = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "u, '#.*$', ''), "
+        "'&utm_[A-Za-z0-9_]*=[^&#]*', ''), "
+        "'[?]utm_[A-Za-z0-9_]*=[^&#]*&', '?'), "
+        "'[?]utm_[A-Za-z0-9_]*=[^&#]*$', '')"
+    )
+    auth = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)"
+    auth_nc = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*"
+    stmts.append(
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION url_canonical(u STRING)
+            RETURNS STRING RETURN concat(
+              regexp_replace(regexp_replace(regexp_replace(
+                lower(regexp_extract({strip}, '{auth}', 1)),
+                '://www\\\\.', '://'),
+                '^(http://[^:/]*):80$', '$1'),
+                '^(https://[^:/]*):443$', '$1'),
+              regexp_replace(
+                regexp_replace({strip}, '{auth_nc}', ''),
+                '^(/.+?)/$', '$1'))""",
+    )
     for s in stmts:
         spark.sql(s)
 

@@ -201,3 +201,34 @@ def test_keyword_search_udtf_matches_dataframe_surface(spark):
         for r in bm25_topk(docs, queries, k=5).collect()
     }
     assert got == want and len(got) == 10
+
+
+def test_url_canonical_sql_udf_matches_dataframe_surface(spark):
+    """url_canonical (SQL UDF) must agree with functions.text.
+    url_canonicalize on every rule, fully JVM."""
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.functions.text import (
+        url_canonicalize,
+    )
+    from quickstart_streaming_agents_spark.sql import register_curation_sql
+
+    register_curation_sql(spark)
+    urls = [
+        "HTTP://WWW.Ex.COM:80/A/B/",
+        "https://ex.com/page?utm_source=x&q=1",
+        "https://ex.com/p?utm_a=1&utm_b=2&q=3",
+        "https://ex.com/p?autumn_utm_x=1",
+        "http://ex.com:443/a",
+        "https://ex.com:443/x#y",
+        "https://ex.com/#frag",
+    ]
+    df = spark.createDataFrame([Row(u=u) for u in urls])
+    df.createOrReplaceTempView("urls_sql")
+    got = spark.sql("SELECT u, url_canonical(u) AS c FROM urls_sql")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    want = {r.u: r.c for r in df.select(
+        "u", url_canonicalize(F.col("u")).alias("c")).collect()}
+    for r in got.collect():
+        assert r.c == want[r.u], (r.u, r.c, want[r.u])
