@@ -165,6 +165,7 @@ HEADLINE = [
     "token_entropy_score",
     "url_canonical_dedup",
     "gzip_text_ingest",
+    "packing_efficiency",
 ]
 
 
