@@ -257,6 +257,44 @@ def main() -> None:
           f"({rows:,} docs)  candidates={cand:,}/{total_sh:,} "
           f"({100.0 * cand / total_sh:.2f}%)")
 
+    # Round-8c: compressed-ingest tier (Python-tier by necessity — the
+    # gzip members must really decompress) and the URL-canonicalization
+    # map (pure JVM regexp chain) + page-level keeper agg.
+    from quickstart_streaming_agents_spark.functions.text import (
+        url_canonicalize,
+    )
+    from quickstart_streaming_agents_spark.operators.compress import (
+        decompress_text,
+        gzip_compress,
+    )
+
+    t0 = time.perf_counter()
+
+    def gz_synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [gzip_compress(t) for t in pdf["text"]],
+            })
+
+    gz = docs.select("doc_id", "text").mapInPandas(
+        gz_synth, schema="doc_id long, payload binary"
+    )
+    stage("gzip ingest (map-only)", decompress_text(gz), t0)
+
+    t0 = time.perf_counter()
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://www.Site"), (d % 997).cast("string"),
+        F.lit(".Example.COM/Page/"), (d % 5000).cast("string"),
+        F.when(d % 2 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+    )
+    canon = docs.select("doc_id", url_canonicalize(url).alias("c"))
+    keep = canon.groupBy("c").agg(F.min("doc_id").alias("keeper"))
+    stage("url canonical dedup", keep, t0)
+
     t0 = time.perf_counter()
     flagship = build_training_pipeline(docs)
     n_ex = count_exchanges(flagship)
