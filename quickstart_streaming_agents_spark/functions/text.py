@@ -355,6 +355,9 @@ def url_canonicalize(url_col: str | Column) -> Column:
     c = F.regexp_replace(c, "&utm_[A-Za-z0-9_]*=[^&#]*", "")
     c = F.regexp_replace(c, "[?]utm_[A-Za-z0-9_]*=[^&#]*&", "?")
     c = F.regexp_replace(c, "[?]utm_[A-Za-z0-9_]*=[^&#]*$", "")
+    # trailing separators left by the strips (or by the URL itself:
+    # 'p?a=1&' is the same page as 'p?a=1') — drop them
+    c = F.regexp_replace(c, "[?&]+$", "")
     # 3. lowercase scheme://host (authority ends at /, ?, or end)
     scheme_host = F.lower(F.regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1))
     rest = F.regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")

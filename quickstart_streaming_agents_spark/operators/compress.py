@@ -78,6 +78,9 @@ def decompress_text(
                 }
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, payload_col).mapInPandas(
-        decode, schema=f"{id_col} long, text string, n_bytes long, digest string"
+        decode,
+        schema=(f"{id_col} {id_type}, text string, n_bytes long, "
+                "digest string"),
     )

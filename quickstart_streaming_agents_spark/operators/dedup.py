@@ -801,10 +801,15 @@ def explode_bands(
     """One row per (row, band): ``(id_col, *keep_cols, i, v)`` with
     ``i`` the band index and ``v`` that band's value — the candidate
     key every banded-LSH family (dHash bands, audio energy bands)
-    buckets on. Map-only explode; NULL band rows are dropped (an
-    undecodable payload can never collide)."""
+    buckets on. Map-only explode; rows with ANY NULL band are dropped
+    (an undecodable payload can never collide) — checking only the
+    first band would let a partially-NULL producer emit v=NULL rows
+    that silently vanish in downstream equi-joins."""
     extra = list(keep_cols or [])
-    out = df.filter(F.col(band_cols[0]).isNotNull()).select(
+    notnull = F.col(band_cols[0]).isNotNull()
+    for c in band_cols[1:]:
+        notnull = notnull & F.col(c).isNotNull()
+    out = df.filter(notnull).select(
         id_col,
         *extra,
         F.explode(

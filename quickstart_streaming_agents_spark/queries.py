@@ -5415,10 +5415,12 @@ def gzip_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 AS (
         SELECT doc_id, url,
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(
                url, '#.*$', '', 'g'),
                '&utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
                '[?]utm_[A-Za-z0-9_]*=[^&#]*&', '?', 'g'),
-               '[?]utm_[A-Za-z0-9_]*=[^&#]*$', '', 'g') AS s
+               '[?]utm_[A-Za-z0-9_]*=[^&#]*$', '', 'g'),
+               '[?&]+$', '', 'g') AS s
         FROM u
     ),
     c2 AS (

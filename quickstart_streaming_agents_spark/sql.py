@@ -348,10 +348,12 @@ def register_curation_sql(spark: SparkSession) -> None:
     # cross-lambda CSE hazard)
     strip = (
         "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace("
         "u, '#.*$', ''), "
         "'&utm_[A-Za-z0-9_]*=[^&#]*', ''), "
         "'[?]utm_[A-Za-z0-9_]*=[^&#]*&', '?'), "
-        "'[?]utm_[A-Za-z0-9_]*=[^&#]*$', '')"
+        "'[?]utm_[A-Za-z0-9_]*=[^&#]*$', ''), "
+        "'[?&]+$', '')"
     )
     auth = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)"
     auth_nc = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*"

@@ -1152,7 +1152,7 @@ def media_triage_stream_pipeline(
     no shuffle, restartable at any batch boundary; parity with the
     batch probe is exact (header parsing is deterministic byte work).
 
-    The asset synthesis reuses the batch query's 7-container generator
+    The asset synthesis reuses the batch query's 8-container generator
     shape in miniature: deterministic payloads derived from doc_id so
     the stream is reproducible without touching binary fixtures.
     """

@@ -877,8 +877,7 @@ def test_decompress_text_roundtrip_zlib_and_unicode(spark):
     assert got[5].text is None
     # determinism of the synth side: pinned mtime -> identical bytes
     assert gzip_compress("x") == gzip_compress("x")
-    try:
+    import pytest
+
+    with pytest.raises(Exception):  # torn member -> job failure
         decompress_text(df, on_error="raise").collect()
-        raise AssertionError("raise mode did not propagate")
-    except Exception:
-        pass

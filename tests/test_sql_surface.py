@@ -222,6 +222,8 @@ def test_url_canonical_sql_udf_matches_dataframe_surface(spark):
         "http://ex.com:443/a",
         "https://ex.com:443/x#y",
         "https://ex.com/#frag",
+        "https://ex.com/p?utm_a=1&",
+        "https://ex.com/p?a=1&utm_b=2&",
     ]
     df = spark.createDataFrame([Row(u=u) for u in urls])
     df.createOrReplaceTempView("urls_sql")

@@ -103,6 +103,12 @@ def test_url_canonicalize_rules(spark):
         # DIFFERENT endpoint, never merged with the https page
         "http://ex.com:443/a": "http://ex.com:443/a",
         "https://ex.com:80/a": "https://ex.com:80/a",
+        # dangling separators (left by strips OR in the raw URL) drop,
+        # so these merge with their clean forms
+        "https://ex.com/p?utm_a=1&": "https://ex.com/p",
+        "https://ex.com/p?a=1&utm_b=2&": "https://ex.com/p?a=1",
+        "https://ex.com/p?a=1&": "https://ex.com/p?a=1",
+        "https://ex.com/p?": "https://ex.com/p",
     }
     df = spark.createDataFrame(
         [(u,) for u in cases], ["url"]
