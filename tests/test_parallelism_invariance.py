@@ -50,6 +50,11 @@ CASES = [
     "ann_sq8_topk",
     "edit_distance_dedup",
     "bigram_backoff_score",
+    # r8c: regexp-chain keeper picks, per-row decode metadata, packing
+    # fill report (window cumsums must not see partition order)
+    "url_canonical_dedup",
+    "gzip_text_ingest",
+    "packing_efficiency",
 ]
 
 LAYOUTS = [
