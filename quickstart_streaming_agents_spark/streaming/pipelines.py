@@ -661,6 +661,62 @@ def dsir_stream_pipeline(
     return catalog
 
 
+def gzip_ingest_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+) -> StreamCatalog:
+    """Continuous compressed-text ingestion — the streaming half of
+    queries.gzip_text_ingest and the front door of every streaming
+    curation chain here: arriving gzip members decode per-row
+    (operators/compress.decompress_text — map-only, stateless,
+    trivially restartable), decodable texts land on ``ingested_texts``
+    with their integrity metadata, torn/non-compressed payloads land on
+    ``ingest_quarantine`` (the media-triage routing contract). Parity
+    with the batch decode is exact — same operator, same rows."""
+    import pandas as pd
+
+    from ..operators.compress import decompress_text, gzip_compress
+
+    spark = catalog.spark
+    docs = spark.read.parquet(documents_path).select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                p = gzip_compress(t)
+                out.append(p[:10] if i % 23 == 0 else p)  # torn member
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    payloads = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    stamped = payloads.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ),
+    )
+    catalog.create_table_as("gz_raw_payloads", stamped)
+
+    stream = catalog.read_stream("gz_raw_payloads")
+    dec = decompress_text(stream)
+    catalog.create_table_as(
+        "ingested_texts",
+        dec.filter(F.col("digest").isNotNull())
+        .select("doc_id", "text", "n_bytes", "digest"),
+        available_now=True,
+    )
+    catalog.await_all()
+    stream2 = catalog.read_stream("gz_raw_payloads")
+    dec2 = decompress_text(stream2)
+    catalog.create_table_as(
+        "ingest_quarantine",
+        dec2.filter(F.col("digest").isNull()).select("doc_id"),
+        available_now=True,
+    )
+    catalog.await_all()
+    return catalog
+
+
 def pca_stream_pipeline(
     catalog: StreamCatalog,
     embeddings_path: str,

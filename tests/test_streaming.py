@@ -1267,3 +1267,32 @@ def test_cumulate_accepts_compound_and_millisecond_intervals(spark, catalog):
         raise AssertionError("bad unit accepted")
     except ValueError as e:
         assert "fortnight" in str(e)
+
+
+def test_gzip_ingest_stream_matches_batch(spark, catalog):
+    """The streaming ingest gate must decode exactly the rows the batch
+    decode does (same operator), route torn payloads to quarantine, and
+    the two topics must partition the input."""
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        gzip_ingest_stream_pipeline,
+    )
+
+    gzip_ingest_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet"
+    )
+    ok = {r.doc_id: (r.text, r.n_bytes, r.digest)
+          for r in catalog.read_batch("ingested_texts").collect()}
+    bad = {r.doc_id for r in catalog.read_batch("ingest_quarantine").collect()}
+
+    docs = {r.doc_id: r.text
+            for r in load_table(spark, SF_DIR, "documents")
+            .select("doc_id", "text").collect()}
+    assert set(ok) | bad == set(docs) and not (set(ok) & bad)
+    assert bad == {d for d in docs if d % 23 == 0}
+    import hashlib
+
+    for d, (text, n, dig) in ok.items():
+        raw = docs[d].encode("utf-8")
+        assert text == docs[d] and n == len(raw)
+        assert dig == hashlib.md5(raw).hexdigest()
