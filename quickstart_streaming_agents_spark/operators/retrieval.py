@@ -380,6 +380,7 @@ def bigram_backoff_logprob(
     docs: DataFrame,
     profile: DataFrame | None = None,
     *,
+    profile_filter: Column | None = None,
     doc_id: str = "doc_id",
     text: str = "text",
     alpha: float = 0.4,
@@ -420,8 +421,19 @@ def bigram_backoff_logprob(
         prevw = F.lag("w").over(Window.partitionBy(doc_id).orderBy("i"))
         return p.select(doc_id, "i", "w", prevw.alias("prev"))
 
+    if profile is not None and profile_filter is not None:
+        raise ValueError("pass profile OR profile_filter, not both")
     pos = _positions(docs)
-    ppos = pos if profile is None else _positions(profile)
+    if profile_filter is not None:
+        # the profile is a whole-doc row filter of the scored corpus:
+        # reuse the tokenize+lag positions instead of re-deriving them
+        # (filtering after the doc-keyed lag is identical — prev never
+        # crosses documents)
+        ppos = pos.filter(profile_filter)
+    elif profile is not None:
+        ppos = _positions(profile)
+    else:
+        ppos = pos
 
     uni = ppos.groupBy("w").agg(F.count("*").alias("cw"))
     total = uni.agg(F.sum("cw").cast("double").alias("n_total"))

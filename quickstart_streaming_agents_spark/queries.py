@@ -5580,7 +5580,9 @@ def bigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return bigram_backoff_logprob(docs, docs.filter(F.col("doc_id") % 2 == 0))
+    return bigram_backoff_logprob(
+        docs, profile_filter=F.col("doc_id") % 2 == 0
+    )
 
 
 # ---------------------------------------------------------------------------
