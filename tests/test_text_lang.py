@@ -116,3 +116,34 @@ def test_url_canonicalize_rules(spark):
     got = {r.url: r.c for r in df.collect()}
     for u, want in cases.items():
         assert got[u] == want, (u, got[u], want)
+
+
+def test_url_canonicalize_idempotent_over_combinatorial_urls(spark):
+    """Canonicalization must be a projection: applying it twice equals
+    applying it once, over a combinatorial grid of scheme/www/port/path/
+    params/fragment variants (a non-idempotent rule would mean the
+    'canonical' key depends on how many times a pipeline cleaned it)."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.functions.text import (
+        url_canonicalize,
+    )
+
+    urls = []
+    for scheme in ("http://", "HTTPS://"):
+        for www in ("", "www.", "WWW."):
+            for port in ("", ":80", ":443", ":8080"):
+                for path in ("", "/", "/A/b", "/A/b/"):
+                    for q in ("", "?q=1", "?utm_a=1", "?q=1&utm_b=2&",
+                              "?utm_a=1&utm_b=2&q=3"):
+                        for frag in ("", "#x"):
+                            urls.append(
+                                f"{scheme}{www}Ex.COM{port}{path}{q}{frag}"
+                            )
+    df = spark.createDataFrame([(u,) for u in urls], ["url"]).select(
+        "url",
+        url_canonicalize(F.col("url")).alias("c1"),
+    ).select("url", "c1", url_canonicalize(F.col("c1")).alias("c2"))
+    bad = [(r.url, r.c1, r.c2) for r in df.collect() if r.c1 != r.c2]
+    assert not bad, bad[:5]
+    assert len(urls) == 2 * 3 * 4 * 4 * 5 * 2
