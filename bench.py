@@ -166,6 +166,7 @@ HEADLINE = [
     "url_canonical_dedup",
     "gzip_text_ingest",
     "packing_efficiency",
+    "unicode_normalize_clean",
 ]
 
 

@@ -84,3 +84,56 @@ def decompress_text(
         schema=(f"{id_col} {id_type}, text string, n_bytes long, "
                 "digest string"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization + cleanup — the first text transform of the
+    published web-curation recipes (CCNet/RefinedWeb normalize before
+    anything hashes or tokenizes, or visually-identical strings dedupe
+    differently): ``form``-normalize (NFC default), strip C0/C1 control
+    characters except tab/newline, collapse runs of spaces/tabs, trim.
+
+    Returns ``(id_col, norm_text, changed)``. Python-tier by necessity
+    (Spark has no Unicode-normalization expression; Arrow-batched
+    ``mapInPandas``, map-only — scan-fused like the media probes; a JVM
+    ICU UDF is the flip-over at true 100 TB). The DuckDB oracle replays
+    NFC via its native ``nfc_normalize`` + the same regexps — two
+    INDEPENDENT Unicode implementations agreeing on the result.
+    """
+    import unicodedata
+    from collections.abc import Iterator as _It
+
+    import re as _re
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    ctrl = _re.compile(r"[\x00-\x08\x0b-\x1f\x7f-\x9f]")
+    runs = _re.compile(r"[ \t]+")
+
+    def norm(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs, changed = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    outs.append(None)
+                    changed.append(None)
+                else:
+                    n = unicodedata.normalize(form, t)
+                    n = ctrl.sub("", n)
+                    n = runs.sub(" ", n).strip()
+                    outs.append(n)
+                    changed.append(n != t)
+                ids.append(i)
+            yield pd.DataFrame(
+                {id_col: ids, "norm_text": outs, "changed": changed}
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        norm, schema=f"{id_col} {id_type}, norm_text string, changed boolean"
+    )

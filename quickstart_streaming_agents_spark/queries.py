@@ -5387,6 +5387,63 @@ def gzip_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unicode NFC normalization + cleanup (operators/compress.
+# normalize_text): the FIRST transform of the published web-curation
+# recipes — visually identical strings must normalize identically or
+# every downstream hash/dedup/tokenize splits them. The engine runs
+# Python's unicodedata (Arrow-batched, map-only); the oracle replays
+# with DuckDB's NATIVE nfc_normalize — two independent Unicode
+# implementations agreeing bit-for-bit on composed output. Synth plants
+# decomposed combining accents, a BEL control char, tab/space runs and
+# trailing whitespace so every rule fires.
+# ---------------------------------------------------------------------------
+@query(
+    "unicode_normalize_clean",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               text || '  re' ||
+               CASE WHEN doc_id % 2 = 0 THEN chr(769) ELSE '' END ||
+               'sume' ||
+               CASE WHEN doc_id % 3 = 0 THEN chr(7) ELSE '' END ||
+               chr(9) || 'end ' AS messy
+        FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+               nfc_normalize(messy),
+               '[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g'),
+               '[ \\t]+', ' ', 'g')) AS norm_text,
+           trim(regexp_replace(regexp_replace(
+               nfc_normalize(messy),
+               '[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g'),
+               '[ \\t]+', ' ', 'g')) <> messy AS changed
+    FROM m
+    """,
+)
+def unicode_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC-normalize + strip controls + collapse whitespace over a
+    deterministically-messied corpus."""
+    from quickstart_streaming_agents_spark.operators.compress import (
+        normalize_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    messy = F.concat(
+        F.col("text"),
+        F.lit("  re"),
+        F.when(d % 2 == 0, F.lit("\u0301")).otherwise(F.lit("")),
+        F.lit("sume"),
+        F.when(d % 3 == 0, F.lit("\x07")).otherwise(F.lit("")),
+        F.lit("\tend "),
+    )
+    return normalize_text(
+        docs.select("doc_id", messy.alias("text")), "doc_id", "text"
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization + page-level dedup (functions/text.
 # url_canonicalize): the RefinedWeb/CCNet web-pipeline stage — lowercase
 # scheme+host, strip www./default port/fragment/utm_* tracking params/
@@ -8485,8 +8542,9 @@ _R8_CHECK_FIRST = [
     # NOTE round 9: the r6-dated refreshes displaced by this round's
     # never-checked additions MUST rotate next — agent_price_match,
     # dedup_components, anomaly_detect_ar2, curation_pipeline,
-    # ann_lsh_topk, ann_ivf_topk — plus packing_efficiency (added after
-    # the window filled; parity-pinned in-repo every run).
+    # ann_lsh_topk, ann_ivf_topk — plus packing_efficiency and
+    # unicode_normalize_clean (added after the window filled;
+    # parity-pinned in-repo every run).
 ]
 
 

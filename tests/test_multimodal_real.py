@@ -881,3 +881,37 @@ def test_decompress_text_roundtrip_zlib_and_unicode(spark):
 
     with pytest.raises(Exception):  # torn member -> job failure
         decompress_text(df, on_error="raise").collect()
+
+
+def test_normalize_text_forms_nulls_and_idempotence(spark):
+    """NFC composes planted decompositions, NFKC additionally folds
+    compatibility forms, NULL text passes through as NULL, and already-
+    clean text is a fixed point."""
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.operators.compress import (
+        normalize_text,
+    )
+
+    rows = [
+        Row(doc_id=1, text="café  x\ty "),   # decomposed + runs
+        Row(doc_id=2, text=None),
+        Row(doc_id=3, text="already clean"),
+        Row(doc_id=4, text="ﬁne"),                  # U+FB01 ligature
+        Row(doc_id=5, text="bel\x07l"),
+    ]
+    df = spark.createDataFrame(rows)
+    nfc = {r.doc_id: (r.norm_text, r.changed)
+           for r in normalize_text(df).collect()}
+    assert nfc[1] == ("café x y", True)
+    assert nfc[2] == (None, None)
+    assert nfc[3] == ("already clean", False)
+    assert nfc[4][0] == "ﬁne"  # NFC keeps the ligature
+    assert nfc[5] == ("bell", True)
+    nfkc = {r.doc_id: r.norm_text
+            for r in normalize_text(df, form="NFKC").collect()}
+    assert nfkc[4] == "fine"  # NFKC folds it
+    import pytest
+
+    with pytest.raises(ValueError):
+        normalize_text(df, form="NFX")
