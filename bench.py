@@ -167,6 +167,7 @@ HEADLINE = [
     "gzip_text_ingest",
     "packing_efficiency",
     "unicode_normalize_clean",
+    "span_corruption_pairs",
 ]
 
 

@@ -8092,6 +8092,160 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# T5/UL2 span-corruption example builder — the denoising-objective twin
+# of the SFT chat template: corrupted spans are replaced by ordinal
+# sentinels in `inputs`, and `targets` lists sentinel+span pairs closed
+# by the final sentinel (Raffel et al. 2020 §3.1.4). Spans here are
+# CHUNK-ALIGNED (8-token chunks, md5-derived ~20% corruption) — the
+# documented simplification that keeps every string exactly replayable
+# in SQL (real T5 samples Poisson span lengths; the Spark-side plumbing
+# is identical either way). Map-only JVM array functions, zero shuffle;
+# the O(n_chunks²) ordinal scan is over ≤ tens of chunks per doc.
+# ---------------------------------------------------------------------------
+@query(
+    "span_corruption_pairs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+        FROM documents WHERE trim(text) <> ''
+    ),
+    ch AS (
+        SELECT doc_id, k,
+               array_to_string(list_slice(a, k * 8 + 1, k * 8 + 8), ' ')
+                   AS ctext,
+               ('0x' || substr(md5('t5:' || doc_id::VARCHAR || ':'
+                    || k::VARCHAR), 1, 15))::UBIGINT % 5 = 0 AS corrupt
+        FROM t CROSS JOIN LATERAL (
+            SELECT unnest(range(0, ((len(a) - 1) // 8) + 1)) AS k
+        ) r
+    ),
+    wj AS (
+        SELECT *,
+               CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY k
+                   ROWS UNBOUNDED PRECEDING) AS INT)
+               - CASE WHEN corrupt THEN 1 ELSE 0 END AS j
+        FROM ch
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN corrupt
+                               THEN '<extra_id_' || j::VARCHAR || '>'
+                               ELSE ctext END, ' ' ORDER BY k) AS inputs,
+               string_agg(CASE WHEN corrupt
+                               THEN '<extra_id_' || j::VARCHAR || '> '
+                                    || ctext END, ' ' ORDER BY k)
+                   FILTER (WHERE corrupt) AS tgt,
+               CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_corrupted,
+               CAST(count(*) AS BIGINT) AS n_chunks
+        FROM wj GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(a.inputs, '') AS inputs,
+           CASE WHEN coalesce(a.n_corrupted, 0) = 0 THEN '<extra_id_0>'
+                ELSE a.tgt || ' <extra_id_'
+                     || a.n_corrupted::VARCHAR || '>' END AS targets,
+           coalesce(a.n_corrupted, 0) AS n_corrupted,
+           coalesce(a.n_chunks, 0) AS n_chunks
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoising training pairs: sentinel-masked inputs + span targets."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    C = 8
+    d0 = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("__t")
+    ).select(
+        "doc_id", "__t",
+        F.when(
+            (F.size("__t") == 1) & (F.element_at("__t", 1) == ""), 0
+        ).otherwise(-F.floor(-F.size("__t") / C).cast("int")).alias("__nch"),
+    )
+    # flags as a MATERIALIZED column: the ordinal scan below references
+    # it per chunk, and an inlined md5 expression would re-hash per
+    # access (the a01c32d cross-lambda CSE pitfall)
+    d1 = d0.select(
+        "doc_id", "__t", "__nch",
+        F.when(
+            F.col("__nch") >= 1,
+            F.transform(
+                F.sequence(F.lit(0), F.col("__nch") - 1),
+                lambda k: F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(
+                                ":", F.lit("t5"),
+                                F.col("doc_id").cast("string"),
+                                k.cast("string"),
+                            )), 1, 15,
+                        ), 16, 10,
+                    ).cast("long"),
+                    F.lit(5),
+                ) == 0,
+            ),
+        ).otherwise(F.array().cast("array<boolean>")).alias("__f"),
+    )
+
+    def ordinal(k):
+        # corrupted chunks before k: O(n_chunks) per chunk over a tiny
+        # materialized boolean array
+        return F.size(F.filter(F.slice("__f", 1, k), lambda x: x))
+
+    def chunk_text(k):
+        return F.array_join(F.slice("__t", k * C + 1, C), " ")
+
+    seq = F.sequence(F.lit(0), F.col("__nch") - 1)
+    inputs = F.when(
+        F.col("__nch") >= 1,
+        F.array_join(
+            F.transform(
+                seq,
+                lambda k: F.when(
+                    F.element_at("__f", k.cast("int") + 1),
+                    F.concat(F.lit("<extra_id_"),
+                             ordinal(k).cast("string"), F.lit(">")),
+                ).otherwise(chunk_text(k)),
+            ),
+            " ",
+        ),
+    ).otherwise(F.lit(""))
+    m = F.size(F.filter("__f", lambda x: x)).cast("long")
+    tgt_body = F.when(
+        F.col("__nch") >= 1,
+        F.array_join(
+            F.filter(
+                F.transform(
+                    seq,
+                    lambda k: F.when(
+                        F.element_at("__f", k.cast("int") + 1),
+                        F.concat(
+                            F.lit("<extra_id_"),
+                            ordinal(k).cast("string"),
+                            F.lit("> "),
+                            chunk_text(k),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+            " ",
+        ),
+    ).otherwise(F.lit(""))
+    targets = F.when(m == 0, F.lit("<extra_id_0>")).otherwise(
+        F.concat(tgt_body, F.lit(" <extra_id_"), m.cast("string"), F.lit(">"))
+    )
+    return d1.select(
+        "doc_id",
+        inputs.alias("inputs"),
+        targets.alias("targets"),
+        m.alias("n_corrupted"),
+        F.col("__nch").cast("long").alias("n_chunks"),
+    )
+
+
 @query("chat_template_render", oracle=_CHAT_TEMPLATE_ORACLE)
 def chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT chat-template rendering with loss-mask offsets — see block
@@ -8542,9 +8696,9 @@ _R8_CHECK_FIRST = [
     # NOTE round 9: the r6-dated refreshes displaced by this round's
     # never-checked additions MUST rotate next — agent_price_match,
     # dedup_components, anomaly_detect_ar2, curation_pipeline,
-    # ann_lsh_topk, ann_ivf_topk — plus packing_efficiency and
-    # unicode_normalize_clean (added after the window filled;
-    # parity-pinned in-repo every run).
+    # ann_lsh_topk, ann_ivf_topk — plus packing_efficiency,
+    # unicode_normalize_clean and span_corruption_pairs (added after
+    # the window filled; parity-pinned in-repo every run).
 ]
 
 

@@ -118,3 +118,37 @@ def test_chunking_skips_null_and_blank_docs(spark):
     got = chunk_documents(df, id_cols=["doc_id"], chunk_tokens=4,
                           overlap_tokens=0).collect()
     assert {r.doc_id for r in got} == {1}
+
+
+def test_span_corruption_reconstructs_original_text(spark):
+    """The T5 denoising invariant: substituting each <extra_id_j> in
+    `inputs` with its span from `targets` must reproduce the original
+    (whitespace-normalized) text exactly, for every document."""
+    import re
+
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+    from tests.conftest import SF_DIR
+
+    out = {r.doc_id: r for r in QUERIES["span_corruption_pairs"](
+        spark, SF_DIR).collect()}
+    docs = {r.doc_id: " ".join(r.text.split())
+            for r in load_table(spark, SF_DIR, "documents")
+            .select("doc_id", "text").collect()}
+    assert set(out) == set(docs)
+    n_with_corruption = 0
+    for d, r in out.items():
+        # parse targets: '<extra_id_0> span0 ... <extra_id_m>'
+        parts = re.split(r"<extra_id_(\d+)>", r.targets)
+        spans = {}
+        for i in range(1, len(parts) - 2, 2):
+            spans[int(parts[i])] = parts[i + 1].strip()
+        assert int(parts[-2]) == r.n_corrupted  # closing sentinel
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans[int(m.group(1))], r.inputs
+        )
+        rebuilt = " ".join(rebuilt.split())
+        assert rebuilt == docs[d], d
+        if r.n_corrupted:
+            n_with_corruption += 1
+    assert 0 < n_with_corruption < len(out)  # both shapes occur
