@@ -55,6 +55,8 @@ CASES = [
     "url_canonical_dedup",
     "gzip_text_ingest",
     "packing_efficiency",
+    "unicode_normalize_clean",
+    "span_corruption_pairs",
 ]
 
 LAYOUTS = [
