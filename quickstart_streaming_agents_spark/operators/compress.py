@@ -96,7 +96,12 @@ def normalize_text(
     published web-curation recipes (CCNet/RefinedWeb normalize before
     anything hashes or tokenizes, or visually-identical strings dedupe
     differently): ``form``-normalize (NFC default), strip C0/C1 control
-    characters except tab/newline, collapse runs of spaces/tabs, trim.
+    characters except tab/newline, collapse runs of ASCII whitespace
+    (incl. newlines — single-line normalization) to one space, strip
+    edge spaces. The whitespace class is ASCII-EXPLICIT on purpose:
+    Python's \s is Unicode while RE2's is ASCII, the classic
+    cross-engine trap — with the explicit class both engines see the
+    identical transform and post-collapse edges can only be spaces.
 
     Returns ``(id_col, norm_text, changed)``. Python-tier by necessity
     (Spark has no Unicode-normalization expression; Arrow-batched
@@ -113,7 +118,7 @@ def normalize_text(
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
         raise ValueError(f"unknown normalization form {form!r}")
     ctrl = _re.compile(r"[\x00-\x08\x0b-\x1f\x7f-\x9f]")
-    runs = _re.compile(r"[ \t]+")
+    runs = _re.compile(r"[ \t\n\r\f\v]+")  # ASCII-explicit, never \s
 
     def norm(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         for pdf in batches:
@@ -125,7 +130,10 @@ def normalize_text(
                 else:
                     n = unicodedata.normalize(form, t)
                     n = ctrl.sub("", n)
-                    n = runs.sub(" ", n).strip()
+                    # strip SPACES only (post-collapse edges can only
+                    # be spaces; str.strip() would eat Unicode ws the
+                    # SQL replay's trim() keeps)
+                    n = runs.sub(" ", n).strip(" ")
                     outs.append(n)
                     changed.append(n != t)
                 ids.append(i)

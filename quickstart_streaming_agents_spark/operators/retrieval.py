@@ -397,7 +397,14 @@ def bigram_backoff_logprob(
     recipe: profile on the trusted snapshot, score the incoming corpus);
     default None profiles on ``docs`` itself — note that self-profiling
     can never back off (every scored bigram is in its own count table),
-    so pass a real profile when n_backoff should mean anything. Words
+    so pass a real profile when n_backoff should mean anything.
+    ``profile_filter`` is the plan-sharing alternative when the profile
+    is a WHOLE-DOC row filter of ``docs``: a predicate over ``doc_id``
+    ONLY (the positions frame carries no other doc column — a predicate
+    on text/metadata belongs in ``profile``; one over w/prev would
+    silently break whole-doc semantics), applied to the shared
+    tokenize+lag positions so they compute once. Mutually exclusive
+    with ``profile``. Words
     unseen in the profile take a 0.5 pseudo-count (seen-word scores are
     untouched — the DSIR smoothing convention).
 

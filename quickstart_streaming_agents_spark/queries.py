@@ -5408,17 +5408,17 @@ def gzip_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN doc_id % 3 = 0 THEN chr(7) ELSE '' END ||
                chr(9) || 'end ' AS messy
         FROM documents
+    ),
+    n AS (
+        SELECT doc_id, messy,
+               trim(regexp_replace(regexp_replace(
+                   nfc_normalize(messy),
+                   '[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g'),
+                   '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS norm_text
+        FROM m
     )
-    SELECT doc_id,
-           trim(regexp_replace(regexp_replace(
-               nfc_normalize(messy),
-               '[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g'),
-               '[ \\t]+', ' ', 'g')) AS norm_text,
-           trim(regexp_replace(regexp_replace(
-               nfc_normalize(messy),
-               '[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g'),
-               '[ \\t]+', ' ', 'g')) <> messy AS changed
-    FROM m
+    SELECT doc_id, norm_text, norm_text <> messy AS changed
+    FROM n
     """,
 )
 def unicode_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8157,7 +8157,10 @@ def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     C = 8
     d0 = docs.select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("__t")
+        "doc_id",
+        # NULL text takes the empty-doc shape (the oracle coalesces
+        # n_chunks to 0 and emits '' / '<extra_id_0>')
+        F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+").alias("__t"),
     ).select(
         "doc_id", "__t",
         F.when(

@@ -697,8 +697,16 @@ def gzip_ingest_stream_pipeline(
     )
     catalog.create_table_as("gz_raw_payloads", stamped)
 
+    # decode ONCE into an intermediate topic; both routes are then
+    # filter-only streams off it — decompression is the dominant cost
+    # and must never run per consumer (the surge/dsir topic-chaining
+    # shape)
     stream = catalog.read_stream("gz_raw_payloads")
-    dec = decompress_text(stream)
+    catalog.create_table_as(
+        "gz_decoded", decompress_text(stream), available_now=True
+    )
+    catalog.await_all()
+    dec = catalog.read_stream("gz_decoded")
     catalog.create_table_as(
         "ingested_texts",
         dec.filter(F.col("digest").isNotNull())
@@ -706,8 +714,7 @@ def gzip_ingest_stream_pipeline(
         available_now=True,
     )
     catalog.await_all()
-    stream2 = catalog.read_stream("gz_raw_payloads")
-    dec2 = decompress_text(stream2)
+    dec2 = catalog.read_stream("gz_decoded")
     catalog.create_table_as(
         "ingest_quarantine",
         dec2.filter(F.col("digest").isNull()).select("doc_id"),
