@@ -8155,6 +8155,14 @@ FROM t
 def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Denoising training pairs: sentinel-masked inputs + span targets."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return build_span_corruption(docs)
+
+
+def build_span_corruption(docs: DataFrame) -> DataFrame:
+    """The span-corruption expression chain over any (doc_id, text)
+    frame — ONE definition shared by the batch query and the streaming
+    builder pipeline (stateless column expressions, so the streaming
+    twin is bit-exact by construction)."""
     C = 8
     d0 = docs.select(
         "doc_id",

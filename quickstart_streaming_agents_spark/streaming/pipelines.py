@@ -661,6 +661,37 @@ def dsir_stream_pipeline(
     return catalog
 
 
+def denoising_builder_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+) -> StreamCatalog:
+    """Continuous T5-denoising training-example builder — the streaming
+    half of queries.span_corruption_pairs: raw documents stream in,
+    (inputs, targets) sentinel pairs stream out on ``denoising_pairs``.
+    The corruption chain is the SAME column-expression definition as the
+    batch query (queries.build_span_corruption) — stateless, map-only,
+    md5-deterministic — so streaming output is BIT-EXACT equal to batch
+    on the same rows (pinned in tests), restartable for free."""
+    from ..queries import build_span_corruption
+
+    spark = catalog.spark
+    docs = spark.read.parquet(documents_path).select("doc_id", "text")
+    stamped = docs.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ),
+    )
+    catalog.create_table_as("denoise_raw_docs", stamped)
+
+    stream = catalog.read_stream("denoise_raw_docs").select("doc_id", "text")
+    catalog.create_table_as(
+        "denoising_pairs", build_span_corruption(stream), available_now=True
+    )
+    catalog.await_all()
+    return catalog
+
+
 def gzip_ingest_stream_pipeline(
     catalog: StreamCatalog,
     documents_path: str,

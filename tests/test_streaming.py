@@ -1296,3 +1296,23 @@ def test_gzip_ingest_stream_matches_batch(spark, catalog):
         raw = docs[d].encode("utf-8")
         assert text == docs[d] and n == len(raw)
         assert dig == hashlib.md5(raw).hexdigest()
+
+
+def test_denoising_builder_stream_matches_batch_bit_exact(spark, catalog):
+    """The continuous training-example builder shares the batch query's
+    expression chain, so its output must equal the batch result row for
+    row, string for string."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        denoising_builder_stream_pipeline,
+    )
+
+    denoising_builder_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet"
+    )
+    got = {r.doc_id: (r.inputs, r.targets, r.n_corrupted, r.n_chunks)
+           for r in catalog.read_batch("denoising_pairs").collect()}
+    want = {r.doc_id: (r.inputs, r.targets, r.n_corrupted, r.n_chunks)
+            for r in QUERIES["span_corruption_pairs"](
+                spark, SF_DIR).collect()}
+    assert got == want and len(got) > 100
