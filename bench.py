@@ -168,6 +168,7 @@ HEADLINE = [
     "packing_efficiency",
     "unicode_normalize_clean",
     "span_corruption_pairs",
+    "badwords_filter",
 ]
 
 

@@ -5387,6 +5387,52 @@ def gzip_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C4-style blocklist filter (Raffel et al. 2020 §2.2: C4 drops any page
+# containing a word from a public blocklist). Stand-in blocklist drawn
+# deterministically from the fixture vocabulary (the real list is a
+# config input); matching is token-exact (not substring — 'class' must
+# not trip an 'ass' entry), pure JVM array_intersect over the token
+# set, map-only, zero shuffle. Exact integers — the oracle replays with
+# list ops.
+# ---------------------------------------------------------------------------
+@query(
+    "badwords_filter",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(regexp_split_to_array(trim(lower(text)),
+                                                   '\\s+')) AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, lang,
+               len(list_intersect(toks, ['dup', 'spill', 'leak'])) AS n_hits
+        FROM t
+    )
+    SELECT doc_id, lang, CAST(n_hits AS BIGINT) AS n_blocked_words,
+           n_hits = 0 AS kept
+    FROM m
+    """,
+)
+def badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag documents containing blocklisted words (token-exact)."""
+    blocklist = ["dup", "spill", "leak"]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    toks = F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+    hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in blocklist]))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        hits.alias("n_blocked_words"),
+        (hits == 0).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unicode NFC normalization + cleanup (operators/compress.
 # normalize_text): the FIRST transform of the published web-curation
 # recipes — visually identical strings must normalize identically or
@@ -8708,8 +8754,9 @@ _R8_CHECK_FIRST = [
     # never-checked additions MUST rotate next — agent_price_match,
     # dedup_components, anomaly_detect_ar2, curation_pipeline,
     # ann_lsh_topk, ann_ivf_topk — plus packing_efficiency,
-    # unicode_normalize_clean and span_corruption_pairs (added after
-    # the window filled; parity-pinned in-repo every run).
+    # unicode_normalize_clean, span_corruption_pairs and
+    # badwords_filter (added after the window filled; parity-pinned
+    # in-repo every run).
 ]
 
 

@@ -152,3 +152,33 @@ def test_span_corruption_reconstructs_original_text(spark):
         if r.n_corrupted:
             n_with_corruption += 1
     assert 0 < n_with_corruption < len(out)  # both shapes occur
+
+
+def test_badwords_filter_token_exact(spark):
+    """Blocklist matching must be token-exact: a word CONTAINING a
+    blocked word as a substring must not trip the filter, and counts
+    are distinct-word hits, not occurrences."""
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.queries import QUERIES
+
+    rows = [
+        Row(doc_id=1, text="a dup appeared and another dup", lang="en",
+            source="s", n_chars=1),
+        Row(doc_id=2, text="duplicate spillway leaky classes", lang="en",
+            source="s", n_chars=1),  # substrings only -> kept
+        Row(doc_id=3, text="spill and leak and dup", lang="en",
+            source="s", n_chars=1),
+        Row(doc_id=4, text="perfectly clean text", lang="en",
+            source="s", n_chars=1),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+        out = {r.doc_id: r for r in QUERIES["badwords_filter"](
+            spark, d).collect()}
+    assert out[1].n_blocked_words == 1 and not out[1].kept  # distinct hit
+    assert out[2].n_blocked_words == 0 and out[2].kept      # substrings
+    assert out[3].n_blocked_words == 3 and not out[3].kept
+    assert out[4].kept
