@@ -105,7 +105,8 @@ def audio_energy_sig(
 
     return df.select(id_col, payload_col).mapInPandas(
         compute,
-        schema=(f"{id_col} long, sig string, b0 string, b1 string, "
+        schema=(f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+                "sig string, b0 string, b1 string, "
                 "b2 string, b3 string"),
     )
 

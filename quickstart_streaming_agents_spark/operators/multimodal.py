@@ -1556,7 +1556,8 @@ def demux_mp4_samples(
 
     return df.select(id_col, payload_col).mapInPandas(
         demux,
-        schema=(f"{id_col} long, sample_idx int, dts_ms long, "
+        schema=(f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+                "sample_idx int, dts_ms long, "
                 "sample_size long, sample_md5 string"),
     )
 
@@ -1709,7 +1710,8 @@ def demux_mp3_frames(
 
     return df.select(id_col, payload_col).mapInPandas(
         demux,
-        schema=(f"{id_col} long, frame_idx int, offset long, size long, "
+        schema=(f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+                "frame_idx int, offset long, size long, "
                 "bitrate_kbps int, samplerate_hz int, channels int, "
                 "dts_ms long"),
     )
@@ -2188,10 +2190,13 @@ def _probe_webp(p: bytes) -> dict:
     if flags & 0x02:  # animation bit: walk ANMF chunks
         n_frames, duration_ms = 0, 0
         pos = body + clen + (clen & 1)
-        while pos + 8 <= len(p):
+        end = 8 + declared  # the RIFF boundary — real files may carry
+        # trailing bytes after the container; walking past it would
+        # misread them as chunks
+        while pos + 8 <= end:
             fourcc = p[pos : pos + 4]
             sz = struct.unpack_from("<I", p, pos + 4)[0]
-            if pos + 8 + sz > len(p):
+            if pos + 8 + sz > end:
                 raise ValueError("truncated WEBP chunk")
             if fourcc == b"ANMF":
                 if sz < 16:

@@ -119,7 +119,10 @@ def dhash_images(
                 ids.append(i)
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(ids, dtype="int64"),
+                    # no dtype pin on ids: the declared Arrow schema
+                    # carries the input id type (string ids must not
+                    # int64-cast here)
+                    id_col: pd.Series(ids),
                     **{
                         f"b{j}": pd.Series(
                             [b[j] for b in bands], dtype="Int64"
@@ -130,7 +133,9 @@ def dhash_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(
-        compute, schema=f"{id_col} long, b0 long, b1 long, b2 long, b3 long"
+        compute,
+        schema=(f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+                "b0 long, b1 long, b2 long, b3 long"),
     )
 
 

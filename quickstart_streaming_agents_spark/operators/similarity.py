@@ -381,8 +381,18 @@ def semantic_dedup(
                 T.StructField("kept", T.BooleanType()),
             ])
         )
+    if n_centroids > train_sample:
+        # a caller's EXPLICIT centroid count above the training sample
+        # is impossible to honor (hash-init seeds centroids from the
+        # sample) — fail loudly instead of silently training fewer
+        raise ValueError(
+            f"n_centroids={n_centroids} exceeds train_sample="
+            f"{train_sample}; raise train_sample alongside"
+        )
     if target_cluster_size is not None:
         n_rows = corpus.select(id_col).count()
+        # only the AUTO-scaled portion clamps to the sample bound — the
+        # caller's explicit floor was validated above
         n_centroids = min(
             max(n_centroids, -(-n_rows // target_cluster_size)),
             train_sample,
@@ -501,11 +511,20 @@ def pq_adc(
         codes = a if codes is None else codes.join(a, "item_id")
 
     # --- driver-side ADC lookup tables (query set is broadcast-tiny) ---
-    qrows = (
-        queries.filter(F.col(emb_col).isNotNull())
-        .select(F.col(query_id).cast("long").alias("qid"), emb_col)
-        .collect()
+    qframe = queries.filter(F.col(emb_col).isNotNull()).select(
+        F.col(query_id).cast("long").alias("qid"), emb_col
     )
+    # the ADC LUT path collects the query set: make the 'broadcast-tiny
+    # query set' precondition EXPLICIT instead of an OOM — at 100k+
+    # queries the LUTs stop being tiny and the caller should batch
+    n_q = qframe.count()
+    if n_q > 100_000:
+        raise ValueError(
+            f"pq_adc collects the query set for ADC lookup tables; got "
+            f"{n_q:,} queries (> 100,000). Batch the query frame or use "
+            "ann_ivf/sq8 for all-pairs-scale query sets."
+        )
+    qrows = qframe.collect()
     if not qrows:
         out = _empty_topk(corpus.sparkSession)
         return out.withColumnRenamed("score", "adc_score")

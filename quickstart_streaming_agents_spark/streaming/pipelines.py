@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.dedup import explode_bands
+from ..operators.dedup import cap_hot_buckets, explode_bands
 from ..operators.windows import tumble
 from .catalog import StreamCatalog
 from .ops import StreamingLimit, interval_join_stream, ml_detect_anomalies_stream
@@ -910,7 +910,7 @@ def quality_filter_stream_pipeline(
 def ccnet_stream_pipeline(
     catalog: StreamCatalog,
     documents_path: str,
-    vocab_cap: int = 300_000,
+    vocab_cap: int = 20_000,
 ) -> StreamCatalog:
     """Continuous CCNet perplexity bucketing — the streaming half of
     queries.ccnet_ppl_buckets, shaped exactly like the DSIR twin
@@ -924,7 +924,11 @@ def ccnet_stream_pipeline(
 
     - the unigram LM — per-term ``ln(cf/T)`` computed by the SAME JVM
       expressions as the batch operator (collected, then baked into the
-      plan as a map literal; ``vocab_cap`` guards the driver — a corpus
+      plan as a map literal; ``vocab_cap`` guards the driver AND the
+      plan: every term becomes a Catalyst Literal, so a 100k+ vocab
+      would balloon analysis/serialization long before any hard error —
+      20k literals (~a few MB of plan) is the honest ceiling for the
+      literal-map tier; a corpus
       whose vocabulary exceeds it should hash terms into bounded
       buckets first, the dsir_token_bucket recipe);
     - the per-language head/middle tercile BOUNDARIES — the last
@@ -1050,6 +1054,7 @@ def media_dedup_stream_pipeline(
     catalog: StreamCatalog,
     documents_path: str,
     max_hamming: int = 3,
+    max_bucket: int = 4096,
 ) -> StreamCatalog:
     """Continuous image dedup GATE — the streaming half of
     queries.image_phash_dedup: every arriving image is dHashed by the
@@ -1094,9 +1099,17 @@ def media_dedup_stream_pipeline(
         F.col("doc_id").alias("ref_id"),
         *[F.col(f"b{j}").alias(f"r{j}") for j in range(4)],
     )
-    ref_bands = explode_bands(
-        ref_hashes, "ref_id", [f"r{j}" for j in range(4)],
-        keep_cols=[f"r{j}" for j in range(4)],
+    # the SAME hot-bucket cap as the batch miner: a degenerate band
+    # (flat images -> band 0) must drop from the index exactly as it
+    # drops from batch candidate generation — both for parity of the
+    # kept flags and because an uncapped bucket fans the per-batch join
+    # out quadratically
+    ref_bands = cap_hot_buckets(
+        explode_bands(
+            ref_hashes, "ref_id", [f"r{j}" for j in range(4)],
+            keep_cols=[f"r{j}" for j in range(4)],
+        ),
+        max_bucket,
     ).persist()
     ref_bands.count()  # materialize the frozen index once
 
@@ -1149,6 +1162,7 @@ def audio_dedup_stream_pipeline(
     catalog: StreamCatalog,
     documents_path: str,
     max_diff: int = 1,
+    max_bucket: int = 4096,
 ) -> StreamCatalog:
     """Continuous audio dedup GATE — the streaming half of
     queries.audio_near_dup, same frozen-reference-index shape as
@@ -1188,9 +1202,14 @@ def audio_dedup_stream_pipeline(
             "b0", "b1", "b2", "b3",
         )
     )
-    ref_bands = explode_bands(
-        ref_sigs, "ref_id", [f"b{j}" for j in range(4)],
-        keep_cols=["ref_sig"],
+    # same hot-bucket cap as batch audio_near_dup (all-silent clips
+    # collapse to one digest — the degenerate bucket the cap exists for)
+    ref_bands = cap_hot_buckets(
+        explode_bands(
+            ref_sigs, "ref_id", [f"b{j}" for j in range(4)],
+            keep_cols=["ref_sig"],
+        ),
+        max_bucket,
     ).persist()
     ref_bands.count()  # materialize the frozen index once
 

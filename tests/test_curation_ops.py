@@ -182,3 +182,38 @@ def test_badwords_filter_token_exact(spark):
     assert out[2].n_blocked_words == 0 and out[2].kept      # substrings
     assert out[3].n_blocked_words == 3 and not out[3].kept
     assert out[4].kept
+
+
+def test_pagerank_int_matches_python_recurrence(spark):
+    """The ACTUAL Spark operator must equal an independent pure-Python
+    recurrence on a fixed seeded graph — exact integer equality (the
+    hypothesis suite pins order-independence of the recurrence itself;
+    this pins the operator's joins/div/agg against it)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.operators.components import (
+        pagerank_int,
+    )
+
+    rng = random.Random(42)
+    n = 40
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    scale, d, iters = 1_000_000, 85, 3
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: scale for v in range(n)}
+    for _ in range(iters):
+        contrib = {v: 0 for v in range(n)}
+        for s, t in edges:
+            contrib[t] += r[s] // deg[s]
+        r = {v: (100 - d) * scale // 100 + (d * contrib[v]) // 100
+             for v in range(n)}
+
+    edf = spark.createDataFrame([Row(src=s, dst=t) for s, t in edges])
+    ndf = spark.createDataFrame([Row(node=v) for v in range(n)])
+    got = {row.node: row.rank_scaled
+           for row in pagerank_int(edf, ndf, iters=iters).collect()}
+    assert got == r

@@ -432,11 +432,13 @@ def test_jpeg_q95_bounded_error_any_shape(w, h, seed):
     st.data(),
 )
 @settings(max_examples=40, deadline=None)
-def test_pagerank_int_matches_pure_python(n, data):
-    """pagerank_int's fixed-point recurrence equals an independent pure-
-    Python implementation on random graphs — exact integer equality,
-    the property that makes the DuckDB oracle replay possible. Uses the
-    driver-side recurrence directly (no Spark session in hypothesis)."""
+def test_pagerank_recurrence_order_independent(n, data):
+    """The fixed-point recurrence is accumulation-order independent on
+    random graphs (exact BIGINT adds) — the property that makes ANY
+    partitioning compute identical ranks. (The recurrence-vs-OPERATOR
+    equality is pinned separately with a real Spark session in
+    tests/test_curation_ops.py::test_pagerank_int_matches_python_recurrence
+    — hypothesis here stays driver-only.)"""
     edges = data.draw(
         st.lists(
             st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
