@@ -57,6 +57,7 @@ CASES = [
     "packing_efficiency",
     "unicode_normalize_clean",
     "span_corruption_pairs",
+    "badwords_filter",
 ]
 
 LAYOUTS = [
