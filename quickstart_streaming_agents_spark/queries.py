@@ -6922,7 +6922,8 @@ scored AS (
     FROM feats GROUP BY doc_id
 )
 SELECT s.doc_id, t.source, s.n_features, s.raw_margin,
-       round(s.raw_margin / (1000.0 * s.n_features), 9) AS score,
+       (((s.raw_margin + 1000 * s.n_features) * 1000000000)
+        // (1000 * s.n_features) - 1000000000) / 1000000000.0 AS score,
        s.raw_margin > 0 AS keep
 FROM scored s JOIN tok t ON t.doc_id = s.doc_id
 """
@@ -6933,11 +6934,15 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style quality-classifier scoring over documents — see
     block comment; operator in operators/sampling.py.
 
-    ``score`` is rounded to 9 decimals on BOTH the engine and oracle
-    side (r7's one red driver row was this query with the raw double:
-    judge-verified bit-equal locally at 3 SFs, so the divergence was
-    environment-side float canonicalization — the same round-before-emit
-    pattern that keeps pq_adc/ccnet hash-stable closes that class)."""
+    ``score`` is derived from an exact integer (``score_e9``, the
+    shifted-non-negative fixed-point quotient — see the digest sibling)
+    divided once by 1e9: one IEEE division of exact integers, bit-equal
+    in every engine/version. r7/r8 driver reds were BOTH oracle-side
+    version drift — ``round(x, 9)`` on negative doubles and ``//`` on
+    negative operands each changed behavior across DuckDB releases
+    (VERDICT r8 "What's wrong" #1). Shifting the numerator by
+    +1000*n_features makes it non-negative, where truncating and
+    flooring division agree, so the quotient has ONE possible answer."""
     from quickstart_streaming_agents_spark.operators.sampling import (
         hashed_linear_classifier_score,
     )
@@ -6945,18 +6950,30 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    return hashed_linear_classifier_score(docs, "text").select(
+    scored = hashed_linear_classifier_score(docs, "text")
+    score_e9 = F.expr(
+        "((raw_margin + 1000 * n_features) * 1000000000)"
+        " div (1000 * n_features) - 1000000000"
+    ).cast("bigint")
+    return scored.select(
         "doc_id", "source", "n_features", "raw_margin",
-        F.round("score", 9).alias("score"), "keep",
+        (score_e9 / F.lit(1000000000.0)).alias("score"), "keep",
     )
 
 
 # Float-free diagnostic sibling: per-row md5 over a canonical
-# integer-only tuple (score scaled to e9 by exact BIGINT division —
-# Spark `div` and DuckDB `//` both truncate toward zero, verified on
-# negatives). If the driver's quality_classifier_score row ever
-# diverges again, this row's per-doc digests localize it to specific
-# doc_ids with zero float-canonicalization surface.
+# integer-only tuple. score_e9 is computed on a SHIFTED NON-NEGATIVE
+# numerator: raw_margin >= -1000*n_features always (each feature's
+# weight is >= -1000), so raw_margin + 1000*n_features >= 0, and on
+# non-negative operands truncating division == flooring division in
+# every engine and every version — the r8 driver red was exactly
+# DuckDB `//`-on-negatives truncate-vs-floor version drift (365/500
+# fixture docs have negative raw_margin). Overflow bound: the shifted
+# numerator is <= 2000 * n_features * 1e9 = 2e12 * n_features, safe in
+# BIGINT for docs up to ~4.6M features — far past any real document.
+# If the driver's quality_classifier_score row ever diverges again,
+# this row's per-doc digests localize it to specific doc_ids with zero
+# float-canonicalization surface.
 _QUALITY_CLASSIFIER_DIGEST_ORACLE = r"""
 WITH tok AS (
     SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
@@ -6977,10 +6994,12 @@ scored AS (
     FROM feats GROUP BY doc_id
 )
 SELECT doc_id, n_features, raw_margin,
-       (raw_margin * 1000000000) // (1000 * n_features) AS score_e9,
+       ((raw_margin + 1000 * n_features) * 1000000000)
+           // (1000 * n_features) - 1000000000 AS score_e9,
        md5(CAST(doc_id AS VARCHAR) || ':' || CAST(n_features AS VARCHAR)
            || ':' || CAST(raw_margin AS VARCHAR) || ':'
-           || CAST((raw_margin * 1000000000) // (1000 * n_features)
+           || CAST(((raw_margin + 1000 * n_features) * 1000000000)
+                   // (1000 * n_features) - 1000000000
                    AS VARCHAR)) AS digest
 FROM scored
 """
@@ -6996,7 +7015,8 @@ def quality_classifier_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     scored = hashed_linear_classifier_score(docs, "text")
     score_e9 = F.expr(
-        "(raw_margin * 1000000000) div (1000 * n_features)"
+        "((raw_margin + 1000 * n_features) * 1000000000)"
+        " div (1000 * n_features) - 1000000000"
     ).cast("bigint")
     return scored.select(
         "doc_id", "n_features", "raw_margin",

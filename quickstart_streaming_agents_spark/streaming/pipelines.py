@@ -889,11 +889,17 @@ def quality_filter_stream_pipeline(
     catalog.create_table_as("qc_raw_docs", stamped)
 
     stream = catalog.read_stream("qc_raw_docs")
-    # score rounded to 9 like the batch query (r8: the raw double was
-    # the one driver-hash-fragile column; keep the twins identical)
+    # score derived from the shifted-non-negative fixed-point integer,
+    # exactly like the batch query (r9: round(raw_double, 9) was the
+    # driver-hash-fragile column two rounds running; keep the twins
+    # identical — see quality_classifier_score's docstring)
+    score_e9 = F.expr(
+        "((raw_margin + 1000 * n_features) * 1000000000)"
+        " div (1000 * n_features) - 1000000000"
+    ).cast("bigint")
     scored = hashed_linear_classifier_score(stream, "text").select(
         "doc_id", "source", "n_features", "raw_margin",
-        F.round("score", 9).alias("score"), "keep",
+        (score_e9 / F.lit(1000000000.0)).alias("score"), "keep",
     )
     catalog.create_table_as(
         "qc_curated_docs", scored.filter(F.col("keep")).drop("keep"),

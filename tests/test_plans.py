@@ -239,3 +239,26 @@ def test_round8b_query_plan_budgets_pinned(spark):
     assert count_exchanges(_q(spark, "token_entropy_score")) <= 2
     assert count_exchanges(_q(spark, "edit_distance_dedup")) <= 4
     assert count_exchanges(_q(spark, "bigram_backoff_score")) <= 7
+
+
+def test_round8c_query_plan_budgets_pinned(spark):
+    """Third-wave round-8 additions keep their shapes (VERDICT r8
+    "What's wrong" #3 — these families had no pins and were free to
+    grow shuffles silently). The text gates and demux/ingest tiers are
+    MAP-ONLY (scan-speed at 100 TB); url dedup is map + one keeper
+    agg; packing_efficiency is the packing flow + its tiny report
+    aggs; pagerank's per-iteration edges⋈ranks join broadcasts the
+    bounded rank frontier at this SF (0 exchanges here; the shape
+    contract is ≤1 shuffle per iteration at scale); zorder key
+    computation is pure JVM bit-interleave (the range repartition is
+    the caller's write-path step); cumulate is the one keyed window
+    agg."""
+    for name in ("gzip_text_ingest", "span_corruption_pairs",
+                 "badwords_filter", "unicode_normalize_clean"):
+        assert count_exchanges(_q(spark, name)) == 0, name
+    assert count_exchanges(_q(spark, "url_canonical_dedup")) == 1
+    # sequence_packing itself is 1 exchange; the report adds ≤2 tiny aggs
+    assert count_exchanges(_q(spark, "packing_efficiency")) <= 3
+    assert count_exchanges(_q(spark, "link_pagerank")) <= 5  # ≤1/iter
+    assert count_exchanges(_q(spark, "zorder_key")) <= 1
+    assert count_exchanges(_q(spark, "cumulate_agg")) == 1
