@@ -169,7 +169,26 @@ HEADLINE = [
     "unicode_normalize_clean",
     "span_corruption_pairs",
     "badwords_filter",
+    # round 9
+    "mp4_pcm_energy_sig",
+    "hll_distinct_sketch",
+    "warc_record_index",
+    "jpeg_exif_meta",
+    "contamination_fraction",
 ]
+
+
+def _release_broadcasts() -> None:
+    """Free per-query tracked broadcasts (vector_search corpus matrices,
+    pq_adc ADC LUTs, LSH planes, …) between queries — ADVICE r8: one
+    long-lived JVM running all 145 queries otherwise accumulates every
+    query's artifacts on driver + executors, the suspected source of
+    the r8 embedding_topk_pairs in-sequence drift."""
+    from quickstart_streaming_agents_spark.runtime import (
+        release_tracked_broadcasts,
+    )
+
+    release_tracked_broadcasts()
 
 
 def _isolated_one(name: str) -> None:
@@ -196,6 +215,7 @@ def _isolated_one(name: str) -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
         spark.catalog.clearCache()
+        _release_broadcasts()
     spark.stop()
     print(json.dumps({"query": name, "sec": round(best, 3)}), flush=True)
 
@@ -234,11 +254,13 @@ def main() -> None:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
                 spark.catalog.clearCache()
+                _release_broadcasts()
             timings[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001 — report, don't die
             msg = str(e).splitlines() or [type(e).__name__]
             errors[name] = msg[0][:200]
             spark.catalog.clearCache()
+            _release_broadcasts()
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -251,17 +273,31 @@ def main() -> None:
     if errors:
         out["errors"] = errors
 
-    # Fresh-JVM isolation figures for the heavy (>= 3 s) queries: the
-    # in-sequence numbers above can carry GC pressure from the full
-    # sweep; `isolated` records each heavy query re-run alone in a
-    # forked interpreter (own JVM, warmup excluded from timing).
-    # SPARK_GRAFT_ISOLATE=0 skips the extra ~20 s/query of JVM spin-up.
+    # Fresh-JVM isolation figures for (a) the heavy (>= 3 s) queries —
+    # the in-sequence numbers above can carry GC pressure from the full
+    # sweep — (b) any query whose round-over-round delta exceeds 30%
+    # vs the previous BENCH_FULL record, and (c) the standing watchlist
+    # (VERDICT r8 #4: embedding_topk_pairs drifted +61% in-sequence
+    # with an unchanged plan and nobody could tell if it was real).
+    # `isolated` re-runs each alone in a forked interpreter (own JVM,
+    # warmup excluded). SPARK_GRAFT_ISOLATE=0 skips the ~20 s/query.
     if os.environ.get("SPARK_GRAFT_ISOLATE", "1") != "0":
         import subprocess
 
+        watch = {"embedding_topk_pairs"}
+        try:
+            prev = json.loads((REPO / "BENCH_FULL.json").read_text())
+            for n, t in timings.items():
+                p = prev.get("queries", {}).get(n)
+                if p and min(t, p) > 0.2 and max(t / p, p / t) > 1.3:
+                    watch.add(n)
+        except Exception:  # noqa: BLE001 — first round has no record
+            pass
+
         isolated: dict[str, float] = {}
         for name in sorted(
-            (n for n, t in timings.items() if t >= 3.0),
+            (n for n, t in timings.items()
+             if t >= 3.0 or n in watch),
             key=lambda n: -timings[n],
         ):
             try:

@@ -125,13 +125,19 @@ def vector_search(
         matn = np.zeros((0, 1))
     meta_records = pdf[meta_cols].to_dict("records")
     sc = df.sparkSession.sparkContext
-    b_mat = sc.broadcast(matn)
-    b_meta = sc.broadcast(meta_records)
+    # tracked so long-lived many-query sessions can free them between
+    # queries (runtime.release_tracked_broadcasts — ADVICE r8 leak class)
+    from quickstart_streaming_agents_spark.runtime import track_broadcast
+
+    b_mat = track_broadcast(sc.broadcast(matn))
+    b_meta = track_broadcast(sc.broadcast(meta_records))
     self_ids = (
-        sc.broadcast(pdf[meta_cols[0]].to_numpy()) if exclude_self_on else None
+        track_broadcast(sc.broadcast(pdf[meta_cols[0]].to_numpy()))
+        if exclude_self_on
+        else None
     )
     excl_vals = (
-        sc.broadcast(pdf[exclude_equal_on[1]].to_numpy())
+        track_broadcast(sc.broadcast(pdf[exclude_equal_on[1]].to_numpy()))
         if exclude_equal_on
         else None
     )

@@ -27,6 +27,16 @@ count (a JVM zip_with fold over the bucket arrays) filters candidates.
 100 TB shape: the band shuffle moves a digest + 8 small ints per row;
 hot bands (silence-only clips all hashing alike) capped at
 ``max_bucket`` like the hot-shingle / phash-band caps.
+
+Scale knob (round-9 smoke finding): bit_length buckets span only ~41
+values, so a quarter digest over ``n_windows/4`` windows has
+``~41^(n_windows/4)`` possible values. The fixture default
+``n_windows=8`` (2 windows/quarter, ~1.7k combos) SATURATES the band
+space past ~100k clips — every band goes hot and candidate generation
+within buckets turns quadratic until ``max_bucket`` starts dropping
+them (recall loss). At corpus scale raise ``n_windows`` (32 → 41^8
+quarter combos keeps bands sparse at any size); tools/scale_smoke.py
+runs the 32-window shape at millions of clips.
 """
 
 from __future__ import annotations
@@ -80,15 +90,27 @@ def audio_energy_sig(
         raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
 
     from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_mp4_pcm,
         _decode_wav,
     )
+
+    def decode_pcm(p: bytes):
+        # container dispatch on magic: RIFF/WAVE, or ISO BMFF whose
+        # first track is an uncompressed PCM-16 `sowt`/`twos` entry
+        # (r9: the MP4 slice rides the same real sample-table walk) —
+        # so one fingerprint pass covers a mixed-container corpus.
+        if p[:4] == b"RIFF":
+            return _decode_wav(p)
+        if len(p) >= 12 and p[4:8] == b"ftyp":
+            return _decode_mp4_pcm(p)
+        raise ValueError("not a RIFF/WAVE or ISO-BMFF payload")
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    _, arr = _decode_wav(bytes(payload or b""))
+                    _, arr = decode_pcm(bytes(payload or b""))
                     sig = energy_signature_py(
                         arr[:, 0], window_samples, n_windows
                     )

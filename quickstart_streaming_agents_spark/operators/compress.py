@@ -31,22 +31,61 @@ def gzip_compress(text: str, level: int = 6) -> bytes:
     return gzip.compress(text.encode("utf-8"), compresslevel=level, mtime=0)
 
 
+def _bounded_inflate(p: bytes, wbits: int, cap: int) -> bytes:
+    """Inflate at most ``cap`` bytes total; a payload with more output
+    left once the budget is spent is a decompression bomb and raises.
+    ``decompressobj`` stops AT the cap (never allocates past it), so a
+    hostile 40 KB member claiming 4 GB costs ``cap`` bytes, not an
+    executor OOM. Keeps the strictness of ``gzip.decompress``: a torn
+    member (no end-of-stream marker) and trailing garbage both raise;
+    gzip multi-member concatenation is preserved (each member draws on
+    the same budget)."""
+    out: list[bytes] = []
+    left = cap
+    data = p
+    while True:
+        d = zlib.decompressobj(wbits)
+        chunk = d.decompress(data, left)
+        out.append(chunk)
+        left -= len(chunk)
+        if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+            raise ValueError(
+                f"decompressed output exceeds cap ({cap} bytes)"
+            )
+        out.append(d.flush())
+        if not d.eof:
+            raise ValueError("truncated compressed stream")
+        data = d.unused_data
+        if not data:
+            return b"".join(out)
+        # gzip members may be concatenated; anything else trailing is junk
+        if not (wbits > 16 and data[:2] == b"\x1f\x8b"):
+            raise ValueError("trailing garbage after compressed stream")
+
+
 def decompress_text(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
     on_error: str = "null",
+    max_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Per-row gzip/zlib-member decode: ``(id_col, text, n_bytes,
     digest)`` with digest = md5 hex of the decompressed UTF-8 text.
 
     Accepts gzip members (magic ``1f 8b``) and raw zlib streams;
     ``on_error="null"`` emits NULL text/meta for torn or non-compressed
-    payloads, ``"raise"`` fails the job. Map-only — at 100 TB this is a
+    payloads, ``"raise"`` fails the job. ``max_bytes`` bounds the
+    inflated size per row (ADVICE r8: this stage fronts UNTRUSTED web
+    payloads, where a single gzip bomb would otherwise expand gigabytes
+    and OOM the executor) — over-cap rows quarantine through the same
+    ``on_error`` path as torn members. Map-only — at 100 TB this is a
     scan-fused stage like the media probes.
     """
     if on_error not in ("null", "raise"):
         raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
+    if max_bytes <= 0:
+        raise ValueError(f"max_bytes must be positive, got {max_bytes}")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -55,9 +94,10 @@ def decompress_text(
                 try:
                     p = bytes(payload)
                     if p[:2] == b"\x1f\x8b":
-                        raw = gzip.decompress(p)
+                        raw = _bounded_inflate(p, 16 + zlib.MAX_WBITS,
+                                               max_bytes)
                     else:
-                        raw = zlib.decompress(p)
+                        raw = _bounded_inflate(p, zlib.MAX_WBITS, max_bytes)
                     t = raw.decode("utf-8")
                     texts.append(t)
                     sizes.append(len(raw))
@@ -92,7 +132,7 @@ def normalize_text(
     text_col: str = "text",
     form: str = "NFC",
 ) -> DataFrame:
-    """Unicode normalization + cleanup — the first text transform of the
+    r"""Unicode normalization + cleanup — the first text transform of the
     published web-curation recipes (CCNet/RefinedWeb normalize before
     anything hashes or tokenizes, or visually-identical strings dedupe
     differently): ``form``-normalize (NFC default), strip C0/C1 control

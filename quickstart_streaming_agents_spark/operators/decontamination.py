@@ -97,6 +97,84 @@ def contamination_flags(
     )
 
 
+def contamination_fraction(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    threshold_pct: int = 70,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Graded contamination: per-doc FRACTION of distinct ``n``-grams
+    shared with the benchmark, plus the threshold verdict — the PaLM
+    recipe (a doc is contaminated when ≥70% of its 8-grams appear in an
+    eval set), where the boolean ≥1-hit rule of
+    :func:`contamination_flags` is too blunt (a long doc legitimately
+    quoting one benchmark sentence survives; a paraphrased copy dies).
+
+    Exact arithmetic end to end: the verdict is the pure integer
+    comparison ``hits·100 ≥ threshold_pct·total`` (no division at all)
+    and ``frac_e6 = (hits·1e6) div total`` is a non-negative fixed
+    point — trunc ≡ floor in every engine (the r9 oracle-lint
+    contract). Docs shorter than ``n`` tokens have no n-grams:
+    ``n_ngrams = 0``, NULL ``frac_e6``, never contaminated.
+
+    Plan: ONE corpus pass — shingles left-join the broadcast benchmark
+    set and a single doc-keyed aggregate counts total + matched
+    together; the corpus text itself never shuffles."""
+    if not 0 <= threshold_pct <= 100:
+        raise ValueError(f"threshold_pct must be 0..100, got {threshold_pct}")
+    corp = _norm_shingles(df, id_col, text_col, n).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    bench = (
+        _norm_shingles(
+            benchmark.select(
+                F.lit(0).alias("__bid"),
+                F.col(bench_text_col or text_col).alias("__btext"),
+            ),
+            "__bid",
+            "__btext",
+            n,
+        )
+        .select(F.xxhash64("shingle").alias("h"))
+        .distinct()
+        .withColumn("__m", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    per_doc = (
+        corp.join(bench, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.count("__m").cast("long").alias("n_hits"),
+        )
+        .withColumnRenamed("doc_id", "__hit_id")
+    )
+    if broadcast_benchmark:
+        per_doc = F.broadcast(per_doc)
+    joined = df.join(per_doc, df[id_col] == F.col("__hit_id"), "left")
+    total = F.coalesce("n_ngrams", F.lit(0).cast("long"))
+    hits = F.coalesce("n_hits", F.lit(0).cast("long"))
+    return joined.select(
+        *[df[c] for c in df.columns],
+        total.alias("n_ngrams"),
+        hits.alias("n_contaminated_ngrams"),
+        F.when(
+            total > 0, F.expr("(n_hits * 1000000) div n_ngrams")
+        ).cast("long").alias("frac_e6"),
+        # total = 0 would make 0 >= 0 true — gate it, or every short doc
+        # (no n-grams at all) counts as a benchmark copy
+        (
+            (total > 0)
+            & (hits * 100 >= F.lit(int(threshold_pct)) * total)
+        ).alias("contaminated"),
+    )
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

@@ -372,7 +372,9 @@ def embedding_near_dup_pairs(
         matn = mat / norms[:, None]
     else:  # empty corpus ⇒ empty stream ⇒ no batch ever scores
         matn = np.zeros((0, 1))
-    b = df.sparkSession.sparkContext.broadcast((matn, ids))
+    from quickstart_streaming_agents_spark.runtime import track_broadcast
+
+    b = track_broadcast(df.sparkSession.sparkContext.broadcast((matn, ids)))
 
     out_schema = T.StructType(
         [

@@ -271,7 +271,9 @@ def bm25_search_broadcast(
     finally:
         index.unpersist()
     spark = queries.sparkSession
-    b_index = spark.sparkContext.broadcast(local)
+    from quickstart_streaming_agents_spark.runtime import track_broadcast
+
+    b_index = track_broadcast(spark.sparkContext.broadcast(local))
 
     id_type = queries.schema[query_id].dataType
     out_schema = StructType(

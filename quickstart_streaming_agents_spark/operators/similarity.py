@@ -27,6 +27,14 @@ from pyspark.sql import types as T
 
 from quickstart_streaming_agents_spark.functions.vector import vector_search
 
+# pq_adc's per-query ADC lookup tables register with runtime.track_
+# broadcast so long-lived sessions can free them between queries
+# (ADVICE r8) — see quickstart_streaming_agents_spark/runtime.py.
+from quickstart_streaming_agents_spark.runtime import (  # noqa: E402
+    release_tracked_broadcasts as release_adc_broadcasts,
+    track_broadcast as _track_broadcast,
+)
+
 knn_bruteforce = vector_search
 
 
@@ -70,7 +78,9 @@ def _bucket_df(df: DataFrame, id_col: str, emb_col: str, planes) -> DataFrame:
         ]
     )
     src = df.select(F.col(id_col).cast("long").alias("item_id"), F.col(emb_col).alias("__emb"))
-    b_planes = df.sparkSession.sparkContext.broadcast(planes)
+    b_planes = _track_broadcast(
+        df.sparkSession.sparkContext.broadcast(planes)
+    )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -256,7 +266,9 @@ def _assign_df(df: DataFrame, id_col: str, emb_col: str, cents, n_probe: int) ->
         ]
     )
     src = df.select(F.col(id_col).cast("long").alias("item_id"), F.col(emb_col).alias("__emb"))
-    b_cents = df.sparkSession.sparkContext.broadcast(cents)
+    b_cents = _track_broadcast(
+        df.sparkSession.sparkContext.broadcast(cents)
+    )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -545,7 +557,9 @@ def pq_adc(
         for j in range(width):
             lut += qn[:, j, None] * cb[None, :, j]
         luts.append(lut)
-    bc = corpus.sparkSession.sparkContext.broadcast((qids, luts, k))
+    bc = _track_broadcast(
+        corpus.sparkSession.sparkContext.broadcast((qids, luts, k))
+    )
 
     code_cols = [f"__c{si}" for si in range(m)]
 

@@ -1,0 +1,36 @@
+"""Session-lifetime bookkeeping for driver-side broadcast variables.
+
+Several operators broadcast per-call artifacts (vector_search's
+normalized corpus matrix + metadata, pq_adc's ADC lookup tables). A
+broadcast cannot be destroyed before its lazy DataFrame materializes,
+so the operators REGISTER them here and long-lived callers that run
+many queries in one JVM (bench.py runs all 145+) release them between
+queries — otherwise every query's artifacts accumulate on driver and
+executors for the session's lifetime (ADVICE r8; also the suspected
+cause of the r8 embedding_topk_pairs in-sequence drift, VERDICT r8
+perf #4: its warm-session runtime matched r7 once state was clean).
+"""
+
+from __future__ import annotations
+
+_TRACKED: list = []
+
+
+def track_broadcast(bc):
+    """Register a broadcast for deferred release; returns it."""
+    _TRACKED.append(bc)
+    return bc
+
+
+def release_tracked_broadcasts() -> int:
+    """Destroy all tracked broadcasts; returns how many. Safe any time
+    AFTER the DataFrames they feed have materialized."""
+    n = 0
+    while _TRACKED:
+        bc = _TRACKED.pop()
+        try:
+            bc.destroy()
+            n += 1
+        except Exception:  # noqa: BLE001 — already destroyed / ctx gone
+            pass
+    return n

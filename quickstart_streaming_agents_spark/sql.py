@@ -35,6 +35,9 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import udtf
 
 from quickstart_streaming_agents_spark.registries import DEFAULT_CATALOG, EngineCatalog
+from quickstart_streaming_agents_spark.runtime import (
+    track_broadcast as _track_broadcast,
+)
 
 
 def register_engine_sql(spark: SparkSession,
@@ -269,7 +272,7 @@ def register_vector_table_sql(
         tuple(v.item() if hasattr(v, "item") else v for v in row)
         for row in pdf[meta_cols].to_numpy()
     ]
-    b = spark.sparkContext.broadcast((matn, meta_rows))
+    b = _track_broadcast(spark.sparkContext.broadcast((matn, meta_rows)))
 
     out_type = T.StructType(
         list(meta_fields)
@@ -420,7 +423,7 @@ def register_keyword_index_sql(
         }
     finally:
         index.unpersist()
-    b = spark.sparkContext.broadcast(local)
+    b = _track_broadcast(spark.sparkContext.broadcast(local))
 
     out_type = T.StructType(
         [

