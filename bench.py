@@ -175,6 +175,8 @@ HEADLINE = [
     "warc_record_index",
     "jpeg_exif_meta",
     "contamination_fraction",
+    "script_detect_profile",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -369,3 +369,47 @@ def url_canonicalize(url_col: str | Column) -> Column:
     # 5. one trailing slash off a non-root path (no query present)
     rest = F.regexp_replace(rest, "^(/.+?)/$", "$1")
     return F.concat(scheme_host, rest)
+
+
+# Unicode-script profiling — the language-ID support signal the n-gram
+# model can't provide (a CJK or Cyrillic page needs zero trigram
+# evidence: its codepoint blocks already decide). Counts per script
+# class via the length-difference idiom (strip everything OUTSIDE the
+# block, measure what's left) — pure JVM regexp, map-only, zero Python.
+# Blocks kept to the BMP so Spark and DuckDB length() agree on
+# codepoint counts. A DuckDB oracle replays with RE2 \x{...} classes.
+_SCRIPT_BLOCKS: dict[str, str] = {
+    # (Java-regex character class, per script label)
+    "latin": "A-Za-z",
+    "cjk": "一-鿿぀-ヿ",   # unified ideographs + kana
+    "cyrillic": "Ѐ-ӿ",
+    "arabic": "؀-ۿ",
+    "greek": "Ͱ-Ͽ",
+}
+
+
+def script_counts(text_col: str | Column) -> dict[str, Column]:
+    """Per-script codepoint counts (exact BIGINTs): strip the
+    complement of each block and measure the remainder."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return {
+        name: F.length(
+            F.regexp_replace(c, f"[^{block}]", "")
+        ).cast("long")
+        for name, block in _SCRIPT_BLOCKS.items()
+    }
+
+
+def dominant_script(text_col: str | Column) -> Column:
+    """argmax over the script counts with 'none' when no block fires
+    and an alphabetical tie-break (exact integer comparisons, so the
+    label is deterministic under any partitioning or engine)."""
+    counts = script_counts(text_col)
+    best = F.lit("none")
+    best_n = F.lit(0).cast("long")
+    # alphabetical iteration + strict > means earlier names win ties
+    for name in sorted(counts):
+        take = counts[name] > best_n
+        best = F.when(take, F.lit(name)).otherwise(best)
+        best_n = F.when(take, counts[name]).otherwise(best_n)
+    return best

@@ -623,6 +623,148 @@ def pq_adc(
     )
 
 
+def ann_ivf_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    emb_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    m: int = 2,
+    n_centroids: int = 8,
+    train_sample: int = 20_000,
+    coarse_iters: int = 3,
+    pq_iters: int = 3,
+    seed: int = 42,
+    init: str = "hash",
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFPQ architecture, Jégou et al. 2011
+    §IV): a coarse spherical-k-means quantizer restricts each query to
+    ``n_probe`` inverted cells, and candidates inside those cells are
+    scored by product-quantization codes via ADC — the composition of
+    this module's ``ann_ivf`` (cell pruning) and ``pq_adc`` (code
+    scoring) tiers, which is what actually runs at billion-vector
+    scale: IVF bounds the candidates, PQ bounds the bytes.
+
+    Spark-first twist vs ``pq_adc``: the ADC lookup table here is a
+    DATAFRAME of (qid, subspace, code, dot) rows — |Q|·m·n_centroids
+    tiny — broadcast-joined onto the candidate pairs, so scoring is
+    pure JVM (one broadcast hash join per subspace + one add), no
+    Python in the scan at all. Exactness: every dot is a sequential
+    left-to-right IEEE fold (JVM ``aggregate``/``zip_with`` ≡ DuckDB
+    ``list_aggregate``), per-subspace normalization matches the
+    codebook training, and score = d0 + d1 adds in subspace order —
+    the DuckDB oracle replays coarse training, both codebook
+    trainings, encoding, probing and ranking to the exact double."""
+    corpus = corpus.filter(F.col(emb_col).isNotNull())
+    queries = queries.filter(F.col(emb_col).isNotNull())
+    first = corpus.select(emb_col).first()
+    if first is None or first[0] is None:
+        out = _empty_topk(corpus.sparkSession)
+        return out.withColumnRenamed("score", "adc_score")
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    width = dim // m
+
+    # --- coarse quantizer: cells + multi-probe query assignment ---
+    coarse = _train_centroids(corpus, emb_col, n_cells, train_sample,
+                              coarse_iters, seed, init=init,
+                              id_col=corpus_id)
+    qa = _assign_df(queries, query_id, emb_col, coarse, n_probe)
+    ca = _assign_df(corpus, corpus_id, emb_col, coarse, 1)
+
+    # --- per-subspace codebooks, corpus codes, and the LUT frame ---
+    spark = corpus.sparkSession
+    codes: DataFrame | None = None
+    lut_parts = []
+    qsubs = queries.select(
+        F.col(query_id).cast("long").alias("qid"), emb_col
+    )
+    for si in range(m):
+        sub = corpus.select(
+            F.col(corpus_id),
+            F.slice(emb_col, si * width + 1, width).alias("__sub"),
+        )
+        cb = _train_centroids(sub, "__sub", n_centroids, train_sample,
+                              pq_iters, seed, init=init, id_col=corpus_id)
+        a = _assign_df(sub, corpus_id, "__sub", cb, 1).select(
+            "item_id", F.col("cluster").alias(f"__c{si}")
+        )
+        codes = a if codes is None else codes.join(a, "item_id")
+        cent_rows = [
+            (si, cl, [float(x) for x in cb[cl]]) for cl in range(len(cb))
+        ]
+        cents_df = spark.createDataFrame(
+            cent_rows, "si int, code int, cent array<double>"
+        )
+        qsub = qsubs.select(
+            "qid", F.slice(emb_col, si * width + 1, width).alias("__q")
+        )
+        # per-subspace normalized query, sequential-fold norm + dot
+        qn = F.expr(
+            "transform(__q, x -> x / sqrt(aggregate(__q, 0D,"
+            " (a, v) -> a + double(v) * double(v))))"
+        )
+        lut_parts.append(
+            qsub.select("qid", qn.alias("__qn"))
+            .crossJoin(F.broadcast(cents_df))
+            .select(
+                "qid", "si", "code",
+                F.expr(
+                    "aggregate(zip_with(__qn, cent, (x, y) -> x * y), 0D,"
+                    " (a, v) -> a + v)"
+                ).alias("d"),
+            )
+        )
+    lut = lut_parts[0]
+    for part in lut_parts[1:]:
+        lut = lut.unionByName(part)
+
+    # --- probe cells → candidate pairs → ADC score, pure JVM ---
+    cand = (
+        qa.alias("q")
+        .join(ca.alias("c"), F.col("q.cluster") == F.col("c.cluster"))
+        .select(
+            F.col("q.item_id").alias("query_id"),
+            F.col("c.item_id").alias("match_id"),
+        )
+    )
+    scored = cand.join(codes, cand["match_id"] == codes["item_id"])
+    score = None
+    for si in range(m):
+        l_si = F.broadcast(
+            lut.filter(F.col("si") == si)
+            .select(
+                F.col("qid"),
+                F.col("code").alias(f"__k{si}"),
+                F.col("d").alias(f"__d{si}"),
+            )
+        )
+        scored = scored.join(
+            l_si,
+            (scored["query_id"] == l_si["qid"])
+            & (scored[f"__c{si}"] == l_si[f"__k{si}"]),
+        ).drop("qid", f"__k{si}")
+        term = F.col(f"__d{si}")
+        score = term if score is None else score + term
+
+    wn = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("__score", score)
+        .withColumn("rk", F.row_number().over(wn))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "match_id",
+            F.round("__score", 6).alias("adc_score"), "rk",
+        )
+    )
+
+
 def sq8_topk(
     queries: DataFrame,
     corpus: DataFrame,

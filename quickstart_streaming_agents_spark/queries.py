@@ -3047,6 +3047,86 @@ def contamination_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unicode-script profiling (round 9) — functions/text.script_counts /
+# dominant_script: per-doc codepoint counts for 5 BMP script blocks via
+# the strip-complement length idiom (pure JVM regexp, map-only) and an
+# exact-integer argmax with alphabetical tie-break. The signal the
+# n-gram language model cannot provide: a CJK/Cyrillic page needs zero
+# trigram evidence. Fixture text is all-ASCII, so the synth plants
+# script suffixes (the unicode_normalize messying pattern): zh docs
+# gain CJK runs, residue classes gain Cyrillic/Greek/Arabic — the
+# oracle replays with RE2 \x{...} classes and both engines count BMP
+# codepoints identically.
+# ---------------------------------------------------------------------------
+@query(
+    "script_detect_profile",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 7 = 0 THEN '' ELSE text END ||
+               CASE WHEN lang = 'zh'
+                    THEN repeat(' 中文数据', CAST(1 + doc_id % 5 AS INT))
+                    ELSE '' END ||
+               CASE WHEN doc_id % 4 = 0 THEN ' кириллица' ELSE '' END ||
+               CASE WHEN doc_id % 6 = 0 THEN ' αβγδε' ELSE '' END ||
+               CASE WHEN doc_id % 9 = 0 THEN ' العربية' ELSE '' END
+               AS t
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang,
+           CAST(length(regexp_replace(t, '[^\\x{0600}-\\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+           CAST(length(regexp_replace(t, '[^\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]', '', 'g')) AS BIGINT) AS n_cjk,
+           CAST(length(regexp_replace(t, '[^\\x{0400}-\\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+           CAST(length(regexp_replace(t, '[^\\x{0370}-\\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
+           CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_latin
+        FROM m
+    )
+    SELECT doc_id, lang, n_arabic, n_cjk, n_cyrillic, n_greek, n_latin,
+           CASE WHEN greatest(n_arabic, n_cjk, n_cyrillic, n_greek, n_latin) = 0
+                THEN 'none'
+                WHEN n_arabic = greatest(n_arabic, n_cjk, n_cyrillic, n_greek, n_latin) THEN 'arabic'
+                WHEN n_cjk = greatest(n_arabic, n_cjk, n_cyrillic, n_greek, n_latin) THEN 'cjk'
+                WHEN n_cyrillic = greatest(n_arabic, n_cjk, n_cyrillic, n_greek, n_latin) THEN 'cyrillic'
+                WHEN n_greek = greatest(n_arabic, n_cjk, n_cyrillic, n_greek, n_latin) THEN 'greek'
+                ELSE 'latin' END AS dominant
+    FROM c
+    """,
+)
+def script_detect_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-script codepoint counts + dominant script — see block
+    comment; functions in functions/text.py (map-only, zero shuffle)."""
+    from quickstart_streaming_agents_spark.functions.text import (
+        dominant_script,
+        script_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    d = F.col("doc_id")
+    messy = F.concat(
+        # every 7th doc drops its ASCII body so non-Latin scripts (or
+        # 'none') genuinely dominate — otherwise the argmax never flips
+        F.when(d % 7 == 0, F.lit("")).otherwise(F.col("text")),
+        F.when(
+            F.col("lang") == "zh",
+            F.repeat(F.lit(" 中文数据"), (F.lit(1) + d % 5).cast("int")),
+        ).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit(" кириллица")).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit(" αβγδε")).otherwise(F.lit("")),
+        F.when(d % 9 == 0, F.lit(" العربية")).otherwise(F.lit("")),
+    )
+    t = docs.select("doc_id", "lang", messy.alias("t"))
+    counts = script_counts("t")
+    return t.select(
+        "doc_id", "lang",
+        *[counts[n].alias(f"n_{n}") for n in sorted(counts)],
+        dominant_script("t").alias("dominant"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Train/val/test split assignment — the other face of deterministic
 # sampling: every doc gets a split label from its identity hash, so the
 # same doc lands in the same split on every run, any cluster, any
@@ -8812,6 +8892,101 @@ def _pq_oracle(
     return sql
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ ANN (round 9) — operators/similarity.ann_ivf_pq: the FAISS
+# IVFPQ architecture composed from this repo's two proven tiers — a
+# coarse spherical-k-means quantizer restricts each query to n_probe
+# inverted cells (the ann_ivf recipe), and candidates inside those
+# cells score by PQ codes via ADC (the pq_adc recipe) — which is what
+# actually runs at billion-vector scale: IVF bounds candidates, PQ
+# bounds bytes. Engine scoring is PURE JVM (the ADC lookup table is a
+# tiny DataFrame broadcast-joined per subspace — no Python in the
+# scan); the oracle replays coarse training + BOTH codebook trainings
+# (three tagged _kmeans_casg_cte instances), encoding, probing and
+# ranking to the exact double.
+# ---------------------------------------------------------------------------
+def _ivfpq_oracle(
+    coarse_iters: int = 3, n_cells: int = 8, n_probe: int = 3,
+    pq_iters: int = 3, n_centroids: int = 8, m_width: int = 32,
+    k: int = 5, dim: int = 64, seed: int = 42,
+) -> str:
+    d1 = dim + 1
+    w1 = m_width + 1
+    sql = _kmeans_casg_cte(coarse_iters, n_cells, dim, seed, tag="v")
+    sql += "," + _kmeans_casg_cte(
+        pq_iters, n_centroids, m_width, seed, tag="a",
+        emb_expr=f"embedding[1:{m_width}]", with_kw=False,
+    )
+    sql += "," + _kmeans_casg_cte(
+        pq_iters, n_centroids, m_width, seed, tag="b",
+        emb_expr=f"embedding[{m_width + 1}:{2 * m_width}]", with_kw=False,
+    )
+    sql += f""",
+    qasg AS (
+        SELECT qid, cl FROM (
+            SELECT cnv.mid AS qid, ct.cl,
+                   row_number() OVER (PARTITION BY cnv.mid ORDER BY
+                       list_aggregate(list_transform(range(1, {d1}),
+                           j -> cnv.e[j] * ct.e[j]), 'sum') DESC, ct.cl) AS rk
+            FROM cnv, cent{coarse_iters}v ct WHERE cnv.mid < 20
+        ) WHERE rk <= {n_probe}
+    ),
+    cand AS (SELECT qasg.qid, casgv.mid FROM qasg JOIN casgv USING (cl)),
+    codes AS (
+        SELECT a.mid, a.cl AS c0, b.cl AS c1
+        FROM casga a JOIN casgb b USING (mid)
+    ),
+    s0 AS (
+        SELECT q.mid AS qid, ct.cl,
+               list_aggregate(list_transform(range(1, {w1}),
+                   j -> q.e[j] * ct.e[j]), 'sum') AS d
+        FROM cna q, cent{pq_iters}a ct WHERE q.mid < 20
+    ),
+    s1 AS (
+        SELECT q.mid AS qid, ct.cl,
+               list_aggregate(list_transform(range(1, {w1}),
+                   j -> q.e[j] * ct.e[j]), 'sum') AS d
+        FROM cnb q, cent{pq_iters}b ct WHERE q.mid < 20
+    ),
+    scored AS (
+        SELECT cand.qid AS query_id, cand.mid AS match_id,
+               s0.d + s1.d AS score
+        FROM cand
+        JOIN codes ON codes.mid = cand.mid
+        JOIN s0 ON s0.qid = cand.qid AND s0.cl = codes.c0
+        JOIN s1 ON s1.qid = cand.qid AND s1.cl = codes.c1
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, match_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, match_id, ROUND(score, 6) AS adc_score, rk
+    FROM r WHERE rk <= {k}
+    """
+    return sql
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN over the embeddings corpus (8 cells × 3 probes,
+    2 subspaces × 8 codes, hash init) — see block comment; operator in
+    operators/similarity.ann_ivf_pq."""
+    from quickstart_streaming_agents_spark.operators.similarity import (
+        ann_ivf_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ann_ivf_pq(
+        queries_df, emb, "qid", "vec_id", k=5,
+        n_cells=8, n_probe=3, m=2, n_centroids=8,
+        coarse_iters=3, pq_iters=3, init="hash",
+    )
+
+
 @query("ann_pq_adc_topk", oracle=_pq_oracle())
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC ANN over the embeddings corpus (2 subspaces × 8
@@ -9103,7 +9278,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the new bounded-inflate decompressor; audio_energy_sig /
 # audio_near_dup sit on the new WAV/MP4 container dispatch;
 # mp3_demux_frames on the trailing-junk end-of-stream fix), then
-# (e) 35 of the 49 round-6-dated rows oldest-first (the r8 verdict's
+# (e) 33 of the 49 round-6-dated rows oldest-first (the r8 verdict's
 # named priorities — embedding_topk_pairs (also the perf watch item),
 # enriched_orders, surge_enriched, counts_dashboard,
 # agent_price_match, investigation_queue, session/sliding windows,
@@ -9112,9 +9287,10 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bpe_pair_freqs, props_json_agg, events_rollup, gap_fill_locf,
 # dataset_split, series_correlation, value_percentiles, doc_chunks,
 # text_analysis, vocab_top_terms, waiting_suppliers,
-# unigram_logprob_score, topk_per_group_salted — the most
+# unigram_logprob_score, topk_per_group_salted, token_budget_mix,
+# domain_mix — the most
 # change-isolated pure-JVM rows, every one parity-pinned in-repo each
-# run) MUST lead the r10 window.
+# run — MUST lead the r10 window.
 # ---------------------------------------------------------------------------
 _R9_CHECK_FIRST = [
     # (a) never driver-checked (added after the r8 window filled)
@@ -9131,6 +9307,8 @@ _R9_CHECK_FIRST = [
     "warc_record_index",
     "jpeg_exif_meta",
     "contamination_fraction",
+    "script_detect_profile",
+    "ann_ivfpq_topk",
     # (d) implementations changed this round
     "gzip_text_ingest",
     "audio_energy_sig",
@@ -9170,8 +9348,6 @@ _R9_CHECK_FIRST = [
     "scd2_merge",
     "sequence_packing",
     "stratified_sample",
-    "domain_mix",
-    "token_budget_mix",
 ]
 
 

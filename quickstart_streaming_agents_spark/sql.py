@@ -181,8 +181,6 @@ def register_ml_detect_anomalies_sql(
             "use sets FALSE — LAB3-Walkthrough.md:126, LAB4-Walkthrough.md:158); "
             "use operators/anomaly.ml_detect_anomalies(enable_stl=True)."
         )
-    from pyspark.sql.functions import PandasUDFType
-
     from quickstart_streaming_agents_spark.operators.anomaly import (
         _z_for_confidence,
         ar_one_step,
@@ -202,8 +200,10 @@ def register_ml_detect_anomalies_sql(
     z = _z_for_confidence(confidence_percentage)
     min_n, max_n = key[0], key[1]
 
-    @F.pandas_udf(T.ArrayType(T.DoubleType()), PandasUDFType.GROUPED_AGG)
-    def _detect(v):
+    # Series -> scalar type hints mark this as a grouped-agg pandas UDF
+    # (the PandasUDFType enum form warns as deprecated since Spark 3.0)
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _detect(v: pd.Series) -> list[float]:
         import numpy as np
 
         vals = v.to_numpy(dtype="float64")

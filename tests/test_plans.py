@@ -278,3 +278,7 @@ def test_round9_query_plan_budgets_pinned(spark):
     # one corpus pass: shingle left-join (benchmark broadcast) into a
     # single doc-keyed agg; the flags join back is broadcast
     assert count_exchanges(_q(spark, "contamination_fraction")) <= 2
+    assert count_exchanges(_q(spark, "script_detect_profile")) == 0
+    # IVF-PQ: candidate equi-join on cell + per-subspace broadcast LUT
+    # joins + the top-k window — the assignments/codes are map-only
+    assert count_exchanges(_q(spark, "ann_ivfpq_topk")) <= 3

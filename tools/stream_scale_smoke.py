@@ -257,6 +257,62 @@ def smoke_maponly_gates(spark, docs: int, workdir: str) -> None:
     )
 
 
+def smoke_hll_registers(spark, events: int, workdir: str) -> None:
+    """Round-9 sketch tier: streaming HyperLogLog registers (update-mode
+    max(rank) aggregate, operators/hll.py). THE bounded-state showcase —
+    state rows are capped at strata × 2^p (5 × 256 = 1,280) no matter
+    how many distinct values flow through; a cardinality-tracking job
+    whose state grew with cardinality would defeat the sketch's whole
+    point, so the bound is asserted, not hoped."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.operators.hll import hll_registers
+    from quickstart_streaming_agents_spark.sources.synthetic import register
+
+    register(spark)
+    src = f"{workdir}/hll_src"
+    gen = (
+        spark.read.format("syntheticdocs")
+        .option("rows", events)
+        .option("partitions", spark.sparkContext.defaultParallelism)
+        .load()
+        .select(
+            F.concat(F.lit("type"), (F.col("doc_id") % 5).cast("string"))
+            .alias("event_type"),
+            F.col("doc_id").cast("string").alias("v"),  # all-distinct ids
+            F.col("doc_id"),
+        )
+        .withColumn("slc", F.least(
+            F.lit(SLICES - 1),
+            (F.col("doc_id") / (-(-events // SLICES))).cast("int"),
+        ))
+    )
+    write_slices(gen, "doc_id", F.col("slc"), src, files=16)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", "16").load(src)
+    )
+    regs = hll_registers(stream.drop("slc", "doc_id"), "v",
+                         strata=["event_type"], p=8)
+    q = (
+        regs.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, _: df.write.format("noop").mode("overwrite").save()
+        )
+        .option("checkpointLocation", f"{workdir}/hll_ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    prog = progress_rows(q)
+    report(
+        f"hll registers ({events:,} distinct values)",
+        prog, state_bound=5 * 256,
+        bound_desc="strata × 2^p registers — cardinality-independent",
+    )
+
+
 def main() -> None:
     events = int(os.environ.get("SMOKE_EVENTS", 1_000_000))
     docs = int(os.environ.get("SMOKE_DOCS", 1_000_000))
@@ -271,6 +327,7 @@ def main() -> None:
         smoke_anomaly(spark, events, workdir)
         smoke_packing(spark, docs, workdir)
         smoke_maponly_gates(spark, docs, workdir)
+        smoke_hll_registers(spark, events, workdir)
         print(f"total wall: {time.perf_counter() - t0:.1f}s")
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
