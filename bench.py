@@ -177,6 +177,7 @@ HEADLINE = [
     "contamination_fraction",
     "script_detect_profile",
     "ann_ivfpq_topk",
+    "pii_credit_card_audit",
 ]
 
 

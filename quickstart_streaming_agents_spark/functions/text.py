@@ -413,3 +413,59 @@ def dominant_script(text_col: str | Column) -> Column:
         best = F.when(take, F.lit(name)).otherwise(best)
         best_n = F.when(take, counts[name]).otherwise(best_n)
     return best
+
+
+# Luhn-validated credit-card detection — the PII tier's false-positive
+# killer: a 16-digit run is only a card number if its Luhn checksum
+# holds (ISO/IEC 7812), so order IDs and timestamps stop tripping the
+# redactor. Candidate extraction is an RE2-safe digit-group pattern;
+# validation is an exact-integer fold over the digit string (double
+# every second digit from the right, subtract 9 past 9, sum % 10 == 0)
+# — pure JVM higher-order functions, map-only, and a DuckDB oracle
+# replays both the extraction and the fold bit-for-bit.
+CC_CANDIDATE_PATTERN = (
+    r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}\b"
+)
+
+
+def luhn_valid(digits_col: Column) -> Column:
+    """True iff the digit string satisfies the Luhn checksum. Built
+    from DSL combinators only (split → zip_with positions → aggregate)
+    so it composes inside higher-order lambdas — ``F.expr`` text cannot
+    reference a lambda variable."""
+    rev_chars = F.split(F.reverse(digits_col), "")
+    digits = F.filter(rev_chars, lambda ch: ch != "")  # split-trailer guard
+    contrib = F.zip_with(
+        digits,
+        F.sequence(F.lit(1), F.size(digits)),
+        lambda ch, i: F.when(
+            i % 2 == 0,
+            F.when(
+                (F.ascii(ch) - 48) * 2 > 9, (F.ascii(ch) - 48) * 2 - 9
+            ).otherwise((F.ascii(ch) - 48) * 2),
+        ).otherwise(F.ascii(ch) - 48),
+    )
+    total = F.aggregate(contrib, F.lit(0), lambda a, x: a + x)
+    return total % 10 == 0
+
+
+def credit_card_audit(text_col: str | Column) -> dict[str, Column]:
+    """``{cc_candidates, cc_valid, cc_last4}`` columns: digit-group
+    candidates in the text, how many pass Luhn, and the last 4 digits
+    of the first VALID card (NULL when none) — the audit columns a
+    compliance pipeline keeps after redaction."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    cands = F.regexp_extract_all(c, F.lit(CC_CANDIDATE_PATTERN), F.lit(0))
+    # strip separators; keep only plausible card lengths (13-19)
+    norm = F.filter(
+        F.transform(cands, lambda s: F.regexp_replace(s, "[ -]", "")),
+        lambda s: (F.length(s) >= 13) & (F.length(s) <= 19),
+    )
+    valid = F.filter(norm, luhn_valid)
+    return {
+        "cc_candidates": F.size(norm).cast("long"),
+        "cc_valid": F.size(valid).cast("long"),
+        "cc_last4": F.when(
+            F.size(valid) > 0, F.substring(F.element_at(valid, 1), -4, 4)
+        ),
+    }

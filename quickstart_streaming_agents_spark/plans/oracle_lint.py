@@ -216,6 +216,20 @@ def guard_intdiv(sql: str) -> str:
     return out
 
 
+def power_operator_sites(sql: str) -> list[str]:
+    """Flag ``**`` (and infix ``^``) in oracle SQL: DuckDB's power
+    operator returns DOUBLE even on HUGEINT operands (verified on
+    1.0.0), so an 'integer' 2**k silently becomes a float and a SUM of
+    wide-spread power terms rounds — caught live in the r9
+    hll_distinct_sketch oracle (fixed to an integer ``<<``)."""
+    masked = mask_literals(sql)
+    hits = []
+    for m in re.finditer(r"\*\*|(?<![<>=!|])\^", masked):
+        lo = max(0, m.start() - 30)
+        hits.append(sql[lo : m.end() + 30].replace("\n", " ").strip())
+    return hits
+
+
 _ROUND_RE = re.compile(r"\bround\s*\(", re.IGNORECASE)
 _DERIVED = re.compile(r"/(?!/)|\bavg\s*\(|\bstddev|\bquantile|\bsqrt\s*\(")
 

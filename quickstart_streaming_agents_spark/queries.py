@@ -3127,6 +3127,87 @@ def script_detect_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Luhn-validated credit-card audit (round 9) — functions/text.
+# credit_card_audit: the PII tier's false-positive killer. A 13-19
+# digit run only counts as a card when its ISO/IEC 7812 Luhn checksum
+# holds, so order ids and timestamps stop tripping the redactor. The
+# engine REALLY extracts digit groups (RE2-safe pattern) and folds the
+# checksum in JVM higher-order functions; the synth plants the four
+# standard test PANs (Visa/MC/Amex/Discover — public test numbers,
+# grouped or solid) on one residue class, the same numbers with a
+# bumped check digit on another, and a 13-digit non-card decoy on a
+# third, so candidates≠valid is exercised in both directions. Oracle
+# replays the planted classes analytically (the jpeg_exif pattern);
+# the Luhn fold itself is hand-verified against an independent Python
+# implementation in tests/test_text_lang.py. Map-only, zero shuffle.
+# ---------------------------------------------------------------------------
+_CC_VALID = [
+    "4111111111111111",   # Visa test PAN
+    "5500005555555559",   # MasterCard test PAN
+    "378282246310005",    # Amex test PAN (15 digits)
+    "6011000990139424",   # Discover test PAN
+]
+
+
+@query(
+    "pii_credit_card_audit",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 = 2 AND doc_id % 2 = 0
+                THEN 0 ELSE 1 END AS BIGINT) AS cc_candidates,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS cc_valid,
+           CASE WHEN doc_id % 3 = 0 THEN
+               CASE doc_id % 4 WHEN 0 THEN '1111' WHEN 1 THEN '5559'
+                               WHEN 2 THEN '0005' ELSE '9424' END
+           END AS cc_last4
+    FROM documents
+    """,
+)
+def pii_credit_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Luhn validation over planted card-like digit runs — see
+    block comment; functions in functions/text.py."""
+    from quickstart_streaming_agents_spark.functions.text import (
+        credit_card_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    valid = F.array(*[F.lit(c) for c in _CC_VALID])
+    # bump the check digit (+1 mod 10): fails Luhn by construction
+    bumped = F.array(*[
+        F.lit(c[:-1] + str((int(c[-1]) + 1) % 10)) for c in _CC_VALID
+    ])
+    card = F.element_at(valid, (d % 4 + 1).cast("int"))
+    bad = F.element_at(bumped, (d % 4 + 1).cast("int"))
+    spaced = F.concat_ws(
+        " ",
+        F.substring(card, 1, 4), F.substring(card, 5, 4),
+        F.substring(card, 9, 4), F.substring(card, 13, 4),
+    )
+    messy = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit(" pay "),
+                        F.when(d % 2 == 0, F.trim(spaced)).otherwise(card),
+                        F.lit(" now")))
+         .when(d % 3 == 1, F.concat(F.lit(" ref "), bad))
+         # 13-digit order id: a candidate on odd ids (solid run) that
+         # must FAIL Luhn; even ids get a too-short 8-digit run that
+         # must not even be a candidate
+         .otherwise(F.when(d % 2 == 1, F.lit(" order 1234567890123"))
+                    .otherwise(F.lit(" order 12345678"))),
+    )
+    audit = credit_card_audit(messy)
+    return docs.select(
+        "doc_id",
+        audit["cc_candidates"].alias("cc_candidates"),
+        audit["cc_valid"].alias("cc_valid"),
+        audit["cc_last4"].alias("cc_last4"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Train/val/test split assignment — the other face of deterministic
 # sampling: every doc gets a split label from its identity hash, so the
 # same doc lands in the same split on every run, any cluster, any
@@ -4048,8 +4129,12 @@ _HLL_ALPHA_NUM = "4.2399330249068963e+20"  # 0.7213/(1+1.079/256)·256²·2^53
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS present_registers,
                CAST(256 - count(*) AS BIGINT) AS zero_registers,
-               CAST(sum(CAST(2 AS HUGEINT) ** (53 - r))
-                    + (256 - count(*)) * (CAST(2 AS HUGEINT) ** 53)
+               -- integer SHIFT, not '**': DuckDB's power operator
+               -- returns DOUBLE (verified), and a double SUM of wide-
+               -- spread 2^(53-r) terms can round — the exact fragility
+               -- class the oracle lint exists to keep out
+               CAST(sum(CAST(1 AS BIGINT) << (53 - r))
+                    + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)
                     AS BIGINT) AS harmonic_num
         FROM reg GROUP BY 1
     ),
@@ -9278,7 +9363,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the new bounded-inflate decompressor; audio_energy_sig /
 # audio_near_dup sit on the new WAV/MP4 container dispatch;
 # mp3_demux_frames on the trailing-junk end-of-stream fix), then
-# (e) 33 of the 49 round-6-dated rows oldest-first (the r8 verdict's
+# (e) 32 of the 49 round-6-dated rows oldest-first (the r8 verdict's
 # named priorities — embedding_topk_pairs (also the perf watch item),
 # enriched_orders, surge_enriched, counts_dashboard,
 # agent_price_match, investigation_queue, session/sliding windows,
@@ -9288,7 +9373,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dataset_split, series_correlation, value_percentiles, doc_chunks,
 # text_analysis, vocab_top_terms, waiting_suppliers,
 # unigram_logprob_score, topk_per_group_salted, token_budget_mix,
-# domain_mix — the most
+# domain_mix, stratified_sample — the most
 # change-isolated pure-JVM rows, every one parity-pinned in-repo each
 # run — MUST lead the r10 window.
 # ---------------------------------------------------------------------------
@@ -9309,6 +9394,7 @@ _R9_CHECK_FIRST = [
     "contamination_fraction",
     "script_detect_profile",
     "ann_ivfpq_topk",
+    "pii_credit_card_audit",
     # (d) implementations changed this round
     "gzip_text_ingest",
     "audio_energy_sig",
@@ -9347,7 +9433,6 @@ _R9_CHECK_FIRST = [
     "repetition_filter",
     "scd2_merge",
     "sequence_packing",
-    "stratified_sample",
 ]
 
 

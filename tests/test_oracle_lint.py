@@ -95,6 +95,24 @@ def test_every_registered_oracle_is_negdiv_free():
     assert not failures, "\n".join(failures)
 
 
+def test_no_power_operator_in_any_oracle():
+    """DuckDB's ``**`` returns DOUBLE even on HUGEINT (verified 1.0.0),
+    so 'integer' power expressions silently lose exactness — caught
+    live in the first draft of the hll_distinct_sketch oracle (a SUM
+    of wide-spread 2^(53-r) double terms rounds). Integer powers of
+    two must use ``<<``."""
+    from quickstart_streaming_agents_spark.plans.oracle_lint import (
+        power_operator_sites,
+    )
+
+    offenders = {
+        name: hits
+        for name, sql in ORACLE.items()
+        if (hits := power_operator_sites(sql))
+    }
+    assert not offenders, offenders
+
+
 def test_classifier_oracles_have_no_round_on_derived_doubles():
     """The two formerly-red queries must stay free of the OTHER fragile
     construct too — round() over a float derivation (the r7 red)."""

@@ -282,3 +282,4 @@ def test_round9_query_plan_budgets_pinned(spark):
     # IVF-PQ: candidate equi-join on cell + per-subspace broadcast LUT
     # joins + the top-k window — the assignments/codes are map-only
     assert count_exchanges(_q(spark, "ann_ivfpq_topk")) <= 3
+    assert count_exchanges(_q(spark, "pii_credit_card_audit")) == 0

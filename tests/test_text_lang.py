@@ -189,3 +189,54 @@ def test_script_counts_and_dominant(spark):
     )
     assert got[5].dom == "latin"  # 'mix' = 3 latin chars beats the 1s
     assert got[6].cjk == 4 and got[6].dom == "cjk"
+
+
+def test_luhn_validation_matches_independent_implementation(spark):
+    """The JVM Luhn fold must agree with a hand-rolled Python Luhn on
+    valid/bumped/random digit strings, and the audit must separate
+    candidates from valid cards across formats and decoys."""
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.functions.text import (
+        credit_card_audit,
+        luhn_valid,
+    )
+
+    def luhn_py(s: str) -> bool:
+        tot = 0
+        for i, ch in enumerate(reversed(s), 1):
+            d = int(ch)
+            if i % 2 == 0:
+                d = d * 2 - 9 if d * 2 > 9 else d * 2
+            tot += d
+        return tot % 10 == 0
+
+    import random
+
+    rng = random.Random(9)
+    cases = ["4111111111111111", "5500005555555559", "378282246310005",
+             "6011000990139424", "1234567890123"]
+    cases += ["".join(rng.choice("0123456789") for _ in range(n))
+              for n in (13, 15, 16, 19) for _ in range(10)]
+    df = spark.createDataFrame([Row(i=i, s=s) for i, s in enumerate(cases)])
+    got = {r.i: r.ok for r in df.select(
+        "i", luhn_valid(F.col("s")).alias("ok")).collect()}
+    for i, s in enumerate(cases):
+        assert got[i] == luhn_py(s), s
+
+    rows = [
+        Row(doc_id=1, text="pay 4111 1111 1111 1111 now"),   # grouped valid
+        Row(doc_id=2, text="ref 4111111111111112"),          # bumped digit
+        Row(doc_id=3, text="order 12345678 and ip 10.0.0.1"),  # no candidate
+        Row(doc_id=4, text="amex 378282246310005 + visa 4111111111111111"),
+    ]
+    a = credit_card_audit("text")
+    df2 = spark.createDataFrame(rows).select(
+        "doc_id", a["cc_candidates"].alias("n"),
+        a["cc_valid"].alias("v"), a["cc_last4"].alias("l4"),
+    )
+    got2 = {r.doc_id: (r.n, r.v, r.l4) for r in df2.collect()}
+    assert got2[1] == (1, 1, "1111")
+    assert got2[2] == (1, 0, None)
+    assert got2[3] == (0, 0, None)
+    assert got2[4] == (2, 2, "0005")  # first valid card's last4
