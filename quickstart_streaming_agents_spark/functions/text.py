@@ -469,3 +469,27 @@ def credit_card_audit(text_col: str | Column) -> dict[str, Column]:
             F.size(valid) > 0, F.substring(F.element_at(valid, 1), -4, 4)
         ),
     }
+
+
+# HTML text extraction — the first transform C4/CCNet run on a crawled
+# page: drop <script>/<style> subtrees wholesale (their text is code,
+# not prose), strip the remaining tags, decode the five predefined XML
+# entities + numeric references' common subset, collapse whitespace.
+# A scan-speed regex tier (RE2-safe: no lookarounds, non-greedy block
+# matches), not a DOM parser — the standard first-pass boilerplate cut
+# before quality gates; a real parser tier would slot behind the same
+# column contract. DuckDB replays the identical expression chain.
+def html_text_extract(html_col: str | Column) -> Column:
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    # (?is): case-insensitive + dot-matches-newline — both RE2 flags
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?is)<!--.*?-->", " ")
+    # block-level closers imply a break so words don't glue together
+    c = F.regexp_replace(c, r"(?i)</(p|div|br|li|h[1-6]|tr|td)\b[^>]*>", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", "")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+                    ("&amp;", "&")):  # &amp; LAST or it double-decodes
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"[ \t\n\r\f]+", " "))

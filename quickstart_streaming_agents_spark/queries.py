@@ -3127,6 +3127,94 @@ def script_detect_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HTML text extraction (round 9) — functions/text.html_text_extract,
+# the FIRST transform C4/CCNet run on a crawled page: script/style
+# subtrees drop wholesale (their text is code), comments drop, block
+# closers become breaks, remaining tags strip, the predefined XML
+# entities decode (&amp; LAST or it double-decodes), whitespace
+# collapses. RE2-safe regex tier (scan speed at 100 TB; a DOM-parser
+# tier would slot behind the same column contract). Synth wraps the
+# fixture text in deterministic HTML whose script body contains a
+# decoy '<p>' INSIDE a JS string — non-greedy block matching must not
+# leak it. Oracle replays the identical expression chain.
+# ---------------------------------------------------------------------------
+@query(
+    "html_text_extract",
+    oracle=r"""
+    WITH h AS (
+        SELECT doc_id,
+               '<html><head><style>p{color:red}</style>'
+               || '<script type="text/javascript">var x = "<p>decoy</p>";'
+               || '</script></head><body><h1>Doc ' || doc_id || '</h1><p>'
+               || text || '</p>'
+               || CASE WHEN doc_id % 4 = 0
+                       THEN '<ul><li>extra &amp; more &lt;tags&gt;</li>'
+                            || '<li>it&#39;s &quot;quoted&quot;</li></ul>'
+                       ELSE '' END
+               || '<!-- trailing
+                    comment -->untagged tail</body></html>' AS html
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(
+               html,
+               '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+               '(?is)<!--.*?-->', ' ', 'g'),
+               '(?i)</(p|div|br|li|h[1-6]|tr|td)\b[^>]*>', ' ', 'g'),
+               '<[^>]+>', '', 'g') AS t
+        FROM h
+    ),
+    d AS (
+        SELECT doc_id,
+               replace(replace(replace(replace(replace(replace(replace(
+                   t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                   '&amp;', '&') AS t
+        FROM s
+    )
+    SELECT doc_id,
+           trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) AS extracted,
+           CAST(length(trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')))
+                AS BIGINT) AS n_chars
+    FROM d
+    """,
+)
+def html_text_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style HTML boilerplate strip over synthesized pages — see
+    block comment; function in functions/text.py (map-only)."""
+    from quickstart_streaming_agents_spark.functions.text import (
+        html_text_extract,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><head><style>p{color:red}</style>'
+              '<script type="text/javascript">var x = "<p>decoy</p>";'
+              '</script></head><body><h1>Doc '),
+        d.cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            d % 4 == 0,
+            F.lit("<ul><li>extra &amp; more &lt;tags&gt;</li>"
+                  "<li>it&#39;s &quot;quoted&quot;</li></ul>"),
+        ).otherwise(F.lit("")),
+        F.lit("<!-- trailing\n                    comment -->"
+              "untagged tail</body></html>"),
+    )
+    ext = html_text_extract(html)
+    return docs.select(
+        "doc_id", ext.alias("extracted"),
+        F.length(ext).cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Luhn-validated credit-card audit (round 9) — functions/text.
 # credit_card_audit: the PII tier's false-positive killer. A 13-19
 # digit run only counts as a card when its ISO/IEC 7812 Luhn checksum
