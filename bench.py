@@ -178,6 +178,7 @@ HEADLINE = [
     "script_detect_profile",
     "ann_ivfpq_topk",
     "pii_credit_card_audit",
+    "html_text_extract",
 ]
 
 
@@ -287,7 +288,16 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_ISOLATE", "1") != "0":
         import subprocess
 
-        watch = {"embedding_topk_pairs"}
+        # VERDICT r9 #4: ann_sq8_topk / column_profile / cms_heavy_hitters
+        # drifted +18-29% in-sequence r8→r9 — watch them fresh-JVM for one
+        # round to confirm jitter (embedding_topk_pairs carried from r8,
+        # root-caused to broadcast accumulation, kept as the sentinel).
+        watch = {
+            "embedding_topk_pairs",
+            "ann_sq8_topk",
+            "column_profile",
+            "cms_heavy_hitters",
+        }
         try:
             prev = json.loads((REPO / "BENCH_FULL.json").read_text())
             for n, t in timings.items():

@@ -423,8 +423,13 @@ def dominant_script(text_col: str | Column) -> Column:
 # every second digit from the right, subtract 9 past 9, sum % 10 == 0)
 # — pure JVM higher-order functions, map-only, and a DuckDB oracle
 # replays both the extraction and the fold bit-for-bit.
+# ADVICE r10: the optional trailing group extends coverage to 17-19
+# digit PANs (19-digit Visa/Maestro/UnionPay ranges, formatted
+# 4-4-4-4-1..3 or solid) so the whole 13-19 length filter below is
+# reachable — the previous 4+4+4+{1,4} shape capped candidates at 16
+# digits and silently dropped long PANs.
 CC_CANDIDATE_PATTERN = (
-    r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}\b"
+    r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}(?:[ -]?\d{1,3})?\b"
 )
 
 

@@ -61,6 +61,16 @@ def _bounded_inflate(p: bytes, wbits: int, cap: int) -> bytes:
         # gzip members may be concatenated; anything else trailing is junk
         if not (wbits > 16 and data[:2] == b"\x1f\x8b"):
             raise ValueError("trailing garbage after compressed stream")
+        # ADVICE r10 (high): when a member's output EXACTLY exhausts the
+        # budget, left == 0 — and zlib treats max_length=0 as UNLIMITED,
+        # so without this guard the next concatenated member would
+        # decompress unbounded (verified bypass: exact-cap member + bomb
+        # member returned 10 MB against cap=100). A further member's
+        # output is by definition over budget; raise before inflating it.
+        if left <= 0:
+            raise ValueError(
+                f"decompressed output exceeds cap ({cap} bytes)"
+            )
 
 
 def decompress_text(

@@ -154,8 +154,14 @@ def contamination_fraction(
         )
         .withColumnRenamed("doc_id", "__hit_id")
     )
-    if broadcast_benchmark:
-        per_doc = F.broadcast(per_doc)
+    # ADVICE r10 (medium): per_doc is one row per CORPUS document —
+    # unlike contamination_flags, where only the rare contaminated hits
+    # are broadcast — so it must join back with a normal shuffle join
+    # (broadcasting it would collect a corpus-sized aggregate onto the
+    # driver and every executor at web scale). per_doc leaves its
+    # groupBy already hash-partitioned on the id, so the join adds only
+    # the df-side exchange. broadcast_benchmark governs ONLY the
+    # benchmark hash set, which is legitimately small.
     joined = df.join(per_doc, df[id_col] == F.col("__hit_id"), "left")
     total = F.coalesce("n_ngrams", F.lit(0).cast("long"))
     hits = F.coalesce("n_hits", F.lit(0).cast("long"))

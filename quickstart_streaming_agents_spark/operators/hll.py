@@ -126,6 +126,24 @@ def hll_estimate(
         F.sum(F.expr(f"shiftleft(1L, {scale} - r)"))
         .cast("long")
         .alias("__present_num"),
+        F.max("bucket").alias("__max_bucket"),
+        F.max("r").alias("__max_r"),
+    )
+    # ADVICE r10: a register table built at a different p than the one
+    # passed here silently yields wrong zero_registers/harmonic_num —
+    # including NEGATIVE shift amounts when the build p was larger. The
+    # maxima come free in the same aggregate; fail loudly on mismatch.
+    consistent = F.assert_true(
+        (F.col("__max_bucket") < F.lit(m)) & (F.col("__max_r") <= F.lit(scale)),
+        F.lit(
+            f"hll_estimate: register table inconsistent with p={p} "
+            f"(expected bucket < {m} and r <= {scale}) — was it built "
+            f"with a different p?"
+        ),
+    )
+    agg = agg.withColumn(
+        "__present_num",
+        F.col("__present_num") + F.coalesce(consistent.cast("long"), F.lit(0)),
     )
     zero = (F.lit(m).cast("long") - F.col("present_registers")).alias(
         "zero_registers"

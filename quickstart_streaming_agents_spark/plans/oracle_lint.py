@@ -230,6 +230,54 @@ def power_operator_sites(sql: str) -> list[str]:
     return hits
 
 
+_UNNEST_RE = re.compile(r"\bunnest\s*\(", re.IGNORECASE)
+# Enclosing-paren predecessors that are NOT scalar function calls:
+# keywords introducing subqueries / boolean groups / set operands.
+_NOT_A_FUNCTION = {
+    "in", "exists", "any", "all", "some", "values", "using", "as", "on",
+    "and", "or", "not", "when", "then", "else", "where", "by", "from",
+    "join", "over", "lateral", "union", "intersect", "except",
+}
+
+
+def wrapped_unnest_sites(sql: str) -> list[str]:
+    """Flag ``unnest(...)`` nested inside a scalar function's argument
+    list (``md5(unnest(ts))``). DuckDB's handling of expressions layered
+    on top of ``unnest`` in the SELECT list has drifted across releases
+    — the r9 driver hash-red on the classifier pair isolated to exactly
+    this construct (VERDICT r9 "What's wrong" #1), while every green
+    oracle unnests bare (top-level in its own CTE / FROM clause) and
+    applies functions to the unnested column in the next CTE. Subquery
+    parens (``(SELECT unnest(...) ...)``) are fine and skipped."""
+    masked = mask_literals(sql)
+    hits: list[str] = []
+    for m in _UNNEST_RE.finditer(masked):
+        stack: list[int] = []
+        for i in range(m.start()):
+            if masked[i] == "(":
+                stack.append(i)
+            elif masked[i] == ")" and stack:
+                stack.pop()
+        for p in stack:
+            after = masked[p + 1 : p + 40].lstrip()
+            if re.match(r"select\b", after, re.IGNORECASE):
+                continue  # subquery, not a function call
+            j = p
+            while j > 0 and masked[j - 1].isspace():
+                j -= 1
+            k = j
+            while k > 0 and (masked[k - 1].isalnum() or masked[k - 1] == "_"):
+                k -= 1
+            name = masked[k:j].lower()
+            if name and name not in _NOT_A_FUNCTION:
+                lo = max(0, k - 10)
+                hits.append(
+                    sql[lo : m.end() + 40].replace("\n", " ").strip()
+                )
+                break
+    return hits
+
+
 _ROUND_RE = re.compile(r"\bround\s*\(", re.IGNORECASE)
 _DERIVED = re.compile(r"/(?!/)|\bavg\s*\(|\bstddev|\bquantile|\bsqrt\s*\(")
 

@@ -6947,12 +6947,15 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dsir_importance_weights",
     oracle="""
-    WITH tok AS (
+    WITH raw AS (
         SELECT doc_id, source,
-               ('0x' || substr(md5(unnest(
-                   regexp_split_to_array(trim(lower(text)), '\\s+'))), 1, 15)
-               )::UBIGINT % 1024 AS b
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
         FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(w), 1, 15))::UBIGINT % 1024 AS b
+        FROM raw
     ),
     tc AS (SELECT b, count(*) AS c FROM tok WHERE source = 'src0' GROUP BY b),
     sc AS (SELECT b, count(*) AS c FROM tok GROUP BY b),
@@ -7309,9 +7312,12 @@ WITH tok AS (
            regexp_split_to_array(trim(lower(text)), '\s+') AS ts
     FROM documents
 ),
+uni AS (
+    SELECT doc_id, unnest(ts) AS t FROM tok
+),
 feats AS (
-    SELECT doc_id, ('0x'||substr(md5(unnest(ts)),1,15))::UBIGINT % 4096 AS b
-    FROM tok
+    SELECT doc_id, ('0x'||substr(md5(t),1,15))::UBIGINT % 4096 AS b
+    FROM uni
     UNION ALL
     SELECT doc_id,
            ('0x'||substr(md5(ts[i] || ' ' || ts[i+1]),1,15))::UBIGINT % 4096
@@ -7381,9 +7387,12 @@ WITH tok AS (
     SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
     FROM documents
 ),
+uni AS (
+    SELECT doc_id, unnest(ts) AS t FROM tok
+),
 feats AS (
-    SELECT doc_id, ('0x'||substr(md5(unnest(ts)),1,15))::UBIGINT % 4096 AS b
-    FROM tok
+    SELECT doc_id, ('0x'||substr(md5(t),1,15))::UBIGINT % 4096 AS b
+    FROM uni
     UNION ALL
     SELECT doc_id,
            ('0x'||substr(md5(ts[i] || ' ' || ts[i+1]),1,15))::UBIGINT % 4096

@@ -1010,6 +1010,40 @@ def test_decompress_text_bounds_decompression_bombs(spark):
         decompress_text(df, max_bytes=0)
 
 
+def test_bounded_inflate_exact_cap_then_bomb_member_still_raises():
+    """ADVICE r10 (high): when the first member inflates to EXACTLY the
+    cap, the remaining budget is 0 — and zlib's max_length=0 means
+    UNLIMITED, so before the guard a concatenated bomb member inflated
+    fully (10 MB against cap=100). The exact-cap-boundary multi-member
+    shape must raise, and a single exact-cap member must still pass."""
+    import gzip as _gzip
+
+    import pytest
+
+    from quickstart_streaming_agents_spark.operators.compress import (
+        _bounded_inflate,
+        gzip_compress,
+    )
+
+    exact = gzip_compress("x" * 100)
+    bomb = _gzip.compress(b"\x00" * 10_000_000, mtime=0)
+    wbits = 16 + zlib_max_wbits()
+    # single member at exactly the cap: fine (cap is inclusive)
+    assert _bounded_inflate(exact, wbits, 100) == b"x" * 100
+    # exact-cap member + bomb member: must raise, never inflate the bomb
+    with pytest.raises(ValueError, match="exceeds cap"):
+        _bounded_inflate(exact + bomb, wbits, 100)
+    # even an over-cap-by-one second member raises
+    with pytest.raises(ValueError, match="exceeds cap"):
+        _bounded_inflate(exact + gzip_compress("y"), wbits, 100)
+
+
+def zlib_max_wbits() -> int:
+    import zlib
+
+    return zlib.MAX_WBITS
+
+
 def test_normalize_text_forms_nulls_and_idempotence(spark):
     """NFC composes planted decompositions, NFKC additionally folds
     compatibility forms, NULL text passes through as NULL, and already-

@@ -113,6 +113,41 @@ def test_no_power_operator_in_any_oracle():
     assert not offenders, offenders
 
 
+def test_no_function_wrapped_unnest_in_any_oracle():
+    """Ban ``f(unnest(...))`` in any SELECT expression (VERDICT r9 #1):
+    the r9 classifier-pair hash-red isolated to ``md5(unnest(ts))`` —
+    the ONE construct unique to the red oracles vs 15 green oracles on
+    identical machinery. DuckDB's layering of scalar functions over
+    ``unnest`` in the select list drifted across releases; the portable
+    pattern is a bare top-level unnest in its own CTE, functions applied
+    in the next CTE."""
+    from quickstart_streaming_agents_spark.plans.oracle_lint import (
+        wrapped_unnest_sites,
+    )
+
+    offenders = {
+        name: hits
+        for name, sql in ORACLE.items()
+        if (hits := wrapped_unnest_sites(sql))
+    }
+    assert not offenders, offenders
+
+
+def test_wrapped_unnest_detector_flags_the_r9_construct():
+    from quickstart_streaming_agents_spark.plans.oracle_lint import (
+        wrapped_unnest_sites,
+    )
+
+    bad = "SELECT doc_id, md5(unnest(ts)) AS h FROM tok"
+    assert wrapped_unnest_sites(bad)
+    good = "SELECT doc_id, unnest(ts) AS t FROM tok"
+    assert wrapped_unnest_sites(good) == []
+    subq = "SELECT * FROM h CROSS JOIN (SELECT unnest(range(64)) AS j) j"
+    assert wrapped_unnest_sites(subq) == []
+    from_clause = "SELECT i FROM tok, unnest(range(1, len(ts))) AS t(i)"
+    assert wrapped_unnest_sites(from_clause) == []
+
+
 def test_classifier_oracles_have_no_round_on_derived_doubles():
     """The two formerly-red queries must stay free of the OTHER fragile
     construct too — round() over a float derivation (the r7 red)."""

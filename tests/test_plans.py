@@ -283,3 +283,6 @@ def test_round9_query_plan_budgets_pinned(spark):
     # joins + the top-k window — the assignments/codes are map-only
     assert count_exchanges(_q(spark, "ann_ivfpq_topk")) <= 3
     assert count_exchanges(_q(spark, "pii_credit_card_audit")) == 0
+    # r9c final-commit query, landed properly in r10 (VERDICT r9 #2):
+    # C4 boilerplate strip is a pure-JVM regexp chain fused into the scan
+    assert count_exchanges(_q(spark, "html_text_extract")) == 0

@@ -182,3 +182,30 @@ def test_hll_registers_bounded_and_partition_invariant(spark):
             ev.repartition(n_parts), "v", strata=["event_type"], p=6
         )
         assert sorted(map(tuple, again.collect())) == base
+
+
+def test_hll_estimate_rejects_mismatched_p(spark):
+    """ADVICE r10: registers built at p=10 estimated at p=8 must fail
+    loudly (buckets >= 2^8 prove the mismatch), and the symmetric
+    build-small/estimate-big direction must fail too (r can exceed the
+    larger p's max rank), not silently emit wrong estimates."""
+    import pytest
+
+    from quickstart_streaming_agents_spark.operators.hll import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(5000).select((F.col("id") % 3000).cast("string").alias("v"))
+    regs10 = hll_registers(df, "v", p=10)
+    with pytest.raises(Exception, match="inconsistent with p=8"):
+        hll_estimate(regs10, p=8).collect()
+    # the r-bound side: a rank past the claimed field width proves the
+    # registers came from a smaller build p
+    regs_bad = spark.createDataFrame(
+        [(0, 55), (1, 3)], "bucket INT, r INT"
+    )
+    with pytest.raises(Exception, match="inconsistent with p=12"):
+        hll_estimate(regs_bad, p=12).collect()
+    # matched p still estimates fine
+    assert hll_estimate(regs10, p=10).count() == 1

@@ -240,3 +240,85 @@ def test_luhn_validation_matches_independent_implementation(spark):
     assert got2[2] == (1, 0, None)
     assert got2[3] == (0, 0, None)
     assert got2[4] == (2, 2, "0005")  # first valid card's last4
+
+
+def test_credit_card_audit_covers_17_to_19_digit_pans(spark):
+    """ADVICE r10: 19-digit Visa/Maestro/UnionPay PANs (grouped
+    4-4-4-4-3 or solid) must become candidates — the old 4+4+4+{1,4}
+    pattern capped at 16 digits, so the 13-19 length filter's upper
+    range was unreachable. 20-digit runs stay out (past the filter)."""
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.functions.text import (
+        credit_card_audit,
+    )
+
+    def with_check_digit(base: str) -> str:
+        for cd in "0123456789":
+            s = base + cd
+            tot = 0
+            for i, ch in enumerate(reversed(s), 1):
+                d = int(ch)
+                if i % 2 == 0:
+                    d = d * 2 - 9 if d * 2 > 9 else d * 2
+                tot += d
+            if tot % 10 == 0:
+                return s
+        raise AssertionError("unreachable")
+
+    pan19 = with_check_digit("626200000000000000")   # UnionPay-range
+    grouped = " ".join([pan19[0:4], pan19[4:8], pan19[8:12],
+                        pan19[12:16], pan19[16:19]])
+    bumped = pan19[:-1] + str((int(pan19[-1]) + 1) % 10)
+    rows = [
+        Row(doc_id=1, text=f"card {pan19} end"),         # solid 19, valid
+        Row(doc_id=2, text=f"card {grouped} end"),       # grouped 19, valid
+        Row(doc_id=3, text=f"ref {bumped}"),             # 19, fails Luhn
+        Row(doc_id=4, text=f"id {pan19}0"),              # 20 digits: not a PAN
+    ]
+    a = credit_card_audit("text")
+    df = spark.createDataFrame(rows).select(
+        "doc_id", a["cc_candidates"].alias("n"),
+        a["cc_valid"].alias("v"), a["cc_last4"].alias("l4"),
+    )
+    got = {r.doc_id: (r.n, r.v, r.l4) for r in df.collect()}
+    assert got[1] == (1, 1, pan19[-4:])
+    assert got[2] == (1, 1, pan19[-4:])
+    assert got[3] == (1, 0, None)
+    assert got[4] == (0, 0, None)
+
+
+def test_html_text_extract_contracts(spark):
+    """C4 boilerplate strip: script/style/comment subtrees drop (even
+    when a JS string contains a '<p>' decoy), block closers break words
+    apart, entities decode exactly once (&amp;lt; must NOT double-decode
+    to '<'), whitespace collapses."""
+    from quickstart_streaming_agents_spark.functions.text import (
+        html_text_extract,
+    )
+
+    cases = [
+        # script body with tag decoy inside a JS string stays dropped
+        ('<script>var x = "<p>decoy</p>";</script><p>keep</p>', "keep"),
+        # style subtree's text is code, not content
+        ("<style>p{color:red}</style><b>bold</b> text", "bold text"),
+        # comment spanning lines drops; tail text survives
+        ("<!-- multi\nline -->tail", "tail"),
+        # block closers become breaks so words don't glue
+        ("<p>one</p><p>two</p>", "one two"),
+        # inline closers strip without a break (no space inserted)
+        ("<b>gl</b>ued", "glued"),
+        # entities decode once: '&amp;lt;' is literal '&lt;' not '<'
+        ("a &amp;lt; b &gt; c &quot;d&quot; &#39;e&#39;", 'a &lt; b > c "d" \'e\''),
+        # whitespace collapse + trim
+        ("  <p> spaced   out </p>  ", "spaced out"),
+        # case-insensitive tags
+        ("<SCRIPT>gone()</SCRIPT><P>Hi</P>", "Hi"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], ["i", "html"]
+    )
+    got = {r.i: r.t for r in
+           df.select("i", html_text_extract("html").alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
