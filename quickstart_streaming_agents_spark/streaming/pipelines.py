@@ -456,6 +456,94 @@ def decontamination_stream_pipeline(
     return catalog
 
 
+def contamination_fraction_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+    watermark: str = "10 seconds",
+    n: int = 8,
+    threshold_pct: int = 70,
+    bench_mod: int = 17,
+) -> StreamCatalog:
+    """Continuous GRADED contamination scoring (VERDICT r9 #7) — the
+    streaming half of ``queries.contamination_fraction``: per-doc
+    fraction of distinct ``n``-grams shared with the benchmark, PaLM's
+    thresholded rule, as a changelog topic.
+
+    Streaming shape mirrors :func:`decontamination_stream_pipeline`
+    (static broadcast benchmark set, identical ``_norm_shingles``
+    machinery — one source of truth with the batch operator) but the
+    graded rule needs the TOTAL shingle count too, so the pipeline keeps
+    the left join and one per-doc aggregate. All of a doc's shingles
+    originate from its single input row, so each doc's counts are
+    complete the moment its row's shingles clear the (map-only,
+    broadcast) join — state is one small integer row per doc, evicted by
+    the watermark because the event-time column rides in the grouping
+    key. Docs shorter than ``n`` tokens emit no shingles and no row
+    (the short-doc contract: they can never be contaminated; the batch
+    twin emits them with ``n_ngrams = 0``).
+
+    The verdict arithmetic is the batch operator's exact-integer form
+    verbatim (``hits·100 ≥ pct·total``; ``frac_e6`` a non-negative
+    fixed point), so streaming ≡ batch is bit-exact on every doc with
+    ≥ 1 shingle — pinned in tests/test_streaming.py.
+    """
+    if not 0 <= threshold_pct <= 100:
+        raise ValueError(f"threshold_pct must be 0..100, got {threshold_pct}")
+    spark = catalog.spark
+    docs = spark.read.parquet(documents_path)
+    stamped = docs.select(
+        "doc_id", "lang", "text",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ).alias("ts"),
+    )
+    catalog.create_table_as("cfrac_raw_docs", stamped)
+
+    from ..operators.decontamination import _norm_shingles
+
+    bench = (
+        _norm_shingles(
+            docs.filter(F.col("doc_id") % bench_mod == 0).select(
+                F.lit(0).alias("__bid"), F.col("text").alias("__btext")
+            ),
+            "__bid",
+            "__btext",
+            n,
+        )
+        .select(F.xxhash64("shingle").alias("h"))
+        .distinct()
+        .withColumn("__m", F.lit(1))
+    )
+
+    stream = catalog.read_stream("cfrac_raw_docs", watermark=("ts", watermark))
+    shingled = _norm_shingles(
+        stream, "doc_id", "text", n, keep_cols=["lang", "ts"]
+    ).select("doc_id", "lang", "ts", F.xxhash64("shingle").alias("h"))
+    per = (
+        shingled.join(F.broadcast(bench), "h", "left")
+        # ts in the grouping key → watermark evicts settled doc state
+        .groupBy("doc_id", "lang", "ts")
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.count("__m").cast("long").alias("n_hits"),
+        )
+    )
+    graded = per.select(
+        "doc_id", "lang", "n_ngrams",
+        F.col("n_hits").alias("n_contaminated_ngrams"),
+        F.expr("(n_hits * 1000000) div n_ngrams").cast("long")
+        .alias("frac_e6"),
+        (F.col("n_hits") * 100 >= F.lit(int(threshold_pct)) * F.col("n_ngrams"))
+        .alias("contaminated"),
+        "ts",
+    )
+    catalog.create_table_changelog(
+        "contamination_graded", graded, available_now=True
+    )
+    catalog.await_all()
+    return catalog
+
+
 def token_mix_stream_pipeline(
     catalog: StreamCatalog,
     documents_path: str,

@@ -286,3 +286,10 @@ def test_round9_query_plan_budgets_pinned(spark):
     # r9c final-commit query, landed properly in r10 (VERDICT r9 #2):
     # C4 boilerplate strip is a pure-JVM regexp chain fused into the scan
     assert count_exchanges(_q(spark, "html_text_extract")) == 0
+
+
+def test_round10_query_plan_budgets_pinned(spark):
+    """Round-10 additions keep their shapes: the IMA ADPCM fingerprint
+    is a map-only Python decode tier fused into the scan (0 exchanges
+    — scan speed at 100 TB, same contract as the WAV/MP4-PCM tiers)."""
+    assert count_exchanges(_q(spark, "adpcm_energy_sig")) == 0

@@ -1453,3 +1453,47 @@ def test_denoising_builder_stream_matches_batch_bit_exact(spark, catalog):
             for r in QUERIES["span_corruption_pairs"](
                 spark, SF_DIR).collect()}
     assert got == want and len(got) > 100
+
+
+def test_contamination_fraction_stream_matches_batch_bit_exact(spark, catalog):
+    """The compacted changelog of the graded contamination stream must
+    equal the batch operator bit-for-bit on every doc with >= 1 shingle
+    (exact-integer arithmetic end to end), and the docs absent from the
+    stream must be exactly the batch's n_ngrams = 0 short docs."""
+    from quickstart_streaming_agents_spark.operators.decontamination import (
+        contamination_fraction,
+    )
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        contamination_fraction_stream_pipeline,
+    )
+
+    contamination_fraction_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet"
+    )
+    live = catalog.read_batch_latest("contamination_graded", ["doc_id"])
+    got = {
+        r.doc_id: (r.lang, r.n_ngrams, r.n_contaminated_ngrams,
+                   r.frac_e6, r.contaminated)
+        for r in live.collect()
+    }
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    batch = contamination_fraction(
+        docs, docs.filter(F.col("doc_id") % 17 == 0).select("text"),
+        n=8, threshold_pct=70,
+    )
+    want_all = {
+        r.doc_id: (r.lang, r.n_ngrams, r.n_contaminated_ngrams,
+                   r.frac_e6, r.contaminated)
+        for r in batch.collect()
+    }
+    want = {k: v for k, v in want_all.items() if v[1] > 0}
+    assert got == want
+    # absent docs are exactly the short ones (no shingles, never flagged)
+    absent = set(want_all) - set(got)
+    assert all(want_all[d][1] == 0 and not want_all[d][4] for d in absent)
+    # the graded rule actually fires both ways at this SF
+    assert any(v[4] for v in got.values())
+    assert any(not v[4] for v in got.values())
