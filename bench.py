@@ -181,6 +181,12 @@ HEADLINE = [
     "html_text_extract",
     # round 10
     "adpcm_energy_sig",
+    "tar_member_index",
+    "webdataset_samples",
+    "kmins_token_sketch",
+    "kmins_distinct_estimate",
+    "corpus_overlap_minhash",
+    "pii_iban_audit",
 ]
 
 

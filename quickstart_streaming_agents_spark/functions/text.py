@@ -476,6 +476,57 @@ def credit_card_audit(text_col: str | Column) -> dict[str, Column]:
     }
 
 
+# IBAN detection — the international sibling of the Luhn tier: an
+# ISO 13616 IBAN is only real when its mod-97 checksum equals 1
+# (ISO/IEC 7064 MOD 97-10), computed over the rearranged string (first
+# 4 chars moved to the end, letters mapped A=10..Z=35). The fold keeps
+# the running value < 97 at every step (streaming modular reduction),
+# so the arithmetic is exact 32-bit integers in any engine — no bigint
+# parse of a 36-digit number. RE2-safe candidate pattern (2 letters +
+# 2 digits + 11..30 alphanumerics, optional single spaces between the
+# conventional 4-char groups), map-only.
+IBAN_CANDIDATE_PATTERN = (
+    r"\b[A-Z]{2}[0-9]{2}(?: ?[A-Z0-9]{4}){2,7}(?: ?[A-Z0-9]{1,3})?\b"
+)
+
+
+def iban_valid(iban_col: Column) -> Column:
+    """True iff the (space-free, uppercase) string passes the ISO 13616
+    mod-97 check. DSL combinators only, the luhn_valid convention."""
+    s = iban_col
+    rearranged = F.concat(F.substring(s, 5, 34), F.substring(s, 1, 4))
+    chars = F.filter(F.split(rearranged, ""), lambda ch: ch != "")
+    acc = F.aggregate(
+        chars,
+        F.lit(0),
+        lambda a, ch: F.when(
+            (F.ascii(ch) >= 48) & (F.ascii(ch) <= 57),
+            (a * 10 + (F.ascii(ch) - 48)) % 97,
+        ).otherwise((a * 100 + (F.ascii(ch) - 55)) % 97),
+    )
+    return acc == 1
+
+
+def iban_audit(text_col: str | Column) -> dict[str, Column]:
+    """``{iban_candidates, iban_valid, iban_country}`` columns: IBAN-
+    shaped candidates in the text, how many pass mod-97, and the
+    ISO 3166 country code of the first VALID one (NULL when none)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    cands = F.regexp_extract_all(c, F.lit(IBAN_CANDIDATE_PATTERN), F.lit(0))
+    norm = F.filter(
+        F.transform(cands, lambda s: F.regexp_replace(s, " ", "")),
+        lambda s: (F.length(s) >= 15) & (F.length(s) <= 34),
+    )
+    valid = F.filter(norm, iban_valid)
+    return {
+        "iban_candidates": F.size(norm).cast("long"),
+        "iban_valid": F.size(valid).cast("long"),
+        "iban_country": F.when(
+            F.size(valid) > 0, F.substring(F.element_at(valid, 1), 1, 2)
+        ),
+    }
+
+
 # HTML text extraction — the first transform C4/CCNet run on a crawled
 # page: drop <script>/<style> subtrees wholesale (their text is code,
 # not prose), strip the remaining tags, decode the five predefined XML

@@ -3296,6 +3296,78 @@ def pii_credit_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ISO 13616 IBAN audit (round 10) — functions/text.iban_audit, the
+# international sibling of the Luhn tier: mod 97-10 (ISO/IEC 7064) over
+# the rearranged string separates real account numbers from IBAN-shaped
+# reference codes. The engine REALLY extracts candidates and folds the
+# checksum with streaming modular reduction (value < 97 at every step —
+# exact 32-bit integers in any engine); the synth plants four public
+# example IBANs (DE/GB/FR/NL, spaced or solid) on one residue class,
+# the same with a bumped check digit on another, and an IBAN-shaped
+# 16-char reference code that must FAIL mod-97 on a third. Oracle
+# replays the planted classes analytically (the Luhn-query pattern);
+# the fold itself is hand-verified against Python int()%97 in
+# tests/test_text_lang.py. Map-only, zero shuffle.
+# ---------------------------------------------------------------------------
+_IBAN_VALID = [
+    "DE89370400440532013000",        # public example IBANs (ISO 13616
+    "GB29NWBK60161331926819",        # registry examples)
+    "FR1420041010050500013M02606",
+    "NL91ABNA0417164300",
+]
+
+
+@query(
+    "pii_iban_audit",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS iban_candidates,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS iban_valid,
+           CASE WHEN doc_id % 3 = 0 THEN
+               CASE doc_id % 4 WHEN 0 THEN 'DE' WHEN 1 THEN 'GB'
+                               WHEN 2 THEN 'FR' ELSE 'NL' END
+           END AS iban_country
+    FROM documents
+    """,
+)
+def pii_iban_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real mod-97 IBAN validation over planted account-like strings —
+    see block comment; functions in functions/text.py."""
+    from quickstart_streaming_agents_spark.functions.text import iban_audit
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    valid = F.array(*[F.lit(s) for s in _IBAN_VALID])
+    # bump the check-digit pair (+1 mod 100, keeping two digits):
+    # fails mod-97 by construction
+    bumped = F.array(*[
+        F.lit(s[:2] + f"{(int(s[2:4]) + 1) % 100:02d}" + s[4:])
+        for s in _IBAN_VALID
+    ])
+    iban = F.element_at(valid, (d % 4 + 1).cast("int"))
+    bad = F.element_at(bumped, (d % 4 + 1).cast("int"))
+    spaced = F.regexp_replace(iban, "(.{4})", "$1 ")
+    messy = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit(" pay to "),
+                        F.when(d % 2 == 0, F.trim(spaced)).otherwise(iban),
+                        F.lit(" today")))
+         .when(d % 3 == 1, F.concat(F.lit(" acct "), bad))
+         # IBAN-shaped reference code: a candidate that must fail mod-97
+         .otherwise(F.lit(" ref ZZ00REF0001234567 end")),
+    )
+    audit = iban_audit(messy)
+    return docs.select(
+        "doc_id",
+        audit["iban_candidates"].alias("iban_candidates"),
+        audit["iban_valid"].alias("iban_valid"),
+        audit["iban_country"].alias("iban_country"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Train/val/test split assignment — the other face of deterministic
 # sampling: every doc gets a split label from its identity hash, so the
 # same doc lands in the same split on every run, any cluster, any
@@ -8201,6 +8273,276 @@ def adpcm_energy_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
     return audio_energy_sig(
         synth_df, "doc_id", "payload", window_samples=257, n_windows=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-mins / one-permutation MinHash sketch (round 10) — operators/
+# kmv.py, the bounded distinct-value sibling of the HLL register tier:
+# ONE aggregate, ≤ k rows per stratum at any corpus size, mergeable by
+# per-bucket min. Three queries share the construction: the register
+# table itself (with min_by distinct-value samples), the cardinality
+# estimate (k=8 so the Σ min_h BIGINT bound 8·2^60 < 2^63 holds and the
+# estimate is ONE IEEE division of exact integers — the hll/classifier
+# discipline), and pairwise corpus overlap (MinHash: matching-bucket
+# counts are exact integers; the Jaccard estimate one division). The
+# oracle replays the md5→60-bit construction bit-for-bit with the
+# bare-unnest CTE pattern (the r10 oracle-lint contract).
+# ---------------------------------------------------------------------------
+_KMINS_SIG_CTE = r"""
+WITH raw AS (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents
+),
+hashed AS (
+    SELECT source, w,
+           CAST(('0x' || substr(md5('kmv-v1:' || w), 1, 15))::UBIGINT
+                AS BIGINT) AS h
+    FROM raw
+),
+sig AS (
+    SELECT source, CAST(h % {K} AS INT) AS bucket,
+           min(h) AS min_h, arg_min(w, h) AS sample_value
+    FROM hashed GROUP BY source, h % {K}
+)
+"""
+
+_KMINS_SKETCH_ORACLE = _KMINS_SIG_CTE.replace("{K}", "64") + """
+SELECT source, bucket, min_h, sample_value FROM sig
+"""
+
+
+@query("kmins_token_sketch", oracle=_KMINS_SKETCH_ORACLE)
+def kmins_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source k-mins sketch over distinct lowercased tokens — see
+    block comment; operator in operators/kmv.py (one bounded agg)."""
+    from quickstart_streaming_agents_spark.operators.kmv import (
+        kmins_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    return kmins_signature(toks, "w", strata=["source"], k=64)
+
+
+_KMINS_EST_ORACLE = _KMINS_SIG_CTE.replace("{K}", "8") + """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS present_buckets,
+       CAST(sum(min_h) + (8 - count(*)) * (1::BIGINT << 60) AS BIGINT)
+           AS min_sum,
+       CAST(73786976294838206464 AS DOUBLE)
+           / CAST(sum(min_h) + (8 - count(*)) * (1::BIGINT << 60) AS DOUBLE)
+           - 8.0 AS estimate
+FROM sig GROUP BY source
+"""
+
+
+@query("kmins_distinct_estimate", oracle=_KMINS_EST_ORACLE)
+def kmins_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-mins cardinality estimate per source (k=8: exact-BIGINT sum
+    bound) — see block comment."""
+    from quickstart_streaming_agents_spark.operators.kmv import (
+        kmins_estimate,
+        kmins_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    sig = kmins_signature(toks, "w", strata=["source"], k=8)
+    est = kmins_estimate(sig, strata=["source"], k=8)
+    return est.select(
+        "source", "present_buckets",
+        F.col("min_sum").cast("long").alias("min_sum"), "estimate",
+    )
+
+
+_KMINS_OVERLAP_ORACLE = _KMINS_SIG_CTE.replace("{K}", "64") + """
+SELECT a.source AS stratum_a, b.source AS stratum_b,
+       CAST(count(*) AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN a.min_h = b.min_h THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match,
+       CAST(sum(CASE WHEN a.min_h = b.min_h THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS jaccard_est
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+@query("corpus_overlap_minhash", oracle=_KMINS_OVERLAP_ORACLE)
+def corpus_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap via one-permutation MinHash —
+    the dataset-overlap audit run before mixing training sources; the
+    join touches |strata|·k sketch rows, never corpus data."""
+    from quickstart_streaming_agents_spark.operators.kmv import (
+        kmins_overlap,
+        kmins_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    sig = kmins_signature(toks, "w", strata=["source"], k=64)
+    return kmins_overlap(sig, ["source"], k=64)
+
+
+# ---------------------------------------------------------------------------
+# TAR member index (round 10) — operators/tar.py, the POSIX ustar walk
+# fronting WebDataset shards (the de-facto PyTorch training-shard
+# container). The engine REALLY walks archives assembled by the stdlib
+# ``tarfile`` module — an INDEPENDENT writer, so the walker cannot hide
+# behind its own synthesizer — validating magic + header checksums; the
+# oracle replays names, sizes and 512-block prefix-sum offsets
+# analytically. Per doc: 1 + doc_id%4 WebDataset samples × 2 members
+# (s{k}.txt payload + s{k}.cls label, the img2dataset layout), text
+# sizes up to ~1 KB so multi-block rounding is exercised; every 23rd
+# payload garbage (skipped, the on_error path). Map-only 1→N.
+# ---------------------------------------------------------------------------
+_TAR_ORACLE = r"""
+WITH d AS (
+    SELECT doc_id, 1 + doc_id % 4 AS n FROM documents
+    WHERE doc_id % 23 <> 0
+),
+m AS (
+    SELECT d.doc_id, t.k, j.j,
+           's' || t.k || CASE WHEN j.j = 0 THEN '.txt' ELSE '.cls' END
+               AS name,
+           CASE WHEN j.j = 0
+                THEN 't:' || d.doc_id || ':' || t.k || ':' ||
+                     repeat('y', CAST(1 + ('0x' || substr(md5('tl:'
+                         || d.doc_id || ':' || t.k), 1, 15))::UBIGINT
+                         % 1000 AS INT))
+                ELSE CAST((d.doc_id + t.k) % 10 AS VARCHAR) END AS content
+    FROM d, unnest(range(0, CAST(d.n AS BIGINT))) AS t(k),
+         unnest(range(0, 2)) AS j(j)
+),
+o AS (
+    SELECT doc_id, k, j, name, content,
+           COALESCE(SUM(512 + ((length(content) + 511) // 512) * 512)
+               OVER (PARTITION BY doc_id ORDER BY k, j
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS off
+    FROM m
+)
+SELECT doc_id, CAST(k * 2 + j AS INT) AS member_idx, name,
+       CAST(length(content) AS BIGINT) AS size, '0' AS typeflag,
+       CAST(off AS BIGINT) AS offset,
+       CAST(off + 512 AS BIGINT) AS content_offset,
+       md5(content) AS content_md5
+FROM o
+"""
+
+
+def _synth_tars(docs: DataFrame) -> DataFrame:
+    """doc_id -> WebDataset-style ustar shard written by the stdlib
+    tarfile module (see block comment); every 23rd payload garbage."""
+    import hashlib
+    import io
+    import tarfile as _tarfile
+
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 23 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                    continue
+                buf = io.BytesIO()
+                with _tarfile.open(
+                    fileobj=buf, mode="w", format=_tarfile.USTAR_FORMAT
+                ) as tf:
+                    for k in range(1 + i % 4):
+                        pad = 1 + int(hashlib.md5(
+                            f"tl:{i}:{k}".encode()
+                        ).hexdigest()[:15], 16) % 1000
+                        for name, content in (
+                            (f"s{k}.txt",
+                             f"t:{i}:{k}:{'y' * pad}".encode()),
+                            (f"s{k}.cls", str((i + k) % 10).encode()),
+                        ):
+                            ti = _tarfile.TarInfo(name)
+                            ti.size = len(content)
+                            ti.mtime = 0
+                            tf.addfile(ti, io.BytesIO(content))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
+@query("tar_member_index", oracle=_TAR_ORACLE)
+def tar_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real ustar walk over stdlib-tarfile-written WebDataset shards —
+    see block comment; operator in operators/tar.py (map-only 1→N)."""
+    from quickstart_streaming_agents_spark.operators.tar import tar_members
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tar_members(_synth_tars(docs), "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# WebDataset sample grouping (round 10) — the consumption side of the
+# TAR walk: members sharing a basename-before-first-dot are ONE training
+# sample (img2dataset/WebDataset convention: s17.jpg + s17.txt +
+# s17.json). Group per (shard, sample key): part count, total bytes,
+# and the has-payload/has-label completeness flags a loader uses to
+# drop torn samples. One small agg over the map-only walk — the only
+# shuffle carries (shard, key, name, size), never member bytes.
+# ---------------------------------------------------------------------------
+_WDS_ORACLE = r"""
+WITH d AS (
+    SELECT doc_id, 1 + doc_id % 4 AS n FROM documents
+    WHERE doc_id % 23 <> 0
+),
+m AS (
+    SELECT d.doc_id, t.k, j.j,
+           CASE WHEN j.j = 0
+                THEN length('t:' || d.doc_id || ':' || t.k || ':')
+                     + CAST(1 + ('0x' || substr(md5('tl:' || d.doc_id
+                         || ':' || t.k), 1, 15))::UBIGINT % 1000 AS INT)
+                ELSE 1 END AS sz
+    FROM d, unnest(range(0, CAST(d.n AS BIGINT))) AS t(k),
+         unnest(range(0, 2)) AS j(j)
+)
+SELECT doc_id, 's' || k AS sample_key,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(sz) AS BIGINT) AS total_bytes,
+       bool_or(j = 0) AS has_txt, bool_or(j = 1) AS has_cls,
+       bool_or(j = 0) AND bool_or(j = 1) AS complete
+FROM m GROUP BY doc_id, k
+"""
+
+
+@query("webdataset_samples", oracle=_WDS_ORACLE)
+def webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset sample completeness over the TAR walk — see block
+    comment."""
+    from quickstart_streaming_agents_spark.operators.tar import tar_members
+
+    docs = load_table(spark, sf_dir, "documents")
+    mem = tar_members(_synth_tars(docs), "doc_id", "payload",
+                      with_content_md5=False)
+    key = F.regexp_extract("name", r"^([^.]*)", 1)
+    ext = F.regexp_extract("name", r"\.([^.]+)$", 1)
+    return mem.groupBy("doc_id", key.alias("sample_key")).agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("size").cast("long").alias("total_bytes"),
+        F.max(ext == "txt").alias("has_txt"),
+        F.max(ext == "cls").alias("has_cls"),
+        (F.max(ext == "txt") & F.max(ext == "cls")).alias("complete"),
     )
 
 

@@ -290,6 +290,16 @@ def test_round9_query_plan_budgets_pinned(spark):
 
 def test_round10_query_plan_budgets_pinned(spark):
     """Round-10 additions keep their shapes: the IMA ADPCM fingerprint
-    is a map-only Python decode tier fused into the scan (0 exchanges
-    — scan speed at 100 TB, same contract as the WAV/MP4-PCM tiers)."""
+    and the TAR walk are map-only Python tiers fused into the scan
+    (0 exchanges — scan speed at 100 TB); WebDataset grouping adds one
+    small agg over the walk; the k-mins sketch is ONE bounded aggregate
+    (≤ k rows/stratum), its estimate one more tiny agg, and the overlap
+    join runs on |strata|·k sketch rows only."""
     assert count_exchanges(_q(spark, "adpcm_energy_sig")) == 0
+    assert count_exchanges(_q(spark, "tar_member_index")) == 0
+    assert count_exchanges(_q(spark, "webdataset_samples")) == 1
+    assert count_exchanges(_q(spark, "kmins_token_sketch")) == 1
+    assert count_exchanges(_q(spark, "kmins_distinct_estimate")) <= 2
+    assert count_exchanges(_q(spark, "corpus_overlap_minhash")) <= 4
+    # IBAN mod-97 audit: exact-integer JVM fold, map-only like Luhn
+    assert count_exchanges(_q(spark, "pii_iban_audit")) == 0

@@ -209,3 +209,94 @@ def test_hll_estimate_rejects_mismatched_p(spark):
         hll_estimate(regs_bad, p=12).collect()
     # matched p still estimates fine
     assert hll_estimate(regs10, p=10).count() == 1
+
+
+def test_kmins_merge_equals_whole_and_bounded(spark):
+    """k-mins union property: sketching two shards and merging (min per
+    bucket) equals sketching the whole corpus; rows stay <= k per
+    stratum; the sample value is the argmin (a real corpus element)."""
+    from quickstart_streaming_agents_spark.operators.kmv import (
+        kmins_merge,
+        kmins_signature,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.col("event_id").cast("string").alias("v")
+    )
+    whole = {(r.bucket, r.min_h, r.sample_value)
+             for r in kmins_signature(ev, "v", k=32).collect()}
+    a = kmins_signature(ev.filter(F.crc32("v") % 2 == 0), "v", k=32)
+    b = kmins_signature(ev.filter(F.crc32("v") % 2 == 1), "v", k=32)
+    merged = {(r.bucket, r.min_h, r.sample_value)
+              for r in kmins_merge(a.unionByName(b)).collect()}
+    assert merged == whole
+    assert len(whole) <= 32
+    sample_vals = {r.sample_value
+                   for r in kmins_signature(ev, "v", k=32).collect()}
+    universe = {r.v for r in ev.select("v").distinct().collect()}
+    assert sample_vals <= universe
+
+
+def test_kmins_estimate_accuracy_and_duplicate_invisibility(spark):
+    """Estimate within the k-mins error envelope (sigma ~ 1/sqrt(k);
+    assert 4 sigma at k=64) and duplicates do not move any register."""
+    from quickstart_streaming_agents_spark.operators.kmv import (
+        kmins_estimate,
+        kmins_signature,
+    )
+
+    n = 20000
+    df = spark.range(n).select(F.col("id").cast("string").alias("v"))
+    sig = kmins_signature(df, "v", k=64)
+    est = kmins_estimate(sig, k=64).first()
+    assert abs(est.estimate - n) / n < 4 / 8  # 4 sigma at k=64
+
+    dup = df.unionByName(df).unionByName(df)
+    sig_dup = kmins_signature(dup, "v", k=64)
+    assert (
+        {(r.bucket, r.min_h) for r in sig.collect()}
+        == {(r.bucket, r.min_h) for r in sig_dup.collect()}
+    )
+
+
+def test_kmins_overlap_calibration(spark):
+    """MinHash overlap: identical strata estimate Jaccard 1.0, disjoint
+    strata ~0, and a constructed 50% overlap lands within 4 sigma."""
+    from quickstart_streaming_agents_spark.operators.kmv import (
+        kmins_overlap,
+        kmins_signature,
+    )
+
+    base = spark.range(6000)
+    df = (
+        base.select(F.lit("a").alias("s"), F.col("id").cast("string").alias("v"))
+        .unionByName(base.select(
+            F.lit("b").alias("s"), F.col("id").cast("string").alias("v")))
+        .unionByName(base.select(
+            F.lit("c").alias("s"),
+            (F.col("id") + 1_000_000).cast("string").alias("v")))
+        .unionByName(base.select(
+            F.lit("d").alias("s"),
+            # half shared with a/b, half private
+            F.when(F.col("id") % 2 == 0, F.col("id"))
+            .otherwise(F.col("id") + 2_000_000).cast("string").alias("v")))
+    )
+    sig = kmins_signature(df, "v", strata=["s"], k=64)
+    got = {(r.stratum_a, r.stratum_b): r
+           for r in kmins_overlap(sig, ["s"], k=64).collect()}
+    assert got[("a", "b")].jaccard_est == 1.0
+    assert got[("a", "c")].jaccard_est < 0.15
+    # true J(a, d) = 3000 / 9000 = 1/3; sigma ~ sqrt(J(1-J)/k) ~ 0.059
+    assert abs(got[("a", "d")].jaccard_est - 1 / 3) < 4 * 0.06
+
+
+def test_kmins_plan_is_one_bounded_aggregate(spark):
+    """The sketch is ONE shuffle (the groupBy with map-side partial
+    min) — the 100 TB contract."""
+    from quickstart_streaming_agents_spark.operators.kmv import (
+        kmins_signature,
+    )
+    from tests.test_plans import count_exchanges
+
+    df = spark.range(1000).select(F.col("id").cast("string").alias("v"))
+    assert count_exchanges(kmins_signature(df, "v", k=16)) == 1

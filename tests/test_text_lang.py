@@ -322,3 +322,59 @@ def test_html_text_extract_contracts(spark):
            df.select("i", html_text_extract("html").alias("t")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i])
+
+
+def test_iban_validation_matches_independent_implementation(spark):
+    """The streaming-modular-reduction fold must agree with Python's
+    arbitrary-precision int() % 97 on valid/bumped/random IBANs, and
+    the audit must separate candidates from valid accounts."""
+    import random
+    import string
+
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.functions.text import (
+        iban_audit,
+        iban_valid,
+    )
+
+    def iban_py(s: str) -> bool:
+        r = s[4:] + s[:4]
+        digits = "".join(
+            str(ord(ch) - 55) if ch.isalpha() else ch for ch in r
+        )
+        return int(digits) % 97 == 1
+
+    rng = random.Random(4)
+    cases = ["DE89370400440532013000", "GB29NWBK60161331926819",
+             "FR1420041010050500013M02606", "NL91ABNA0417164300",
+             "DE90370400440532013000"]  # bumped: invalid
+    cases += [
+        "XY" + "".join(rng.choice(string.digits) for _ in range(2))
+        + "".join(rng.choice(string.ascii_uppercase + string.digits)
+                  for _ in range(rng.randint(11, 30)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)],
+                               ["i", "s"])
+    got = {r.i: bool(r.ok) for r in
+           df.select("i", iban_valid(F.col("s")).alias("ok")).collect()}
+    for i, s in enumerate(cases):
+        assert got[i] == iban_py(s), s
+
+    rows = [
+        Row(doc_id=1, text="pay DE89 3704 0044 0532 0130 00 now"),
+        Row(doc_id=2, text="acct DE90370400440532013000"),   # bumped
+        Row(doc_id=3, text="order 12345678 plain text"),     # no candidate
+        Row(doc_id=4, text="NL91ABNA0417164300 or GB29NWBK60161331926819"),
+    ]
+    a = iban_audit("text")
+    df2 = spark.createDataFrame(rows).select(
+        "doc_id", a["iban_candidates"].alias("n"),
+        a["iban_valid"].alias("v"), a["iban_country"].alias("cc"),
+    )
+    got2 = {r.doc_id: (r.n, r.v, r.cc) for r in df2.collect()}
+    assert got2[1] == (1, 1, "DE")
+    assert got2[2] == (1, 0, None)
+    assert got2[3] == (0, 0, None)
+    assert got2[4] == (2, 2, "NL")

@@ -381,6 +381,142 @@ def main() -> None:
     stage(f"packed shards ({n_ex} exch)", packed, t0)
     spark.catalog.clearCache()
 
+    # Round-10 (VERDICT r9 #8): the r9 operator families at corpus scale.
+    # (a) HLL registers + estimate — the whole point is bounded state:
+    # the aggregate output must stay ≤ strata × 2^p rows at ANY corpus
+    # size, asserted.
+    from quickstart_streaming_agents_spark.operators.hll import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    t0 = time.perf_counter()
+    vals = docs.select(
+        (F.col("doc_id") % 5).cast("string").alias("stratum"),
+        F.col("doc_id").cast("string").alias("v"),
+    )
+    regs = hll_registers(vals, "v", strata=["stratum"], p=10)
+    n_regs = regs.count()
+    assert n_regs <= 5 * (1 << 10), f"HLL registers unbounded: {n_regs}"
+    est = hll_estimate(regs, strata=["stratum"], p=10)
+    stage(f"hll registers+estimate ({n_regs} regs)", est, t0)
+
+    # (b) IVF-PQ ANN — broadcast codebooks + cell-pruned candidates;
+    # JVM-synthesized 16-dim embeddings, 200 queries against the corpus.
+    from quickstart_streaming_agents_spark.operators.similarity import (
+        ann_ivf_pq,
+    )
+
+    t0 = time.perf_counter()
+    emb = F.array(*[
+        ((F.xxhash64(F.col("doc_id"), F.lit(j)) % 1000) / 500.0 - 1.0)
+        for j in range(16)
+    ])
+    corpus = docs.select(F.col("doc_id").alias("cid"), emb.alias("embedding"))
+    queries_df = corpus.filter(F.col("cid") % (rows // 200 or 1) == 0) \
+        .select(F.col("cid").alias("qid"), "embedding")
+    topk = ann_ivf_pq(queries_df, corpus, "qid", "cid",
+                      n_cells=32, n_probe=4, m=4)
+    stage("ivf-pq ann (200 queries)", topk, t0)
+
+    # (c) Python media tiers: WARC demux, EXIF parse, IMA ADPCM decode.
+    # Per-row Python synth + walk, measured on a 1/16 slice so the smoke
+    # stays minutes, rate printed per-row (the tiers are embarrassingly
+    # parallel map stages — full-corpus cost is slice cost × 16).
+    from quickstart_streaming_agents_spark.operators.exif import (
+        exif_meta,
+        insert_app1,
+        make_exif_app1,
+    )
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        make_wav_ima_adpcm,
+    )
+    from quickstart_streaming_agents_spark.operators.warc import warc_records
+
+    media = docs.filter(F.col("doc_id") % 16 == 0).select("doc_id", "text")
+    m_rows = rows // 16
+
+    t0 = time.perf_counter()
+
+    def warc_synth(batches):
+        import pandas as pd
+
+        from quickstart_streaming_agents_spark.operators.warc import (
+            make_warc,
+        )
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    make_warc([
+                        ("response", f"https://s{i % 97}.example/p",
+                         f"<urn:uuid:{i}-0>", t[:64].encode()),
+                        ("request", f"https://s{i % 97}.example/p",
+                         f"<urn:uuid:{i}-1>", b"GET /"),
+                    ])
+                    for i, t in zip(pdf["doc_id"], pdf["text"])
+                ],
+            })
+
+    wz = media.mapInPandas(warc_synth, schema="doc_id long, payload binary")
+    stage(f"warc demux (1/16 slice, {m_rows:,})", warc_records(wz), t0)
+
+    t0 = time.perf_counter()
+
+    def exif_synth(batches):
+        import pandas as pd
+
+        # one tiny shared base JPEG; per-row APP1 inserts vary the fields
+        base = bytes.fromhex("ffd8ffdb0043") + b"\x01" * 65 \
+            + bytes.fromhex("ffd9")
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    insert_app1(base, make_exif_app1(
+                        orientation=1 + i % 8,
+                        make=f"Cam{i % 11}", model=f"M{i % 7}",
+                        little_endian=bool(i % 2),
+                    ))
+                    for i in pdf["doc_id"]
+                ],
+            })
+
+    ez = media.mapInPandas(exif_synth, schema="doc_id long, payload binary")
+    stage(f"exif parse (1/16 slice, {m_rows:,})", exif_meta(ez), t0)
+
+    t0 = time.perf_counter()
+
+    def adpcm_synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                amps = np.asarray(
+                    [(i * 37 + w * 101) % 32768 - 16384 for w in range(8)],
+                    dtype=np.int16,
+                )
+                payloads.append(make_wav_ima_adpcm(
+                    np.repeat(amps, 9), block_samples=9
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    az = media.mapInPandas(adpcm_synth, schema="doc_id long, payload binary")
+    from quickstart_streaming_agents_spark.operators.afp import (
+        audio_energy_sig,
+    )
+
+    stage(
+        f"adpcm decode+sig (1/16 slice, {m_rows:,})",
+        audio_energy_sig(az, "doc_id", "payload",
+                         window_samples=9, n_windows=8),
+        t0,
+    )
+
 
 if __name__ == "__main__":
     main()
