@@ -187,6 +187,8 @@ HEADLINE = [
     "kmins_distinct_estimate",
     "corpus_overlap_minhash",
     "pii_iban_audit",
+    "zip_member_index",
+    "mp3_id3_meta",
 ]
 
 

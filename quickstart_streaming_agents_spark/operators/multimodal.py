@@ -1824,6 +1824,152 @@ def make_mp3(
     return bytes(out)
 
 
+def make_id3v2(frames: dict[str, str], version: int = 4) -> bytes:
+    """Assemble a real ID3v2.3/2.4 tag with text frames (the id3.org
+    informal standard): 10-byte header with syncsafe size, per-frame
+    4-char id + size (syncsafe in v2.4, plain uint32 in v2.3) + flags +
+    encoding byte + text. v2.4 text is UTF-8 (encoding 3), v2.3 is
+    Latin-1 (encoding 0) — both real wire encodings. Prepend to a bare
+    ``make_mp3(..., id3_pad=0)`` stream for a tagged MP3."""
+    if version not in (3, 4):
+        raise ValueError(f"only ID3v2.3/2.4 supported, got v2.{version}")
+    body = bytearray()
+    for fid, text in frames.items():
+        if len(fid) != 4 or not fid.isascii():
+            raise ValueError(f"bad ID3 frame id {fid!r}")
+        payload = (
+            b"\x03" + text.encode("utf-8")
+            if version == 4
+            else b"\x00" + text.encode("latin-1")
+        )
+        n = len(payload)
+        size = (
+            bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                   (n >> 7) & 0x7F, n & 0x7F])
+            if version == 4
+            else struct.pack(">I", n)
+        )
+        body += fid.encode("ascii") + size + b"\x00\x00" + payload
+    ss = len(body)
+    if ss >= 1 << 28:
+        raise ValueError("ID3 tag too large for a syncsafe size")
+    return (
+        b"ID3" + bytes([version, 0, 0])
+        + bytes([(ss >> 21) & 0x7F, (ss >> 14) & 0x7F,
+                 (ss >> 7) & 0x7F, ss & 0x7F])
+        + bytes(body)
+    )
+
+
+def id3_tags(p: bytes) -> dict | None:
+    """Parse a leading ID3v2.3/2.4 tag's TEXT frames (ids starting with
+    'T': title TIT2, artist TPE1, album TALB, ...). Returns
+    ``{version, tag_size, frames: {id: text}}``, or None when the
+    payload has no ID3v2 tag (the header-tier transparency contract —
+    a bare MP3 is not an error). Unsupported encodings and non-text
+    frames are skipped, not fatal; a torn frame ends the walk. The
+    frame walk stops at padding (a NUL where a frame id should be)."""
+    if p[:3] != b"ID3":
+        return None
+    if len(p) < 10:
+        raise ValueError("truncated ID3 header")
+    version = p[3]
+    if version not in (2, 3, 4):
+        raise ValueError(f"unsupported ID3v2.{version}")
+    ss = p[6:10]
+    if any(b & 0x80 for b in ss):
+        raise ValueError("corrupt ID3 syncsafe size")
+    tag_size = (ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3]
+    end = min(10 + tag_size, len(p))
+    frames: dict[str, str] = {}
+    pos = 10
+    if version == 2:  # v2.2: 3-byte ids/sizes — tag recognized, size
+        return {"version": 2, "tag_size": tag_size, "frames": frames}
+    while pos + 10 <= end:
+        fid = p[pos : pos + 4]
+        if fid[0] == 0:
+            break  # padding
+        if not all(65 <= b <= 90 or 48 <= b <= 57 for b in fid):
+            break  # junk where a frame id should be: end of walk
+        raw = p[pos + 4 : pos + 8]
+        if version == 4:
+            if any(b & 0x80 for b in raw):
+                break
+            n = (raw[0] << 21) | (raw[1] << 14) | (raw[2] << 7) | raw[3]
+        else:
+            n = struct.unpack(">I", raw)[0]
+        if pos + 10 + n > end:
+            break  # torn frame
+        payload = p[pos + 10 : pos + 10 + n]
+        if fid[0:1] == b"T" and n >= 1:
+            enc = payload[0]
+            text = None
+            try:
+                if enc == 0:
+                    text = payload[1:].decode("latin-1")
+                elif enc == 1:
+                    text = payload[1:].decode("utf-16")
+                elif enc == 2:
+                    text = payload[1:].decode("utf-16-be")
+                elif enc == 3:
+                    text = payload[1:].decode("utf-8")
+            except UnicodeDecodeError:
+                text = None
+            if text is not None:
+                frames[fid.decode("ascii")] = text.rstrip("\x00")
+        pos += 10 + n
+    return {"version": version, "tag_size": tag_size, "frames": frames}
+
+
+def id3_meta(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    on_error: str = "null",
+) -> "DataFrame":
+    """Per-asset ID3 columns ``(id_col, id3_version, tag_size, title,
+    artist, album, has_id3)``. Tag-less MP3s keep a row with NULL tag
+    values and ``has_id3 = false``; undecodable payloads quarantine per
+    ``on_error`` (the exif_meta contract). Map-only header tier."""
+    import pandas as pd
+
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    meta = id3_tags(bytes(payload or b""))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    rows.append([i, None, None, None, None, None, None])
+                    continue
+                if meta is None:
+                    rows.append([i, None, None, None, None, None, False])
+                else:
+                    f = meta["frames"]
+                    rows.append([
+                        i, meta["version"], meta["tag_size"],
+                        f.get("TIT2"), f.get("TPE1"), f.get("TALB"), True,
+                    ])
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "id3_version", "tag_size", "title",
+                         "artist", "album", "has_id3"],
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, payload_col).mapInPandas(
+        parse,
+        schema=(f"{id_col} {id_type}, id3_version int, tag_size bigint, "
+                "title string, artist string, album string, "
+                "has_id3 boolean"),
+    )
+
+
 def mp3_frame_table(p: bytes) -> list[dict]:
     """Real MPEG-1 Layer III frame walk: skips an ID3v2 tag (syncsafe
     length), then reads EVERY frame header — so variable-bitrate

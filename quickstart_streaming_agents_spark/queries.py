@@ -8395,6 +8395,173 @@ def corpus_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ID3v2 tag metadata (round 10) — operators/multimodal.id3_tags /
+# id3_meta, completing the MP3 header tier: real ID3v2.3 (plain uint32
+# frame sizes, Latin-1 text) AND v2.4 (syncsafe sizes, UTF-8) tag walks
+# — the title/artist/album columns an audio-curation pipeline keys on
+# before any sample decode. Synth: closed-form ASCII strings so the
+# oracle replays texts AND the exact tag_size (Σ 11 + len(text) per
+# frame) analytically; v2.4 on even doc_ids, v2.3 on odd; every 5th
+# asset tag-less (has_id3 = false — the transparency contract); every
+# 23rd garbage (NULL row). Map-only header tier, zero shuffle.
+# ---------------------------------------------------------------------------
+_ID3_ORACLE = r"""
+WITH d AS (SELECT doc_id FROM documents),
+f AS (
+    SELECT doc_id,
+           'Title ' || (doc_id % 100) AS title,
+           'Artist ' || (doc_id % 37) AS artist,
+           'Album ' || (doc_id % 11) AS album
+    FROM d WHERE doc_id % 23 <> 0 AND doc_id % 5 <> 0
+)
+SELECT doc_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT)
+           AS id3_version,
+       CAST(33 + length(title) + length(artist) + length(album) AS BIGINT)
+           AS tag_size,
+       title, artist, album, TRUE AS has_id3
+FROM f
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, FALSE
+FROM d WHERE doc_id % 23 <> 0 AND doc_id % 5 = 0
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
+FROM d WHERE doc_id % 23 = 0
+"""
+
+
+@query("mp3_id3_meta", oracle=_ID3_ORACLE)
+def mp3_id3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real ID3v2.3/2.4 tag walk over tagged MP3 streams — see block
+    comment; operator in operators/multimodal.py (map-only)."""
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        id3_meta,
+        make_id3v2,
+        make_mp3,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 23 == 0:
+                    # torn ID3 header (< 10 bytes): the on_error class —
+                    # arbitrary non-ID3 bytes are NOT an error for a
+                    # header-transparency probe (they're has_id3=false)
+                    payloads.append(b"ID3\x04bad")
+                    continue
+                mp3 = make_mp3(2, mono=bool(i % 2))
+                if i % 5 == 0:
+                    payloads.append(mp3)  # tag-less asset
+                    continue
+                tag = make_id3v2(
+                    {
+                        "TIT2": f"Title {i % 100}",
+                        "TPE1": f"Artist {i % 37}",
+                        "TALB": f"Album {i % 11}",
+                    },
+                    version=4 if i % 2 == 0 else 3,
+                )
+                payloads.append(tag + mp3)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return id3_meta(synth_df, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# ZIP member index (round 10) — operators/zipindex.py, the central-
+# directory walk: EOCD scanned from the tail, central entries resolved
+# to TRUE data offsets via each LOCAL header (whose name/extra lengths
+# may legally differ — the spec trap), STORED payloads CRC-verified.
+# Archives are written by the stdlib ``zipfile`` module (independent
+# writer); the oracle replays names, sizes and the 30+len(name) local-
+# header prefix-sum offsets analytically. Per doc: 1 + doc_id%4 STORED
+# members with closed-form contents; every 23rd payload garbage
+# (skipped, the on_error path). Map-only 1→N.
+# ---------------------------------------------------------------------------
+_ZIP_ORACLE = r"""
+WITH d AS (
+    SELECT doc_id, 1 + doc_id % 4 AS n FROM documents
+    WHERE doc_id % 23 <> 0
+),
+m AS (
+    SELECT d.doc_id, t.k, 'e' || t.k || '.txt' AS name,
+           'z:' || d.doc_id || ':' || t.k || ':' ||
+               repeat('q', CAST(1 + ('0x' || substr(md5('zl:' || d.doc_id
+                   || ':' || t.k), 1, 15))::UBIGINT % 600 AS INT)) AS content
+    FROM d, unnest(range(0, CAST(d.n AS BIGINT))) AS t(k)
+),
+o AS (
+    SELECT doc_id, k, name, content,
+           COALESCE(SUM(30 + length(name) + length(content)) OVER (
+               PARTITION BY doc_id ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM m
+)
+SELECT doc_id, CAST(k AS INT) AS member_idx, name, 0 AS method,
+       CAST(length(content) AS BIGINT) AS comp_size,
+       CAST(length(content) AS BIGINT) AS uncomp_size,
+       CAST(off AS BIGINT) AS header_offset,
+       CAST(off + 30 + length(name) AS BIGINT) AS data_offset,
+       TRUE AS crc_ok, md5(content) AS content_md5
+FROM o
+"""
+
+
+@query("zip_member_index", oracle=_ZIP_ORACLE)
+def zip_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real ZIP central-directory walk over stdlib-zipfile-written
+    archives — see block comment; operator in operators/zipindex.py."""
+    import hashlib
+    import io
+    import zipfile as _zipfile
+
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.zipindex import (
+        zip_members,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 23 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                    continue
+                buf = io.BytesIO()
+                with _zipfile.ZipFile(buf, "w", _zipfile.ZIP_STORED) as z:
+                    for k in range(1 + i % 4):
+                        pad = 1 + int(hashlib.md5(
+                            f"zl:{i}:{k}".encode()
+                        ).hexdigest()[:15], 16) % 600
+                        z.writestr(
+                            _zipfile.ZipInfo(f"e{k}.txt"),
+                            f"z:{i}:{k}:{'q' * pad}".encode(),
+                        )
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    mem = zip_members(synth_df, "doc_id", "payload")
+    # crc32 is real (verified into crc_ok) but not SQL-replayable —
+    # keep it out of the hash-checked projection
+    return mem.select(
+        "doc_id", "member_idx", "name", "method", "comp_size",
+        "uncomp_size", "header_offset", "data_offset", "crc_ok",
+        "content_md5",
+    )
+
+
+# ---------------------------------------------------------------------------
 # TAR member index (round 10) — operators/tar.py, the POSIX ustar walk
 # fronting WebDataset shards (the de-facto PyTorch training-shard
 # container). The engine REALLY walks archives assembled by the stdlib

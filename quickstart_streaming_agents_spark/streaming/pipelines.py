@@ -1115,6 +1115,41 @@ def hll_sketch_stream_pipeline(
     return catalog
 
 
+def kmins_sketch_stream_pipeline(
+    catalog: StreamCatalog,
+    events_path: str,
+    k: int = 64,
+) -> StreamCatalog:
+    """Continuous k-mins sketching (round 10) — the streaming half of
+    queries.kmins_token_sketch: per-stratum bottom-hash registers
+    (operators/kmv.py) maintained as a CHANGELOG topic. Same update-mode
+    rationale as the HLL twin: state is BOUNDED at k rows per stratum
+    no matter how many events arrive, each micro-batch emits only the
+    buckets whose min(h) changed, and the compacted view equals the
+    batch sketch EXACTLY — integer min-folds have no order sensitivity,
+    so streaming ≡ batch is bit-exact, including the min_by sample
+    values (ties are md5-collision-rare and value-identical)."""
+    from ..operators.kmv import kmins_signature
+
+    spark = catalog.spark
+    ev = spark.read.parquet(events_path).select(
+        "event_type",
+        F.col("event_id").cast("string").alias("v"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("event_id") * 1_000
+        ).alias("ts"),
+    )
+    catalog.create_table_as("kmins_raw_events", ev)
+
+    stream = catalog.read_stream("kmins_raw_events")
+    sig = kmins_signature(stream, "v", strata=["event_type"], k=k)
+    catalog.create_table_changelog(
+        "kmins_sketch_live", sig, available_now=True
+    )
+    catalog.await_all()
+    return catalog
+
+
 def url_dedup_stream_pipeline(
     catalog: StreamCatalog,
     documents_path: str,

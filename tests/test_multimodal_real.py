@@ -1076,3 +1076,88 @@ def test_normalize_text_forms_nulls_and_idempotence(spark):
 
     with pytest.raises(ValueError):
         normalize_text(df, form="NFX")
+
+
+def test_id3v2_roundtrip_and_wire_contracts():
+    """Both real wire forms (v2.4 syncsafe+UTF-8, v2.3 uint32+Latin-1)
+    roundtrip; UTF-16 frames decode; padding and torn frames end the
+    walk; non-ID3 bytes are has-no-tag (None), not an error."""
+    import struct
+
+    import pytest
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        id3_tags,
+        make_id3v2,
+        make_mp3,
+        mp3_frame_table,
+    )
+
+    for v in (3, 4):
+        tag = make_id3v2(
+            {"TIT2": "Song", "TPE1": "Artist", "TALB": "LP"}, version=v
+        )
+        m = id3_tags(tag + make_mp3(2))
+        assert m["version"] == v
+        assert m["frames"] == {"TIT2": "Song", "TPE1": "Artist",
+                               "TALB": "LP"}
+    # utf-8 survives in v2.4
+    m = id3_tags(make_id3v2({"TIT2": "Zoé — 日本"}, version=4))
+    assert m["frames"]["TIT2"] == "Zoé — 日本"
+    # hand-built UTF-16 frame (encoding 1, BOM) decodes
+    text = "wide χ".encode("utf-16")
+    frame = b"TIT2" + bytes([0, 0, 0, len(text) + 1]) + b"\x00\x00" \
+        + b"\x01" + text
+    hdr = b"ID3\x04\x00\x00" + bytes([0, 0, 0, len(frame)])
+    assert id3_tags(hdr + frame)["frames"]["TIT2"] == "wide χ"
+    # the frame walk after the tag still demuxes MP3 frames
+    tag = make_id3v2({"TIT2": "x"}, version=4)
+    assert len(mp3_frame_table(tag + make_mp3(5))) == 5
+    # padding stops the walk; earlier frames survive
+    t = make_id3v2({"TIT2": "kept"}, version=4)
+    padded = bytearray(t)
+    body_len = len(t) - 10 + 8
+    padded[6:10] = bytes([0, 0, body_len >> 7, body_len & 0x7F])
+    padded += bytes(8)
+    assert id3_tags(bytes(padded))["frames"] == {"TIT2": "kept"}
+    # torn frame (size past the tag) keeps earlier frames
+    two = make_id3v2({"TIT2": "first", "TPE1": "second"}, version=3)
+    # truncate the tag mid-second-frame but keep the header size claim
+    torn = two[: len(two) - 3]
+    assert id3_tags(torn)["frames"] == {"TIT2": "first"}
+    # transparency: non-ID3 bytes are None, torn ID3 header raises
+    assert id3_tags(b"not an mp3 at all") is None
+    assert id3_tags(make_mp3(1)) is None
+    with pytest.raises(ValueError, match="truncated ID3"):
+        id3_tags(b"ID3\x04bad")
+    with pytest.raises(ValueError, match="syncsafe"):
+        id3_tags(b"ID3\x04\x00\x00\xff\xff\xff\xff")
+    with pytest.raises(ValueError, match="frame id"):
+        make_id3v2({"TOOLONGID": "x"})
+
+
+def test_id3_meta_spark_surface(spark):
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        id3_meta,
+        make_id3v2,
+        make_mp3,
+    )
+
+    rows = [
+        Row(doc_id=1, payload=make_id3v2({"TIT2": "T", "TPE1": "A"},
+                                         version=4) + make_mp3(1)),
+        Row(doc_id=2, payload=make_mp3(1)),      # tag-less
+        Row(doc_id=3, payload=b"ID3\x04bad"),    # torn header: error row
+    ]
+    got = {r.doc_id: r for r in
+           id3_meta(spark.createDataFrame(rows)).collect()}
+    assert (got[1].title, got[1].artist, got[1].has_id3) == ("T", "A", True)
+    assert got[1].id3_version == 4
+    assert got[2].has_id3 is False and got[2].title is None
+    assert got[3].has_id3 is None
+    import pytest
+
+    with pytest.raises(Exception):
+        id3_meta(spark.createDataFrame(rows), on_error="raise").collect()

@@ -303,3 +303,6 @@ def test_round10_query_plan_budgets_pinned(spark):
     assert count_exchanges(_q(spark, "corpus_overlap_minhash")) <= 4
     # IBAN mod-97 audit: exact-integer JVM fold, map-only like Luhn
     assert count_exchanges(_q(spark, "pii_iban_audit")) == 0
+    # ZIP central-directory walk + ID3 tag parse: map-only header tiers
+    assert count_exchanges(_q(spark, "zip_member_index")) == 0
+    assert count_exchanges(_q(spark, "mp3_id3_meta")) == 0

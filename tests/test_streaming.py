@@ -1497,3 +1497,36 @@ def test_contamination_fraction_stream_matches_batch_bit_exact(spark, catalog):
     # the graded rule actually fires both ways at this SF
     assert any(v[4] for v in got.values())
     assert any(not v[4] for v in got.values())
+
+
+def test_kmins_sketch_stream_matches_batch_bit_exact(spark, catalog):
+    """The compacted changelog view of the streaming k-mins sketch must
+    equal the batch sketch EXACTLY (integer min-folds are order-free),
+    samples included, with state bounded at k rows per stratum."""
+    from quickstart_streaming_agents_spark.operators.kmv import (
+        kmins_signature,
+    )
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        kmins_sketch_stream_pipeline,
+    )
+
+    kmins_sketch_stream_pipeline(
+        catalog, events_path=f"{SF_DIR}/events.parquet", k=32
+    )
+    live = catalog.read_batch_latest(
+        "kmins_sketch_live", ["event_type", "bucket"]
+    )
+    got = {(r.event_type, r.bucket): (r.min_h, r.sample_value)
+           for r in live.collect()}
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", F.col("event_id").cast("string").alias("v")
+    )
+    batch = kmins_signature(ev, "v", strata=["event_type"], k=32)
+    want = {(r.event_type, r.bucket): (r.min_h, r.sample_value)
+            for r in batch.collect()}
+    assert got == want
+    per_stratum = {}
+    for (et, _b) in got:
+        per_stratum[et] = per_stratum.get(et, 0) + 1
+    assert all(n <= 32 for n in per_stratum.values())
