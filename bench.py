@@ -189,6 +189,8 @@ HEADLINE = [
     "pii_iban_audit",
     "zip_member_index",
     "mp3_id3_meta",
+    "mojibake_repair",
+    "token_diversity",
 ]
 
 

@@ -527,6 +527,68 @@ def iban_audit(text_col: str | Column) -> dict[str, Column]:
     }
 
 
+# Mojibake detection + repair — the ftfy-style fix for the web's most
+# common text corruption: UTF-8 bytes decoded as cp1252/Latin-1 once
+# upstream ("café" → "cafÃ©", curly quotes → "â€œ"-class pairs). The
+# inverse is exact: map the 27 cp1252-only punctuation characters back
+# to the C1 bytes they stand for (a pure ``translate`` — cp1252 and
+# Latin-1 agree everywhere else), re-encode as Latin-1, decode the
+# bytes as UTF-8 — but ONLY when (a) the text shows mojibake markers
+# (an Ã/Â/â lead followed by a char a UTF-8 continuation byte maps to
+# under either misreading — real French/Portuguese uses such pairs far
+# more rarely than corrupted text does), (b) every char is
+# Latin-1-encodable after the pre-map (``encode`` raises on
+# unmappables), and (c) the bytes actually ARE valid UTF-8
+# (``is_valid_utf8`` guards ``decode``, which raises on malformed
+# input). Pure JVM expressions, map-only; one repair pass
+# (doubly-encoded text needs two applications — compose explicitly).
+
+# cp1252 0x80-0x9F: the chars Windows put where Latin-1 has C1 controls
+_CP1252_FROM = "".join(
+    bytes([b]).decode("cp1252")
+    for b in range(0x80, 0xA0)
+    if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)  # undefined in cp1252
+)
+_CP1252_TO = "".join(
+    chr(b) for b in range(0x80, 0xA0)
+    if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+)
+
+# a UTF-8 continuation byte 0x80-0xBF misread as Latin-1 lands on
+# U+0080-U+00BF (the low half invisible C1 controls — hence escapes);
+# misread as cp1252 it lands on the punctuation chars above instead.
+# None of those chars are regex metacharacters, so the class is safe.
+MOJIBAKE_MARKER_PATTERN = (
+    "[\u00c3\u00c2\u00e2][\x80-\xbf" + _CP1252_FROM + "]"
+)
+
+
+def mojibake_repair(text_col: str | Column) -> dict[str, Column]:
+    """``{mojibake_detected, repaired, text_out}``: marker verdict,
+    whether the repair fired (markers AND encodable AND byte-valid),
+    and the fixed (or original) text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    marked = c.rlike(MOJIBAKE_MARKER_PATTERN)
+    pre = F.translate(c, _CP1252_FROM, _CP1252_TO)
+    encodable = ~pre.rlike("[^\x00-\xff]")
+    # CaseWhen evaluates branches lazily, so encode/decode only run on
+    # rows that passed their guards — they raise on bad input otherwise
+    latin1_ok = F.when(
+        marked & encodable,
+        F.call_function(
+            "is_valid_utf8", F.encode(pre, "ISO-8859-1").cast("string")
+        ),
+    ).otherwise(F.lit(False))
+    fixed = F.when(
+        latin1_ok, F.decode(F.encode(pre, "ISO-8859-1"), "UTF-8")
+    ).otherwise(c)
+    return {
+        "mojibake_detected": marked,
+        "repaired": latin1_ok,
+        "text_out": fixed,
+    }
+
+
 # HTML text extraction — the first transform C4/CCNet run on a crawled
 # page: drop <script>/<style> subtrees wholesale (their text is code,
 # not prose), strip the remaining tags, decode the five predefined XML

@@ -3296,6 +3296,129 @@ def pii_credit_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Lexical diversity per source (round 10) — the Gini-Simpson index the
+# data-mixing literature uses to compare corpus "richness" before
+# weighting sources: λ = Σ c_i(c_i−1) / (N(N−1)) is the probability two
+# random tokens coincide; 1−λ the diversity. Both the numerator and
+# denominator are EXACT BIGINTs from one token-count aggregate (the
+# r9/r10 arithmetic discipline: emit the integers, derive each double
+# by one IEEE division), plus the type-token ratio from the same pass.
+# Shuffles: one (source, token) count + one per-source fold — both
+# map-side combining; token strings never shuffle twice.
+# ---------------------------------------------------------------------------
+_DIVERSITY_ORACLE = r"""
+WITH raw AS (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents
+),
+tc AS (SELECT source, w, count(*) AS c FROM raw GROUP BY source, w),
+agg AS (
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c * (c - 1)) AS BIGINT) AS coincidence_num
+    FROM tc GROUP BY source
+)
+SELECT source, n_tokens, n_types, coincidence_num,
+       CAST(coincidence_num AS DOUBLE)
+           / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS simpson,
+       CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio
+FROM agg
+"""
+
+
+@query("token_diversity", oracle=_DIVERSITY_ORACLE)
+def token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson lexical diversity + type-token ratio per source —
+    see block comment. Exact-integer aggregates, one division each."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    tc = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    agg = tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long")
+        .alias("coincidence_num"),
+    )
+    return agg.select(
+        "source", "n_tokens", "n_types", "coincidence_num",
+        (F.col("coincidence_num").cast("double")
+         / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double"))
+        .alias("simpson"),
+        (F.col("n_types").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("type_token_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (round 10) — functions/text.mojibake_repair, the
+# ftfy-style fix for UTF-8-read-as-cp1252/Latin-1 corruption (the web's
+# most common encoding damage — C4/CCNet pipelines run exactly this
+# class of fix before quality gates). The engine REALLY re-encodes and
+# validates (translate cp1252 punctuation → C1, encode Latin-1,
+# is_valid_utf8 gate, decode UTF-8 — all pure JVM); the synth plants a
+# Latin-1-mojibake suffix on one residue class, a cp1252-mojibake
+# suffix (WHATWG mapping: undefined bytes → C1 controls) on another, a
+# marker-bearing-but-byte-invalid suffix on a third (a valid Ã©
+# pair plus an invalid Ã_ byte sequence — detected, NOT
+# repaired — the guard contract), and clean text on the fourth. Oracle
+# replays the REPAIRED forms as plain UTF-8 literals. Map-only.
+# ---------------------------------------------------------------------------
+_MOJIBAKE_ORACLE = """
+SELECT doc_id,
+       CAST(doc_id % 4 IN (0, 1, 2) AS BOOLEAN) AS mojibake_detected,
+       CAST(doc_id % 4 IN (0, 1) AS BOOLEAN) AS repaired,
+       text || CASE doc_id % 4
+           WHEN 0 THEN ' café naïve end'
+           WHEN 1 THEN ' “ok” — test end'
+           WHEN 2 THEN ' Ã© Ã_ end'
+           ELSE ' clean end' END AS text_out
+FROM documents
+"""
+
+
+@query("mojibake_repair", oracle=_MOJIBAKE_ORACLE)
+def mojibake_repair_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real mojibake detection + repair over planted corruptions — see
+    block comment; function in functions/text.py."""
+    from quickstart_streaming_agents_spark.functions.text import (
+        mojibake_repair,
+    )
+
+    def whatwg1252(data: bytes) -> str:
+        # WHATWG windows-1252: the 5 undefined bytes map to C1 controls
+        return "".join(
+            chr(b) if b in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+            else bytes([b]).decode("cp1252")
+            for b in data
+        )
+
+    latin1_moji = " café naïve end".encode("utf-8").decode("latin-1")
+    cp1252_moji = whatwg1252(" “ok” — test end".encode("utf-8"))
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    messy = F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0, F.lit(latin1_moji))
+         .when(d % 4 == 1, F.lit(cp1252_moji))
+         .when(d % 4 == 2, F.lit(" Ã© Ã_ end"))
+         .otherwise(F.lit(" clean end")),
+    )
+    m = mojibake_repair(messy)
+    return docs.select(
+        "doc_id",
+        m["mojibake_detected"].alias("mojibake_detected"),
+        m["repaired"].alias("repaired"),
+        m["text_out"].alias("text_out"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # ISO 13616 IBAN audit (round 10) — functions/text.iban_audit, the
 # international sibling of the Luhn tier: mod 97-10 (ISO/IEC 7064) over
 # the rearranged string separates real account numbers from IBAN-shaped

@@ -306,3 +306,7 @@ def test_round10_query_plan_budgets_pinned(spark):
     # ZIP central-directory walk + ID3 tag parse: map-only header tiers
     assert count_exchanges(_q(spark, "zip_member_index")) == 0
     assert count_exchanges(_q(spark, "mp3_id3_meta")) == 0
+    # mojibake repair: pure-JVM encode/validate/decode chain in the scan
+    assert count_exchanges(_q(spark, "mojibake_repair")) == 0
+    # diversity: (source, token) count + per-source fold, both partial
+    assert count_exchanges(_q(spark, "token_diversity")) <= 2

@@ -378,3 +378,46 @@ def test_iban_validation_matches_independent_implementation(spark):
     assert got2[2] == (1, 0, None)
     assert got2[3] == (0, 0, None)
     assert got2[4] == (2, 2, "NL")
+
+
+def test_mojibake_repair_contracts(spark):
+    """Latin-1 AND cp1252 (WHATWG mapping) mojibake both repair exactly;
+    marker-bearing byte-invalid text is detected but left alone; real
+    accented French and plain ASCII never fire; one repair pass undoes
+    one layer of double encoding."""
+    from quickstart_streaming_agents_spark.functions.text import (
+        mojibake_repair,
+    )
+
+    def whatwg1252(data: bytes) -> str:
+        return "".join(
+            chr(b) if b in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+            else bytes([b]).decode("cp1252")
+            for b in data
+        )
+
+    target = "“déjà vu” — naïve café"
+    single = whatwg1252(target.encode("utf-8"))
+    double = whatwg1252(single.encode("utf-8"))
+    cases = [
+        (1, "café".encode("utf-8").decode("latin-1"), True, True, "café"),
+        (2, single, True, True, target),
+        (3, "Ã© ok but Ã_ bad", True, False, "Ã© ok but Ã_ bad"),
+        (4, "plain ascii only", False, False, "plain ascii only"),
+        (5, "français déjà là", False, False, "français déjà là"),
+        (6, double, True, True, single),  # one pass peels one layer
+    ]
+    df = spark.createDataFrame([(i, s) for i, s, *_ in cases], ["i", "s"])
+    m = mojibake_repair("s")
+    got = {r.i: (r.d, r.r, r.o) for r in df.select(
+        "i", m["mojibake_detected"].alias("d"),
+        m["repaired"].alias("r"), m["text_out"].alias("o")).collect()}
+    for i, _s, want_d, want_r, want_o in cases:
+        assert got[i] == (want_d, want_r, want_o), (i, got[i])
+    # composing the repair twice fully undoes double encoding
+    m1 = mojibake_repair("s")
+    df2 = df.select("i", m1["text_out"].alias("once"))
+    m2 = mojibake_repair("once")
+    row = {r.i: r.o for r in df2.select(
+        "i", m2["text_out"].alias("o")).collect()}
+    assert row[6] == target

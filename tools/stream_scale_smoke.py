@@ -58,7 +58,8 @@ def progress_rows(q) -> list[dict]:
     return out
 
 
-def report(name: str, prog: list[dict], state_bound: int, bound_desc: str) -> None:
+def report(name: str, prog: list[dict], state_bound: int, bound_desc: str,
+           drains: bool = False) -> None:
     for p in prog:
         print(
             f"  batch {p['batch']:>3}  rows {p['rows']:>9,}  {p['sec']:7.2f}s"
@@ -81,9 +82,18 @@ def report(name: str, prog: list[dict], state_bound: int, bound_desc: str) -> No
     assert max(peaks) <= state_bound, (
         f"{name}: state grew past its bound — {max(peaks):,} > {state_bound:,}"
     )
-    # no unbounded growth: once every key/bucket has been seen (first
-    # batch — sources interleave keys round-robin), state must PLATEAU
-    assert peaks[-1] == max(peaks), f"{name}: state still growing at end: {peaks}"
+    if drains:
+        # watermark-evicted profile: state must SHRINK once the stream
+        # settles — a final peak means eviction never fired
+        assert peaks[-1] < max(peaks), (
+            f"{name}: watermark never evicted: {peaks}"
+        )
+    else:
+        # no unbounded growth: once every key/bucket has been seen (first
+        # batch — sources interleave keys round-robin), state must PLATEAU
+        assert peaks[-1] == max(peaks), (
+            f"{name}: state still growing at end: {peaks}"
+        )
     print(f"  state bounded: peak {max(peaks):,} <= {state_bound:,} ({bound_desc})\n")
 
 
@@ -313,6 +323,140 @@ def smoke_hll_registers(spark, events: int, workdir: str) -> None:
     )
 
 
+def smoke_kmins_registers(spark, events: int, workdir: str) -> None:
+    """Round-10 sketch tier: streaming k-mins bottom-hash registers
+    (update-mode min(h) aggregate, operators/kmv.py). Same bounded-state
+    contract as the HLL twin — state rows capped at strata × k no
+    matter how many distinct values flow."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.operators.kmv import (
+        kmins_signature,
+    )
+    from quickstart_streaming_agents_spark.sources.synthetic import register
+
+    register(spark)
+    src = f"{workdir}/kmins_src"
+    gen = (
+        spark.read.format("syntheticdocs")
+        .option("rows", events)
+        .option("partitions", spark.sparkContext.defaultParallelism)
+        .load()
+        .select(
+            F.concat(F.lit("type"), (F.col("doc_id") % 5).cast("string"))
+            .alias("event_type"),
+            F.col("doc_id").cast("string").alias("v"),
+            F.col("doc_id"),
+        )
+        .withColumn("slc", F.least(
+            F.lit(SLICES - 1),
+            (F.col("doc_id") / (-(-events // SLICES))).cast("int"),
+        ))
+    )
+    write_slices(gen, "doc_id", F.col("slc"), src, files=16)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", "16").load(src)
+    )
+    sig = kmins_signature(stream.drop("slc", "doc_id"), "v",
+                          strata=["event_type"], k=64)
+    q = (
+        sig.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, _: df.write.format("noop").mode("overwrite").save()
+        )
+        .option("checkpointLocation", f"{workdir}/kmins_ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    prog = progress_rows(q)
+    report(
+        f"kmins registers ({events:,} distinct values)",
+        prog, state_bound=5 * 64,
+        bound_desc="strata × k registers — cardinality-independent",
+    )
+
+
+def smoke_contamination_fraction(spark, docs: int, workdir: str) -> None:
+    """Round-10 graded contamination stream: broadcast benchmark set,
+    per-doc agg with event time in the grouping key. State rows track
+    in-flight docs per micro-batch (watermark-evicted), bounded by the
+    docs per batch — asserted against the slice size."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.operators.decontamination import (
+        _norm_shingles,
+    )
+    from quickstart_streaming_agents_spark.sources.synthetic import register
+
+    register(spark)
+    src = f"{workdir}/cfrac_src"
+    gen = (
+        spark.read.format("syntheticdocs")
+        .option("rows", docs)
+        .option("partitions", spark.sparkContext.defaultParallelism)
+        .load()
+        .select(
+            "doc_id", "text",
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000
+            ).alias("ts"),
+        )
+        .withColumn("slc", F.least(
+            F.lit(SLICES - 1),
+            (F.col("doc_id") / (-(-docs // SLICES))).cast("int"),
+        ))
+    )
+    write_slices(gen, "doc_id", F.col("slc"), src, files=16)
+
+    bench = (
+        _norm_shingles(
+            spark.read.parquet(src).filter(F.col("doc_id") % 1009 == 0)
+            .select(F.lit(0).alias("__bid"), F.col("text").alias("__btext")),
+            "__bid", "__btext", 8,
+        )
+        .select(F.xxhash64("shingle").alias("h")).distinct()
+        .withColumn("__m", F.lit(1))
+    )
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", "16").load(src)
+        .withWatermark("ts", "1 second")
+    )
+    shingled = _norm_shingles(
+        stream, "doc_id", "text", 8, keep_cols=["ts"]
+    ).select("doc_id", "ts", F.xxhash64("shingle").alias("h"))
+    per = (
+        shingled.join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id", "ts")
+        .agg(F.count("*").alias("n_ngrams"), F.count("__m").alias("n_hits"))
+    )
+    q = (
+        per.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, _: df.write.format("noop").mode("overwrite").save()
+        )
+        .option("checkpointLocation", f"{workdir}/cfrac_ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    prog = progress_rows(q)
+    # the watermark evicts settled docs each batch, so in-flight state
+    # is bounded by ~2 micro-batches of docs (current + not-yet-evicted
+    # previous), NOT the corpus — the bound that matters at 100 TB
+    max_batch = max((p["rows"] for p in prog), default=0)
+    report(
+        f"graded contamination ({docs:,} docs)",
+        prog, state_bound=2 * max_batch,
+        bound_desc="in-flight docs (watermark-evicted; <= 2 micro-batches)",
+        drains=True,
+    )
+
+
 def main() -> None:
     events = int(os.environ.get("SMOKE_EVENTS", 1_000_000))
     docs = int(os.environ.get("SMOKE_DOCS", 1_000_000))
@@ -328,6 +472,8 @@ def main() -> None:
         smoke_packing(spark, docs, workdir)
         smoke_maponly_gates(spark, docs, workdir)
         smoke_hll_registers(spark, events, workdir)
+        smoke_kmins_registers(spark, events, workdir)
+        smoke_contamination_fraction(spark, docs, workdir)
         print(f"total wall: {time.perf_counter() - t0:.1f}s")
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
