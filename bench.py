@@ -191,6 +191,8 @@ HEADLINE = [
     "mp3_id3_meta",
     "mojibake_repair",
     "token_diversity",
+    "g711_energy_sig",
+    "pii_pseudonymize",
 ]
 
 

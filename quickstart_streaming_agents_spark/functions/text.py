@@ -527,6 +527,77 @@ def iban_audit(text_col: str | Column) -> dict[str, Column]:
     }
 
 
+# PII pseudonymization — the referential-integrity-preserving sibling
+# of redaction: each Luhn-VALID card number is replaced by a
+# DETERMINISTIC surrogate (digits derived from md5 of the normalized
+# PAN), preserving the occurrence's separator layout and its last 4
+# digits (the industry display convention). Same PAN → same surrogate
+# everywhere, so joins across pseudonymized tables still line up —
+# which redaction destroys. Invalid candidates (order ids that merely
+# look card-shaped) are left untouched: the Luhn gate is what keeps
+# false positives out of the rewrite. Pure JVM combinators, map-only.
+def _pan_surrogate(m: Column) -> Column:
+    """Surrogate for ONE matched PAN string: md5-derived digits in the
+    original separator layout, last 4 digits preserved."""
+    norm = F.regexp_replace(m, "[ -]", "")
+    h = F.md5(norm)
+    total = F.length(norm)
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), F.length(m)),
+            lambda i: F.when(
+                ~F.substring(m, i, F.lit(1)).rlike("[0-9]"),
+                F.substring(m, i, F.lit(1)),
+            ).otherwise(
+                # 1-based index of this digit within the PAN
+                F.when(
+                    F.length(F.regexp_replace(
+                        F.substring(m, F.lit(1), i), "[^0-9]", ""
+                    )) > total - 4,
+                    F.substring(m, i, F.lit(1)),  # keep last 4
+                ).otherwise(
+                    (
+                        F.conv(
+                            F.substring(
+                                h,
+                                F.length(F.regexp_replace(
+                                    F.substring(m, F.lit(1), i),
+                                    "[^0-9]", "",
+                                )),
+                                F.lit(1),
+                            ),
+                            16, 10,
+                        ).cast("int") % 10
+                    ).cast("string")
+                )
+            ),
+        ),
+    )
+
+
+def pii_pseudonymize(text_col: str | Column) -> dict[str, Column]:
+    """``{n_pseudonymized, text_out}``: how many valid PANs were
+    rewritten, and the text with each one replaced by its deterministic
+    surrogate. Uses the same candidate pattern + Luhn gate as
+    :func:`credit_card_audit` — one source of truth."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    cands = F.regexp_extract_all(c, F.lit(CC_CANDIDATE_PATTERN), F.lit(0))
+    valid = F.filter(
+        cands,
+        lambda s: (F.length(F.regexp_replace(s, "[ -]", "")) >= 13)
+        & (F.length(F.regexp_replace(s, "[ -]", "")) <= 19)
+        & luhn_valid(F.regexp_replace(s, "[ -]", "")),
+    )
+    out = F.aggregate(
+        valid, c, lambda acc, s: F.replace(acc, s, _pan_surrogate(s))
+    )
+    return {
+        "n_pseudonymized": F.size(valid).cast("long"),
+        "text_out": out,
+    }
+
+
 # Mojibake detection + repair — the ftfy-style fix for the web's most
 # common text corruption: UTF-8 bytes decoded as cp1252/Latin-1 once
 # upstream ("café" → "cafÃ©", curly quotes → "â€œ"-class pairs). The

@@ -804,6 +804,77 @@ def _decode_wav_ima(
     return meta, samples
 
 
+# ---------------------------------------------------------------------------
+# G.711 µ-law / A-law (ITU-T G.711, 1972 — the telephony codec): rung 4
+# sibling of IMA ADPCM in the codec ladder, and the EXACTLY-replayable
+# one — each compressed byte maps to an int16 by pure integer
+# arithmetic (no state at all), so a SQL oracle can replay the decode
+# itself, not just a fixed point of it. WAVE format tags 7 (µ-law) and
+# 6 (A-law), 8 bits/sample.
+# ---------------------------------------------------------------------------
+def _ulaw_to_linear(u: int) -> int:
+    u = ~u & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    t -= 0x84
+    return -t if u & 0x80 else t
+
+
+def _alaw_to_linear(a: int) -> int:
+    a ^= 0x55
+    e = (a >> 4) & 7
+    m = a & 0x0F
+    t = (m << 4) + 8 if e == 0 else ((m << 4) + 0x108) << (e - 1)
+    return t if a & 0x80 else -t
+
+
+_ULAW_TABLE = np.asarray([_ulaw_to_linear(b) for b in range(256)],
+                         dtype=np.int16)
+_ALAW_TABLE = np.asarray([_alaw_to_linear(b) for b in range(256)],
+                         dtype=np.int16)
+
+
+def _linear_to_ulaw(s: int) -> int:
+    """µ-law encode (the ITU segment search) — round-trip helper."""
+    sign = 0x80 if s < 0 else 0
+    s = min(abs(s), 32635) + 0x84
+    e = s.bit_length() - 8  # segment: top set bit above the bias
+    m = (s >> (e + 3)) & 0x0F
+    return ~(sign | (e << 4) | m) & 0xFF
+
+
+def make_wav_g711(data: bytes, rate: int = 8000, law: str = "ulaw") -> bytes:
+    """Wrap raw G.711 bytes in a RIFF/WAVE container (format tag 7 for
+    µ-law, 6 for A-law, 8 bits/sample, mono). Fixture/test helper."""
+    tag = {"ulaw": 7, "alaw": 6}.get(law)
+    if tag is None:
+        raise ValueError(f"law must be 'ulaw' or 'alaw', got {law!r}")
+    fmt = struct.pack("<HHIIHHH", tag, 1, rate, rate, 1, 8, 0)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(data))
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _decode_wav_g711(fmt: bytes, data: bytes) -> tuple[dict, np.ndarray]:
+    audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt)
+    if bits != 8 or channels < 1:
+        raise ValueError(f"bad G.711 fmt (bits={bits}, channels={channels})")
+    table = _ULAW_TABLE if audio_fmt == 7 else _ALAW_TABLE
+    usable = len(data) - len(data) % channels
+    idx = np.frombuffer(data[:usable], dtype=np.uint8)
+    samples = table[idx].reshape(-1, channels)
+    meta = {
+        "media_type": "audio",
+        "width": int(channels),
+        "height": None,
+        "n_frames": int(samples.shape[0]),
+        "duration_ms": int(round(samples.shape[0] * 1000 / rate)),
+    }
+    return meta, samples
+
+
 def _decode_bmp(payload: bytes) -> tuple[dict, np.ndarray]:
     """Real byte decode of an uncompressed 24-bpp BMP (the Windows DIB
     format, public spec) — pure struct/numpy, no image libraries.
@@ -871,9 +942,11 @@ def _decode_wav(payload: bytes) -> tuple[dict, np.ndarray]:
     audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt)
     if audio_fmt == 0x11:  # IMA/DVI ADPCM — the real compressed tier
         return _decode_wav_ima(fmt, data, fact)
+    if audio_fmt in (6, 7):  # G.711 A-law / µ-law — pure table decode
+        return _decode_wav_g711(fmt, data)
     if audio_fmt != 1 or bits != 16 or channels < 1 or rate < 1:
         raise ValueError(
-            f"only PCM-16 or IMA ADPCM WAV supported "
+            f"only PCM-16, IMA ADPCM or G.711 WAV supported "
             f"(fmt={audio_fmt}, bits={bits})"
         )
     usable = len(data) - len(data) % (2 * channels)
@@ -1772,7 +1845,9 @@ def demux_mp4_samples(
 # (2) demux — MP3 frame table, MP4 stts/stsz/stsc/stco sample walk,
 # WARC/containers, real; (3) uncompressed decode — PCM-16 WAV and MP4
 # sowt/twos, real; (4) compressed non-entropy decode — IMA ADPCM
-# (format 0x0011, the full adaptive-predictor recurrence), real as of
+# (format 0x0011, the full adaptive-predictor recurrence) AND G.711
+# µ-law/A-law (formats 7/6, the telephony codec — a pure byte→int16
+# integer map verified against CPython's audioop), real as of
 # r10. Rung (5), entropy-coded perceptual formats (MP3/AAC/Vorbis/
 # Opus), requires a windowed MDCT synthesis filterbank plus Huffman/
 # arithmetic bitstream decode — mpg123/ffmpeg-class DSP that no

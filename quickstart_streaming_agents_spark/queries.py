@@ -3491,6 +3491,94 @@ def pii_iban_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII pseudonymization (round 10) — functions/text.pii_pseudonymize:
+# the referential-integrity-preserving sibling of redaction. Each
+# Luhn-VALID PAN is rewritten to a DETERMINISTIC md5-derived surrogate
+# preserving separator layout and last-4 (same PAN → same surrogate
+# everywhere, so joins across pseudonymized tables still line up);
+# Luhn-invalid lookalikes are untouched. The oracle replays the
+# surrogate derivation itself in SQL (md5 hex digits % 10) over the
+# same planted classes as the audit query. Map-only, zero shuffle.
+# ---------------------------------------------------------------------------
+_PSEUDO_ORACLE = """
+WITH d AS (
+    SELECT doc_id, text,
+           CASE doc_id % 4
+               WHEN 0 THEN '4111111111111111'
+               WHEN 1 THEN '5500005555555559'
+               WHEN 2 THEN '378282246310005'
+               ELSE '6011000990139424' END AS pan
+    FROM documents
+),
+s AS (
+    SELECT doc_id, text, pan,
+           array_to_string(list_transform(
+               range(1, length(pan) - 3),
+               j -> CAST(('0x' || substr(md5(pan), CAST(j AS INT), 1))::INT
+                         % 10 AS VARCHAR)), '')
+           || substr(pan, length(pan) - 3, 4) AS sur
+    FROM d
+),
+disp AS (
+    SELECT doc_id, text, pan,
+           CASE WHEN doc_id % 2 = 0
+                THEN trim(regexp_replace(sur, '(.{4})', '\\1 ', 'g'))
+                ELSE sur END AS sur_disp
+    FROM s
+)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_pseudonymized,
+       text || CASE
+           WHEN doc_id % 3 = 0 THEN ' pay ' || sur_disp || ' now'
+           WHEN doc_id % 3 = 1 THEN ' ref '
+               || substr(pan, 1, length(pan) - 1)
+               || CAST((CAST(substr(pan, length(pan), 1) AS INT) + 1) % 10
+                       AS VARCHAR)
+           ELSE CASE WHEN doc_id % 2 = 1 THEN ' order 1234567890123'
+                     ELSE ' order 12345678' END
+       END AS text_out
+FROM disp
+"""
+
+
+@query("pii_pseudonymize", oracle=_PSEUDO_ORACLE)
+def pii_pseudonymize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic format-preserving PAN pseudonymization — see block
+    comment; function in functions/text.py. Same planted classes as
+    pii_credit_card_audit (valid spaced/solid, bumped, decoys)."""
+    from quickstart_streaming_agents_spark.functions.text import (
+        pii_pseudonymize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    valid = F.array(*[F.lit(c) for c in _CC_VALID])
+    bumped = F.array(*[
+        F.lit(c[:-1] + str((int(c[-1]) + 1) % 10)) for c in _CC_VALID
+    ])
+    card = F.element_at(valid, (d % 4 + 1).cast("int"))
+    bad = F.element_at(bumped, (d % 4 + 1).cast("int"))
+    spaced = F.trim(F.regexp_replace(card, "(.{4})", "$1 "))
+    messy = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit(" pay "),
+                        F.when(d % 2 == 0, spaced).otherwise(card),
+                        F.lit(" now")))
+         .when(d % 3 == 1, F.concat(F.lit(" ref "), bad))
+         .otherwise(F.when(d % 2 == 1, F.lit(" order 1234567890123"))
+                    .otherwise(F.lit(" order 12345678"))),
+    )
+    p = pii_pseudonymize(messy)
+    return docs.select(
+        "doc_id",
+        p["n_pseudonymized"].alias("n_pseudonymized"),
+        p["text_out"].alias("text_out"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Train/val/test split assignment — the other face of deterministic
 # sampling: every doc gets a split label from its identity hash, so the
 # same doc lands in the same split on every run, any cluster, any
@@ -8834,6 +8922,120 @@ def webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(ext == "cls").alias("has_cls"),
         (F.max(ext == "txt") & F.max(ext == "cls")).alias("complete"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law/A-law audio fingerprint (round 10) — operators/
+# multimodal._decode_wav_g711, the telephony codec (ITU-T G.711, WAVE
+# tags 7/6): decode is a PURE byte→int16 integer map, so unlike the
+# ADPCM oracle (exact only at the codec's fixed points) this oracle
+# replays the DECODE ARITHMETIC itself in SQL — µ-law's
+# complement/segment/mantissa expansion and A-law's xor-0x55 form,
+# bit-for-bit (both tables verified against CPython's audioop reference
+# in tests). Synth: 8 windows × 256 constant compressed bytes per doc,
+# µ-law on even doc_ids, A-law on odd; every 23rd payload garbage.
+# Map-only, zero shuffle.
+# ---------------------------------------------------------------------------
+_G711_SIG_ORACLE = r"""
+WITH d AS (SELECT doc_id FROM documents),
+bw AS (
+    SELECT d.doc_id, t.w,
+           CAST(('0x' || substr(md5('g711:' || (d.doc_id % 150) || ':'
+                || t.w), 1, 15))::UBIGINT % 256 AS BIGINT) AS b
+    FROM d, unnest(range(0, 8)) AS t(w)
+    WHERE d.doc_id % 23 <> 0
+),
+dec AS (
+    SELECT doc_id, w,
+           CASE WHEN doc_id % 2 = 0 THEN
+               -- µ-law: u = ~b; t = ((m<<3)+0x84)<<e − 0x84; sign = u&0x80
+               CASE WHEN (255 - b) >= 128
+                    THEN -((((255 - b) % 16) * 8 + 132)
+                           * (1::BIGINT << (((255 - b) // 16) % 8)) - 132)
+                    ELSE ((((255 - b) % 16) * 8 + 132)
+                          * (1::BIGINT << (((255 - b) // 16) % 8)) - 132)
+               END
+           ELSE
+               -- A-law: a = b XOR 0x55; e = (a>>4)&7; m = a&15
+               CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+               CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                    THEN (xor(b, 85) % 16) * 16 + 8
+                    ELSE ((xor(b, 85) % 16) * 16 + 264)
+                         * (1::BIGINT << (((xor(b, 85) // 16) % 8) - 1))
+               END
+           END AS amp
+    FROM bw
+),
+sigw AS (
+    SELECT doc_id, w,
+           CASE WHEN amp = 0 THEN 0
+                ELSE length(bin(amp * amp * 256)) END AS bkt
+    FROM dec
+),
+sigs AS (
+    SELECT doc_id, string_agg(CAST(bkt AS VARCHAR), ':' ORDER BY w) AS sig
+    FROM sigw GROUP BY doc_id
+),
+bq AS (
+    SELECT doc_id, CAST(w // 2 AS INT) AS j,
+           md5(string_agg(CAST(bkt AS VARCHAR), ':' ORDER BY w)) AS dg
+    FROM sigw GROUP BY doc_id, w // 2
+),
+wide AS (
+    SELECT s.doc_id, s.sig,
+           MAX(CASE WHEN j = 0 THEN dg END) AS b0,
+           MAX(CASE WHEN j = 1 THEN dg END) AS b1,
+           MAX(CASE WHEN j = 2 THEN dg END) AS b2,
+           MAX(CASE WHEN j = 3 THEN dg END) AS b3
+    FROM sigs s JOIN bq USING (doc_id) GROUP BY s.doc_id, s.sig
+)
+SELECT doc_id, sig, b0, b1, b2, b3 FROM wide
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL FROM d WHERE doc_id % 23 = 0
+"""
+
+
+@query("g711_energy_sig", oracle=_G711_SIG_ORACLE)
+def g711_energy_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy fingerprint over REAL G.711 µ-law/A-law WAVE
+    containers — see block comment; decode in operators/multimodal,
+    fingerprint in operators/afp.py (map-only, zero shuffle)."""
+    import hashlib
+
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.afp import (
+        audio_energy_sig,
+    )
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        make_wav_g711,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 23 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                    continue
+                base = i % 150
+                data = b"".join(
+                    bytes([int(hashlib.md5(
+                        f"g711:{base}:{w}".encode()
+                    ).hexdigest()[:15], 16) % 256]) * 256
+                    for w in range(8)
+                )
+                payloads.append(make_wav_g711(
+                    data, rate=8000, law="ulaw" if i % 2 == 0 else "alaw"
+                ))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return audio_energy_sig(synth_df, "doc_id", "payload",
+                            window_samples=256, n_windows=8)
 
 
 # ---------------------------------------------------------------------------

@@ -215,3 +215,62 @@ def test_ima_adpcm_fault_contracts():
     # encoder rejects non-8k+1 block sizes
     with pytest.raises(ValueError, match="8k"):
         make_wav_ima_adpcm(sine, block_samples=100)
+
+
+def test_g711_tables_match_cpython_audioop_reference():
+    """Both 256-entry decode tables must equal CPython's audioop
+    (the independent reference implementation of G.711); skipped only
+    on runtimes where the deprecated module is gone (3.13+)."""
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+    except ImportError:
+        pytest.skip("audioop removed on this runtime")
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+    )
+
+    raw = bytes(range(256))
+    ref_u = np.frombuffer(audioop.ulaw2lin(raw, 2), dtype="<i2")
+    ref_a = np.frombuffer(audioop.alaw2lin(raw, 2), dtype="<i2")
+    assert (_ULAW_TABLE == ref_u).all()
+    assert (_ALAW_TABLE == ref_a).all()
+
+
+def test_g711_container_and_encode_roundtrip():
+    import numpy as np
+    import pytest
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _ULAW_TABLE,
+        _decode_wav,
+        _linear_to_ulaw,
+        make_wav_g711,
+    )
+
+    # every µ-law byte encodes back to itself from its decoded value,
+    # except the two codes that both decode to 0 (the ±0 wobble)
+    agree = sum(
+        _linear_to_ulaw(int(_ULAW_TABLE[b])) == b for b in range(256)
+    )
+    assert agree >= 254
+
+    p = make_wav_g711(bytes([0x00, 0xFF, 0x80]), law="ulaw")
+    meta, s = _decode_wav(p)
+    assert meta["n_frames"] == 3 and meta["width"] == 1
+    assert s[:, 0].tolist() == [-32124, 0, 32124]
+
+    pa = make_wav_g711(bytes([0x55, 0xD5]), law="alaw")
+    _, sa = _decode_wav(pa)
+    assert sa[:, 0].tolist() == [-8, 8]  # the A-law zero codes
+
+    with pytest.raises(ValueError, match="law must be"):
+        make_wav_g711(b"\x00", law="pcm")

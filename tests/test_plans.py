@@ -308,5 +308,9 @@ def test_round10_query_plan_budgets_pinned(spark):
     assert count_exchanges(_q(spark, "mp3_id3_meta")) == 0
     # mojibake repair: pure-JVM encode/validate/decode chain in the scan
     assert count_exchanges(_q(spark, "mojibake_repair")) == 0
+    # G.711 decode tier: map-only like the PCM/ADPCM tiers
+    assert count_exchanges(_q(spark, "g711_energy_sig")) == 0
+    # PAN pseudonymization: pure-JVM rewrite fused into the scan
+    assert count_exchanges(_q(spark, "pii_pseudonymize")) == 0
     # diversity: (source, token) count + per-source fold, both partial
     assert count_exchanges(_q(spark, "token_diversity")) <= 2

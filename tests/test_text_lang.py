@@ -421,3 +421,38 @@ def test_mojibake_repair_contracts(spark):
     row = {r.i: r.o for r in df2.select(
         "i", m2["text_out"].alias("o")).collect()}
     assert row[6] == target
+
+
+def test_pii_pseudonymize_contracts(spark):
+    """Valid PANs rewrite to deterministic surrogates (same PAN -> same
+    surrogate, layout + last4 preserved); Luhn-invalid lookalikes are
+    untouched; the surrogate digits match an independent md5-based
+    derivation."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.functions.text import (
+        pii_pseudonymize,
+    )
+
+    pan = "4111111111111111"
+    h = hashlib.md5(pan.encode()).hexdigest()
+    sur = "".join(str(int(h[j], 16) % 10) for j in range(12)) + pan[-4:]
+    spaced_sur = " ".join([sur[0:4], sur[4:8], sur[8:12], sur[12:16]])
+    rows = [
+        Row(doc_id=1, text=f"pay {pan} or 4111 1111 1111 1111 now"),
+        Row(doc_id=2, text="ref 4111111111111112 order 1234567890123"),
+        Row(doc_id=3, text="amex 378282246310005 here"),
+    ]
+    p = pii_pseudonymize("text")
+    got = {r.doc_id: (r.n, r.o) for r in
+           spark.createDataFrame(rows).select(
+               "doc_id", p["n_pseudonymized"].alias("n"),
+               p["text_out"].alias("o")).collect()}
+    assert got[1] == (2, f"pay {sur} or {spaced_sur} now")
+    assert got[2] == (0, rows[1].text)  # bumped digit + decoy untouched
+    amex = "378282246310005"
+    ha = hashlib.md5(amex.encode()).hexdigest()
+    sura = "".join(str(int(ha[j], 16) % 10) for j in range(11)) + amex[-4:]
+    assert got[3] == (1, f"amex {sura} here")
