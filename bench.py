@@ -193,6 +193,8 @@ HEADLINE = [
     "token_diversity",
     "g711_energy_sig",
     "pii_pseudonymize",
+    "oov_rate",
+    "webdataset_decode",
 ]
 
 

@@ -3355,6 +3355,67 @@ def token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Out-of-vocabulary rate per source (round 10) — the tokenizer-fit /
+# domain-shift signal mixing pipelines read before weighting a new
+# source: what fraction of source X's tokens fall outside the
+# reference vocabulary (top-V tokens of the anchor source, src0)?
+# Deterministic vocabulary: rank by (count DESC, token ASC) — the tie
+# break makes the top-V unique, so both engines cut the same set.
+# Plan: the vocab is a tiny (≤V rows) broadcast; the corpus token
+# stream left-joins it map-only; exact-integer counts + one division.
+# ---------------------------------------------------------------------------
+_OOV_ORACLE = r"""
+WITH raw AS (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents
+),
+vocab AS (
+    SELECT w FROM (
+        SELECT w, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, w) AS rnk
+        FROM raw WHERE source = 'src0' GROUP BY w
+    ) WHERE rnk <= 64
+)
+SELECT raw.source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) - count(vocab.w) AS BIGINT) AS n_oov,
+       CAST(count(*) - count(vocab.w) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS oov_rate
+FROM raw LEFT JOIN vocab ON raw.w = vocab.w
+GROUP BY raw.source
+"""
+
+
+@query("oov_rate", oracle=_OOV_ORACLE)
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV rate against the anchor source's top-64 vocab —
+    see block comment."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    # TakeOrderedAndProject (distributed top-k), not a global window —
+    # the (count DESC, token) total order makes the cut deterministic
+    vocab = (
+        toks.filter(F.col("source") == "src0")
+        .groupBy("w").agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(64)
+        .select("w")
+        .withColumn("__in", F.lit(1))
+    )
+    joined = toks.join(F.broadcast(vocab), "w", "left")
+    return joined.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        (F.count("*") - F.count("__in")).cast("long").alias("n_oov"),
+        ((F.count("*") - F.count("__in")).cast("double")
+         / F.count("*").cast("double")).alias("oov_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Mojibake repair (round 10) — functions/text.mojibake_repair, the
 # ftfy-style fix for UTF-8-read-as-cp1252/Latin-1 corruption (the web's
 # most common encoding damage — C4/CCNet pipelines run exactly this
@@ -8413,8 +8474,8 @@ def mp4_pcm_energy_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stereo input with the per-channel block header storing the verbatim
 # first sample means every in-block diff is 0 → nibble 0 → step 7>>3=0,
 # so the lossy codec reproduces the signal BIT-EXACTLY and the closed
-# form survives compression. Windows = blocks (257 samples: 1 header
-# sample + 256 nibbles), channel 1 carries decoy noise (proving the
+# form survives compression. Windows = blocks (9 samples: 1 header
+# sample + 8 nibbles), channel 1 carries decoy noise (proving the
 # interleaved 4-byte-word channel walk), every 23rd payload garbage.
 # The ADAPTIVE path (nonzero nibbles, index walk) is pinned separately
 # against an independent Python decoder in tests/test_afp.py. Map-only.
@@ -8422,8 +8483,12 @@ def mp4_pcm_energy_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ADPCM_SIG_ORACLE = (
     _AFP_SIG_CTE_TMPL
     .replace("{PFX}", "ima:")
-    # 257-sample windows (ADPCM block = 1 header sample + 256 nibbles)
-    .replace("amp * amp * 256", "amp * amp * 257")
+    # 9-sample windows (ADPCM block = 1 header sample + 8 nibbles): the
+    # sequential Python nibble walk prices each sample, so the fixture
+    # keeps blocks minimal — big-signal decode coverage lives in
+    # tests/test_afp.py (3k-sample sine/noise/stereo vs the independent
+    # reference) and the 1/16-slice scale smoke measures the real rate
+    .replace("amp * amp * 256", "amp * amp * 9")
     + """
 SELECT doc_id, sig, b0, b1, b2, b3 FROM wide
 UNION ALL
@@ -8472,18 +8537,18 @@ def adpcm_energy_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"inoise:{i}:{w}".encode()
                     ).hexdigest()[:4], 16) % 32768 - 16384)
                 stereo = np.stack(
-                    [np.repeat(np.asarray(amps, dtype=np.int16), 257),
-                     np.repeat(np.asarray(noise, dtype=np.int16), 257)],
+                    [np.repeat(np.asarray(amps, dtype=np.int16), 9),
+                     np.repeat(np.asarray(noise, dtype=np.int16), 9)],
                     axis=1,
                 )
                 payloads.append(
-                    make_wav_ima_adpcm(stereo, rate=8000, block_samples=257)
+                    make_wav_ima_adpcm(stereo, rate=8000, block_samples=9)
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
     return audio_energy_sig(
-        synth_df, "doc_id", "payload", window_samples=257, n_windows=8
+        synth_df, "doc_id", "payload", window_samples=9, n_windows=8
     )
 
 
@@ -8682,6 +8747,158 @@ def mp3_id3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
     return id3_meta(synth_df, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# WebDataset sample DECODE capstone (round 10) — the full read path a
+# multimodal training loader runs, end to end in one map-only pass:
+# ustar shard walk (operators/tar.py) → group members into samples by
+# basename key → extract each sample's .txt caption bytes and .jpg
+# payload bytes by their byte ranges → REAL T.81 JPEG decode for the
+# image dims. Shards are written by the stdlib tarfile module; JPEGs by
+# the repo's own encoder with all-ones quant tables (constant blocks
+# are bit-exact, the multimodal_real_meta convention). Samples missing
+# their .jpg (every 7th) emit complete=false with NULL dims — the
+# torn-sample contract a loader needs. Oracle replays captions (md5)
+# and planted dims analytically; every 23rd payload garbage. Map-only
+# 1→N, zero shuffle — at 100 TB this is scan-speed shard reading.
+# ---------------------------------------------------------------------------
+_WDS_DECODE_ORACLE = r"""
+WITH d AS (
+    SELECT doc_id, 1 + doc_id % 3 AS n FROM documents
+    WHERE doc_id % 23 <> 0
+),
+s AS (
+    SELECT d.doc_id, t.k,
+           'cap:' || d.doc_id || ':' || t.k || ':' ||
+               repeat('c', CAST(1 + ('0x' || substr(md5('wc:' || d.doc_id
+                   || ':' || t.k), 1, 15))::UBIGINT % 60 AS INT)) AS caption,
+           (d.doc_id + t.k) % 7 <> 0 AS has_jpg
+    FROM d, unnest(range(0, CAST(d.n AS BIGINT))) AS t(k)
+)
+SELECT doc_id, 's' || k AS sample_key, md5(caption) AS caption_md5,
+       has_jpg AS complete,
+       CASE WHEN has_jpg
+            THEN CAST(3 + (doc_id + k) % 11 AS INT) END AS img_width,
+       CASE WHEN has_jpg
+            THEN CAST(2 + (doc_id + k) % 7 AS INT) END AS img_height
+FROM s
+"""
+
+
+@query("webdataset_decode", oracle=_WDS_DECODE_ORACLE)
+def webdataset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard → decoded samples, one map-only pass — see
+    block comment."""
+    import hashlib
+    import io
+    import tarfile as _tarfile
+
+    import numpy as np
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        make_jpeg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ones = (np.ones((8, 8), np.int64), np.ones((8, 8), np.int64))
+
+    jpeg_cache: dict = {}
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 23 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                    continue
+                buf = io.BytesIO()
+                with _tarfile.open(
+                    fileobj=buf, mode="w", format=_tarfile.USTAR_FORMAT
+                ) as tf:
+                    for k in range(1 + i % 3):
+                        pad = 1 + int(hashlib.md5(
+                            f"wc:{i}:{k}".encode()
+                        ).hexdigest()[:15], 16) % 60
+                        members = [(f"s{k}.txt",
+                                    f"cap:{i}:{k}:{'c' * pad}".encode())]
+                        if (i + k) % 7 != 0:
+                            # v cycles mod 29 so the (w, h, v) triple has
+                            # ~2.2k combos — the synth memoizes the pure-
+                            # Python T.81 encode (the fixture's only heavy
+                            # step) without losing dim/pixel variety
+                            w, h, v = 3 + (i + k) % 11, 2 + (i + k) % 7, \
+                                (i + k) % 29
+                            if (w, h, v) not in jpeg_cache:
+                                img = np.full((h, w, 3), v, dtype=np.uint8)
+                                jpeg_cache[(w, h, v)] = make_jpeg(
+                                    img, quant_tables=ones
+                                )
+                            members.append(
+                                (f"s{k}.jpg", jpeg_cache[(w, h, v)])
+                            )
+                        for name, content in members:
+                            ti = _tarfile.TarInfo(name)
+                            ti.size = len(content)
+                            ti.mtime = 0
+                            tf.addfile(ti, io.BytesIO(content))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+    def decode(batches):
+        from quickstart_streaming_agents_spark.operators.multimodal import (
+            _decode_jpeg,
+        )
+        from quickstart_streaming_agents_spark.operators.tar import (
+            tar_member_table,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    p = bytes(payload or b"")
+                    tab = tar_member_table(p)
+                except Exception:
+                    continue  # unwalkable shard: the on_error contract
+                samples: dict[str, dict] = {}
+                for m in tab:
+                    key, _, ext = m["name"].partition(".")
+                    body = p[m["content_offset"]:
+                             m["content_offset"] + m["size"]]
+                    samples.setdefault(key, {})[ext] = body
+                for key in sorted(samples):
+                    parts = samples[key]
+                    cap = parts.get("txt")
+                    jpg = parts.get("jpg")
+                    w = h = None
+                    if jpg is not None:
+                        try:
+                            meta, _ = _decode_jpeg(jpg)
+                            w, h = meta["width"], meta["height"]
+                        except Exception:
+                            jpg = None
+                    rows.append([
+                        i, key,
+                        hashlib.md5(cap).hexdigest() if cap is not None
+                        else None,
+                        jpg is not None, w, h,
+                    ])
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_key", "caption_md5",
+                         "complete", "img_width", "img_height"],
+            )
+
+    return synth_df.mapInPandas(
+        decode,
+        schema=("doc_id long, sample_key string, caption_md5 string, "
+                "complete boolean, img_width int, img_height int"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -312,5 +312,10 @@ def test_round10_query_plan_budgets_pinned(spark):
     assert count_exchanges(_q(spark, "g711_energy_sig")) == 0
     # PAN pseudonymization: pure-JVM rewrite fused into the scan
     assert count_exchanges(_q(spark, "pii_pseudonymize")) == 0
+    # WebDataset decode capstone: shard walk + sample grouping + JPEG
+    # decode all inside ONE mapInPandas — zero shuffle
+    assert count_exchanges(_q(spark, "webdataset_decode")) == 0
+    # OOV rate: tiny broadcast vocab; token agg + top-k cut
+    assert count_exchanges(_q(spark, "oov_rate")) <= 3
     # diversity: (source, token) count + per-source fold, both partial
     assert count_exchanges(_q(spark, "token_diversity")) <= 2

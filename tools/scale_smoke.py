@@ -462,6 +462,36 @@ def main() -> None:
     wz = media.mapInPandas(warc_synth, schema="doc_id long, payload binary")
     stage(f"warc demux (1/16 slice, {m_rows:,})", warc_records(wz), t0)
 
+    from quickstart_streaming_agents_spark.operators.tar import tar_members
+
+    t0 = time.perf_counter()
+
+    def tar_synth(batches):
+        import io
+        import tarfile as _tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                buf = io.BytesIO()
+                with _tarfile.open(fileobj=buf, mode="w",
+                                   format=_tarfile.USTAR_FORMAT) as tf:
+                    for k, content in enumerate(
+                        (t[:64].encode(), str(i).encode())
+                    ):
+                        ti = _tarfile.TarInfo(f"s{k}.txt")
+                        ti.size = len(content)
+                        ti.mtime = 0
+                        tf.addfile(ti, io.BytesIO(content))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    tz = media.mapInPandas(tar_synth, schema="doc_id long, payload binary")
+    stage(f"tar demux (1/16 slice, {m_rows:,})", tar_members(tz), t0)
+
     t0 = time.perf_counter()
 
     def exif_synth(batches):
