@@ -195,6 +195,7 @@ HEADLINE = [
     "pii_pseudonymize",
     "oov_rate",
     "webdataset_decode",
+    "phrase_search",
 ]
 
 

@@ -8,8 +8,10 @@ DCT: Huffman entropy decode, dequantize, orthonormal IDCT, 4:4:4/4:2:2/
 4:2:0 upsampling, restart markers), 8-bit PNG (stdlib zlib inflate +
 all five scanline filters, CRC-verified), GIF87a/89a including
 multi-frame animations (pure-Python LZW with variable code widths),
-uncompressed 24-bpp BMP images, and PCM-16 RIFF/WAVE audio, parsed with
-struct/numpy/zlib against the public specs and pinned by golden-byte
+uncompressed 24-bpp BMP images, and RIFF/WAVE audio — PCM-16,
+IMA/DVI ADPCM (the full adaptive-predictor recurrence) and G.711
+µ-law/A-law (decode tables verified against CPython's audioop) — parsed
+with struct/numpy/zlib against the public specs and pinned by golden-byte
 tests (tests/test_multimodal_real.py: hand-assembled hex payloads +
 a canonical third-party GIF, encoder round-trips, analytic feature
 values, and the driver-checked multimodal_real_meta /
@@ -18,9 +20,10 @@ queries). Image payloads are
 container-sniffed per row on magic bytes (PNG signature vs GIF vs
 FFD8 SOI vs 'BM'); media_type="video" decodes animated GIF for real
 (n_frames + summed frame delays). Formats that genuinely need
-librosa/ffmpeg (MP3, MP4 — not in this container) raise
-``NotImplementedError`` at the
-same integration point. The real path is
+librosa/ffmpeg (MP3/AAC entropy decode — not in this container) raise
+``NotImplementedError`` at the same integration point; MP3 gains real
+ID3v2.3/2.4 tag metadata (make_id3v2/id3_tags/id3_meta) on top of the
+existing frame demux. The real path is
 per-row fault-tolerant (``on_error="null"``): a malformed or NULL asset
 yields NULL meta/features instead of failing the task. ``decoder="fake"``
 remains the deterministic md5-derived stand-in whose features the DuckDB

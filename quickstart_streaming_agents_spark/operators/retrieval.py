@@ -137,6 +137,61 @@ def bm25_topk(
     )
 
 
+def phrase_search(
+    docs: DataFrame,
+    phrases: list[str],
+    *,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Exact phrase matching over positional postings — the IR operator
+    BM25's bag-of-words scoring cannot express: per (phrase, doc),
+    ``n_occurrences`` and ``first_pos`` (1-based token position).
+
+    Algorithm (the classic positional-index intersection): for phrase
+    word j at token position i, the candidate phrase START is i − j; a
+    real occurrence is a (doc, start) where ALL n word slots are
+    present (``count(DISTINCT j) = n`` — repeated words in the phrase
+    fill only their own slot).
+
+    100 TB shape: the positions frame filters to phrase terms FIRST
+    (a broadcast hash join over a handful of words kills ~everything
+    at the scan), so the one (doc, phrase, start) aggregate shuffles
+    only matching positions, never the corpus.
+    """
+    if not phrases or any(not p.strip() for p in phrases):
+        raise ValueError("phrases must be non-empty strings")
+    slots = []  # (phrase, slot index, term, phrase length)
+    for p in phrases:
+        words = p.strip().lower().split()
+        slots.extend((p, j, w, len(words)) for j, w in enumerate(words))
+    slot_df = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            slots, "phrase string, j int, term string, n_words int"
+        )
+    )
+    pos = docs.select(
+        doc_id,
+        F.posexplode(tokens(F.lower(F.col(text)))).alias("__p0", "term"),
+    ).select(doc_id, (F.col("__p0") + 1).alias("i"), "term")
+    m = pos.join(slot_df, "term").select(
+        doc_id, "phrase", "n_words", "j",
+        (F.col("i") - F.col("j")).alias("start"),
+    )
+    # (doc, phrase, start, j) is UNIQUE in m — i = start + j, so one
+    # row per slot — making count(*) ≡ count(DISTINCT j) without the
+    # distinct-aggregate's extra exchange
+    occ = (
+        m.groupBy(doc_id, "phrase", "n_words", "start")
+        .agg(F.count("*").alias("__slots"))
+        .filter(F.col("__slots") == F.col("n_words"))
+    )
+    return occ.groupBy(doc_id, "phrase").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.min("start").cast("long").alias("first_pos"),
+    )
+
+
 def vocab_stats(
     docs: DataFrame,
     *,

@@ -3355,6 +3355,59 @@ def token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact phrase search (round 10) — operators/retrieval.phrase_search,
+# the positional-index intersection BM25's bag-of-words cannot express:
+# word j of the phrase at token position i contributes candidate start
+# i−j; an occurrence is a (doc, start) holding ALL n slots
+# (count(DISTINCT j) = n, so repeated phrase words fill only their own
+# slot). The phrase-term table is a broadcast of a handful of rows —
+# the corpus shuffles only matching positions. Two phrases exercised.
+# ---------------------------------------------------------------------------
+_PHRASE_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, CAST(t.i AS INT) AS i, a[i] AS term
+    FROM tok, unnest(range(1, len(a) + 1)) AS t(i)
+),
+slot AS (
+    SELECT * FROM (VALUES
+        ('fast merge', 0, 'fast', 2), ('fast merge', 1, 'merge', 2),
+        ('value table', 0, 'value', 2), ('value table', 1, 'table', 2)
+    ) s(phrase, j, term, n_words)
+),
+m AS (
+    SELECT pos.doc_id, slot.phrase, slot.n_words, slot.j,
+           pos.i - slot.j AS start
+    FROM pos JOIN slot USING (term)
+),
+occ AS (
+    SELECT doc_id, phrase, start
+    FROM m GROUP BY doc_id, phrase, n_words, start
+    HAVING count(DISTINCT j) = n_words
+)
+SELECT doc_id, phrase,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(start) AS BIGINT) AS first_pos
+FROM occ GROUP BY doc_id, phrase
+"""
+
+
+@query("phrase_search", oracle=_PHRASE_ORACLE)
+def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-phrase search over positional postings — see block
+    comment; operator in operators/retrieval.py."""
+    from quickstart_streaming_agents_spark.operators.retrieval import (
+        phrase_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_search(docs, ["fast merge", "value table"])
+
+
+# ---------------------------------------------------------------------------
 # Out-of-vocabulary rate per source (round 10) — the tokenizer-fit /
 # domain-shift signal mixing pipelines read before weighting a new
 # source: what fraction of source X's tokens fall outside the

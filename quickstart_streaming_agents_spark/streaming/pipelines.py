@@ -1115,6 +1115,64 @@ def hll_sketch_stream_pipeline(
     return catalog
 
 
+def webdataset_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+) -> StreamCatalog:
+    """Continuous WebDataset shard ingest (round 10): a stream of TAR
+    shard payloads demuxes into a ``shard_members`` topic — the loader
+    read path as a stream. The walk (``operators/tar.tar_members``) is
+    the SAME map-only mapInPandas the batch tar_member_index query runs,
+    so streaming ≡ batch is byte-deterministic and exact; stateless,
+    shuffle-free, trivially restartable. Shards synthesize from the
+    document stream via the stdlib tarfile writer (one .txt + one .cls
+    member per doc — the fixture analog of an object-store shard feed).
+    """
+    import io as _io
+    import tarfile as _tarfile
+
+    import pandas as _pd
+
+    from ..operators.tar import tar_members
+
+    spark = catalog.spark
+    docs = spark.read.parquet(documents_path)
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                buf = _io.BytesIO()
+                with _tarfile.open(fileobj=buf, mode="w",
+                                   format=_tarfile.USTAR_FORMAT) as tf:
+                    for name, content in (
+                        ("s0.txt", t[:80].encode()),
+                        ("s0.cls", str(int(i) % 10).encode()),
+                    ):
+                        ti = _tarfile.TarInfo(name)
+                        ti.size = len(content)
+                        ti.mtime = 0
+                        tf.addfile(ti, _io.BytesIO(content))
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"],
+                                 "payload": payloads,
+                                 "ts": pdf["ts"]})
+
+    stamped = docs.select(
+        "doc_id", "text",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ).alias("ts"),
+    ).mapInPandas(synth, schema="doc_id long, payload binary, ts timestamp")
+    catalog.create_table_as("wds_raw_shards", stamped)
+
+    stream = catalog.read_stream("wds_raw_shards")
+    members = tar_members(stream.drop("ts"), "doc_id", "payload")
+    catalog.create_table_as("shard_members", members, available_now=True)
+    catalog.await_all()
+    return catalog
+
+
 def kmins_sketch_stream_pipeline(
     catalog: StreamCatalog,
     events_path: str,

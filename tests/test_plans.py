@@ -317,5 +317,8 @@ def test_round10_query_plan_budgets_pinned(spark):
     assert count_exchanges(_q(spark, "webdataset_decode")) == 0
     # OOV rate: tiny broadcast vocab; token agg + top-k cut
     assert count_exchanges(_q(spark, "oov_rate")) <= 3
+    # phrase search: broadcast slot table; only matching positions
+    # shuffle (start agg + per-doc agg)
+    assert count_exchanges(_q(spark, "phrase_search")) <= 2
     # diversity: (source, token) count + per-source fold, both partial
     assert count_exchanges(_q(spark, "token_diversity")) <= 2

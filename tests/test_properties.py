@@ -518,3 +518,180 @@ def test_energy_signature_window_permutation_and_sign_invariant(data):
     assert energy_signature_py(perm, 4, 4) == base
     assert energy_signature_py(-x, 4, 4) == base
     assert all(b >= 0 for b in base)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 codec/walker properties — driverless (no Spark), pure Python.
+# ---------------------------------------------------------------------------
+
+_TAR_NAME = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789._-/",
+    min_size=1, max_size=90,
+).filter(lambda s: not s.startswith("/") and ".." not in s
+         and not s.endswith("/") and "//" not in s)
+
+
+@given(st.lists(
+    st.tuples(_TAR_NAME, st.binary(min_size=0, max_size=1500)),
+    min_size=1, max_size=6, unique_by=lambda e: e[0],
+))
+@settings(max_examples=60, deadline=None)
+def test_tar_walk_matches_stdlib_on_random_archives(entries):
+    import io
+    import tarfile
+
+    from quickstart_streaming_agents_spark.operators.tar import (
+        tar_member_table,
+    )
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        for name, content in entries:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(content)
+            ti.mtime = 0
+            tf.addfile(ti, io.BytesIO(content))
+    p = buf.getvalue()
+    tab = tar_member_table(p)
+    with tarfile.open(fileobj=io.BytesIO(p)) as tf:
+        std = [(m.name, m.size, m.offset, m.offset_data)
+               for m in tf.getmembers()]
+    assert [(m["name"], m["size"], m["offset"], m["content_offset"])
+            for m in tab] == std
+    for m, (_, content) in zip(tab, entries):
+        assert p[m["content_offset"]:m["content_offset"] + m["size"]] \
+            == content
+
+
+@given(st.lists(
+    st.tuples(_TAR_NAME, st.binary(min_size=0, max_size=800)),
+    min_size=1, max_size=6, unique_by=lambda e: e[0],
+))
+@settings(max_examples=60, deadline=None)
+def test_zip_walk_matches_stdlib_on_random_archives(entries):
+    import io
+    import zipfile
+    import zlib
+
+    from quickstart_streaming_agents_spark.operators.zipindex import (
+        zip_member_table,
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        for name, content in entries:
+            z.writestr(zipfile.ZipInfo(name), content)
+    p = buf.getvalue()
+    tab = zip_member_table(p)
+    with zipfile.ZipFile(io.BytesIO(p)) as z:
+        std = [(m.filename, m.file_size, m.header_offset)
+               for m in z.infolist()]
+    assert [(m["name"], m["uncomp_size"], m["header_offset"])
+            for m in tab] == std
+    for m, (_, content) in zip(tab, entries):
+        assert p[m["data_offset"]:m["data_offset"] + m["comp_size"]] \
+            == content
+        assert m["crc_ok"]
+        assert m["crc32"] == zlib.crc32(content) & 0xFFFFFFFF
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767),
+             min_size=1, max_size=400),
+    st.sampled_from([9, 17, 41]),
+    st.sampled_from([1, 2]),
+)
+@settings(max_examples=40, deadline=None)
+def test_ima_adpcm_decode_equals_reference_on_random_signals(samples, bs, ch):
+    """Random signals, block sizes and channel counts: the operator's
+    decode must equal the independently written reference decoder
+    sample-for-sample, and every block-leading sample is verbatim
+    (stored in the block header)."""
+    import numpy as np
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_wav,
+        make_wav_ima_adpcm,
+    )
+    from tests.test_afp import _ima_decode_independent
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if ch == 2:
+        arr = np.stack([arr, arr[::-1]], axis=1)
+    p = make_wav_ima_adpcm(arr, block_samples=bs)
+    _, out = _decode_wav(p)
+    arr2 = arr.reshape(-1, ch) if arr.ndim > 1 else arr[:, None]
+    assert out.shape == arr2.shape
+    # block-leading samples are verbatim
+    for b0 in range(0, arr2.shape[0], bs):
+        assert (out[b0] == arr2[b0]).all()
+    ref = _ima_decode_independent(p)
+    want = np.stack([np.asarray(c, dtype=np.int16) for c in ref], axis=1)
+    assert (out == want).all()
+
+
+@given(st.binary(min_size=0, max_size=600))
+@settings(max_examples=60, deadline=None)
+def test_g711_decode_matches_audioop_on_random_bytes(data):
+    import numpy as np
+    import pytest
+
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+    except ImportError:
+        pytest.skip("audioop removed on this runtime")
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        _decode_wav,
+        make_wav_g711,
+    )
+
+    for law, fn in (("ulaw", audioop.ulaw2lin), ("alaw", audioop.alaw2lin)):
+        p = make_wav_g711(data, law=law)
+        _, out = _decode_wav(p)
+        want = np.frombuffer(fn(data, 2), dtype="<i2")
+        assert (out[:, 0] == want).all()
+
+
+_MOJI_CHARS = st.text(
+    alphabet=(
+        "abc XYZ 123 .,!"
+        "éàüñÉ"          # Latin-1 letters
+        "‘’“”–—…€"  # cp1252 punct
+    ),
+    min_size=1, max_size=60,
+)
+
+
+@given(_MOJI_CHARS)
+@settings(max_examples=50, deadline=None)
+def test_mojibake_repair_inverts_whatwg_cp1252_corruption(spark, s):
+    """For text whose non-ASCII chars live in the Latin-1/cp1252 reach
+    (UTF-8 leads C2/C3/E2), corrupting via the WHATWG cp1252 misreading
+    and repairing must restore the original — or, when the text has no
+    non-ASCII char at all, corruption is the identity and repair must
+    not touch it."""
+    from quickstart_streaming_agents_spark.functions.text import (
+        mojibake_repair,
+    )
+
+    def whatwg1252(data: bytes) -> str:
+        return "".join(
+            chr(b) if b in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+            else bytes([b]).decode("cp1252") for b in data
+        )
+
+    corrupted = whatwg1252(s.encode("utf-8"))
+    df = spark.createDataFrame([(corrupted,)], ["t"])
+    m = mojibake_repair("t")
+    row = df.select(m["text_out"].alias("o"),
+                    m["repaired"].alias("r")).first()
+    if corrupted == s:  # pure-ASCII input: nothing to repair
+        assert row.o == s
+    else:
+        assert row.r and row.o == s

@@ -277,3 +277,33 @@ def test_token_entropy_orders_repetition_and_hits_uniform_bound(spark):
     assert abs(out[3].token_entropy - math.log(4)) < 1e-6
     assert out[2].type_token_ratio == 1.0
     assert out[1].distinct_tokens == 2 and out[1].n_tokens == 8
+
+
+def test_phrase_search_slots_and_repeats(spark):
+    """Occurrence counting: overlapping matches of a repeated-word
+    phrase count each start; reversed word order never matches; a term
+    present without its partner never matches; first_pos is 1-based."""
+    from quickstart_streaming_agents_spark.operators.retrieval import (
+        phrase_search,
+    )
+
+    df = spark.createDataFrame([
+        (1, "the fast merge ran fast merge twice"),
+        (2, "fast but no merge adjacency"),
+        (3, "merge fast reversed"),
+        (4, "aa aa aa"),
+        (5, "fast merge fast merge"),
+    ], ["doc_id", "text"])
+    got = {(r.doc_id, r.phrase): (r.n_occurrences, r.first_pos)
+           for r in phrase_search(df, ["fast merge", "aa aa"]).collect()}
+    assert got == {
+        (1, "fast merge"): (2, 2),
+        (4, "aa aa"): (2, 1),        # overlapping starts 1 and 2
+        (5, "fast merge"): (2, 1),
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="phrases"):
+        phrase_search(df, [])
+    with pytest.raises(ValueError, match="phrases"):
+        phrase_search(df, ["ok", "  "])

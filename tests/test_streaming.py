@@ -1530,3 +1530,33 @@ def test_kmins_sketch_stream_matches_batch_bit_exact(spark, catalog):
     for (et, _b) in got:
         per_stratum[et] = per_stratum.get(et, 0) + 1
     assert all(n <= 32 for n in per_stratum.values())
+
+
+def test_webdataset_stream_matches_batch_exact(spark, catalog):
+    """Streaming shard demux must equal a batch walk of the same
+    payloads byte-for-byte (deterministic walk, no state), covering
+    every member column including content md5."""
+    from quickstart_streaming_agents_spark.operators.tar import tar_members
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        webdataset_stream_pipeline,
+    )
+
+    webdataset_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet"
+    )
+    live = catalog.read_batch("shard_members")
+    got = sorted(
+        (r.doc_id, r.member_idx, r.name, r.size, r.offset,
+         r.content_offset, r.content_md5)
+        for r in live.collect()
+    )
+    shards = catalog.read_batch("wds_raw_shards").select("doc_id", "payload")
+    want = sorted(
+        (r.doc_id, r.member_idx, r.name, r.size, r.offset,
+         r.content_offset, r.content_md5)
+        for r in tar_members(shards).collect()
+    )
+    assert got == want and len(got) > 0
+    # every shard contributed exactly its two members
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(got) == 2 * n_docs
