@@ -196,6 +196,9 @@ HEADLINE = [
     "oov_rate",
     "webdataset_decode",
     "phrase_search",
+    "leakage_safe_split",
+    "lang_label_audit",
+    "exif_display_dims",
 ]
 
 

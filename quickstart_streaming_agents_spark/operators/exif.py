@@ -164,6 +164,58 @@ def jpeg_exif(p: bytes) -> dict | None:
     return None
 
 
+def exif_display_dims(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    on_error: str = "null",
+) -> "DataFrame":
+    """The practical composition every image-resize stage needs BEFORE
+    touching pixels: stored SOF dimensions (header probe) + EXIF
+    Orientation → DISPLAY dimensions (orientations 5-8 are the
+    transposed ones, so width/height swap). One map-only pass reads
+    both headers; images with no EXIF default to orientation 1
+    (the spec's display default)."""
+    import pandas as pd
+
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
+
+    def parse(batches):
+        from quickstart_streaming_agents_spark.operators.multimodal import (
+            _probe_jpeg,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    p = bytes(payload or b"")
+                    probe = _probe_jpeg(p)
+                    meta = jpeg_exif(p)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    rows.append([i, None, None, None, None, None])
+                    continue
+                orient = (meta or {}).get("orientation") or 1
+                w, h = probe["width"], probe["height"]
+                dw, dh = (h, w) if orient >= 5 else (w, h)
+                rows.append([i, orient, w, h, dw, dh])
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "orientation", "stored_w", "stored_h",
+                         "display_w", "display_h"],
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, payload_col).mapInPandas(
+        parse,
+        schema=(f"{id_col} {id_type}, orientation int, stored_w int, "
+                "stored_h int, display_w int, display_h int"),
+    )
+
+
 def exif_meta(
     df: DataFrame,
     id_col: str = "doc_id",

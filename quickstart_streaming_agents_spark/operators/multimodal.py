@@ -748,14 +748,70 @@ def make_wav_ima_adpcm(
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+_IMA_STEP_NP = np.asarray(_IMA_STEP_TABLE, dtype=np.int64)
+_IMA_INDEX_NP = np.asarray(_IMA_INDEX_TABLE, dtype=np.int64)
+
+
+def _ima_decode_blocks(
+    blocks: np.ndarray, channels: int, nib_per_ch: int
+) -> np.ndarray:
+    """Vectorized adaptive recurrence over ALL (block, channel) lanes
+    at once: the recurrence is sequential in the SAMPLE dimension only
+    (blocks are independently decodable — the header carries each
+    lane's verbatim first sample + step index), so the Python-level
+    loop runs ``nibbles_per_block`` times regardless of block count —
+    the decode-throughput fix for long archives (a scalar walk pays
+    Python per NIBBLE; this pays numpy per nibble POSITION).
+
+    ``blocks``: uint8 array (n_blocks, block_align). Returns int16
+    samples (n_blocks, samples_per_block, channels)."""
+    nb = blocks.shape[0]
+    hdr = blocks[:, : 4 * channels].reshape(nb, channels, 4)
+    pred = (
+        hdr[:, :, 0].astype(np.int64)
+        | (hdr[:, :, 1].astype(np.int64) << 8)
+    )
+    pred = np.where(pred >= 0x8000, pred - 0x10000, pred)  # int16 LE
+    idx = hdr[:, :, 2].astype(np.int64)
+    if (idx > 88).any():
+        raise ValueError(
+            f"bad IMA step index {int(idx[idx > 88].flat[0])}"
+        )
+    body = blocks[:, 4 * channels :]
+    nwords = body.shape[1] // 4
+    words = body[:, : nwords * 4].reshape(nb, nwords // channels, channels, 4)
+    per_ch = words.transpose(0, 2, 1, 3).reshape(nb, channels, -1)
+    nibs = np.empty((nb, channels, per_ch.shape[2] * 2), dtype=np.int64)
+    nibs[:, :, 0::2] = per_ch & 0x0F
+    nibs[:, :, 1::2] = per_ch >> 4
+    out = np.empty((nb, nib_per_ch + 1, channels), dtype=np.int16)
+    out[:, 0, :] = pred.astype(np.int16)
+    for t in range(nib_per_ch):
+        n = nibs[:, :, t]
+        step = _IMA_STEP_NP[idx]
+        diff = (
+            (step >> 3)
+            + (n & 1) * (step >> 2)
+            + ((n >> 1) & 1) * (step >> 1)
+            + ((n >> 2) & 1) * step
+        )
+        pred = np.clip(
+            np.where(n & 8, pred - diff, pred + diff), -32768, 32767
+        )
+        idx = np.clip(idx + _IMA_INDEX_NP[n & 7], 0, 88)
+        out[:, t + 1, :] = pred.astype(np.int16)
+    return out
+
+
 def _decode_wav_ima(
     fmt: bytes, data: bytes, fact: bytes | None
 ) -> tuple[dict, np.ndarray]:
     """Decode the IMA ADPCM data chunk: block walk → per-channel
     header (verbatim first sample + step index) → interleaved nibble
-    words through the adaptive recurrence. A torn final block decodes
-    its whole words and stops (the container fault contract); the
-    'fact' chunk trims padding to the true sample count."""
+    words through the adaptive recurrence (vectorized across blocks —
+    see :func:`_ima_decode_blocks`). A torn final block decodes its
+    whole words and stops (the container fault contract); the 'fact'
+    chunk trims padding to the true sample count."""
     audio_fmt, channels, rate, _, block_align, bits = struct.unpack_from(
         "<HHIIHH", fmt
     )
@@ -766,37 +822,34 @@ def _decode_wav_ima(
     nib_bytes_ch = (block_align - 4 * channels) // channels
     if nib_bytes_ch % 4 or block_align != 4 * channels + nib_bytes_ch * channels:
         raise ValueError(f"bad IMA ADPCM block_align {block_align}")
-    decoded: list[list[int]] = [[] for _ in range(channels)]
-    pos = 0
-    while pos + 4 * channels <= len(data):
-        blk = data[pos : pos + block_align]
-        pred, idx = [], []
-        for c in range(channels):
-            p, ix, _ = struct.unpack_from("<hBB", blk, 4 * c)
-            if ix > 88:
-                raise ValueError(f"bad IMA step index {ix}")
-            pred.append(p)
-            idx.append(ix)
-            decoded[c].append(p)  # header sample is emitted verbatim
-        nwords = (len(blk) - 4 * channels) // (4 * channels)
-        off = 4 * channels
-        for g in range(nwords):
-            for c in range(channels):
-                word = blk[off + (g * channels + c) * 4 :
-                           off + (g * channels + c) * 4 + 4]
-                p, ix = pred[c], idx[c]
-                for b in word:
-                    for nb in (b & 0xF, b >> 4):
-                        p, ix = _ima_step(nb, p, ix)
-                        decoded[c].append(p)
-                pred[c], idx[c] = p, ix
-        pos += block_align
-    n = min(len(d) for d in decoded)
+    nib_per_ch = nib_bytes_ch * 2
+
+    n_full = len(data) // block_align
+    parts: list[np.ndarray] = []
+    if n_full:
+        blocks = np.frombuffer(
+            data, dtype=np.uint8, count=n_full * block_align
+        ).reshape(n_full, block_align)
+        full = _ima_decode_blocks(blocks, channels, nib_per_ch)
+        parts.append(full.reshape(-1, channels))
+    # torn final block: headers + whole interleaved words only
+    tail = data[n_full * block_align :]
+    if len(tail) >= 4 * channels:
+        t_nwords = (len(tail) - 4 * channels) // (4 * channels)
+        usable = 4 * channels + t_nwords * 4 * channels
+        padded = np.zeros(block_align, dtype=np.uint8)
+        padded[:usable] = np.frombuffer(tail, dtype=np.uint8, count=usable)
+        t_out = _ima_decode_blocks(
+            padded[None, :], channels, nib_per_ch
+        )[0]
+        parts.append(t_out[: t_nwords * 8 + 1])
+    if not parts:
+        raise ValueError("IMA ADPCM payload has no complete block header")
+    samples = np.concatenate(parts, axis=0)
+    n = samples.shape[0]
     if fact is not None and len(fact) >= 4:
         n = min(n, struct.unpack_from("<I", fact)[0])
-    samples = np.stack(
-        [np.asarray(d[:n], dtype=np.int16) for d in decoded], axis=1
-    )
+    samples = samples[:n]
     meta = {
         "media_type": "audio",
         "width": int(channels),

@@ -3355,6 +3355,98 @@ def token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Leakage-safe split (round 10) — the eval-hygiene rule dataset_split
+# alone cannot give: identical documents (exact-dup GROUPS) must land
+# in the SAME split, or the test set leaks into training verbatim. The
+# split hash is computed on the GROUP key (the normalized-text md5
+# fingerprint), not the row identity, so every member of a dup group
+# inherits one verdict; the audit columns expose group size and whether
+# this row is the group's keeper. Map-only except one fingerprint-keyed
+# window for group size/keeper (the dedup_exact machinery).
+# ---------------------------------------------------------------------------
+_SAFE_SPLIT_ORACLE = r"""
+WITH f AS (
+    SELECT doc_id, lang, md5(trim(lower(text))) AS fp
+    FROM documents
+),
+g AS (
+    SELECT doc_id, lang, fp,
+           count(*) OVER (PARTITION BY fp) AS group_size,
+           min(doc_id) OVER (PARTITION BY fp) AS keeper
+    FROM f
+)
+SELECT doc_id, lang, fp AS group_fp,
+       CAST(group_size AS BIGINT) AS group_size,
+       doc_id = keeper AS is_keeper,
+       CASE WHEN (('0x' || substr(md5('split-v1|' || fp), 1, 15))::UBIGINT
+                  / 1152921504606846976.0) < 0.8 THEN 'train'
+            WHEN (('0x' || substr(md5('split-v1|' || fp), 1, 15))::UBIGINT
+                  / 1152921504606846976.0) < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM g
+"""
+
+
+@query("leakage_safe_split", oracle=_SAFE_SPLIT_ORACLE)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split assignment hashed on the exact-dup GROUP fingerprint so
+    duplicate documents can never straddle train/test — see block
+    comment."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    fp = F.md5(F.trim(F.lower(F.col("text"))))
+    w = Window.partitionBy("group_fp")
+    base = docs.select("doc_id", "lang", fp.alias("group_fp"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split-v1|"),
+                                       F.col("group_fp"))), 1, 15),
+            16, 10,
+        ).cast("double") / F.lit(1152921504606846976.0)
+    )
+    return base.select(
+        "doc_id", "lang", "group_fp",
+        F.count("*").over(w).cast("long").alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-label audit (round 10) — the data-quality confusion matrix:
+# the corpus's CLAIMED lang column vs the engine's n-gram prediction
+# (the lang_id_ngram machinery verbatim — one source of truth). A
+# mismatch cell with weight is exactly what a curation run reviews
+# before trusting upstream labels. Exact-integer counts + one division.
+# ---------------------------------------------------------------------------
+@query(
+    "lang_label_audit",
+    oracle=(
+        "SELECT d.lang, p.lang_pred,\n"
+        "       CAST(count(*) AS BIGINT) AS n_docs,\n"
+        "       d.lang <> p.lang_pred AS is_mismatch\n"
+        "FROM documents d JOIN (" + _LANG_ID_ORACLE + ") p USING (doc_id)\n"
+        "GROUP BY d.lang, p.lang_pred"
+    ),
+)
+def lang_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(claimed lang, predicted lang) confusion counts — see block
+    comment; prediction is the registered lang_id_ngram query."""
+    pred = QUERIES["lang_id_ngram"](spark, sf_dir).select(
+        "doc_id", "lang_pred"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return docs.join(pred, "doc_id").groupBy("lang", "lang_pred").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.first(F.col("lang") != F.col("lang_pred")).alias("is_mismatch"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact phrase search (round 10) — operators/retrieval.phrase_search,
 # the positional-index intersection BM25's bag-of-words cannot express:
 # word j of the phrase at token position i contributes candidate start
@@ -9470,6 +9562,83 @@ def jpeg_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
     return exif_meta(synth_df, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# EXIF display dimensions (round 10) — operators/exif.exif_display_dims:
+# the composition every resize/dHash stage runs BEFORE touching pixels:
+# stored SOF dims (header probe) + EXIF Orientation → display dims
+# (orientations 5-8 are the transposed group, so width/height swap).
+# One map-only pass reads both headers; EXIF-less JPEGs default to
+# orientation 1. Synth plants distinct w/h per doc and all 8
+# orientations; garbage payloads quarantine (NULL row). Oracle analytic.
+# ---------------------------------------------------------------------------
+@query(
+    "exif_display_dims",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                WHEN doc_id % 23 = 0 THEN 1
+                ELSE CAST(1 + doc_id % 8 AS INT) END AS orientation,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                ELSE CAST(3 + doc_id % 13 AS INT) END AS stored_w,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                ELSE CAST(2 + doc_id % 9 AS INT) END AS stored_h,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                WHEN doc_id % 23 <> 0 AND 1 + doc_id % 8 >= 5
+                THEN CAST(2 + doc_id % 9 AS INT)
+                ELSE CAST(3 + doc_id % 13 AS INT) END AS display_w,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                WHEN doc_id % 23 <> 0 AND 1 + doc_id % 8 >= 5
+                THEN CAST(3 + doc_id % 13 AS INT)
+                ELSE CAST(2 + doc_id % 9 AS INT) END AS display_h
+    FROM documents
+    """,
+)
+def exif_display_dims_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored vs display dims under EXIF orientation — see block
+    comment; operator in operators/exif.py (map-only)."""
+    import numpy as np
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.exif import (
+        exif_display_dims,
+        insert_app1,
+        make_exif_app1,
+    )
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        make_jpeg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ones = (np.ones((8, 8), np.int64), np.ones((8, 8), np.int64))
+
+    def synth(batches):
+        cache: dict = {}
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 29 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                    continue
+                w, h = 3 + i % 13, 2 + i % 9
+                if (w, h) not in cache:
+                    cache[(w, h)] = make_jpeg(
+                        np.full((h, w, 3), 77, dtype=np.uint8),
+                        quant_tables=ones,
+                    )
+                base = cache[(w, h)]
+                if i % 23 == 0:
+                    payloads.append(base)  # no EXIF: orientation 1
+                else:
+                    payloads.append(insert_app1(
+                        base, make_exif_app1(1 + i % 8)
+                    ))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return exif_display_dims(synth_df, "doc_id", "payload")
 
 
 # ---------------------------------------------------------------------------

@@ -72,3 +72,40 @@ def test_exif_meta_spark_surface(spark):
         exif_meta(df, on_error="raise").collect()
     with pytest.raises(ValueError, match="on_error"):
         exif_meta(df, on_error="bad")
+
+
+def test_exif_display_dims_orientation_swap(spark):
+    """Orientations 5-8 (the transposed group) swap display dims; 1-4
+    keep them; EXIF-less JPEGs default to orientation 1; garbage
+    quarantines with a NULL row."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.operators.exif import (
+        exif_display_dims,
+        insert_app1,
+        make_exif_app1,
+    )
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        make_jpeg,
+    )
+
+    ones = (np.ones((8, 8), np.int64), np.ones((8, 8), np.int64))
+    base = make_jpeg(np.full((4, 6, 3), 10, dtype=np.uint8),
+                     quant_tables=ones)  # h=4, w=6
+    rows = [Row(doc_id=o, payload=insert_app1(base, make_exif_app1(o)))
+            for o in range(1, 9)]
+    rows += [Row(doc_id=100, payload=base),         # no EXIF
+             Row(doc_id=101, payload=b"nope")]      # garbage
+    got = {r.doc_id: r for r in
+           exif_display_dims(spark.createDataFrame(rows)).collect()}
+    for o in range(1, 9):
+        r = got[o]
+        assert (r.stored_w, r.stored_h) == (6, 4)
+        if o >= 5:
+            assert (r.display_w, r.display_h) == (4, 6)
+        else:
+            assert (r.display_w, r.display_h) == (6, 4)
+    assert got[100].orientation == 1
+    assert (got[100].display_w, got[100].display_h) == (6, 4)
+    assert got[101].orientation is None and got[101].display_w is None

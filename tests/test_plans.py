@@ -320,5 +320,11 @@ def test_round10_query_plan_budgets_pinned(spark):
     # phrase search: broadcast slot table; only matching positions
     # shuffle (start agg + per-doc agg)
     assert count_exchanges(_q(spark, "phrase_search")) <= 2
+    # leakage-safe split: one fingerprint-keyed window exchange
+    assert count_exchanges(_q(spark, "leakage_safe_split")) == 1
+    # EXIF display dims: map-only header composition
+    assert count_exchanges(_q(spark, "exif_display_dims")) == 0
+    # lang audit: the lang_id map + doc join + confusion agg
+    assert count_exchanges(_q(spark, "lang_label_audit")) <= 4
     # diversity: (source, token) count + per-source fold, both partial
     assert count_exchanges(_q(spark, "token_diversity")) <= 2
