@@ -199,6 +199,9 @@ HEADLINE = [
     "leakage_safe_split",
     "lang_label_audit",
     "exif_display_dims",
+    "markdown_strip",
+    "code_detect",
+    "minhash_calibration",
 ]
 
 

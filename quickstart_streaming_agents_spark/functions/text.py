@@ -527,6 +527,75 @@ def iban_audit(text_col: str | Column) -> dict[str, Column]:
     }
 
 
+# Markdown boilerplate strip — the GitHub/docs-corpus sibling of the
+# HTML tier: fenced code blocks drop wholesale (their text is code —
+# the code/prose routing decision belongs to code_signals below, not a
+# prose pipeline), inline code drops, images/links reduce to their
+# alt/anchor text, header/blockquote/bullet/emphasis markers strip,
+# horizontal rules vanish, whitespace collapses. RE2-safe (no
+# lookarounds; emphasis handled by wrapped-span capture groups).
+def markdown_strip(md_col: str | Column) -> Column:
+    c = F.col(md_col) if isinstance(md_col, str) else md_col
+    c = F.regexp_replace(c, r"(?s)```.*?```", " ")
+    c = F.regexp_replace(c, r"`[^`\n]*`", " ")
+    c = F.regexp_replace(c, r"!\[([^\]]*)\]\([^)]*\)", "$1")
+    c = F.regexp_replace(c, r"\[([^\]]*)\]\([^)]*\)", "$1")
+    c = F.regexp_replace(c, r"(?m)^#{1,6} +", "")
+    c = F.regexp_replace(c, r"(?m)^> ?", "")
+    c = F.regexp_replace(c, r"(?m)^ {0,3}([*+-]|\d+\.) +", "")
+    c = F.regexp_replace(c, r"(?m)^ {0,3}(-{3,}|\*{3,}|_{3,}) *$", " ")
+    c = F.regexp_replace(c, r"\*\*([^*\n]+)\*\*", "$1")
+    c = F.regexp_replace(c, r"__([^_\n]+)__", "$1")
+    c = F.regexp_replace(c, r"\*([^*\n]+)\*", "$1")
+    c = F.regexp_replace(c, r"_([^_\n]+)_", "$1")
+    return F.trim(F.regexp_replace(c, r"[ \t\n\r\f]+", " "))
+
+
+# Code-vs-prose routing signals — the gate The-Stack-class pipelines
+# run before text quality scoring (prose heuristics condemn perfectly
+# good code): exact-integer symbol density (the strip-complement
+# length idiom), semicolon-terminated and indented line counts, and
+# language-keyword hits. The verdict is a pure integer rule — no
+# floats, so SQL replays it bit-for-bit.
+CODE_KEYWORD_PATTERN = (
+    r"\b(def|return|import|class|function|var|const|elif|lambda|void|"
+    r"printf)\b"
+)
+
+
+def code_signals(text_col: str | Column) -> dict[str, Column]:
+    """``{n_chars, n_symbols, n_semi_lines, n_indent_lines, n_keywords,
+    is_code}`` — is_code fires when symbol density ≥ 5% (20·symbols ≥
+    chars) or ≥ 2 keywords alongside ≥ 1 structured (semicolon/indent)
+    line."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_chars = F.length(c).cast("long")
+    n_symbols = (
+        F.length(c) - F.length(F.regexp_replace(c, r"[{}();=<>\[\]]", ""))
+    ).cast("long")
+    lines = F.split(c, "\n")
+    n_semi = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r";\s*$"))
+    ).cast("long")
+    n_indent = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^(    |\t)"))
+    ).cast("long")
+    n_kw = F.size(
+        F.regexp_extract_all(c, F.lit(CODE_KEYWORD_PATTERN), F.lit(0))
+    ).cast("long")
+    is_code = (n_symbols * 20 >= n_chars) & (n_chars > 0) | (
+        (n_kw >= 2) & (n_semi + n_indent >= 1)
+    )
+    return {
+        "n_chars": n_chars,
+        "n_symbols": n_symbols,
+        "n_semi_lines": n_semi,
+        "n_indent_lines": n_indent,
+        "n_keywords": n_kw,
+        "is_code": is_code,
+    }
+
+
 # PII pseudonymization — the referential-integrity-preserving sibling
 # of redaction: each Luhn-VALID card number is replaced by a
 # DETERMINISTIC surrogate (digits derived from md5 of the normalized

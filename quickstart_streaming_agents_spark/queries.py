@@ -3355,6 +3355,260 @@ def token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Markdown boilerplate strip (round 10) — functions/text.markdown_strip,
+# the GitHub/docs-corpus sibling of html_text_extract: fenced code and
+# inline code drop (a fence body contains a '# header' decoy that must
+# NOT leak), images/links reduce to alt/anchor text, header/bullet/
+# quote/emphasis markers strip, rules vanish. The synth wraps fixture
+# text in deterministic markdown; the oracle replays the planted
+# stripped forms analytically (the mojibake convention — no cross-
+# engine regex-replacement drift surface at all). Map-only.
+# ---------------------------------------------------------------------------
+_MD_ORACLE = """
+SELECT doc_id,
+       'Doc ' || doc_id || ' intro with bold words and a label plus '
+           || text
+           || CASE WHEN doc_id % 4 = 0
+                   THEN ' item one item two tail' ELSE ' tail' END
+           AS extracted
+FROM documents
+"""
+
+
+@query("markdown_strip", oracle=_MD_ORACLE)
+def markdown_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style markdown strip over synthesized pages — see block
+    comment; function in functions/text.py."""
+    from quickstart_streaming_agents_spark.functions.text import (
+        markdown_strip,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    md = F.concat(
+        F.lit("## Doc "), d.cast("string"),
+        F.lit(" intro\n\nwith **bold** words and a "
+              "[label](https://x.example/y?q=1) plus\n\n"
+              "```python\n# header decoy inside fence\nprint('x')\n```\n\n"
+              "> "),
+        F.col("text"),
+        F.when(
+            d % 4 == 0,
+            F.lit("\n\n- item *one*\n- item _two_\n\n---\n\ntail"),
+        ).otherwise(F.lit("\n\ntail")),
+    )
+    return docs.select(
+        "doc_id", markdown_strip(md).alias("extracted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose routing (round 10) — functions/text.code_signals, the
+# gate The-Stack-class pipelines run before prose quality scoring
+# (length/stopword heuristics condemn good code): exact-integer symbol
+# density, semicolon/indent line counts, keyword hits, pure-integer
+# verdict. Synth plants a Python def (keywords + indent), a JS snippet
+# (braces/semicolons — symbol density), a prose decoy containing the
+# word sequence "class ... return" with NO structure (must NOT fire),
+# and plain prose. Oracle replays counts analytically over the planted
+# classes (fixture text verified signal-free at sf0.01). Map-only.
+# ---------------------------------------------------------------------------
+_CODE_DETECT_ORACLE = """
+SELECT doc_id,
+       CAST(length(text) + CASE doc_id % 4
+            WHEN 0 THEN 44 WHEN 1 THEN 43 WHEN 2 THEN 40
+            ELSE 6 END AS BIGINT) AS n_chars,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 9
+            ELSE 0 END AS BIGINT) AS n_symbols,
+       CAST(CASE doc_id % 4 WHEN 1 THEN 2 ELSE 0 END AS BIGINT)
+           AS n_semi_lines,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_indent_lines,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 2 WHEN 2 THEN 2
+            ELSE 0 END AS BIGINT) AS n_keywords,
+       doc_id % 4 IN (0, 1) AS is_code
+FROM documents
+"""
+
+
+@query("code_detect", oracle=_CODE_DETECT_ORACLE)
+def code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose signals over planted snippets — see block comment;
+    function in functions/text.py."""
+    from quickstart_streaming_agents_spark.functions.text import (
+        code_signals,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    # planted suffixes (all oracle constants computed from these exact
+    # strings: length / symbol / semi-line / indent-line / keyword)
+    messy = F.concat(
+        F.col("text"),
+        F.when(d % 4 == 0,
+               F.lit("\ndef f(x):\n    return x1; import os; class A"))
+         .when(d % 4 == 1,
+               F.lit("\nvar a = {b: 1};\nconst c = (a < 2) ? 3 : 4;"))
+         .when(d % 4 == 2,
+               F.lit(" the class of events for the return trip"))
+         .otherwise(F.lit(" plain")),
+    )
+    sig = code_signals(messy)
+    return docs.select(
+        "doc_id",
+        sig["n_chars"].alias("n_chars"),
+        sig["n_symbols"].alias("n_symbols"),
+        sig["n_semi_lines"].alias("n_semi_lines"),
+        sig["n_indent_lines"].alias("n_indent_lines"),
+        sig["n_keywords"].alias("n_keywords"),
+        sig["is_code"].alias("is_code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration (round 10) — "measure, don't guess" for the
+# sketch tier: every LSH candidate pair carries BOTH the MinHash
+# estimate (n_match of 64 agreeing components) and the EXACT shingle
+# Jaccard (|∩|, |∪| from the same 3-gram sets), plus the error — the
+# audit that tells an operator whether the banded-LSH recall/precision
+# trade is behaving before trusting it on 100 TB. Exact integers
+# end-to-end (fixed-point e6 via non-negative div, the lint contract);
+# exact counting runs only on the LSH-bounded candidate set.
+# ---------------------------------------------------------------------------
+def _minhash_calibration_oracle() -> str:
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        _minhash_params,
+    )
+
+    a, b = _minhash_params(64)
+    consts = ",\n          ".join(
+        f"({i}, {int(a[i])}::UBIGINT, {int(b[i])}::UBIGINT)"
+        for i in range(64)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, ng FROM (
+            SELECT doc_id,
+                   unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           for i in range(1, greatest(len(w) - 1, 1))]) AS ng
+            FROM d
+        )
+    ),
+    x AS (SELECT doc_id, ('0x' || substr(md5(ng),1,16))::UBIGINT AS xv FROM g),
+    p(i, a, b) AS (VALUES {consts}),
+    sig AS (
+        SELECT doc_id, i,
+               min(((a::UHUGEINT * xv::UHUGEINT + b::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT) AS s
+        FROM x CROSS JOIN p GROUP BY doc_id, i
+    ),
+    band_sig AS (
+        SELECT doc_id, i // 4 AS band,
+               string_agg(s::VARCHAR, ',' ORDER BY i) AS bs
+        FROM sig GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band_sig a JOIN band_sig b
+          ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id
+    ),
+    nm AS (
+        SELECT c.id_a, c.id_b,
+               CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_match
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+        GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS ns FROM g GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(gb.ng) AS shared
+        FROM cand c
+        JOIN g ga ON ga.doc_id = c.id_a
+        LEFT JOIN g gb ON gb.doc_id = c.id_b AND gb.ng = ga.ng
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT nm.id_a, nm.id_b, nm.n_match,
+           CAST(i.shared AS BIGINT) AS n_inter,
+           CAST(sa.ns + sb.ns - i.shared AS BIGINT) AS n_union,
+           CAST(nm.n_match * 1000000 // 64 AS BIGINT) AS est_e6,
+           CAST(i.shared * 1000000 // (sa.ns + sb.ns - i.shared) AS BIGINT)
+               AS exact_e6,
+           CAST(abs(nm.n_match * 1000000 // 64
+                    - i.shared * 1000000 // (sa.ns + sb.ns - i.shared))
+                AS BIGINT) AS err_e6
+    FROM nm
+    JOIN inter i ON i.id_a = nm.id_a AND i.id_b = nm.id_b
+    JOIN sizes sa ON sa.doc_id = nm.id_a
+    JOIN sizes sb ON sb.doc_id = nm.id_b
+    """
+
+
+@query("minhash_calibration", oracle=_minhash_calibration_oracle())
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimate vs exact Jaccard per LSH candidate pair — see
+    block comment."""
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        shingle_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16,
+        shingle_n=3, threshold=0.0,
+    ).select("id_a", "id_b")
+    sigs = minhash_signatures(docs, "doc_id", "text", 64, 3)
+    sa = sigs.select(F.col("doc_id").alias("id_a"),
+                     F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"),
+                     F.col("sig").alias("sig_b"))
+    nm = cand.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b",
+        F.expr(
+            "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+        ).cast("long").alias("n_match"),
+    )
+    sh = shingle_df(docs, "doc_id", "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    ga = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    gb = sh.select(F.col("doc_id").alias("__gb_id"),
+                   F.col("shingle").alias("shingle_b"))
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb, (F.col("id_b") == F.col("__gb_id"))
+              & (F.col("shingle") == F.col("shingle_b")), "left")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("shingle_b").alias("shared"))
+    )
+    out = (
+        nm.join(inter, ["id_a", "id_b"])
+        .join(sizes.withColumnRenamed("doc_id", "id_a")
+              .withColumnRenamed("ns", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("ns", "nb"), "id_b")
+    )
+    uni = (F.col("na") + F.col("nb") - F.col("shared")).cast("long")
+    est_e6 = F.expr("n_match * 1000000 div 64").cast("long")
+    exact_e6 = F.expr("(shared * 1000000) div (na + nb - shared)") \
+        .cast("long")
+    return out.select(
+        "id_a", "id_b", "n_match",
+        F.col("shared").cast("long").alias("n_inter"),
+        uni.alias("n_union"),
+        est_e6.alias("est_e6"),
+        exact_e6.alias("exact_e6"),
+        F.abs(est_e6 - exact_e6).cast("long").alias("err_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Leakage-safe split (round 10) — the eval-hygiene rule dataset_split
 # alone cannot give: identical documents (exact-dup GROUPS) must land
 # in the SAME split, or the test set leaks into training verbatim. The

@@ -372,6 +372,55 @@ def register_curation_sql(spark: SparkSession) -> None:
                 regexp_replace({strip}, '{auth_nc}', ''),
                 '^(/.+?)/$', '$1'))""",
     )
+    # round 10: the PII-validation and boilerplate-strip tiers as pure
+    # SQL UDFs too (same zero-Python property). Bodies mirror the
+    # functions.text DataFrame builders; equivalence is pinned row-wise
+    # in tests/test_sql_surface.py so the two surfaces cannot drift.
+    stmts.append(
+        r"""CREATE OR REPLACE TEMPORARY FUNCTION luhn_valid(d STRING)
+            RETURNS BOOLEAN RETURN
+            aggregate(
+              zip_with(
+                filter(split(reverse(d), ''), ch -> ch <> ''),
+                sequence(1, length(d)),
+                (ch, i) -> CASE WHEN i % 2 = 0
+                    THEN IF((ascii(ch) - 48) * 2 > 9,
+                            (ascii(ch) - 48) * 2 - 9,
+                            (ascii(ch) - 48) * 2)
+                    ELSE ascii(ch) - 48 END),
+              0, (a, x) -> a + x) % 10 = 0"""
+    )
+    stmts.append(
+        r"""CREATE OR REPLACE TEMPORARY FUNCTION iban_valid(s STRING)
+            RETURNS BOOLEAN RETURN
+            aggregate(
+              filter(split(concat(substring(s, 5, 34), substring(s, 1, 4)),
+                           ''), ch -> ch <> ''),
+              0,
+              (a, ch) -> CASE WHEN ascii(ch) BETWEEN 48 AND 57
+                  THEN (a * 10 + ascii(ch) - 48) % 97
+                  ELSE (a * 100 + ascii(ch) - 55) % 97 END) = 1"""
+    )
+    html_body = "t"
+    for pat, rep in (
+        (r"(?is)<script\b[^>]*>.*?</script>", " "),
+        (r"(?is)<style\b[^>]*>.*?</style>", " "),
+        (r"(?is)<!--.*?-->", " "),
+        (r"(?i)</(p|div|br|li|h[1-6]|tr|td)\b[^>]*>", " "),
+        (r"<[^>]+>", ""),
+    ):
+        html_body = f"regexp_replace({html_body}, '{q(pat)}', '{rep}')"
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+                    ("&amp;", "&")):
+        html_body = (
+            f"replace({html_body}, '{q(ent)}', '{q(ch)}')"
+        )
+    stmts.append(
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION html_strip(t STRING)
+            RETURNS STRING RETURN
+            trim(regexp_replace({html_body}, '[ \\\\t\\\\n\\\\r\\\\f]+', ' '))"""
+    )
     for s in stmts:
         spark.sql(s)
 

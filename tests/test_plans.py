@@ -326,5 +326,8 @@ def test_round10_query_plan_budgets_pinned(spark):
     assert count_exchanges(_q(spark, "exif_display_dims")) == 0
     # lang audit: the lang_id map + doc join + confusion agg
     assert count_exchanges(_q(spark, "lang_label_audit")) <= 4
+    # markdown strip + code routing: pure-JVM regexp chains in the scan
+    assert count_exchanges(_q(spark, "markdown_strip")) == 0
+    assert count_exchanges(_q(spark, "code_detect")) == 0
     # diversity: (source, token) count + per-source fold, both partial
     assert count_exchanges(_q(spark, "token_diversity")) <= 2

@@ -234,3 +234,49 @@ def test_url_canonical_sql_udf_matches_dataframe_surface(spark):
         "u", url_canonicalize(F.col("u")).alias("c")).collect()}
     for r in got.collect():
         assert r.c == want[r.u], (r.u, r.c, want[r.u])
+
+
+def test_r10_sql_udfs_match_dataframe_functions(spark):
+    """The r10 SQL surface (luhn_valid / iban_valid / html_strip) must
+    agree row-for-row with the DataFrame builders on mixed inputs —
+    the two-surface drift pin."""
+    from quickstart_streaming_agents_spark.functions.text import (
+        html_text_extract,
+        iban_valid,
+        luhn_valid,
+    )
+    from quickstart_streaming_agents_spark.sql import register_curation_sql
+
+    register_curation_sql(spark)
+    pans = ["4111111111111111", "4111111111111112", "378282246310005",
+            "1234567890123", "6011000990139424"]
+    df = spark.createDataFrame([(p,) for p in pans], ["d"])
+    df.createOrReplaceTempView("pans")
+    sql_v = {r.d: r.ok for r in
+             spark.sql("SELECT d, luhn_valid(d) AS ok FROM pans").collect()}
+    df_v = {r.d: r.ok for r in
+            df.select("d", luhn_valid(F.col("d")).alias("ok")).collect()}
+    assert sql_v == df_v and sql_v["4111111111111111"] is True
+
+    ibans = ["DE89370400440532013000", "DE90370400440532013000",
+             "GB29NWBK60161331926819", "ZZ00REF0001234567"]
+    df2 = spark.createDataFrame([(s,) for s in ibans], ["s"])
+    df2.createOrReplaceTempView("ibans")
+    sql_i = {r.s: r.ok for r in
+             spark.sql("SELECT s, iban_valid(s) AS ok FROM ibans").collect()}
+    df_i = {r.s: r.ok for r in
+            df2.select("s", iban_valid(F.col("s")).alias("ok")).collect()}
+    assert sql_i == df_i and sql_i["DE89370400440532013000"] is True
+
+    html = [
+        '<script>var x = "<p>decoy</p>";</script><p>keep</p>',
+        "a &amp;lt; b &gt; c &quot;d&quot;",
+        "<H1>Case</H1> <!-- c -->tail",
+    ]
+    df3 = spark.createDataFrame([(h,) for h in html], ["t"])
+    df3.createOrReplaceTempView("pages")
+    sql_h = [r.o for r in
+             spark.sql("SELECT html_strip(t) AS o FROM pages").collect()]
+    df_h = [r.o for r in
+            df3.select(html_text_extract("t").alias("o")).collect()]
+    assert sql_h == df_h

@@ -456,3 +456,60 @@ def test_pii_pseudonymize_contracts(spark):
     ha = hashlib.md5(amex.encode()).hexdigest()
     sura = "".join(str(int(ha[j], 16) % 10) for j in range(11)) + amex[-4:]
     assert got[3] == (1, f"amex {sura} here")
+
+
+def test_markdown_strip_contracts(spark):
+    """Fence decoys never leak, links/images reduce to text, markers
+    strip, rules vanish, emphasis unwraps, whitespace collapses."""
+    from quickstart_streaming_agents_spark.functions.text import (
+        markdown_strip,
+    )
+
+    cases = [
+        ("```\n# decoy header\ncode()\n```\nkeep", "keep"),
+        ("use `inline()` here", "use  here".replace("  ", " ")),
+        ("![alt text](http://x/i.png) and [anchor](http://y)",
+         "alt text and anchor"),
+        ("# H1\n## H2\nbody", "H1 H2 body"),
+        ("> quoted\n>also", "quoted also"),
+        ("- a\n* b\n+ c\n2. d", "a b c d"),
+        ("before\n---\nafter", "before after"),
+        ("**bold** and *ital* and __u__ and _v_", "bold and ital and u and v"),
+        ("  spaced \t out  ", "spaced out"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], ["i", "md"]
+    )
+    got = {r.i: r.t for r in
+           df.select("i", markdown_strip("md").alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+
+
+def test_code_signals_contracts(spark):
+    """Symbol-density and keyword+structure routes both fire; prose
+    containing keyword WORDS without structure does not; empty text is
+    not code."""
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.functions.text import (
+        code_signals,
+    )
+
+    rows = [
+        Row(i=1, t="def f(x):\n    return x + 1\nimport os"),
+        Row(i=2, t="int a=1; { b=2; } (c<3);"),          # dense symbols
+        Row(i=3, t="the class of events for the return trip home"),
+        Row(i=4, t="plain prose with no signals at all"),
+        Row(i=5, t=""),
+    ]
+    s = code_signals("t")
+    got = {r.i: (r.kw, r.code) for r in
+           spark.createDataFrame(rows).select(
+               "i", s["n_keywords"].alias("kw"),
+               s["is_code"].alias("code")).collect()}
+    assert got[1] == (3, True)
+    assert got[2][1] is True
+    assert got[3] == (2, False)
+    assert got[4] == (0, False)
+    assert got[5][1] is False
