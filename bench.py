@@ -202,6 +202,7 @@ HEADLINE = [
     "markdown_strip",
     "code_detect",
     "minhash_calibration",
+    "quality_classifier_stage_checksums",
 ]
 
 

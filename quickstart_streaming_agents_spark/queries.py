@@ -8159,6 +8159,80 @@ FROM scored
 """
 
 
+# Stage-bisect sibling (VERDICT r9 #1 escalation path, armed in
+# advance): ONE row of corpus-level exact-integer checksums, one per
+# pipeline stage — token count (tokenize layer), feature count
+# (unigram+bigram hashing layer), margin sum + abs-margin sum (weight
+# layer), keep count (verdict layer). If a driver DuckDB ever disagrees
+# with the classifier pair again, whichever of these five integers
+# diverges names the stage; all five green localizes the difference to
+# the per-doc digest/derived-column layer.
+_QUALITY_CLASSIFIER_STAGE_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+    FROM documents
+),
+uni AS (
+    SELECT doc_id, unnest(ts) AS t FROM tok
+),
+feats AS (
+    SELECT doc_id, ('0x'||substr(md5(t),1,15))::UBIGINT % 4096 AS b
+    FROM uni
+    UNION ALL
+    SELECT doc_id,
+           ('0x'||substr(md5(ts[i] || ' ' || ts[i+1]),1,15))::UBIGINT % 4096
+    FROM tok, unnest(range(1, len(ts))) AS t(i)
+),
+scored AS (
+    SELECT doc_id, count(*) AS n_features,
+           sum(CAST(('0x'||substr(md5(CAST(b AS VARCHAR)),1,15))::UBIGINT
+                    % 2001 AS BIGINT) - 1000) AS raw_margin
+    FROM feats GROUP BY doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST((SELECT sum(len(ts)) FROM tok) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_features) AS BIGINT) AS sum_features,
+       CAST(sum(raw_margin) AS BIGINT) AS sum_margin,
+       CAST(sum(abs(raw_margin)) AS BIGINT) AS sum_abs_margin,
+       CAST(sum(CASE WHEN raw_margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_keep
+FROM scored
+"""
+
+
+@query("quality_classifier_stage_checksums",
+       oracle=_QUALITY_CLASSIFIER_STAGE_ORACLE)
+def quality_classifier_stage_checksums(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-stage corpus checksums for the classifier pipeline — see
+    block comment (the driver-divergence bisect row)."""
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        hashed_linear_classifier_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = hashed_linear_classifier_score(docs, "text")
+    toks = docs.select(
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("long").alias("nt")
+    )
+    sum_tokens = toks.agg(F.sum("nt").alias("s")).select("s")
+    agg = scored.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_features").cast("long").alias("sum_features"),
+        F.sum("raw_margin").cast("long").alias("sum_margin"),
+        F.sum(F.abs(F.col("raw_margin"))).cast("long")
+        .alias("sum_abs_margin"),
+        F.sum((F.col("raw_margin") > 0).cast("long")).cast("long")
+        .alias("n_keep"),
+    )
+    return agg.crossJoin(F.broadcast(sum_tokens)).select(
+        "n_docs", F.col("s").cast("long").alias("sum_tokens"),
+        "sum_features", "sum_margin", "sum_abs_margin", "n_keep",
+    )
+
+
 @query("quality_classifier_digest", oracle=_QUALITY_CLASSIFIER_DIGEST_ORACLE)
 def quality_classifier_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-only classifier scoring digest — see block comment."""

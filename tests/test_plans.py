@@ -329,5 +329,7 @@ def test_round10_query_plan_budgets_pinned(spark):
     # markdown strip + code routing: pure-JVM regexp chains in the scan
     assert count_exchanges(_q(spark, "markdown_strip")) == 0
     assert count_exchanges(_q(spark, "code_detect")) == 0
+    # classifier stage checksums: two tiny single-row aggs
+    assert count_exchanges(_q(spark, "quality_classifier_stage_checksums")) <= 4
     # diversity: (source, token) count + per-source fold, both partial
     assert count_exchanges(_q(spark, "token_diversity")) <= 2
