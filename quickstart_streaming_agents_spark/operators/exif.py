@@ -199,6 +199,11 @@ def exif_display_dims(
                     rows.append([i, None, None, None, None, None])
                     continue
                 orient = (meta or {}).get("orientation") or 1
+                if not 1 <= orient <= 8:
+                    # corrupt/out-of-range EXIF orientation (0, 9+):
+                    # fall back to the spec's display default instead
+                    # of transposing on garbage (ADVICE r10)
+                    orient = 1
                 w, h = probe["width"], probe["height"]
                 dw, dh = (h, w) if orient >= 5 else (w, h)
                 rows.append([i, orient, w, h, dw, dh])

@@ -2016,6 +2016,18 @@ def id3_tags(p: bytes) -> dict | None:
     pos = 10
     if version == 2:  # v2.2: 3-byte ids/sizes — tag recognized, size
         return {"version": 2, "tag_size": tag_size, "frames": frames}
+    if p[5] & 0x40 and pos + 4 <= end:
+        # extended header (ADVICE r10): v2.4 size is syncsafe and
+        # INCLUDES the whole header; v2.3 size is plain big-endian and
+        # EXCLUDES its own 4 size bytes. Skip it or the frame walk
+        # starts mid-header and returns empty frames.
+        eh = p[pos : pos + 4]
+        if version == 4:
+            if any(b & 0x80 for b in eh):
+                raise ValueError("corrupt ID3v2.4 extended-header size")
+            pos += (eh[0] << 21) | (eh[1] << 14) | (eh[2] << 7) | eh[3]
+        else:
+            pos += 4 + struct.unpack(">I", eh)[0]
     while pos + 10 <= end:
         fid = p[pos : pos + 4]
         if fid[0] == 0:

@@ -161,6 +161,11 @@ def phrase_search(
     """
     if not phrases or any(not p.strip() for p in phrases):
         raise ValueError("phrases must be non-empty strings")
+    # Dedupe (order-preserving): a phrase listed twice would emit its
+    # slot rows twice, so every (doc, start) counts 2n slots and the
+    # __slots == n_words occurrence test silently never fires
+    # (ADVICE r10).
+    phrases = list(dict.fromkeys(phrases))
     slots = []  # (phrase, slot index, term, phrase length)
     for p in phrases:
         words = p.strip().lower().split()

@@ -54,6 +54,12 @@ def zip_member_table(p: bytes) -> list[dict]:
     if eocd == -1 or eocd + 22 > n:
         raise ValueError("not a ZIP payload (no end-of-central-directory)")
     n_total, cd_size, cd_off = struct.unpack_from("<HII", p, eocd + 10)
+    # ZIP64 sentinels: the real counts/offsets live in the ZIP64 EOCD
+    # record this walker does not parse — quarantine via the on_error
+    # path instead of misparsing a truncated/shifted member list
+    # (ADVICE r10).
+    if n_total == 0xFFFF or cd_size == 0xFFFFFFFF or cd_off == 0xFFFFFFFF:
+        raise ValueError("ZIP64 archive (EOCD sentinel fields) unsupported")
     if cd_off + cd_size > eocd:
         raise ValueError("ZIP central directory out of range")
     out: list[dict] = []

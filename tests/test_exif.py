@@ -109,3 +109,27 @@ def test_exif_display_dims_orientation_swap(spark):
     assert got[100].orientation == 1
     assert (got[100].display_w, got[100].display_h) == (6, 4)
     assert got[101].orientation is None and got[101].display_w is None
+
+
+def test_exif_display_dims_out_of_range_orientation(spark):
+    """Corrupt orientation values (9+) clamp to the display default
+    instead of transposing width/height (ADVICE r10)."""
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.operators.exif import (
+        exif_display_dims,
+    )
+
+    app1 = make_exif_app1(1, little_endian=True)
+    marker = struct.pack("<HHI", 0x0112, 3, 1)
+    at = app1.find(marker)
+    assert at != -1
+    bad = bytearray(app1)
+    struct.pack_into("<H", bad, at + 8, 9)  # orientation 9: out of range
+    assert parse_exif_app1(bytes(bad))["orientation"] == 9
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=insert_app1(BASE, bytes(bad)))]
+    )
+    [r] = exif_display_dims(df).collect()
+    assert (r.stored_w, r.stored_h) == (9, 6)
+    assert (r.display_w, r.display_h) == (9, 6)  # NOT transposed

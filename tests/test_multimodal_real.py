@@ -1161,3 +1161,42 @@ def test_id3_meta_spark_surface(spark):
 
     with pytest.raises(Exception):
         id3_meta(spark.createDataFrame(rows), on_error="raise").collect()
+
+
+def test_id3v2_extended_header_skipped():
+    """The v2.4 extended-header flag (byte 5 bit 0x40) shifts the frame
+    walk past the syncsafe-sized header; v2.3's size field excludes its
+    own 4 bytes. Without the skip the walk hit non-alphanumeric header
+    bytes and returned empty frames (ADVICE r10)."""
+    import struct
+
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        id3_tags,
+    )
+
+    def syncsafe(n):
+        return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                      (n >> 7) & 0x7F, n & 0x7F])
+
+    frame_payload = b"\x03hello"  # enc=utf-8
+    # v2.4: ext size syncsafe, INCLUDES the whole 6-byte header
+    body4 = syncsafe(6) + b"\x01\x00"
+    body4 += b"TIT2" + syncsafe(len(frame_payload)) + b"\x00\x00"
+    body4 += frame_payload
+    tag4 = b"ID3" + bytes([4, 0, 0x40]) + syncsafe(len(body4)) + body4
+    m = id3_tags(tag4)
+    assert m["version"] == 4 and m["frames"] == {"TIT2": "hello"}
+
+    # v2.3: ext size plain big-endian, EXCLUDES its own 4 size bytes
+    body3 = struct.pack(">I", 6) + b"\x00\x00" + struct.pack(">I", 0)
+    body3 += b"TIT2" + struct.pack(">I", len(frame_payload)) + b"\x00\x00"
+    body3 += frame_payload
+    tag3 = b"ID3" + bytes([3, 0, 0x40]) + syncsafe(len(body3)) + body3
+    m = id3_tags(tag3)
+    assert m["version"] == 3 and m["frames"] == {"TIT2": "hello"}
+
+    # corrupt v2.4 ext size (non-syncsafe byte) is fatal, not silent
+    bad = b"ID3" + bytes([4, 0, 0x40]) + syncsafe(12) + b"\x80\x00\x00\x06"
+    bad += b"\x01\x00" + b"\x00\x00"
+    with pytest.raises(ValueError, match="extended-header"):
+        id3_tags(bad)

@@ -307,3 +307,21 @@ def test_phrase_search_slots_and_repeats(spark):
         phrase_search(df, [])
     with pytest.raises(ValueError, match="phrases"):
         phrase_search(df, ["ok", "  "])
+
+
+def test_phrase_search_duplicate_phrases_deduped(spark):
+    """A phrase listed twice must not double its slot rows (which made
+    __slots == 2*n_words and silently zeroed every occurrence) —
+    ADVICE r10 regression."""
+    from quickstart_streaming_agents_spark.operators.retrieval import (
+        phrase_search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the fast merge ran")], ["doc_id", "text"]
+    )
+    got = {(r.doc_id, r.phrase): (r.n_occurrences, r.first_pos)
+           for r in phrase_search(
+               df, ["fast merge", "fast merge", "fast merge"]
+           ).collect()}
+    assert got == {(1, "fast merge"): (1, 2)}

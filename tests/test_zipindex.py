@@ -129,3 +129,21 @@ def test_spark_surface_and_on_error(spark):
     assert all(r.crc_ok for r in got)
     with pytest.raises(Exception):
         zip_members(df, on_error="raise").collect()
+
+
+def test_zip64_sentinels_quarantine():
+    """EOCD ZIP64 sentinel fields (entry count 0xFFFF, cd offset/size
+    0xFFFFFFFF) mean the real values live in the unparsed ZIP64 EOCD —
+    the walk must raise (→ on_error quarantine), not misparse
+    (ADVICE r10)."""
+    p = _make([("a.txt", b"q" * 64)])
+    eocd = p.rfind(b"PK\x05\x06")
+    for off, val, fmt in [
+        (eocd + 10, 0xFFFF, "<H"),        # n_total sentinel
+        (eocd + 12, 0xFFFFFFFF, "<I"),    # cd_size sentinel
+        (eocd + 16, 0xFFFFFFFF, "<I"),    # cd_off sentinel
+    ]:
+        bad = bytearray(p)
+        struct.pack_into(fmt, bad, off, val)
+        with pytest.raises(ValueError, match="ZIP64"):
+            zip_member_table(bytes(bad))
