@@ -147,6 +147,7 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "ccnet_ppl_buckets",
     "quality_classifier_digest",
+    "quality_classifier_digest_only",
     "pca_moments",
     "image_dhash",
     "image_phash_dedup",

@@ -8068,8 +8068,8 @@ feats AS (
 ),
 scored AS (
     SELECT doc_id, count(*) AS n_features,
-           sum(CAST(('0x'||substr(md5(CAST(b AS VARCHAR)),1,15))::UBIGINT
-                    % 2001 AS BIGINT) - 1000) AS raw_margin
+           CAST(sum(CAST(('0x'||substr(md5(CAST(b AS VARCHAR)),1,15))::UBIGINT
+                         % 2001 AS BIGINT) - 1000) AS BIGINT) AS raw_margin
     FROM feats GROUP BY doc_id
 )
 SELECT s.doc_id, t.source, s.n_features, s.raw_margin,
@@ -8143,8 +8143,8 @@ feats AS (
 ),
 scored AS (
     SELECT doc_id, count(*) AS n_features,
-           sum(CAST(('0x'||substr(md5(CAST(b AS VARCHAR)),1,15))::UBIGINT
-                    % 2001 AS BIGINT) - 1000) AS raw_margin
+           CAST(sum(CAST(('0x'||substr(md5(CAST(b AS VARCHAR)),1,15))::UBIGINT
+                         % 2001 AS BIGINT) - 1000) AS BIGINT) AS raw_margin
     FROM feats GROUP BY doc_id
 )
 SELECT doc_id, n_features, raw_margin,
@@ -8185,8 +8185,8 @@ feats AS (
 ),
 scored AS (
     SELECT doc_id, count(*) AS n_features,
-           sum(CAST(('0x'||substr(md5(CAST(b AS VARCHAR)),1,15))::UBIGINT
-                    % 2001 AS BIGINT) - 1000) AS raw_margin
+           CAST(sum(CAST(('0x'||substr(md5(CAST(b AS VARCHAR)),1,15))::UBIGINT
+                         % 2001 AS BIGINT) - 1000) AS BIGINT) AS raw_margin
     FROM feats GROUP BY doc_id
 )
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -8249,6 +8249,78 @@ def quality_classifier_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "n_features", "raw_margin",
         score_e9.alias("score_e9"),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.col("n_features").cast("string"),
+                F.col("raw_margin").cast("string"),
+                score_e9.cast("string"),
+            )
+        ).alias("digest"),
+    )
+
+
+# Second bisect axis (round 11): the SAME per-doc digests as
+# quality_classifier_digest but emitted as the ONLY column — a pure
+# VARCHAR result with zero integer/float canonicalization surface.
+# Decision table against the sibling rows in the same driver round:
+#   digest_only GREEN + digest RED  -> the VALUES are equal and the
+#     divergence is the driver's canonicalization of the sibling's
+#     integer columns (the one result-type difference left after the
+#     r11 BIGINT casts: negative aggregates);
+#   digest_only RED + stage_checksums GREEN -> per-doc packaging layer;
+#   digest_only RED + stage_checksums RED   -> the red checksum column
+#     names the diverging stage (tokenize / feature / weight / verdict).
+_QUALITY_CLASSIFIER_DIGEST_ONLY_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+    FROM documents
+),
+uni AS (
+    SELECT doc_id, unnest(ts) AS t FROM tok
+),
+feats AS (
+    SELECT doc_id, ('0x'||substr(md5(t),1,15))::UBIGINT % 4096 AS b
+    FROM uni
+    UNION ALL
+    SELECT doc_id,
+           ('0x'||substr(md5(ts[i] || ' ' || ts[i+1]),1,15))::UBIGINT % 4096
+    FROM tok, unnest(range(1, len(ts))) AS t(i)
+),
+scored AS (
+    SELECT doc_id, count(*) AS n_features,
+           CAST(sum(CAST(('0x'||substr(md5(CAST(b AS VARCHAR)),1,15))::UBIGINT
+                         % 2001 AS BIGINT) - 1000) AS BIGINT) AS raw_margin
+    FROM feats GROUP BY doc_id
+)
+SELECT md5(CAST(doc_id AS VARCHAR) || ':' || CAST(n_features AS VARCHAR)
+           || ':' || CAST(raw_margin AS VARCHAR) || ':'
+           || CAST(((raw_margin + 1000 * n_features) * 1000000000)
+                   // (1000 * n_features) - 1000000000
+                   AS VARCHAR)) AS digest
+FROM scored
+"""
+
+
+@query("quality_classifier_digest_only",
+       oracle=_QUALITY_CLASSIFIER_DIGEST_ONLY_ORACLE)
+def quality_classifier_digest_only(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VARCHAR-only classifier digest rows — see block comment (the
+    integer-canonicalization bisect axis)."""
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        hashed_linear_classifier_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = hashed_linear_classifier_score(docs, "text")
+    score_e9 = F.expr(
+        "((raw_margin + 1000 * n_features) * 1000000000)"
+        " div (1000 * n_features) - 1000000000"
+    ).cast("bigint")
+    return scored.select(
         F.md5(
             F.concat_ws(
                 ":",
@@ -10081,8 +10153,10 @@ bits AS (
     WHERE a.c < 8
 ),
 bands AS (
+    -- CAST: DuckDB sum(BIGINT) returns HUGEINT; emit driver-safe BIGINT
+    -- band values (16-bit packed) like every other integer column
     SELECT doc_id, CAST(r // 2 AS INT) AS i,
-           SUM(CAST(bit AS BIGINT) << ((r % 2) * 8 + c)) AS v
+           CAST(SUM(CAST(bit AS BIGINT) << ((r % 2) * 8 + c)) AS BIGINT) AS v
     FROM bits GROUP BY 1, 2
 ),
 wide AS (
@@ -11130,90 +11204,72 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-verification rotation (round 9). The correctness harness
-# oracle-checks the FIRST 50 registry entries each round; round 8 went
-# 48/50 green with the two reds both the classifier pair (oracle-side
-# DuckDB //-on-negatives version drift — fixed this round with the
-# shifted-non-negative fixed-point arithmetic and gated forever by
-# tests/test_oracle_lint.py). This rotation leads with (a) the 4
-# queries added late in r8 that have NEVER had a driver row
-# (VERDICT r8 "What's wrong" #2), (b) the classifier retry pair,
-# (c) the query new this round (mp4_pcm_energy_sig — real ISO-BMFF
-# PCM sample decode through the r8 sample-table walk), (d) queries
-# whose implementations changed this round (gzip_text_ingest sits on
-# the new bounded-inflate decompressor; audio_energy_sig /
-# audio_near_dup sit on the new WAV/MP4 container dispatch;
-# mp3_demux_frames on the trailing-junk end-of-stream fix), then
-# (e) 32 of the 49 round-6-dated rows oldest-first (the r8 verdict's
-# named priorities — embedding_topk_pairs (also the perf watch item),
-# enriched_orders, surge_enriched, counts_dashboard,
-# agent_price_match, investigation_queue, session/sliding windows,
-# and the six displaced refreshes promised in the r8 NOTE — all
-# included). The 12 r6-dated rows left out (bpe_encode,
-# bpe_pair_freqs, props_json_agg, events_rollup, gap_fill_locf,
-# dataset_split, series_correlation, value_percentiles, doc_chunks,
-# text_analysis, vocab_top_terms, waiting_suppliers,
-# unigram_logprob_score, topk_per_group_salted, token_budget_mix,
-# domain_mix, stratified_sample — the most
-# change-isolated pure-JVM rows, every one parity-pinned in-repo each
-# run — MUST lead the r10 window.
+# Driver-verification rotation (round 11). The correctness harness
+# oracle-checks the FIRST 50 registry entries each round. Round 10's
+# rotation was accidentally left at the r9 list, so its window (and
+# CORRECTNESS_r10.json) byte-matched r9's — which also proved the r10
+# bare-unnest oracle restructure did NOT cure the classifier pair.
+# This window leads with (a) the classifier bisect instruments + the
+# 4-rounds-red pair itself (r11 change: every aggregate reaching a
+# result schema is CAST to BIGINT — DuckDB sum(BIGINT) silently widens
+# to HUGEINT, the one result-type difference left vs the green family;
+# quality_classifier_digest_only adds a VARCHAR-only axis — see its
+# block comment for the decision table), then (b) every query that has
+# NEVER had a driver row (the round-10 additions), then (c) the 17
+# rows whose last driver check is round 6 (VERDICT r9 "What's wrong"
+# #3), then (d) round-11 additions and the oldest r7 rows as filler.
 # ---------------------------------------------------------------------------
-_R9_CHECK_FIRST = [
-    # (a) never driver-checked (added after the r8 window filled)
-    "badwords_filter",
-    "packing_efficiency",
-    "span_corruption_pairs",
-    "unicode_normalize_clean",
-    # (b) the r8 red pair, oracle version-proofed this round
+_R11_CHECK_FIRST = [
+    "quality_classifier_stage_checksums",
+    "quality_classifier_digest_only",
     "quality_classifier_score",
     "quality_classifier_digest",
-    # (c) new this round
-    "mp4_pcm_energy_sig",
-    "hll_distinct_sketch",
-    "warc_record_index",
-    "jpeg_exif_meta",
-    "contamination_fraction",
-    "script_detect_profile",
-    "ann_ivfpq_topk",
-    "pii_credit_card_audit",
-    # (d) implementations changed this round
-    "gzip_text_ingest",
-    "audio_energy_sig",
-    "audio_near_dup",
-    "mp3_demux_frames",
-    # (e) r6-dated refreshes, promised/watch items first
-    "agent_price_match",
-    "dedup_components",
-    "anomaly_detect_ar2",
-    "curation_pipeline",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_topk_pairs",
-    "enriched_orders",
-    "surge_enriched",
-    "counts_dashboard",
-    "investigation_queue",
-    "session_window_agg",
-    "sliding_window_agg",
-    "tumble_5m_agg",
-    "dedup_exact",
-    "line_dedup_clean",
-    "minhash_lsh_dedup",
-    "simhash_dedup",
-    "ngram_jaccard_dedup",
-    "decontamination",
-    "incremental_ingest_dedup",
-    "multimodal_features",
-    "multimodal_meta",
-    "multimodal_real_meta",
-    "video_frame_sample",
-    "hard_negative_mining",
-    "rag_ingest",
-    "lang_id_ngram",
-    "pii_redaction",
-    "repetition_filter",
-    "scd2_merge",
-    "sequence_packing",
+    "html_text_extract",
+    "token_diversity",
+    "markdown_strip",
+    "code_detect",
+    "minhash_calibration",
+    "leakage_safe_split",
+    "lang_label_audit",
+    "phrase_search",
+    "oov_rate",
+    "mojibake_repair",
+    "pii_iban_audit",
+    "pii_pseudonymize",
+    "adpcm_energy_sig",
+    "kmins_token_sketch",
+    "kmins_distinct_estimate",
+    "corpus_overlap_minhash",
+    "mp3_id3_meta",
+    "webdataset_decode",
+    "zip_member_index",
+    "tar_member_index",
+    "webdataset_samples",
+    "g711_energy_sig",
+    "exif_display_dims",
+    "text_analysis",
+    "events_rollup",
+    "bpe_pair_freqs",
+    "stratified_sample",
+    "domain_mix",
+    "doc_chunks",
+    "value_percentiles",
+    "gap_fill_locf",
+    "dataset_split",
+    "props_json_agg",
+    "vocab_top_terms",
+    "unigram_logprob_score",
+    "bpe_encode",
+    "token_budget_mix",
+    "waiting_suppliers",
+    "topk_per_group_salted",
+    "series_correlation",
+    "tumble_6h_avg",
+    "filter_project",
+    "scalar_funcs",
+    "topk_per_group",
+    "interval_join",
+    "anomaly_zscore",
 ]
 
 
@@ -11230,5 +11286,5 @@ def _rotate(reg: dict, front: list[str]) -> dict:
     return out
 
 
-QUERIES = _rotate(QUERIES, _R9_CHECK_FIRST)
-ORACLE = _rotate(ORACLE, _R9_CHECK_FIRST)
+QUERIES = _rotate(QUERIES, _R11_CHECK_FIRST)
+ORACLE = _rotate(ORACLE, _R11_CHECK_FIRST)

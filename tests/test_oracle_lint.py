@@ -153,3 +153,29 @@ def test_classifier_oracles_have_no_round_on_derived_doubles():
     construct too — round() over a float derivation (the r7 red)."""
     for name in ("quality_classifier_score", "quality_classifier_digest"):
         assert round_on_derived_sites(ORACLE[name]) == [], name
+
+
+def test_no_exotic_integer_types_in_any_oracle_result():
+    """Bind (not execute) every oracle in DuckDB and ban HUGEINT /
+    UHUGEINT / UBIGINT / DECIMAL output columns (round 11): DuckDB's
+    ``sum(BIGINT)`` silently widens to HUGEINT — a type Spark never
+    emits, whose driver-side canonicalization (Arrow decimal128 /
+    float64, engine-version-dependent) is the one result-layer
+    difference left between the 4-rounds-red classifier pair (negative
+    HUGEINT aggregates) and the hash-green family (all BIGINT).
+    Portable pattern: ``CAST(sum(...) AS BIGINT)`` at every aggregate
+    that reaches the result schema."""
+    con = duckdb_conn(SF_DIR)
+    banned = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER",
+              "USMALLINT", "UTINYINT", "DECIMAL")
+    offenders = {}
+    for name, sql in ORACLE.items():
+        rel = con.sql(sql)  # lazy: binds + types, no execution
+        hits = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, [str(t) for t in rel.types])
+            if str(t).startswith(banned)
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
