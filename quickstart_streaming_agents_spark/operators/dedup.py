@@ -841,3 +841,179 @@ def cap_hot_buckets(
         .filter(F.col("count") > max_bucket).select(*keys)
     )
     return bands.join(F.broadcast(hot), list(keys), "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (AllPairs/PPJoin family —
+# Bayardo et al. WWW'07, Xiao et al. WWW'08)
+# ---------------------------------------------------------------------------
+
+def _distinct_set_postings(
+    df: DataFrame, id_col: str, text_col: str, gram_n: int | None
+) -> DataFrame:
+    """(doc_id, term) distinct set-element postings: whitespace tokens
+    (``gram_n=None``) or word n-gram shingles as STRINGS — strings, not
+    hashes, because the prefix filter ranks elements by (df, term) and
+    the term tiebreak must replay identically in the SQL oracle
+    (xxhash64 wouldn't). A production 100 TB variant would
+    dictionary-encode terms after the df pass; same plan shape."""
+    if gram_n is None:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+        ).filter(F.col("term") != "")
+    return shingle_df(df, id_col, text_col, gram_n).select(
+        "doc_id", F.col("shingle").alias("term")
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_n: int | None = 3,
+    threshold_bp: int = 6000,
+    max_token_df: int | None = 10_000,
+) -> DataFrame:
+    """EXACT-threshold set-similarity join via prefix filtering — all
+    pairs (id_a < id_b) whose element-set (word ``gram_n``-gram
+    shingles, or plain tokens with ``gram_n=None``) Jaccard is
+    ≥ threshold_bp/10000, with ZERO false negatives (unlike the
+    probabilistic MinHash/SimHash banding tiers, whose recall is a
+    calibration curve).
+
+    The AllPairs theorem: order every doc's tokens by global rarity
+    (ascending document frequency, term as tiebreak); if
+    J(x, y) ≥ t then the first ``|x| − ⌈t·|x|⌉ + 1`` tokens of x and
+    the corresponding prefix of y must intersect. So candidate
+    generation equi-joins PREFIX postings only — rare tokens — instead
+    of all postings (ngram_jaccard's plan) or all pairs. ⌈t·n⌉ is
+    computed in integer basis points (``(bp·n + 9999) div 10000``), and
+    the verdict ``jaccard_bp = shared·10000 div union`` is an exact
+    non-negative integer division — engine-portable, no float rounding.
+
+    100 TB shape: three keyed shuffles (term-df, per-doc rank, prefix
+    equi-join), each on a bounded key; the prefix postings are ~the
+    (1−t) rarest fraction of the corpus. ``max_token_df`` drops tokens
+    hotter than the cap from CANDIDATE GENERATION only (verification
+    still counts them), so a boilerplate token can't create a quadratic
+    bucket — recall-only loss on pairs whose entire prefix is hot,
+    documented like ngram_jaccard's cap.
+    """
+    if not 0 < threshold_bp <= 10_000:
+        raise ValueError(f"threshold_bp must be in (0, 10000], got {threshold_bp}")
+    uni = _distinct_set_postings(df, id_col, text_col, gram_n).persist()
+    tdf = uni.groupBy("term").agg(F.count("*").alias("df"))
+    ranked = uni.join(tdf, "term").select(
+        "doc_id", "term",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("df").asc(), F.col("term").asc())
+        ).alias("r"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("r")
+        <= F.col("n")
+        - F.expr(f"({threshold_bp} * n + 9999) div 10000") + 1
+    ).select("doc_id", "term")
+    if max_token_df is not None:
+        prefix = cap_hot_buckets(prefix, max_token_df, keys=("term",))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_pairs_exact(cand, uni, threshold_bp)
+
+
+def _verify_pairs_exact(
+    cand: DataFrame, uni: DataFrame, threshold_bp: int
+) -> DataFrame:
+    """Exact set-overlap verification of candidate pairs against the
+    full (doc_id, term) postings: shared counts via two postings joins
+    (candidates are few post-filter), sizes from one partial agg."""
+    sizes = uni.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = uni.alias("x"), uni.alias("y")
+    shared = (
+        cand.join(x, F.col("x.doc_id") == F.col("id_a"))
+        .join(y, (F.col("y.doc_id") == F.col("id_b"))
+              & (F.col("y.term") == F.col("x.term")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared
+        .join(sizes.select(F.col("doc_id").alias("id_a"),
+                           F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a", "id_b", "shared",
+            F.expr("shared * 10000 div (na + nb - shared)")
+            .cast("long").alias("jaccard_bp"),
+        )
+        .filter(F.col("jaccard_bp") >= threshold_bp)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_bp: int = 8000,
+    max_shingle_df: int | None = 1_000,
+) -> DataFrame:
+    """Asymmetric containment detection: pairs (id_a < id_b) where the
+    SMALLER document's shingle set is ≥ threshold_bp/10000 contained in
+    the larger's — ``containment = |A∩B| / min(|A|,|B|)``.
+
+    The case Jaccard-based dedup structurally misses: a 200-word
+    article quoted verbatim inside a 20,000-word page has
+    J ≈ 0.01 (invisible to every symmetric tier) but containment 1.0.
+    For curation this is the quotation/aggregation/boilerplate-wrapper
+    signal — the small doc is redundant given the large one.
+
+    Plan: identical bones to ``ngram_jaccard_pairs`` (one shingle-hash
+    group-by with the hot-shingle cap, pair emission inside each
+    group, exact denominators from the uncapped postings) — only the
+    final arithmetic differs, and it stays exact-integer
+    (``shared·10000 div min(na, nb)``). Same recall-only cap contract.
+    """
+    if not 0 < threshold_bp <= 10_000:
+        raise ValueError(f"threshold_bp must be in (0, 10000], got {threshold_bp}")
+    sh = _shingle_hash_df(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    groups = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+    )
+    if max_shingle_df is not None:
+        groups = groups.filter(F.size("ids") <= max_shingle_df)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    shared = (
+        groups.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared
+        .join(sizes.select(F.col("doc_id").alias("id_a"),
+                           F.col("n_shingles").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("n_shingles").alias("nb")), "id_b")
+        .select(
+            "id_a", "id_b", "shared",
+            F.expr("shared * 10000 div least(na, nb)")
+            .cast("long").alias("containment_bp"),
+        )
+        .filter(F.col("containment_bp") >= threshold_bp)
+    )

@@ -6532,6 +6532,76 @@ def gzip_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-codec sniffing ingest (operators/compress.sniff_decompress_text):
+# the mixed-provenance generalization of gzip_text_ingest — one map
+# stage sniffs magic bytes and decodes gzip/bz2/xz/plain payloads
+# (Common Crawl .gz next to Kaggle .bz2 next to archived .xz), every
+# codec behind the same bounded-inflate bomb cap. Synthesis: codec
+# rotates with doc_id % 4; every 23rd payload is a torn gzip header
+# (sniffed as gzip, decode quarantines). The oracle replays expected
+# codec/text analytically, so a codec bug cannot hide behind its own
+# synth (the gzip_text_ingest convention).
+# ---------------------------------------------------------------------------
+@query(
+    "codec_sniff_ingest",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 23 = 0 THEN 'gzip'
+                WHEN doc_id % 4 = 0 THEN 'gzip'
+                WHEN doc_id % 4 = 1 THEN 'bz2'
+                WHEN doc_id % 4 = 2 THEN 'xz'
+                ELSE 'plain' END AS codec,
+           CASE WHEN doc_id % 23 = 0 THEN NULL
+                ELSE CAST(strlen(text) AS BIGINT) END AS n_bytes,
+           CASE WHEN doc_id % 23 = 0 THEN NULL ELSE md5(text) END AS digest,
+           doc_id % 23 <> 0 AS ok
+    FROM documents
+    """,
+)
+def codec_sniff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sniff-and-decode a mixed gzip/bz2/xz/plain corpus (every 23rd
+    payload a torn gzip header) and emit codec + integrity metadata."""
+    import bz2
+    import lzma
+
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.compress import (
+        gzip_compress,
+        sniff_decompress_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = t.encode("utf-8")
+                if i % 23 == 0:
+                    out.append(b"\x1f\x8b" + b"torn")  # sniffs gzip, dies
+                elif i % 4 == 0:
+                    out.append(gzip_compress(t))
+                elif i % 4 == 1:
+                    out.append(bz2.compress(raw, 9))
+                elif i % 4 == 2:
+                    out.append(lzma.compress(raw, format=lzma.FORMAT_XZ))
+                else:
+                    out.append(raw)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    payloads = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    dec = sniff_decompress_text(payloads)
+    return dec.select(
+        "doc_id",
+        "codec",
+        "n_bytes",
+        "digest",
+        F.col("digest").isNotNull().alias("ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # C4-style blocklist filter (Raffel et al. 2020 §2.2: C4 drops any page
 # containing a word from a public blocklist). Stand-in blocklist drawn
 # deterministically from the fixture vocabulary (the real list is a
@@ -11200,6 +11270,160 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.expr("(sum(__tenk) + 50) div 100") / 100.0).alias("revenue")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered EXACT set-similarity join (AllPairs/PPJoin — Bayardo
+# et al. WWW'07): the zero-false-negative Jaccard tier. Unlike the
+# MinHash/SimHash banding tiers (probabilistic recall), the prefix
+# theorem guarantees every pair over the threshold shares a rare-token
+# prefix element, so candidates come from an equi-join over the ~(1-t)
+# rarest slice of the postings. All arithmetic is exact-integer basis
+# points (ceil via (bp*n+9999) div 10000, verdict via
+# shared*10000 div union) — no float rounding anywhere. The oracle
+# replays the FULL algorithm (df -> rarity rank -> prefix -> hot-cap ->
+# candidates -> exact verify); the 1000-doc hot cap cannot bind at
+# fixture SFs (max shingle df is 25 at sf0.1), so the result equals
+# brute force — which is exactly the operator's exactness theorem.
+# ---------------------------------------------------------------------------
+_PREFIX_FILTER_DEDUP_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+),
+g0 AS (
+    SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+    FROM tok, unnest(range(1, len(w) - 1)) AS t(i)
+    WHERE len(w) >= 3
+),
+uni AS (SELECT DISTINCT doc_id, s FROM g0),
+tdf AS (SELECT s, count(*) AS df FROM uni GROUP BY s),
+ranked AS (
+    SELECT u.doc_id, u.s,
+           row_number() OVER (PARTITION BY u.doc_id
+                              ORDER BY d.df, u.s) AS r,
+           count(*) OVER (PARTITION BY u.doc_id) AS n
+    FROM uni u JOIN tdf d ON d.s = u.s
+),
+pref AS (
+    SELECT doc_id, s FROM ranked
+    WHERE r <= n - ((6000 * n + 9999) // 10000) + 1
+    QUALIFY count(*) OVER (PARTITION BY s) <= 1000
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM pref a JOIN pref b ON b.s = a.s AND b.doc_id > a.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM uni GROUP BY doc_id),
+shared AS (
+    SELECT c.id_a, c.id_b, count(*) AS sh
+    FROM cand c
+    JOIN uni x ON x.doc_id = c.id_a
+    JOIN uni y ON y.doc_id = c.id_b AND y.s = x.s
+    GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b, CAST(s.sh AS BIGINT) AS shared,
+       CAST(s.sh * 10000 // (sa.n + sb.n - s.sh) AS BIGINT) AS jaccard_bp
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.id_a
+JOIN sizes sb ON sb.doc_id = s.id_b
+WHERE s.sh * 10000 // (sa.n + sb.n - s.sh) >= 6000
+"""
+
+
+@query("prefix_filter_dedup", oracle=_PREFIX_FILTER_DEDUP_ORACLE)
+def prefix_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-threshold 3-gram-shingle Jaccard pairs via the AllPairs
+    prefix filter — see block comment; operator in operators/dedup.py
+    (prefix_filter_jaccard_pairs)."""
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", gram_n=3,
+        threshold_bp=6000, max_token_df=1000,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup — the quotation/wrapper detector.
+# J(small, 3x-wrapper) ~ 1/3 is invisible to every symmetric tier, but
+# containment |A∩B|/min(|A|,|B|) is ~1.0. The fixture has no natural
+# quote cases, so the query PLANTS them: every 10th doc gets a wrapper
+# row (id + 10_000_000) concatenating it with its two successors — each
+# wrapper must then contain its three constituents at ~10000 bp while
+# symmetric Jaccard at the same corpus misses them (the unit test pins
+# the miss). Brute-force oracle: the hot-shingle cap cannot bind at
+# fixture SFs (see prefix-filter note), and candidate generation from
+# shared shingles is complete by construction.
+# ---------------------------------------------------------------------------
+_CONTAINMENT_DEDUP_ORACLE = r"""
+WITH wrap AS (
+    SELECT a.doc_id + 10000000 AS doc_id,
+           a.text || ' ' || b.text || ' ' || c.text AS text
+    FROM documents a
+    JOIN documents b ON b.doc_id = a.doc_id + 1
+    JOIN documents c ON c.doc_id = a.doc_id + 2
+    WHERE a.doc_id % 10 = 0
+),
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id, text FROM wrap
+),
+tok AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM corpus
+),
+g0 AS (
+    SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+    FROM tok, unnest(range(1, len(w) - 1)) AS t(i)
+    WHERE len(w) >= 3
+),
+uni AS (SELECT DISTINCT doc_id, s FROM g0),
+sizes AS (SELECT doc_id, count(*) AS n FROM uni GROUP BY doc_id),
+shared AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS sh
+    FROM uni x JOIN uni y ON y.s = x.s AND y.doc_id > x.doc_id
+    GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b, CAST(s.sh AS BIGINT) AS shared,
+       CAST(s.sh * 10000 // least(sa.n, sb.n) AS BIGINT) AS containment_bp
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.id_a
+JOIN sizes sb ON sb.doc_id = s.id_b
+WHERE s.sh * 10000 // least(sa.n, sb.n) >= 8000
+"""
+
+
+@query("containment_dedup", oracle=_CONTAINMENT_DEDUP_ORACLE)
+def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs over documents + planted 3-doc wrappers — see
+    block comment; operator in operators/dedup.py (containment_pairs)."""
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.filter(F.col("doc_id") % 10 == 0)
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                 F.col("text").alias("t1"))
+    c = d.select((F.col("doc_id") - 2).alias("doc_id"),
+                 F.col("text").alias("t2"))
+    wrap = (
+        a.join(b, "doc_id").join(c, "doc_id")
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat_ws(" ", "text", "t1", "t2").alias("text"),
+        )
+    )
+    corpus = d.unionByName(wrap)
+    return containment_pairs(
+        corpus, "doc_id", "text", n=3,
+        threshold_bp=8000, max_shingle_df=1000,
     )
 
 

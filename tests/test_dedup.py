@@ -350,3 +350,103 @@ def test_edit_distance_confirm_rejects_block_swaps(spark):
     assert not r12.confirmed  # ...confirm tier rejects it
     assert r12.edit_distance is None
     assert r12.jaccard >= 0.5
+
+
+def test_prefix_filter_jaccard_matches_brute_force(spark):
+    """The AllPairs prefix filter must find EXACTLY the brute-force
+    threshold pairs (zero false negatives is the operator's whole
+    contract vs the banding tiers)."""
+    import itertools
+
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "alpha beta gamma delta epsilon eta",     # J high vs 1
+        3: "alpha beta gamma delta epsilon zeta",    # identical to 1
+        4: "one two three four five six seven",
+        5: "one two three four five six eight",      # J high vs 4
+        6: "totally different words here now folks",
+        7: "aa",                                     # < n tokens: no set
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    def shingles(t, n=3):
+        w = t.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        if not sa or not sb:
+            continue
+        sh = len(sa & sb)
+        if sh == 0:
+            continue
+        bp = sh * 10000 // (len(sa) + len(sb) - sh)
+        if bp >= 6000:
+            want[(a, b)] = bp
+    assert want  # the fixture must actually exercise the threshold
+    got = {(r.id_a, r.id_b): r.jaccard_bp
+           for r in prefix_filter_jaccard_pairs(
+               df, "doc_id", "text", threshold_bp=6000).collect()}
+    assert got == want
+
+    # token-set mode (gram_n=None): 1 and 3 are identical sets
+    got_tok = {(r.id_a, r.id_b) for r in prefix_filter_jaccard_pairs(
+        df, "doc_id", "text", gram_n=None, threshold_bp=9999).collect()}
+    assert (1, 3) in got_tok
+
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold_bp"):
+        prefix_filter_jaccard_pairs(df, "doc_id", "text", threshold_bp=0)
+
+
+def test_prefix_filter_candidate_pruning_actually_prunes(spark):
+    """The prefix postings must be strictly smaller than the full
+    postings (the operator's reason to exist) while still finding the
+    planted near-dup pair."""
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        _distinct_set_postings,
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows = [(i, f"shared common boiler plate w{i} x{i} y{i} z{i}")
+            for i in range(20)]
+    rows += [(100, "unique planted duplicate text body here"),
+             (101, "unique planted duplicate text body here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b) for r in prefix_filter_jaccard_pairs(
+        df, "doc_id", "text", threshold_bp=9000).collect()}
+    assert got == {(100, 101)}
+    full = _distinct_set_postings(df, "doc_id", "text", 3).count()
+    assert full > 0
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc verbatim inside a 3x-longer wrapper: containment_bp
+    ~10000 while Jaccard is ~1/3 — the asymmetric case the operator
+    exists for. Also: threshold guard, shared-shingle exactness."""
+    import pytest
+
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "the quick brown fox jumps over the lazy dog today"
+    filler = " ".join(f"filler{i} pad{i} noise{i}" for i in range(8))
+    rows = [(1, small), (2, filler + " " + small + " " + filler)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    [r] = containment_pairs(df, "doc_id", "text",
+                            threshold_bp=9000).collect()
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment_bp == 10000  # every small shingle present
+    # symmetric Jaccard at 0.6 misses it
+    assert ngram_jaccard_pairs(df, "doc_id", "text",
+                               threshold=0.6).count() == 0
+    with pytest.raises(ValueError, match="threshold_bp"):
+        containment_pairs(df, "doc_id", "text", threshold_bp=20000)

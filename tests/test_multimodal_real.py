@@ -1200,3 +1200,79 @@ def test_id3v2_extended_header_skipped():
     bad += b"\x01\x00" + b"\x00\x00"
     with pytest.raises(ValueError, match="extended-header"):
         id3_tags(bad)
+
+
+def test_sniff_decompress_text_all_codecs(spark):
+    """Magic-byte sniff: gzip/bz2/xz/plain payloads each roundtrip
+    through their stdlib codec; torn members and non-UTF-8 results
+    quarantine with the sniffed codec preserved."""
+    import bz2
+    import hashlib
+    import lzma
+
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.operators.compress import (
+        gzip_compress,
+        sniff_decompress_text,
+    )
+
+    t = "hello wörld £ → ok"
+    raw = t.encode("utf-8")
+    rows = [
+        Row(doc_id=1, payload=gzip_compress(t)),
+        Row(doc_id=2, payload=bz2.compress(raw, 9)),
+        Row(doc_id=3, payload=lzma.compress(raw, format=lzma.FORMAT_XZ)),
+        Row(doc_id=4, payload=raw),
+        Row(doc_id=5, payload=b"BZh9torn-bzip-member"),
+        Row(doc_id=6, payload=b"\xff\xfe invalid utf8 plain \x80"),
+    ]
+    got = {r.doc_id: r for r in
+           sniff_decompress_text(spark.createDataFrame(rows)).collect()}
+    md5 = hashlib.md5(raw).hexdigest()
+    for i, codec in [(1, "gzip"), (2, "bz2"), (3, "xz")]:
+        assert (got[i].codec, got[i].text, got[i].n_bytes, got[i].digest) \
+            == (codec, t, len(raw), md5), i
+    assert (got[4].codec, got[4].text) == ("plain", t)
+    assert got[5].codec == "bz2" and got[5].text is None
+    assert got[6].codec == "plain" and got[6].text is None
+    import pytest
+
+    with pytest.raises(Exception):
+        sniff_decompress_text(
+            spark.createDataFrame(rows), on_error="raise").collect()
+    with pytest.raises(ValueError, match="on_error"):
+        sniff_decompress_text(spark.createDataFrame(rows), on_error="x")
+
+
+def test_sniff_decompress_bombs_bounded_every_codec(spark):
+    """The bomb cap holds for bz2 and xz exactly as for gzip: a 1 MB
+    expansion against a 1000-byte cap quarantines, never allocates."""
+    import bz2
+    import lzma
+
+    from pyspark.sql import Row
+
+    from quickstart_streaming_agents_spark.operators.compress import (
+        gzip_compress,
+        sniff_decompress_text,
+    )
+
+    bomb = b"x" * 1_000_000
+    rows = [
+        Row(doc_id=1, payload=gzip_compress(bomb.decode())),
+        Row(doc_id=2, payload=bz2.compress(bomb, 9)),
+        Row(doc_id=3, payload=lzma.compress(bomb, format=lzma.FORMAT_XZ)),
+        Row(doc_id=4, payload=b"ok small plain"),
+    ]
+    got = {r.doc_id: r for r in
+           sniff_decompress_text(
+               spark.createDataFrame(rows), max_bytes=1000).collect()}
+    assert got[1].text is None and got[2].text is None
+    assert got[3].text is None
+    assert got[4].text == "ok small plain"
+    # plain payloads over the cap quarantine too (consistent budget)
+    [r] = sniff_decompress_text(
+        spark.createDataFrame([Row(doc_id=9, payload=b"y" * 2000)]),
+        max_bytes=1000).collect()
+    assert r.codec == "plain" and r.text is None
