@@ -148,6 +148,12 @@ HEADLINE = [
     "ccnet_ppl_buckets",
     "quality_classifier_digest",
     "quality_classifier_digest_only",
+    "prefix_filter_dedup",
+    "containment_dedup",
+    "codec_sniff_ingest",
+    "weighted_sample_topk",
+    "html_link_extract",
+    "robots_gate",
     "pca_moments",
     "image_dhash",
     "image_phash_dedup",

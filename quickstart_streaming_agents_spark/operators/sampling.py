@@ -67,6 +67,19 @@ def hash_unit_sql(id_exprs: list[str], salt: str = "") -> str:
     return f"(('0x' || substr(md5({key}), 1, 15))::UBIGINT / 1152921504606846976.0)"
 
 
+def hash40_sql(id_exprs: list[str], salt: str = "") -> str:
+    """DuckDB replay of :func:`weighted_sample_topk`'s 40-bit row hash
+    (10 hex chars of the same md5 key ``hash_unit_sql`` builds) —
+    UBIGINT expression; callers CAST the derived column to BIGINT."""
+    comps = ", ".join(
+        "coalesce(replace(replace(({e})::VARCHAR, '\\', '\\\\'), '|', '\\|'), '\\N')".format(e=e)
+        for e in id_exprs
+    )
+    q_salt = salt.replace("'", "''")
+    key = f"concat_ws('|', '{q_salt}', {comps})"
+    return f"(('0x' || substr(md5({key}), 1, 10))::UBIGINT)"
+
+
 def deterministic_sample(
     df: DataFrame, id_cols: list[str], fraction: float, salt: str = ""
 ) -> DataFrame:
@@ -402,4 +415,62 @@ def temperature_allocation(
         F.round(
             F.expr("__num div __s").cast("long") / F.col("n_tokens"), 6
         ).alias("epochs"),
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: str,
+    k: int,
+    id_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weight-biased top-k selection per stratum: the
+    reproducible cousin of weighted reservoir sampling (Efraimidis &
+    Spirakis 2006 keys ``u^(1/w)``; we keep the rank ORDER deterministic
+    and engine-replayable by using the fixed-point linear key
+    ``priority_q20 = h40 << 20 div w`` — h40 the 40-bit md5 row hash —
+    so heavier rows draw systematically smaller priorities and the
+    chosen set is identical on every run, any cluster, any engine;
+    selection bias is weight-proportional in rank, not the exact
+    ES-sampling inclusion law, which would need ln()/pow() on doubles
+    that no two engines round identically).
+
+    Use case: "keep the k most representative docs per source, biased
+    by length/quality weight, reproducibly" — the deterministic-split
+    contract (`deterministic_sample`) extended to weighted selection.
+
+    Plan: map-only hash + ONE per-stratum top-k. The window is
+    rank-over-partition; at 100 TB the same result ships as a
+    groupBy(stratum).agg(min_by-k) two-phase partial agg — the fixture
+    window form keeps the oracle a verbatim row_number replay.
+    Weights must be >= 1 (integer) — guarded, because ``div 0`` is NULL
+    and a zero-weight row must be an explicit upstream filter, not a
+    silent NULL-priority winner.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    key = F.concat_ws(
+        "|", F.lit(salt), *[_norm_component(F.col(c)) for c in id_cols]
+    )
+    h40 = F.conv(F.substring(F.md5(key), 1, 10), 16, 10).cast("long")
+    w = F.col(weight_col).cast("long")
+    pri = df.withColumn("__h40", h40).withColumn(
+        "priority_q20",
+        F.when(w >= 1, F.expr("__h40 * 1048576 div " + weight_col)
+               .cast("long"))
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"{weight_col} must be >= 1, got "),
+            F.coalesce(w.cast("string"), F.lit("NULL")),
+        ))),
+    )
+    order = [F.col("priority_q20").asc()] + [F.col(c).asc() for c in id_cols]
+    rank = F.row_number().over(
+        Window.partitionBy(stratum_col).orderBy(*order)
+    )
+    return (
+        pri.withColumn("rank", rank)
+        .filter(F.col("rank") <= k)
+        .drop("__h40")
     )

@@ -11274,6 +11274,230 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HTML outlink extraction (operators/web.extract_links): anchors →
+# (doc, url, host, path) edges — the crawl-graph builder feeding the
+# host-graph PageRank and URL-dedup tiers. Synthesis wraps each
+# fixture document in a page with 1-2 absolute anchors plus one
+# relative anchor (dropped by the absolute_only contract); the oracle
+# replays the IDENTICAL RE2 pattern over the same synthesized page, so
+# a scanner bug cannot hide behind the synth. Pure JVM
+# regexp_extract_all + explode — map-only, zero shuffle.
+# ---------------------------------------------------------------------------
+_HTML_LINK_ORACLE = r"""
+WITH page AS (
+    SELECT doc_id,
+           '<p>' || text || '</p><a href="http://h' || (doc_id % 7)
+           || '.example.com/p/' || (doc_id % 13) || '">x</a>'
+           || CASE WHEN doc_id % 3 = 0
+                   THEN '<a href=''https://H' || (doc_id % 5)
+                        || '.Example.org''>y</a>'
+                   ELSE '' END
+           || '<a href="/relative/skip">z</a>' AS html
+    FROM documents
+),
+hits AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(html,
+               'href=["'']([^"''<>\s]+)["'']', 1)) AS url
+    FROM page
+),
+abs_hits AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '^https?://([^/?#]+)([^?#]*)', 1))
+               AS host,
+           regexp_extract(url, '^https?://([^/?#]+)([^?#]*)', 2) AS p
+    FROM hits
+    WHERE regexp_matches(url, '^https?://')
+)
+SELECT doc_id, url, host,
+       CASE WHEN p = '' THEN '/' ELSE p END AS path
+FROM abs_hits
+"""
+
+
+@query("html_link_extract", oracle=_HTML_LINK_ORACLE)
+def html_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction over synthesized pages — see block comment;
+    operator in operators/web.py."""
+    from quickstart_streaming_agents_spark.operators.web import (
+        extract_links,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    page = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<p>"), F.col("text"),
+            F.lit('</p><a href="http://h'), (F.col("doc_id") % 7),
+            F.lit(".example.com/p/"), (F.col("doc_id") % 13),
+            F.lit('">x</a>'),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("<a href='https://H"),
+                         (F.col("doc_id") % 5),
+                         F.lit(".Example.org'>y</a>")),
+            ).otherwise(F.lit("")),
+            F.lit('<a href="/relative/skip">z</a>'),
+        ).alias("html"),
+    )
+    return extract_links(page, "doc_id", "html")
+
+
+# ---------------------------------------------------------------------------
+# robots.txt crawl gate (operators/web.robots_verdicts +
+# parse_robots_txt): RFC 9309 longest-match verdicts for a URL set,
+# with the rules table built by ACTUALLY PARSING synthesized robots.txt
+# bodies through the production parser (one per host: a generic
+# Disallow with a more specific Allow carve-out, so both the
+# longest-match rule and the default-allow path are exercised). The
+# oracle reconstructs the rules analytically and replays the argmax.
+# Plan: map-only parse (1→N), one host equi-join + per-URL argmax
+# window — no theta join at any scale.
+# ---------------------------------------------------------------------------
+_ROBOTS_GATE_ORACLE = r"""
+WITH hosts AS (
+    SELECT unnest(range(0, 7)) AS i
+),
+rules AS (
+    SELECT 'h' || i || '.example.com' AS host,
+           '/p/' || (i % 4) AS prefix, false AS allow
+    FROM hosts
+    UNION ALL
+    SELECT 'h' || i || '.example.com' AS host,
+           '/p/' || (i % 4) || '/pub' AS prefix, true AS allow
+    FROM hosts
+),
+urls AS (
+    SELECT doc_id,
+           'h' || (doc_id % 7) || '.example.com' AS host,
+           '/p/' || (doc_id % 4)
+           || CASE WHEN doc_id % 2 = 0 THEN '/pub/x' ELSE '/y' END AS path
+    FROM documents
+),
+j AS (
+    SELECT u.doc_id, u.host, u.path, r.prefix, r.allow,
+           r.prefix IS NOT NULL
+           AND starts_with(u.path, r.prefix) AS m
+    FROM urls u LEFT JOIN rules r ON r.host = u.host
+),
+best AS (
+    SELECT doc_id, host, path, prefix, allow, m,
+           row_number() OVER (
+               PARTITION BY doc_id, host, path
+               ORDER BY m DESC, strlen(prefix) DESC, allow DESC, prefix
+           ) AS rn
+    FROM j
+)
+SELECT doc_id, host, path,
+       CASE WHEN m THEN allow ELSE true END AS allowed,
+       CASE WHEN m THEN prefix END AS matched_prefix
+FROM best WHERE rn = 1
+"""
+
+
+@query("robots_gate", oracle=_ROBOTS_GATE_ORACLE)
+def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt longest-match verdicts over synthesized URLs, rules
+    parsed from real robots.txt bodies — see block comment; operators
+    in operators/web.py."""
+    from quickstart_streaming_agents_spark.operators.web import (
+        robots_rules_table,
+        robots_verdicts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 7),
+                 F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("/p/"), (F.col("doc_id") % 4),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/pub/x"))
+            .otherwise(F.lit("/y")),
+        ).alias("path"),
+    )
+    bodies = spark.createDataFrame(
+        [
+            (
+                f"h{i}.example.com",
+                "# synthetic robots\nUser-agent: BigBot\nDisallow: /\n\n"
+                "User-agent: *\n"
+                f"Disallow: /p/{i % 4}\n"
+                f"Allow: /p/{i % 4}/pub\n"
+                "Disallow:\n",
+            )
+            for i in range(7)
+        ],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules_table(bodies)
+    return robots_verdicts(urls, F.broadcast(rules))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weight-biased top-k per stratum
+# (operators/sampling.weighted_sample_topk): the reproducible-selection
+# contract of deterministic_sample extended to weighted choice — keep
+# the k docs per source whose fixed-point priority h40·2^20 div weight
+# is smallest (heavier docs draw systematically smaller priorities).
+# All-integer priorities: the md5-derived 40-bit row hash and the
+# integer division replay bit-exactly in any engine — no ln()/pow()
+# double keys (Efraimidis-Spirakis exact inclusion law needs them; rank
+# determinism is the contract here). Map-only hash + one per-stratum
+# top-k.
+# ---------------------------------------------------------------------------
+def _weighted_sample_oracle() -> str:
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        hash40_sql,
+    )
+
+    h40 = hash40_sql(["doc_id"])
+    return rf"""
+WITH base AS (
+    SELECT doc_id, source,
+           CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)
+                AS BIGINT) AS n_tokens
+    FROM documents
+),
+pri AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(({h40} * 1048576) // n_tokens AS BIGINT) AS priority_q20
+    FROM base
+)
+SELECT source, doc_id, n_tokens, priority_q20, CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY priority_q20, doc_id) AS rn
+    FROM pri
+) q
+WHERE rn <= 10
+"""
+
+
+@query("weighted_sample_topk", oracle=_weighted_sample_oracle())
+def weighted_sample_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic weighted top-10 (weight = token count)
+    — see block comment; operator in operators/sampling.py."""
+    from quickstart_streaming_agents_spark.functions.text import token_count
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.greatest(token_count("text"), F.lit(1)).cast("long")
+        .alias("n_tokens"),
+    )
+    out = weighted_sample_topk(
+        docs, "source", "n_tokens", k=10, id_cols=["doc_id"]
+    )
+    return out.select(
+        "source", "doc_id", "n_tokens", "priority_q20",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Prefix-filtered EXACT set-similarity join (AllPairs/PPJoin — Bayardo
 # et al. WWW'07): the zero-false-negative Jaccard tier. Unlike the
 # MinHash/SimHash banding tiers (probabilistic recall), the prefix
@@ -11441,7 +11665,7 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # block comment for the decision table), then (b) every query that has
 # NEVER had a driver row (the round-10 additions), then (c) the 17
 # rows whose last driver check is round 6 (VERDICT r9 "What's wrong"
-# #3), then (d) round-11 additions and the oldest r7 rows as filler.
+# #3), then (d) the six round-11 additions.
 # ---------------------------------------------------------------------------
 _R11_CHECK_FIRST = [
     "quality_classifier_stage_checksums",
@@ -11488,12 +11712,12 @@ _R11_CHECK_FIRST = [
     "waiting_suppliers",
     "topk_per_group_salted",
     "series_correlation",
-    "tumble_6h_avg",
-    "filter_project",
-    "scalar_funcs",
-    "topk_per_group",
-    "interval_join",
-    "anomaly_zscore",
+    "prefix_filter_dedup",
+    "containment_dedup",
+    "codec_sniff_ingest",
+    "weighted_sample_topk",
+    "html_link_extract",
+    "robots_gate",
 ]
 
 

@@ -157,3 +157,34 @@ def test_temperature_allocation_single_corpus_exchange(spark):
     df = temperature_allocation(docs, "lang", "nt", budget=1000)
     # stratum agg + the single-partition window collapse on agg output
     assert count_exchanges(df) <= 2
+
+
+def test_weighted_sample_topk_bias_determinism_and_guard(spark):
+    """Heavier rows must win far more top-k slots than light rows under
+    the fixed-point priority; the selection is identical across runs
+    and partitioning; weight < 1 raises."""
+    import pytest
+
+    from quickstart_streaming_agents_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = [(i, "s", 100 if i % 2 == 0 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "stratum", "w"])
+    got = weighted_sample_topk(df, "stratum", "w", k=50,
+                               id_cols=["doc_id"]).collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r.w == 100)
+    assert heavy >= 45  # weight-100 rows should dominate the top-50
+    assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == list(
+        range(1, 51))
+    # determinism across partitioning
+    again = weighted_sample_topk(df.repartition(13), "stratum", "w", k=50,
+                                 id_cols=["doc_id"]).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in got}
+    with pytest.raises(ValueError, match="k must"):
+        weighted_sample_topk(df, "stratum", "w", k=0, id_cols=["doc_id"])
+    bad = spark.createDataFrame([(1, "s", 0)], ["doc_id", "stratum", "w"])
+    with pytest.raises(Exception, match="must be >= 1"):
+        weighted_sample_topk(bad, "stratum", "w", k=1,
+                             id_cols=["doc_id"]).collect()
