@@ -333,3 +333,23 @@ def test_round10_query_plan_budgets_pinned(spark):
     assert count_exchanges(_q(spark, "quality_classifier_stage_checksums")) <= 4
     # diversity: (source, token) count + per-source fold, both partial
     assert count_exchanges(_q(spark, "token_diversity")) <= 2
+
+
+def test_round11_query_plan_budgets_pinned(spark):
+    """Round-11 additions keep their shapes. Map-only tiers (0
+    exchanges — scan speed at 100 TB): the codec sniff (mapInPandas
+    fused into the scan), the href scanner (pure-JVM regexp chain), and
+    the VARCHAR-only classifier digest. weighted_sample_topk is the
+    hash (map-only) + ONE per-stratum top-k shuffle. robots_gate is one
+    broadcast host-join + the per-URL argmax window. The AllPairs
+    prefix filter is a multi-stage algorithm by construction (df pass,
+    rarity rank, prefix self-join, exact verify) — pinned at its
+    authored 12; containment shares ngram_jaccard's bones plus the
+    wrapper-building joins."""
+    assert count_exchanges(_q(spark, "codec_sniff_ingest")) == 0
+    assert count_exchanges(_q(spark, "html_link_extract")) == 0
+    assert count_exchanges(_q(spark, "quality_classifier_digest_only")) == 0
+    assert count_exchanges(_q(spark, "weighted_sample_topk")) == 1
+    assert count_exchanges(_q(spark, "robots_gate")) <= 2
+    assert count_exchanges(_q(spark, "prefix_filter_dedup")) <= 12
+    assert count_exchanges(_q(spark, "containment_dedup")) <= 6
