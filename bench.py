@@ -154,6 +154,7 @@ HEADLINE = [
     "weighted_sample_topk",
     "html_link_extract",
     "robots_gate",
+    "crawl_frontier_pipeline",
     "pca_moments",
     "image_dhash",
     "image_phash_dedup",

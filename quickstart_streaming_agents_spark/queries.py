@@ -11435,6 +11435,175 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Crawl-frontier capstone: the end-to-end web-curation composition —
+# synthesize pages → extract_links (href scan) → robots_verdicts
+# (RFC 9309 longest-match, rules PARSED from robots.txt bodies) →
+# url_canonicalize (utm/fragment strip) → per-host frontier stats.
+# Anchors carry tracking params and fragments so canonicalization does
+# real work; paths /p/{0..12} meet '/p/{0..3}' Disallow prefixes, so
+# string-prefix matching (the REP rule — '/p/1' blocks '/p/12' too)
+# is exercised, and the example.org hosts have no rules (default
+# allow). Exact-integer outputs (counts + basis points). Plan: map-only
+# scan/extract/canonicalize, ONE broadcast host-join + per-URL argmax
+# window, ONE host agg.
+# ---------------------------------------------------------------------------
+_CRAWL_FRONTIER_ORACLE = r"""
+WITH page AS (
+    SELECT doc_id,
+           '<p>' || text || '</p><a href="http://h' || (doc_id % 7)
+           || '.example.com/p/' || (doc_id % 13) || '?utm_source=t'
+           || (doc_id % 2) || '">x</a>'
+           || CASE WHEN doc_id % 3 = 0
+                   THEN '<a href=''https://H' || (doc_id % 5)
+                        || '.Example.org/a/' || (doc_id % 4) || '#s'
+                        || (doc_id % 2) || '''>y</a>'
+                   ELSE '' END AS html
+    FROM documents
+),
+hits AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(html,
+               'href=["'']([^"''<>\s]+)["'']', 1)) AS url
+    FROM page
+),
+links AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '^https?://([^/?#]+)([^?#]*)', 1))
+               AS host,
+           CASE WHEN regexp_extract(url,
+                    '^https?://([^/?#]+)([^?#]*)', 2) = '' THEN '/'
+                ELSE regexp_extract(url,
+                    '^https?://([^/?#]+)([^?#]*)', 2) END AS path
+    FROM hits
+    WHERE regexp_matches(url, '^https?://')
+),
+hostix AS (SELECT unnest(range(0, 7)) AS i),
+rules AS (
+    SELECT 'h' || i || '.example.com' AS host,
+           '/p/' || (i % 4) AS prefix, false AS allow
+    FROM hostix
+    UNION ALL
+    SELECT 'h' || i || '.example.com' AS host,
+           '/p/' || (i % 4) || '/pub' AS prefix, true AS allow
+    FROM hostix
+),
+j AS (
+    SELECT l.doc_id, l.url, l.host, l.path, r.prefix, r.allow,
+           r.prefix IS NOT NULL
+           AND starts_with(l.path, r.prefix) AS m
+    FROM links l LEFT JOIN rules r ON r.host = l.host
+),
+verdict AS (
+    SELECT doc_id, url, host, path,
+           CASE WHEN m THEN allow ELSE true END AS allowed
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id, url, host, path
+            ORDER BY m DESC, strlen(prefix) DESC, allow DESC, prefix
+        ) AS rn
+        FROM j
+    ) q WHERE rn = 1
+),
+c1 AS (
+    SELECT host, allowed,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       regexp_replace(
+           url, '#.*$', '', 'g'),
+           '&utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
+           '[?]utm_[A-Za-z0-9_]*=[^&#]*&', '?', 'g'),
+           '[?]utm_[A-Za-z0-9_]*=[^&#]*$', '', 'g'),
+           '[?&]+$', '', 'g') AS s
+    FROM verdict
+),
+canon AS (
+    SELECT host, allowed,
+       regexp_replace(regexp_replace(regexp_replace(
+           lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)),
+           '://www\.', '://', 'g'),
+           '^(http://[^:/]*):80$', '\1', 'g'),
+           '^(https://[^:/]*):443$', '\1', 'g')
+       ||
+       regexp_replace(
+           regexp_replace(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '', 'g'),
+           '^(/.+?)/$', '\1', 'g') AS canonical_url
+    FROM c1
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_allowed,
+       CAST(count(DISTINCT CASE WHEN allowed THEN canonical_url END)
+            AS BIGINT) AS n_frontier_pages,
+       CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) * 10000 // count(*)
+            AS BIGINT) AS pct_allowed_bp
+FROM canon
+GROUP BY host
+"""
+
+
+@query("crawl_frontier_pipeline", oracle=_CRAWL_FRONTIER_ORACLE)
+def crawl_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages → links → robots gate → canonical frontier per host — see
+    block comment; operators in operators/web.py + functions/text.py."""
+    from quickstart_streaming_agents_spark.functions.text import (
+        url_canonicalize,
+    )
+    from quickstart_streaming_agents_spark.operators.web import (
+        extract_links,
+        robots_rules_table,
+        robots_verdicts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    page = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<p>"), F.col("text"),
+            F.lit('</p><a href="http://h'), (d % 7),
+            F.lit(".example.com/p/"), (d % 13),
+            F.lit("?utm_source=t"), (d % 2), F.lit('">x</a>'),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit("<a href='https://H"), (d % 5),
+                         F.lit(".Example.org/a/"), (d % 4),
+                         F.lit("#s"), (d % 2), F.lit("'>y</a>")),
+            ).otherwise(F.lit("")),
+        ).alias("html"),
+    )
+    links = extract_links(page, "doc_id", "html")
+    bodies = spark.createDataFrame(
+        [
+            (
+                f"h{i}.example.com",
+                "User-agent: *\n"
+                f"Disallow: /p/{i % 4}\n"
+                f"Allow: /p/{i % 4}/pub\n",
+            )
+            for i in range(7)
+        ],
+        "host string, robots_txt string",
+    )
+    verdicts = robots_verdicts(
+        links, F.broadcast(robots_rules_table(bodies))
+    )
+    canon = verdicts.select(
+        "host", "allowed",
+        url_canonicalize(F.col("url")).alias("canonical_url"),
+    )
+    allowed = F.col("allowed").cast("long")
+    return canon.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.sum(allowed).cast("long").alias("n_allowed"),
+        F.count_distinct(
+            F.when(F.col("allowed"), F.col("canonical_url"))
+        ).cast("long").alias("n_frontier_pages"),
+        F.expr("sum(cast(allowed as long)) * 10000 div count(*)")
+        .cast("long").alias("pct_allowed_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic weight-biased top-k per stratum
 # (operators/sampling.weighted_sample_topk): the reproducible-selection
 # contract of deterministic_sample extended to weighted choice — keep
@@ -11665,7 +11834,10 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # block comment for the decision table), then (b) every query that has
 # NEVER had a driver row (the round-10 additions), then (c) the 17
 # rows whose last driver check is round 6 (VERDICT r9 "What's wrong"
-# #3), then (d) the six round-11 additions.
+# #3), then (d) the seven round-11 additions (waiting_suppliers — the most
+# change-isolated pure-JVM stale row, parity-pinned in-repo every run —
+# yields its slot to the crawl-frontier capstone and leads the r12
+# refresh list).
 # ---------------------------------------------------------------------------
 _R11_CHECK_FIRST = [
     "quality_classifier_stage_checksums",
@@ -11709,7 +11881,6 @@ _R11_CHECK_FIRST = [
     "unigram_logprob_score",
     "bpe_encode",
     "token_budget_mix",
-    "waiting_suppliers",
     "topk_per_group_salted",
     "series_correlation",
     "prefix_filter_dedup",
@@ -11718,6 +11889,7 @@ _R11_CHECK_FIRST = [
     "weighted_sample_topk",
     "html_link_extract",
     "robots_gate",
+    "crawl_frontier_pipeline",
 ]
 
 

@@ -1726,3 +1726,100 @@ def media_triage_stream_pipeline(
     )
     catalog.await_all()
     return catalog
+
+
+def crawl_frontier_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+    watermark: str = "10 seconds",
+) -> StreamCatalog:
+    """Continuous robots.txt crawl gate (round 11) — the streaming half
+    of ``queries.robots_gate``: URL rows stream in, rules stay a STATIC
+    broadcast table (parsed once from robots.txt bodies through the
+    production ``parse_robots_txt`` — at 100 TB the rules table is the
+    previous fetch cycle's snapshot), and each URL's RFC 9309 verdict
+    lands on a ``frontier_verdicts`` changelog topic.
+
+    Streaming shape: the batch operator's per-URL argmax WINDOW is not
+    available under streaming semantics, so the verdict is an
+    order-isomorphic min(struct) aggregate — ``min(struct(1-m, -len,
+    1-allow, prefix))`` picks match > longest > allow > prefix-ASC,
+    the batch window's EXACT total order, which is what makes the
+    parity test bit-exact. All of a URL's candidate rules arrive with
+    its single input row (map-only broadcast join), so its verdict is
+    complete immediately; event time rides in the grouping key and the
+    watermark evicts settled state — one small row per in-flight URL.
+    """
+    spark = catalog.spark
+    docs = spark.read.parquet(documents_path).select("doc_id")
+    d = F.col("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (d % 7), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("/p/"), (d % 4),
+            F.when(d % 2 == 0, F.lit("/pub/x")).otherwise(F.lit("/y")),
+        ).alias("path"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + d * 1_000_000
+        ).alias("ts"),
+    )
+    catalog.create_table_as("frontier_raw_urls", urls)
+
+    from ..operators.web import robots_rules_table
+
+    bodies = spark.createDataFrame(
+        [
+            (
+                f"h{i}.example.com",
+                "User-agent: *\n"
+                f"Disallow: /p/{i % 4}\n"
+                f"Allow: /p/{i % 4}/pub\n",
+            )
+            for i in range(7)
+        ],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules_table(bodies).select(
+        F.col("host").alias("__rhost"),
+        F.col("prefix").alias("__prefix"),
+        F.col("allow").alias("__allow"),
+    )
+
+    stream = catalog.read_stream("frontier_raw_urls",
+                                 watermark=("ts", watermark))
+    j = stream.join(
+        F.broadcast(rules), stream["host"] == F.col("__rhost"), "left"
+    ).withColumn(
+        "__m",
+        F.col("__prefix").isNotNull()
+        & F.col("path").startswith(F.col("__prefix")),
+    )
+    pick = F.min(
+        F.struct(
+            (1 - F.col("__m").cast("int")).alias("k1"),
+            (-F.coalesce(F.length("__prefix"), F.lit(0))).alias("k2"),
+            (1 - F.coalesce(F.col("__allow"), F.lit(False)).cast("int"))
+            .alias("k3"),
+            F.col("__prefix").alias("k4"),
+            F.col("__m").alias("m"),
+            F.col("__allow").alias("allow"),
+        )
+    ).alias("__p")
+    per = (
+        j.groupBy("doc_id", "host", "path", "ts")
+        .agg(pick)
+        .select(
+            "doc_id", "host", "path",
+            F.when(F.col("__p.m"), F.col("__p.allow"))
+            .otherwise(F.lit(True)).alias("allowed"),
+            F.when(F.col("__p.m"), F.col("__p.k4"))
+            .otherwise(F.lit(None).cast("string")).alias("matched_prefix"),
+            "ts",
+        )
+    )
+    catalog.create_table_changelog(
+        "frontier_verdicts", per, available_now=True
+    )
+    catalog.await_all()
+    return catalog

@@ -353,3 +353,6 @@ def test_round11_query_plan_budgets_pinned(spark):
     assert count_exchanges(_q(spark, "robots_gate")) <= 2
     assert count_exchanges(_q(spark, "prefix_filter_dedup")) <= 12
     assert count_exchanges(_q(spark, "containment_dedup")) <= 6
+    # capstone: map-only extract/canonicalize + broadcast rules join,
+    # argmax window, host agg
+    assert count_exchanges(_q(spark, "crawl_frontier_pipeline")) <= 3

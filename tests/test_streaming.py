@@ -1560,3 +1560,54 @@ def test_webdataset_stream_matches_batch_exact(spark, catalog):
     # every shard contributed exactly its two members
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert len(got) == 2 * n_docs
+
+
+def test_crawl_frontier_stream_matches_batch_bit_exact(spark, catalog):
+    """The frontier changelog must equal batch robots_verdicts
+    bit-for-bit — allowed AND matched_prefix — proving the min(struct)
+    streaming verdict is order-isomorphic to the batch argmax window
+    (match > longest > allow > prefix-ASC)."""
+    from quickstart_streaming_agents_spark.operators.web import (
+        robots_rules_table,
+        robots_verdicts,
+    )
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        crawl_frontier_stream_pipeline,
+    )
+
+    crawl_frontier_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet"
+    )
+    live = catalog.read_batch_latest("frontier_verdicts", ["doc_id"])
+    got = {r.doc_id: (r.host, r.path, r.allowed, r.matched_prefix)
+           for r in live.collect()}
+
+    d = F.col("doc_id")
+    urls = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("h"), (d % 7), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("/p/"), (d % 4),
+            F.when(d % 2 == 0, F.lit("/pub/x")).otherwise(F.lit("/y")),
+        ).alias("path"),
+    )
+    bodies = spark.createDataFrame(
+        [
+            (
+                f"h{i}.example.com",
+                f"User-agent: *\nDisallow: /p/{i % 4}\n"
+                f"Allow: /p/{i % 4}/pub\n",
+            )
+            for i in range(7)
+        ],
+        "host string, robots_txt string",
+    )
+    batch = robots_verdicts(urls, robots_rules_table(bodies))
+    want = {r.doc_id: (r.host, r.path, r.allowed, r.matched_prefix)
+            for r in batch.collect()}
+    assert got == want
+    # both verdict polarities AND the no-matching-rule default-allow
+    # path fire at this SF
+    assert {v[2] for v in got.values()} == {True, False}
+    assert any(v[3] is None for v in got.values())
+    assert any(v[3] is not None for v in got.values())
