@@ -155,6 +155,8 @@ HEADLINE = [
     "html_link_extract",
     "robots_gate",
     "crawl_frontier_pipeline",
+    "anchor_text_index",
+    "dedup_savings_report",
     "pca_moments",
     "image_dhash",
     "image_phash_dedup",

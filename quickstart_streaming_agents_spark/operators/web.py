@@ -68,6 +68,42 @@ def extract_links(
     )
 
 
+#: anchor scanner with TEXT capture: group 1 = href, group 2 = anchor
+#: text (element content up to the closing tag). RE2-safe — no
+#: backreferences or lookarounds — so the SQL oracle replays it.
+ANCHOR_RE = r"""<a [^>]*href=["']([^"'<>\s]+)["'][^>]*>([^<]*)</a>"""
+
+
+def extract_anchors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """One row per anchor WITH its text: ``(id_col, url, host,
+    anchor_text)`` for absolute http(s) links — the web-search signal
+    layer (anchor text describes the TARGET page better than the page
+    itself; aggregating it per target host/page builds the classic
+    anchor index).
+
+    Spark-first: ``regexp_extract_all`` once per capture group on the
+    same pattern, ``arrays_zip`` to pair them positionally, one
+    explode — all JVM, map-only, zero shuffle.
+    """
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), F.lit(1))
+    texts = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), F.lit(2))
+    out = df.select(
+        F.col(id_col),
+        F.explode(F.arrays_zip(hrefs.alias("url"), texts.alias("txt")))
+        .alias("a"),
+    ).select(id_col, F.col("a.url").alias("url"), F.col("a.txt").alias("anchor_text"))
+    out = out.filter(F.col("url").rlike("^https?://"))
+    host = F.lower(F.regexp_extract("url", _URL_PARTS_RE, 1))
+    return out.select(
+        id_col, "url", host.alias("host"),
+        F.trim(F.col("anchor_text")).alias("anchor_text"),
+    )
+
+
 def robots_verdicts(
     urls: DataFrame,
     rules: DataFrame,

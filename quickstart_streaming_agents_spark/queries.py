@@ -1306,7 +1306,7 @@ def edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB computes the same pairs, then the transitive closure via a
 # recursive CTE and labels each doc with its component's min id.
 # ---------------------------------------------------------------------------
-_DEDUP_COMPONENTS_ORACLE = """
+_DEDUP_CLUSTER_CTE = """
 WITH RECURSIVE d AS (
     SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
 ),
@@ -1343,6 +1343,9 @@ labels AS (
     SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
 ),
 csize AS (SELECT component, count(*) AS cluster_size FROM labels GROUP BY 1)
+"""
+
+_DEDUP_COMPONENTS_ORACLE = _DEDUP_CLUSTER_CTE + """
 SELECT l.id, l.component, c.cluster_size,
        l.id = l.component AS is_canonical
 FROM labels l JOIN csize c USING (component)
@@ -1359,6 +1362,78 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     return dedup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings report (round 11): the ONE-row corpus accounting every
+# curation run publishes — how many docs sit in dup clusters, how many
+# rows a keep-min-id policy removes, the bytes reclaimed, the largest
+# cluster, and the removal rate in exact basis points. Shares the
+# cluster machinery (same pairs, same components) with
+# dedup_components — ONE oracle CTE definition, so the two can never
+# drift — and adds only tiny single-row aggregates (broadcast
+# cross-joins, no new corpus shuffle beyond the length lookup join).
+# ---------------------------------------------------------------------------
+_DEDUP_SAVINGS_ORACLE = _DEDUP_CLUSTER_CTE + """,
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+lab AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_in_clusters,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(max(cnt) AS BIGINT) AS max_cluster_size
+    FROM (SELECT component, count(*) AS cnt FROM labels GROUP BY 1) q
+),
+rem AS (SELECT id FROM labels WHERE id <> component),
+rb AS (
+    SELECT CAST(coalesce(sum(strlen(d2.text)), 0) AS BIGINT)
+               AS bytes_removed
+    FROM rem JOIN documents d2 ON d2.doc_id = rem.id
+)
+SELECT t.n_docs, l.n_in_clusters, l.n_clusters,
+       l.n_in_clusters - l.n_clusters AS n_removed,
+       r.bytes_removed, l.max_cluster_size,
+       CAST((l.n_in_clusters - l.n_clusters) * 10000 // t.n_docs
+            AS BIGINT) AS removal_rate_bp
+FROM tot t CROSS JOIN lab l CROSS JOIN rb r
+"""
+
+
+@query("dedup_savings_report", oracle=_DEDUP_SAVINGS_ORACLE)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dedup accounting over the n-gram Jaccard clusters — see
+    block comment."""
+    from quickstart_streaming_agents_spark.operators.components import (
+        dedup_clusters,
+    )
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    tot = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    lab = clusters.agg(
+        F.count("*").cast("long").alias("n_in_clusters"),
+        F.count_distinct("component").cast("long").alias("n_clusters"),
+        F.max("cluster_size").cast("long").alias("max_cluster_size"),
+    )
+    rb = (
+        clusters.filter(~F.col("is_canonical"))
+        .join(docs.select(F.col("doc_id").alias("id"), "text"), "id")
+        .agg(F.coalesce(F.sum(F.length("text")), F.lit(0)).cast("long")
+             .alias("bytes_removed"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(lab)).crossJoin(F.broadcast(rb))
+        .select(
+            "n_docs", "n_in_clusters", "n_clusters",
+            (F.col("n_in_clusters") - F.col("n_clusters")).cast("long")
+            .alias("n_removed"),
+            "bytes_removed", "max_cluster_size",
+            F.expr("(n_in_clusters - n_clusters) * 10000 div n_docs")
+            .cast("long").alias("removal_rate_bp"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -11435,6 +11510,126 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Anchor-text index (operators/web.extract_anchors): the classic web-
+# search signal — anchor text describes the TARGET better than the
+# target's own page, so aggregating it per target host builds the
+# ranking/label signal crawl pipelines feed retrieval and labeling.
+# Two regexp_extract_all passes over the same RE2-safe pattern (one per
+# capture group) zipped positionally — pure JVM, map-only — then ONE
+# host-keyed agg + argmax for the dominant anchor phrase. The oracle
+# replays the identical pattern and the argmax tie-break.
+# ---------------------------------------------------------------------------
+_ANCHOR_TEXT_ORACLE = r"""
+WITH page AS (
+    SELECT doc_id,
+           '<p>' || text || '</p><a class="l" href="http://h'
+           || (doc_id % 7) || '.example.com/p/' || (doc_id % 13)
+           || '">See Topic ' || (doc_id % 9) || '</a>'
+           || CASE WHEN doc_id % 3 = 0
+                   THEN '<a href=''https://H' || (doc_id % 5)
+                        || '.Example.org'' rel=nofollow>Ref '
+                        || (doc_id % 5) || ' </a>'
+                   ELSE '' END AS html
+    FROM documents
+),
+arrs AS (
+    SELECT doc_id,
+           regexp_extract_all(html,
+               '<a [^>]*href=["'']([^"''<>\s]+)["''][^>]*>([^<]*)</a>',
+               1) AS us,
+           regexp_extract_all(html,
+               '<a [^>]*href=["'']([^"''<>\s]+)["''][^>]*>([^<]*)</a>',
+               2) AS ts
+    FROM page
+),
+anchors AS (
+    SELECT doc_id, us[i] AS url, trim(ts[i]) AS anchor_text
+    FROM arrs, unnest(range(1, len(us) + 1)) AS t(i)
+    WHERE regexp_matches(us[i], '^https?://')
+),
+hosted AS (
+    SELECT lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+           anchor_text
+    FROM anchors
+),
+counts AS (
+    SELECT host, anchor_text, count(*) AS c
+    FROM hosted GROUP BY 1, 2
+),
+top AS (
+    SELECT host, anchor_text AS top_anchor_text,
+           CAST(c AS BIGINT) AS top_anchor_count
+    FROM counts
+    QUALIFY row_number() OVER (
+        PARTITION BY host ORDER BY c DESC, anchor_text) = 1
+),
+agg AS (
+    SELECT host, CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST(count(DISTINCT anchor_text) AS BIGINT) AS n_unique_texts
+    FROM hosted GROUP BY 1
+)
+SELECT a.host, a.n_anchors, a.n_unique_texts,
+       t.top_anchor_text, t.top_anchor_count
+FROM agg a JOIN top t USING (host)
+"""
+
+
+@query("anchor_text_index", oracle=_ANCHOR_TEXT_ORACLE)
+def anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target-host anchor-text aggregation — see block comment;
+    operator in operators/web.py (extract_anchors)."""
+    from pyspark.sql import Window
+    from quickstart_streaming_agents_spark.operators.web import (
+        extract_anchors,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    page = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<p>"), F.col("text"),
+            F.lit('</p><a class="l" href="http://h'), (d % 7),
+            F.lit(".example.com/p/"), (d % 13),
+            F.lit('">See Topic '), (d % 9), F.lit("</a>"),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit("<a href='https://H"), (d % 5),
+                         F.lit(".Example.org' rel=nofollow>Ref "),
+                         (d % 5), F.lit(" </a>")),
+            ).otherwise(F.lit("")),
+        ).alias("html"),
+    )
+    hosted = extract_anchors(page, "doc_id", "html").select(
+        "host", "anchor_text"
+    )
+    counts = hosted.groupBy("host", "anchor_text").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("c").desc(), F.col("anchor_text").asc()
+    )
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "host",
+            F.col("anchor_text").alias("top_anchor_text"),
+            F.col("c").cast("long").alias("top_anchor_count"),
+        )
+    )
+    agg = hosted.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_anchors"),
+        F.count_distinct("anchor_text").cast("long")
+        .alias("n_unique_texts"),
+    )
+    return agg.join(top, "host").select(
+        "host", "n_anchors", "n_unique_texts",
+        "top_anchor_text", "top_anchor_count",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Crawl-frontier capstone: the end-to-end web-curation composition —
 # synthesize pages → extract_links (href scan) → robots_verdicts
 # (RFC 9309 longest-match, rules PARSED from robots.txt bodies) →
@@ -11836,8 +12031,9 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows whose last driver check is round 6 (VERDICT r9 "What's wrong"
 # #3), then (d) the seven round-11 additions (waiting_suppliers — the most
 # change-isolated pure-JVM stale row, parity-pinned in-repo every run —
-# yields its slot to the crawl-frontier capstone and leads the r12
-# refresh list).
+# plus topk_per_group_salted and series_correlation yield their slots
+# to the crawl-frontier capstone, the anchor-text index and the dedup
+# savings report; those three stale rows lead the r12 refresh list).
 # ---------------------------------------------------------------------------
 _R11_CHECK_FIRST = [
     "quality_classifier_stage_checksums",
@@ -11881,8 +12077,6 @@ _R11_CHECK_FIRST = [
     "unigram_logprob_score",
     "bpe_encode",
     "token_budget_mix",
-    "topk_per_group_salted",
-    "series_correlation",
     "prefix_filter_dedup",
     "containment_dedup",
     "codec_sniff_ingest",
@@ -11890,6 +12084,8 @@ _R11_CHECK_FIRST = [
     "html_link_extract",
     "robots_gate",
     "crawl_frontier_pipeline",
+    "anchor_text_index",
+    "dedup_savings_report",
 ]
 
 

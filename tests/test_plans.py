@@ -356,3 +356,7 @@ def test_round11_query_plan_budgets_pinned(spark):
     # capstone: map-only extract/canonicalize + broadcast rules join,
     # argmax window, host agg
     assert count_exchanges(_q(spark, "crawl_frontier_pipeline")) <= 3
+    # map-only anchor scan + (host,text) agg, host argmax, host agg
+    assert count_exchanges(_q(spark, "anchor_text_index")) <= 4
+    # cluster machinery + tiny single-row aggregates (broadcast joins)
+    assert count_exchanges(_q(spark, "dedup_savings_report")) <= 4

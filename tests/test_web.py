@@ -114,3 +114,24 @@ def test_end_to_end_links_through_robots_gate(spark):
            for r in robots_verdicts(links, rules).collect()}
     assert got == {"http://a.com/private/z": False,
                    "http://a.com/ok": True}
+
+
+def test_extract_anchors_pairs_hrefs_with_text(spark):
+    html = (
+        '<a class="x" href="https://A.com/1">First Link</a>'
+        "<a href='http://b.org' rel=nofollow> spaced text </a>"
+        '<a href="/rel">skipped</a>'
+        '<a href="https://c.net/2"></a>'  # empty anchor text kept
+    )
+    df = spark.createDataFrame([Row(doc_id=7, html=html)])
+    from quickstart_streaming_agents_spark.operators.web import (
+        extract_anchors,
+    )
+
+    got = sorted((r.host, r.anchor_text)
+                 for r in extract_anchors(df).collect())
+    assert got == [
+        ("a.com", "First Link"),
+        ("b.org", "spaced text"),
+        ("c.net", ""),
+    ]

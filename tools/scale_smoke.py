@@ -547,6 +547,102 @@ def main() -> None:
         t0,
     )
 
+    # ---- round 11 families ----
+    t0 = time.perf_counter()
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        containment_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    stage(
+        "prefix-filter jaccard (AllPairs)",
+        prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", gram_n=3,
+            threshold_bp=6000, max_token_df=1000,
+        ),
+        t0,
+    )
+
+    t0 = time.perf_counter()
+    stage(
+        "containment pairs",
+        containment_pairs(docs, "doc_id", "text", n=3,
+                          threshold_bp=8000, max_shingle_df=1000),
+        t0,
+    )
+
+    t0 = time.perf_counter()
+
+    def codec_synth(batches):
+        import bz2 as _bz2
+        import lzma as _lzma
+
+        import pandas as pd
+
+        from quickstart_streaming_agents_spark.operators.compress import (
+            gzip_compress,
+        )
+
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                if i % 4 == 0:
+                    out.append(gzip_compress(t))
+                elif i % 4 == 1:
+                    out.append(_bz2.compress(t.encode(), 1))
+                elif i % 4 == 2:
+                    out.append(_lzma.compress(t.encode(),
+                                              format=_lzma.FORMAT_XZ,
+                                              preset=0))
+                else:
+                    out.append(t.encode())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    from quickstart_streaming_agents_spark.operators.compress import (
+        sniff_decompress_text,
+    )
+
+    cz = media.mapInPandas(codec_synth, schema="doc_id long, payload binary")
+    stage(f"codec sniff ingest (1/16 slice, {m_rows:,})",
+          sniff_decompress_text(cz), t0)
+
+    t0 = time.perf_counter()
+    from quickstart_streaming_agents_spark.functions.text import (
+        url_canonicalize,
+    )
+    from quickstart_streaming_agents_spark.operators.web import (
+        extract_links,
+        robots_rules_table,
+        robots_verdicts,
+    )
+
+    d = F.col("doc_id")
+    page = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<a href="http://h'), (d % 997),
+            F.lit(".example.com/p/"), (d % 13),
+            F.lit("?utm_source=t"), (d % 2), F.lit('">x</a>'),
+        ).alias("html"),
+    )
+    bodies = spark.createDataFrame(
+        [(f"h{i}.example.com",
+          f"User-agent: *\nDisallow: /p/{i % 4}\n"
+          f"Allow: /p/{i % 4}/pub\n") for i in range(997)],
+        "host string, robots_txt string",
+    )
+    links = extract_links(page, "doc_id", "html")
+    verdicts = robots_verdicts(links, F.broadcast(robots_rules_table(bodies)))
+    frontier = verdicts.select(
+        "host", "allowed", url_canonicalize(F.col("url")).alias("cu")
+    ).groupBy("host").agg(
+        F.count("*").alias("n_links"),
+        F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+        F.count_distinct(F.when(F.col("allowed"), F.col("cu")))
+        .alias("n_pages"),
+    )
+    stage("crawl frontier (links+robots)", frontier, t0)
+
 
 if __name__ == "__main__":
     main()
