@@ -851,19 +851,33 @@ def cap_hot_buckets(
 def _distinct_set_postings(
     df: DataFrame, id_col: str, text_col: str, gram_n: int | None
 ) -> DataFrame:
-    """(doc_id, term) distinct set-element postings: whitespace tokens
-    (``gram_n=None``) or word n-gram shingles as STRINGS — strings, not
-    hashes, because the prefix filter ranks elements by (df, term) and
-    the term tiebreak must replay identically in the SQL oracle
-    (xxhash64 wouldn't). A production 100 TB variant would
-    dictionary-encode terms after the df pass; same plan shape."""
+    """(doc_id, term) distinct set-element postings with ``term`` the
+    PORTABLE 60-bit md5 prefix of the element string (whitespace token
+    with ``gram_n=None``, else the word n-gram shingle).
+
+    Hashing at the source is the scale decision this operator lives or
+    dies by: the r11 4M-doc smoke SPILLED A FULL DISK (>200 GB) sorting
+    string shingles through the rarity-rank window — 8-byte integer
+    terms cut every downstream shuffle/sort ~10×. The md5-prefix (not
+    xxhash64) keeps the prefix filter's (df, term) total order
+    replayable in the SQL oracle (``('0x'||substr(md5(s),1,15))::
+    UBIGINT``, the hash-green house construct); the AllPairs theorem
+    needs only SOME consistent total order, so exactness is unchanged
+    (a 60-bit collision merges two shingles corpus-wide — the
+    ngram_jaccard xxhash64 argument, ≈1e-9 at billions of elements)."""
     if gram_n is None:
-        return df.select(
+        el = df.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(tokens(text_col))).alias("term"),
-        ).filter(F.col("term") != "")
-    return shingle_df(df, id_col, text_col, gram_n).select(
-        "doc_id", F.col("shingle").alias("term")
+            F.explode(F.array_distinct(tokens(text_col))).alias("__s"),
+        ).filter(F.col("__s") != "")
+    else:
+        el = shingle_df(df, id_col, text_col, gram_n).select(
+            "doc_id", F.col("shingle").alias("__s")
+        )
+    return el.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10)
+        .cast("long").alias("term"),
     )
 
 

@@ -11885,30 +11885,36 @@ g0 AS (
     FROM tok, unnest(range(1, len(w) - 1)) AS t(i)
     WHERE len(w) >= 3
 ),
-uni AS (SELECT DISTINCT doc_id, s FROM g0),
-tdf AS (SELECT s, count(*) AS df FROM uni GROUP BY s),
+uni AS (
+    -- 60-bit md5 terms, not strings: the operator's scale decision
+    -- (8-byte shuffle keys), replayed with the hash-green construct
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(s), 1, 15))::UBIGINT AS h
+    FROM g0
+),
+tdf AS (SELECT h, count(*) AS df FROM uni GROUP BY h),
 ranked AS (
-    SELECT u.doc_id, u.s,
+    SELECT u.doc_id, u.h,
            row_number() OVER (PARTITION BY u.doc_id
-                              ORDER BY d.df, u.s) AS r,
+                              ORDER BY d.df, u.h) AS r,
            count(*) OVER (PARTITION BY u.doc_id) AS n
-    FROM uni u JOIN tdf d ON d.s = u.s
+    FROM uni u JOIN tdf d ON d.h = u.h
 ),
 pref AS (
-    SELECT doc_id, s FROM ranked
+    SELECT doc_id, h FROM ranked
     WHERE r <= n - ((6000 * n + 9999) // 10000) + 1
-    QUALIFY count(*) OVER (PARTITION BY s) <= 1000
+    QUALIFY count(*) OVER (PARTITION BY h) <= 1000
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM pref a JOIN pref b ON b.s = a.s AND b.doc_id > a.doc_id
+    FROM pref a JOIN pref b ON b.h = a.h AND b.doc_id > a.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM uni GROUP BY doc_id),
 shared AS (
     SELECT c.id_a, c.id_b, count(*) AS sh
     FROM cand c
     JOIN uni x ON x.doc_id = c.id_a
-    JOIN uni y ON y.doc_id = c.id_b AND y.s = x.s
+    JOIN uni y ON y.doc_id = c.id_b AND y.h = x.h
     GROUP BY 1, 2
 )
 SELECT s.id_a, s.id_b, CAST(s.sh AS BIGINT) AS shared,
