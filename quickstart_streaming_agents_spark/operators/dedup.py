@@ -916,17 +916,25 @@ def prefix_filter_jaccard_pairs(
     """
     if not 0 < threshold_bp <= 10_000:
         raise ValueError(f"threshold_bp must be in (0, 10000], got {threshold_bp}")
-    uni = _distinct_set_postings(df, id_col, text_col, gram_n).persist()
+    # NO persist: the postings are a map-only explode+md5 recomputed
+    # per consumer — the r11 4M-doc smoke showed that materializing the
+    # |corpus|·L-row frame (deserialized disk blocks) is what fills the
+    # disk, while recomputation stays scan-fused and free of footprint.
+    uni = _distinct_set_postings(df, id_col, text_col, gram_n)
+    sizes = uni.groupBy("doc_id").agg(F.count("*").alias("n"))
     tdf = uni.groupBy("term").agg(F.count("*").alias("df"))
+    # ONE window function (row_number) — per-doc size comes from the
+    # `sizes` partial agg instead of a second unbounded-frame window
+    # pass, and the sizes join lands on the window's existing doc_id
+    # partitioning (no extra exchange on the wide side).
     ranked = uni.join(tdf, "term").select(
         "doc_id", "term",
         F.row_number().over(
             Window.partitionBy("doc_id").orderBy(
                 F.col("df").asc(), F.col("term").asc())
         ).alias("r"),
-        F.count("*").over(Window.partitionBy("doc_id")).alias("n"),
     )
-    prefix = ranked.filter(
+    prefix = ranked.join(sizes, "doc_id").filter(
         F.col("r")
         <= F.col("n")
         - F.expr(f"({threshold_bp} * n + 9999) div 10000") + 1
@@ -941,16 +949,16 @@ def prefix_filter_jaccard_pairs(
                 F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    return _verify_pairs_exact(cand, uni, threshold_bp)
+    return _verify_pairs_exact(cand, uni, sizes, threshold_bp)
 
 
 def _verify_pairs_exact(
-    cand: DataFrame, uni: DataFrame, threshold_bp: int
+    cand: DataFrame, uni: DataFrame, sizes: DataFrame, threshold_bp: int
 ) -> DataFrame:
     """Exact set-overlap verification of candidate pairs against the
     full (doc_id, term) postings: shared counts via two postings joins
-    (candidates are few post-filter), sizes from one partial agg."""
-    sizes = uni.groupBy("doc_id").agg(F.count("*").alias("n"))
+    (candidates are few post-filter), sizes from the caller's partial
+    agg (one definition with the prefix computation)."""
     x, y = uni.alias("x"), uni.alias("y")
     shared = (
         cand.join(x, F.col("x.doc_id") == F.col("id_a"))

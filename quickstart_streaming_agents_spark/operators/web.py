@@ -118,6 +118,12 @@ def robots_verdicts(
     LONGEST wins; a length tie goes to allow; a host with no matching
     rule (or absent from the table) is allowed (REP default-allow).
 
+    Set semantics on the input: byte-identical ``urls`` rows collapse
+    to ONE verdict row (the argmax partitions on the full row — a
+    frontier is a set of URLs, and the streaming twin's groupBy
+    collapses identically, which is what keeps the parity bit-exact).
+    Callers needing per-occurrence rows carry their own ordinal column.
+
     Returns the ``urls`` frame + ``allowed`` boolean +
     ``matched_prefix`` (NULL when default-allowed).
     """

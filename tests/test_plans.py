@@ -351,7 +351,12 @@ def test_round11_query_plan_budgets_pinned(spark):
     assert count_exchanges(_q(spark, "quality_classifier_digest_only")) == 0
     assert count_exchanges(_q(spark, "weighted_sample_topk")) == 1
     assert count_exchanges(_q(spark, "robots_gate")) <= 2
-    assert count_exchanges(_q(spark, "prefix_filter_dedup")) <= 12
+    # 16 = the multi-stage AllPairs shape WITHOUT a postings persist:
+    # each consumer re-derives the map-only explode+md5 (scan-fused,
+    # zero footprint) instead of materializing the |corpus|·L-row
+    # frame — the 4M-doc smoke showed the persist variant fills the
+    # disk while recomputation is nearly free
+    assert count_exchanges(_q(spark, "prefix_filter_dedup")) <= 16
     assert count_exchanges(_q(spark, "containment_dedup")) <= 6
     # capstone: map-only extract/canonicalize + broadcast rules join,
     # argmax window, host agg

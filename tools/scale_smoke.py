@@ -554,19 +554,26 @@ def main() -> None:
         prefix_filter_jaccard_pairs,
     )
 
+    # 1/4 slice: the AllPairs postings frame is |docs|·L rows and the
+    # rarity-rank sort is its one wide stage — a quarter corpus already
+    # proves the plan shape without monopolizing the smoke's disk
+    # budget (the full-4M string-term variant filled the disk; see the
+    # hashed-term note in operators/dedup._distinct_set_postings).
+    p_rows = rows // 4
     stage(
-        "prefix-filter jaccard (AllPairs)",
+        f"prefix-filter jaccard (1/4 slice, {p_rows:,})",
         prefix_filter_jaccard_pairs(
-            docs, "doc_id", "text", gram_n=3,
-            threshold_bp=6000, max_token_df=1000,
+            docs.filter(F.col("doc_id") % 4 == 0), "doc_id", "text",
+            gram_n=3, threshold_bp=6000, max_token_df=1000,
         ),
         t0,
     )
 
     t0 = time.perf_counter()
     stage(
-        "containment pairs",
-        containment_pairs(docs, "doc_id", "text", n=3,
+        f"containment pairs (1/4 slice, {p_rows:,})",
+        containment_pairs(docs.filter(F.col("doc_id") % 4 == 0),
+                          "doc_id", "text", n=3,
                           threshold_bp=8000, max_shingle_df=1000),
         t0,
     )

@@ -457,6 +457,99 @@ def smoke_contamination_fraction(spark, docs: int, workdir: str) -> None:
     )
 
 
+def smoke_crawl_frontier(spark, docs: int, workdir: str) -> None:
+    """Round-11 robots-gate stream: static broadcast rules (997 hosts),
+    per-URL min(struct) verdict with event time in the grouping key.
+    Same state profile as the contamination stream — in-flight URLs per
+    micro-batch, watermark-evicted."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.operators.web import (
+        robots_rules_table,
+    )
+    from quickstart_streaming_agents_spark.sources.synthetic import register
+
+    register(spark)
+    src = f"{workdir}/frontier_src"
+    gen = (
+        spark.read.format("syntheticdocs")
+        .option("rows", docs)
+        .option("partitions", spark.sparkContext.defaultParallelism)
+        .load()
+        .select(
+            "doc_id",
+            F.concat(F.lit("h"), F.col("doc_id") % 997,
+                     F.lit(".example.com")).alias("host"),
+            F.concat(F.lit("/p/"), F.col("doc_id") % 13,
+                     F.when(F.col("doc_id") % 2 == 0, F.lit("/pub/x"))
+                     .otherwise(F.lit("/y"))).alias("path"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000
+            ).alias("ts"),
+        )
+        .withColumn("slc", F.least(
+            F.lit(SLICES - 1),
+            (F.col("doc_id") / (-(-docs // SLICES))).cast("int"),
+        ))
+    )
+    write_slices(gen, "doc_id", F.col("slc"), src, files=16)
+
+    bodies = spark.createDataFrame(
+        [(f"h{i}.example.com",
+          f"User-agent: *\nDisallow: /p/{i % 4}\n"
+          f"Allow: /p/{i % 4}/pub\n") for i in range(997)],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules_table(bodies).select(
+        F.col("host").alias("__rhost"),
+        F.col("prefix").alias("__prefix"),
+        F.col("allow").alias("__allow"),
+    )
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", "16").load(src)
+        .withWatermark("ts", "1 second")
+    )
+    j = stream.join(
+        F.broadcast(rules), stream["host"] == F.col("__rhost"), "left"
+    ).withColumn(
+        "__m",
+        F.col("__prefix").isNotNull()
+        & F.col("path").startswith(F.col("__prefix")),
+    )
+    per = (
+        j.groupBy("doc_id", "host", "path", "ts")
+        .agg(F.min(F.struct(
+            (1 - F.col("__m").cast("int")).alias("k1"),
+            (-F.coalesce(F.length("__prefix"), F.lit(0))).alias("k2"),
+            (1 - F.coalesce(F.col("__allow"), F.lit(False)).cast("int"))
+            .alias("k3"),
+            F.col("__prefix").alias("k4"),
+            F.col("__m").alias("m"),
+            F.col("__allow").alias("allow"),
+        )).alias("__p"))
+    )
+    q = (
+        per.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, _: df.write.format("noop").mode("overwrite").save()
+        )
+        .option("checkpointLocation", f"{workdir}/frontier_ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    prog = progress_rows(q)
+    max_batch = max((p["rows"] for p in prog), default=0)
+    report(
+        f"crawl frontier gate ({docs:,} urls)",
+        prog, state_bound=2 * max_batch,
+        bound_desc="in-flight urls (watermark-evicted; <= 2 micro-batches)",
+        drains=True,
+    )
+
+
 def main() -> None:
     events = int(os.environ.get("SMOKE_EVENTS", 1_000_000))
     docs = int(os.environ.get("SMOKE_DOCS", 1_000_000))
@@ -474,6 +567,7 @@ def main() -> None:
         smoke_hll_registers(spark, events, workdir)
         smoke_kmins_registers(spark, events, workdir)
         smoke_contamination_fraction(spark, docs, workdir)
+        smoke_crawl_frontier(spark, docs, workdir)
         print(f"total wall: {time.perf_counter() - t0:.1f}s")
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
