@@ -554,16 +554,28 @@ def main() -> None:
         prefix_filter_jaccard_pairs,
     )
 
-    # 1/4 slice: the AllPairs postings frame is |docs|·L rows and the
-    # rarity-rank sort is its one wide stage — a quarter corpus already
-    # proves the plan shape without monopolizing the smoke's disk
-    # budget (the full-4M string-term variant filled the disk; see the
-    # hashed-term note in operators/dedup._distinct_set_postings).
+    # Salted 1/4 slice for the exact-threshold joins: the raw synthetic
+    # docs are ~24 tokens from a tiny template vocabulary, so their
+    # TRUE near-dup pair count is quadratic (every shingle is corpus-
+    # common — billions of genuinely-similar pairs; no algorithm
+    # outputs less than its answer). Appending doc-unique salt tokens
+    # restores the rarity distribution a real web corpus has (the
+    # AllPairs operating assumption), and pairing the salt every 2 docs
+    # plants a known linear answer to find (~125k planted near-dups).
     p_rows = rows // 4
+    base = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        F.concat(
+            "text", F.lit(" u"), (F.col("doc_id") / 8).cast("long"),
+            F.lit("q salt v"), (F.col("doc_id") / 8).cast("long"),
+            F.lit("z tail w"), (F.col("doc_id") / 8).cast("long"),
+            F.lit("k end"),
+        ).alias("text"),
+    )
     stage(
-        f"prefix-filter jaccard (1/4 slice, {p_rows:,})",
+        f"prefix-filter jaccard (salted, {p_rows:,})",
         prefix_filter_jaccard_pairs(
-            docs.filter(F.col("doc_id") % 4 == 0), "doc_id", "text",
+            base, "doc_id", "text",
             gram_n=3, threshold_bp=6000, max_token_df=1000,
         ),
         t0,
@@ -571,9 +583,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     stage(
-        f"containment pairs (1/4 slice, {p_rows:,})",
-        containment_pairs(docs.filter(F.col("doc_id") % 4 == 0),
-                          "doc_id", "text", n=3,
+        f"containment pairs (salted, {p_rows:,})",
+        containment_pairs(base, "doc_id", "text", n=3,
                           threshold_bp=8000, max_shingle_df=1000),
         t0,
     )
