@@ -554,26 +554,30 @@ def main() -> None:
         prefix_filter_jaccard_pairs,
     )
 
-    # Salted 1/4 slice for the exact-threshold joins: the raw synthetic
-    # docs are ~24 tokens from a tiny template vocabulary, so their
-    # TRUE near-dup pair count is quadratic (every shingle is corpus-
-    # common — billions of genuinely-similar pairs; no algorithm
-    # outputs less than its answer). Appending doc-unique salt tokens
-    # restores the rarity distribution a real web corpus has (the
-    # AllPairs operating assumption), and pairing the salt every 2 docs
-    # plants a known linear answer to find (~125k planted near-dups).
+    # Dedicated corpus for the exact-threshold joins: the synthetic
+    # template docs are quadratically self-similar (~24 tokens from a
+    # tiny vocabulary — the TRUE near-dup answer over them is billions
+    # of pairs, and no exact algorithm outputs less than its answer;
+    # two full-4M attempts filled the disk on candidates that were all
+    # REAL). This stage instead smokes the PLAN — wide postings, df
+    # pass, rarity-rank window, prefix equi-join, exact verify — on a
+    # corpus with a linear planted answer: 12 unique-per-pair tokens
+    # (ids 8k and 8k+4 share them -> ~125k planted dup pairs from 1M
+    # docs; every shingle df <= 2, the web-corpus rarity profile).
     p_rows = rows // 4
+    h = (F.col("doc_id") / 8).cast("long")
+    parts = [F.concat(F.lit(c), h) for c in "abcdefghijkl"]
     base = docs.filter(F.col("doc_id") % 4 == 0).select(
         "doc_id",
-        F.concat(
-            "text", F.lit(" u"), (F.col("doc_id") / 8).cast("long"),
-            F.lit("q salt v"), (F.col("doc_id") / 8).cast("long"),
-            F.lit("z tail w"), (F.col("doc_id") / 8).cast("long"),
-            F.lit("k end"),
+        F.concat_ws(
+            " ", *parts,
+            F.when((F.col("doc_id") / 4 % 2) == 1,
+                   F.concat(F.lit("z"), F.col("doc_id")))
+            .otherwise(F.lit("common")),
         ).alias("text"),
     )
     stage(
-        f"prefix-filter jaccard (salted, {p_rows:,})",
+        f"prefix-filter jaccard (planted, {p_rows:,})",
         prefix_filter_jaccard_pairs(
             base, "doc_id", "text",
             gram_n=3, threshold_bp=6000, max_token_df=1000,
@@ -583,7 +587,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     stage(
-        f"containment pairs (salted, {p_rows:,})",
+        f"containment pairs (planted, {p_rows:,})",
         containment_pairs(base, "doc_id", "text", n=3,
                           threshold_bp=8000, max_shingle_df=1000),
         t0,
