@@ -157,6 +157,10 @@ HEADLINE = [
     "crawl_frontier_pipeline",
     "anchor_text_index",
     "dedup_savings_report",
+    "order_priority_check",
+    "top_supplier_revenue",
+    "flac_stream_meta",
+    "ogg_page_index",
     "pca_moments",
     "image_dhash",
     "image_phash_dedup",

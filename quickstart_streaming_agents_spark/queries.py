@@ -12022,6 +12022,316 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q4 analog (order-priority checking): count orders per priority
+# class that have at least one LATE lineitem (shipped >90 days after the
+# order date — the fixture schema carries no commit/receipt dates, so
+# lateness-vs-orderdate stands in for commitdate<receiptdate). The EXISTS
+# decorrelates to a LEFT SEMI join: Spark moves only l_orderkey from the
+# fact side (no payload columns), aggregates map-side-partial on the
+# 5-value priority key. At 100 TB the semi join shuffles both sides on
+# orderkey once; the agg output is 5 rows. Reference: the walkthroughs'
+# filter-in-subquery family (LAB1-Walkthrough.md:207-216) — this is the
+# EXISTS/semi-join member of that family over the warehouse facts.
+# ---------------------------------------------------------------------------
+@query(
+    "order_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority AS order_priority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY 1
+    """,
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog: per-priority count of orders with a late line,
+    expressed as a left-semi join (the decorrelated EXISTS plan)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    # correlated condition references both sides → join, filter, semi-dedup
+    late = (
+        o.select("o_orderkey", "o_orderdate")
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate")
+                > F.expr("o_orderdate + INTERVAL 90 DAYS"))
+        .select("o_orderkey")
+    )
+    return (
+        o.join(late, "o_orderkey", "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 analog (top supplier): quarterly revenue per supplier, then
+# keep the supplier(s) achieving the maximum. Revenue sums exact cents
+# (CAST(ROUND(x*10000)) — the repo-wide money convention) so the max
+# comparison and the final doubles are bit-identical across engines.
+# The max is computed as a 1-row aggregate CROSS-JOINed back (broadcast
+# of one row) — NOT a global window over the supplier aggregate, so no
+# single-partition WindowExec at scale. Two shuffles total: the revenue
+# agg on l_suppkey and nothing else (dim join broadcasts; max is 1 row).
+# ---------------------------------------------------------------------------
+@query(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                   AS BIGINT)) AS rev_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(r.rev_e4 / 10000.0, 2) AS total_revenue
+    FROM rev r
+    JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.rev_e4 = (SELECT MAX(rev_e4) FROM rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog: supplier(s) with maximum quarterly revenue —
+    scalar-max via 1-row broadcast cross join, not a global window."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    cents = F.expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 10000) as long)"
+    )
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(cents).alias("rev_e4"))
+    )
+    mx = rev.agg(F.max("rev_e4").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_e4") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("rev_e4") / 10000.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# FLAC STREAMINFO metadata probe (round 11b) — operators/flac.py: the
+# real RFC 9639 metadata-block walk (fLaC magic, last-block-flagged
+# headers, 34-byte STREAMINFO bit-unpacking: rate 20 bits, channels 3,
+# bps 5, total_samples 36, audio MD5) + VORBIS_COMMENT TITLE tag
+# extraction. The engine REALLY unpacks bits from synthesized files
+# (with trailing frame junk proving the walk stops at the last-block
+# flag); the oracle replays the planted values analytically. Classes:
+# garbage (doc_id%29: quarantine NULL row), tagless (doc_id%23),
+# VC-without-TITLE (doc_id%7), padding block (doc_id%3). Map-only.
+# ---------------------------------------------------------------------------
+@query(
+    "flac_stream_meta",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                    ELSE 48000 END AS rate,
+               CAST(1000 + (doc_id * 37) % 100000 AS BIGINT) AS total
+        FROM documents
+    )
+    SELECT b.doc_id,
+           doc_id % 29 <> 0 AS is_flac,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                ELSE CAST(b.rate AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                ELSE CAST(16 + 8 * (doc_id % 3) AS INT) END
+               AS bits_per_sample,
+           CASE WHEN doc_id % 29 = 0 THEN NULL ELSE b.total END
+               AS total_samples,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                ELSE CAST(b.total * 1000 // b.rate AS BIGINT) END
+               AS duration_ms,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                ELSE CAST(1 + CASE WHEN doc_id % 23 = 0 THEN 0 ELSE 1 END
+                     + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+                END AS n_meta_blocks,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                ELSE doc_id % 23 <> 0 END AS has_vorbis_comment,
+           CASE WHEN doc_id % 29 = 0 OR doc_id % 23 = 0 OR doc_id % 7 = 0
+                THEN NULL
+                ELSE 'T' || (doc_id % 101)::VARCHAR END AS title,
+           CASE WHEN doc_id % 29 = 0 THEN NULL
+                ELSE md5('fmd5:' || doc_id) END AS audio_md5
+    FROM base b
+    """,
+)
+def flac_stream_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real FLAC STREAMINFO bit-unpack + Vorbis-comment tags — see
+    block comment; operator in operators/flac.py (map-only)."""
+    import hashlib
+
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.flac import (
+        flac_stream_meta as flac_probe,
+        make_flac,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    rates = [8000, 16000, 22050, 44100, 48000]
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 29 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                    continue
+                tags = None
+                if i % 23 != 0:
+                    tags = {"ARTIST": f"A{i % 13}"}
+                    if i % 7 != 0:
+                        tags["TITLE"] = f"T{i % 101}"
+                payloads.append(make_flac(
+                    rates[i % 5],
+                    1 + i % 2,
+                    16 + 8 * (i % 3),
+                    1000 + (i * 37) % 100000,
+                    audio_md5=hashlib.md5(f"fmd5:{i}".encode()).digest(),
+                    tags=tags,
+                    padding=16 if i % 3 == 0 else 0,
+                    frame_junk=b"\xff\xf8junk" * 2,
+                ))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return flac_probe(synth_df, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# Ogg page demux (round 11b) — operators/ogg.py: the real RFC 3533
+# container walk (OggS capture, LE header unpack, lacing-value packet
+# framing, and the REAL unreflected 0x04C11DB7 page CRC verified per
+# page). The engine walks bytes assembled by make_ogg_page (whose CRC
+# it must reproduce bit-exactly or every row vanishes); the oracle
+# replays offsets by prefix-summing analytic page sizes — a walker bug
+# cannot hide behind its own synthesizer. Per doc: 1 + doc_id%3 pages,
+# 1 + (doc_id+k)%2 packets each (md5-derived pads < 254 bytes → one
+# lacing slot per packet), every 23rd payload garbage (skipped).
+# Map-only 1→N, the warc_record_index shape.
+# ---------------------------------------------------------------------------
+_OGG_ORACLE = r"""
+WITH d AS (
+    SELECT doc_id, 1 + doc_id % 3 AS n_pages,
+           CAST(1000 + doc_id % 97 AS BIGINT) AS serial
+    FROM documents WHERE doc_id % 23 <> 0
+),
+pg AS (
+    SELECT d.doc_id, d.serial, t.k, d.n_pages,
+           CAST(1 + (d.doc_id + t.k) % 2 AS INT) AS n_pkts
+    FROM d, unnest(range(0, CAST(d.n_pages AS BIGINT))) AS t(k)
+),
+pk AS (
+    SELECT doc_id, k, u.j FROM pg,
+           unnest(range(0, CAST(n_pkts AS BIGINT))) AS u(j)
+),
+pkt AS (
+    SELECT doc_id, k, j,
+           'pk:' || doc_id || ':' || k || ':' || j || ':' ||
+               repeat('x', CAST(1 + ('0x' || substr(md5('op:' || doc_id
+                   || ':' || k || ':' || j), 1, 15))::UBIGINT % 40 AS INT))
+               AS content
+    FROM pk
+),
+pay AS (
+    SELECT doc_id, k, string_agg(content, '' ORDER BY j) AS payload
+    FROM pkt GROUP BY doc_id, k
+),
+sized AS (
+    SELECT pg.doc_id, pg.serial, pg.k, pg.n_pages, pg.n_pkts,
+           length(pay.payload) AS plen, pay.payload
+    FROM pg JOIN pay ON pg.doc_id = pay.doc_id AND pg.k = pay.k
+),
+o AS (
+    SELECT *,
+           COALESCE(SUM(27 + n_pkts + plen) OVER (
+               PARTITION BY doc_id ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM sized
+)
+SELECT doc_id, CAST(k AS INT) AS page_idx, CAST(off AS BIGINT) AS offset,
+       CAST(off + 27 + n_pkts AS BIGINT) AS payload_offset,
+       CAST(plen AS BIGINT) AS payload_length,
+       CAST(doc_id * 1000 + k * 17 AS BIGINT) AS granule,
+       serial, CAST(k AS BIGINT) AS page_seq,
+       k = 0 AS is_bos, k = n_pages - 1 AS is_eos,
+       FALSE AS is_continued,
+       n_pkts AS n_segments, n_pkts AS n_packets,
+       md5(payload) AS payload_md5
+FROM o
+"""
+
+
+@query("ogg_page_index", oracle=_OGG_ORACLE)
+def ogg_page_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Ogg page walk with verified RFC 3533 CRCs — see block
+    comment; operator in operators/ogg.py (map-only 1→N)."""
+    import hashlib
+
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.ogg import (
+        make_ogg_page,
+        ogg_pages,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 23 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                    continue
+                n_pages = 1 + i % 3
+                stream = b""
+                for k in range(n_pages):
+                    pkts = []
+                    for j in range(1 + (i + k) % 2):
+                        pad = 1 + int(hashlib.md5(
+                            f"op:{i}:{k}:{j}".encode()
+                        ).hexdigest()[:15], 16) % 40
+                        pkts.append(f"pk:{i}:{k}:{j}:{'x' * pad}".encode())
+                    stream += make_ogg_page(
+                        pkts, granule=i * 1000 + k * 17,
+                        serial=1000 + i % 97, seq=k,
+                        bos=(k == 0), eos=(k == n_pages - 1),
+                    )
+                payloads.append(stream)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return ogg_pages(synth_df, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation (round 11). The correctness harness
 # oracle-checks the FIRST 50 registry entries each round. Round 10's
 # rotation was accidentally left at the r9 list, so its window (and
