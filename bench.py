@@ -161,6 +161,9 @@ HEADLINE = [
     "top_supplier_revenue",
     "flac_stream_meta",
     "ogg_page_index",
+    "readability_scores",
+    "tfidf_top_terms",
+    "hits_scores",
     "pca_moments",
     "image_dhash",
     "image_phash_dedup",

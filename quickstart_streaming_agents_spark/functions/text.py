@@ -751,3 +751,55 @@ def html_text_extract(html_col: str | Column) -> Column:
                     ("&amp;", "&")):  # &amp; LAST or it double-decodes
         c = F.replace(c, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(c, r"[ \t\n\r\f]+", " "))
+
+
+def _intdiv(a: Column, b: Column) -> Column:
+    """Exact long floor-division for NON-NEGATIVE operands: ``a % b``
+    is exact in long, the remaining quotient is an exact double (all
+    values here ≪ 2^53). Never `F.floor(a / b)` — IEEE division of a
+    near-boundary quotient can round UP across the integer."""
+    return ((a - a % b) / b).cast("long")
+
+
+def readability_counts(text_col: str | Column) -> dict[str, Column]:
+    """Flesch reading-ease signals — the classic prose-difficulty score
+    (Flesch 1948, the readability gate several published curation
+    recipes tier documents by). All three inputs are pure-JVM integer
+    counts so the score replays exactly in any engine:
+
+    * ``n_words`` — whitespace tokens (the repo tokenizer),
+    * ``n_sentences`` — ``[.!?]+`` terminator groups, floored at 1,
+    * ``n_syllables`` — ``[aeiouy]+`` vowel groups of the lowercased
+      text (the standard dictionary-free syllable proxy; 'ey' in
+      'they' is ONE group — adjacent vowels never double-count).
+
+    ``flesch_e3`` is the score in exact milli-units computed with
+    integer division on non-negative operands only::
+
+        206835 - (1015·words) div sentences - (84600·syllables) div words
+
+    so any engine replays it bit-exactly; callers derive a display
+    double by ONE IEEE division (the hll_distinct_sketch exactness
+    pattern — never round a derived double). Empty text yields
+    words=0 → both denominators take GREATEST(·, 1) floors so the
+    expression stays defined (score 206835, flagged by n_words=0).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.size(F.filter(tokens(c), lambda t: t != "")).cast("long")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    ).cast("long")
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    flesch_e3 = (
+        F.lit(206835).cast("long")
+        - _intdiv(F.lit(1015) * words, sentences)
+        - _intdiv(F.lit(84600) * syllables, F.greatest(words, F.lit(1)))
+    )
+    return {
+        "n_words": words,
+        "n_sentences": sentences,
+        "n_syllables": syllables,
+        "flesch_e3": flesch_e3,
+    }

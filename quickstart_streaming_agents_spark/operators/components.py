@@ -291,3 +291,95 @@ def pagerank_int(
     return ranks.select(
         F.col("__n").alias(node_id), F.col("__r").alias("rank_scaled")
     )
+
+
+def hits_int(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_id: str = "node",
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """EXACT-integer HITS (Kleinberg 1999) — hub/authority scores over
+    a link graph, the complementary signal to PageRank: authorities are
+    pages good hubs point AT, hubs are pages that point at good
+    authorities (anchor-quality weighting for crawl corpora).
+
+    Fixed-point discipline (the pagerank_int convention): scores live
+    in integer ``scale``-units, every node starts at ``scale``, and one
+    iteration is the mutual update with SUM-normalization::
+
+        a_raw(v) = Σ_{u→v} h(u);   a(v) = a_raw(v)·scale div Σ a_raw
+        h_raw(u) = Σ_{u→v} a(v);   h(u) = h_raw(u)·scale div Σ h_raw
+
+    (classic HITS normalizes by L2 — a sqrt no integer plan can
+    replay; the L1 form is rank-equivalent and BIGINT end to end, so
+    any partitioning or engine computes bit-identical scores.)
+    Zero-degree nodes hold score 0 after the first iteration.
+
+    Overflow budget: ``a_raw·scale ≤ Σa_raw·scale`` must fit a long —
+    asserted per iteration via the 1-row total (raises before any
+    silent wrap; with scale=1e6 the graph can carry ~9.2e12 total raw
+    mass, i.e. ~10⁶ nodes × 10⁶ average score — re-scale down for
+    bigger graphs).
+
+    Plan per iteration: two (edge ⋈ score) shuffles + two 1-row total
+    aggregates broadcast back — O(iters) shuffles total, the same
+    shape as pagerank_int; lineage truncated per round.
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    n = nodes.select(F.col(node_id).alias("__n"))
+    hubs = n.withColumn("__h", F.lit(scale).cast("long"))
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        tot = raw.agg(F.sum(col).alias("__tot"))
+        guarded = tot.select(
+            F.when(
+                F.col("__tot") > (1 << 62) // scale,
+                F.expr("raise_error('hits_int: scale overflow — lower scale')"),
+            ).otherwise(
+                # edgeless graph: total 0 would div-by-zero (null in
+                # Spark, an ERROR in replay SQL) — floor at 1, every
+                # score is already 0
+                F.greatest(F.col("__tot"), F.lit(1))
+            ).alias("__tot")
+        )
+        return raw.join(F.broadcast(guarded)).select(
+            raw["*"],
+            F.expr(f"({col} * {scale}) div __tot").alias("__norm"),
+        ).drop(col).withColumnRenamed("__norm", col)
+
+    auths = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hubs, e.__s == hubs.__n)
+            .groupBy(F.col("__d").alias("__n"))
+            .agg(F.sum("__h").alias("__a"))
+        )
+        auths = _norm(
+            n.join(a_raw, "__n", "left").select(
+                "__n", F.coalesce("__a", F.lit(0)).cast("long").alias("__a")
+            ),
+            "__a",
+        ).localCheckpoint(eager=False)
+        h_raw = (
+            e.join(auths, e.__d == auths.__n)
+            .groupBy(F.col("__s").alias("__n"))
+            .agg(F.sum("__a").alias("__h"))
+        )
+        hubs = _norm(
+            n.join(h_raw, "__n", "left").select(
+                "__n", F.coalesce("__h", F.lit(0)).cast("long").alias("__h")
+            ),
+            "__h",
+        ).localCheckpoint(eager=False)
+    return (
+        auths.join(hubs, "__n")
+        .select(
+            F.col("__n").alias(node_id),
+            F.col("__a").alias("authority_scaled"),
+            F.col("__h").alias("hub_scaled"),
+        )
+    )

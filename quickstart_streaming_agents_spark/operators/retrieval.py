@@ -585,3 +585,47 @@ def token_entropy(
         ),
         F.round(ent, 6).alias("token_entropy"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    k: int = 3,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-k distinctive terms by tf·idf — the keyword-
+    extraction primitive (topic tagging, cluster labeling, dedup-
+    cluster naming) every corpus-exploration pass runs.
+
+    Returns (doc_id, rank, term, tf, df, score): idf is the Lucene
+    form shared with bm25 (``_idf_expr`` — ONE definition for every
+    tier), score = tf · idf rounded to 6 decimals BEFORE ranking, and
+    rank is row_number over (rounded score DESC, term ASC) so the
+    chosen set is deterministic across engines and summation orders
+    (the bm25_topk determinism contract).
+
+    Plan: ONE postings shuffle (reused for tf, df, and the 1-row
+    n_docs stat), a broadcast of the per-term df (|vocab| rows — at
+    open-web vocab sizes swap for a shuffle join by term), and a
+    per-doc window. No scan of the corpus happens twice.
+    """
+    post = postings(docs, doc_id=doc_id, text=text).persist()
+    dfreq = post.groupBy("term").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= min_df
+    )
+    stats = post.agg(F.countDistinct(doc_id).alias("n_docs"))
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score", F.round(F.col("tf") * _idf_expr(), 6))
+    )
+    w = Window.partitionBy(doc_id).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(doc_id, "rank", "term", "tf", "df", "score")
+    )

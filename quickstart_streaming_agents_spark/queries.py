@@ -12332,6 +12332,215 @@ def ogg_page_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Flesch readability scores (round 11b) — functions/text.py
+# readability_counts: the classic prose-difficulty gate (Flesch 1948)
+# over pure-JVM integer counts (words / sentence terminators / vowel
+# groups), score in exact milli-units via non-negative integer div,
+# display double by ONE IEEE division. Map-only, 0 exchanges.
+# ---------------------------------------------------------------------------
+@query(
+    "readability_scores",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents
+    ),
+    wc AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN t <> '' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_words
+        FROM tok GROUP BY doc_id
+    ),
+    cnt AS (
+        SELECT d.doc_id, wc.n_words,
+               CAST(GREATEST(length(regexp_extract_all(d.text, '[\.!\?]+')),
+                             1) AS BIGINT) AS n_sentences,
+               CAST(length(regexp_extract_all(lower(d.text), '[aeiouy]+'))
+                    AS BIGINT) AS n_syllables
+        FROM documents d JOIN wc ON d.doc_id = wc.doc_id
+    ),
+    sc AS (
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CAST(206835 - (1015 * n_words) // n_sentences
+                    - (84600 * n_syllables) // GREATEST(n_words, 1)
+                    AS BIGINT) AS flesch_e3
+        FROM cnt
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables, flesch_e3,
+           flesch_e3 / 1000.0 AS flesch
+    FROM sc
+    """,
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease over the documents table — see block
+    comment; counts in functions/text.readability_counts."""
+    from quickstart_streaming_agents_spark.functions.text import (
+        readability_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = readability_counts("text")
+    return docs.select(
+        "doc_id",
+        c["n_words"].alias("n_words"),
+        c["n_sentences"].alias("n_sentences"),
+        c["n_syllables"].alias("n_syllables"),
+        c["flesch_e3"].alias("flesch_e3"),
+        (c["flesch_e3"] / F.lit(1000.0)).alias("flesch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-doc TF-IDF top terms (round 11b) — operators/retrieval.py
+# tfidf_top_terms: keyword extraction (topic tagging, cluster naming)
+# sharing the ONE Lucene idf definition with bm25. Score rounded to 6
+# decimals BEFORE ranking; rank deterministic over (score DESC, term
+# ASC). One postings shuffle + per-doc window.
+# ---------------------------------------------------------------------------
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE term <> '' GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               round(tf.tf * ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
+                                      / (dfreq.df + 0.5)), 6) AS score
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, df, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term ASC) AS rank
+        FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf·idf terms per document — see block comment; operator
+    in operators/retrieval.tfidf_top_terms."""
+    from quickstart_streaming_agents_spark.operators.retrieval import (
+        tfidf_top_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tfidf_top_terms(docs, k=3)
+    return out.select(
+        "doc_id", F.col("rank").cast("int").alias("rank"), "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"), "score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS hub/authority scores (round 11b) — operators/components.py
+# hits_int: Kleinberg 1999 in exact fixed-point (L1-normalized — the
+# L2 sqrt no integer plan can replay; rank-equivalent), 2 iterations
+# over the same synthesized link graph as link_pagerank (md5-derived
+# targets, salt 'hedge:'). The oracle replays both iterations as CTEs
+# with the identical div/normalize arithmetic — BIGINT end to end.
+# ---------------------------------------------------------------------------
+_HITS_ORACLE = """
+WITH nodes AS (SELECT doc_id FROM documents),
+nn AS (SELECT count(*) AS cnt FROM nodes),
+edges AS (
+    SELECT d.doc_id AS s,
+           CAST(('0x' || substr(md5('hedge:' || d.doc_id || ':' || t.j),
+                                1, 15))::UBIGINT
+                % (SELECT cnt FROM nn) AS BIGINT) AS t_
+    FROM nodes d,
+         unnest(range(0, CAST(1 + d.doc_id % 3 AS BIGINT))) AS t(j)
+),
+h0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+ar1 AS (SELECT n.doc_id AS node,
+               CAST(COALESCE(SUM(h0.h), 0) AS BIGINT) AS a
+        FROM nodes n
+        LEFT JOIN edges e ON e.t_ = n.doc_id
+        LEFT JOIN h0 ON h0.node = e.s
+        GROUP BY n.doc_id),
+a1 AS (SELECT node,
+              CAST(a * 1000000 // GREATEST((SELECT SUM(a) FROM ar1), 1)
+                   AS BIGINT) AS a
+       FROM ar1),
+hr1 AS (SELECT n.doc_id AS node,
+               CAST(COALESCE(SUM(a1.a), 0) AS BIGINT) AS h
+        FROM nodes n
+        LEFT JOIN edges e ON e.s = n.doc_id
+        LEFT JOIN a1 ON a1.node = e.t_
+        GROUP BY n.doc_id),
+h1 AS (SELECT node,
+              CAST(h * 1000000 // GREATEST((SELECT SUM(h) FROM hr1), 1)
+                   AS BIGINT) AS h
+       FROM hr1),
+ar2 AS (SELECT n.doc_id AS node,
+               CAST(COALESCE(SUM(h1.h), 0) AS BIGINT) AS a
+        FROM nodes n
+        LEFT JOIN edges e ON e.t_ = n.doc_id
+        LEFT JOIN h1 ON h1.node = e.s
+        GROUP BY n.doc_id),
+a2 AS (SELECT node,
+              CAST(a * 1000000 // GREATEST((SELECT SUM(a) FROM ar2), 1)
+                   AS BIGINT) AS a
+       FROM ar2),
+hr2 AS (SELECT n.doc_id AS node,
+               CAST(COALESCE(SUM(a2.a), 0) AS BIGINT) AS h
+        FROM nodes n
+        LEFT JOIN edges e ON e.s = n.doc_id
+        LEFT JOIN a2 ON a2.node = e.t_
+        GROUP BY n.doc_id),
+h2 AS (SELECT node,
+              CAST(h * 1000000 // GREATEST((SELECT SUM(h) FROM hr2), 1)
+                   AS BIGINT) AS h
+       FROM hr2)
+SELECT a2.node AS doc_id, a2.a AS authority_scaled, h2.h AS hub_scaled
+FROM a2 JOIN h2 ON a2.node = h2.node
+"""
+
+
+@query("hits_scores", oracle=_HITS_ORACLE)
+def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer HITS over the synthesized doc link graph — see
+    block comment; operator in operators/components.hits_int."""
+    from quickstart_streaming_agents_spark.operators.components import (
+        hits_int,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("j"),
+    ).select(
+        "src",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit("hedge"), "src", "j")),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long") % n
+        ).alias("dst"),
+    )
+    out = hits_int(edges, docs, node_id="doc_id", iters=2)
+    return out.select("doc_id", "authority_scaled", "hub_scaled")
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation (round 11). The correctness harness
 # oracle-checks the FIRST 50 registry entries each round. Round 10's
 # rotation was accidentally left at the r9 list, so its window (and
