@@ -164,6 +164,7 @@ HEADLINE = [
     "readability_scores",
     "tfidf_top_terms",
     "hits_scores",
+    "parquet_footer_index",
     "pca_moments",
     "image_dhash",
     "image_phash_dedup",

@@ -12541,6 +12541,76 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Parquet footer index (round 11b) — operators/parquet_meta.py: a REAL
+# Thrift compact-protocol walk of FileMetaData (varint/zigzag field
+# headers, nested struct/list decode — no pyarrow in the parse path),
+# the manifest-audit tier of a 100 TB lake: row counts, group shapes
+# and schema widths from footer bytes alone, one row per row group.
+# The engine parses real parquet files written by pyarrow in the synth
+# step (row_group_size=16, 1 + doc_id%50 planted rows); the oracle
+# replays the group arithmetic analytically. Byte sizes/codecs — not
+# analytically replayable — are pinned vs pyarrow's own metadata API
+# in tests/test_parquet_meta.py. Map-only 1→N.
+# ---------------------------------------------------------------------------
+_PARQUET_FOOTER_ORACLE = """
+WITH d AS (
+    SELECT doc_id, 1 + doc_id % 50 AS n
+    FROM documents WHERE doc_id % 23 <> 0
+),
+g AS (
+    SELECT d.doc_id, d.n, (d.n + 15) // 16 AS n_groups, t.k
+    FROM d, unnest(range(0, (d.n + 15) // 16)) AS t(k)
+)
+SELECT doc_id, CAST(k AS INT) AS rg_idx,
+       CAST(LEAST(16, n - 16 * k) AS BIGINT) AS rg_num_rows,
+       CAST(n AS BIGINT) AS file_num_rows,
+       CAST(n_groups AS INT) AS n_row_groups,
+       CAST(2 AS INT) AS n_leaf_columns,
+       CAST(2 AS INT) AS version,
+       CAST(2 AS INT) AS n_col_chunks,
+       TRUE AS has_created_by
+FROM g
+"""
+
+
+@query("parquet_footer_index", oracle=_PARQUET_FOOTER_ORACLE)
+def parquet_footer_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real parquet-footer thrift walk over files written by pyarrow —
+    see block comment; operator in operators/parquet_meta.py."""
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.parquet_meta import (
+        parquet_footer_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 23 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                    continue
+                n = 1 + i % 50
+                t = pa.table({
+                    "id": list(range(n)),
+                    "val": [f"v{i}:{j}" for j in range(n)],
+                })
+                sink = pa.BufferOutputStream()
+                pq.write_table(t, sink, row_group_size=16)
+                payloads.append(sink.getvalue().to_pybytes())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return parquet_footer_index(synth_df, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation (round 11). The correctness harness
 # oracle-checks the FIRST 50 registry entries each round. Round 10's
 # rotation was accidentally left at the r9 list, so its window (and
