@@ -165,6 +165,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "hits_scores",
     "parquet_footer_index",
+    "avro_ocf_block_index",
     "pca_moments",
     "image_dhash",
     "image_phash_dedup",

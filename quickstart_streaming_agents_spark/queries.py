@@ -12611,6 +12611,93 @@ def parquet_footer_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Avro OCF block index (round 11b) — operators/avro_ocf.py: the real
+# Object Container File walk (magic, the map<string,bytes> metadata
+# decode incl. the negative-count spec branch, 16-byte sync-marker
+# verification per block). The engine walks bytes assembled by
+# make_ocf over records encoded with the repo's own zigzag-varint
+# writer; the oracle replays counts/sizes analytically by rebuilding
+# the record strings (avro string = 1-byte varint prefix for len<64 +
+# utf8, so byte_size = Σ (1+len)). Classes: garbage (doc_id%23,
+# skipped), extra user metadata key (doc_id%4). Map-only 1→N.
+# ---------------------------------------------------------------------------
+_OCF_ORACLE = """
+WITH d AS (
+    SELECT doc_id, 1 + doc_id % 3 AS n_blocks
+    FROM documents WHERE doc_id % 23 <> 0
+),
+blk AS (
+    SELECT d.doc_id, d.n_blocks, t.k,
+           CAST(1 + (d.doc_id + t.k) % 4 AS BIGINT) AS n_records
+    FROM d, unnest(range(0, CAST(d.n_blocks AS BIGINT))) AS t(k)
+),
+rec AS (
+    SELECT doc_id, k, u.j,
+           'r:' || doc_id || ':' || k || ':' || u.j AS s
+    FROM blk, unnest(range(0, n_records)) AS u(j)
+),
+sz AS (
+    SELECT doc_id, k, CAST(SUM(1 + length(s)) AS BIGINT) AS byte_size
+    FROM rec GROUP BY doc_id, k
+)
+SELECT b.doc_id, CAST(b.k AS INT) AS block_idx, b.n_records, sz.byte_size,
+       'null' AS codec,
+       'Doc' || (b.doc_id % 5)::VARCHAR AS schema_name,
+       CAST(CASE WHEN b.doc_id % 4 = 0 THEN 3 ELSE 2 END AS INT)
+           AS n_meta_entries,
+       CAST(b.n_blocks AS INT) AS n_blocks
+FROM blk b JOIN sz ON b.doc_id = sz.doc_id AND b.k = sz.k
+"""
+
+
+@query("avro_ocf_block_index", oracle=_OCF_ORACLE)
+def avro_ocf_block_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Avro OCF block walk with per-block sync verification — see
+    block comment; operator in operators/avro_ocf.py."""
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.operators.avro_ocf import (
+        make_ocf,
+        ocf_block_index,
+    )
+    from quickstart_streaming_agents_spark.sources.avro import _write_long
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        def enc_str(s: str) -> bytes:
+            out = bytearray()
+            _write_long(out, len(s))
+            return bytes(out) + s.encode()
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 23 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                    continue
+                blocks = [
+                    [enc_str(f"r:{i}:{k}:{j}")
+                     for j in range(1 + (i + k) % 4)]
+                    for k in range(1 + i % 3)
+                ]
+                schema = (
+                    '{"type":"record","name":"Doc%d","fields":'
+                    '[{"name":"s","type":"string"}]}' % (i % 5)
+                )
+                extra = {"user.meta": b"x"} if i % 4 == 0 else None
+                payloads.append(make_ocf(
+                    blocks, schema,
+                    sync=bytes([i % 256]) * 16, extra_meta=extra,
+                ))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    return ocf_block_index(synth_df, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation (round 11). The correctness harness
 # oracle-checks the FIRST 50 registry entries each round. Round 10's
 # rotation was accidentally left at the r9 list, so its window (and
@@ -12629,6 +12716,15 @@ def parquet_footer_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus topk_per_group_salted and series_correlation yield their slots
 # to the crawl-frontier capstone, the anchor-text index and the dedup
 # savings report; those three stale rows lead the r12 refresh list).
+#
+# r12 window queue (in order): the three yielded stale rows above,
+# then the round-11b additions — order_priority_check,
+# top_supplier_revenue, flac_stream_meta, ogg_page_index,
+# readability_scores, tfidf_top_terms, hits_scores,
+# parquet_footer_index, avro_ocf_block_index — all already
+# driver-contract-verified at
+# sf0.01 via the /verify simulator this round, awaiting their first
+# official driver row.
 # ---------------------------------------------------------------------------
 _R11_CHECK_FIRST = [
     "quality_classifier_stage_checksums",

@@ -1823,3 +1823,57 @@ def crawl_frontier_stream_pipeline(
     )
     catalog.await_all()
     return catalog
+
+
+def readability_gate_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+    min_flesch_e3: int = 0,
+    max_flesch_e3: int = 206_835,
+) -> StreamCatalog:
+    """Continuous Flesch-readability gating (round 11b) — the streaming
+    half of queries.readability_scores: each arriving document gets
+    the pure-JVM integer counts (functions/text.readability_counts)
+    and routes by the exact milli-unit score — in-band prose to the
+    curated topic, everything else (too-hard gibberish, too-"easy"
+    degenerate text, and empty docs via the n_words=0 flag) to a
+    quarantine topic with its counts for audit. Stateless and
+    shuffle-free (map-only expression), trivially restartable; parity
+    with batch is EXACT — the gate compares BIGINTs, no float ever
+    enters the decision (the quality_filter twin discipline).
+    """
+    from ..functions.text import readability_counts
+
+    spark = catalog.spark
+    docs = spark.read.parquet(documents_path)
+    stamped = docs.select(
+        "doc_id", "source", "text",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ).alias("ts"),
+    )
+    catalog.create_table_as("rg_raw_docs", stamped)
+
+    stream = catalog.read_stream("rg_raw_docs")
+    c = readability_counts("text")
+    scored = stream.select(
+        "doc_id", "source",
+        c["n_words"].alias("n_words"),
+        c["n_sentences"].alias("n_sentences"),
+        c["n_syllables"].alias("n_syllables"),
+        c["flesch_e3"].alias("flesch_e3"),
+    ).withColumn(
+        "keep",
+        (F.col("n_words") > 0)
+        & F.col("flesch_e3").between(min_flesch_e3, max_flesch_e3),
+    )
+    catalog.create_table_as(
+        "rg_curated_docs", scored.filter(F.col("keep")).drop("keep"),
+        available_now=True,
+    )
+    catalog.create_table_as(
+        "rg_quarantine_docs", scored.filter(~F.col("keep")).drop("keep"),
+        available_now=True,
+    )
+    catalog.await_all()
+    return catalog

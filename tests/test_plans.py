@@ -365,3 +365,28 @@ def test_round11_query_plan_budgets_pinned(spark):
     assert count_exchanges(_q(spark, "anchor_text_index")) <= 4
     # cluster machinery + tiny single-row aggregates (broadcast joins)
     assert count_exchanges(_q(spark, "dedup_savings_report")) <= 4
+
+
+def test_round11b_query_plan_budgets_pinned(spark):
+    """Round-11b additions keep their shapes. Map-only tiers (0
+    exchanges — scan-fused byte walks at 100 TB): FLAC STREAMINFO,
+    Ogg page demux (real CRC), parquet footer thrift walk, and the
+    pure-JVM readability counts. order_priority_check is the
+    decorrelated-EXISTS semi join (fact joins + 5-row agg);
+    top_supplier_revenue is ONE supplier agg + 1-row max broadcast
+    back (never a global window). tfidf shares the single postings
+    shuffle across tf/df/stats plus the per-doc ranking window; HITS
+    is O(iters) edge-join shuffles with 1-row total broadcasts, the
+    pagerank_int budget."""
+    for name in ("flac_stream_meta", "ogg_page_index",
+                 "parquet_footer_index", "readability_scores",
+                 "avro_ocf_block_index"):
+        assert count_exchanges(_q(spark, name)) == 0, name
+    assert count_exchanges(_q(spark, "order_priority_check")) <= 4
+    assert count_exchanges(_q(spark, "top_supplier_revenue")) <= 3
+    # 7 plan NODES, 5 executed shuffles: the persisted postings
+    # Exchange is printed inside each of its 3 InMemoryRelation
+    # consumers but runs once; the rest is dfreq agg, the 2-exchange
+    # countDistinct stats, and the per-doc ranking window
+    assert count_exchanges(_q(spark, "tfidf_top_terms")) <= 7
+    assert count_exchanges(_q(spark, "hits_scores")) <= 12

@@ -1611,3 +1611,38 @@ def test_crawl_frontier_stream_matches_batch_bit_exact(spark, catalog):
     assert {v[2] for v in got.values()} == {True, False}
     assert any(v[3] is None for v in got.values())
     assert any(v[3] is not None for v in got.values())
+
+
+def test_readability_gate_stream_matches_batch_bit_exact(spark, catalog):
+    """Streaming Flesch gate must partition the corpus EXACTLY as the
+    batch readability_scores query — the decision compares BIGINT
+    milli-units, so parity is bit-exact with no rounding pin."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        readability_gate_stream_pipeline,
+    )
+
+    lo, hi = 40_000, 206_835
+    readability_gate_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet",
+        min_flesch_e3=lo, max_flesch_e3=hi,
+    )
+    kept = {
+        (r.doc_id, r.n_words, r.n_sentences, r.n_syllables, r.flesch_e3)
+        for r in catalog.read_batch("rg_curated_docs").collect()
+    }
+    rejected = {
+        r.doc_id for r in catalog.read_batch("rg_quarantine_docs").collect()
+    }
+    batch = QUERIES["readability_scores"](spark, SF_DIR).collect()
+    want_kept = {
+        (r.doc_id, r.n_words, r.n_sentences, r.n_syllables, r.flesch_e3)
+        for r in batch if r.n_words > 0 and lo <= r.flesch_e3 <= hi
+    }
+    want_rejected = {
+        r.doc_id for r in batch
+        if not (r.n_words > 0 and lo <= r.flesch_e3 <= hi)
+    }
+    assert kept == want_kept
+    assert rejected == want_rejected
+    assert kept and rejected  # both sides of the gate exercised
