@@ -166,6 +166,8 @@ HEADLINE = [
     "hits_scores",
     "parquet_footer_index",
     "avro_ocf_block_index",
+    "jsonl_ingest",
+    "preference_pairs",
     "pca_moments",
     "image_dhash",
     "image_phash_dedup",

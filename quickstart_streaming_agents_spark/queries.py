@@ -12698,6 +12698,132 @@ def avro_ocf_block_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JSONL schema-on-read ingest (round 11b) — the from_json PERMISSIVE
+# path every raw-crawl / API-dump corpus lands through: full-struct
+# parse with a corrupt-record column, malformed lines quarantined
+# in-band (NULL fields + the raw line preserved for audit) instead of
+# failing the job or silently dropping. Entirely JVM-side (the JSON
+# lines are built with concat from the fixture columns — no Python
+# anywhere), fused into the scan: 0 exchanges. The oracle replays the
+# planted classes analytically. Distinct surface from props_json_agg
+# (get_json_object single-field extraction).
+# ---------------------------------------------------------------------------
+@query(
+    "jsonl_ingest",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 17 = 0 THEN NULL ELSE doc_id END AS id,
+           CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END AS parsed_lang,
+           CASE WHEN doc_id % 17 = 0 THEN NULL
+                ELSE CAST(doc_id % 100 AS BIGINT) END AS score,
+           CASE WHEN doc_id % 17 = 0
+                THEN '{"id": ' || doc_id || ', "lang": "' || lang
+                ELSE NULL END AS corrupt_record,
+           doc_id % 17 = 0 AS is_corrupt
+    FROM documents
+    """,
+)
+def jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE from_json with corrupt-record quarantine — see block
+    comment."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    line = F.concat(
+        F.lit('{"id": '), F.col("doc_id"),
+        F.lit(', "lang": "'), F.col("lang"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(""))  # torn line class
+        .otherwise(
+            F.concat(F.lit('", "score": '), F.col("doc_id") % 100,
+                     F.lit("}"))
+        ),
+    )
+    parsed = F.from_json(
+        line,
+        "id long, lang string, score long, _corrupt_record string",
+        {"mode": "PERMISSIVE",
+         "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    return docs.select("doc_id", parsed.alias("p")).select(
+        "doc_id",
+        F.col("p.id").alias("id"),
+        F.col("p.lang").alias("parsed_lang"),
+        F.col("p.score").alias("score"),
+        F.col("p._corrupt_record").alias("corrupt_record"),
+        F.col("p._corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair construction (round 11b) — the DPO/RLHF data-prep
+# shape: per prompt group, pair the best-rated response with the
+# worst-rated one (chosen, rejected), skipping groups without a strict
+# preference. Ratings are md5-derived integers (deterministic synth,
+# the hash_unit convention); the argmax/argmin are ONE min/max-of-
+# struct aggregate per group — a single shuffle on the prompt key, no
+# window, no self-join (at 100 TB the struct-ordering trick is the
+# difference between 1 exchange and a window sort + self-join).
+# Struct comparison orders lexicographically (rating, then tiebreak
+# doc_id) — deterministic, and DuckDB's (a,b) row-value MIN/MAX via
+# arg_min/arg_max over the same composite replays it.
+# ---------------------------------------------------------------------------
+@query(
+    "preference_pairs",
+    oracle="""
+    WITH rated AS (
+        SELECT doc_id % 100 AS prompt_id, doc_id,
+               CAST(('0x' || substr(md5('rate:' || doc_id), 1, 15))::UBIGINT
+                    % 1000 AS BIGINT) AS rating
+        FROM documents
+    ),
+    agg AS (
+        SELECT prompt_id,
+               MAX(rating * 100000000 + doc_id) AS best,
+               MIN(rating * 100000000 + doc_id) AS worst,
+               MAX(rating) AS max_r, MIN(rating) AS min_r
+        FROM rated GROUP BY prompt_id
+    )
+    SELECT prompt_id,
+           CAST(best % 100000000 AS BIGINT) AS chosen_doc,
+           CAST(worst % 100000000 AS BIGINT) AS rejected_doc,
+           CAST(best // 100000000 AS BIGINT) AS chosen_rating,
+           CAST(worst // 100000000 AS BIGINT) AS rejected_rating,
+           CAST(max_r - min_r AS BIGINT) AS margin
+    FROM agg WHERE max_r > min_r
+    """,
+)
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO pair construction via one min/max-of-packed-key aggregate —
+    see block comment. The packed BIGINT (rating·1e8 + doc_id) makes
+    the argmax/argmin exact-integer and engine-replayable (doc_id <
+    1e8 asserted by the modulus; ties on rating break toward the
+    larger doc for chosen, smaller for rejected — both deterministic)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    rating = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("rate:"), "doc_id")), 1, 15),
+               16, 10).cast("long") % 1000
+    )
+    rated = docs.select(
+        (F.col("doc_id") % 100).alias("prompt_id"),
+        "doc_id",
+        rating.alias("rating"),
+    )
+    packed = F.col("rating") * F.lit(100_000_000) + F.col("doc_id")
+    agg = rated.groupBy("prompt_id").agg(
+        F.max(packed).alias("best"),
+        F.min(packed).alias("worst"),
+        F.max("rating").alias("max_r"),
+        F.min("rating").alias("min_r"),
+    )
+    return agg.filter(F.col("max_r") > F.col("min_r")).select(
+        "prompt_id",
+        (F.col("best") % 100_000_000).alias("chosen_doc"),
+        (F.col("worst") % 100_000_000).alias("rejected_doc"),
+        F.expr("best div 100000000").alias("chosen_rating"),
+        F.expr("worst div 100000000").alias("rejected_rating"),
+        (F.col("max_r") - F.col("min_r")).alias("margin"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation (round 11). The correctness harness
 # oracle-checks the FIRST 50 registry entries each round. Round 10's
 # rotation was accidentally left at the r9 list, so its window (and
@@ -12721,8 +12847,8 @@ def avro_ocf_block_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then the round-11b additions — order_priority_check,
 # top_supplier_revenue, flac_stream_meta, ogg_page_index,
 # readability_scores, tfidf_top_terms, hits_scores,
-# parquet_footer_index, avro_ocf_block_index — all already
-# driver-contract-verified at
+# parquet_footer_index, avro_ocf_block_index, jsonl_ingest,
+# preference_pairs — all already driver-contract-verified at
 # sf0.01 via the /verify simulator this round, awaiting their first
 # official driver row.
 # ---------------------------------------------------------------------------

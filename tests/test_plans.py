@@ -382,6 +382,10 @@ def test_round11b_query_plan_budgets_pinned(spark):
                  "parquet_footer_index", "readability_scores",
                  "avro_ocf_block_index"):
         assert count_exchanges(_q(spark, name)) == 0, name
+    # schema-on-read JSON parse is expression-level, scan-fused
+    assert count_exchanges(_q(spark, "jsonl_ingest")) == 0
+    # DPO pairs: ONE packed-key min/max aggregate, no window/self-join
+    assert count_exchanges(_q(spark, "preference_pairs")) == 1
     assert count_exchanges(_q(spark, "order_priority_check")) <= 4
     assert count_exchanges(_q(spark, "top_supplier_revenue")) <= 3
     # 7 plan NODES, 5 executed shuffles: the persisted postings
