@@ -695,3 +695,87 @@ def test_mojibake_repair_inverts_whatwg_cp1252_corruption(spark, s):
         assert row.o == s
     else:
         assert row.r and row.o == s
+
+
+# --- round 11b container parsers: synth→parse round trips ------------------
+
+@given(
+    st.integers(min_value=1, max_value=(1 << 20) - 1),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=4, max_value=32),
+    st.integers(min_value=0, max_value=(1 << 36) - 1),
+    st.binary(min_size=16, max_size=16),
+)
+@settings(max_examples=150, deadline=None)
+def test_flac_streaminfo_roundtrip(rate, ch, bps, total, md5sig):
+    from quickstart_streaming_agents_spark.operators.flac import (
+        flac_stream_table,
+        make_flac,
+    )
+
+    t = flac_stream_table(make_flac(rate, ch, bps, total, audio_md5=md5sig))
+    assert (t["sample_rate"], t["channels"], t["bits_per_sample"],
+            t["total_samples"]) == (rate, ch, bps, total)
+    assert t["audio_md5"] == md5sig.hex()
+    assert t["duration_ms"] == total * 1000 // rate
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=700), min_size=1, max_size=5),
+    st.integers(min_value=-(1 << 62), max_value=(1 << 62) - 1),
+    st.integers(min_value=0, max_value=(1 << 32) - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_ogg_page_roundtrip_any_packet_shape(packets, granule, serial):
+    """Lacing round trip incl. 255-boundary packets (a len-255k packet
+    ends with a 0 lacing value) — payload length and packet count must
+    survive for ANY packet sizes, and the CRC must verify."""
+    from quickstart_streaming_agents_spark.operators.ogg import (
+        make_ogg_page,
+        ogg_page_table,
+    )
+
+    try:
+        page = make_ogg_page(packets, granule, serial, 0)
+    except ValueError:
+        return  # >255 lacing slots: synth refuses by contract
+    (r,) = ogg_page_table(page)
+    assert r["payload_length"] == sum(len(p) for p in packets)
+    assert r["n_packets"] == len(packets)
+    assert r["granule"] == granule and r["serial"] == serial
+
+
+@given(
+    st.lists(
+        st.lists(st.binary(min_size=0, max_size=50), min_size=0, max_size=4),
+        min_size=0, max_size=4,
+    ),
+    st.binary(min_size=16, max_size=16),
+)
+@settings(max_examples=100, deadline=None)
+def test_ocf_block_roundtrip(blocks, sync):
+    from quickstart_streaming_agents_spark.operators.avro_ocf import (
+        make_ocf,
+        ocf_table,
+    )
+
+    t = ocf_table(make_ocf(blocks, '{"type":"string"}', sync=sync))
+    assert [(b["n_records"], b["byte_size"]) for b in t["blocks"]] == [
+        (len(recs), sum(len(r) for r in recs)) for recs in blocks
+    ]
+
+
+@given(st.integers(min_value=0, max_value=(1 << 62) - 1))
+@settings(max_examples=200, deadline=None)
+def test_thrift_varint_zigzag_roundtrip(n):
+    """The parquet footer reader's varint/zigzag must invert avro's
+    writer (both implement the same LEB128+zigzag encoding)."""
+    from quickstart_streaming_agents_spark.operators.parquet_meta import (
+        _Reader,
+    )
+    from quickstart_streaming_agents_spark.sources.avro import _write_long
+
+    for v in (n, -n):
+        out = bytearray()
+        _write_long(out, v)
+        assert _Reader(bytes(out)).zigzag() == v

@@ -665,6 +665,172 @@ def main() -> None:
     )
     stage("crawl frontier (links+robots)", frontier, t0)
 
+    # --- round 11b families ------------------------------------------------
+    # Readability: pure-JVM integer counts, map-only — full corpus.
+    rc = tx.readability_counts("text")
+    stage("readability counts (map-only)", docs.select(
+        "doc_id", rc["n_words"].alias("w"), rc["flesch_e3"].alias("f"),
+    ))
+
+    # TF-IDF top terms: the postings shuffle at full corpus size — the
+    # real scale test for the shared-postings plan.
+    from quickstart_streaming_agents_spark.operators.retrieval import (
+        tfidf_top_terms,
+    )
+
+    t0 = time.perf_counter()
+    stage("tfidf top terms (postings shuffle)",
+          tfidf_top_terms(docs.select("doc_id", "text"), k=3), t0)
+
+    # HITS: 2 exact-integer iterations over a corpus-sized graph
+    # (~2 edges/node) — the O(iters) edge-join shuffle budget.
+    from quickstart_streaming_agents_spark.operators.components import (
+        hits_int,
+    )
+
+    t0 = time.perf_counter()
+    nodes = docs.select("doc_id")
+    edges = nodes.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("j"),
+    ).select(
+        "src",
+        (F.xxhash64("src", "j").bitwiseAND(F.lit((1 << 62) - 1))
+         % F.lit(rows)).alias("dst"),
+    )
+    stage("hits 2-iter (integer graph)",
+          hits_int(edges, nodes, node_id="doc_id", iters=2), t0)
+
+    # Preference pairs: one packed-key aggregate over the full corpus.
+    t0 = time.perf_counter()
+    packed = (F.xxhash64("doc_id").bitwiseAND(F.lit((1 << 20) - 1))
+              * F.lit(100_000_000) + F.col("doc_id") % 100_000_000)
+    pref = (
+        docs.select((F.col("doc_id") % (rows // 8)).alias("g"),
+                    packed.alias("p"))
+        .groupBy("g").agg(F.max("p").alias("b"), F.min("p").alias("w"))
+        .filter(F.col("b") != F.col("w"))
+    )
+    stage("preference pairs (1 agg)", pref, t0)
+
+    # Container walks: per-row Python synth + walk on the 1/16 slice
+    # (map-only — full-corpus cost = slice × 16).
+    from quickstart_streaming_agents_spark.operators.avro_ocf import (
+        ocf_block_index,
+    )
+    from quickstart_streaming_agents_spark.operators.flac import (
+        flac_stream_meta,
+    )
+    from quickstart_streaming_agents_spark.operators.ogg import ogg_pages
+
+    t0 = time.perf_counter()
+
+    def flac_synth(batches):
+        import pandas as pd
+
+        from quickstart_streaming_agents_spark.operators.flac import (
+            make_flac,
+        )
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    make_flac(8000 + (i % 5) * 8000, 1 + i % 2, 16,
+                              1000 + i % 9999,
+                              tags={"TITLE": f"T{i % 101}"})
+                    for i in pdf["doc_id"]
+                ],
+            })
+
+    fz = media.mapInPandas(flac_synth, schema="doc_id long, payload binary")
+    stage(f"flac probe (1/16 slice, {m_rows:,})",
+          flac_stream_meta(fz), t0)
+
+    t0 = time.perf_counter()
+
+    def ogg_synth(batches):
+        import pandas as pd
+
+        from quickstart_streaming_agents_spark.operators.ogg import (
+            make_ogg_page,
+        )
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    make_ogg_page([t[:64].encode() or b"x"],
+                                  granule=i, serial=i % 97, seq=0,
+                                  bos=True, eos=True)
+                    for i, t in zip(pdf["doc_id"], pdf["text"])
+                ],
+            })
+
+    oz = media.mapInPandas(ogg_synth, schema="doc_id long, payload binary")
+    stage(f"ogg demux+crc (1/16 slice, {m_rows:,})", ogg_pages(oz), t0)
+
+    t0 = time.perf_counter()
+
+    def ocf_synth(batches):
+        import pandas as pd
+
+        from quickstart_streaming_agents_spark.operators.avro_ocf import (
+            make_ocf,
+        )
+        from quickstart_streaming_agents_spark.sources.avro import (
+            _write_long,
+        )
+
+        schema = ('{"type":"record","name":"D","fields":'
+                  '[{"name":"s","type":"string"}]}')
+
+        def enc(s):
+            out = bytearray()
+            _write_long(out, len(s))
+            return bytes(out) + s.encode()
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    make_ocf([[enc(t[:48])], [enc(f"r{i}")]], schema)
+                    for i, t in zip(pdf["doc_id"], pdf["text"])
+                ],
+            })
+
+    az = media.mapInPandas(ocf_synth, schema="doc_id long, payload binary")
+    stage(f"avro ocf index (1/16 slice, {m_rows:,})", ocf_block_index(az), t0)
+
+    # Parquet footers: pyarrow WRITE dominates (~0.2 ms/file) — 1/64
+    # slice keeps the stage bounded; the walk itself is header-tier.
+    from quickstart_streaming_agents_spark.operators.parquet_meta import (
+        parquet_footer_index,
+    )
+
+    pq_slice = docs.filter(F.col("doc_id") % 64 == 0).select("doc_id")
+    t0 = time.perf_counter()
+
+    def pq_synth(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                n = 1 + i % 40
+                t = pa.table({"id": list(range(n))})
+                sink = pa.BufferOutputStream()
+                pq.write_table(t, sink, row_group_size=16)
+                payloads.append(sink.getvalue().to_pybytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    pz = pq_slice.mapInPandas(pq_synth, schema="doc_id long, payload binary")
+    stage(f"parquet footer walk (1/64 slice, {rows // 64:,})",
+          parquet_footer_index(pz), t0)
+
 
 if __name__ == "__main__":
     main()
