@@ -168,6 +168,7 @@ HEADLINE = [
     "avro_ocf_block_index",
     "jsonl_ingest",
     "preference_pairs",
+    "crawl_politeness_gate",
     "pca_moments",
     "image_dhash",
     "image_phash_dedup",

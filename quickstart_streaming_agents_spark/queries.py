@@ -12824,6 +12824,69 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Crawl-politeness token bucket (round 11b) — operators/politeness.py:
+# per-host rate limiting as a DETERMINISTIC integer recurrence (milli-
+# tokens, ms timestamps, div refill — bit-identical verdicts on any
+# engine). The clamped recurrence is NOT window-expressible, which is
+# why it earns the per-host applyInPandas tier (ONE shuffle); the
+# oracle replays it with a RECURSIVE CTE over per-host row numbers —
+# a custom stateful operator with a full hash oracle. Hosts derive
+# from events.user_id; order key (ts_ms, event_id) is total.
+# ---------------------------------------------------------------------------
+_POLITENESS_ORACLE = """
+WITH RECURSIVE e AS (
+    SELECT 'h' || (user_id % 50) AS host, event_id,
+           epoch_ms(ts) AS ts_ms
+    FROM events
+),
+o AS (
+    SELECT host, event_id, ts_ms,
+           row_number() OVER (PARTITION BY host
+                              ORDER BY ts_ms, event_id) AS rn
+    FROM e
+),
+r AS (
+    SELECT host, event_id, ts_ms, rn,
+           CAST(1000 - 1000 AS BIGINT) AS mtok_after,
+           TRUE AS allowed
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.host, o.event_id, o.ts_ms, o.rn,
+           CAST(LEAST(1000, r.mtok_after
+                    + (o.ts_ms - r.ts_ms) * 1 // 1000)
+                - CASE WHEN LEAST(1000, r.mtok_after
+                    + (o.ts_ms - r.ts_ms) * 1 // 1000) >= 1000
+                  THEN 1000 ELSE 0 END AS BIGINT),
+           LEAST(1000, r.mtok_after
+                    + (o.ts_ms - r.ts_ms) * 1 // 1000) >= 1000
+    FROM r JOIN o ON o.host = r.host AND o.rn = r.rn + 1
+)
+SELECT host, event_id, ts_ms, mtok_after, allowed FROM r
+"""
+
+
+@query("crawl_politeness_gate", oracle=_POLITENESS_ORACLE)
+def crawl_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-host token-bucket admission — see block
+    comment; operator in operators/politeness.py. Capacity 1 token,
+    refill 1 mtok/s (1 token/1000 s) — tuned to the fixture's
+    inter-arrival distribution so BOTH verdicts fire at every SF."""
+    from quickstart_streaming_agents_spark.operators.politeness import (
+        token_bucket_verdicts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 50)).alias("host"),
+        F.col("event_id"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    return token_bucket_verdicts(
+        ev, host_col="host", ts_ms_col="ts_ms", id_col="event_id",
+        capacity=1, refill_mtok_per_sec=1,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation (round 11). The correctness harness
 # oracle-checks the FIRST 50 registry entries each round. Round 10's
 # rotation was accidentally left at the r9 list, so its window (and
@@ -12848,7 +12911,8 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top_supplier_revenue, flac_stream_meta, ogg_page_index,
 # readability_scores, tfidf_top_terms, hits_scores,
 # parquet_footer_index, avro_ocf_block_index, jsonl_ingest,
-# preference_pairs — all already driver-contract-verified at
+# preference_pairs, crawl_politeness_gate — all already
+# driver-contract-verified at
 # sf0.01 via the /verify simulator this round, awaiting their first
 # official driver row.
 # ---------------------------------------------------------------------------

@@ -582,3 +582,92 @@ def pack_sequences_stream(
         per_bucket, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def token_bucket_gate_stream(
+    df: DataFrame,
+    host_col: str = "host",
+    ts_ms_col: str = "ts_ms",
+    id_col: str = "req_id",
+    capacity: int = 3,
+    refill_mtok_per_sec: int = 500,
+) -> DataFrame:
+    """Streaming crawl-politeness token bucket — the
+    ``applyInPandasWithState`` twin of
+    operators/politeness.token_bucket_verdicts. Per-host state is TWO
+    scalars (last event ms, milli-token balance) — the most bounded
+    state in the engine; parallelism = host cardinality, the crawl
+    frontier's natural sharding.
+
+    Ordering contract: rows sort by (ts_ms, id) within each micro-batch;
+    cross-batch order relies on chronological ingest (the window-aligned
+    fixture contract shared with ml_detect_anomalies_stream). A
+    cross-batch LATE row (ts_ms < state's last_ms) is DENIED with the
+    balance untouched — admitting it would retroactively change
+    verdicts already emitted, and a deny is the safe direction for a
+    politeness gate (never over-fetch).
+    """
+    import pandas as pd
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    cap_m = capacity * 1000
+
+    host_f = df.schema[host_col]
+    id_f = df.schema[id_col]
+    out_schema = T.StructType([
+        T.StructField(host_col, host_f.dataType),
+        T.StructField(id_col, id_f.dataType),
+        T.StructField(ts_ms_col, T.LongType()),
+        T.StructField("mtok_after", T.LongType()),
+        T.StructField("allowed", T.BooleanType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("mtok", T.LongType()),
+    ])
+
+    def per_host(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ms, mtok = state.get
+        else:
+            last_ms, mtok = None, cap_m
+        chunks = list(pdfs)
+        if not chunks:
+            state.update((last_ms if last_ms is not None else -1, mtok))
+            return
+        pdf = (pd.concat(chunks, ignore_index=True)
+               if len(chunks) > 1 else chunks[0])
+        pdf = pdf.sort_values([ts_ms_col, id_col],
+                              kind="mergesort").reset_index(drop=True)
+        out_tok, out_ok = [], []
+        for ms in pdf[ts_ms_col]:
+            ms = int(ms)
+            if last_ms is not None and ms < last_ms:
+                out_tok.append(mtok)  # late row: deny, balance untouched
+                out_ok.append(False)
+                continue
+            if last_ms is not None:
+                mtok = min(
+                    cap_m,
+                    mtok + (ms - last_ms) * refill_mtok_per_sec // 1000,
+                )
+            last_ms = ms
+            ok = mtok >= 1000
+            if ok:
+                mtok -= 1000
+            out_tok.append(mtok)
+            out_ok.append(ok)
+        yield pd.DataFrame({
+            host_col: pdf[host_col],
+            id_col: pdf[id_col],
+            ts_ms_col: pdf[ts_ms_col],
+            "mtok_after": out_tok,
+            "allowed": out_ok,
+        })
+        state.update((last_ms, mtok))
+
+    return df.groupBy(host_col).applyInPandasWithState(
+        per_host, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -386,6 +386,9 @@ def test_round11b_query_plan_budgets_pinned(spark):
     assert count_exchanges(_q(spark, "jsonl_ingest")) == 0
     # DPO pairs: ONE packed-key min/max aggregate, no window/self-join
     assert count_exchanges(_q(spark, "preference_pairs")) == 1
+    # token bucket: the groupBy().applyInPandas host shuffle is the
+    # ONLY exchange — the recurrence itself is per-host sequential
+    assert count_exchanges(_q(spark, "crawl_politeness_gate")) == 1
     assert count_exchanges(_q(spark, "order_priority_check")) <= 4
     assert count_exchanges(_q(spark, "top_supplier_revenue")) <= 3
     # 7 plan NODES, 5 executed shuffles: the persisted postings

@@ -1646,3 +1646,89 @@ def test_readability_gate_stream_matches_batch_bit_exact(spark, catalog):
     assert kept == want_kept
     assert rejected == want_rejected
     assert kept and rejected  # both sides of the gate exercised
+
+
+def test_token_bucket_stream_matches_batch_bit_exact(spark, catalog):
+    """Streaming token bucket must emit the SAME integer balances and
+    verdicts as the batch recurrence when ingest is chronological —
+    per-host state is two scalars, the recurrence is all-integer."""
+    from quickstart_streaming_agents_spark.operators.politeness import (
+        token_bucket_verdicts,
+    )
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+    from quickstart_streaming_agents_spark.streaming.ops import (
+        token_bucket_gate_stream,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 50)).alias("host"),
+        F.col("event_id"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("ts"),
+    )
+    # chronological multi-batch ingest (the window-aligned contract):
+    # write ordered by ts so file-per-trigger replay keeps event order
+    catalog.create_table_as("tb_requests", ev.orderBy("ts", "event_id"))
+    stream = catalog.read_stream("tb_requests", max_files_per_trigger=1)
+    gated = token_bucket_gate_stream(
+        stream.select("host", "event_id", "ts_ms"),
+        host_col="host", ts_ms_col="ts_ms", id_col="event_id",
+        capacity=1, refill_mtok_per_sec=1,
+    )
+    catalog.create_table_as("tb_verdicts", gated, available_now=True)
+    catalog.await_all()
+    got = {
+        (r.host, r.event_id, r.ts_ms, r.mtok_after, r.allowed)
+        for r in catalog.read_batch("tb_verdicts").collect()
+    }
+    want = {
+        (r.host, r.event_id, r.ts_ms, r.mtok_after, r.allowed)
+        for r in token_bucket_verdicts(
+            ev.select("host", "event_id", "ts_ms"),
+            host_col="host", ts_ms_col="ts_ms", id_col="event_id",
+            capacity=1, refill_mtok_per_sec=1,
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    assert {v for *_, v in got} == {True, False}  # both verdicts fire
+
+
+def test_token_bucket_stream_late_row_denied_balance_untouched(spark, tmp_path):
+    """A cross-batch late row (ts < state's last_ms) must be DENIED
+    with the balance untouched — the never-over-fetch direction."""
+    from quickstart_streaming_agents_spark.streaming.ops import (
+        token_bucket_gate_stream,
+    )
+
+    src = tmp_path / "tb_src"
+    out = tmp_path / "tb_out"
+    ckpt = tmp_path / "tb_ckpt"
+    schema = "host string, event_id long, ts_ms long"
+    spark.createDataFrame(
+        [("h0", 1, 10_000), ("h0", 2, 10_100)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once():
+        stream = (spark.readStream.schema(schema).format("parquet")
+                  .load(str(src)))
+        gated = token_bucket_gate_stream(
+            stream, host_col="host", ts_ms_col="ts_ms", id_col="event_id",
+            capacity=2, refill_mtok_per_sec=0,
+        )
+        q = (gated.writeStream.format("parquet")
+             .option("path", str(out)).option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(
+        [("h0", 3, 9_000)], schema  # LATE vs run-1's last_ms=10_100
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    got = {r.event_id: (r.mtok_after, r.allowed)
+           for r in spark.read.parquet(str(out)).collect()}
+    # capacity 2, no refill: ids 1,2 drain the bucket; late id 3 denied
+    assert got[1] == (1000, True)
+    assert got[2] == (0, True)
+    assert got[3] == (0, False)
