@@ -683,7 +683,10 @@ def main() -> None:
           tfidf_top_terms(docs.select("doc_id", "text"), k=3), t0)
 
     # HITS: 2 exact-integer iterations over a corpus-sized graph
-    # (~2 edges/node) — the O(iters) edge-join shuffle budget.
+    # (~2 edges/node) — the O(iters) edge-join shuffle budget. scale
+    # drops to 1e4 here: the overflow guard (raw_mass·scale must fit a
+    # long) correctly REFUSES 8M edges × 1e6 — the documented re-scale
+    # knob in action, verified live by this smoke.
     from quickstart_streaming_agents_spark.operators.components import (
         hits_int,
     )
@@ -699,7 +702,7 @@ def main() -> None:
          % F.lit(rows)).alias("dst"),
     )
     stage("hits 2-iter (integer graph)",
-          hits_int(edges, nodes, node_id="doc_id", iters=2), t0)
+          hits_int(edges, nodes, node_id="doc_id", iters=2, scale=10_000), t0)
 
     # Preference pairs: one packed-key aggregate over the full corpus.
     t0 = time.perf_counter()
@@ -712,6 +715,24 @@ def main() -> None:
         .filter(F.col("b") != F.col("w"))
     )
     stage("preference pairs (1 agg)", pref, t0)
+
+    # Politeness token bucket: per-host sequential recurrence behind
+    # ONE applyInPandas shuffle — rows/host stays bounded (corpus/8k
+    # hosts), the crawl frontier's natural sharding.
+    from quickstart_streaming_agents_spark.operators.politeness import (
+        token_bucket_verdicts,
+    )
+
+    t0 = time.perf_counter()
+    reqs = docs.select(
+        (F.col("doc_id") % 8192).alias("host"),
+        F.col("doc_id").alias("req_id"),
+        (F.lit(1_700_000_000_000) + F.xxhash64("doc_id")
+         .bitwiseAND(F.lit((1 << 40) - 1))).alias("ts_ms"),
+    )
+    stage("politeness bucket (1 shuffle)",
+          token_bucket_verdicts(reqs, host_col="host", ts_ms_col="ts_ms",
+                                id_col="req_id"), t0)
 
     # Container walks: per-row Python synth + walk on the 1/16 slice
     # (map-only — full-corpus cost = slice × 16).

@@ -550,6 +550,57 @@ def smoke_crawl_frontier(spark, docs: int, workdir: str) -> None:
     )
 
 
+def smoke_token_bucket(spark, events: int, workdir: str) -> None:
+    """Round-11b politeness gate: per-host state is TWO scalars — the
+    tightest bounded-state contract in the engine (state rows == host
+    cardinality, bytes O(hosts), independent of event volume)."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.streaming.ops import (
+        token_bucket_gate_stream,
+    )
+
+    nhosts = 1000
+    src = f"{workdir}/tb_src"
+    per_slice = -(-events // SLICES)
+    # round-robin hosts, strictly increasing ms, deterministic jitter so
+    # both verdicts fire (bursts within a host beat the refill rate)
+    gen = spark.range(events).select(
+        F.concat(F.lit("h"), (F.col("id") % nhosts)).alias("host"),
+        F.col("id").alias("req_id"),
+        (F.lit(1_700_000_000_000)
+         + (F.col("id") / nhosts).cast("long") * 700
+         + (F.col("id") % 7) * 13).alias("ts_ms"),
+        F.least(F.lit(SLICES - 1),
+                (F.col("id") / per_slice).cast("int")).alias("slc"),
+    )
+    write_slices(gen, "ts_ms", F.col("slc"), src)
+
+    schema = "host string, req_id long, ts_ms long"
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", "2").load(src)
+    )
+    gated = token_bucket_gate_stream(
+        stream, host_col="host", ts_ms_col="ts_ms", id_col="req_id",
+        capacity=3, refill_mtok_per_sec=500,
+    )
+    q = (
+        gated.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _: df.write.format("noop").mode("overwrite").save()
+        )
+        .option("checkpointLocation", f"{workdir}/tb_ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    report(
+        f"token_bucket_gate_stream ({events:,} requests, {nhosts} hosts)",
+        progress_rows(q), state_bound=nhosts,
+        bound_desc="two scalars per host",
+    )
+
+
 def main() -> None:
     events = int(os.environ.get("SMOKE_EVENTS", 1_000_000))
     docs = int(os.environ.get("SMOKE_DOCS", 1_000_000))
@@ -568,6 +619,7 @@ def main() -> None:
         smoke_kmins_registers(spark, events, workdir)
         smoke_contamination_fraction(spark, docs, workdir)
         smoke_crawl_frontier(spark, docs, workdir)
+        smoke_token_bucket(spark, events, workdir)
         print(f"total wall: {time.perf_counter() - t0:.1f}s")
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
