@@ -169,6 +169,7 @@ HEADLINE = [
     "jsonl_ingest",
     "preference_pairs",
     "crawl_politeness_gate",
+    "bitext_mining_margin",
     "pca_moments",
     "image_dhash",
     "image_phash_dedup",

@@ -12887,6 +12887,126 @@ def crawl_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Margin-based bitext mining (round 11b) — Artetxe & Schwenk (ACL'19),
+# the LASER/CCMatrix parallel-corpus recipe: a (source, target) pair is
+# mined when its cosine stands out against BOTH sides' neighborhoods —
+# margin(x,y) = 2·cos(x,y) / (avg_k fwd(x) + avg_k bwd(y)) — which
+# kills hubness false positives that a raw cosine threshold admits.
+# Composition over the existing vector_search tier (two broadcast
+# top-k passes, k=4), with the EXACTNESS discipline: both engines fold
+# the top-k sum in rank order (Spark: F.aggregate over the score-desc
+# array; oracle: list_aggregate over list(... ORDER BY rk)), so the
+# margin is ONE division of bit-identical doubles and even the
+# threshold comparison replays exactly. Labels 0-4 play "source
+# language", 5-9 "target".
+# ---------------------------------------------------------------------------
+_BITEXT_ORACLE = """
+WITH src AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+    FROM embeddings WHERE label < 5
+),
+tgt AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+    FROM embeddings WHERE label >= 5
+),
+cx AS (
+    SELECT s.vec_id AS sid, t.vec_id AS tid,
+           list_cosine_similarity(s.e, t.e) AS c
+    FROM src s CROSS JOIN tgt t
+),
+fr AS (
+    SELECT *, row_number() OVER (PARTITION BY sid
+                                 ORDER BY c DESC, tid) AS rk
+    FROM cx
+),
+fa AS (
+    SELECT sid, list_aggregate(list(c ORDER BY rk), 'sum') / 4 AS afwd
+    FROM fr WHERE rk <= 4 GROUP BY sid
+),
+br AS (
+    SELECT *, row_number() OVER (PARTITION BY tid
+                                 ORDER BY c DESC, sid) AS rk
+    FROM cx
+),
+ba AS (
+    SELECT tid, list_aggregate(list(c ORDER BY rk), 'sum') / 4 AS abwd
+    FROM br WHERE rk <= 4 GROUP BY tid
+),
+m AS (
+    SELECT fr.sid, fr.tid, fr.c,
+           2 * fr.c / (fa.afwd + ba.abwd) AS margin
+    FROM fr JOIN fa ON fr.sid = fa.sid JOIN ba ON fr.tid = ba.tid
+    WHERE fr.rk <= 4
+),
+best AS (
+    SELECT *, row_number() OVER (PARTITION BY sid
+                                 ORDER BY margin DESC, tid) AS brk
+    FROM m
+)
+SELECT sid AS src_id, tid AS tgt_id,
+       ROUND(c, 6) AS cos_sim, ROUND(margin, 6) AS margin
+FROM best WHERE brk = 1 AND margin > 1.0
+"""
+
+
+@query("bitext_mining_margin", oracle=_BITEXT_ORACLE)
+def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining over the embeddings fixture — see
+    block comment (forward/backward top-4, ratio margin, >1.0 mined)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("label") < 5).select("vec_id", "embedding")
+    tgt = emb.filter(F.col("label") >= 5).select("vec_id", "embedding")
+
+    def topk_with_avg(queries_df, corpus, qid_alias):
+        out = vector_search(
+            queries_df.select(F.col("vec_id").alias(qid_alias), "embedding"),
+            corpus, "embedding", k=4,
+        )
+        # rank-order fold: same (((s1+s2)+s3)+s4)/4 as the oracle's
+        # list_aggregate over the rk-ordered list
+        avg = F.aggregate(
+            "search_results", F.lit(0.0),
+            lambda acc, x: acc + x["score"],
+        ) / F.lit(4.0)
+        return out.select(qid_alias, "search_results", avg.alias("avgk"))
+
+    fwd = topk_with_avg(src, tgt, "src_id")
+    bwd = topk_with_avg(tgt, src, "tgt_id").select(
+        "tgt_id", F.col("avgk").alias("abwd")
+    )
+    cand = (
+        fwd.select(
+            "src_id", F.col("avgk").alias("afwd"),
+            F.explode("search_results").alias("hit"),
+        )
+        .select(
+            "src_id", "afwd",
+            F.col("hit.vec_id").alias("tgt_id"),
+            F.col("hit.score").alias("c"),
+        )
+        .join(F.broadcast(bwd), "tgt_id")
+        .withColumn(
+            "margin",
+            F.lit(2.0) * F.col("c") / (F.col("afwd") + F.col("abwd")),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id").asc()
+    )
+    return (
+        cand.withColumn("brk", F.row_number().over(w))
+        .filter((F.col("brk") == 1) & (F.col("margin") > 1.0))
+        .select(
+            "src_id", "tgt_id",
+            F.round("c", 6).alias("cos_sim"),
+            F.round("margin", 6).alias("margin"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation (round 11). The correctness harness
 # oracle-checks the FIRST 50 registry entries each round. Round 10's
 # rotation was accidentally left at the r9 list, so its window (and
@@ -12911,8 +13031,8 @@ def crawl_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top_supplier_revenue, flac_stream_meta, ogg_page_index,
 # readability_scores, tfidf_top_terms, hits_scores,
 # parquet_footer_index, avro_ocf_block_index, jsonl_ingest,
-# preference_pairs, crawl_politeness_gate — all already
-# driver-contract-verified at
+# preference_pairs, crawl_politeness_gate, bitext_mining_margin —
+# all already driver-contract-verified at
 # sf0.01 via the /verify simulator this round, awaiting their first
 # official driver row.
 # ---------------------------------------------------------------------------
