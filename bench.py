@@ -335,6 +335,13 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_ISOLATE", "1") != "0":
         import subprocess
 
+        # Release the in-sequence JVM BEFORE forking: a resident 32-thread
+        # executor + its accumulated heap competes with every fork and can
+        # inflate "isolated" figures several-fold (seen live in r11b:
+        # ann_ivfpq_topk measured 17.3 s from a fork beside the live
+        # parent vs 3.2 s on a quiet machine).
+        spark.stop()
+
         # VERDICT r9 #4: ann_sq8_topk / column_profile / cms_heavy_hitters
         # drifted +18-29% in-sequence r8→r9 — watch them fresh-JVM for one
         # round to confirm jitter (embedding_topk_pairs carried from r8,
