@@ -364,8 +364,13 @@ def test_ar_p3_matches_numpy_closed_form(train, z):
     scale = max(1.0, float(np.max(np.abs(train))))
     for g, w in zip(got, want):
         # shared scale-aware tolerance: both solvers regularize with the
-        # same lam, so agreement is limited only by conditioning noise
-        assert abs(g - w) <= 1e-6 * scale + 1e-8, (got, want, train)
+        # same lam, so agreement is limited only by conditioning noise —
+        # which is RELATIVE to the value magnitude: an ill-conditioned
+        # normal matrix can push a bound to ~1e6 from ~1e2 inputs
+        # (hypothesis found one live in r11b), so the output magnitude
+        # must join the input scale in the tolerance
+        tol = 1e-6 * max(scale, abs(w)) + 1e-8
+        assert abs(g - w) <= tol, (got, want, train)
 
 
 # ---------------------------------------------------------------------------
