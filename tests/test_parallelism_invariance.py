@@ -58,6 +58,15 @@ CASES = [
     "unicode_normalize_clean",
     "span_corruption_pairs",
     "badwords_filter",
+    # r11b: per-host sequential recurrence (state must not see partition
+    # or chunk order), packed-key argmax/argmin, L1-normalized integer
+    # iterations, rank-order margin folds, rank-ordered tf·idf windows
+    "crawl_politeness_gate",
+    "preference_pairs",
+    "hits_scores",
+    "bitext_mining_margin",
+    "tfidf_top_terms",
+    "weighted_sample_topk",
 ]
 
 LAYOUTS = [
