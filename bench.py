@@ -170,6 +170,7 @@ HEADLINE = [
     "preference_pairs",
     "crawl_politeness_gate",
     "bitext_mining_margin",
+    "charset_sniff",
     "pca_moments",
     "image_dhash",
     "image_phash_dedup",

@@ -803,3 +803,39 @@ def readability_counts(text_col: str | Column) -> dict[str, Column]:
         "n_syllables": syllables,
         "flesch_e3": flesch_e3,
     }
+
+
+def bom_detect(bin_col: str | Column) -> Column:
+    """Byte-order-mark detection over a binary payload — the FIRST
+    routing decision of any text-ingest stage (before any decode).
+    Pure-JVM hex-prefix matching; UTF-32 variants test BEFORE UTF-16
+    (FF FE 00 00 starts with FF FE — order is the classic bug).
+    Returns the encoding name or NULL for BOM-less payloads."""
+    c = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    h4 = F.hex(F.expr(f"substring({bin_col}, 1, 4)") if isinstance(bin_col, str)
+               else F.substring(c, 1, 4))
+    return (
+        F.when(h4.startswith("FFFE0000"), "utf-32-le")
+        .when(h4.startswith("0000FEFF"), "utf-32-be")
+        .when(h4.startswith("EFBBBF"), "utf-8-sig")
+        .when(h4.startswith("FFFE"), "utf-16-le")
+        .when(h4.startswith("FEFF"), "utf-16-be")
+    )
+
+
+def meta_charset(text_col: str | Column) -> Column:
+    """HTML ``<meta charset=...>`` / http-equiv content-type charset
+    extraction (WHATWG encoding-sniffing tier 2, after the BOM). RE2-
+    safe; returns the lowercased label or NULL."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lowered = F.lower(c)
+    direct = F.regexp_extract(
+        lowered, r'<meta[^>]*\bcharset\s*=\s*["\']?([a-z0-9_.:-]+)', 1
+    )
+    return F.when(direct != "", direct)
+
+
+def resolve_charset(bom: Column, meta: Column) -> Column:
+    """WHATWG precedence: BOM > meta declaration > UTF-8 default (the
+    spec's certain-failure fallback for web corpora)."""
+    return F.coalesce(bom, meta, F.lit("utf-8"))

@@ -13007,6 +13007,87 @@ def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Charset sniffing (round 11b) — functions/text.bom_detect/meta_charset/
+# resolve_charset: the WHATWG encoding-sniffing precedence every web
+# text-ingest stage runs BEFORE any decode — BOM (hex-prefix match on
+# the raw bytes, UTF-32 tested before UTF-16: FF FE 00 00 starts with
+# FF FE) > <meta charset> declaration > UTF-8 default. Pure-JVM over
+# binary; the payload is inspected as ISO-8859-1 for the meta scan
+# (byte-transparent). Classes: 5 BOM variants + BOM-less (doc_id%7),
+# planted meta labels (doc_id%3), garbage (doc_id%29 → defaults).
+# Map-only, 0 exchanges.
+# ---------------------------------------------------------------------------
+@query(
+    "charset_sniff",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 29 = 0 THEN NULL
+                    WHEN doc_id % 7 = 0 THEN 'utf-8-sig'
+                    WHEN doc_id % 7 = 1 THEN 'utf-16-le'
+                    WHEN doc_id % 7 = 2 THEN 'utf-16-be'
+                    WHEN doc_id % 7 = 3 THEN 'utf-32-le'
+                    WHEN doc_id % 7 = 4 THEN 'utf-32-be'
+                    END AS bom,
+               CASE WHEN doc_id % 29 <> 0 AND doc_id % 3 = 0 THEN
+                    CASE doc_id % 5 WHEN 0 THEN 'windows-1252'
+                         WHEN 1 THEN 'iso-8859-1' WHEN 2 THEN 'shift_jis'
+                         WHEN 3 THEN 'gb2312' ELSE 'utf-8' END
+                    END AS meta
+        FROM documents
+    )
+    SELECT doc_id, bom, meta AS meta_charset,
+           COALESCE(bom, meta, 'utf-8') AS resolved
+    FROM c
+    """,
+)
+def charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHATWG charset sniffing over synthesized payloads with real BOM
+    bytes — see block comment."""
+    import pandas as pd
+
+    from quickstart_streaming_agents_spark.functions.text import (
+        bom_detect,
+        meta_charset,
+        resolve_charset,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    boms = [b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff",
+            b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff", b"", b""]
+    labels = ["windows-1252", "iso-8859-1", "shift_jis", "gb2312", "utf-8"]
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 29 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                    continue
+                meta = (
+                    f'<meta charset="{labels[i % 5]}">'.encode()
+                    if i % 3 == 0 else b""
+                )
+                payloads.append(
+                    boms[i % 7] + b"<html><head>" + meta
+                    + b"</head><body>doc " + str(i).encode()
+                    + b"</body></html>"
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    bom = bom_detect("payload")
+    meta = meta_charset(F.decode(F.col("payload"), "ISO-8859-1"))
+    return synth_df.select(
+        "doc_id",
+        bom.alias("bom"),
+        meta.alias("meta_charset"),
+        resolve_charset(bom, meta).alias("resolved"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation (round 11). The correctness harness
 # oracle-checks the FIRST 50 registry entries each round. Round 10's
 # rotation was accidentally left at the r9 list, so its window (and
@@ -13031,8 +13112,8 @@ def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top_supplier_revenue, flac_stream_meta, ogg_page_index,
 # readability_scores, tfidf_top_terms, hits_scores,
 # parquet_footer_index, avro_ocf_block_index, jsonl_ingest,
-# preference_pairs, crawl_politeness_gate, bitext_mining_margin —
-# all already driver-contract-verified at
+# preference_pairs, crawl_politeness_gate, bitext_mining_margin,
+# charset_sniff — all already driver-contract-verified at
 # sf0.01 via the /verify simulator this round, awaiting their first
 # official driver row.
 # ---------------------------------------------------------------------------

@@ -391,6 +391,8 @@ def test_round11b_query_plan_budgets_pinned(spark):
     assert count_exchanges(_q(spark, "crawl_politeness_gate")) == 1
     # bitext: two broadcast top-k passes (arrow) + per-src argmax window
     assert count_exchanges(_q(spark, "bitext_mining_margin")) <= 2
+    # WHATWG charset precedence is expression-level, scan-fused
+    assert count_exchanges(_q(spark, "charset_sniff")) == 0
     assert count_exchanges(_q(spark, "order_priority_check")) <= 4
     assert count_exchanges(_q(spark, "top_supplier_revenue")) <= 3
     # 7 plan NODES, 5 executed shuffles: the persisted postings
