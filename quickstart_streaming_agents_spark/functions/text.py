@@ -825,10 +825,13 @@ def bom_detect(bin_col: str | Column) -> Column:
 
 def meta_charset(text_col: str | Column) -> Column:
     """HTML ``<meta charset=...>`` / http-equiv content-type charset
-    extraction (WHATWG encoding-sniffing tier 2, after the BOM). RE2-
+    extraction (WHATWG encoding-sniffing tier 2, after the BOM). The
+    spec's prescan examines only the FIRST 1024 bytes of the payload
+    (https://html.spec.whatwg.org/#determining-the-character-encoding)
+    — a label past that window is ignored, matching browsers. RE2-
     safe; returns the lowercased label or NULL."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    lowered = F.lower(c)
+    lowered = F.lower(F.substring(c, 1, 1024))
     direct = F.regexp_extract(
         lowered, r'<meta[^>]*\bcharset\s*=\s*["\']?([a-z0-9_.:-]+)', 1
     )

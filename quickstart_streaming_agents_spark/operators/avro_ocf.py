@@ -119,7 +119,8 @@ def ocf_table(p: bytes) -> dict:
             size, q = _read_long(p, q)
             if n_records < 0 or size < 0 or q + size + 16 > len(p):
                 break  # torn final block
-        except ValueError:
+        except (ValueError, IndexError):
+            # _read_long raises IndexError on a buffer torn mid-varint
             break
         block_sync = p[q + size : q + size + 16]
         if block_sync != sync:

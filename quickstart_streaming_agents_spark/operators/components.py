@@ -329,6 +329,8 @@ def hits_int(
     aggregates broadcast back — O(iters) shuffles total, the same
     shape as pagerank_int; lineage truncated per round.
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     n = nodes.select(F.col(node_id).alias("__n"))
     hubs = n.withColumn("__h", F.lit(scale).cast("long"))

@@ -34,8 +34,6 @@ shortcut. A pathological single-host corpus is a data-model problem
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 

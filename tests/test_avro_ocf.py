@@ -86,3 +86,30 @@ def test_ocf_fault_contract():
     t = ocf_table(make_ocf([[_enc("a")]], "{not json"))
     assert t["schema_name"] is None
     assert len(t["blocks"]) == 1
+
+
+def test_ocf_truncation_at_every_offset_never_raises():
+    """ADVICE r11: a final block torn mid-varint made _read_long raise
+    IndexError (not ValueError), escaping the walk's fault handler and
+    failing the whole job on one bad landing file. Property: truncating
+    a well-formed 2-block file at EVERY byte offset past the header
+    either parses (prefix blocks only) or — never — raises."""
+    p = make_ocf([[_enc("a")], [_enc("bb"), _enc("ccc")]], SCHEMA)
+    full = ocf_table(p)
+    header_end = len(p) - sum(
+        b["byte_size"] for b in full["blocks"]
+    ) - 2 * 16 - 4  # rough lower bound; exact cut points swept below
+    n_blocks_seen = set()
+    for cut in range(max(header_end, len(MAGIC) + 1), len(p)):
+        t = ocf_table(p[:cut])  # must not raise for any cut
+        assert len(t["blocks"]) <= 2
+        n_blocks_seen.add(len(t["blocks"]))
+    assert {0, 1} <= n_blocks_seen  # both partial shapes exercised
+
+
+def test_ocf_trailing_garbage_varint_ends_walk():
+    """The exact ADVICE repro: 0x80 appended after the last block is a
+    varint with no terminating byte — IndexError territory pre-fix."""
+    p = make_ocf([[_enc("a")]], SCHEMA)
+    t = ocf_table(p + b"\x80")
+    assert len(t["blocks"]) == 1

@@ -115,3 +115,29 @@ def test_tfidf_tie_breaks_by_term_asc(spark):
     assert [r["term"] for r in sorted(rows, key=lambda r: r["rank"])] == [
         "alpha", "beta"
     ]
+
+
+def test_hits_rejects_non_positive_iters(spark):
+    """ADVICE r11: iters=0 left auths=None and crashed with
+    AttributeError at the final join — validate at entry instead."""
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    n = spark.createDataFrame([(0,), (1,)], "node long")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="iters"):
+            hits_int(e, n, iters=bad)
+
+
+def test_meta_charset_whatwg_1024_byte_prescan(spark):
+    """ADVICE r11: the WHATWG prescan examines only the first 1024
+    bytes — a <meta charset> planted past that window must NOT match,
+    while the same label inside the window must."""
+    from quickstart_streaming_agents_spark.functions.text import meta_charset
+
+    inside = "<html>" + "x" * 100 + '<meta charset="shift_jis">'
+    outside = "<html>" + "x" * 1100 + '<meta charset="shift_jis">'
+    df = spark.createDataFrame(
+        [(1, inside), (2, outside)], "id long, html string"
+    )
+    got = {r["id"]: r["m"]
+           for r in df.select("id", meta_charset("html").alias("m")).collect()}
+    assert got == {1: "shift_jis", 2: None}
