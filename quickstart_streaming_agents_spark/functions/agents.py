@@ -88,8 +88,14 @@ def _fake_agent_step(transcript: str, allowed: list[str]) -> str:
             args = {"url": f"https://example.com/{tool_name}", "to": "user@example.com",
                     "subject": "automated", "body": {"q": transcript[:32]}}
             return "TOOL_CALL " + json.dumps({"tool": tool_name, "args": args})
-    from quickstart_streaming_agents_spark.providers import pick_verdict_choice
+    from quickstart_streaming_agents_spark.providers import (
+        compose_labeled_sections,
+        pick_verdict_choice,
+    )
 
+    sections = compose_labeled_sections(transcript)
+    if sections is not None:
+        return sections
     pick = pick_verdict_choice(transcript)
     if pick is not None:
         return f"**Verdict:** {pick}\nReasoning: fake agent completed after tool use."

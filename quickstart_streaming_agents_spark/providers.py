@@ -24,7 +24,13 @@ from quickstart_streaming_agents_spark.registries import Model
 def fake_textgen(prompts: list[str], model: Model) -> list[str]:
     """Deterministic completion.
 
-    Two modes:
+    Three modes, tried in order:
+    - If the prompt demands a multi-section labeled response (the lab3/lab4
+      agent prompts: 'Respond with ONLY these four labeled sections'
+      LAB4-Walkthrough.md:333, 'FORMAT your final response with these THREE
+      sections' LAB3-Walkthrough.md:431), emit a compliant sectioned
+      response so the walkthroughs' REGEXP_EXTRACT post-processing is
+      exercised end to end — see :func:`compose_labeled_sections`.
     - If the prompt asks for a labeled-verdict format (the reference's agent
       prompts all do: 'Verdict:' LAB4-Walkthrough.md:339, 'Decision:'
       LAB1-Walkthrough.md:203), emit a compliant labeled response chosen by
@@ -36,6 +42,10 @@ def fake_textgen(prompts: list[str], model: Model) -> list[str]:
     out = []
     for p in prompts:
         p = p or ""
+        sections = compose_labeled_sections(p)
+        if sections is not None:
+            out.append(sections)
+            continue
         pick = pick_verdict_choice(p)
         if pick is not None:
             out.append(f"**Verdict:** {pick}\nReasoning: deterministic fake assessment.")
@@ -45,15 +55,89 @@ def fake_textgen(prompts: list[str], model: Model) -> list[str]:
 
 
 def pick_verdict_choice(text: str) -> str | None:
-    """If the text demands a labeled verdict from an explicit choice list
-    ("verdicts must be one of: [...]"), pick one deterministically (md5 of
-    the full text) — the ONE rule the fake textgen provider and the fake
-    agent policy share, so their verdict shapes can never drift."""
+    """If the text demands a labeled verdict from an explicit choice list,
+    pick one deterministically (md5 of the full text) — the ONE rule the
+    fake textgen provider and the fake agent policy share, so their verdict
+    shapes can never drift. Two corpus spellings are recognized:
+
+    - "verdicts must be one of: [A, B]" (the engine's lab1-shaped prompts)
+    - "The Verdict line must contain exactly one word: A, B, C, or D."
+      (LAB4-Walkthrough.md:339 verbatim)
+    """
     m = re.search(r"verdict[s]? must be one of:?\s*\[([^\]]+)\]", text, re.I)
-    if not m:
-        return None
+    if m is None:
+        m = re.search(
+            r"verdict line must contain exactly one word:\s*([A-Z_]+(?:\s*,\s*"
+            r"[A-Z_]+)*(?:\s*,?\s*or\s+[A-Z_]+)?)",
+            text, re.I,
+        )
+        if m is None:
+            return None
+        raw = re.sub(r"\bor\b", ",", m.group(1))
+        choices = [c.strip() for c in raw.split(",") if c.strip()]
+        return choices[int(hashlib.md5(text.encode()).hexdigest(), 16) % len(choices)]
     choices = [c.strip().strip("'\"") for c in m.group(1).split(",")]
     return choices[int(hashlib.md5(text.encode()).hexdigest(), 16) % len(choices)]
+
+
+_SECTIONS_RE = re.compile(
+    r"(?:respond with only these|format your final response with these|"
+    r"respond with these)\s+(\w+)\s+(?:labeled\s+)?sections",
+    re.I,
+)
+_COUNT_WORDS = {
+    "two": 2, "three": 3, "four": 4, "five": 5, "six": 6,
+    "2": 2, "3": 3, "4": 4, "5": 5, "6": 6,
+}
+_LABEL_LINE_RE = re.compile(r"^\s*([A-Z][A-Za-z _]{1,30}):\s*$")
+
+
+def compose_labeled_sections(text: str) -> str | None:
+    """If the text demands an N-section labeled response ('Respond with
+    ONLY these four labeled sections' / 'FORMAT your final response with
+    these THREE sections' — LAB4-Walkthrough.md:333, LAB3-Walkthrough.md:431),
+    build a deterministic compliant response.
+
+    The section labels are the first N '<Label>:'-only lines AFTER the
+    instruction phrase (both corpus prompts list them there). Per label:
+    a verdict-ish label gets its one-word choice on the SAME line (lab4's
+    'Verdict: APPROVE' shape); a JSON-ish label gets a small valid JSON
+    object on the next line; anything else gets one deterministic plain
+    sentence — free of the reference e2e suite's failure markers
+    ('unable to dispatch', 'failed to', 'error:', 'could not' —
+    /root/reference/testing/e2e/test_lab3.py:339). Sections are separated
+    by blank lines, matching the walkthroughs' REGEXP_EXTRACT patterns."""
+    m = _SECTIONS_RE.search(text)
+    if m is None:
+        return None
+    n = _COUNT_WORDS.get(m.group(1).lower())
+    if n is None:
+        return None
+    labels: list[str] = []
+    for line in text[m.end():].splitlines():
+        lm = _LABEL_LINE_RE.match(line)
+        if lm:
+            labels.append(lm.group(1).strip())
+            if len(labels) == n:
+                break
+    if len(labels) < n:
+        return None
+    parts = []
+    for label in labels:
+        if "verdict" in label.lower():
+            pick = pick_verdict_choice(text) or "APPROVE"
+            parts.append(f"{label}: {pick}")
+        elif "json" in label.lower():
+            parts.append(
+                f"{label}:\n" + json.dumps({"action": "fake_deterministic",
+                                            "items": []})
+            )
+        else:
+            parts.append(
+                f"{label}:\nDeterministic fake {label.lower()} content "
+                "produced by the offline provider."
+            )
+    return "\n\n".join(parts)
 
 
 def fake_embedding(texts: list[str], model: Model) -> list[list[float]]:

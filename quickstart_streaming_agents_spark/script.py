@@ -297,9 +297,24 @@ def rewrite_flink(sql: str, spark: SparkSession | None = None) -> str:
     sql = rewrite_map_literals(
         rewrite_cumulate(rewrite_hop(rewrite_tumble(rewrite_laterals(sql))))
     )
+    sql = rewrite_search_results_index(sql)
     if spark is not None and _MDA_RE.search(sql):
         sql = rewrite_ml_detect_anomalies(sql, spark)
     return sql
+
+
+_SR_INDEX_RE = re.compile(r"((?:`?\w+`?\.)?search_results)\s*\[\s*(\d+)\s*\]")
+
+
+def rewrite_search_results_index(sql: str) -> str:
+    """Flink array indexing is 1-based; Spark's ``arr[i]`` is 0-based. The
+    corpus indexes exactly one array — VECTOR_SEARCH_AGG's
+    ``search_results`` (``vs.search_results[1].chunk``,
+    LAB3-Walkthrough.md:242-260, LAB4-Walkthrough.md:280-300) — so the
+    rewrite is scoped to that column name and maps onto 1-based, null-safe
+    ``try_element_at`` (fewer than k matches yields NULL fields, the
+    vector_search_flat contract, not an INVALID_ARRAY_INDEX error)."""
+    return _SR_INDEX_RE.sub(r"try_element_at(\1, \2)", sql)
 
 
 _MAPLIT_RE = re.compile(r"\bMAP\s*\[", re.I)
@@ -499,7 +514,10 @@ def rewrite_laterals(sql: str) -> str:
         if fn == "VECTOR_SEARCH_AGG":
             vm = re.match(r"\s*(\w+)\s*,\s*DESCRIPTOR\s*\(\s*\w+\s*\)\s*,\s*(.*)$",
                           args, re.S | re.I)
-            repl = f"LATERAL vector_search_{vm.group(1)}({vm.group(2)})"
+            # targets the aggregate form (one row, search_results array) —
+            # the reference contract the walkthrough SQL indexes into
+            # (vs.search_results[1].chunk, LAB4-Walkthrough.md:280-300)
+            repl = f"LATERAL vector_search_agg_{vm.group(1)}({vm.group(2)})"
         else:
             # the corpus passes the model/agent NAME as a backtick
             # identifier; the UDTF wants a string literal

@@ -76,16 +76,26 @@ def register_engine_sql(spark: SparkSession,
     spark.udf.register("ml_predict", _ml_predict)
     spark.udf.register("ml_embed", _ml_embed)
 
-    @udtf(returnType="response: string")
+    @udtf(returnType="response: string, embedding: array<float>")
     class MlPredictT:
         def eval(self, model_name: str, prompt: str, settings=None):
             # third arg: Flink's optional MAP['debug','true'] settings —
-            # accepted for corpus parity, no engine behavior keys yet
+            # accepted for corpus parity, no engine behavior keys yet.
+            # Flink types ML_PREDICT's output from the model's OUTPUT
+            # clause (terraform/core/main.tf:461,529); a Spark UDTF's
+            # schema is fixed at registration, so this one carries BOTH
+            # shapes and fills the column matching the model's task —
+            # lab SQL references only the column it declared
+            # (e.response for textgen, e.embedding for embedding models,
+            # LAB3-Walkthrough.md:306, LAB4-Walkthrough.md:256).
             from quickstart_streaming_agents_spark.providers import resolve_provider
 
             model = models[model_name]
             fn = resolve_provider(model)
-            yield (fn([prompt or ""], model)[0],)
+            if model.task == "embedding":
+                yield (None, fn([prompt or ""], model)[0])
+            else:
+                yield (fn([prompt or ""], model)[0], None)
 
     @udtf(returnType="status: string, response: string")
     class AiRunAgent:
@@ -297,6 +307,38 @@ def register_vector_table_sql(
 
     fn_name = f"vector_search_{name}"
     spark.udtf.register(fn_name, udtf(VectorSearch, returnType=out_type))
+
+    # Reference-faithful aggregate form: ONE row per query holding
+    # ``search_results ARRAY<ROW(cols…, score)>`` — the exact shape the
+    # walkthrough SQL indexes as ``vs.search_results[1].chunk``
+    # (LAB3-Walkthrough.md:242-260, LAB4-Walkthrough.md:280-300,
+    # terraform/lab2-vector-search/main.tf:292). rewrite_laterals targets
+    # this form; the flat per-match form above stays for rank-style SQL.
+    agg_type = T.StructType([
+        T.StructField(
+            "search_results",
+            T.ArrayType(T.StructType(
+                list(meta_fields) + [T.StructField("score", T.DoubleType())]
+            )),
+        )
+    ])
+
+    class VectorSearchAgg:
+        def eval(self, query_embedding, k: int):
+            import numpy as np
+
+            m, rows = b.value
+            q = np.asarray(query_embedding, dtype=np.float64)
+            qn = np.linalg.norm(q)
+            scores = m @ (q / qn if qn else q)
+            kk = min(int(k), len(scores))
+            top = np.argpartition(-scores, kk - 1)[:kk]
+            top = top[np.lexsort((top, -scores[top]))]
+            yield ([rows[j] + (float(scores[j]),) for j in top],)
+
+    spark.udtf.register(
+        f"vector_search_agg_{name}", udtf(VectorSearchAgg, returnType=agg_type)
+    )
     return fn_name
 
 

@@ -43,7 +43,24 @@ def test_rewrite_laterals_flink_to_spark():
         "SELECT * FROM t, LATERAL TABLE(VECTOR_SEARCH_AGG(docs, "
         "DESCRIPTOR(embedding), t.q, 3)) AS v"
     )
-    assert got == "SELECT * FROM t, LATERAL vector_search_docs(t.q, 3) AS v"
+    assert got == "SELECT * FROM t, LATERAL vector_search_agg_docs(t.q, 3) AS v"
+
+
+def test_rewrite_search_results_index_is_one_based_null_safe():
+    from quickstart_streaming_agents_spark.script import (
+        rewrite_search_results_index,
+    )
+
+    got = rewrite_search_results_index(
+        "SELECT vs.search_results[1].chunk, search_results[2].score FROM t"
+    )
+    assert got == (
+        "SELECT try_element_at(vs.search_results, 1).chunk, "
+        "try_element_at(search_results, 2).score FROM t"
+    )
+    # other arrays keep Spark semantics untouched
+    assert rewrite_search_results_index("SELECT arr[1] FROM t") == \
+        "SELECT arr[1] FROM t"
 
 
 def test_ai_ddl_populates_catalog(spark):
