@@ -556,12 +556,27 @@ def run_sql_script(
 
     DataFrames in the results are lazy — callers decide what to collect,
     like the reference's CLI printing only SELECT output.
+
+    Scripts run under standard-SQL string-literal semantics
+    (``spark.sql.parser.escapedStringLiterals=true``, restored after):
+    Flink does not process C-style escapes in literals, so the corpus'
+    regex literals (``'\\*{0,2}Verdict:\\s*([A-Z_]+)'``,
+    LAB3-Walkthrough.md:460-463, LAB4-Walkthrough.md:404-407) must reach
+    the regex engine with their backslashes intact — under Spark's default
+    parsing ``'\\*'`` collapses to a dangling ``*`` quantifier and the
+    statement throws.
     """
     cat = catalog if catalog is not None else DEFAULT_CATALOG
-    results: list[StatementResult] = []
-    for stmt in split_statements(script):
-        results.append(_run_statement(spark, stmt, cat))
-    return results
+    key = "spark.sql.parser.escapedStringLiterals"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        results: list[StatementResult] = []
+        for stmt in split_statements(script):
+            results.append(_run_statement(spark, stmt, cat))
+        return results
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _ddl_name(obj: str, stmt: str) -> str:

@@ -102,13 +102,18 @@ def register_engine_sql(spark: SparkSession,
         def eval(self, agent_name: str, prompt: str, *context):
             # extra columns (LAB3 passes the zone key after the reason)
             # join the prompt on newlines, mirroring how the reference
-            # feeds multi-column context to the agent
+            # feeds multi-column context to the agent; a trailing MAP
+            # argument is Flink's optional settings map
+            # (LAB4-Walkthrough.md:433 MAP['debug','true']) — accepted,
+            # never injected into the prompt
             from quickstart_streaming_agents_spark.functions.agents import (
                 run_agent_once,
             )
 
             full = "\n".join(
-                [prompt or ""] + [str(c) for c in context if c is not None]
+                [prompt or ""]
+                + [str(c) for c in context
+                   if c is not None and not isinstance(c, dict)]
             )
             yield run_agent_once(agents[agent_name], full)
 
