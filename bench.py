@@ -272,26 +272,31 @@ def _isolated_one(name: str) -> None:
     print(json.dumps({"query": name, "sec": round(best, 3)}), flush=True)
 
 
-def main() -> None:
+def _run_chunk_inprocess(names: list[str]) -> tuple[dict, dict]:
+    """Run ``names`` in-sequence in THIS process (one session, shared
+    warmup) and return (timings, errors). The unit of JVM recycling:
+    main() forks one subprocess per ~50-query chunk so late sweep
+    positions stop inheriting 150 queries' worth of heap/JIT pressure
+    (VERDICT r11 "What's wrong" #1 — the r11 in-sequence figures for
+    late-position queries were inflated up to 4x by accumulated JVM
+    state, and recycling inside one process does not help: spark.stop()
+    keeps the same JVM alive for the next context)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
 
     from quickstart_streaming_agents_spark.queries import QUERIES
     from quickstart_streaming_agents_spark.session import get_spark, ship_package
-
-    spark = get_spark("bench")
-    ship_package(spark)
-
-    # warm-up: touch every table + exercise codegen/Arrow once
     from quickstart_streaming_agents_spark.sources.parquet import load_tables
 
+    spark = get_spark("bench-chunk")
+    ship_package(spark)
+    # warm-up: touch every table + exercise codegen/Arrow once (per
+    # chunk, excluded from every timing)
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).count()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in names:
         best = float("inf")
         # min of 2 runs: first run includes plan compilation + codegen for
         # this query shape; min filters transient host noise out of the
@@ -313,6 +318,54 @@ def main() -> None:
             errors[name] = msg[0][:200]
             spark.catalog.clearCache()
             _release_broadcasts()
+    spark.stop()
+    return timings, errors
+
+
+def _chunk_main(start: int, end: int) -> None:
+    timings, errors = _run_chunk_inprocess(HEADLINE[start:end])
+    print("CHUNKRESULT " + json.dumps({"timings": timings, "errors": errors}),
+          flush=True)
+
+
+CHUNK = 50  # queries per fresh-JVM sweep chunk
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    load_at_start = os.getloadavg()[0]
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    if os.environ.get("SPARK_GRAFT_CHUNKED", "1") != "0":
+        import subprocess
+
+        for start in range(0, len(HEADLINE), CHUNK):
+            names = HEADLINE[start:start + CHUNK]
+            got = None
+            try:
+                res = subprocess.run(
+                    [sys.executable, __file__, "--chunk", str(start),
+                     str(start + CHUNK)],
+                    capture_output=True, text=True, timeout=2400,
+                )
+                for ln in reversed(res.stdout.splitlines()):
+                    if ln.startswith("CHUNKRESULT "):
+                        got = json.loads(ln[len("CHUNKRESULT "):])
+                        break
+            except Exception:  # noqa: BLE001 — fall back in-process
+                got = None
+            if got is None:
+                # subprocess died (OOM-killed, torn output): run this
+                # chunk in-process so the bench line is never missing rows
+                t, e = _run_chunk_inprocess(names)
+                got = {"timings": t, "errors": e}
+            timings.update(got["timings"])
+            errors.update(got["errors"])
+    else:
+        timings, errors = _run_chunk_inprocess(HEADLINE)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -334,61 +387,64 @@ def main() -> None:
     # `isolated` re-runs each alone in a forked interpreter (own JVM,
     # warmup excluded). SPARK_GRAFT_ISOLATE=0 skips the ~20 s/query.
     if os.environ.get("SPARK_GRAFT_ISOLATE", "1") != "0":
+        import statistics
         import subprocess
 
-        # Release the in-sequence JVM BEFORE forking: a resident 32-thread
-        # executor + its accumulated heap competes with every fork and can
-        # inflate "isolated" figures several-fold (seen live in r11b:
-        # ann_ivfpq_topk measured 17.3 s from a fork beside the live
-        # parent vs 3.2 s on a quiet machine).
-        spark.stop()
-
-        # VERDICT r9 #4: ann_sq8_topk / column_profile / cms_heavy_hitters
-        # drifted +18-29% in-sequence r8→r9 — watch them fresh-JVM for one
-        # round to confirm jitter (embedding_topk_pairs carried from r8,
-        # root-caused to broadcast accumulation, kept as the sentinel).
-        watch = {
-            "embedding_topk_pairs",
-            "ann_sq8_topk",
-            "column_profile",
-            "cms_heavy_hitters",
-        }
+        # The r9 watchlist (ann_sq8_topk / column_profile /
+        # cms_heavy_hitters) was CLEARED as jitter by the r11 judge
+        # (warm min-of-2 at or under r1 levels); embedding_topk_pairs
+        # stays as the broadcast-accumulation sentinel (VERDICT r8 #4).
+        watch = {"embedding_topk_pairs"}
         try:
             prev = json.loads((REPO / "BENCH_FULL.json").read_text())
-            for n, t in timings.items():
-                p = prev.get("queries", {}).get(n)
-                if p and min(t, p) > 0.2 and max(t / p, p / t) > 1.3:
-                    watch.add(n)
+            if prev.get("sf") == sf:  # cross-SF deltas are meaningless
+                for n, t in timings.items():
+                    p = prev.get("queries", {}).get(n)
+                    if p and min(t, p) > 0.2 and max(t / p, p / t) > 1.3:
+                        watch.add(n)
         except Exception:  # noqa: BLE001 — first round has no record
             pass
 
+        # VERDICT r11 "Next round" #2b: cold-JVM forks on this sandbox
+        # showed ±4x run-to-run variance (cms_heavy_hitters 6.1/9.8/23.1 s
+        # on three identical forks) — a single fork is not a measurement.
+        # Record the MEDIAN of 3 forks plus the 1-min load average around
+        # the isolated pass, so a reader can tell environment from
+        # regression.
         isolated: dict[str, float] = {}
+        iso_forks: dict[str, list[float]] = {}
         for name in sorted(
             (n for n, t in timings.items()
              if t >= 3.0 or n in watch),
             key=lambda n: -timings[n],
         ):
-            try:
-                res = subprocess.run(
-                    [sys.executable, __file__, "--isolated-one", name],
-                    capture_output=True, text=True, timeout=900,
-                )
-                for ln in reversed(res.stdout.splitlines()):
-                    if ln.startswith('{"query"'):
-                        isolated[name] = json.loads(ln)["sec"]
-                        break
-            except Exception:  # noqa: BLE001 — isolation is best-effort
-                pass
+            runs: list[float] = []
+            for _ in range(3):
+                try:
+                    res = subprocess.run(
+                        [sys.executable, __file__, "--isolated-one", name],
+                        capture_output=True, text=True, timeout=900,
+                    )
+                    for ln in reversed(res.stdout.splitlines()):
+                        if ln.startswith('{"query"'):
+                            runs.append(json.loads(ln)["sec"])
+                            break
+                except Exception:  # noqa: BLE001 — isolation is best-effort
+                    pass
+            if runs:
+                isolated[name] = round(statistics.median(runs), 3)
+                iso_forks[name] = runs
         if isolated:
             out["isolated"] = isolated
+            out["isolated_forks"] = iso_forks
+    out["load_avg_1m"] = {
+        "start": round(load_at_start, 2),
+        "end": round(os.getloadavg()[0], 2),
+    }
 
     # Full-precision record for the judge (the driver's stdout tail capture
     # is 2000 bytes — the complete 83-query line does not fit in it).
     (REPO / "BENCH_FULL.json").write_text(json.dumps(out, indent=1) + "\n")
-
-    # Stop Spark BEFORE the machine-readable print so no JVM shutdown
-    # chatter can land after the JSON line in the captured tail.
-    spark.stop()
 
     # Final line: same schema, sized to survive the 2000-byte tail intact.
     # Keep the total exact; include per-query times (2-decimal) in
@@ -421,5 +477,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--isolated-one":
         _isolated_one(sys.argv[2])
+    elif len(sys.argv) > 3 and sys.argv[1] == "--chunk":
+        _chunk_main(int(sys.argv[2]), int(sys.argv[3]))
     else:
         main()

@@ -594,6 +594,7 @@ def tfidf_top_terms(
     text: str = "text",
     k: int = 3,
     min_df: int = 1,
+    frozen: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document top-k distinctive terms by tf·idf — the keyword-
     extraction primitive (topic tagging, cluster labeling, dedup-
@@ -610,12 +611,23 @@ def tfidf_top_terms(
     n_docs stat), a broadcast of the per-term df (|vocab| rows — at
     open-web vocab sizes swap for a shuffle join by term), and a
     per-doc window. No scan of the corpus happens twice.
+
+    ``frozen=(dfreq, stats)`` scores against a PRE-BUILT vocabulary
+    (term→df plus the 1-row n_docs stat) instead of re-deriving it from
+    ``docs`` — the profile-then-stream contract
+    (streaming/pipelines.tfidf_stream_pipeline): per-doc tf and the
+    score arithmetic are unchanged, so a stream scored against the
+    frozen corpus vocabulary is bit-exact equal to this batch operator
+    run with the same ``frozen``.
     """
     post = postings(docs, doc_id=doc_id, text=text).persist()
-    dfreq = post.groupBy("term").agg(F.count("*").alias("df")).filter(
-        F.col("df") >= min_df
-    )
-    stats = post.agg(F.countDistinct(doc_id).alias("n_docs"))
+    if frozen is not None:
+        dfreq, stats = frozen
+    else:
+        dfreq = post.groupBy("term").agg(F.count("*").alias("df")).filter(
+            F.col("df") >= min_df
+        )
+        stats = post.agg(F.countDistinct(doc_id).alias("n_docs"))
     scored = (
         post.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))

@@ -671,3 +671,76 @@ def token_bucket_gate_stream(
         per_host, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def preference_pairs_stream(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    doc_col: str = "doc_id",
+    rating_col: str = "rating",
+) -> DataFrame:
+    """Streaming DPO pair construction — the ``applyInPandasWithState``
+    twin of queries.preference_pairs. Per-prompt state is TWO packed
+    BIGINTs (best = max(rating·1e8 + doc), worst = min(·)) — the
+    token-bucket state shape: bounded, mergeable, and order-insensitive
+    (min/max are associative+commutative), so the pair emitted after the
+    final micro-batch is BIT-EXACT equal to the batch aggregate over the
+    same rows under ANY batching or arrival order — no chronological
+    ingest contract needed, unlike the token bucket.
+
+    Each micro-batch that touches a prompt re-emits that prompt's
+    CURRENT pair (rows where best == worst — no strict preference yet —
+    are emitted with ``margin`` 0 and both docs equal; the batch query's
+    ``margin > 0`` filter is the reader's, applied on the latest row per
+    prompt, the upsert-view convention of latest_state_upsert).
+
+    ``doc_col`` values must be < 1e8 (the packing modulus — asserted by
+    the batch query's construction; violated ids corrupt the argmax).
+    """
+    import pandas as pd
+
+    prompt_f = df.schema[prompt_col]
+    out_schema = T.StructType([
+        T.StructField(prompt_col, prompt_f.dataType),
+        T.StructField("chosen_doc", T.LongType()),
+        T.StructField("rejected_doc", T.LongType()),
+        T.StructField("chosen_rating", T.LongType()),
+        T.StructField("rejected_rating", T.LongType()),
+        T.StructField("margin", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("best", T.LongType()),
+        T.StructField("worst", T.LongType()),
+    ])
+    pack = 100_000_000
+
+    def per_prompt(key, pdfs, state: GroupState):
+        best, worst = state.get if state.exists else (None, None)
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            packed = (pdf[rating_col].astype("int64") * pack
+                      + pdf[doc_col].astype("int64"))
+            b, w = int(packed.max()), int(packed.min())
+            best = b if best is None else max(best, b)
+            worst = w if worst is None else min(worst, w)
+        if best is None:
+            return
+        state.update((best, worst))
+        if not touched:
+            return
+        yield pd.DataFrame({
+            prompt_col: [key[0]],
+            "chosen_doc": [best % pack],
+            "rejected_doc": [worst % pack],
+            "chosen_rating": [best // pack],
+            "rejected_rating": [worst // pack],
+            "margin": [best // pack - worst // pack],
+        })
+
+    return df.groupBy(prompt_col).applyInPandasWithState(
+        per_prompt, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -370,6 +370,66 @@ def keyword_search_stream_pipeline(
     return catalog
 
 
+def tfidf_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+    k: int = 3,
+) -> StreamCatalog:
+    """Continuous per-doc tf·idf keyword extraction — the streaming half
+    of queries.tfidf_top_terms, the profile-then-stream shape
+    (DSIR/CCNet/PCA recipe): the corpus vocabulary (term→df plus the
+    1-row n_docs stat) is built ONCE from the profile corpus and frozen,
+    then every arriving document is scored by the SAME operator
+    (operators/retrieval.tfidf_top_terms with ``frozen=``) inside
+    foreachBatch. A doc's top-k depends only on its own tokens and the
+    frozen vocabulary, so the per-batch plan is stateless (broadcast
+    vocab join + per-doc window over just the micro-batch) and parity
+    with batch is BIT-EXACT, not approximate (pinned in
+    tests/test_streaming.py). New corpus epochs mean re-profiling and
+    restarting with a new frozen vocabulary — df drifts by release, not
+    by row.
+    """
+    from pyspark.sql import types as T
+
+    from ..operators.retrieval import postings, tfidf_top_terms
+
+    spark = catalog.spark
+    docs = spark.read.parquet(documents_path).select("doc_id", "text")
+
+    post = postings(docs)
+    dfreq = post.groupBy("term").agg(F.count("*").alias("df")).persist()
+    stats = post.agg(F.countDistinct("doc_id").alias("n_docs")).persist()
+    dfreq.count(), stats.count()  # materialize the frozen vocabulary once
+
+    stamped = docs.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ),
+    )
+    catalog.create_table_as("tfidf_raw_docs", stamped)
+
+    def score(batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        return tfidf_top_terms(batch_df, k=k, frozen=(dfreq, stats))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("tf", T.LongType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    stream = catalog.read_stream("tfidf_raw_docs")
+    catalog.create_table_foreach_batch(
+        "tfidf_top_terms", stream, score, schema=schema, available_now=True
+    )
+    catalog.await_all()
+    dfreq.unpersist()
+    stats.unpersist()
+    return catalog
+
+
 def decontamination_stream_pipeline(
     catalog: StreamCatalog,
     documents_path: str,

@@ -1732,3 +1732,84 @@ def test_token_bucket_stream_late_row_denied_balance_untouched(spark, tmp_path):
     assert got[1] == (1000, True)
     assert got[2] == (0, True)
     assert got[3] == (0, False)
+
+
+def test_tfidf_stream_matches_batch_bit_exact(spark, catalog):
+    """The streaming tf·idf extractor scores against the SAME frozen
+    vocabulary with the SAME operator as batch — outputs must be
+    bit-exact equal row for row (score included: frozen df/n_docs +
+    identical JVM arithmetic)."""
+    from quickstart_streaming_agents_spark.operators.retrieval import (
+        postings,
+        tfidf_top_terms,
+    )
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        tfidf_stream_pipeline,
+    )
+
+    path = f"{SF_DIR}/documents.parquet"
+    tfidf_stream_pipeline(catalog, documents_path=path, k=3)
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df, r.score)
+        for r in catalog.read_batch("tfidf_top_terms").collect()
+    }
+
+    docs = spark.read.parquet(path).select("doc_id", "text")
+    post = postings(docs)
+    dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
+    stats = post.agg(F.countDistinct("doc_id").alias("n_docs"))
+    want = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df, r.score)
+        for r in tfidf_top_terms(docs, k=3, frozen=(dfreq, stats)).collect()
+    }
+    assert len(got) == len(want) > 100
+    assert got == want
+
+
+def test_preference_pairs_stream_matches_batch_bit_exact(spark, catalog):
+    """Per-prompt min/max-of-packed-BIGINT state is order-insensitive, so
+    the FINAL emitted pair per prompt must equal the batch
+    preference_pairs aggregate exactly — under multi-batch ingest in a
+    deliberately non-chronological order."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.sources.parquet import load_table
+    from quickstart_streaming_agents_spark.streaming.ops import (
+        preference_pairs_stream,
+    )
+
+    rating = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("rate:"), "doc_id")), 1, 15),
+               16, 10).cast("long") % 1000
+    )
+    rated = load_table(spark, SF_DIR, "documents").select(
+        (F.col("doc_id") % 100).alias("prompt_id"),
+        "doc_id",
+        rating.alias("rating"),
+    )
+    # adversarial ingest order: by rating, not by doc/prompt — the
+    # state's min/max must not care
+    catalog.create_table_as("pp_rated", rated.orderBy("rating", "doc_id"))
+    stream = catalog.read_stream("pp_rated", max_files_per_trigger=1)
+    paired = preference_pairs_stream(stream)
+    catalog.create_table_as("pp_pairs", paired, available_now=True)
+    catalog.await_all()
+
+    pack = 100_000_000
+    final: dict[int, tuple[int, int]] = {}
+    for r in catalog.read_batch("pp_pairs").collect():
+        b = r.chosen_rating * pack + r.chosen_doc
+        w = r.rejected_rating * pack + r.rejected_doc
+        fb, fw = final.get(r.prompt_id, (-1, 1 << 62))
+        final[r.prompt_id] = (max(fb, b), min(fw, w))
+    got = {
+        p: (b % pack, w % pack, b // pack, w // pack, b // pack - w // pack)
+        for p, (b, w) in final.items()
+        if b // pack > w // pack  # the batch query's margin > 0 filter
+    }
+    want = {
+        r.prompt_id: (r.chosen_doc, r.rejected_doc, r.chosen_rating,
+                      r.rejected_rating, r.margin)
+        for r in QUERIES["preference_pairs"](spark, SF_DIR).collect()
+    }
+    assert len(got) == len(want) > 10
+    assert got == want
