@@ -44,11 +44,17 @@ def main() -> None:
         .load()
     )
 
+    only = os.environ.get("SMOKE_STAGES")  # comma list of name substrings
+
     def stage(name, df, t0=None):
+        if only and not any(tok.strip() in name
+                            for tok in only.split(",") if tok.strip()):
+            return
         if t0 is None:
             t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        print(f"{name:28s} {time.perf_counter() - t0:7.2f}s  ({rows:,} docs)")
+        print(f"{name:28s} {time.perf_counter() - t0:7.2f}s  ({rows:,} docs)",
+              flush=True)
 
     stage("generate+score (map-only)", docs.select(
         "doc_id",
@@ -153,20 +159,21 @@ def main() -> None:
         semantic_dedup,
     )
 
-    t0 = time.perf_counter()
-    target = 2048
-    sd = semantic_dedup(
-        vecs.withColumnRenamed("doc_id", "vec_id"), "vec_id",
-        threshold=0.9, target_cluster_size=target,
-    )
-    pops = sd.groupBy("cluster").count()
-    max_pop = pops.agg(F.max("count")).first()[0]
-    n_clusters = pops.count()
-    assert max_pop <= 6 * target, (
-        f"semantic_dedup cluster population unbounded: {max_pop} > {6 * target}"
-    )
-    print(f"{'semantic dedup (C auto)':28s} {time.perf_counter() - t0:7.2f}s  "
-          f"({rows:,} docs)  C={n_clusters} max_pop={max_pop}")
+    if not only or "semantic" in only:
+        t0 = time.perf_counter()
+        target = 2048
+        sd = semantic_dedup(
+            vecs.withColumnRenamed("doc_id", "vec_id"), "vec_id",
+            threshold=0.9, target_cluster_size=target,
+        )
+        pops = sd.groupBy("cluster").count()
+        max_pop = pops.agg(F.max("count")).first()[0]
+        n_clusters = pops.count()
+        assert max_pop <= 6 * target, (
+            f"semantic_dedup cluster population unbounded: {max_pop} > {6 * target}"
+        )
+        print(f"{'semantic dedup (C auto)':28s} {time.perf_counter() - t0:7.2f}s  "
+              f"({rows:,} docs)  C={n_clusters} max_pop={max_pop}")
 
     # Round-8: exact-integer PageRank at generated scale (the one
     # intentionally iterative op — O(iters) shuffles by design) and the
@@ -204,15 +211,16 @@ def main() -> None:
     # ASSERT the cap.
     from quickstart_streaming_agents_spark.operators.cms import cms_cells
 
-    t0 = time.perf_counter()
-    occurrences = docs.select(
-        F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
-    ).filter(F.col("term") != "")
-    cells = cms_cells(occurrences, "term", None, depth=4, width=4096)
-    n_cells = cells.count()
-    assert n_cells <= 4 * 4096, f"CMS cells unbounded: {n_cells}"
-    print(f"{'cms sketch (d=4,w=4096)':28s} {time.perf_counter() - t0:7.2f}s  "
-          f"({rows:,} docs)  cells={n_cells}")
+    if not only or "cms" in only:
+        t0 = time.perf_counter()
+        occurrences = docs.select(
+            F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+        ).filter(F.col("term") != "")
+        cells = cms_cells(occurrences, "term", None, depth=4, width=4096)
+        n_cells = cells.count()
+        assert n_cells <= 4 * 4096, f"CMS cells unbounded: {n_cells}"
+        print(f"{'cms sketch (d=4,w=4096)':28s} {time.perf_counter() - t0:7.2f}s  "
+              f"({rows:,} docs)  cells={n_cells}")
 
     # Round-8b: Bloom-prefiltered decontamination — the bitset stays
     # m/64 longs however big the benchmark, and the prefilter must prune
@@ -223,39 +231,40 @@ def main() -> None:
         bloom_member,
     )
 
-    t0 = time.perf_counter()
-    m_bits, kk = 1 << 22, 3
-    corp_sh = _norm_shingles(docs, "doc_id", "text", 13).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
-    )
-    bench_sh = (
-        _norm_shingles(
-            docs.filter(F.col("doc_id") % 1000 == 0).select(
-                F.lit(0).alias("__bid"), F.col("text").alias("__btext")
-            ),
-            "__bid", "__btext", 13,
-        ).select(F.xxhash64("shingle").alias("h")).distinct()
-    )
-    words = bloom_bitset(bench_sh, "h", m_bits=m_bits, k=kk)
-    assert len(words) == m_bits // 64
-    bloom_df = spark.createDataFrame([(words,)], "bloom: array<bigint>")
-    total_sh, cand = (
-        corp_sh.crossJoin(F.broadcast(bloom_df))
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(
-                bloom_member(F.col("h"), F.col("bloom"),
-                             m_bits=m_bits, k=kk).cast("long")
-            ).alias("c"),
+    if not only or "bloom" in only:
+        t0 = time.perf_counter()
+        m_bits, kk = 1 << 22, 3
+        corp_sh = _norm_shingles(docs, "doc_id", "text", 13).select(
+            "doc_id", F.xxhash64("shingle").alias("h")
         )
-        .first()
-    )
-    assert cand < 0.1 * total_sh, (
-        f"bloom prefilter not pruning: {cand}/{total_sh}"
-    )
-    print(f"{'bloom decon prefilter':28s} {time.perf_counter() - t0:7.2f}s  "
-          f"({rows:,} docs)  candidates={cand:,}/{total_sh:,} "
-          f"({100.0 * cand / total_sh:.2f}%)")
+        bench_sh = (
+            _norm_shingles(
+                docs.filter(F.col("doc_id") % 1000 == 0).select(
+                    F.lit(0).alias("__bid"), F.col("text").alias("__btext")
+                ),
+                "__bid", "__btext", 13,
+            ).select(F.xxhash64("shingle").alias("h")).distinct()
+        )
+        words = bloom_bitset(bench_sh, "h", m_bits=m_bits, k=kk)
+        assert len(words) == m_bits // 64
+        bloom_df = spark.createDataFrame([(words,)], "bloom: array<bigint>")
+        total_sh, cand = (
+            corp_sh.crossJoin(F.broadcast(bloom_df))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    bloom_member(F.col("h"), F.col("bloom"),
+                                 m_bits=m_bits, k=kk).cast("long")
+                ).alias("c"),
+            )
+            .first()
+        )
+        assert cand < 0.1 * total_sh, (
+            f"bloom prefilter not pruning: {cand}/{total_sh}"
+        )
+        print(f"{'bloom decon prefilter':28s} {time.perf_counter() - t0:7.2f}s  "
+              f"({rows:,} docs)  candidates={cand:,}/{total_sh:,} "
+              f"({100.0 * cand / total_sh:.2f}%)")
 
     # Round-8c: compressed-ingest tier (Python-tier by necessity — the
     # gzip members must really decompress) and the URL-canonicalization
@@ -391,15 +400,16 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    vals = docs.select(
-        (F.col("doc_id") % 5).cast("string").alias("stratum"),
-        F.col("doc_id").cast("string").alias("v"),
-    )
-    regs = hll_registers(vals, "v", strata=["stratum"], p=10)
-    n_regs = regs.count()
-    assert n_regs <= 5 * (1 << 10), f"HLL registers unbounded: {n_regs}"
-    est = hll_estimate(regs, strata=["stratum"], p=10)
-    stage(f"hll registers+estimate ({n_regs} regs)", est, t0)
+    if not only or "hll" in only:
+        vals = docs.select(
+            (F.col("doc_id") % 5).cast("string").alias("stratum"),
+            F.col("doc_id").cast("string").alias("v"),
+        )
+        regs = hll_registers(vals, "v", strata=["stratum"], p=10)
+        n_regs = regs.count()
+        assert n_regs <= 5 * (1 << 10), f"HLL registers unbounded: {n_regs}"
+        est = hll_estimate(regs, strata=["stratum"], p=10)
+        stage(f"hll registers+estimate ({n_regs} regs)", est, t0)
 
     # (b) IVF-PQ ANN — broadcast codebooks + cell-pruned candidates;
     # JVM-synthesized 16-dim embeddings, 200 queries against the corpus.
@@ -851,6 +861,118 @@ def main() -> None:
     pz = pq_slice.mapInPandas(pq_synth, schema="doc_id long, payload binary")
     stage(f"parquet footer walk (1/64 slice, {rows // 64:,})",
           parquet_footer_index(pz), t0)
+
+    # ---- round 12: r11b families not yet covered at scale ----
+    # charset sniff — the query's synth moved JVM-side (BOM byte strings
+    # are latin-1-representable, so encode(str, ISO-8859-1) is
+    # byte-transparent): map-only, zero Python even in synth.
+    t0 = time.perf_counter()
+    from quickstart_streaming_agents_spark.functions.text import (
+        bom_detect,
+        meta_charset,
+        resolve_charset,
+    )
+
+    bom_strs = ["\xef\xbb\xbf", "\xff\xfe", "\xfe\xff",
+                "\xff\xfe\x00\x00", "\x00\x00\xfe\xff", "", ""]
+    labels = ["windows-1252", "iso-8859-1", "shift_jis", "gb2312", "utf-8"]
+    body = F.when(
+        F.col("doc_id") % 29 == 0,
+        F.concat(F.lit("garbage:"), F.col("doc_id").cast("string")),
+    ).otherwise(F.concat(
+        F.element_at(F.array(*[F.lit(b) for b in bom_strs]),
+                     (F.col("doc_id") % 7 + 1).cast("int")),
+        F.lit("<html><head>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<meta charset="'),
+                F.element_at(F.array(*[F.lit(x) for x in labels]),
+                             (F.col("doc_id") % 5 + 1).cast("int")),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>"), F.substring("text", 1, 64),
+        F.lit("</body></html>"),
+    ))
+    cz = docs.select("doc_id", F.encode(body, "ISO-8859-1").alias("payload"))
+    bom = bom_detect("payload")
+    meta = meta_charset(F.decode(F.col("payload"), "ISO-8859-1"))
+    stage("charset sniff (map-only)", cz.select(
+        "doc_id", bom.alias("bom"), meta.alias("meta_charset"),
+        resolve_charset(bom, meta).alias("resolved"),
+    ), t0)
+
+    # jsonl permissive ingest — line build + from_json, all JVM map-only
+    t0 = time.perf_counter()
+    line = F.concat(
+        F.lit('{"id": '), F.col("doc_id"),
+        F.lit(', "lang": "'), F.col("lang"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit('", "score": '), F.col("doc_id") % 100,
+                            F.lit("}"))),
+    )
+    parsed = F.from_json(
+        line, "id long, lang string, score long, _corrupt_record string",
+        {"mode": "PERMISSIVE",
+         "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    stage("jsonl ingest (map-only)", docs.select(
+        "doc_id", parsed.alias("p")
+    ).select("doc_id", "p.id", "p.lang", "p.score",
+             F.col("p._corrupt_record").isNotNull().alias("is_corrupt")), t0)
+
+    # bitext margin at a larger embedding count (50k x 50k, d=16): two
+    # broadcast top-k passes + explode + broadcast join + per-src argmax
+    # — the exact queries.bitext_mining_margin shape with synthetic
+    # hash-unit vectors.
+    t0 = time.perf_counter()
+    from pyspark.sql import Window
+
+    from quickstart_streaming_agents_spark.functions.vector import vector_search
+
+    b_rows = min(rows // 40, 100_000)
+    vec = F.expr(
+        "transform(sequence(1, 16), i -> "
+        "cast(pmod(xxhash64(doc_id, i), 2000) - 1000 as double) / 1000.0)"
+    )
+    ve = docs.filter(F.col("doc_id") < 2 * b_rows).select(
+        F.col("doc_id").alias("vec_id"), vec.alias("embedding"),
+        (F.col("doc_id") % 2).alias("side"),
+    )
+    bsrc = ve.filter(F.col("side") == 0).select("vec_id", "embedding")
+    btgt = ve.filter(F.col("side") == 1).select("vec_id", "embedding")
+
+    def topk_with_avg(queries_df, corpus, qid_alias):
+        out = vector_search(
+            queries_df.select(F.col("vec_id").alias(qid_alias), "embedding"),
+            corpus, "embedding", k=4,
+        )
+        avg = F.aggregate(
+            "search_results", F.lit(0.0), lambda acc, x: acc + x["score"]
+        ) / F.lit(4.0)
+        return out.select(qid_alias, "search_results", avg.alias("avgk"))
+
+    fwd = topk_with_avg(bsrc, btgt, "src_id")
+    bwd = topk_with_avg(btgt, bsrc, "tgt_id").select(
+        "tgt_id", F.col("avgk").alias("abwd")
+    )
+    cand = (
+        fwd.select("src_id", F.col("avgk").alias("afwd"),
+                   F.explode("search_results").alias("hit"))
+        .select("src_id", "afwd", F.col("hit.vec_id").alias("tgt_id"),
+                F.col("hit.score").alias("c"))
+        .join(F.broadcast(bwd), "tgt_id")
+        .withColumn("margin",
+                    F.lit(2.0) * F.col("c") / (F.col("afwd") + F.col("abwd")))
+    )
+    wsrc = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id").asc()
+    )
+    stage(f"bitext margin ({b_rows:,}x{b_rows:,}, d=16)", (
+        cand.withColumn("brk", F.row_number().over(wsrc))
+        .filter((F.col("brk") == 1) & (F.col("margin") > 1.0))
+    ), t0)
 
 
 if __name__ == "__main__":
