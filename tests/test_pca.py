@@ -118,7 +118,8 @@ def test_pca_fit_skips_null_vectors(spark):
 
 
 def test_pca_projected_variance_monotone(spark):
-    """Invariant backing the rows-only pca_project driver row: the
+    """Invariant backing the pca_project driver row (hash-checked
+    since r12 via per-row Bessel certificates): the
     sample variance of the projected coordinates is non-increasing
     pc1 ≥ pc2 ≥ … ≥ pck and matches the fitted eigenvalues."""
     rng = np.random.RandomState(4)
