@@ -479,3 +479,22 @@ def test_insert_with_column_list(spark):
     """, catalog=EngineCatalog())
     rows = sorted((r.a, r.b) for r in out[-1].df.collect())
     assert rows == [(1, "x"), (2, "y")]
+
+
+def test_escaped_literals_restored_after_script_even_on_error(spark):
+    """run_sql_script flips the session to standard-SQL literal semantics
+    (Flink parity — see its docstring) and MUST restore the caller's
+    setting even when a statement throws mid-script."""
+    import pytest as _pytest
+
+    key = "spark.sql.parser.escapedStringLiterals"
+    spark.conf.set(key, "false")
+    with _pytest.raises(Exception):
+        run_sql_script(spark, "SELECT * FROM table_that_does_not_exist_xyz")
+    assert spark.conf.get(key) == "false"
+    # inside a script, backslashes reach the regex engine intact
+    out = run_sql_script(spark, r"""
+        SELECT REGEXP_EXTRACT('Verdict: APPROVE',
+                              '\*{0,2}Verdict:\s*([A-Z_]+)', 1) AS v
+    """)
+    assert out[0].df.collect()[0].v == "APPROVE"
