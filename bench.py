@@ -269,7 +269,8 @@ def _isolated_one(name: str) -> None:
         spark.catalog.clearCache()
         _release_broadcasts()
     spark.stop()
-    print(json.dumps({"query": name, "sec": round(best, 3)}), flush=True)
+    print(json.dumps({"query": name, "sec": round(best, 3),
+                      "load": round(os.getloadavg()[0], 2)}), flush=True)
 
 
 def _run_chunk_inprocess(names: list[str]) -> tuple[dict, dict]:
@@ -419,6 +420,7 @@ def main() -> None:
             key=lambda n: -timings[n],
         ):
             runs: list[float] = []
+            loads: list[float] = []
             for _ in range(3):
                 try:
                     res = subprocess.run(
@@ -427,13 +429,22 @@ def main() -> None:
                     )
                     for ln in reversed(res.stdout.splitlines()):
                         if ln.startswith('{"query"'):
-                            runs.append(json.loads(ln)["sec"])
+                            rec = json.loads(ln)
+                            runs.append(rec["sec"])
+                            loads.append(rec.get("load", -1.0))
                             break
                 except Exception:  # noqa: BLE001 — isolation is best-effort
                     pass
             if runs:
                 isolated[name] = round(statistics.median(runs), 3)
-                iso_forks[name] = runs
+                # per-fork (sec, 1-min load at fork exit): a slow fork
+                # under high load is environmental evidence, not a
+                # regression signal (r12 live example: edit_distance_dedup
+                # forked 26-33 s three times in one contended window, then
+                # 4 s on the same tree minutes later)
+                iso_forks[name] = [
+                    [sec, ld] for sec, ld in zip(runs, loads)
+                ]
         if isolated:
             out["isolated"] = isolated
             out["isolated_forks"] = iso_forks
