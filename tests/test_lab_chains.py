@@ -707,3 +707,96 @@ In Policy Basis: cite specific section titles and references from the retrieved 
         assert r.verdict in _VALID_VERDICTS, r.raw_response
         assert r.summary and r.summary.strip()
         assert r.policy_basis and r.policy_basis.strip()
+
+
+# ---------------------------------------------------------------------------
+# Lab 2 — vector search RAG (terraform/lab2-vector-search/main.tf:215-340)
+# ---------------------------------------------------------------------------
+
+def test_lab2_rag_chain_end_to_end(spark):
+    """Lab2's terraform-deployed statement chain in its own spelling:
+    queries → lateral embed (INSERT INTO) → VECTOR_SEARCH_AGG top-3 with
+    flattened search_results[1..3] columns → lateral LLM answer
+    (lowercase ml_predict, as deployed). Asserts the reference e2e's
+    contracts (testing/e2e/test_lab2.py:100-133): search_results rows
+    exist, the RAG response is non-empty — plus an exactness check the
+    fake embedder affords: a query planted verbatim as a corpus chunk
+    must retrieve that chunk at rank 1 with cosine ~1."""
+    ship_package(spark)
+    cat = EngineCatalog()
+    planted = ("What ingredients are in the gumbo special and is it "
+               "gluten free?")
+    _register_vectordb(spark, "documents_vectordb_lab2", [
+        {"document_id": "menu-001", "chunk": planted},
+        {"document_id": "menu-002",
+         "chunk": "The jambalaya platter contains shrimp, andouille "
+                  "sausage, and rice; it is dairy free."},
+        {"document_id": "faq-001",
+         "chunk": "Reservations are accepted for parties of six or more; "
+                  "walk-ins welcome otherwise."},
+        {"document_id": "faq-002",
+         "chunk": "We are open 11am to 10pm every day except major "
+                  "holidays."},
+    ], id_col="document_id")
+    register_engine_sql(spark, cat)
+    spark.createDataFrame(
+        [(planted,), ("When are you open on holidays?",)],
+        "query string",
+    ).createOrReplaceTempView("queries")
+
+    results = run_sql_script(spark, """
+        CREATE MODEL `llm_embedding_model` INPUT (text STRING)
+            OUTPUT (embedding ARRAY<FLOAT>) WITH ('provider' = 'fake');
+        CREATE MODEL `llm_textgen_model` INPUT (prompt STRING)
+            OUTPUT (response STRING) WITH ('provider' = 'fake');
+
+        INSERT INTO queries_embed
+        SELECT query, embedding FROM queries,
+        LATERAL TABLE(ML_PREDICT('llm_embedding_model', query));
+
+        CREATE TABLE IF NOT EXISTS search_results AS
+        SELECT qe.query,
+               vs.search_results[1].document_id AS document_id_1,
+               vs.search_results[1].chunk AS chunk_1,
+               vs.search_results[1].score AS score_1,
+               vs.search_results[2].document_id AS document_id_2,
+               vs.search_results[2].chunk AS chunk_2,
+               vs.search_results[2].score AS score_2,
+               vs.search_results[3].document_id AS document_id_3,
+               vs.search_results[3].chunk AS chunk_3,
+               vs.search_results[3].score AS score_3
+        FROM queries_embed AS qe,
+        LATERAL TABLE(VECTOR_SEARCH_AGG(
+            documents_vectordb_lab2, DESCRIPTOR(embedding),
+            qe.embedding, 3
+        )) AS vs;
+
+        CREATE TABLE IF NOT EXISTS search_results_response AS
+        SELECT sr.query, sr.document_id_1, sr.chunk_1, sr.score_1,
+               sr.document_id_2, sr.chunk_2, sr.score_2,
+               sr.document_id_3, sr.chunk_3, sr.score_3, pred.response
+        FROM search_results sr,
+        LATERAL TABLE( ml_predict( 'llm_textgen_model', CONCAT(
+            'Based on the following search results, provide a helpful response.\\n\\nUSER QUERY: ',
+            sr.query,
+            '\\n\\nDocument 1 (Similarity Score: ', CAST(sr.score_1 AS STRING), '):\\nSource: ',
+            sr.document_id_1, '\\nContent: ', sr.chunk_1,
+            '\\n\\nRESPONSE:' ) ) ) AS pred;
+    """, catalog=cat)
+    assert [r.kind for r in results] == ["model", "model", "insert",
+                                         "ctas", "ctas"]
+
+    sr = {r.query: r for r in spark.table("search_results").collect()}
+    assert len(sr) == 2
+    # the planted query is verbatim a corpus chunk: identical fake
+    # embeddings, cosine 1 at rank 1
+    hit = sr[planted]
+    assert hit.document_id_1 == "menu-001"
+    assert abs(hit.score_1 - 1.0) < 1e-9
+    assert hit.chunk_1 == planted
+    assert hit.score_1 >= hit.score_2 >= hit.score_3
+
+    resp = spark.table("search_results_response").collect()
+    assert len(resp) == 2
+    for r in resp:
+        assert r.response and r.response.strip()  # test_lab2.py:133
