@@ -13,11 +13,18 @@ Python UDTFs, so the engine registers:
 
 - ``ml_predict(model_name, prompt) -> STRING`` — scalar pandas UDF, batched.
 - ``ml_embed(model_name, text) -> ARRAY<FLOAT>`` — scalar pandas UDF.
-- ``ml_predict_t(model_name, prompt)`` — UDTF ``(response STRING)`` for
+- ``ml_predict_t(model_name, prompt)`` — UDTF ``(response STRING,
+  embedding ARRAY<FLOAT>)``; the column matching the model's task is
+  filled (Flink types ML_PREDICT from the model's OUTPUT clause) for
   ``FROM t, LATERAL ml_predict_t(t.prompt) r``.
-- ``ai_run_agent(agent_name, prompt)`` — UDTF ``(status, response)``.
+- ``ai_run_agent(agent_name, prompt, *context[, settings MAP])`` — UDTF
+  ``(status, response)``.
 - per vector table ``vector_search_<name>(query_embedding, k)`` — UDTF
-  ``(match_id BIGINT, score DOUBLE, rank INT)`` over a broadcast corpus.
+  ``(corpus cols…, score DOUBLE, rank INT)``, one row per match, over a
+  broadcast corpus; plus ``vector_search_agg_<name>(query_embedding, k)``
+  — ONE row per query with ``search_results ARRAY<ROW(cols…, score)>``,
+  the reference contract the walkthrough SQL indexes
+  (``vs.search_results[1].chunk``).
 - per document corpus ``keyword_search_<name>(query_text, k)`` — lateral
   BM25 top-k over a precomputed broadcast index (the lexical twin).
 
