@@ -227,6 +227,8 @@ HEADLINE = [
     "code_detect",
     "minhash_calibration",
     "quality_classifier_stage_checksums",
+    # round 12
+    "script_sql_chain",
 ]
 
 

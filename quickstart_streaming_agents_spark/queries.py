@@ -13190,6 +13190,76 @@ def charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Script-path chain (round 12) — the ONE registered query that runs
+# THROUGH run_sql_script instead of the DataFrame API, so the driver's
+# value-hash gate covers the walkthrough-SQL surface itself (statement
+# splitting, AI DDL, TUMBLE TVF rewrite, lateral ML_PREDICT rewrite,
+# standard-SQL literal semantics, CTAS temp-view chaining) on the
+# driver's own plain session — previously that stack was pytest-only
+# (tests/test_script.py, tests/test_lab_chains.py). Every stage is
+# DuckDB-replayable: hourly tumble, a count filter, the fake provider's
+# SQL-expressible template ('FAKE[<model>]:' || UPPER(first 48 chars)),
+# and REGEXP_EXTRACT of the model tag.
+# ---------------------------------------------------------------------------
+@query(
+    "script_sql_chain",
+    oracle=r"""
+    WITH w AS (
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP)
+                   AS window_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    a AS (
+        SELECT event_type, window_start, n_events,
+               'FAKE[script_textgen]:' || UPPER(substr(
+                   'Summarize window ' || n_events || ' events of '
+                       || event_type, 1, 48)) AS response
+        FROM w WHERE n_events > 2
+    )
+    SELECT event_type, window_start, n_events, response,
+           regexp_extract(response, 'FAKE\[([a-z_]+)\]', 1) AS model_tag
+    FROM a
+    """,
+)
+def script_sql_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walkthrough-shaped SQL chain through run_sql_script — see block
+    comment. The script is the lab1/lab3 statement skeleton: model DDL,
+    TUMBLE TVF CTAS, lateral ML_PREDICT CTAS with REGEXP_EXTRACT
+    post-processing, final SELECT."""
+    from quickstart_streaming_agents_spark.registries import EngineCatalog
+    from quickstart_streaming_agents_spark.script import run_sql_script
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "script_chain_events"
+    )
+    cat = EngineCatalog()
+    results = run_sql_script(spark, r"""
+        CREATE MODEL script_textgen INPUT (prompt STRING)
+            OUTPUT (response STRING) WITH ('provider' = 'fake');
+        CREATE TABLE script_chain_windowed AS
+        SELECT window_start, window_time, event_type,
+               COUNT(*) AS n_events
+        FROM TABLE(TUMBLE(TABLE script_chain_events, DESCRIPTOR(ts),
+                          INTERVAL '1' HOURS))
+        GROUP BY window_start, window_end, window_time, event_type;
+        CREATE TABLE script_chain_alerts AS
+        SELECT w.event_type, w.window_start, w.n_events, r.response,
+               REGEXP_EXTRACT(r.response, 'FAKE\[([a-z_]+)\]', 1)
+                   AS model_tag
+        FROM script_chain_windowed w,
+        LATERAL TABLE(ML_PREDICT('script_textgen',
+            CONCAT('Summarize window ', CAST(w.n_events AS STRING),
+                   ' events of ', w.event_type))) r
+        WHERE w.n_events > 2;
+        SELECT event_type, window_start, n_events, response, model_tag
+        FROM script_chain_alerts;
+    """, catalog=cat)
+    return results[-1].df
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation (round 11). The correctness harness
 # oracle-checks the FIRST 50 registry entries each round. Round 10's
 # rotation was accidentally left at the r9 list, so its window (and
@@ -13224,7 +13294,9 @@ def charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nation_trade_volume, part_supplier_variety, small_quantity_revenue,
 # excess_quota_suppliers, dormant_customer_balance — no custom
 # operator in any of their plans, parity-pinned in-repo every run);
-# they lead the r13 refresh queue, followed by the 44 r8-vintage rows.
+# they lead the r13 refresh queue, followed by script_sql_chain (added
+# late in r12 — never driver-checked, simulator-verified in
+# VERIFY_r12.log's addendum) and the 44 r8-vintage rows.
 # ---------------------------------------------------------------------------
 _R12_CHECK_FIRST = [
     # (a) r6-vintage

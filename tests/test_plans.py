@@ -401,3 +401,14 @@ def test_round11b_query_plan_budgets_pinned(spark):
     # countDistinct stats, and the per-doc ranking window
     assert count_exchanges(_q(spark, "tfidf_top_terms")) <= 7
     assert count_exchanges(_q(spark, "hits_scores")) <= 12
+
+
+def test_script_sql_chain_plan_shape(spark):
+    """The script-path chain (r12): TUMBLE rewrite aggregates once, the
+    lateral ML_PREDICT is the only Python node (Arrow UDTF), and no
+    row-at-a-time Python appears anywhere."""
+    df = _q(spark, "script_sql_chain")
+    assert count_exchanges(df) <= 2
+    plan = physical_plan(df)
+    assert "BatchEvalPython(" not in plan
+    assert plan.count("BatchEvalPythonUDTF") == 1
