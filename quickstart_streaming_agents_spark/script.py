@@ -303,7 +303,11 @@ def rewrite_flink(sql: str, spark: SparkSession | None = None) -> str:
     return sql
 
 
-_SR_INDEX_RE = re.compile(r"((?:`?\w+`?\.)?search_results)\s*\[\s*(\d+)\s*\]")
+# (?<![\w`]) blocks a suffix match inside a longer identifier
+# (foo_search_results[1] must keep Spark semantics untouched)
+_SR_INDEX_RE = re.compile(
+    r"(?<![\w`])((?:`?\w+`?\.)?search_results)\s*\[\s*(\d+)\s*\]"
+)
 
 
 def rewrite_search_results_index(sql: str) -> str:

@@ -61,6 +61,11 @@ def test_rewrite_search_results_index_is_one_based_null_safe():
     # other arrays keep Spark semantics untouched
     assert rewrite_search_results_index("SELECT arr[1] FROM t") == \
         "SELECT arr[1] FROM t"
+    # a LONGER identifier merely ending in search_results is not the
+    # corpus column — suffix matches must not fire
+    assert rewrite_search_results_index(
+        "SELECT foo_search_results[1], a.bar_search_results[2] FROM t"
+    ) == "SELECT foo_search_results[1], a.bar_search_results[2] FROM t"
 
 
 def test_ai_ddl_populates_catalog(spark):
