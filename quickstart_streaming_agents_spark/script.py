@@ -29,7 +29,8 @@ registered UDTFs (sql.py) before execution::
     LATERAL TABLE(ML_PREDICT('m', p))            -> LATERAL ml_predict_t('m', p)
     LATERAL TABLE(AI_RUN_AGENT('a', p))          -> LATERAL ai_run_agent('a', p)
     LATERAL TABLE(VECTOR_SEARCH_AGG(t, DESCRIPTOR(c), q, k))
-                                                 -> LATERAL vector_search_t(q, k)
+                                                 -> LATERAL vector_search_agg_t(q, k)
+    (plus ``search_results[N]`` -> 1-based null-safe ``try_element_at``)
 
 The TUMBLE/HOP/CUMULATE windowing TVFs are rewritten onto Spark's
 ``window()`` projection (same ``window_start``/``window_end``/
@@ -571,16 +572,28 @@ def run_sql_script(
     statement throws.
     """
     cat = catalog if catalog is not None else DEFAULT_CATALOG
-    key = "spark.sql.parser.escapedStringLiterals"
-    prev = spark.conf.get(key, "false")
-    spark.conf.set(key, "true")
+    # Two session knobs for the script's duration (restored after):
+    # standard-SQL literals (above), and Arrow-batched Python-UDTF
+    # transfer — Spark's UDTFs are pickled row-at-a-time by default,
+    # which would put every lateral ML_PREDICT/AI_RUN_AGENT/vector
+    # search on the banned row-Python path (plans/inspect.py's
+    # assert_no_row_python); with the flag they plan as
+    # ArrowEvalPythonUDTF, the same batched tier as pandas UDFs.
+    knobs = {
+        "spark.sql.parser.escapedStringLiterals": "true",
+        "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
+    }
+    prev = {k: spark.conf.get(k, "false") for k in knobs}
+    for k, v in knobs.items():
+        spark.conf.set(k, v)
     try:
         results: list[StatementResult] = []
         for stmt in split_statements(script):
             results.append(_run_statement(spark, stmt, cat))
         return results
     finally:
-        spark.conf.set(key, prev)
+        for k, v in prev.items():
+            spark.conf.set(k, v)
 
 
 def _ddl_name(obj: str, stmt: str) -> str:

@@ -410,5 +410,5 @@ def test_script_sql_chain_plan_shape(spark):
     df = _q(spark, "script_sql_chain")
     assert count_exchanges(df) <= 2
     plan = physical_plan(df)
-    assert "BatchEvalPython(" not in plan
-    assert plan.count("BatchEvalPythonUDTF") == 1
+    assert "BatchEvalPython" not in plan  # row-pickled Python banned
+    assert plan.count("ArrowEvalPythonUDTF") == 1
