@@ -601,6 +601,51 @@ def smoke_token_bucket(spark, events: int, workdir: str) -> None:
     )
 
 
+def smoke_preference_pairs(spark, docs: int, workdir: str) -> None:
+    """Round-12 twin: DPO pair state is TWO packed BIGINTs per prompt
+    (best/worst of rating*1e8+doc) — same bounded-state class as the
+    token bucket, and order-insensitive (min/max), so no ingest-order
+    contract at all."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.streaming.ops import (
+        preference_pairs_stream,
+    )
+
+    nprompts = 10_000
+    src = f"{workdir}/pp_src"
+    per_slice = -(-docs // SLICES)
+    gen = spark.range(docs).select(
+        (F.col("id") % nprompts).alias("prompt_id"),
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("rating"),
+        F.least(F.lit(SLICES - 1),
+                (F.col("id") / per_slice).cast("int")).alias("slc"),
+    )
+    write_slices(gen, "doc_id", F.col("slc"), src)
+
+    schema = "prompt_id long, doc_id long, rating long"
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", "2").load(src)
+    )
+    paired = preference_pairs_stream(stream)
+    q = (
+        paired.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _: df.write.format("noop").mode("overwrite").save()
+        )
+        .option("checkpointLocation", f"{workdir}/pp_ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    report(
+        f"preference_pairs_stream ({docs:,} ratings, {nprompts:,} prompts)",
+        progress_rows(q), state_bound=nprompts,
+        bound_desc="two packed BIGINTs per prompt",
+    )
+
+
 def main() -> None:
     events = int(os.environ.get("SMOKE_EVENTS", 1_000_000))
     docs = int(os.environ.get("SMOKE_DOCS", 1_000_000))
@@ -611,15 +656,23 @@ def main() -> None:
     ship_package(spark)
     workdir = tempfile.mkdtemp(prefix="stream_smoke_")
     t0 = time.perf_counter()
+    only = os.environ.get("SMOKE_ONLY")  # substring over smoke fn names
+
+    def run(fn, n):
+        if only and only not in fn.__name__:
+            return
+        fn(spark, n, workdir)
+
     try:
-        smoke_anomaly(spark, events, workdir)
-        smoke_packing(spark, docs, workdir)
-        smoke_maponly_gates(spark, docs, workdir)
-        smoke_hll_registers(spark, events, workdir)
-        smoke_kmins_registers(spark, events, workdir)
-        smoke_contamination_fraction(spark, docs, workdir)
-        smoke_crawl_frontier(spark, docs, workdir)
-        smoke_token_bucket(spark, events, workdir)
+        run(smoke_anomaly, events)
+        run(smoke_packing, docs)
+        run(smoke_maponly_gates, docs)
+        run(smoke_hll_registers, events)
+        run(smoke_kmins_registers, events)
+        run(smoke_contamination_fraction, docs)
+        run(smoke_crawl_frontier, docs)
+        run(smoke_token_bucket, events)
+        run(smoke_preference_pairs, docs)
         print(f"total wall: {time.perf_counter() - t0:.1f}s")
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
