@@ -620,10 +620,14 @@ def tfidf_top_terms(
     frozen corpus vocabulary is bit-exact equal to this batch operator
     run with the same ``frozen``.
     """
-    post = postings(docs, doc_id=doc_id, text=text).persist()
+    post = postings(docs, doc_id=doc_id, text=text)
     if frozen is not None:
+        # frozen vocabulary → postings are consumed exactly once below;
+        # persisting here would strand one cached copy per micro-batch in
+        # a long-running stream (ADVICE r12), so don't.
         dfreq, stats = frozen
     else:
+        post = post.persist()
         dfreq = post.groupBy("term").agg(F.count("*").alias("df")).filter(
             F.col("df") >= min_df
         )

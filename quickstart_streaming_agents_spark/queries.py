@@ -8542,24 +8542,46 @@ def quality_classifier_digest_only(
 # projection is now hash-checkable, so this entry can never record
 # `err: no_oracle`. Eigh itself has no SQL replay (it stays pinned by
 # tests/test_pca.py vs independent NumPy full-matrix PCA and by the
-# exact-integer pca_moments sibling); what IS certified per row here is
-# Bessel's inequality — Σ_k pc_k² ≤ ‖x − μ‖² holds for EVERY vector iff
-# the fitted basis is orthonormal and the projection/centering folds
-# are correct (a non-orthonormal basis inflates Σpc² past the centered
-# norm on generic data; wrong centering or a transposed component
-# matrix breaks it immediately) — plus projection-completeness
-# (all k coordinates non-NULL for every non-NULL vector). Both
-# invariants are computed JVM-side (zip_with/aggregate folds — zero
-# Python, zero extra shuffle) and emitted as booleans the oracle
-# states as constants; a violation anywhere in the corpus goes
-# hash-red on that row.
+# exact-integer pca_moments sibling). Certified per row here is
+# Bessel's inequality — Σ_k pc_k² ≤ ‖x − μ‖². NECESSARY condition only
+# (ADVICE r12): it is one-sided, so it catches norm-INFLATING errors
+# (non-orthonormal over-scaled basis, wrong centering, transposed
+# component matrix inflate Σpc² past the centered norm on generic
+# data) but NOT deflating ones — an all-zero component matrix, a
+# basis scaled below unit norm, or a dropped component still satisfy
+# it. The deflating side is closed by the corpus-level ENERGY
+# certificate `energy_ok`: the distributed total projected energy
+# Σ_rows Σ_k pc_k² (one extra scalar agg + 1-row collect) must equal
+# (n−1)·Σ_k λ_k from the same fit to 1e-6 relative — exact math when
+# basis, centering, and the JVM projection fold all agree with the
+# moment pass, and any contractive error (zeroed/shrunk/dropped
+# component) collapses the left side while λ's stay put. Together the
+# two sides give value-level coverage of everything except eigh's
+# internal correctness (pinned in tests/test_pca.py). Also
+# projection-completeness (all k coordinates non-NULL for every
+# non-NULL vector). Per-row invariants are JVM-side zip_with/aggregate
+# folds — zero Python, zero extra shuffle; a violation anywhere in the
+# corpus goes hash-red on that row.
 @query(
     "pca_project",
+    # degenerate-corpus gate (ADVICE r12): with <2 non-NULL embeddings
+    # the engine's pca_fit raises and every row degrades to NULL
+    # certificates — the oracle must go NULL on the same condition or a
+    # 1-vector slice hash-reds spuriously.
     oracle="""
     SELECT vec_id, label,
-           CASE WHEN embedding IS NULL THEN NULL ELSE TRUE END AS bessel_ok,
-           CASE WHEN embedding IS NULL THEN NULL ELSE TRUE END AS proj_complete,
-           CASE WHEN embedding IS NULL THEN NULL
+           CASE WHEN (SELECT COUNT(*) FROM embeddings
+                      WHERE embedding IS NOT NULL) < 2 THEN NULL
+                WHEN embedding IS NULL THEN NULL ELSE TRUE END AS bessel_ok,
+           CASE WHEN (SELECT COUNT(*) FROM embeddings
+                      WHERE embedding IS NOT NULL) < 2 THEN NULL
+                WHEN embedding IS NULL THEN NULL ELSE TRUE END AS energy_ok,
+           CASE WHEN (SELECT COUNT(*) FROM embeddings
+                      WHERE embedding IS NOT NULL) < 2 THEN NULL
+                WHEN embedding IS NULL THEN NULL ELSE TRUE END AS proj_complete,
+           CASE WHEN (SELECT COUNT(*) FROM embeddings
+                      WHERE embedding IS NOT NULL) < 2 THEN NULL
+                WHEN embedding IS NULL THEN NULL
                 ELSE CAST(4 AS INT) END AS n_components
     FROM embeddings
     """,
@@ -8584,11 +8606,12 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_out = emb.select(
         "vec_id", "label",
         F.lit(None).cast("boolean").alias("bessel_ok"),
+        F.lit(None).cast("boolean").alias("energy_ok"),
         F.lit(None).cast("boolean").alias("proj_complete"),
         F.lit(None).cast("int").alias("n_components"),
     )
     try:
-        mean, comp, _ = pca_fit(emb, "embedding", k=4)
+        mean, comp, evals = pca_fit(emb, "embedding", k=4)
     except ValueError as e:
         # ONLY the degenerate corpus (basis undefined) degrades to NULL
         # certificates; k/dim misconfiguration or ragged vectors must
@@ -8613,11 +8636,25 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_pc_nonnull = pcs[0].isNotNull()
     for p in pcs[1:]:
         all_pc_nonnull = all_pc_nonnull & p.isNotNull()
+    # two-sided corpus-level energy certificate (ADVICE r12; see block
+    # comment): distributed Σ_rows Σ_k pc_k² vs (n−1)·Σλ from the fit.
+    # One scalar agg over the map-only projection + a 1-row collect —
+    # bounded at any corpus size (same discipline as pca_fit's
+    # (1+d+d²)-row moment collect).
+    tot_row = proj.filter(nn).agg(
+        F.sum(sumpc2).alias("e"), F.count(F.lit(1)).alias("n")
+    ).first()
+    expected = float(evals.sum()) * (int(tot_row["n"]) - 1)
+    energy_ok = bool(
+        abs(float(tot_row["e"] or 0.0) - expected)
+        <= 1e-6 * abs(expected) + 1e-9
+    )
     return proj.select(
         "vec_id", "label",
         F.when(
             nn, sumpc2 <= centered2 * (1 + 1e-9) + F.lit(1e-12)
         ).alias("bessel_ok"),
+        F.when(nn, F.lit(energy_ok)).alias("energy_ok"),
         F.when(nn, all_pc_nonnull).alias("proj_complete"),
         F.when(nn, F.lit(4)).alias("n_components"),
     )

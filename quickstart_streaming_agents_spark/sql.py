@@ -344,6 +344,12 @@ def register_vector_table_sql(
             qn = np.linalg.norm(q)
             scores = m @ (q / qn if qn else q)
             kk = min(int(k), len(scores))
+            if kk <= 0:
+                # k=0 (or an empty corpus slice): empty search_results
+                # array, matching the flat UDTF's fewer-than-k contract
+                # instead of argpartition's kth-out-of-bounds (ADVICE r12).
+                yield ([],)
+                return
             top = np.argpartition(-scores, kk - 1)[:kk]
             top = top[np.lexsort((top, -scores[top]))]
             yield ([rows[j] + (float(scores[j]),) for j in top],)
