@@ -229,6 +229,9 @@ HEADLINE = [
     "quality_classifier_stage_checksums",
     # round 12
     "script_sql_chain",
+    # round 13
+    "lab3_chain",
+    "lab4_chain",
 ]
 
 

@@ -66,14 +66,18 @@ def pick_verdict_choice(text: str) -> str | None:
     """
     m = re.search(r"verdict[s]? must be one of:?\s*\[([^\]]+)\]", text, re.I)
     if m is None:
+        # capture the whole choice list up to the sentence end, then split:
+        # a token-by-token pattern under re.I matched the literal "or" as a
+        # list item and silently DROPPED the final choice (lab4's
+        # DENY_FRAUD was unreachable — r13 fix, pinned in
+        # tests/test_ai_functions.py::test_pick_verdict_five_value_set)
         m = re.search(
-            r"verdict line must contain exactly one word:\s*([A-Z_]+(?:\s*,\s*"
-            r"[A-Z_]+)*(?:\s*,?\s*or\s+[A-Z_]+)?)",
+            r"verdict line must contain exactly one word:\s*([^.\n]+)",
             text, re.I,
         )
         if m is None:
             return None
-        raw = re.sub(r"\bor\b", ",", m.group(1))
+        raw = re.sub(r"\bor\b", ",", m.group(1), flags=re.I)
         choices = [c.strip() for c in raw.split(",") if c.strip()]
         return choices[int(hashlib.md5(text.encode()).hexdigest(), 16) % len(choices)]
     choices = [c.strip().strip("'\"") for c in m.group(1).split(",")]

@@ -13297,6 +13297,798 @@ def script_sql_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Lab3/lab4 walkthrough chains as REGISTERED, value-hash-oracled queries
+# (VERDICT r12 "Next round" #3): the reference's authoritative e2e corpus
+# — tumble agg → ML_DETECT_ANOMALIES OVER → above-upper post-filter →
+# window join/LIMIT → lateral embed → VECTOR_SEARCH_AGG → lateral LLM →
+# AI_RUN_AGENT → REGEXP_EXTRACT into typed columns — runs through
+# run_sql_script in the walkthroughs' own spelling and lands under the
+# driver's own DuckDB hash gate (previously pytest-only,
+# tests/test_lab_chains.py). Reference: LAB3-Walkthrough.md:99-472,
+# LAB4-Walkthrough.md:79-446; the reference's e2e assertions
+# (testing/e2e/test_lab3.py:248-339, test_lab4.py:241-364) are subsumed
+# by the exact-value oracles below.
+#
+# Oracle strategy (the r12 script_sql_chain / agent_price_match /
+# anomaly_detect_ar ingredients, composed):
+# - datagen is JVM-side closed-form over spark.range with md5 "wiggle"
+#   noise, replayed in DuckDB via ('0x' || substr(md5(k), 1, 8))::BIGINT;
+#   the series are the lab-chain test's tuned shapes (one planted spike,
+#   aperiodic bounded noise), so by construction — verified offline with
+#   ar_one_step, pinned by the hash — the anomaly stage's output set IS
+#   the planted row, which the oracle replays literally.
+# - the AR(p) ridge forecast itself has no SQL replay; it never reaches
+#   the registered projection as a raw float. lab3 emits the band
+#   invariant `expected_in_band` (forecast of a 40±1 baseline ∈ [30,50]);
+#   a detector regression flips the boolean or changes the anomaly set →
+#   hash-red.
+# - fake-provider algebra is replayed exactly: template responses
+#   ('FAKE[<model>]:' || UPPER(first 48)), compose_labeled_sections'
+#   constant sections, and the lab4 verdict pick
+#   md5(transcript) % 5 — 2^64 ≡ 1 (mod 5), so the 128-bit digest mod is
+#   (hi64 % 5 + lo64 % 5) % 5 over the two UBIGINT halves.
+# - vector ranking is replayed via the fake-embedding md5 formula
+#   (providers.fake_embedding) + list_cosine_similarity, float32
+#   round-trip on the query side only (ML_PREDICT outputs ARRAY<FLOAT>;
+#   the corpus table holds float64) — the rag_pipeline spelling.
+#
+# One documented deviation from the walkthrough spelling: lab4's
+# `LIMIT 10` (test_lab_chains keeps it verbatim) becomes
+# `ORDER BY claim_id LIMIT 10` here — a bare LIMIT is an
+# arbitrary-subset contract in both Flink and Spark, which no value hash
+# can pin; the ordered form keeps the walkthrough's agent-invocation
+# bound while making the investigated set deterministic.
+# ---------------------------------------------------------------------------
+
+_LAB3_DISPATCH_AGENT_PROMPT = """You are an intelligent boat dispatch coordinator for a riverboat ride-sharing service.
+
+Your workflow:
+1. ANALYZE the surge information provided (zone, time, request count).
+2. REVIEW the available vessels list by using the http_get tool.
+3. SELECT appropriate boats to dispatch and CREATE a JSON dispatch request.
+4. USE the http_post tool to POST the dispatch request.
+
+5. FORMAT your final response with these THREE sections:
+
+Dispatch Summary:
+Due to the surge in demand in [zone] as a result of [event], we dispatched [n] additional boats from [list of zones].
+
+Dispatch JSON:
+{your dispatch JSON here}
+
+API Response:
+{the response from the API call}
+
+CRITICAL INSTRUCTIONS:
+- Your response MUST contain the three labeled sections
+- NEVER ask for clarification. Act immediately."""
+
+_LAB3_EVENT_DOCS = [
+    ("doc-jazzfest",
+     "French Quarter Jazz Festival, 7:00 PM - 11:00 PM, "
+     "expected attendance 12000, Bourbon Street stages."),
+    ("doc-conf",
+     "Riverfront tech conference, Garden District convention "
+     "hall, 9:00 AM - 5:00 PM, attendance 3000."),
+    ("doc-game",
+     "Marigny street parade, 2:00 PM - 6:00 PM, local "
+     "attendance 800."),
+    ("doc-generic",
+     "No major events scheduled; typical weekday traffic "
+     "patterns across all zones."),
+]
+
+# fake-embedding replay (providers.fake_embedding): raw component i =
+# md5(text # i) first 16 hex as uint64 → [-1, 1), then L2-normalize.
+# Two-stage (raw list in one CTE, normalization over the `raw` column in
+# the next — DuckDB correlation can't reach a nested FROM). `cast32`
+# adds the ARRAY<FLOAT> round-trip ML_PREDICT applies on the query side.
+def _fake_emb_raw_sql(text_expr: str) -> str:
+    return (
+        f"list_transform(range(0, 64), i -> "
+        f"('0x' || substr(md5({text_expr} || '#' || i), 1, 16))::UBIGINT"
+        f" / 18446744073709551616.0 * 2.0 - 1.0)"
+    )
+
+
+def _fake_emb_norm_sql(cast32: bool) -> str:
+    x = ("CAST(CAST(x / sqrt(list_aggregate(list_transform(raw, y -> y * y),"
+         " 'sum')) AS FLOAT) AS DOUBLE)"
+         if cast32 else
+         "x / sqrt(list_aggregate(list_transform(raw, y -> y * y), 'sum'))")
+    return f"list_transform(raw, x -> {x})"
+
+
+_LAB3_FAKE_REASON = (
+    "'FAKE[llm_textgen_model]:' || upper(substr("
+    "'Analyze the retrieved event documents and identify the most likely "
+    "cause', 1, 48))"
+)
+
+_LAB3_CHAIN_ORACLE = f"""
+WITH docs(ord, document_id, chunk) AS (VALUES
+    (1, 'doc-jazzfest', 'French Quarter Jazz Festival, 7:00 PM - 11:00 PM, expected attendance 12000, Bourbon Street stages.'),
+    (2, 'doc-conf', 'Riverfront tech conference, Garden District convention hall, 9:00 AM - 5:00 PM, attendance 3000.'),
+    (3, 'doc-game', 'Marigny street parade, 2:00 PM - 6:00 PM, local attendance 800.'),
+    (4, 'doc-generic', 'No major events scheduled; typical weekday traffic patterns across all zones.')
+),
+cv0 AS (SELECT ord, chunk, {_fake_emb_raw_sql('chunk')} AS raw FROM docs),
+cv AS (SELECT ord, chunk, {_fake_emb_norm_sql(False)} AS v FROM cv0),
+qv0 AS (SELECT {_fake_emb_raw_sql("'Transportation demand surge in French Quarter'")} AS raw),
+qv AS (SELECT {_fake_emb_norm_sql(True)} AS q FROM qv0),
+sc AS (
+    SELECT ord, chunk,
+           list_cosine_similarity(v, (SELECT q FROM qv)) AS score
+    FROM cv
+),
+rk AS (
+    SELECT chunk, row_number() OVER (ORDER BY score DESC, ord) AS rk
+    FROM sc
+)
+SELECT 'French Quarter' AS pickup_zone,
+       CAST(to_timestamp(1709251200 + 300 * 300) AS TIMESTAMP)
+           - INTERVAL 1 MILLISECOND AS window_time,
+       CAST(200 AS BIGINT) AS request_count,
+       TRUE AS expected_in_band,
+       (SELECT chunk FROM rk WHERE rk = 1) AS top_chunk_1,
+       (SELECT chunk FROM rk WHERE rk = 2) AS top_chunk_2,
+       (SELECT chunk FROM rk WHERE rk = 3) AS top_chunk_3,
+       {_LAB3_FAKE_REASON} AS anomaly_reason,
+       'Deterministic fake dispatch summary content produced by the offline provider.' AS dispatch_summary,
+       '{{"action": "fake_deterministic", "items": []}}' AS dispatch_json,
+       'Deterministic fake api response content produced by the offline provider.' AS api_response
+"""
+
+
+@query("lab3_chain", oracle=_LAB3_CHAIN_ORACLE)
+def lab3_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAB3 fleet-surge walkthrough as ONE script chain (see block
+    comment): 3 zones x 300 five-minute windows at 40±1 requests with one
+    planted 200-request surge (French Quarter, window 299 — the LAST
+    window, so no post-spike window exists to be poisoned by the spike
+    entering its AR training frame) — datagen JVM-side over spark.range.
+    minTrainingSize=286 is the walkthrough's own figure; by construction
+    exactly the planted surge passes the above-upper post-filter.
+    Reference: LAB3-Walkthrough.md:147-472."""
+    from quickstart_streaming_agents_spark.providers import fake_embedding
+    from quickstart_streaming_agents_spark.registries import EngineCatalog, Model
+    from quickstart_streaming_agents_spark.script import run_sql_script
+    from quickstart_streaming_agents_spark.sql import register_vector_table_sql
+
+    zones = spark.createDataFrame(
+        [("French Quarter",), ("Garden District",), ("Marigny",)],
+        "pickup_zone string",
+    )
+    g = spark.range(300).select(F.col("id").alias("w")).crossJoin(zones)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat("pickup_zone", F.lit("|"), F.col("w").cast("string"))),
+            1, 8,
+        ), 16, 10,
+    ).cast("long")
+    # surge in the LAST window: a mid-series spike poisons the AR lags of
+    # every later window (sigma explodes / bounds invert) and post-spike
+    # baseline rows can flag above-upper — the lab4 datagen lesson
+    # (tests/test_lab_chains.py::_lab4_claims docstring), observed live
+    # here with the test's w=296 placement (w=299 flagged too).
+    n = F.when(
+        (F.col("pickup_zone") == "French Quarter") & (F.col("w") == 299),
+        F.lit(200),
+    ).otherwise(F.lit(40) + (h % 3 - 1))
+    rides = (
+        g.select("w", "pickup_zone",
+                 F.explode(F.sequence(F.lit(0), n - 1)).alias("i"))
+        .select(
+            F.concat(
+                F.lit("r"), F.col("w").cast("string"), F.lit("-"),
+                F.substring("pickup_zone", 1, 2), F.lit("-"),
+                F.col("i").cast("string"),
+            ).alias("ride_id"),
+            F.timestamp_seconds(
+                F.lit(1709251200) + F.col("w") * 300 + (F.col("i") * 7) % 300
+            ).alias("request_ts"),
+            "pickup_zone",
+            (F.lit(1) + F.col("i") % 3).cast("int").alias("number_of_passengers"),
+            F.concat((F.lit(12) + F.col("i") % 5).cast("string"), F.lit(".50"))
+                .alias("price"),
+        )
+    )
+    rides.createOrReplaceTempView("lab3_ride_requests")
+
+    emb_model = Model(name="llm_embedding_model", task="embedding")
+    embs = fake_embedding([c for _, c in _LAB3_EVENT_DOCS], emb_model)
+    vec = spark.createDataFrame(
+        [(d, c, e) for (d, c), e in zip(_LAB3_EVENT_DOCS, embs)],
+        "document_id string, chunk string, embedding array<double>",
+    )
+    register_vector_table_sql(spark, "documents_vectordb_lab3", vec,
+                              id_col="document_id")
+
+    cat = EngineCatalog()
+    results = run_sql_script(spark, """
+        CREATE MODEL `llm_embedding_model` INPUT (text STRING)
+            OUTPUT (embedding ARRAY<FLOAT>) WITH ('provider' = 'fake');
+        CREATE MODEL `llm_textgen_model` INPUT (prompt STRING)
+            OUTPUT (response STRING) WITH ('provider' = 'fake');
+        CREATE MODEL `remote_mcp_model` INPUT (prompt STRING)
+            OUTPUT (response STRING) WITH ('provider' = 'fake');
+        CREATE CONNECTION `remote-mcp-connection` WITH (
+            'type' = 'mcp_server', 'endpoint' = 'http://localhost:9/mcp');
+
+        CREATE TABLE lab3_anomalies_per_zone AS
+        WITH windowed_traffic AS (
+            SELECT
+                window_start, window_end, window_time, pickup_zone,
+                COUNT(*) AS request_count,
+                SUM(number_of_passengers) AS total_passengers,
+                SUM(CAST(price AS DECIMAL(10, 2))) AS total_revenue
+            FROM TABLE(
+                TUMBLE(TABLE lab3_ride_requests, DESCRIPTOR(request_ts), INTERVAL '5' MINUTE)
+            )
+            GROUP BY window_start, window_end, window_time, pickup_zone
+        ),
+        anomaly_detection AS (
+            SELECT
+                pickup_zone, window_time, request_count,
+                total_passengers, total_revenue,
+                ML_DETECT_ANOMALIES(
+                    CAST(request_count AS DOUBLE),
+                    window_time,
+                    JSON_OBJECT(
+                        'minTrainingSize' VALUE 286,
+                        'maxTrainingSize' VALUE 7000,
+                        'confidencePercentage' VALUE 99.9,
+                        'enableStl' VALUE FALSE
+                    )
+                ) OVER (
+                    PARTITION BY pickup_zone
+                    ORDER BY window_time
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS anomaly_result
+            FROM windowed_traffic
+        )
+        SELECT
+            pickup_zone, window_time, request_count,
+            total_passengers, total_revenue,
+            CAST(ROUND(anomaly_result.forecast_value) AS BIGINT) AS expected_requests,
+            anomaly_result.upper_bound AS upper_bound,
+            anomaly_result.lower_bound AS lower_bound,
+            anomaly_result.is_anomaly AS is_surge
+        FROM anomaly_detection
+        WHERE anomaly_result.is_anomaly = true
+          AND request_count > anomaly_result.upper_bound;
+
+        CREATE TABLE lab3_anomalies_enriched
+        WITH ('changelog.mode' = 'append')
+        AS SELECT
+            pickup_zone, window_time, request_count, expected_requests,
+            anomaly_reason, top_chunk_1, top_chunk_2, top_chunk_3
+        FROM (
+            SELECT
+                rad_with_rag.pickup_zone, rad_with_rag.window_time,
+                rad_with_rag.request_count, rad_with_rag.expected_requests,
+                rad_with_rag.is_surge,
+                TRIM(llm_response.response) AS anomaly_reason,
+                rad_with_rag.top_chunk_1, rad_with_rag.top_chunk_2,
+                rad_with_rag.top_chunk_3
+            FROM (
+                SELECT
+                    rad.pickup_zone, rad.window_time, rad.request_count,
+                    rad.expected_requests, rad.is_surge, rad.query,
+                    vs.search_results[1].document_id AS top_document_1,
+                    vs.search_results[1].chunk AS top_chunk_1,
+                    vs.search_results[1].score AS top_score_1,
+                    vs.search_results[2].document_id AS top_document_2,
+                    vs.search_results[2].chunk AS top_chunk_2,
+                    vs.search_results[2].score AS top_score_2,
+                    vs.search_results[3].document_id AS top_document_3,
+                    vs.search_results[3].chunk AS top_chunk_3,
+                    vs.search_results[3].score AS top_score_3
+                FROM (
+                    SELECT
+                        pickup_zone, window_time, request_count,
+                        expected_requests, is_surge,
+                        CONCAT(
+                            'Transportation demand surge in ',
+                            pickup_zone,
+                            ' at ',
+                            DATE_FORMAT(window_time, 'h:mm a'),
+                            '. Expected: ',
+                            CAST(expected_requests AS STRING),
+                            ', Actual: ',
+                            CAST(request_count AS STRING),
+                            '. What HIGH impact events are active in ',
+                            pickup_zone,
+                            ' during this time?'
+                        ) AS query,
+                        emb.embedding
+                    FROM lab3_anomalies_per_zone,
+                    LATERAL TABLE(ML_PREDICT('llm_embedding_model',
+                        CONCAT('Transportation demand surge in ', pickup_zone)
+                    )) AS emb
+                    WHERE is_surge = true
+                ) AS rad,
+                LATERAL TABLE(
+                    VECTOR_SEARCH_AGG(
+                        documents_vectordb_lab3,
+                        DESCRIPTOR(embedding),
+                        rad.embedding,
+                        3
+                    )
+                ) AS vs
+            ) AS rad_with_rag,
+            LATERAL TABLE(
+                ML_PREDICT(
+                    'llm_textgen_model',
+                    CONCAT(
+                        'Analyze the retrieved event documents and identify the most likely cause of this transportation demand surge. Always provide a concise 1-2 sentence answer.\\n\\n',
+                        'USER QUERY: ', rad_with_rag.query, '\\n\\n',
+                        'RETRIEVED DOCUMENTS:\\n',
+                        'Document 1 (Score: ', CAST(rad_with_rag.top_score_1 AS STRING), '):\\n',
+                        'Source: ', rad_with_rag.top_document_1, '\\n',
+                        rad_with_rag.top_chunk_1, '\\n\\n',
+                        'Document 2 (Score: ', CAST(rad_with_rag.top_score_2 AS STRING), '):\\n',
+                        rad_with_rag.top_chunk_2, '\\n\\n',
+                        'Provide only the reason, no additional text.'
+                    )
+                )
+            ) AS llm_response
+        );
+
+        CREATE TOOL lab3_remote_mcp
+        USING CONNECTION `remote-mcp-connection`
+        WITH (
+          'type' = 'mcp',
+          'allowed_tools' = 'http_get, http_post',
+          'request_timeout' = '30'
+        );
+        CREATE AGENT `boat_dispatch_agent`
+        USING MODEL `remote_mcp_model`
+        USING PROMPT '{agent_prompt}'
+        USING TOOLS `lab3_remote_mcp`
+        WITH (
+          'max_iterations' = '10'
+        );
+        CREATE TABLE lab3_completed_actions (
+            PRIMARY KEY (pickup_zone) NOT ENFORCED
+        )
+        WITH ('changelog.mode' = 'append')
+        AS SELECT
+            pickup_zone, window_time, request_count,
+            expected_requests BETWEEN 30 AND 50 AS expected_in_band,
+            top_chunk_1, top_chunk_2, top_chunk_3, anomaly_reason,
+            TRIM(REGEXP_EXTRACT(CAST(response AS STRING), '\\*{0,2}Dispatch Summary:\\*{0,2}\\s*\\n([\\s\\S]+?)(?=\\n\\n\\*{0,2}Dispatch JSON:\\*{0,2})', 1)) AS dispatch_summary,
+            TRIM(REGEXP_EXTRACT(CAST(response AS STRING), '\\*{0,2}Dispatch JSON:\\*{0,2}\\s*\\n(?:```json\\s*)?([\\s\\S]+?)(?:```)?(?=\\n\\n\\*{0,2}API Response:\\*{0,2})', 1)) AS dispatch_json,
+            TRIM(REGEXP_EXTRACT(CAST(response AS STRING), '\\*{0,2}API Response:\\*{0,2}\\s*\\n(?:```json\\s*)?([\\s\\S]+?)(?:```)?$', 1)) AS api_response
+        FROM lab3_anomalies_enriched,
+        LATERAL TABLE(AI_RUN_AGENT(
+            `boat_dispatch_agent`,
+            `anomaly_reason`,
+            `pickup_zone`
+        ));
+
+        SELECT pickup_zone, window_time, request_count, expected_in_band,
+               top_chunk_1, top_chunk_2, top_chunk_3, anomaly_reason,
+               dispatch_summary, dispatch_json, api_response
+        FROM lab3_completed_actions;
+    """.replace("{agent_prompt}", _LAB3_DISPATCH_AGENT_PROMPT), catalog=cat)
+    return results[-1].df
+
+
+# ---------------------------------------------------------------------------
+# lab4_chain — see the lab3_chain block comment for the oracle strategy.
+# The fraud agent has NO tools (LAB4-Walkthrough.md:318-345), so its
+# response is compose_labeled_sections(transcript) directly: the verdict
+# pick is md5(transcript) % 5 over the five-value set the prompt lists,
+# replayed in DuckDB as (hi64 % 5 + lo64 % 5) % 5 (2^64 ≡ 1 mod 5).
+# TRIM in the walkthrough's REGEXP post-processing is Flink/Spark
+# space-only trim — the Issues Found / Policy Basis captures keep the
+# trailing newline their lookahead consumes up to, and the oracle states
+# it (|| chr(10)).
+# ---------------------------------------------------------------------------
+
+_LAB4_FRAUD_AGENT_PROMPT = """OUTPUT RULES — read before anything else:
+1. Respond with ONLY these four labeled sections, in this exact order:
+   Verdict:
+   Issues Found:
+   Policy Basis:
+   Summary:
+2. NO markdown. Plain text only.
+3. The Verdict line must contain exactly one word: APPROVE, APPROVE_PARTIAL, REQUEST_DOCS, DENY_INELIGIBLE, or DENY_FRAUD.
+
+You are a FEMA IHP fraud detection agent reviewing Hurricane Helene disaster assistance claims.
+
+CHECKLIST — evaluate in order: claim ceiling, duplication of benefits, primary residence, assessment source, property use, ineligible items, pre-existing damage, explicit duplication, prior claims.
+
+In Policy Basis: cite specific section titles and references from the retrieved FEMA policy chunks."""
+
+_LAB4_POLICIES = [
+    {"title": "IHP Housing Assistance Eligibility",
+     "section_reference": "IAPPG 3.1", "pages": "41-44",
+     "chunk": "IHP Housing Assistance is restricted to the applicant "
+              "primary dwelling; rental and vacation properties are "
+              "categorically excluded.",
+     "fraud_categories": "non_primary_residence",
+     "policy_keywords": "primary residence, vacation home"},
+    {"title": "Duplication of Benefits",
+     "section_reference": "IAPPG 2.7", "pages": "28-30",
+     "chunk": "FEMA assistance covers only the uncompensated gap after "
+              "insurance payouts; duplicated benefits must be repaid.",
+     "fraud_categories": "duplication",
+     "policy_keywords": "insurance, duplication of benefits"},
+    {"title": "Damage Verification Standards",
+     "section_reference": "IAPPG 4.2", "pages": "55-58",
+     "chunk": "Claims require third-party damage verification; "
+              "self-assessments are not accepted as the sole basis.",
+     "fraud_categories": "self_assessment",
+     "policy_keywords": "inspection, verification"},
+]
+
+_LAB4_BIG_NARRATIVE = ("Our Naples beach house we rent out seasonally was "
+                       "flooded; claiming full replacement.")
+
+_LAB4_SECTION = ("Deterministic fake {} content produced by the offline "
+                 "provider.")
+
+_LAB4_CHAIN_ORACLE = ("""
+WITH pol(ord, title, section_reference, chunk) AS (VALUES
+    (1, 'IHP Housing Assistance Eligibility', 'IAPPG 3.1', 'IHP Housing Assistance is restricted to the applicant primary dwelling; rental and vacation properties are categorically excluded.'),
+    (2, 'Duplication of Benefits', 'IAPPG 2.7', 'FEMA assistance covers only the uncompensated gap after insurance payouts; duplicated benefits must be repaid.'),
+    (3, 'Damage Verification Standards', 'IAPPG 4.2', 'Claims require third-party damage verification; self-assessments are not accepted as the sole basis.')
+),
+-- the 10 investigated rows: Naples window 29's 13 claims, ORDER BY
+-- claim_id LIMIT 10 (lexicographic: 0,1,10,11,12,2,3,4,5,6)
+claims AS (
+    SELECT i,
+           'c29-Na-' || i::VARCHAR AS claim_id,
+           'Applicant Naples 29-' || i::VARCHAR AS applicant_name,
+           CASE WHEN i >= 3 THEN '"""
+    + _LAB4_BIG_NARRATIVE + """'
+                ELSE 'Roof and siding damage from hurricane winds, claim ' || i::VARCHAR || '.' END AS claim_narrative,
+           CASE WHEN i < 2 THEN 10000
+                WHEN i = 2 THEN 10000 + ((('0x' || substr(md5('212|Naples|29'), 1, 8))::BIGINT % 2) * 2 - 1) * 300
+                ELSE 80000 END AS amt,
+           i >= 3 AS big
+    FROM (SELECT unnest([0, 1, 10, 11, 12, 2, 3, 4, 5, 6]) AS i)
+),
+fields AS (
+    SELECT *,
+           amt::VARCHAR AS claim_amount,
+           CASE WHEN big THEN amt * CAST(0.5 AS DOUBLE)
+                ELSE amt * CAST(1.25 AS DOUBLE) END AS damage_assessed,
+           amt * CAST(0.25 AS DOUBLE) AS insurance_amount,
+           CASE WHEN big THEN 'no' ELSE 'yes' END AS is_primary_residence,
+           CASE WHEN big THEN 'Self' ELSE 'FEMA Inspector' END AS assessment_source,
+           CAST(CASE WHEN big THEN 2 ELSE 0 END AS INT) AS previous_claims_count
+    FROM claims
+),
+nv0 AS (
+    SELECT DISTINCT claim_narrative, """
+    + _fake_emb_raw_sql("claim_narrative") + """ AS raw
+    FROM fields
+),
+nv AS (SELECT claim_narrative, """ + _fake_emb_norm_sql(True) + """ AS q FROM nv0),
+pv0 AS (SELECT ord, title, section_reference, chunk, """
+    + _fake_emb_raw_sql("chunk") + """ AS raw FROM pol),
+pv AS (SELECT ord, title, section_reference, chunk, """
+    + _fake_emb_norm_sql(False) + """ AS v FROM pv0),
+rk AS (
+    SELECT n.claim_narrative, p.title, p.section_reference, p.chunk,
+           row_number() OVER (PARTITION BY n.claim_narrative
+                              ORDER BY list_cosine_similarity(p.v, n.q) DESC,
+                                       p.ord) AS rk
+    FROM nv n CROSS JOIN pv p
+),
+top2 AS (
+    SELECT claim_narrative,
+           max(CASE WHEN rk = 1 THEN title END) AS t1,
+           max(CASE WHEN rk = 1 THEN section_reference END) AS s1,
+           max(CASE WHEN rk = 1 THEN chunk END) AS c1,
+           max(CASE WHEN rk = 2 THEN title END) AS t2,
+           max(CASE WHEN rk = 2 THEN section_reference END) AS s2,
+           max(CASE WHEN rk = 2 THEN chunk END) AS c2
+    FROM rk GROUP BY claim_narrative
+),
+-- the walkthrough's AI_RUN_AGENT prompt CONCAT, verbatim fragments
+-- ('\\n' is literal backslash-n under standard-SQL literals, both engines)
+up AS (
+    SELECT f.*,
+           'CLAIM FOR REVIEW: ' || f.claim_id || '\\n' ||
+           'Applicant: ' || f.applicant_name || '\\n' ||
+           'Claim Amount: $' || f.claim_amount || '\\n' ||
+           'Total Damage Assessed: $' || f.damage_assessed::VARCHAR || '\\n' ||
+           'Insurance Payout: $' || f.insurance_amount::VARCHAR || '\\n' ||
+           'Is Primary Residence: ' || f.is_primary_residence || '\\n' ||
+           'Assessment Source: ' || f.assessment_source || '\\n' ||
+           'Prior FEMA Claims: ' || f.previous_claims_count::VARCHAR || '\\n' ||
+           '\\nCLAIM NARRATIVE:\\n' || f.claim_narrative || '\\n' ||
+           '\\nRETRIEVED FEMA POLICY SECTIONS:\\n' ||
+           '1. ' || t.t1 || ' (' || t.s1 || '):\\n' || t.c1 || '\\n\\n' ||
+           '2. ' || t.t2 || ' (' || t.s2 || '):\\n' || t.c2 AS user_prompt
+    FROM fields f JOIN top2 t USING (claim_narrative)
+),
+tr AS (
+    SELECT *, '""" + _LAB4_FRAUD_AGENT_PROMPT + """' || chr(10) || chr(10)
+              || 'USER: ' || user_prompt AS transcript
+    FROM up
+),
+picked AS (
+    SELECT *,
+           ((('0x' || substr(md5(transcript), 1, 16))::UBIGINT % 5)
+            + (('0x' || substr(md5(transcript), 17, 16))::UBIGINT % 5)) % 5
+               AS vi
+    FROM tr
+),
+v AS (
+    SELECT *, CASE vi WHEN 0 THEN 'APPROVE' WHEN 1 THEN 'APPROVE_PARTIAL'
+                      WHEN 2 THEN 'REQUEST_DOCS' WHEN 3 THEN 'DENY_INELIGIBLE'
+                      ELSE 'DENY_FRAUD' END AS verdict
+    FROM picked
+)
+SELECT claim_id, verdict,
+       'Deterministic fake summary content produced by the offline provider.' AS summary,
+       'Deterministic fake issues found content produced by the offline provider.' || chr(10) AS issues_found,
+       'Deterministic fake policy basis content produced by the offline provider.' || chr(10) AS policy_basis,
+       applicant_name, claim_narrative, claim_amount, damage_assessed,
+       insurance_amount, is_primary_residence, assessment_source,
+       previous_claims_count,
+       'Verdict: ' || verdict || chr(10) || chr(10) ||
+       'Issues Found:' || chr(10) ||
+       'Deterministic fake issues found content produced by the offline provider.' || chr(10) || chr(10) ||
+       'Policy Basis:' || chr(10) ||
+       'Deterministic fake policy basis content produced by the offline provider.' || chr(10) || chr(10) ||
+       'Summary:' || chr(10) ||
+       'Deterministic fake summary content produced by the offline provider.' AS raw_response
+FROM v
+""").replace("FROM v_src", "FROM picked")
+
+
+@query("lab4_chain", oracle=_LAB4_CHAIN_ORACLE)
+def lab4_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAB4 FEMA claims-fraud walkthrough as ONE script chain (see block
+    comments): 3 cities x 30 six-hour windows at $30k±wiggle total claims
+    with one planted 10x$80k spike (Naples, last window — salt 212, the
+    lab-chain test's tuned series), datagen JVM-side over spark.range.
+    Exactly the planted spike passes the above-upper post-filter; the
+    investigated set is pinned with ORDER BY claim_id LIMIT 10 (see the
+    deviation note above). damage multipliers are 0.5/1.25 (exact binary
+    fractions) so the prompt's CAST(double AS STRING) is bit-identical
+    cross-engine. Reference: LAB4-Walkthrough.md:123-436."""
+    from quickstart_streaming_agents_spark.providers import fake_embedding
+    from quickstart_streaming_agents_spark.registries import EngineCatalog, Model
+    from quickstart_streaming_agents_spark.script import run_sql_script
+    from quickstart_streaming_agents_spark.sql import register_vector_table_sql
+
+    cities = spark.createDataFrame(
+        [("Naples",), ("Tampa",), ("Miami",)], "city string"
+    )
+    g = spark.range(30).select(F.col("id").alias("w")).crossJoin(cities)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("212|"), "city", F.lit("|"),
+                           F.col("w").cast("string"))),
+            1, 8,
+        ), 16, 10,
+    ).cast("long")
+    sign = (h % 2) * 2 - 1
+    amp = F.when(F.col("w") < 12, 600).otherwise(300)
+    n = F.when((F.col("city") == "Naples") & (F.col("w") == 29), 13) \
+         .otherwise(3)
+    rows = g.select(
+        "w", "city", sign.alias("sign"), amp.alias("amp"),
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("i"),
+    )
+    amt = (
+        F.when(F.col("i") < 2, 10000)
+        .when(F.col("i") == 2, 10000 + F.col("sign") * F.col("amp"))
+        .otherwise(80000)
+    )
+    big = F.col("i") >= 3
+    claims = rows.select(
+        F.concat(F.lit("c"), F.col("w").cast("string"), F.lit("-"),
+                 F.substring("city", 1, 2), F.lit("-"),
+                 F.col("i").cast("string")).alias("claim_id"),
+        F.concat(F.lit("Applicant "), F.col("city"), F.lit(" "),
+                 F.col("w").cast("string"), F.lit("-"),
+                 F.col("i").cast("string")).alias("applicant_name"),
+        "city",
+        F.when(big, F.lit(_LAB4_BIG_NARRATIVE)).otherwise(
+            F.concat(F.lit("Roof and siding damage from hurricane winds,"
+                           " claim "),
+                     F.col("i").cast("string"), F.lit("."))
+        ).alias("claim_narrative"),
+        amt.cast("string").alias("claim_amount"),
+        F.when(big, amt * 0.5).otherwise(amt * 1.25).alias("damage_assessed"),
+        F.when(F.col("i") % 2 == 0, "yes").otherwise("no")
+            .alias("has_insurance"),
+        (amt * 0.25).alias("insurance_amount"),
+        F.when(big, "no").otherwise("yes").alias("is_primary_residence"),
+        F.lit("2024-10-01").alias("assessment_date"),
+        F.lit("2024-09-26").alias("disaster_date"),
+        F.when(big, "Self").otherwise("FEMA Inspector")
+            .alias("assessment_source"),
+        F.lit("no").alias("shared_account"),
+        F.lit("no").alias("shared_phone"),
+        F.when(big, 2).otherwise(0).alias("previous_claims_count"),
+        F.when(big, "2022-08-30").otherwise("").alias("last_claim_date"),
+        F.timestamp_seconds(
+            F.lit(1727308800) + F.col("w") * 21600
+            + (13 * F.col("i") + 7) * 60
+        ).alias("claim_timestamp"),
+    )
+    claims.createOrReplaceTempView("lab4_claims")
+
+    emb_model = Model(name="llm_embedding_model", task="embedding")
+    embs = fake_embedding([p["chunk"] for p in _LAB4_POLICIES], emb_model)
+    vec = spark.createDataFrame(
+        [{**p, "embedding": e} for p, e in zip(_LAB4_POLICIES, embs)]
+    )
+    register_vector_table_sql(spark, "fema_policies_vectordb", vec,
+                              id_col="title")
+
+    cat = EngineCatalog()
+    results = run_sql_script(spark, """
+        CREATE MODEL `llm_embedding_model` INPUT (text STRING)
+            OUTPUT (embedding ARRAY<FLOAT>) WITH ('provider' = 'fake');
+        CREATE MODEL `llm_textgen_model` INPUT (prompt STRING)
+            OUTPUT (response STRING) WITH ('provider' = 'fake');
+
+        SET 'sql.state-ttl' = '14 d';
+
+        CREATE TABLE lab4_claims_anomalies_by_city AS
+        WITH windowed_claims AS (
+            SELECT
+                window_start, window_end, window_time, city,
+                COUNT(*) AS claim_count,
+                SUM(CAST(claim_amount AS DOUBLE)) AS total_claim_amount,
+                CAST(ROUND(AVG(CAST(claim_amount AS DOUBLE))) AS BIGINT) AS avg_claim_amount,
+                SUM(CAST(damage_assessed AS DOUBLE)) AS total_damage_assessed
+            FROM TABLE(
+                TUMBLE(TABLE lab4_claims, DESCRIPTOR(claim_timestamp), INTERVAL '6' HOUR)
+            )
+            GROUP BY window_start, window_end, window_time, city
+        ),
+        anomaly_detection AS (
+            SELECT
+                city, window_time, claim_count, total_claim_amount,
+                avg_claim_amount, total_damage_assessed,
+                ML_DETECT_ANOMALIES(
+                    CAST(total_claim_amount AS DOUBLE),
+                    window_time,
+                    JSON_OBJECT(
+                        'minTrainingSize' VALUE 8,
+                        'maxTrainingSize' VALUE 50,
+                        'confidencePercentage' VALUE 95.0,
+                        'enableStl' VALUE FALSE
+                    )
+                ) OVER (
+                    PARTITION BY city
+                    ORDER BY window_time
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS anomaly_result
+            FROM windowed_claims
+        )
+        SELECT
+            city, window_time, claim_count, total_claim_amount,
+            avg_claim_amount, total_damage_assessed,
+            CAST(ROUND(anomaly_result.forecast_value) AS BIGINT) AS expected_claim_amount,
+            anomaly_result.upper_bound AS upper_bound,
+            anomaly_result.lower_bound AS lower_bound,
+            anomaly_result.is_anomaly AS is_anomaly
+        FROM anomaly_detection
+        WHERE anomaly_result.is_anomaly = true
+          AND total_claim_amount > anomaly_result.upper_bound;
+
+        CREATE TABLE lab4_claims_to_investigate AS
+        SELECT
+            c.claim_id, c.applicant_name, c.city, c.claim_narrative,
+            c.claim_amount, c.damage_assessed, c.has_insurance,
+            c.insurance_amount, c.is_primary_residence, c.assessment_date,
+            c.disaster_date, c.assessment_source, c.shared_account,
+            c.shared_phone, c.previous_claims_count, c.last_claim_date,
+            c.claim_timestamp,
+            a.window_time AS anomaly_window_time,
+            a.total_claim_amount AS anomaly_total_amount,
+            a.is_anomaly
+        FROM lab4_claims c
+        INNER JOIN lab4_claims_anomalies_by_city a
+            ON c.city = a.city
+            AND c.claim_timestamp >= a.window_time - INTERVAL '6' HOUR
+            AND c.claim_timestamp <= a.window_time
+        WHERE c.claim_narrative <> ''
+        ORDER BY claim_id
+        LIMIT 10;
+
+        CREATE TABLE lab4_claims_with_policies AS
+        WITH embedded AS (
+            SELECT c.*, e.embedding AS narrative_embedding
+            FROM lab4_claims_to_investigate c,
+            LATERAL TABLE(ML_PREDICT('llm_embedding_model', c.claim_narrative)) e
+        )
+        SELECT
+            c.claim_id, c.applicant_name, c.city, c.claim_amount,
+            c.damage_assessed, c.has_insurance, c.insurance_amount,
+            c.is_primary_residence, c.claim_narrative, c.assessment_source,
+            c.previous_claims_count, c.claim_timestamp,
+            c.anomaly_window_time, c.anomaly_total_amount, c.is_anomaly,
+            vs.search_results[1].chunk AS policy_chunk_1,
+            vs.search_results[1].score AS policy_score_1,
+            vs.search_results[1].pages AS policy_pages_1,
+            vs.search_results[1].section_reference AS policy_section_1,
+            vs.search_results[1].title AS policy_title_1,
+            vs.search_results[1].fraud_categories AS policy_fraud_cats_1,
+            vs.search_results[1].policy_keywords AS policy_keywords_1,
+            vs.search_results[2].chunk AS policy_chunk_2,
+            vs.search_results[2].score AS policy_score_2,
+            vs.search_results[2].section_reference AS policy_section_2,
+            vs.search_results[2].title AS policy_title_2,
+            vs.search_results[3].chunk AS policy_chunk_3,
+            vs.search_results[3].score AS policy_score_3,
+            vs.search_results[3].section_reference AS policy_section_3,
+            vs.search_results[3].title AS policy_title_3
+        FROM embedded c,
+        LATERAL TABLE(
+            VECTOR_SEARCH_AGG(
+                fema_policies_vectordb,
+                DESCRIPTOR(embedding),
+                c.narrative_embedding,
+                3
+            )
+        ) vs;
+
+        CREATE AGENT `claims_fraud_investigation_agent`
+        USING MODEL `llm_textgen_model`
+        USING PROMPT '{agent_prompt}'
+        WITH (
+          'max_iterations' = '10'
+        );
+
+        CREATE TABLE lab4_claims_reviewed (
+            PRIMARY KEY (claim_id) NOT ENFORCED
+        )
+        WITH ('changelog.mode' = 'append')
+        AS SELECT
+            claim_id,
+            TRIM(REGEXP_EXTRACT(CAST(response AS STRING), '\\*{0,2}Verdict:\\*{0,2}\\s*([A-Z_]+)', 1)) AS verdict,
+            TRIM(REGEXP_EXTRACT(CAST(response AS STRING), '\\*{0,2}Summary:\\*{0,2}\\n([\\s\\S]+?)$', 1)) AS summary,
+            TRIM(REGEXP_EXTRACT(CAST(response AS STRING), '\\*{0,2}Issues Found:\\*{0,2}\\n([\\s\\S]+?)(?=\\n\\*{0,2}(?:Policy Basis|Summary|Verdict):|$)', 1)) AS issues_found,
+            TRIM(REGEXP_EXTRACT(CAST(response AS STRING), '\\*{0,2}Policy Basis:\\*{0,2}\\n([\\s\\S]+?)(?=\\n\\*{0,2}(?:Summary|Verdict):|$)', 1)) AS policy_basis,
+            applicant_name, claim_narrative, claim_amount, damage_assessed,
+            insurance_amount, is_primary_residence, assessment_source,
+            previous_claims_count,
+            CAST(response AS STRING) AS raw_response
+        FROM lab4_claims_with_policies,
+        LATERAL TABLE(AI_RUN_AGENT(
+            `claims_fraud_investigation_agent`,
+            CONCAT(
+                'CLAIM FOR REVIEW: ', claim_id, '\\n',
+                'Applicant: ', applicant_name, '\\n',
+                'Claim Amount: $', claim_amount, '\\n',
+                'Total Damage Assessed: $', COALESCE(CAST(damage_assessed AS STRING), '0'), '\\n',
+                'Insurance Payout: $', COALESCE(CAST(insurance_amount AS STRING), '0'), '\\n',
+                'Is Primary Residence: ', COALESCE(is_primary_residence, 'unknown'), '\\n',
+                'Assessment Source: ', COALESCE(assessment_source, 'unknown'), '\\n',
+                'Prior FEMA Claims: ', COALESCE(CAST(previous_claims_count AS STRING), '0'), '\\n',
+                '\\nCLAIM NARRATIVE:\\n', COALESCE(claim_narrative, '(none)'), '\\n',
+                '\\nRETRIEVED FEMA POLICY SECTIONS:\\n',
+                '1. ', COALESCE(policy_title_1, 'N/A'), ' (', COALESCE(policy_section_1, 'N/A'), '):\\n',
+                COALESCE(policy_chunk_1, ''), '\\n\\n',
+                '2. ', COALESCE(policy_title_2, 'N/A'), ' (', COALESCE(policy_section_2, 'N/A'), '):\\n',
+                COALESCE(policy_chunk_2, '')
+            ),
+            MAP['debug', 'true']
+        ));
+
+        SELECT claim_id, verdict, summary, issues_found, policy_basis,
+               applicant_name, claim_narrative, claim_amount,
+               damage_assessed, insurance_amount, is_primary_residence,
+               assessment_source, previous_claims_count, raw_response
+        FROM lab4_claims_reviewed;
+    """.replace("{agent_prompt}", _LAB4_FRAUD_AGENT_PROMPT), catalog=cat)
+    return results[-1].df
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation (round 11). The correctness harness
 # oracle-checks the FIRST 50 registry entries each round. Round 10's
 # rotation was accidentally left at the r9 list, so its window (and
@@ -13334,62 +14126,80 @@ def script_sql_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # they lead the r13 refresh queue, followed by script_sql_chain (added
 # late in r12 — never driver-checked, simulator-verified in
 # VERIFY_r12.log's addendum) and the 44 r8-vintage rows.
+#
+# r13 window (THIS round, executed as documented by the r12 queue):
+# (a) the 9 deferred pure-TPC-H r7 rows, then (b) the three entries
+# awaiting their FIRST official driver row — script_sql_chain (r12) and
+# the two r13 lab walkthrough chains lab3_chain/lab4_chain (which take
+# two of the 44 planned r8 slots; all three driver-contract-verified at
+# sf0.01 via the /verify simulator this round), then (c) 38 of the 44
+# r8-vintage rows. The 6 r8 rows deferred to r14 are named in the (c)
+# comment below. This retires all r7 rows and all but 6 r8 rows; with
+# the 50-slot window and 204 registered queries, staleness floor is now
+# r8 for exactly those 6.
 # ---------------------------------------------------------------------------
-_R12_CHECK_FIRST = [
-    # (a) r6-vintage
-    "waiting_suppliers",
-    "topk_per_group_salted",
-    "series_correlation",
-    # (b) round-11b additions, never driver-checked
-    "order_priority_check",
-    "top_supplier_revenue",
-    "flac_stream_meta",
-    "ogg_page_index",
-    "readability_scores",
-    "tfidf_top_terms",
-    "hits_scores",
-    "parquet_footer_index",
-    "avro_ocf_block_index",
-    "jsonl_ingest",
-    "preference_pairs",
-    "crawl_politeness_gate",
-    "bitext_mining_margin",
-    "charset_sniff",
-    # (c) r7-vintage refresh (33 of 42; see comment for the 9 deferred)
-    "anomaly_detect_ar",
-    "anomaly_detect_ar1",
-    "anomaly_zscore",
-    "asof_attribution",
-    "ccnet_ppl_buckets",
-    "chat_template_render",
-    "cohort_retention",
-    "column_profile",
-    "customer_order_distribution",
-    "disjunctive_revenue",
-    "dsir_importance_weights",
-    "duplicate_spans",
-    "embedding_near_dup",
-    "gopher_quality_flags",
-    "interval_join",
-    "key_skew_histogram",
-    "latest_state_upsert",
-    "ml_predict_embedding",
-    "ml_predict_textgen",
-    "multimodal_png_meta",
-    "packed_training_shards",
-    "pca_project",
-    "scalar_funcs",
-    "snapshot_diff",
-    "substring_dedup_clean",
-    "tool_invoke",
-    "topk_per_group",
-    "training_data_pipeline",
-    "tumble_6h_avg",
-    "vector_search_topk",
-    "video_frame_sample_real",
-    "window_functions_suite",
-    "winnowing_dedup_pairs",
+_R13_CHECK_FIRST = [
+    # (a) the 9 deferred pure-TPC-H r7 rows (see comment above)
+    "filter_project",
+    "important_parts",
+    "nation_market_share",
+    "nation_profit",
+    "nation_trade_volume",
+    "part_supplier_variety",
+    "small_quantity_revenue",
+    "excess_quota_suppliers",
+    "dormant_customer_balance",
+    # (b) first official driver rows: the r12 script-surface capstone and
+    # the two r13 lab walkthrough chains
+    "script_sql_chain",
+    "lab3_chain",
+    "lab4_chain",
+    # (c) 38 of the 44 r8-vintage rows; the 6 deferred to r14 are the most
+    # change-isolated pure-SQL TPC-H rows (large_volume_orders,
+    # late_shipment_priority, local_supplier_volume, min_cost_supplier,
+    # promo_revenue_share, returned_item_customers — no custom operator in
+    # any of their plans, parity-pinned in-repo every run); they lead the
+    # r14 refresh queue.
+    "ann_pq_adc_topk",
+    "ann_sq8_topk",
+    "bigram_backoff_score",
+    "bloom_decontamination",
+    "bm25_search",
+    "cms_heavy_hitters",
+    "cumulate_agg",
+    "curation_funnel",
+    "data_quality_report",
+    "edit_distance_dedup",
+    "event_funnel",
+    "events_cube",
+    "events_pivot",
+    "exact_k_per_stratum",
+    "forecast_revenue_change",
+    "image_dhash",
+    "image_phash_dedup",
+    "label_centroids",
+    "link_pagerank",
+    "media_probe_meta",
+    "mp4_demux_samples",
+    "multimodal_gif_meta",
+    "multimodal_jpeg_meta",
+    "pca_moments",
+    "pricing_summary",
+    "rag_pipeline",
+    "rolling_active_users",
+    "semantic_dedup",
+    "semi_anti_customers",
+    "shipping_priority",
+    "temperature_mix",
+    "token_entropy_score",
+    "trending_per_window",
+    "url_canonical_dedup",
+    "user_set_ops",
+    "value_histogram",
+    "verdict_parse",
+    "zorder_key",
 ]
+
 
 
 def _rotate(reg: dict, front: list[str]) -> dict:
@@ -13405,5 +14215,5 @@ def _rotate(reg: dict, front: list[str]) -> dict:
     return out
 
 
-QUERIES = _rotate(QUERIES, _R12_CHECK_FIRST)
-ORACLE = _rotate(ORACLE, _R12_CHECK_FIRST)
+QUERIES = _rotate(QUERIES, _R13_CHECK_FIRST)
+ORACLE = _rotate(ORACLE, _R13_CHECK_FIRST)

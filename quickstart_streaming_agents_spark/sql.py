@@ -83,7 +83,7 @@ def register_engine_sql(spark: SparkSession,
     spark.udf.register("ml_predict", _ml_predict)
     spark.udf.register("ml_embed", _ml_embed)
 
-    @udtf(returnType="response: string, embedding: array<float>")
+    @udtf(returnType="response: string, embedding: array<float>", useArrow=True)
     class MlPredictT:
         def eval(self, model_name: str, prompt: str, settings=None):
             # third arg: Flink's optional MAP['debug','true'] settings —
@@ -104,7 +104,7 @@ def register_engine_sql(spark: SparkSession,
             else:
                 yield (fn([prompt or ""], model)[0], None)
 
-    @udtf(returnType="status: string, response: string")
+    @udtf(returnType="status: string, response: string", useArrow=True)
     class AiRunAgent:
         def eval(self, agent_name: str, prompt: str, *context):
             # extra columns (LAB3 passes the zone key after the reason)
@@ -318,7 +318,7 @@ def register_vector_table_sql(
                 yield rows[j] + (float(scores[j]), rank)
 
     fn_name = f"vector_search_{name}"
-    spark.udtf.register(fn_name, udtf(VectorSearch, returnType=out_type))
+    spark.udtf.register(fn_name, udtf(VectorSearch, returnType=out_type, useArrow=True))
 
     # Reference-faithful aggregate form: ONE row per query holding
     # ``search_results ARRAY<ROW(cols…, score)>`` — the exact shape the
@@ -355,7 +355,7 @@ def register_vector_table_sql(
             yield ([rows[j] + (float(scores[j]),) for j in top],)
 
     spark.udtf.register(
-        f"vector_search_agg_{name}", udtf(VectorSearchAgg, returnType=agg_type)
+        f"vector_search_agg_{name}", udtf(VectorSearchAgg, returnType=agg_type, useArrow=True)
     )
     return fn_name
 
@@ -582,5 +582,5 @@ def register_keyword_index_sql(
                 yield int(uniq[j]), float(scores[j]), rank
 
     fn_name = f"keyword_search_{name}"
-    spark.udtf.register(fn_name, udtf(KeywordSearch, returnType=out_type))
+    spark.udtf.register(fn_name, udtf(KeywordSearch, returnType=out_type, useArrow=True))
     return fn_name

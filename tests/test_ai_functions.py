@@ -41,6 +41,33 @@ def test_fake_textgen_verdict_mode():
     assert any(v in out for v in ("APPROVE", "DENY_FRAUD"))
 
 
+def test_pick_verdict_five_value_set():
+    """LAB4 spelling: every listed verdict must be reachable, including
+    the one after 'or' (r13 regression: the old token-wise capture under
+    re.I matched the literal 'or' as a choice and dropped DENY_FRAUD —
+    test_lab4.py:37-43's five-value contract silently lost a value),
+    and the pick must be md5(text) % 5 over the listed order (the
+    lab4_chain oracle replays exactly that)."""
+    import hashlib
+
+    from quickstart_streaming_agents_spark.providers import pick_verdict_choice
+
+    tmpl = ("The Verdict line must contain exactly one word: APPROVE, "
+            "APPROVE_PARTIAL, REQUEST_DOCS, DENY_INELIGIBLE, or "
+            "DENY_FRAUD.\nCase {}")
+    choices = ["APPROVE", "APPROVE_PARTIAL", "REQUEST_DOCS",
+               "DENY_INELIGIBLE", "DENY_FRAUD"]
+    seen = set()
+    for i in range(64):
+        t = tmpl.format(i)
+        pick = pick_verdict_choice(t)
+        assert pick == choices[
+            int(hashlib.md5(t.encode()).hexdigest(), 16) % 5
+        ]
+        seen.add(pick)
+    assert seen == set(choices)
+
+
 def test_ml_predict_embedding_column(spark):
     ship_package(spark)
     m = DEFAULT_CATALOG.models["fake_embedding"]

@@ -412,3 +412,19 @@ def test_script_sql_chain_plan_shape(spark):
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan  # row-pickled Python banned
     assert plan.count("ArrowEvalPythonUDTF") == 1
+
+
+def test_lab_chain_plan_shapes(spark):
+    """r13 lab walkthrough chains: every Python lateral is an Arrow UDTF
+    (embed + vector search agg + LLM + agent; pre-r13 the vector-search
+    UDTFs registered outside the script knob and silently fell back to
+    row-pickled BatchEvalPythonUDTF — now pinned useArrow=True at every
+    registration), and the final SELECT reads ONE lineage (a view-join
+    re-ran the whole ride pipeline once per join branch)."""
+    for name, max_exch, n_udtf in (("lab3_chain", 4, 4),
+                                   ("lab4_chain", 6, 3)):
+        df = _q(spark, name)
+        assert count_exchanges(df) <= max_exch, name
+        plan = physical_plan(df)
+        assert "BatchEvalPython" not in plan, name  # row-pickled banned
+        assert plan.count("ArrowEvalPythonUDTF") == n_udtf, name
