@@ -842,3 +842,42 @@ def resolve_charset(bom: Column, meta: Column) -> Column:
     """WHATWG precedence: BOM > meta declaration > UTF-8 default (the
     spec's certain-failure fallback for web corpora)."""
     return F.coalesce(bom, meta, F.lit("utf-8"))
+
+
+def synth_charset_payloads(docs):
+    """Deterministic charset-sniffing corpus: given a DataFrame with a
+    ``doc_id`` column, synthesize (doc_id, payload binary) rows with
+    real BOM bytes (doc_id%7 picks the variant, two BOM-less slots),
+    planted ``<meta charset>`` labels (doc_id%3, label by doc_id%5) and
+    a garbage class (doc_id%29 — neither BOM nor meta, exercising the
+    UTF-8 default). Shared by the batch ``charset_sniff`` query and its
+    streaming gate twin so both sides sniff the SAME bytes; keyed only
+    by doc_id, so replay is bit-identical. Map-only (one Arrow pass)."""
+    import pandas as pd
+
+    boms = [b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff",
+            b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff", b"", b""]
+    labels = ["windows-1252", "iso-8859-1", "shift_jis", "gb2312", "utf-8"]
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                if i % 29 == 0:
+                    payloads.append(b"garbage:" + str(i).encode())
+                    continue
+                meta = (
+                    f'<meta charset="{labels[i % 5]}">'.encode()
+                    if i % 3 == 0 else b""
+                )
+                payloads.append(
+                    boms[i % 7] + b"<html><head>" + meta
+                    + b"</head><body>doc " + str(i).encode()
+                    + b"</body></html>"
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )

@@ -13182,40 +13182,18 @@ def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHATWG charset sniffing over synthesized payloads with real BOM
-    bytes — see block comment."""
-    import pandas as pd
-
+    bytes — see block comment. The payload synth is shared with the
+    streaming gate twin (functions/text.synth_charset_payloads) so both
+    halves sniff the SAME bytes."""
     from quickstart_streaming_agents_spark.functions.text import (
         bom_detect,
         meta_charset,
         resolve_charset,
+        synth_charset_payloads,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    boms = [b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff",
-            b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff", b"", b""]
-    labels = ["windows-1252", "iso-8859-1", "shift_jis", "gb2312", "utf-8"]
-
-    def synth(batches):
-        for pdf in batches:
-            ids = pdf["doc_id"].tolist()
-            payloads = []
-            for i in ids:
-                if i % 29 == 0:
-                    payloads.append(b"garbage:" + str(i).encode())
-                    continue
-                meta = (
-                    f'<meta charset="{labels[i % 5]}">'.encode()
-                    if i % 3 == 0 else b""
-                )
-                payloads.append(
-                    boms[i % 7] + b"<html><head>" + meta
-                    + b"</head><body>doc " + str(i).encode()
-                    + b"</body></html>"
-                )
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
-
-    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    synth_df = synth_charset_payloads(docs)
     bom = bom_detect("payload")
     meta = meta_charset(F.decode(F.col("payload"), "ISO-8859-1"))
     return synth_df.select(

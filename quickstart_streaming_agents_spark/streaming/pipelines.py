@@ -1937,3 +1937,175 @@ def readability_gate_stream_pipeline(
     )
     catalog.await_all()
     return catalog
+
+
+def bitext_stream_pipeline(
+    catalog: StreamCatalog,
+    embeddings_path: str,
+    k: int = 4,
+    threshold: float = 1.0,
+) -> StreamCatalog:
+    """Continuous margin-based bitext mining — the streaming half of
+    queries.bitext_mining_margin, the profile-then-stream shape (the
+    tfidf/DSIR/CCNet discipline): the TARGET-side corpus and its
+    backward neighborhood averages (abwd per target = mean of its top-k
+    cosines over the profile source corpus, Artetxe & Schwenk ACL'19)
+    are computed ONCE and frozen; every arriving SOURCE embedding is
+    then scored map-only by the SAME forward top-k + rank-ordered fold
+    + margin expressions as batch. A source row's verdict depends only
+    on its own embedding and the two frozen tables, so the per-batch
+    plan is stateless (broadcast corpus + per-row window over just the
+    micro-batch explosion) and parity with batch is BIT-EXACT — the
+    margin is one division of bit-identical doubles (pinned in
+    tests/test_streaming.py). New corpus epochs mean re-profiling and
+    restarting with fresh frozen tables — neighborhoods drift by
+    release, not by row. Mined pairs (margin > threshold) go to the
+    curated topic; each source's best-but-under-threshold candidate
+    goes to an audit topic with its margin.
+
+    100 TB shape: the frozen side is gated by the vector_search
+    broadcast guard; beyond broadcastable corpora the batch ANN ladder
+    applies at profile time and the stream scores against the frozen
+    ANN shortlists — the per-row cost never exceeds one broadcast
+    matmul row.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from ..functions.vector import vector_search
+
+    spark = catalog.spark
+    emb = spark.read.parquet(embeddings_path)
+    src = emb.filter(F.col("label") < 5).select("vec_id", "embedding")
+    tgt = emb.filter(F.col("label") >= 5).select("vec_id", "embedding")
+
+    # rank-order fold: same (((s1+s2)+s3)+s4)/k as the batch query and
+    # its oracle's list_aggregate over the rk-ordered list
+    def _avgk(out):
+        return F.aggregate(
+            "search_results", F.lit(0.0), lambda acc, x: acc + x["score"]
+        ) / F.lit(float(k))
+
+    # frozen profile: backward average per target over the profile
+    # source corpus (two small columns; materialized once)
+    bwd = vector_search(
+        tgt.select(F.col("vec_id").alias("tgt_id"), "embedding"),
+        src, "embedding", k=k,
+    )
+    abwd = bwd.select("tgt_id", _avgk(bwd).alias("abwd")).persist()
+    abwd.count()
+
+    stamped = src.select(
+        F.col("vec_id").alias("src_id"), "embedding",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("vec_id") * 1_000_000
+        ).alias("ts"),
+    )
+    catalog.create_table_as("bitext_raw_src", stamped)
+
+    def score(batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        fwd = vector_search(
+            batch_df.select("src_id", "embedding"), tgt, "embedding", k=k
+        )
+        fwd = fwd.select("src_id", "search_results", _avgk(fwd).alias("afwd"))
+        cand = (
+            fwd.select(
+                "src_id", "afwd",
+                F.explode("search_results").alias("hit"),
+            )
+            .select(
+                "src_id", "afwd",
+                F.col("hit.vec_id").alias("tgt_id"),
+                F.col("hit.score").alias("c"),
+            )
+            .join(F.broadcast(abwd), "tgt_id")
+            .withColumn(
+                "margin",
+                F.lit(2.0) * F.col("c") / (F.col("afwd") + F.col("abwd")),
+            )
+        )
+        w = Window.partitionBy("src_id").orderBy(
+            F.col("margin").desc(), F.col("tgt_id").asc()
+        )
+        return (
+            cand.withColumn("brk", F.row_number().over(w))
+            .filter(F.col("brk") == 1)
+            .select(
+                "src_id", "tgt_id",
+                F.round("c", 6).alias("cos_sim"),
+                F.round("margin", 6).alias("margin"),
+                (F.col("margin") > F.lit(threshold)).alias("mined"),
+            )
+        )
+
+    schema = T.StructType([
+        T.StructField("src_id", T.LongType()),
+        T.StructField("tgt_id", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+        T.StructField("margin", T.DoubleType()),
+        T.StructField("mined", T.BooleanType()),
+    ])
+    stream = catalog.read_stream("bitext_raw_src")
+
+    def route(batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        return score(batch_df, epoch_id)
+
+    catalog.create_table_foreach_batch(
+        "bitext_verdicts", stream, route, schema=schema, available_now=True
+    )
+    catalog.await_all()
+    abwd.unpersist()
+    return catalog
+
+
+def charset_gate_stream_pipeline(
+    catalog: StreamCatalog,
+    documents_path: str,
+) -> StreamCatalog:
+    """Continuous WHATWG charset routing — the streaming half of
+    queries.charset_sniff: each arriving raw payload gets the pure-JVM
+    sniff (functions/text.bom_detect > meta_charset > utf-8 default)
+    and routes by provenance — payloads with an EXPLICIT declaration
+    (BOM or in-prescan <meta charset>) to the declared topic with the
+    winning label, BOM-less undeclared payloads to a defaulted topic
+    for re-detection audit (the class a real ingest pipeline runs a
+    statistical detector over). Stateless and shuffle-free (map-only
+    hex-prefix + bounded-prescan regex); parity with batch is EXACT —
+    the decision compares string equality on the same bytes (the
+    readability-gate twin discipline). The payload synth is shared with
+    the batch query (functions/text.synth_charset_payloads)."""
+    from ..functions.text import (
+        bom_detect,
+        meta_charset,
+        resolve_charset,
+        synth_charset_payloads,
+    )
+
+    spark = catalog.spark
+    docs = spark.read.parquet(documents_path).select("doc_id")
+    stamped = synth_charset_payloads(docs).withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ),
+    )
+    catalog.create_table_as("cs_raw_payloads", stamped)
+
+    stream = catalog.read_stream("cs_raw_payloads")
+    bom = bom_detect("payload")
+    meta = meta_charset(F.decode(F.col("payload"), "ISO-8859-1"))
+    sniffed = stream.select(
+        "doc_id",
+        bom.alias("bom"),
+        meta.alias("meta_charset"),
+        resolve_charset(bom, meta).alias("resolved"),
+    )
+    declared = F.col("bom").isNotNull() | F.col("meta_charset").isNotNull()
+    catalog.create_table_as(
+        "cs_declared", sniffed.filter(declared), available_now=True
+    )
+    catalog.create_table_as(
+        "cs_defaulted", sniffed.filter(~declared), available_now=True
+    )
+    catalog.await_all()
+    return catalog

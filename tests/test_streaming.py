@@ -1813,3 +1813,69 @@ def test_preference_pairs_stream_matches_batch_bit_exact(spark, catalog):
     }
     assert len(got) == len(want) > 10
     assert got == want
+
+
+def test_bitext_stream_matches_batch_bit_exact(spark, catalog):
+    """The streaming bitext miner scores against the SAME frozen target
+    corpus + backward averages with the SAME fold/margin expressions as
+    batch — mined pairs must be bit-exact equal (margin included: one
+    division of bit-identical doubles)."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        bitext_stream_pipeline,
+    )
+
+    bitext_stream_pipeline(
+        catalog, embeddings_path=f"{SF_DIR}/embeddings.parquet", k=4
+    )
+    verdicts = catalog.read_batch("bitext_verdicts").collect()
+    got_mined = {
+        (r.src_id, r.tgt_id, r.cos_sim, r.margin)
+        for r in verdicts if r.mined
+    }
+    want = {
+        (r.src_id, r.tgt_id, r.cos_sim, r.margin)
+        for r in QUERIES["bitext_mining_margin"](spark, SF_DIR).collect()
+    }
+    assert len(got_mined) == len(want) > 10
+    assert got_mined == want
+    # every source row gets exactly one best-candidate verdict, and the
+    # under-threshold audit side actually fires at this SF
+    n_src = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        "label < 5"
+    ).count()
+    assert len(verdicts) == n_src
+    assert any(not r.mined for r in verdicts)
+
+
+def test_charset_gate_stream_matches_batch_bit_exact(spark, catalog):
+    """Streaming charset routing must sniff EXACTLY as the batch
+    charset_sniff query (same synthesized bytes via the shared synth)
+    and partition by declaration provenance."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        charset_gate_stream_pipeline,
+    )
+
+    charset_gate_stream_pipeline(
+        catalog, documents_path=f"{SF_DIR}/documents.parquet"
+    )
+    declared = catalog.read_batch("cs_declared").collect()
+    defaulted = catalog.read_batch("cs_defaulted").collect()
+    got = {
+        (r.doc_id, r.bom, r.meta_charset, r.resolved)
+        for r in declared + defaulted
+    }
+    want = {
+        (r.doc_id, r.bom, r.meta_charset, r.resolved)
+        for r in QUERIES["charset_sniff"](spark, SF_DIR).collect()
+    }
+    assert len(got) == len(want) > 100
+    assert got == want
+    # routing invariants: declared rows carry an explicit label, the
+    # defaulted topic is exactly the utf-8 fallback class
+    assert all(r.bom is not None or r.meta_charset is not None
+               for r in declared)
+    assert all(r.bom is None and r.meta_charset is None
+               and r.resolved == "utf-8" for r in defaulted)
+    assert declared and defaulted

@@ -39,23 +39,82 @@ if str(REPO) not in sys.path:
 SLICES = 10
 
 
+def _iso_epoch(v) -> float | None:
+    if not v:
+        return None
+    from datetime import datetime
+
+    try:
+        return datetime.fromisoformat(str(v).replace("Z", "+00:00")).timestamp()
+    except ValueError:
+        return None
+
+
+def _progress_row(d: dict) -> dict | None:
+    st = (d.get("stateOperators") or [{}])[0]
+    if not d.get("numInputRows") and not st.get("numRowsTotal"):
+        return None
+    et = d.get("eventTime") or {}
+    return {
+        "batch": d["batchId"],
+        "rows": d.get("numInputRows", 0),
+        "sec": d.get("durationMs", {}).get("triggerExecution", 0) / 1e3,
+        "state_rows": st.get("numRowsTotal"),
+        "state_mb": round((st.get("memoryUsedBytes") or 0) / 1e6, 2),
+        "wm": _iso_epoch(et.get("watermark")),
+        "etmax": _iso_epoch(et.get("max")),
+    }
+
+
 def progress_rows(q) -> list[dict]:
     out = []
     for p in q.recentProgress:
         d = p if isinstance(p, dict) else json.loads(p.json)
-        st = (d.get("stateOperators") or [{}])[0]
-        if not d.get("numInputRows") and not st.get("numRowsTotal"):
-            continue
-        out.append(
-            {
-                "batch": d["batchId"],
-                "rows": d.get("numInputRows", 0),
-                "sec": d.get("durationMs", {}).get("triggerExecution", 0) / 1e3,
-                "state_rows": st.get("numRowsTotal"),
-                "state_mb": round((st.get("memoryUsedBytes") or 0) / 1e6, 2),
-            }
-        )
+        r = _progress_row(d)
+        if r is not None:
+            out.append(r)
     return out
+
+
+class ProgressTap:
+    """StreamingQueryListener that records every progress event by query
+    name — the only way to read metrics for queries a pipeline awaits
+    and releases internally (StreamCatalog.await_all drops handles)."""
+
+    def __init__(self, spark):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        tap = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                d = json.loads(event.progress.json)
+                tap.raw.setdefault(d.get("name") or d.get("id"), []).append(d)
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self.raw: dict[str, list[dict]] = {}
+        self._listener = _L()
+        self._spark = spark
+        spark.streams.addListener(self._listener)
+
+    def rows(self, name: str) -> list[dict]:
+        out = []
+        for d in sorted(self.raw.get(name, []), key=lambda d: d["batchId"]):
+            r = _progress_row(d)
+            if r is not None:
+                out.append(r)
+        return out
+
+    def close(self):
+        self._spark.streams.removeListener(self._listener)
 
 
 def report(name: str, prog: list[dict], state_bound: int, bound_desc: str,
@@ -646,6 +705,309 @@ def smoke_preference_pairs(spark, docs: int, workdir: str) -> None:
     )
 
 
+def smoke_lab_chain(spark, events: int, workdir: str) -> None:
+    """Round-13: the full lab3/lab4 walkthrough SHAPE as one continuous
+    pipeline — tumble agg → AR anomaly state → event-time interval join
+    — three CONCURRENT chained continuous queries (parquet topics
+    between stages, exactly the reference's CTAS-per-stage topology)
+    instead of the per-stage smokes above. What must hold, per stage,
+    simultaneously while data flows end to end:
+
+      * tumble (Q1): window-agg state ≤ zones × open windows — open =
+        (per-trigger event-time span + watermark delay)/window + slack;
+      * anomaly (Q2): exactly one ring buffer per zone (≤ nkeys rows),
+        same bound as smoke_anomaly but now fed by a live upstream;
+      * interval join (Q3): buffered rows ≤ event-rate × (join horizon
+        + watermark delay + 2 trigger spans), and the state must DRAIN
+        once the flush sentinel advances the watermark — a final peak
+        means eviction never fired while the chain was live.
+
+    A sentinel slice (one far-future event per zone) closes the last
+    windows and drains the join buffers, so the end state is asserted,
+    not hoped for.
+    """
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.operators.windows import tumble
+    from quickstart_streaming_agents_spark.streaming.ops import (
+        interval_join_stream,
+        ml_detect_anomalies_stream,
+    )
+
+    nkeys = 200
+    window_s, delay_s, horizon_s = 60, 90, 120
+    src = f"{workdir}/chain_src"
+    per_slice = -(-events // SLICES)
+    span_s = events // nkeys  # one event per zone per second
+    slice_span_s = span_s // SLICES
+
+    # per-window spike every 37th window so is_anomaly actually fires
+    widx = (F.col("id") / nkeys).cast("long") / window_s
+    gen = spark.range(events).select(
+        F.concat(F.lit("zone_"), (F.col("id") % nkeys)).alias("zone"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + (F.col("id") / nkeys).cast("long") * 1_000_000
+        ).alias("ts"),
+        (
+            50
+            + ((F.col("id") * 7 + (F.col("id") % nkeys) * 13) % 11)
+            + F.when(widx.cast("long") % 37 == 0, 40).otherwise(0)
+        ).cast("double").alias("amount"),
+        F.least(F.lit(SLICES - 1), (F.col("id") / per_slice).cast("int")).alias("slc"),
+    )
+    write_slices(gen, "ts", F.col("slc"), src)
+    # flush sentinel: one far-future row per zone closes every window and
+    # drains the join state once it reaches Q3 through the chain
+    sentinel = spark.range(nkeys).select(
+        F.concat(F.lit("zone_"), F.col("id")).alias("zone"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + (span_s + 600) * 1_000_000
+        ).alias("ts"),
+        F.lit(50.0).alias("amount"),
+        F.lit(SLICES).alias("slc"),
+    )
+    time.sleep(0.05)
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    ev_schema = "zone string, ts timestamp, amount double, slc int"
+    topic_a, topic_b = f"{workdir}/chain_windows", f"{workdir}/chain_anom"
+    # file sources need the directory to exist before the query starts
+    Path(topic_a).mkdir(parents=True, exist_ok=True)
+    Path(topic_b).mkdir(parents=True, exist_ok=True)
+
+    # Q1: raw events -> tumbling per-zone window aggregate (engine tumble,
+    # window_time = end - 1ms) -> topic A
+    raw1 = (
+        spark.readStream.schema(ev_schema).format("parquet")
+        .option("maxFilesPerTrigger", "2").load(src).drop("slc")
+    )
+    windows = tumble(
+        raw1, "ts", f"{window_s} seconds", ["zone"],
+        [F.count("*").alias("n_events"), F.avg("amount").alias("avg_amount")],
+        watermark=f"{delay_s} seconds", window_time=True,
+    ).select("zone", "window_time", "n_events", "avg_amount")
+    q1 = (
+        windows.writeStream.outputMode("append").format("parquet")
+        .option("path", topic_a)
+        .option("checkpointLocation", f"{workdir}/chain_q1_ckpt")
+        .trigger(processingTime="1 second").queryName("chain_tumble").start()
+    )
+
+    # Q2: topic A -> per-zone AR anomaly state -> topic B
+    win_schema = ("zone string, window_time timestamp, n_events long, "
+                  "avg_amount double")
+    astream = (
+        spark.readStream.schema(win_schema).format("parquet").load(topic_a)
+    )
+    scored = ml_detect_anomalies_stream(
+        astream, metric="avg_amount", ts="window_time", keys=["zone"],
+        min_training_size=8, max_training_size=50,
+    ).select(
+        "zone", "window_time", "avg_amount",
+        F.col("anomaly_result.is_anomaly").alias("is_anomaly"),
+    )
+    q2 = (
+        scored.writeStream.outputMode("append").format("parquet")
+        .option("path", topic_b)
+        .option("checkpointLocation", f"{workdir}/chain_q2_ckpt")
+        .trigger(processingTime="1 second").queryName("chain_anomaly").start()
+    )
+
+    # Q3: raw events interval-joined to anomalous windows (the lab4
+    # rides-to-surge-window shape) -> noop
+    raw3 = (
+        spark.readStream.schema(ev_schema).format("parquet")
+        .option("maxFilesPerTrigger", "2").load(src).drop("slc")
+        .withWatermark("ts", f"{delay_s} seconds")
+    )
+    anom_schema = ("zone string, window_time timestamp, avg_amount double, "
+                   "is_anomaly boolean")
+    # watermark BEFORE the anomaly filter: the watermark must advance with
+    # EVERY upstream window, not just the sparse anomalous ones — filtering
+    # first would stall the right watermark and pin the whole left buffer
+    # (observed: left state == entire stream at 120k before this ordering)
+    bstream = (
+        spark.readStream.schema(anom_schema).format("parquet").load(topic_b)
+        .withWatermark("window_time", f"{delay_s} seconds")
+        .filter(F.col("is_anomaly"))
+    )
+    joined = interval_join_stream(
+        raw3, bstream, on=["zone"], left_ts="ts", right_ts="window_time",
+        lower=f"INTERVAL {horizon_s} SECONDS", upper="INTERVAL 0 SECONDS",
+        right_suffix="_w",
+    )
+    topic_c = f"{workdir}/chain_joined"
+    q3 = (
+        joined.writeStream.outputMode("append").format("parquet")
+        .option("path", topic_c)
+        .option("checkpointLocation", f"{workdir}/chain_q3_ckpt")
+        .trigger(processingTime="1 second").queryName("chain_join").start()
+    )
+
+    # poll to drain: merge progress incrementally (recentProgress only
+    # retains the last 100 events; idle 1 s ticks would evict the real
+    # batches long before the cascade settles)
+    queries = {"chain_tumble": q1, "chain_anomaly": q2, "chain_join": q3}
+    merged: dict[str, dict[int, dict]] = {n: {} for n in queries}
+    idle, deadline = 0, time.time() + 900
+    while time.time() < deadline:
+        fresh = 0
+        for name, q in queries.items():
+            for p in progress_rows(q):
+                if p["rows"] and p["batch"] not in merged[name]:
+                    fresh += 1
+                merged[name][p["batch"]] = p
+        idle = 0 if fresh else idle + 1
+        if idle >= 10 and all(m for m in merged.values()):
+            break
+        time.sleep(2)
+    for q in queries.values():
+        q.stop()
+    assert idle >= 10, "lab chain never drained within the 900s budget"
+
+    def rows_of(name):
+        return [merged[name][b] for b in sorted(merged[name])]
+
+    open_windows = (2 * slice_span_s + delay_s) // window_s + 3
+    report(
+        f"lab chain Q1 tumble ({events:,} events, {nkeys} zones)",
+        rows_of("chain_tumble"), state_bound=nkeys * open_windows,
+        bound_desc=f"zones x {open_windows} open windows, drains",
+        drains=True,
+    )
+    report(
+        "lab chain Q2 anomaly (fed live by Q1)",
+        rows_of("chain_anomaly"), state_bound=nkeys,
+        bound_desc="one ring buffer per zone",
+    )
+    # Q3's buffer is governed by the GLOBAL watermark = min(left, right),
+    # and the right (topic B) watermark structurally trails the raw
+    # replay by the Q1->Q2 cascade lag — replay compresses event time
+    # ~50x against wall clock, so a flat rows-bound would really assert
+    # the machine's load, not the operator. The operator CONTRACT is:
+    # retained rows <= rate x (ingest frontier - global watermark +
+    # horizon + delay) at every batch — i.e. the join holds exactly what
+    # the watermark still permits to match and not one slice more. A
+    # broken eviction (the watermark-after-filter bug this smoke caught
+    # in r13, or no eviction at all) fails this at the first batch where
+    # the watermark has moved.
+    q3_rows = rows_of("chain_join")
+    frontier = None
+    for pr in q3_rows:
+        print(
+            f"  batch {pr['batch']:>3}  rows {pr['rows']:>9,}  "
+            f"{pr['sec']:7.2f}s  state_rows {pr['state_rows']}  "
+            f"state_mb {pr['state_mb']}"
+        )
+        if pr["etmax"] is not None:
+            frontier = max(frontier or pr["etmax"], pr["etmax"])
+        if pr["state_rows"] is None or pr["wm"] is None or frontier is None:
+            continue
+        lag_s = max(0.0, frontier - pr["wm"])
+        permitted = nkeys * (lag_s + horizon_s + delay_s + slice_span_s)
+        assert pr["state_rows"] <= permitted, (
+            f"lab chain Q3: state {pr['state_rows']:,} exceeds the "
+            f"watermark-permitted {permitted:,.0f} rows at batch "
+            f"{pr['batch']} (frontier-watermark lag {lag_s:.0f}s)"
+        )
+    q3_rows_total = sum(pr["rows"] for pr in q3_rows)
+    q3_sec = sum(pr["sec"] for pr in q3_rows) or 1e-9
+    peaks = [pr["state_rows"] for pr in q3_rows if pr["state_rows"] is not None]
+    assert peaks and peaks[-1] < max(peaks), (
+        f"lab chain Q3: watermark never evicted: {peaks}"
+    )
+    print(
+        f"lab chain Q3 interval join (fed live by Q2): {q3_rows_total:,} "
+        f"rows in {q3_sec:.1f}s = {q3_rows_total / q3_sec:,.0f} rows/s "
+        f"over {len(q3_rows)} micro-batches"
+    )
+    print(
+        f"  state == watermark-permitted at every batch "
+        f"(rate x (frontier-watermark lag + horizon + delay)); "
+        f"peak {max(peaks):,} drained to {peaks[-1]:,}\n"
+    )
+    # end-to-end semantic pulse: anomalous windows were produced AND
+    # joined rows flowed (the chain actually carried data end to end)
+    n_anom = spark.read.parquet(topic_b).filter("is_anomaly").count()
+    n_join = spark.read.parquet(topic_c).count()
+    assert n_anom > 0, "no anomalous windows emitted by the live chain"
+    assert n_join > 0, "interval join emitted no matched rows"
+    print(f"  end-to-end: {n_anom:,} anomalous windows -> {n_join:,} "
+          f"joined event rows\n")
+
+
+def smoke_twin_gates(spark, docs: int, workdir: str) -> None:
+    """Round-13 twins at generated scale THROUGH the real pipelines
+    (not re-implementations): WHATWG charset routing (pure-JVM map-only
+    sniff over synthesized payloads) and margin-based bitext mining
+    (frozen target corpus + backward averages, broadcast forward scorer
+    per batch). Both are stateless by design — report() asserts NO
+    state operator ever appears; throughput is the figure of merit."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.streaming.catalog import (
+        StreamCatalog,
+    )
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        bitext_stream_pipeline,
+        charset_gate_stream_pipeline,
+    )
+
+    docs_path = f"{workdir}/twin_docs"
+    spark.range(docs).select(F.col("id").alias("doc_id")) \
+        .write.mode("overwrite").parquet(docs_path)
+    cat = StreamCatalog(spark, f"{workdir}/twin_cat_cs")
+    tap = ProgressTap(spark)
+    t0 = time.perf_counter()
+    charset_gate_stream_pipeline(cat, docs_path)
+    wall = time.perf_counter() - t0
+    time.sleep(2)  # listener events arrive on a background thread
+    prog = tap.rows("cs_declared") + tap.rows("cs_defaulted")
+    report(
+        f"charset_gate_stream_pipeline ({docs:,} docs, wall {wall:.1f}s)",
+        prog, state_bound=0,
+        bound_desc="map-only sniff, no state by design",
+    )
+    n_dec = cat.read_batch("cs_declared").count()
+    n_def = cat.read_batch("cs_defaulted").count()
+    assert n_dec + n_def == docs, f"routing lost rows: {n_dec}+{n_def}"
+    print(f"  routed: {n_dec:,} declared / {n_def:,} defaulted\n")
+
+    # bitext: tgt side broadcast-tiny (2k), src side = the stream
+    tgt_n = 2000
+    emb_path = f"{workdir}/twin_embeddings"
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda i: (
+            F.conv(F.substring(F.md5(F.concat_ws("|", "id", i)), 1, 15),
+                   16, 10).cast("double") / F.lit(float(1 << 60))
+        ),
+    )
+    spark.range(docs).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") < tgt_n, F.lit(5) + F.col("id") % 5)
+         .otherwise(F.col("id") % 5).cast("int").alias("label"),
+        emb.alias("embedding"),
+    ).write.mode("overwrite").parquet(emb_path)
+    cat2 = StreamCatalog(spark, f"{workdir}/twin_cat_bt")
+    t0 = time.perf_counter()
+    bitext_stream_pipeline(cat2, emb_path, k=4)
+    wall = time.perf_counter() - t0
+    time.sleep(2)
+    report(
+        f"bitext_stream_pipeline ({docs - tgt_n:,} src x {tgt_n} frozen "
+        f"tgt, wall {wall:.1f}s incl. profile)",
+        tap.rows("bitext_verdicts"), state_bound=0,
+        bound_desc="frozen-profile broadcast scorer, no state by design",
+    )
+    tap.close()
+    n_v = cat2.read_batch("bitext_verdicts").count()
+    assert n_v == docs - tgt_n, f"per-src verdicts: {n_v} != {docs - tgt_n}"
+    n_m = cat2.read_batch("bitext_verdicts").filter("mined").count()
+    print(f"  verdicts: {n_v:,} sources, {n_m:,} mined\n")
+
+
 def main() -> None:
     events = int(os.environ.get("SMOKE_EVENTS", 1_000_000))
     docs = int(os.environ.get("SMOKE_DOCS", 1_000_000))
@@ -673,6 +1035,8 @@ def main() -> None:
         run(smoke_crawl_frontier, docs)
         run(smoke_token_bucket, events)
         run(smoke_preference_pairs, docs)
+        run(smoke_lab_chain, events)
+        run(smoke_twin_gates, docs)
         print(f"total wall: {time.perf_counter() - t0:.1f}s")
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
