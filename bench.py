@@ -34,6 +34,7 @@ HEADLINE = [
     "anomaly_detect_ar",
     "ml_predict_textgen",
     "ml_predict_embedding",
+    "ml_predict_cached",
     "vector_search_topk",
     "embedding_topk_pairs",
     "dedup_exact",

@@ -46,3 +46,70 @@ def ml_predict(model: Model, input_col: str | Column) -> Column:
             yield pd.Series(fn(s.fillna("").tolist(), model), index=s.index)
 
     return _infer(col)
+
+
+def ml_predict_cached(
+    df,
+    model: Model,
+    prompt_col: str,
+    cache,
+    out_col: str = "response",
+    hit_col: str = "cache_hit",
+    hash_col: str = "prompt_hash",
+    broadcast_cache: bool = True,
+):
+    """Inference with an exact-match response cache — the cost gate every
+    production ML_PREDICT pipeline puts in front of the provider: rows
+    whose prompt md5 appears in ``cache`` (columns ``prompt_hash``,
+    ``response``) reuse the stored response; only cache MISSES invoke the
+    model, and those are deduplicated first so the provider sees ONE call
+    per distinct missed prompt, not one per row (templated prompts over
+    repeating entities make this the dominant saving at corpus scale).
+
+    Returns ``(result, new_entries)``: ``result`` is ``df`` plus
+    ``hash_col``, ``hit_col`` and ``out_col``; ``new_entries`` is the
+    distinct (prompt_hash, response) delta to append to the cache table
+    for the next run (the cache's compaction/upsert is the caller's
+    storage concern — on a Kafka-backed cache it's a compacted topic).
+
+    100 TB shape: the cache probe is one broadcast hash join when the
+    cache is broadcastable (``broadcast_cache``, default) else a shuffle
+    hash join on the uniform md5 key (no skew by construction); the
+    intra-batch dedup is one distinct() shuffle over the MISS slice only;
+    the provider UDF — the actual bottleneck at scale — runs on the
+    deduped side only. Everything else is JVM.
+    """
+    h = F.md5(F.col(prompt_col))
+    probe = cache.select(
+        F.col("prompt_hash").alias(hash_col),
+        F.col("response").alias("__cached_response"),
+    )
+    if broadcast_cache:
+        probe = F.broadcast(probe)
+    joined = df.withColumn(hash_col, h).join(probe, hash_col, "left")
+
+    misses = (
+        joined.filter(F.col("__cached_response").isNull())
+        .select(hash_col, F.col(prompt_col).alias("__miss_prompt"))
+        .distinct()
+    )
+    new_entries = misses.select(
+        F.col(hash_col).alias("prompt_hash"),
+        ml_predict(model, "__miss_prompt").alias("response"),
+    )
+    fresh = new_entries.select(
+        F.col("prompt_hash").alias(hash_col),
+        F.col("response").alias("__fresh_response"),
+    )
+    if broadcast_cache:
+        fresh = F.broadcast(fresh)
+    result = (
+        joined.join(fresh, hash_col, "left")
+        .withColumn(hit_col, F.col("__cached_response").isNotNull())
+        .withColumn(
+            out_col,
+            F.coalesce(F.col("__cached_response"), F.col("__fresh_response")),
+        )
+        .drop("__cached_response", "__fresh_response")
+    )
+    return result, new_entries

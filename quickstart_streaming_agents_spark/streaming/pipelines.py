@@ -2109,3 +2109,72 @@ def charset_gate_stream_pipeline(
     )
     catalog.await_all()
     return catalog
+
+
+def inference_cache_stream_pipeline(
+    catalog: StreamCatalog,
+    events_path: str,
+) -> StreamCatalog:
+    """Continuous cached inference — the streaming half of
+    queries.ml_predict_cached (profile-then-stream): the response cache
+    is frozen at pipeline start (a compacted topic's snapshot); every
+    arriving templated prompt probes it, and only cache MISSES invoke
+    the provider — deduplicated WITHIN each micro-batch, so the model
+    sees one call per distinct missed prompt per batch (the intra-batch
+    dedup is exactly the batch operator's, run by foreachBatch). A row's
+    verdict depends only on its own prompt and the frozen cache, and the
+    fake provider is deterministic, so parity with batch is BIT-EXACT.
+    Cache epochs roll by restarting with a re-compacted snapshot —
+    exactly how a Kafka-compacted cache topic is consumed; the
+    continuously-updating variant would feed new_entries back through a
+    second topic, trading bit-exact replay determinism for hit rate.
+    """
+    from pyspark.sql import types as T
+
+    from ..functions.ml import ml_predict, ml_predict_cached
+    from ..registries import DEFAULT_CATALOG
+
+    spark = catalog.spark
+    model = DEFAULT_CATALOG.models["fake_textgen"]
+    ev = spark.read.parquet(events_path)
+    prompts = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("Describe "), F.col("event_type"),
+            F.lit(" for cohort "), (F.col("user_id") % 40).cast("string"),
+        ).alias("prompt"),
+        (F.col("user_id") % 40).alias("cohort"),
+        "ts",
+    )
+    seed = (
+        prompts.filter(F.col("cohort") % 3 == 0).select("prompt").distinct()
+    )
+    cache = seed.select(
+        F.md5("prompt").alias("prompt_hash"),
+        ml_predict(model, "prompt").alias("response"),
+    ).persist()
+    cache.count()  # freeze the snapshot once
+
+    catalog.create_table_as(
+        "ic_raw_prompts", prompts.select("event_id", "prompt", "ts")
+    )
+
+    def score(batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        result, _delta = ml_predict_cached(
+            batch_df.drop("ts"), model, "prompt", cache
+        )
+        return result.select("event_id", "prompt", "cache_hit", "response")
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("prompt", T.StringType()),
+        T.StructField("cache_hit", T.BooleanType()),
+        T.StructField("response", T.StringType()),
+    ])
+    stream = catalog.read_stream("ic_raw_prompts")
+    catalog.create_table_foreach_batch(
+        "ic_responses", stream, score, schema=schema, available_now=True
+    )
+    catalog.await_all()
+    cache.unpersist()
+    return catalog

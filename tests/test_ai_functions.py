@@ -200,3 +200,80 @@ def test_catalog_save_load_round_trip(tmp_path):
     assert back.agents["a"] == cat.agents["a"]
     # nested refs are re-linked to the loaded connection object
     assert back.models["m"].connection is back.connections["mcp"]
+
+
+def test_ml_predict_cached_matches_direct_and_dedups_calls(spark):
+    """Cache hits reuse the stored response, misses match a direct
+    ml_predict bit for bit, and the provider-facing side is the DISTINCT
+    missed prompts only (new_entries cardinality == distinct misses)."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.functions.ml import (
+        ml_predict,
+        ml_predict_cached,
+    )
+    from quickstart_streaming_agents_spark.registries import DEFAULT_CATALOG
+
+    model = DEFAULT_CATALOG.models["fake_textgen"]
+    # 300 rows over 30 distinct templated prompts, 12 of them pre-cached
+    rows = spark.range(300).select(
+        F.col("id").alias("row_id"),
+        F.concat(F.lit("Describe entity "), (F.col("id") % 30).cast("string"))
+         .alias("prompt"),
+        (F.col("id") % 30).alias("ent"),
+    )
+    seed = rows.filter(F.col("ent") < 12).select("prompt").distinct()
+    cache = seed.select(
+        F.md5("prompt").alias("prompt_hash"),
+        ml_predict(model, "prompt").alias("response"),
+    )
+    result, new_entries = ml_predict_cached(
+        rows.drop("ent"), model, "prompt", cache
+    )
+    got = {r.row_id: (r.cache_hit, r.response) for r in result.collect()}
+    want_resp = {
+        r.row_id: r.response
+        for r in rows.withColumn("response", ml_predict(model, "prompt"))
+                     .collect()
+    }
+    assert len(got) == 300
+    for rid, (hit, resp) in got.items():
+        assert resp == want_resp[rid]
+        assert hit == (rid % 30 < 12)
+    # provider-facing dedup: exactly the 18 distinct missed prompts
+    entries = new_entries.collect()
+    assert len(entries) == 18
+    assert all(e.response.startswith("FAKE[fake_textgen]:") for e in entries)
+
+
+def test_ml_predict_cached_edges_all_hit_and_empty_cache(spark):
+    """All-hit leaves new_entries empty; an empty cache misses every row
+    but still answers correctly (the cold-start path)."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.functions.ml import (
+        ml_predict,
+        ml_predict_cached,
+    )
+    from quickstart_streaming_agents_spark.registries import DEFAULT_CATALOG
+
+    model = DEFAULT_CATALOG.models["fake_textgen"]
+    rows = spark.range(40).select(
+        F.col("id").alias("row_id"),
+        F.concat(F.lit("Entity "), (F.col("id") % 4).cast("string"))
+         .alias("prompt"),
+    )
+    full = rows.select("prompt").distinct().select(
+        F.md5("prompt").alias("prompt_hash"),
+        ml_predict(model, "prompt").alias("response"),
+    )
+    res_all, delta_all = ml_predict_cached(rows, model, "prompt", full)
+    assert delta_all.count() == 0
+    assert all(r.cache_hit for r in res_all.collect())
+
+    empty = full.filter(F.lit(False))
+    res_none, delta_none = ml_predict_cached(rows, model, "prompt", empty)
+    out = res_none.collect()
+    assert all(not r.cache_hit for r in out)
+    assert all(r.response.startswith("FAKE[fake_textgen]:") for r in out)
+    assert delta_none.count() == 4

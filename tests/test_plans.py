@@ -391,6 +391,14 @@ def test_round11b_query_plan_budgets_pinned(spark):
     assert count_exchanges(_q(spark, "crawl_politeness_gate")) == 1
     # bitext: two broadcast top-k passes (arrow) + per-src argmax window
     assert count_exchanges(_q(spark, "bitext_mining_margin")) <= 2
+    # cached inference (r13): cache probe + fresh backfill are BROADCAST
+    # joins; the only shuffles are the two distinct() aggs (seed build +
+    # miss dedup) — the provider UDF must never see a per-row fan-out
+    mpc = _q(spark, "ml_predict_cached")
+    p = physical_plan(mpc)
+    assert count_exchanges(mpc) <= 4
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
     # WHATWG charset precedence is expression-level, scan-fused
     assert count_exchanges(_q(spark, "charset_sniff")) == 0
     assert count_exchanges(_q(spark, "order_priority_check")) <= 4

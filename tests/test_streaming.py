@@ -1879,3 +1879,29 @@ def test_charset_gate_stream_matches_batch_bit_exact(spark, catalog):
     assert all(r.bom is None and r.meta_charset is None
                and r.resolved == "utf-8" for r in defaulted)
     assert declared and defaulted
+
+
+def test_inference_cache_stream_matches_batch_bit_exact(spark, catalog):
+    """The streaming cached-inference gate probes the SAME frozen cache
+    with the SAME operator as batch — per-row (hit, response) must be
+    bit-exact equal, with both hit polarities firing."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        inference_cache_stream_pipeline,
+    )
+
+    inference_cache_stream_pipeline(
+        catalog, events_path=f"{SF_DIR}/events.parquet"
+    )
+    got = {
+        r.event_id: (r.prompt, r.cache_hit, r.response)
+        for r in catalog.read_batch("ic_responses").collect()
+    }
+    want = {
+        r.event_id: (r.prompt, r.cache_hit, r.response)
+        for r in QUERIES["ml_predict_cached"](spark, SF_DIR).collect()
+    }
+    assert len(got) == len(want) > 500
+    assert got == want
+    hits = {v[1] for v in got.values()}
+    assert hits == {True, False}
