@@ -244,9 +244,11 @@ def _release_broadcasts() -> None:
     the r8 embedding_topk_pairs in-sequence drift."""
     from quickstart_streaming_agents_spark.runtime import (
         release_tracked_broadcasts,
+        release_tracked_persists,
     )
 
     release_tracked_broadcasts()
+    release_tracked_persists()
 
 
 def _isolated_one(name: str) -> None:

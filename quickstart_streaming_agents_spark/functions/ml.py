@@ -71,6 +71,15 @@ def ml_predict_cached(
     distinct (prompt_hash, response) delta to append to the cache table
     for the next run (the cache's compaction/upsert is the caller's
     storage concern — on a Kafka-backed cache it's a compacted topic).
+    ``new_entries`` is persisted inside this call so that materializing
+    BOTH returned frames still invokes the provider exactly once per
+    distinct missed prompt; call ``new_entries.unpersist()`` once the
+    delta is appended. Duplicate ``prompt_hash`` rows in ``cache`` (an
+    appended, not-yet-compacted snapshot) are deduplicated before the
+    probe — duplicates carry the same response by construction, any one
+    wins. NULL prompts hash as the empty string, matching the provider's
+    own NULL→"" normalization, so a NULL-prompt row gets the empty-prompt
+    response instead of silently dropping to NULL.
 
     100 TB shape: the cache probe is one broadcast hash join when the
     cache is broadcastable (``broadcast_cache``, default) else a shuffle
@@ -79,24 +88,29 @@ def ml_predict_cached(
     the provider UDF — the actual bottleneck at scale — runs on the
     deduped side only. Everything else is JVM.
     """
-    h = F.md5(F.col(prompt_col))
+    h = F.md5(F.coalesce(F.col(prompt_col), F.lit("")))
     probe = cache.select(
         F.col("prompt_hash").alias(hash_col),
         F.col("response").alias("__cached_response"),
-    )
+    ).dropDuplicates([hash_col])
     if broadcast_cache:
         probe = F.broadcast(probe)
     joined = df.withColumn(hash_col, h).join(probe, hash_col, "left")
 
     misses = (
         joined.filter(F.col("__cached_response").isNull())
-        .select(hash_col, F.col(prompt_col).alias("__miss_prompt"))
+        .select(
+            hash_col,
+            F.coalesce(F.col(prompt_col), F.lit("")).alias("__miss_prompt"),
+        )
         .distinct()
     )
-    new_entries = misses.select(
+    from quickstart_streaming_agents_spark.runtime import track_persist
+
+    new_entries = track_persist(misses.select(
         F.col(hash_col).alias("prompt_hash"),
         ml_predict(model, "__miss_prompt").alias("response"),
-    )
+    ).persist())
     fresh = new_entries.select(
         F.col("prompt_hash").alias(hash_col),
         F.col("response").alias("__fresh_response"),

@@ -14073,8 +14073,9 @@ def lab4_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per distinct missed prompt (templated prompts over repeating entities —
 # here 'Describe <event_type> for cohort <user_id%40>', 200 distinct
 # prompts over the whole events table — make this the dominant saving at
-# corpus scale). Cache pre-seeded from cohorts < 15 (75 of 200 prompts),
-# so hits AND misses both fire at every SF. The fake provider's template
+# corpus scale). Cache pre-seeded from the cohorts divisible by 3 (14 of
+# 40 cohorts, 70 of the 200 prompts) — a residue class so hits AND misses
+# both fire even at sf0.001, where user_id only spans 0-14. The fake provider's template
 # ('FAKE[<model>]:' + UPPER(first 48 chars)) is ANSI-SQL-expressible and
 # identical whether a response is served from cache or fresh, so the
 # oracle replays the response for EVERY row and the hit flag analytically.

@@ -34,3 +34,35 @@ def release_tracked_broadcasts() -> int:
         except Exception:  # noqa: BLE001 — already destroyed / ctx gone
             pass
     return n
+
+
+_TRACKED_PERSISTS: list = []
+
+
+def track_persist(df):
+    """Register a persisted DataFrame for deferred unpersist; returns it.
+
+    Same contract as :func:`track_broadcast`, for executor STORAGE
+    memory: an operator that must persist an intermediate so two
+    returned lazy frames share one computation (ml_predict_cached's
+    new-entry delta — the provider must run once per distinct miss even
+    when the caller materializes both frames) cannot unpersist before
+    the caller's actions run, so it registers here and long-lived
+    callers release between queries.
+    """
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_tracked_persists() -> int:
+    """Unpersist all tracked DataFrames; returns how many. Safe any
+    time AFTER the frames derived from them have materialized."""
+    n = 0
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — already unpersisted / ctx gone
+            pass
+    return n

@@ -1959,9 +1959,10 @@ def bitext_stream_pipeline(
     margin is one division of bit-identical doubles (pinned in
     tests/test_streaming.py). New corpus epochs mean re-profiling and
     restarting with fresh frozen tables — neighborhoods drift by
-    release, not by row. Mined pairs (margin > threshold) go to the
-    curated topic; each source's best-but-under-threshold candidate
-    goes to an audit topic with its margin.
+    release, not by row. Every source row emits ONE best-candidate
+    verdict to ``bitext_verdicts`` with a ``mined`` flag (margin >
+    threshold) — mined pairs and the under-threshold audit tail are
+    the two filtered views of that one topic.
 
     100 TB shape: the frozen side is gated by the vector_search
     broadcast guard; beyond broadcastable corpora the batch ANN ladder
@@ -1979,9 +1980,10 @@ def bitext_stream_pipeline(
     src = emb.filter(F.col("label") < 5).select("vec_id", "embedding")
     tgt = emb.filter(F.col("label") >= 5).select("vec_id", "embedding")
 
-    # rank-order fold: same (((s1+s2)+s3)+s4)/k as the batch query and
-    # its oracle's list_aggregate over the rk-ordered list
-    def _avgk(out):
+    # rank-order fold over the top-k array column: same (((s1+s2)+s3)+s4)/k
+    # as the batch query and its oracle's list_aggregate over the rk-ordered
+    # list
+    def _avgk():
         return F.aggregate(
             "search_results", F.lit(0.0), lambda acc, x: acc + x["score"]
         ) / F.lit(float(k))
@@ -1992,7 +1994,7 @@ def bitext_stream_pipeline(
         tgt.select(F.col("vec_id").alias("tgt_id"), "embedding"),
         src, "embedding", k=k,
     )
-    abwd = bwd.select("tgt_id", _avgk(bwd).alias("abwd")).persist()
+    abwd = bwd.select("tgt_id", _avgk().alias("abwd")).persist()
     abwd.count()
 
     stamped = src.select(
@@ -2007,7 +2009,7 @@ def bitext_stream_pipeline(
         fwd = vector_search(
             batch_df.select("src_id", "embedding"), tgt, "embedding", k=k
         )
-        fwd = fwd.select("src_id", "search_results", _avgk(fwd).alias("afwd"))
+        fwd = fwd.select("src_id", "search_results", _avgk().alias("afwd"))
         cand = (
             fwd.select(
                 "src_id", "afwd",
@@ -2046,12 +2048,8 @@ def bitext_stream_pipeline(
         T.StructField("mined", T.BooleanType()),
     ])
     stream = catalog.read_stream("bitext_raw_src")
-
-    def route(batch_df: DataFrame, epoch_id: int) -> DataFrame:
-        return score(batch_df, epoch_id)
-
     catalog.create_table_foreach_batch(
-        "bitext_verdicts", stream, route, schema=schema, available_now=True
+        "bitext_verdicts", stream, score, schema=schema, available_now=True
     )
     catalog.await_all()
     abwd.unpersist()
@@ -2133,6 +2131,7 @@ def inference_cache_stream_pipeline(
 
     from ..functions.ml import ml_predict, ml_predict_cached
     from ..registries import DEFAULT_CATALOG
+    from ..runtime import release_tracked_persists
 
     spark = catalog.spark
     model = DEFAULT_CATALOG.models["fake_textgen"]
@@ -2160,6 +2159,10 @@ def inference_cache_stream_pipeline(
     )
 
     def score(batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        # previous batch's new-entry persist is materialized by now —
+        # release it so a long-running stream holds at most one batch's
+        # delta in executor storage (the r12 tfidf-stream leak class)
+        release_tracked_persists()
         result, _delta = ml_predict_cached(
             batch_df.drop("ts"), model, "prompt", cache
         )
@@ -2176,5 +2179,6 @@ def inference_cache_stream_pipeline(
         "ic_responses", stream, score, schema=schema, available_now=True
     )
     catalog.await_all()
+    release_tracked_persists()  # final batch's delta
     cache.unpersist()
     return catalog

@@ -277,3 +277,42 @@ def test_ml_predict_cached_edges_all_hit_and_empty_cache(spark):
     assert all(not r.cache_hit for r in out)
     assert all(r.response.startswith("FAKE[fake_textgen]:") for r in out)
     assert delta_none.count() == 4
+
+
+def test_ml_predict_cached_null_prompts_and_duplicate_cache_keys(spark):
+    """NULL prompts must get the provider's empty-prompt response (the
+    plain ml_predict contract), not a silent NULL; duplicate prompt_hash
+    rows in an un-compacted cache snapshot must not fan out the probe
+    join."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.functions.ml import (
+        ml_predict,
+        ml_predict_cached,
+    )
+    from quickstart_streaming_agents_spark.registries import DEFAULT_CATALOG
+
+    model = DEFAULT_CATALOG.models["fake_textgen"]
+    rows = spark.createDataFrame(
+        [(0, "Entity A"), (1, None), (2, "Entity A"), (3, None)],
+        "row_id long, prompt string",
+    )
+    # un-compacted snapshot: the same key appended twice
+    seed = spark.createDataFrame([("Entity A",)], "prompt string")
+    one = seed.select(
+        F.md5("prompt").alias("prompt_hash"),
+        ml_predict(model, "prompt").alias("response"),
+    )
+    cache = one.unionAll(one)
+    result, delta = ml_predict_cached(rows, model, "prompt", cache)
+    got = {r.row_id: (r.cache_hit, r.response) for r in result.collect()}
+    assert len(got) == 4  # duplicate cache keys did not fan out
+    want_empty = ml_predict(model, F.lit("")).alias("r")
+    empty_resp = spark.range(1).select(want_empty).first()[0]
+    assert got[0] == (True, got[0][1]) and got[2] == got[0]
+    assert got[1] == (False, empty_resp)  # NULL → provider("") response
+    assert got[3] == got[1]
+    # one distinct miss (the NULL/"" class), nothing else
+    d = delta.collect()
+    assert len(d) == 1 and d[0].response == empty_resp
+    delta.unpersist()

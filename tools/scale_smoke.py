@@ -196,13 +196,11 @@ def main() -> None:
         qvecs = avecs.filter((F.col("doc_id") % F.lit(max(1, rows // n_q))) == 0)
         n_q_real = qvecs.count()
         t0 = time.perf_counter()
-        adc = pq_adc(qvecs, avecs, "doc_id", "doc_id", k=5, m=2,
-                     n_centroids=8).cache()
-        n_adc = adc.count()
+        n_adc = pq_adc(qvecs, avecs, "doc_id", "doc_id", k=5, m=2,
+                       n_centroids=8).count()
         assert n_adc == n_q_real * 5, (
             f"pq_adc dropped queries: {n_adc} != {n_q_real} * 5"
         )
-        adc.unpersist()
         avecs.unpersist()
         print(f"{'ann pq-adc (m=2, k=5)':28s} {time.perf_counter() - t0:7.2f}s  "
               f"({rows:,} corpus, {n_q_real} queries)", flush=True)
