@@ -233,6 +233,7 @@ HEADLINE = [
     # round 13
     "lab3_chain",
     "lab4_chain",
+    "ivf_index_upsert",
 ]
 
 

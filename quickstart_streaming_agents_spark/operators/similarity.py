@@ -879,3 +879,134 @@ def sq8_topk(
         F.round("score", 6).alias("score"),
         F.col("rk").cast("long").alias("rk"),
     )
+
+
+def ivf_index_upsert(
+    train: DataFrame,
+    ref: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    emb_col: str = "embedding",
+    n_centroids: int = 16,
+    train_sample: int = 20_000,
+    train_iters: int = 5,
+    seed: int = 42,
+    drift_margin_e6: int = 50_000,
+) -> DataFrame:
+    """Assign-only IVF index maintenance (r13) — the freshness half of
+    the ANN ladder's lifecycle, the FAISS production recipe: the coarse
+    quantizer trains ONCE on the ``train`` slice of the old corpus epoch
+    and is FROZEN; NEW vectors are absorbed by assignment only (one
+    distributed map, no retrain). Drift is judged against ``ref`` — the
+    old epoch's HELD-OUT calibration slice — never against the training
+    members themselves: trained members are overfit-aligned to their own
+    centroids (observed: comparing new vs train flags every cell on a
+    stationary corpus), while held-out-vs-held-out compares like with
+    like. Emits one row per cell with occupancy and alignment health:
+
+      * ``ref_mean_align`` / ``new_mean_align`` — mean cosine of each
+        held-out slice's members to their assigned (frozen) centroid;
+      * ``align_degraded`` — new members align strictly worse than the
+        calibration slice (margin 0: fires both ways on any real split);
+      * ``drift`` — degradation exceeds ``drift_margin_e6`` micro-units
+        (0.05 default): the cell's incoming distribution has shifted
+        enough that the frozen quantizer should be retrained. On a
+        stationary corpus this is False everywhere — that IS the
+        signal a monitoring pipeline wants.
+
+    Exactness discipline: per-vector alignment replays the oracle's
+    fold exactly — per-element normalize (x/nrm), zip-multiply against
+    the centroid, left-to-right sum — then quantizes to floor(cos·1e6)
+    BIGINT per vector, so the per-cell sums are EXACT integers, means
+    are one IEEE division each, and both verdicts are all-integer
+    cross-multiplications (new_sum·ref_cnt vs ref_sum·new_cnt −
+    margin·ref_cnt·new_cnt). The only float risk is the measure-zero
+    floor-boundary class the k-means oracles already accept.
+
+    100 TB shape: training is the bounded-sample driver recipe;
+    assignment is ids-only mapInPandas; alignment is a pure-JVM fold
+    against a broadcast 16-row centroid frame; ONE groupBy(cell) agg
+    per epoch — cells, not vectors, reach the driver.
+    """
+    spark = train.sparkSession
+    out_schema = (
+        "cell int, ref_count bigint, new_count bigint, "
+        "ref_mean_align double, new_mean_align double, "
+        "align_degraded boolean, drift boolean"
+    )
+    train = train.filter(F.col(emb_col).isNotNull())
+    ref = ref.filter(F.col(emb_col).isNotNull())
+    new = new.filter(F.col(emb_col).isNotNull())
+    if train.select(emb_col).first() is None:
+        # no training epoch -> no index to maintain
+        return spark.createDataFrame([], out_schema)
+    cents = _train_centroids(train, emb_col, n_centroids, train_sample,
+                             train_iters, seed, init="hash", id_col=id_col)
+    cents_df = spark.createDataFrame(
+        [(int(ci), [float(x) for x in c]) for ci, c in enumerate(cents)],
+        "cell int, cvec array<double>",
+    )
+
+    def epoch_stats(df: DataFrame, prefix: str) -> DataFrame:
+        asg = _assign_df(df, id_col, emb_col, cents, 1)
+        src = df.select(
+            F.col(id_col).cast("long").alias("item_id"),
+            F.col(emb_col).cast("array<double>").alias("__e"),
+        )
+        j = (
+            asg.withColumnRenamed("cluster", "cell")
+            .join(src, "item_id")
+            .join(F.broadcast(cents_df), "cell")
+        )
+        # oracle-fold alignment: normalize per element, zip-multiply,
+        # left-to-right sum (≡ DuckDB list_transform + list_aggregate)
+        nrm = F.sqrt(F.aggregate(
+            F.transform("__e", lambda x: x * x),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ))
+        en = F.transform("__e", lambda x: x / nrm)
+        dot = F.aggregate(
+            F.zip_with(en, F.col("cvec"), lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        a_e6 = F.floor(dot * F.lit(1000000.0)).cast("long")
+        return (
+            j.select("cell", a_e6.alias("__a"))
+            .groupBy("cell")
+            .agg(
+                F.count("*").alias(f"{prefix}_count"),
+                F.sum("__a").alias(f"{prefix}_sum"),
+            )
+        )
+
+    o, n = epoch_stats(ref, "ref"), epoch_stats(new, "new")
+    spine = cents_df.select("cell")
+    oc, nc = F.coalesce("ref_count", F.lit(0)), F.coalesce("new_count", F.lit(0))
+    both = (F.col("ref_count_f") > 0) & (F.col("new_count_f") > 0)
+    return (
+        spine.join(F.broadcast(o), "cell", "left")
+        .join(F.broadcast(n), "cell", "left")
+        .withColumn("ref_count_f", oc)
+        .withColumn("new_count_f", nc)
+        .select(
+            "cell",
+            F.col("ref_count_f").cast("long").alias("ref_count"),
+            F.col("new_count_f").cast("long").alias("new_count"),
+            F.when(F.col("ref_count_f") > 0,
+                   F.col("ref_sum") / (F.col("ref_count_f") * F.lit(1000000.0))
+                   ).alias("ref_mean_align"),
+            F.when(F.col("new_count_f") > 0,
+                   F.col("new_sum") / (F.col("new_count_f") * F.lit(1000000.0))
+                   ).alias("new_mean_align"),
+            F.when(both,
+                   F.col("new_sum") * F.col("ref_count_f")
+                   < F.col("ref_sum") * F.col("new_count_f")
+                   ).alias("align_degraded"),
+            F.when(both,
+                   F.col("new_sum") * F.col("ref_count_f")
+                   < F.col("ref_sum") * F.col("new_count_f")
+                   - F.lit(drift_margin_e6) * F.col("ref_count_f")
+                   * F.col("new_count_f")
+                   ).alias("drift"),
+        )
+    )

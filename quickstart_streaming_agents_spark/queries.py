@@ -1983,6 +1983,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_casg_cte(
     iters: int = 5, n_centroids: int = 16, dim: int = 64, seed: int = 42,
     tag: str = "", emb_expr: str = "embedding", with_kw: bool = True,
+    where: str = "",
 ) -> str:
     """Shared DuckDB replay of the hash-init spherical k-means: normalized
     corpus (cn), ``iters`` unrolled train iterations, final corpus
@@ -2001,13 +2002,15 @@ def _kmeans_casg_cte(
     query (the PQ oracle trains one k-means PER SUBSPACE); ``emb_expr``
     selects the trained vector (e.g. ``embedding[1:32]`` for a PQ
     subspace); ``with_kw=False`` omits the leading WITH for chaining.
-    Defaults reproduce the original SQL byte for byte, so the
-    long-green ann_ivf_topk / semantic_dedup oracles are untouched."""
+    ``where`` restricts the trained corpus (e.g. ``" WHERE vec_id % 4
+    < 3"`` for the r13 index-upsert's OLD epoch). Defaults reproduce
+    the original SQL byte for byte, so the long-green ann_ivf_topk /
+    semantic_dedup oracles are untouched."""
     d1 = dim + 1
     t = tag
     kw = "WITH" if with_kw else ""
     sql = f"""
-    {kw} c{t} AS (SELECT vec_id AS mid, CAST({emb_expr} AS DOUBLE[]) AS e FROM embeddings),
+    {kw} c{t} AS (SELECT vec_id AS mid, CAST({emb_expr} AS DOUBLE[]) AS e FROM embeddings{where}),
     cn{t} AS (
         SELECT mid, list_transform(e, x -> x / sqrt(
             list_aggregate(list_transform(e, y -> y * y), 'sum'))) AS e
@@ -14130,6 +14133,125 @@ def ml_predict_cached_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF index upsert (round 13) — the freshness half of the ANN ladder's
+# lifecycle (FAISS train-once/add-forever): the coarse quantizer trains
+# on the old epoch's TRAIN slice (vec_id % 4 < 2) and is frozen; drift
+# for the assign-only NEW quarter (vec_id % 4 = 3) is judged against the
+# old epoch's HELD-OUT calibration slice (vec_id % 4 = 2) — never the
+# training members, which are overfit-aligned to their own centroids
+# (new-vs-train flags every cell even on a stationary corpus; held-out
+# vs held-out compares like with like). Two integer-exact verdicts:
+# align_degraded (margin 0; both polarities fire at every SF — 7/9,
+# 11/5, 4/12 cells at sf0.001/0.01/0.1) and drift (0.05 margin; on this
+# stationary fixture all cells are False except one sf0.01 cell whose
+# held-out gap exceeds the margin — the quiet profile a monitoring
+# pipeline wants, with the threshold demonstrably armed). The oracle reuses the shared k-means CTE (_kmeans_casg_cte
+# through its `where` hook) and replays assignment of both held-out
+# slices, the floor(cos*1e6) per-vector quantization (per-element
+# normalize -> zip-multiply -> left-to-right sum, identical in both
+# engines), the exact BIGINT per-cell sums, and the cross-multiplied
+# verdicts.
+# ---------------------------------------------------------------------------
+def _ivf_upsert_oracle(
+    iters: int = 5, n_centroids: int = 16, dim: int = 64, seed: int = 42,
+    margin_e6: int = 50_000,
+) -> str:
+    d1 = dim + 1
+    sql = _kmeans_casg_cte(iters, n_centroids, dim, seed,
+                           where=" WHERE vec_id % 4 < 2")
+    sql += f""",
+    rc AS (
+        SELECT vec_id AS mid, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id % 4 = 2
+    ),
+    rcn AS (
+        SELECT mid, list_transform(e, x -> x / sqrt(
+            list_aggregate(list_transform(e, y -> y * y), 'sum'))) AS e
+        FROM rc
+    ),
+    rasg AS (
+        SELECT mid, cl FROM (
+            SELECT rcn.mid, ct.cl,
+                   row_number() OVER (PARTITION BY rcn.mid ORDER BY
+                       list_aggregate(list_transform(range(1, {d1}),
+                           j -> rcn.e[j] * ct.e[j]), 'sum') DESC, ct.cl) AS rk
+            FROM rcn, cent{iters} ct
+        ) WHERE rk = 1
+    ),
+    nc AS (
+        SELECT vec_id AS mid, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id % 4 = 3
+    ),
+    ncn AS (
+        SELECT mid, list_transform(e, x -> x / sqrt(
+            list_aggregate(list_transform(e, y -> y * y), 'sum'))) AS e
+        FROM nc
+    ),
+    nasg AS (
+        SELECT mid, cl FROM (
+            SELECT ncn.mid, ct.cl,
+                   row_number() OVER (PARTITION BY ncn.mid ORDER BY
+                       list_aggregate(list_transform(range(1, {d1}),
+                           j -> ncn.e[j] * ct.e[j]), 'sum') DESC, ct.cl) AS rk
+            FROM ncn, cent{iters} ct
+        ) WHERE rk = 1
+    ),
+    oagg AS (
+        SELECT a.cl AS cell, count(*) AS ref_count,
+               sum(CAST(floor(list_aggregate(list_transform(range(1, {d1}),
+                   j -> rcn.e[j] * ct.e[j]), 'sum') * 1000000) AS BIGINT))
+                   AS ref_sum
+        FROM rasg a JOIN rcn ON rcn.mid = a.mid
+        JOIN cent{iters} ct ON ct.cl = a.cl
+        GROUP BY 1
+    ),
+    nagg AS (
+        SELECT a.cl AS cell, count(*) AS new_count,
+               sum(CAST(floor(list_aggregate(list_transform(range(1, {d1}),
+                   j -> ncn.e[j] * ct.e[j]), 'sum') * 1000000) AS BIGINT))
+                   AS new_sum
+        FROM nasg a JOIN ncn ON ncn.mid = a.mid
+        JOIN cent{iters} ct ON ct.cl = a.cl
+        GROUP BY 1
+    ),
+    cells AS (SELECT cl AS cell FROM cent{iters})
+    SELECT cells.cell,
+           COALESCE(ref_count, 0) AS ref_count,
+           COALESCE(new_count, 0) AS new_count,
+           CASE WHEN ref_count > 0
+                THEN ref_sum / (ref_count * 1000000.0) END AS ref_mean_align,
+           CASE WHEN new_count > 0
+                THEN new_sum / (new_count * 1000000.0) END AS new_mean_align,
+           CASE WHEN ref_count > 0 AND new_count > 0
+                THEN new_sum * ref_count < ref_sum * new_count
+                END AS align_degraded,
+           CASE WHEN ref_count > 0 AND new_count > 0
+                THEN new_sum * ref_count
+                     < ref_sum * new_count - {margin_e6} * ref_count * new_count
+                END AS drift
+    FROM cells LEFT JOIN oagg ON oagg.cell = cells.cell
+    LEFT JOIN nagg ON nagg.cell = cells.cell
+    """
+    return sql
+
+
+@query("ivf_index_upsert", oracle=_ivf_upsert_oracle())
+def ivf_index_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign-only IVF index maintenance over a train/calibration/new
+    split of the embeddings fixture — see block comment; operator in
+    operators/similarity.ivf_index_upsert."""
+    from quickstart_streaming_agents_spark.operators.similarity import (
+        ivf_index_upsert,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 4 < 2).select("vec_id", "embedding")
+    ref = emb.filter(F.col("vec_id") % 4 == 2).select("vec_id", "embedding")
+    new = emb.filter(F.col("vec_id") % 4 == 3).select("vec_id", "embedding")
+    return ivf_index_upsert(train, ref, new, "vec_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification rotation (round 11). The correctness harness
 # oracle-checks the FIRST 50 registry entries each round. Round 10's
 # rotation was accidentally left at the r9 list, so its window (and
@@ -14180,10 +14302,11 @@ def ml_predict_cached_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r8 for exactly those 6.
 #
 # r14 queue (documented ahead, the standing convention): (a) the 6
-# deferred r8 rows above, (b) ml_predict_cached — registered late in r13
-# (the cached-inference operator), never driver-sampled, simulator-
-# verified at sf0.01/0.001/0.1 in VERIFY_r13.log's final sweep — then
-# (c) the r10-vintage rows, oldest first.
+# deferred r8 rows above, (b) the two queries registered late in r13 and
+# never driver-sampled — ml_predict_cached (the cached-inference
+# operator) and ivf_index_upsert (the ANN-freshness monitor), both
+# simulator-verified at sf0.001/0.01/0.1 and in VERIFY_r13.log's final
+# 206-query sweep — then (c) the r10-vintage rows, oldest first.
 # ---------------------------------------------------------------------------
 _R13_CHECK_FIRST = [
     # (a) the 9 deferred pure-TPC-H r7 rows (see comment above)

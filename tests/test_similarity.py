@@ -384,3 +384,71 @@ def test_ann_ivfpq_recall_and_agreement(spark):
         ranks[qid][nn1[qid]] / len(cand[qid]) for qid in contained
     ]
     assert sum(rel) / len(rel) < 0.4, "ADC rank of true NN ~ random"
+
+
+def test_ivf_index_upsert_matches_independent_numpy(spark):
+    """Per-cell counts, quantized alignment sums and both verdicts must
+    match an independent numpy replay (BLAS matmul + explicit floor)
+    of the frozen-quantizer assign-only recipe."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.operators.similarity import (
+        _train_centroids,
+        ivf_index_upsert,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 4 < 2).select("vec_id", "embedding")
+    ref = emb.filter(F.col("vec_id") % 4 == 2).select("vec_id", "embedding")
+    new = emb.filter(F.col("vec_id") % 4 == 3).select("vec_id", "embedding")
+    got = {r.cell: r for r in ivf_index_upsert(train, ref, new, "vec_id")
+           .collect()}
+    assert len(got) == 16  # every cell present, member-less ones included
+
+    cents = _train_centroids(train, "embedding", 16, 20_000, 5, 42,
+                             init="hash", id_col="vec_id")
+
+    def stats(df):
+        pdf = df.toPandas()
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        X = X / np.linalg.norm(X, axis=1)[:, None]
+        sims = X @ cents.T
+        asg = sims.argmax(axis=1)
+        a_e6 = np.floor(sims[np.arange(len(X)), asg] * 1e6).astype(np.int64)
+        return {c: (int((asg == c).sum()), int(a_e6[asg == c].sum()))
+                for c in range(16)}
+
+    rs, ns = stats(ref), stats(new)
+    for c in range(16):
+        rc, rsum = rs[c]
+        nc_, nsum = ns[c]
+        assert got[c].ref_count == rc and got[c].new_count == nc_
+        if rc and nc_:
+            assert got[c].align_degraded == (nsum * rc < rsum * nc_)
+            assert got[c].drift == (nsum * rc < rsum * nc_ - 50_000 * rc * nc_)
+            assert abs(got[c].ref_mean_align - rsum / (rc * 1e6)) < 1e-12
+            assert abs(got[c].new_mean_align - nsum / (nc_ * 1e6)) < 1e-12
+    # totals conserve the slices, and the margin-0 verdict fires both ways
+    assert sum(v.ref_count for v in got.values()) == ref.count()
+    assert sum(v.new_count for v in got.values()) == new.count()
+    flags = {v.align_degraded for v in got.values() if v.align_degraded is not None}
+    assert flags == {True, False}
+
+
+def test_ivf_index_upsert_empty_training_epoch(spark):
+    """No training epoch -> empty, well-formed result (not a crash)."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.operators.similarity import (
+        ivf_index_upsert,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    none = emb.filter(F.lit(False)).select("vec_id", "embedding")
+    some = emb.limit(10).select("vec_id", "embedding")
+    out = ivf_index_upsert(none, some, some, "vec_id")
+    assert out.count() == 0
+    assert out.columns == ["cell", "ref_count", "new_count",
+                           "ref_mean_align", "new_mean_align",
+                           "align_degraded", "drift"]
