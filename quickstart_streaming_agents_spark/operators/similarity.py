@@ -1010,3 +1010,58 @@ def ivf_index_upsert(
                    ).alias("drift"),
         )
     )
+
+
+def assign_align_e6(
+    df: DataFrame, id_col: str, emb_col: str, cents
+) -> DataFrame:
+    """(item_id, cell, align_e6): frozen-quantizer assignment PLUS the
+    oracle-order alignment quantization in ONE Arrow pass — the
+    streaming-safe sibling of ``ivf_index_upsert``'s ids-only
+    assign-then-join-back (a stream cannot self-join its assignment
+    back onto its embeddings without watermark machinery). Bit-exact
+    with the batch fold by construction: the squared-norm and alignment
+    sums accumulate with one vectorized IEEE add per dimension in
+    ascending index order (a loop over columns, never BLAS/pairwise
+    reduction), the normalization divides per element, and the floor to
+    micro-units replays F.floor — so per-cell integer sums computed
+    from this path equal the batch operator's exactly."""
+    out_schema = T.StructType([
+        T.StructField("item_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("align_e6", T.LongType()),
+    ])
+    src = df.select(
+        F.col(id_col).cast("long").alias("item_id"),
+        F.col(emb_col).cast("array<double>").alias("__e"),
+    )
+    b_cents = _track_broadcast(df.sparkSession.sparkContext.broadcast(cents))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cts = b_cents.value  # (C, dim), unit-norm
+        dim = cts.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["__e"].to_numpy()).astype(np.float64)
+            acc2 = np.zeros(len(X))
+            for j in range(dim):  # left-to-right fold == F.aggregate
+                acc2 = acc2 + X[:, j] * X[:, j]
+            nrm = np.sqrt(acc2)
+            nrm[nrm == 0] = 1.0
+            Xn = X / nrm[:, None]
+            sims = Xn @ cts.T
+            asg = sims.argmax(axis=1)
+            C = cts[asg]
+            acc = np.zeros(len(X))
+            for j in range(dim):
+                acc = acc + Xn[:, j] * C[:, j]
+            yield pd.DataFrame({
+                "item_id": pdf["item_id"].to_numpy().astype(np.int64),
+                "cell": asg.astype(np.int32),
+                "align_e6": np.floor(acc * 1e6).astype(np.int64),
+            })
+
+    return src.mapInPandas(compute, schema=out_schema)

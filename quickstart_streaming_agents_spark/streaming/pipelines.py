@@ -2182,3 +2182,102 @@ def inference_cache_stream_pipeline(
     release_tracked_persists()  # final batch's delta
     cache.unpersist()
     return catalog
+
+
+def ivf_upsert_stream_pipeline(
+    catalog: StreamCatalog,
+    embeddings_path: str,
+    n_centroids: int = 16,
+    drift_margin_e6: int = 50_000,
+) -> StreamCatalog:
+    """Continuous IVF index-freshness monitoring — the streaming half of
+    queries.ivf_index_upsert (profile-then-stream): the coarse quantizer
+    and the old epoch's held-out calibration stats are frozen at start;
+    every arriving vector is assigned + alignment-quantized in ONE Arrow
+    pass (operators/similarity.assign_align_e6 — the fold replays the
+    batch operator bit for bit) and accumulated by an UPDATE-mode
+    per-cell aggregate into a changelog topic. State is ≤ n_centroids
+    rows (two BIGINTs per cell) REGARDLESS of stream length — the
+    strongest bounded-state contract in the repo next to
+    pack_sequences_stream's per-bucket scalars — and the integer sums
+    are order-insensitive, so the compacted view equals the batch query
+    EXACTLY under any ingest order (pinned in tests/test_streaming.py).
+    After the stream drains, the current per-cell verdict table
+    (``iu_verdicts``) is materialized by joining the compacted totals
+    against the frozen calibration stats with the same all-integer
+    cross-multiplied verdicts as batch.
+    """
+    from ..operators.similarity import _train_centroids, assign_align_e6
+
+    spark = catalog.spark
+    emb = spark.read.parquet(embeddings_path)
+    train = emb.filter(F.col("vec_id") % 4 < 2).select("vec_id", "embedding")
+    ref = emb.filter(F.col("vec_id") % 4 == 2).select("vec_id", "embedding")
+    new = emb.filter(F.col("vec_id") % 4 == 3).select("vec_id", "embedding")
+
+    cents = _train_centroids(
+        train.filter(F.col("embedding").isNotNull()), "embedding",
+        n_centroids, 20_000, 5, 42, init="hash", id_col="vec_id",
+    )
+    refs = (
+        assign_align_e6(ref.filter(F.col("embedding").isNotNull()),
+                        "vec_id", "embedding", cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("ref_count"), F.sum("align_e6").alias("ref_sum"))
+        .persist()
+    )
+    refs.count()  # freeze the calibration profile
+
+    stamped = new.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("vec_id") * 1_000_000
+        ).alias("ts"),
+    )
+    catalog.create_table_as("iu_raw_vectors", stamped)
+
+    stream = catalog.read_stream("iu_raw_vectors")
+    totals = (
+        assign_align_e6(stream.drop("ts"), "vec_id", "embedding", cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("new_count"), F.sum("align_e6").alias("new_sum"))
+    )
+    catalog.create_table_changelog("iu_cell_totals", totals,
+                                   available_now=True)
+    catalog.await_all()
+
+    latest = catalog.read_batch_latest("iu_cell_totals", ["cell"])
+    spine = catalog.spark.createDataFrame(
+        [(int(c),) for c in range(len(cents))], "cell int"
+    )
+    both = (F.col("ref_count_f") > 0) & (F.col("new_count_f") > 0)
+    verdicts = (
+        spine.join(F.broadcast(refs), "cell", "left")
+        .join(F.broadcast(latest), "cell", "left")
+        .withColumn("ref_count_f", F.coalesce("ref_count", F.lit(0)))
+        .withColumn("new_count_f", F.coalesce("new_count", F.lit(0)))
+        .select(
+            "cell",
+            F.col("ref_count_f").cast("long").alias("ref_count"),
+            F.col("new_count_f").cast("long").alias("new_count"),
+            F.when(F.col("ref_count_f") > 0,
+                   F.col("ref_sum") / (F.col("ref_count_f") * F.lit(1000000.0))
+                   ).alias("ref_mean_align"),
+            F.when(F.col("new_count_f") > 0,
+                   F.col("new_sum") / (F.col("new_count_f") * F.lit(1000000.0))
+                   ).alias("new_mean_align"),
+            F.when(both,
+                   F.col("new_sum") * F.col("ref_count_f")
+                   < F.col("ref_sum") * F.col("new_count_f")
+                   ).alias("align_degraded"),
+            F.when(both,
+                   F.col("new_sum") * F.col("ref_count_f")
+                   < F.col("ref_sum") * F.col("new_count_f")
+                   - F.lit(drift_margin_e6) * F.col("ref_count_f")
+                   * F.col("new_count_f")
+                   ).alias("drift"),
+        )
+    )
+    catalog.create_table_as("iu_verdicts", verdicts)
+    refs.unpersist()
+    return catalog

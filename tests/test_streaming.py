@@ -1905,3 +1905,41 @@ def test_inference_cache_stream_matches_batch_bit_exact(spark, catalog):
     assert got == want
     hits = {v[1] for v in got.values()}
     assert hits == {True, False}
+
+
+def test_ivf_upsert_stream_matches_batch_bit_exact(spark, catalog):
+    """The streaming index-freshness monitor accumulates per-cell
+    INTEGER sums (order-insensitive) against the same frozen quantizer
+    and calibration stats as batch — the compacted verdict table must
+    equal the batch ivf_index_upsert query exactly, and the changelog
+    state is bounded by n_centroids cells."""
+    from quickstart_streaming_agents_spark.queries import QUERIES
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        ivf_upsert_stream_pipeline,
+    )
+
+    ivf_upsert_stream_pipeline(
+        catalog, embeddings_path=f"{SF_DIR}/embeddings.parquet"
+    )
+    got = {
+        r.cell: (r.ref_count, r.new_count, r.ref_mean_align,
+                 r.new_mean_align, r.align_degraded, r.drift)
+        for r in catalog.read_batch("iu_verdicts").collect()
+    }
+    want = {
+        r.cell: (r.ref_count, r.new_count, r.ref_mean_align,
+                 r.new_mean_align, r.align_degraded, r.drift)
+        for r in QUERIES["ivf_index_upsert"](spark, SF_DIR).collect()
+    }
+    assert len(got) == len(want) == 16
+    assert got == want
+    # both margin-0 polarities flowed through the stream
+    flags = {v[4] for v in got.values() if v[4] is not None}
+    assert flags == {True, False}
+    # changelog discipline: at most one emission per cell per epoch
+    log = catalog.read_batch("iu_cell_totals").collect()
+    per_epoch = {}
+    for r in log:
+        key = (r["__epoch"], r.cell)
+        per_epoch[key] = per_epoch.get(key, 0) + 1
+    assert all(v == 1 for v in per_epoch.values())

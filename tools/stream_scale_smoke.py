@@ -1008,6 +1008,54 @@ def smoke_twin_gates(spark, docs: int, workdir: str) -> None:
     print(f"  verdicts: {n_v:,} sources, {n_m:,} mined\n")
 
 
+def smoke_ivf_monitor(spark, docs: int, workdir: str) -> None:
+    """Round-13: the IVF index-freshness monitor at generated scale
+    THROUGH the real pipeline — per-cell UPDATE-mode changelog whose
+    state is n_centroids rows (16) of two BIGINTs REGARDLESS of how
+    many vectors flow: the hardest bounded-state contract next to
+    pack_sequences_stream. Vectors are d=16 hash embeddings; a quarter
+    stream as the NEW epoch (the pipeline's %4 split)."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.streaming.catalog import (
+        StreamCatalog,
+    )
+    from quickstart_streaming_agents_spark.streaming.pipelines import (
+        ivf_upsert_stream_pipeline,
+    )
+
+    emb_path = f"{workdir}/ivf_vectors"
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda i: (
+            F.conv(F.substring(F.md5(F.concat_ws("|", "id", i)), 1, 15),
+                   16, 10).cast("double") / F.lit(float(1 << 60))
+        ),
+    )
+    spark.range(docs).select(
+        F.col("id").alias("vec_id"), emb.alias("embedding")
+    ).write.mode("overwrite").parquet(emb_path)
+
+    cat = StreamCatalog(spark, f"{workdir}/ivf_cat")
+    tap = ProgressTap(spark)
+    t0 = time.perf_counter()
+    ivf_upsert_stream_pipeline(cat, emb_path)
+    wall = time.perf_counter() - t0
+    time.sleep(2)
+    report(
+        f"ivf_upsert_stream_pipeline ({docs:,} vectors, {docs // 4:,} "
+        f"streamed, wall {wall:.1f}s incl. profile)",
+        tap.rows("iu_cell_totals"), state_bound=16,
+        bound_desc="n_centroids cells x two BIGINTs, stream-length-free",
+    )
+    tap.close()
+    v = cat.read_batch("iu_verdicts").collect()
+    assert len(v) == 16
+    flags = {r.align_degraded for r in v if r.align_degraded is not None}
+    assert len(flags) >= 1
+    print(f"  verdicts: 16 cells, align_degraded classes {sorted(flags)}\n")
+
+
 def main() -> None:
     events = int(os.environ.get("SMOKE_EVENTS", 1_000_000))
     docs = int(os.environ.get("SMOKE_DOCS", 1_000_000))
@@ -1037,6 +1085,7 @@ def main() -> None:
         run(smoke_preference_pairs, docs)
         run(smoke_lab_chain, events)
         run(smoke_twin_gates, docs)
+        run(smoke_ivf_monitor, docs)
         print(f"total wall: {time.perf_counter() - t0:.1f}s")
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
