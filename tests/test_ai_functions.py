@@ -316,3 +316,34 @@ def test_ml_predict_cached_null_prompts_and_duplicate_cache_keys(spark):
     d = delta.collect()
     assert len(d) == 1 and d[0].response == empty_resp
     delta.unpersist()
+
+
+def test_tracked_persists_release_between_queries(spark):
+    """The bench between-query hook must actually free the cached-
+    inference delta: after ml_predict_cached materializes, the tracked
+    persist count drains to zero and the frame is no longer cached."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.functions.ml import (
+        ml_predict_cached,
+    )
+    from quickstart_streaming_agents_spark.registries import DEFAULT_CATALOG
+    from quickstart_streaming_agents_spark.runtime import (
+        _TRACKED_PERSISTS,
+        release_tracked_persists,
+    )
+
+    release_tracked_persists()  # clean slate
+    model = DEFAULT_CATALOG.models["fake_textgen"]
+    rows = spark.range(20).select(
+        F.col("id").alias("row_id"),
+        F.concat(F.lit("Q "), (F.col("id") % 5).cast("string")).alias("prompt"),
+    )
+    empty_cache = spark.createDataFrame([], "prompt_hash string, response string")
+    result, delta = ml_predict_cached(rows, model, "prompt", empty_cache)
+    assert result.count() == 20 and delta.count() == 5
+    assert len(_TRACKED_PERSISTS) == 1
+    assert delta.storageLevel.useMemory  # actually persisted
+    released = release_tracked_persists()
+    assert released == 1 and not _TRACKED_PERSISTS
+    assert not delta.storageLevel.useMemory  # actually freed
