@@ -1,10 +1,30 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line {"metric", "value", "unit", "queries", "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+JSON lines {"metric", "value", "unit", "queries", "sf"} — the LAST line
+printed is always the most complete result.
 
 Timing is end-to-end per query (plan + execute + noop sink — no driver
 collect in the timed path). One warm-up action first so JVM/Arrow JIT cost
 isn't attributed to the first query.
+
+Wall-clock discipline (VERDICT r13 #1 — the r13 driver bench was killed at
+rc=124 with zero output because this file buffered everything to the end):
+
+- The compact tail line and BENCH_FULL.json are rewritten after EVERY
+  completed query (atomic tmp+rename for the file), so a kill at any
+  instant still leaves parseable data; lines carry "partial": true until
+  the bench completes.
+- ``BENCH_BUDGET_S`` (env, default 1500) is a total wall-clock budget.
+  Under pressure the bench degrades gracefully: first the isolated-fork
+  pass shrinks (1 fork instead of 3) then is skipped, then remaining
+  sweep chunks run in-process without fresh JVMs, and finally unrun
+  queries are recorded as ``SKIPPED(budget)`` in "errors" rather than
+  silently vanishing.
+- The isolated pass forks only queries that need adjudication: the
+  standing watchlist plus queries whose in-sequence figure drifted >30%
+  round-over-round or stands >2x of the BENCH_r01 anchor — not every
+  query over 3 s (the r13 rule that spawned ~60 JVM cold-starts and blew
+  the driver's wall clock).
 """
 
 from __future__ import annotations
@@ -282,7 +302,8 @@ def _isolated_one(name: str) -> None:
                       "load": round(os.getloadavg()[0], 2)}), flush=True)
 
 
-def _run_chunk_inprocess(names: list[str]) -> tuple[dict, dict]:
+def _run_chunk_inprocess(names: list[str], spark=None, on_query=None,
+                         deadline=None) -> tuple[dict, dict]:
     """Run ``names`` in-sequence in THIS process (one session, shared
     warmup) and return (timings, errors). The unit of JVM recycling:
     main() forks one subprocess per ~50-query chunk so late sweep
@@ -290,15 +311,23 @@ def _run_chunk_inprocess(names: list[str]) -> tuple[dict, dict]:
     (VERDICT r11 "What's wrong" #1 — the r11 in-sequence figures for
     late-position queries were inflated up to 4x by accumulated JVM
     state, and recycling inside one process does not help: spark.stop()
-    keeps the same JVM alive for the next context)."""
+    keeps the same JVM alive for the next context).
+
+    ``spark``: reuse an existing session (budget-pressure fallback path)
+    instead of building one. ``on_query(name, sec_or_None, err_or_None)``
+    fires after every query so the caller can persist partial results.
+    ``deadline``: a time.monotonic() stamp after which remaining names
+    are recorded as SKIPPED(budget) instead of run."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from quickstart_streaming_agents_spark.queries import QUERIES
     from quickstart_streaming_agents_spark.session import get_spark, ship_package
     from quickstart_streaming_agents_spark.sources.parquet import load_tables
 
-    spark = get_spark("bench-chunk")
-    ship_package(spark)
+    own_session = spark is None
+    if own_session:
+        spark = get_spark("bench-chunk")
+        ship_package(spark)
     # warm-up: touch every table + exercise codegen/Arrow once (per
     # chunk, excluded from every timing)
     for df in load_tables(spark, sf_dir).values():
@@ -307,6 +336,11 @@ def _run_chunk_inprocess(names: list[str]) -> tuple[dict, dict]:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
+        if deadline is not None and time.monotonic() > deadline:
+            errors[name] = "SKIPPED(budget)"
+            if on_query:
+                on_query(name, None, errors[name])
+            continue
         best = float("inf")
         # min of 2 runs: first run includes plan compilation + codegen for
         # this query shape; min filters transient host noise out of the
@@ -323,25 +357,96 @@ def _run_chunk_inprocess(names: list[str]) -> tuple[dict, dict]:
                 spark.catalog.clearCache()
                 _release_broadcasts()
             timings[name] = round(best, 3)
+            if on_query:
+                on_query(name, timings[name], None)
         except Exception as e:  # noqa: BLE001 — report, don't die
             msg = str(e).splitlines() or [type(e).__name__]
             errors[name] = msg[0][:200]
             spark.catalog.clearCache()
             _release_broadcasts()
-    spark.stop()
+            if on_query:
+                on_query(name, None, errors[name])
+    if own_session:
+        spark.stop()
     return timings, errors
 
 
 def _chunk_main(start: int, end: int) -> None:
-    timings, errors = _run_chunk_inprocess(HEADLINE[start:end])
-    print("CHUNKRESULT " + json.dumps({"timings": timings, "errors": errors}),
-          flush=True)
+    """Subprocess body for one sweep chunk: stream one ``QRESULT`` JSON
+    line per completed query (the parent persists partial output after
+    each, so a wall-clock kill loses at most the in-flight query), then a
+    ``CHUNKDONE`` sentinel."""
+    def _report(name, sec, err):
+        rec = {"q": name}
+        if sec is not None:
+            rec["sec"] = sec
+        if err is not None:
+            rec["err"] = err
+        print("QRESULT " + json.dumps(rec), flush=True)
+
+    _run_chunk_inprocess(HEADLINE[start:end], on_query=_report)
+    print("CHUNKDONE", flush=True)
 
 
 CHUNK = 50  # queries per fresh-JVM sweep chunk
 
 
+def _stream_chunk(start: int, end: int, deadline: float, on_result) -> bool:
+    """Fork one sweep chunk and forward its per-query QRESULT records to
+    ``on_result(rec)`` as they arrive. Returns True when the chunk
+    finished cleanly (CHUNKDONE seen), False when it died or was killed
+    at ``deadline`` (time.monotonic())."""
+    import queue as _queue
+    import subprocess
+    import threading
+
+    proc = subprocess.Popen(
+        [sys.executable, __file__, "--chunk", str(start), str(end)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    lines: _queue.Queue = _queue.Queue()
+
+    def _reader() -> None:
+        for ln in proc.stdout:  # type: ignore[union-attr]
+            lines.put(ln)
+        lines.put(None)
+
+    threading.Thread(target=_reader, daemon=True).start()
+    done = False
+    while True:
+        try:
+            ln = lines.get(timeout=5.0)
+        except _queue.Empty:
+            if time.monotonic() > deadline:
+                proc.kill()
+                break
+            continue
+        if ln is None:
+            break
+        if ln.startswith("QRESULT "):
+            try:
+                on_result(json.loads(ln[len("QRESULT "):]))
+            except Exception:  # noqa: BLE001 — a torn line is not fatal
+                pass
+        elif ln.startswith("CHUNKDONE"):
+            done = True
+        if time.monotonic() > deadline and not done:
+            proc.kill()
+            break
+    try:
+        proc.wait(timeout=30)
+    except Exception:  # noqa: BLE001
+        proc.kill()
+    return done
+
+
 def main() -> None:
+    t_start = time.monotonic()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+    def remaining() -> float:
+        return budget - (time.monotonic() - t_start)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -349,92 +454,186 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    if os.environ.get("SPARK_GRAFT_CHUNKED", "1") != "0":
-        import subprocess
-
-        for start in range(0, len(HEADLINE), CHUNK):
-            names = HEADLINE[start:start + CHUNK]
-            got = None
-            try:
-                res = subprocess.run(
-                    [sys.executable, __file__, "--chunk", str(start),
-                     str(start + CHUNK)],
-                    capture_output=True, text=True, timeout=2400,
-                )
-                for ln in reversed(res.stdout.splitlines()):
-                    if ln.startswith("CHUNKRESULT "):
-                        got = json.loads(ln[len("CHUNKRESULT "):])
-                        break
-            except Exception:  # noqa: BLE001 — fall back in-process
-                got = None
-            if got is None:
-                # subprocess died (OOM-killed, torn output): run this
-                # chunk in-process so the bench line is never missing rows
-                t, e = _run_chunk_inprocess(names)
-                got = {"timings": t, "errors": e}
-            timings.update(got["timings"])
-            errors.update(got["errors"])
-    else:
-        timings, errors = _run_chunk_inprocess(HEADLINE)
-
-    total = round(sum(timings.values()), 3)
-    out = {
+    out: dict = {
         "metric": "headline_queries_total_runtime",
-        "value": total,
+        "value": 0.0,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
-    if errors:
-        out["errors"] = errors
 
-    # Fresh-JVM isolation figures for (a) the heavy (>= 3 s) queries —
-    # the in-sequence numbers above can carry GC pressure from the full
-    # sweep — (b) any query whose round-over-round delta exceeds 30%
-    # vs the previous BENCH_FULL record, and (c) the standing watchlist
-    # (VERDICT r8 #4: embedding_topk_pairs drifted +61% in-sequence
-    # with an unchanged plan and nobody could tell if it was real).
-    # `isolated` re-runs each alone in a forked interpreter (own JVM,
-    # warmup excluded). SPARK_GRAFT_ISOLATE=0 skips the ~20 s/query.
-    if os.environ.get("SPARK_GRAFT_ISOLATE", "1") != "0":
+    def emit(partial: bool) -> None:
+        """Rewrite BENCH_FULL.json (atomic) and print the compact tail
+        line reflecting the CURRENT state. Called after every completed
+        query/fork — the last line on stdout is always the freshest
+        parseable result, so a kill at any point still leaves data."""
+        out["value"] = round(sum(timings.values()), 3)
+        if errors:
+            out["errors"] = errors
+        else:
+            out.pop("errors", None)
+        out["partial"] = partial
+        if not partial:
+            out.pop("partial", None)
+        out["elapsed_s"] = round(time.monotonic() - t_start, 1)
+        out["load_avg_1m"] = {
+            "start": round(load_at_start, 2),
+            "end": round(os.getloadavg()[0], 2),
+        }
+        # Full-precision record for the judge (the driver's stdout tail
+        # capture is 2000 bytes — the complete per-query map does not fit).
+        tmp = REPO / "BENCH_FULL.json.tmp"
+        tmp.write_text(json.dumps(out, indent=1) + "\n")
+        tmp.replace(REPO / "BENCH_FULL.json")
+
+        # Compact line: same schema, sized to survive the 2000-byte tail
+        # intact. Keep the total exact; include per-query times
+        # (2-decimal) in descending-cost order (deterministic: ties broken
+        # by name) until the byte budget is reached, recording how many
+        # small queries were elided and where the full detail lives.
+        # total_queries pins the contract: len(queries) + queries_omitted
+        # + len(errors) == total_queries (once complete), so
+        # round-over-round comparisons never silently lose the tail.
+        tail_budget = 1800
+        compact = dict(out)
+        compact["full"] = "BENCH_FULL.json"
+        compact["total_queries"] = len(HEADLINE)
+        # per-fork detail and raw pre-substitution figures live in
+        # BENCH_FULL.json; dropping them from the tail line leaves budget
+        # for more per-query entries
+        for k in ("isolated_forks", "in_sequence_raw"):
+            compact.pop(k, None)
+        ranked = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+        for keep in range(len(ranked), -1, -1):
+            compact["queries"] = {k: round(v, 2) for k, v in ranked[:keep]}
+            omitted = len(ranked) - keep
+            if omitted:
+                compact["queries_omitted"] = omitted
+            else:
+                compact.pop("queries_omitted", None)
+            line = json.dumps(compact, separators=(",", ":"))
+            if len(line) <= tail_budget:
+                break
+        if len(line) > tail_budget and "errors" in compact:
+            compact["errors"] = {k: v[:40] for k, v in list(errors.items())[:5]}
+            line = json.dumps(compact, separators=(",", ":"))
+        print(line, flush=True)
+
+    def record(rec: dict) -> None:
+        if "sec" in rec:
+            timings[rec["q"]] = rec["sec"]
+        else:
+            errors[rec["q"]] = rec.get("err", "?")
+        emit(partial=True)
+
+    # ----- in-sequence sweep: fresh-JVM chunks while budget allows -----
+    # Reserve headroom for the isolated pass + final write; once the
+    # sweep has eaten past SWEEP_FRAC of the budget, remaining chunks run
+    # in-process on ONE shared session (no more JVM cold-starts), and
+    # past the hard deadline remaining queries are recorded as skipped.
+    sweep_deadline = t_start + 0.80 * budget
+    hard_deadline = t_start + budget - 20.0
+    chunked = os.environ.get("SPARK_GRAFT_CHUNKED", "1") != "0"
+    shared_spark = None
+    pos = 0
+    while pos < len(HEADLINE):
+        names = HEADLINE[pos:pos + CHUNK]
+        use_fork = (chunked and shared_spark is None
+                    and time.monotonic() < sweep_deadline)
+        if use_fork:
+            ok = _stream_chunk(pos, pos + CHUNK, hard_deadline, record)
+            missing = [n for n in names
+                       if n not in timings and n not in errors]
+            if not ok and missing:
+                # subprocess died (OOM-killed / deadline): finish this
+                # chunk in-process so the bench line is never missing rows
+                if time.monotonic() < hard_deadline:
+                    from quickstart_streaming_agents_spark.session import (
+                        get_spark, ship_package)
+                    shared_spark = get_spark("bench-fallback")
+                    ship_package(shared_spark)
+                    _run_chunk_inprocess(
+                        missing, spark=shared_spark,
+                        on_query=lambda n, s, e: record(
+                            {"q": n, "sec": s} if s is not None
+                            else {"q": n, "err": e}),
+                        deadline=hard_deadline)
+                else:
+                    for n in missing:
+                        record({"q": n, "err": "SKIPPED(budget)"})
+        else:
+            if shared_spark is None:
+                from quickstart_streaming_agents_spark.session import (
+                    get_spark, ship_package)
+                shared_spark = get_spark("bench-fallback")
+                ship_package(shared_spark)
+            _run_chunk_inprocess(
+                names, spark=shared_spark,
+                on_query=lambda n, s, e: record(
+                    {"q": n, "sec": s} if s is not None
+                    else {"q": n, "err": e}),
+                deadline=hard_deadline)
+        pos += CHUNK
+    if shared_spark is not None:
+        shared_spark.stop()
+
+    # ----- isolated-fork pass: adjudication only, budget-aware -----
+    # Fresh-JVM forks ONLY for queries that need a second opinion:
+    # (a) the standing watchlist — embedding_topk_pairs (the broadcast-
+    #     accumulation sentinel, VERDICT r8 #4) plus the three r13 >2x-of-
+    #     r1 drifters text_analysis / verdict_parse / counts_dashboard
+    #     (VERDICT r13 #3: sub-1.3 s, plans unchanged, load 12 at sweep
+    #     end — fork medians adjudicate environment vs regression);
+    # (b) queries whose in-sequence figure drifted >30% vs the previous
+    #     BENCH_FULL record at the same SF;
+    # (c) queries >2x of their BENCH_r01 anchor figure.
+    # 3 forks each (median) while the budget holds, degrading to 1 fork,
+    # then to none. SPARK_GRAFT_ISOLATE=0 skips the pass entirely.
+    if os.environ.get("SPARK_GRAFT_ISOLATE", "1") != "0" and remaining() > 90:
         import statistics
         import subprocess
 
-        # The r9 watchlist (ann_sq8_topk / column_profile /
-        # cms_heavy_hitters) was CLEARED as jitter by the r11 judge
-        # (warm min-of-2 at or under r1 levels); embedding_topk_pairs
-        # stays as the broadcast-accumulation sentinel (VERDICT r8 #4).
-        watch = {"embedding_topk_pairs"}
+        watch = {"embedding_topk_pairs", "text_analysis", "verdict_parse",
+                 "counts_dashboard"}
         try:
-            prev = json.loads((REPO / "BENCH_FULL.json").read_text())
+            prev = json.loads((REPO / "BENCH_FULL.json.prev").read_text())
             if prev.get("sf") == sf:  # cross-SF deltas are meaningless
                 for n, t in timings.items():
                     p = prev.get("queries", {}).get(n)
                     if p and min(t, p) > 0.2 and max(t / p, p / t) > 1.3:
                         watch.add(n)
-        except Exception:  # noqa: BLE001 — first round has no record
+        except Exception:  # noqa: BLE001 — no prior record to drift from
+            pass
+        try:
+            r1 = json.loads((REPO / "BENCH_r01.json").read_text())
+            r1q = (r1.get("parsed") or {}).get("queries", {})
+            for n, t in timings.items():
+                p = r1q.get(n)
+                if p and p > 0.2 and t / p > 2.0:
+                    watch.add(n)
+        except Exception:  # noqa: BLE001
             pass
 
-        # VERDICT r11 "Next round" #2b: cold-JVM forks on this sandbox
-        # showed ±4x run-to-run variance (cms_heavy_hitters 6.1/9.8/23.1 s
-        # on three identical forks) — a single fork is not a measurement.
-        # Record the MEDIAN of 3 forks plus the 1-min load average around
-        # the isolated pass, so a reader can tell environment from
-        # regression.
         isolated: dict[str, float] = {}
-        iso_forks: dict[str, list[float]] = {}
-        for name in sorted(
-            (n for n, t in timings.items()
-             if t >= 3.0 or n in watch),
-            key=lambda n: -timings[n],
-        ):
+        iso_forks: dict[str, list[list[float]]] = {}
+        for name in sorted((n for n in watch if n in timings),
+                           key=lambda n: -timings[n]):
+            if remaining() < 60:
+                break
+            # cold-JVM forks on this sandbox showed ±4x run-to-run
+            # variance (VERDICT r11 #2b) — median of 3 when budget
+            # allows, a single fork under pressure beats no evidence
+            n_forks = 3 if remaining() > 360 else 1
             runs: list[float] = []
             loads: list[float] = []
-            for _ in range(3):
+            for _ in range(n_forks):
+                if remaining() < 45:
+                    break
                 try:
                     res = subprocess.run(
                         [sys.executable, __file__, "--isolated-one", name],
-                        capture_output=True, text=True, timeout=900,
+                        capture_output=True, text=True,
+                        timeout=max(45.0, min(900.0, remaining() - 10)),
                     )
                     for ln in reversed(res.stdout.splitlines()):
                         if ln.startswith('{"query"'):
@@ -448,24 +647,18 @@ def main() -> None:
                 isolated[name] = round(statistics.median(runs), 3)
                 # per-fork (sec, 1-min load at fork exit): a slow fork
                 # under high load is environmental evidence, not a
-                # regression signal (r12 live example: edit_distance_dedup
-                # forked 26-33 s three times in one contended window, then
-                # 4 s on the same tree minutes later)
-                iso_forks[name] = [
-                    [sec, ld] for sec, ld in zip(runs, loads)
-                ]
+                # regression signal
+                iso_forks[name] = [[sec, ld] for sec, ld in zip(runs, loads)]
+                out["isolated"] = isolated
+                out["isolated_forks"] = iso_forks
+                emit(partial=True)
         if isolated:
-            out["isolated"] = isolated
-            out["isolated_forks"] = iso_forks
             # VERDICT r12 "What's wrong" #1: in a 200-query sweep the
             # in-sequence figure for a late-chunk query can carry a
-            # contention phantom (embedding_topk_pairs recorded 10.5 s
-            # in-sequence vs 1.6 s isolated median — plan unchanged).
-            # When the in-sequence/isolated-median ratio exceeds 2x, the
-            # in-sequence number is measuring the sweep, not the query:
-            # substitute the isolated median into the headline sum and
-            # keep the raw in-sequence figure alongside so both remain
-            # auditable.
+            # contention phantom. When the in-sequence/isolated-median
+            # ratio exceeds 2x, the in-sequence number is measuring the
+            # sweep, not the query: substitute the isolated median into
+            # the headline sum and keep the raw figure alongside.
             subst: dict[str, float] = {}
             for n, iso in isolated.items():
                 t = timings.get(n)
@@ -475,47 +668,15 @@ def main() -> None:
             if subst:
                 out["in_sequence_raw"] = subst
                 out["substituted_from_isolated"] = sorted(subst)
-                out["value"] = round(sum(timings.values()), 3)
-    out["load_avg_1m"] = {
-        "start": round(load_at_start, 2),
-        "end": round(os.getloadavg()[0], 2),
-    }
 
-    # Full-precision record for the judge (the driver's stdout tail capture
-    # is 2000 bytes — the complete 83-query line does not fit in it).
-    (REPO / "BENCH_FULL.json").write_text(json.dumps(out, indent=1) + "\n")
-
-    # Final line: same schema, sized to survive the 2000-byte tail intact.
-    # Keep the total exact; include per-query times (2-decimal) in
-    # descending-cost order (deterministic: ties broken by name) until the
-    # byte budget is reached, recording how many small queries were elided
-    # and where the full detail lives. total_queries pins the contract:
-    # len(queries) + queries_omitted + len(errors) == total_queries, so
-    # round-over-round comparisons never silently lose the tail.
-    budget = 1800
-    compact = dict(out)
-    compact["full"] = "BENCH_FULL.json"
-    compact["total_queries"] = len(HEADLINE)
-    # per-fork detail and raw pre-substitution figures live in
-    # BENCH_FULL.json; dropping them from the tail line leaves budget
-    # for more per-query entries
-    for k in ("isolated_forks", "in_sequence_raw"):
-        compact.pop(k, None)
-    ranked = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
-    for keep in range(len(ranked), -1, -1):
-        compact["queries"] = {k: round(v, 2) for k, v in ranked[:keep]}
-        omitted = len(ranked) - keep
-        if omitted:
-            compact["queries_omitted"] = omitted
-        else:
-            compact.pop("queries_omitted", None)
-        line = json.dumps(compact, separators=(",", ":"))
-        if len(line) <= budget:
-            break
-    if len(line) > budget and "errors" in compact:
-        compact["errors"] = {k: v[:40] for k, v in list(errors.items())[:5]}
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line, flush=True)
+    emit(partial=False)
+    # preserve this run as next round's drift anchor (BENCH_FULL.json is
+    # rewritten in place by every run, incl. partial ones)
+    try:
+        (REPO / "BENCH_FULL.json.prev").write_text(
+            (REPO / "BENCH_FULL.json").read_text())
+    except Exception:  # noqa: BLE001
+        pass
 
 
 if __name__ == "__main__":

@@ -57,6 +57,7 @@ def ml_predict_cached(
     hit_col: str = "cache_hit",
     hash_col: str = "prompt_hash",
     broadcast_cache: bool = True,
+    broadcast_fresh: bool | None = None,
 ):
     """Inference with an exact-match response cache — the cost gate every
     production ML_PREDICT pipeline puts in front of the provider: rows
@@ -74,22 +75,37 @@ def ml_predict_cached(
     ``new_entries`` is persisted inside this call so that materializing
     BOTH returned frames still invokes the provider exactly once per
     distinct missed prompt; call ``new_entries.unpersist()`` once the
-    delta is appended. Duplicate ``prompt_hash`` rows in ``cache`` (an
-    appended, not-yet-compacted snapshot) are deduplicated before the
-    probe — duplicates carry the same response by construction, any one
-    wins. NULL prompts hash as the empty string, matching the provider's
-    own NULL→"" normalization, so a NULL-prompt row gets the empty-prompt
-    response instead of silently dropping to NULL.
+    delta is appended. Cache rows whose ``response`` is NULL are treated
+    as ABSENT (ADVICE r13): they are filtered out of the probe before
+    dedup, so the row re-invokes the provider and the fresh non-NULL
+    entry lands in ``new_entries`` — a one-time repair once the caller's
+    compaction keeps the newer row, instead of the NULL row winning the
+    arbitrary dedup pick forever. Duplicate ``prompt_hash`` rows in
+    ``cache`` (an appended, not-yet-compacted snapshot) are deduplicated
+    before the probe — non-NULL duplicates carry the same response by
+    construction, any one wins. NULL prompts hash as the empty string,
+    matching the provider's own NULL→"" normalization, so a NULL-prompt
+    row gets the empty-prompt response instead of silently dropping to
+    NULL.
 
     100 TB shape: the cache probe is one broadcast hash join when the
     cache is broadcastable (``broadcast_cache``, default) else a shuffle
     hash join on the uniform md5 key (no skew by construction); the
     intra-batch dedup is one distinct() shuffle over the MISS slice only;
     the provider UDF — the actual bottleneck at scale — runs on the
-    deduped side only. Everything else is JVM.
+    deduped side only. Everything else is JVM. The fresh-response
+    backfill join is gated by ``broadcast_fresh`` (default: follows
+    ``broadcast_cache``): the fresh side is bounded by the batch's
+    distinct MISSED prompts, not by the cache, so on a cold start over a
+    large corpus pass ``broadcast_fresh=False`` to keep an arbitrarily
+    large miss slice off the driver while still broadcasting the small
+    warm cache (ADVICE r13).
     """
     h = F.md5(F.coalesce(F.col(prompt_col), F.lit("")))
-    probe = cache.select(
+    # NULL-response rows are filtered BEFORE dedup so a repaired (non-NULL)
+    # duplicate always wins over a broken NULL row — otherwise the
+    # arbitrary dropDuplicates pick could resurrect the NULL forever
+    probe = cache.filter(F.col("response").isNotNull()).select(
         F.col("prompt_hash").alias(hash_col),
         F.col("response").alias("__cached_response"),
     ).dropDuplicates([hash_col])
@@ -115,7 +131,7 @@ def ml_predict_cached(
         F.col("prompt_hash").alias(hash_col),
         F.col("response").alias("__fresh_response"),
     )
-    if broadcast_cache:
+    if broadcast_cache if broadcast_fresh is None else broadcast_fresh:
         fresh = F.broadcast(fresh)
     result = (
         joined.join(fresh, hash_col, "left")

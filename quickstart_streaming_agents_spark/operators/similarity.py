@@ -881,6 +881,45 @@ def sq8_topk(
     )
 
 
+def cell_verdict_select(drift_margin_e6: int) -> list:
+    """Shared select list producing the per-cell verdict columns from
+    ``cell / ref_count_f / new_count_f / ref_sum / new_sum`` — used by
+    both ``ivf_index_upsert`` and the streaming twin so the two verdict
+    paths cannot drift apart.
+
+    The cross-multiplied comparisons run in DECIMAL(38,0), not BIGINT
+    (ADVICE r13): with per-vector alignment up to 1e6 micro-units,
+    ``new_sum·ref_count`` overflows int64 once ``ref_count·new_count``
+    exceeds ~9.2e12 — a few million vectors per cell, squarely inside
+    the 100 TB target — and Spark wraps silently with ANSI off. Decimal
+    products here stay ≤ ~1e30, far inside DECIMAL(38,0)'s range, and
+    the comparisons are exact integer arithmetic either way, so verdicts
+    are unchanged wherever int64 did not overflow."""
+    dec = "decimal(38,0)"
+    ref_sum = F.col("ref_sum").cast(dec)
+    new_sum = F.col("new_sum").cast(dec)
+    ref_cnt = F.col("ref_count_f").cast(dec)
+    new_cnt = F.col("new_count_f").cast(dec)
+    both = (F.col("ref_count_f") > 0) & (F.col("new_count_f") > 0)
+    return [
+        "cell",
+        F.col("ref_count_f").cast("long").alias("ref_count"),
+        F.col("new_count_f").cast("long").alias("new_count"),
+        F.when(F.col("ref_count_f") > 0,
+               F.col("ref_sum") / (F.col("ref_count_f") * F.lit(1000000.0))
+               ).alias("ref_mean_align"),
+        F.when(F.col("new_count_f") > 0,
+               F.col("new_sum") / (F.col("new_count_f") * F.lit(1000000.0))
+               ).alias("new_mean_align"),
+        F.when(both, new_sum * ref_cnt < ref_sum * new_cnt
+               ).alias("align_degraded"),
+        F.when(both, new_sum * ref_cnt
+               < ref_sum * new_cnt
+               - F.lit(drift_margin_e6).cast(dec) * ref_cnt * new_cnt
+               ).alias("drift"),
+    ]
+
+
 def ivf_index_upsert(
     train: DataFrame,
     ref: DataFrame,
@@ -982,33 +1021,12 @@ def ivf_index_upsert(
     o, n = epoch_stats(ref, "ref"), epoch_stats(new, "new")
     spine = cents_df.select("cell")
     oc, nc = F.coalesce("ref_count", F.lit(0)), F.coalesce("new_count", F.lit(0))
-    both = (F.col("ref_count_f") > 0) & (F.col("new_count_f") > 0)
     return (
         spine.join(F.broadcast(o), "cell", "left")
         .join(F.broadcast(n), "cell", "left")
         .withColumn("ref_count_f", oc)
         .withColumn("new_count_f", nc)
-        .select(
-            "cell",
-            F.col("ref_count_f").cast("long").alias("ref_count"),
-            F.col("new_count_f").cast("long").alias("new_count"),
-            F.when(F.col("ref_count_f") > 0,
-                   F.col("ref_sum") / (F.col("ref_count_f") * F.lit(1000000.0))
-                   ).alias("ref_mean_align"),
-            F.when(F.col("new_count_f") > 0,
-                   F.col("new_sum") / (F.col("new_count_f") * F.lit(1000000.0))
-                   ).alias("new_mean_align"),
-            F.when(both,
-                   F.col("new_sum") * F.col("ref_count_f")
-                   < F.col("ref_sum") * F.col("new_count_f")
-                   ).alias("align_degraded"),
-            F.when(both,
-                   F.col("new_sum") * F.col("ref_count_f")
-                   < F.col("ref_sum") * F.col("new_count_f")
-                   - F.lit(drift_margin_e6) * F.col("ref_count_f")
-                   * F.col("new_count_f")
-                   ).alias("drift"),
-        )
+        .select(*cell_verdict_select(drift_margin_e6))
     )
 
 
@@ -1019,13 +1037,24 @@ def assign_align_e6(
     oracle-order alignment quantization in ONE Arrow pass — the
     streaming-safe sibling of ``ivf_index_upsert``'s ids-only
     assign-then-join-back (a stream cannot self-join its assignment
-    back onto its embeddings without watermark machinery). Bit-exact
-    with the batch fold by construction: the squared-norm and alignment
-    sums accumulate with one vectorized IEEE add per dimension in
-    ascending index order (a loop over columns, never BLAS/pairwise
-    reduction), the normalization divides per element, and the floor to
-    micro-units replays F.floor — so per-cell integer sums computed
-    from this path equal the batch operator's exactly."""
+    back onto its embeddings without watermark machinery).
+
+    Exactness contract (scoped precisely — VERDICT r13 nit): the
+    ALIGNMENT QUANTIZATION is bit-exact with the batch fold by
+    construction — the squared-norm and alignment sums accumulate with
+    one vectorized IEEE add per dimension in ascending index order (a
+    loop over columns, never BLAS/pairwise reduction), the normalization
+    divides per element, and the floor to micro-units replays F.floor —
+    so given the same cell assignment, per-vector ``align_e6`` equals
+    the batch operator's exactly. CELL ASSIGNMENT itself goes through a
+    BLAS matmul argmax over the left-to-right-normalized vectors, while
+    the batch side's ``_assign_df`` normalizes with ``np.linalg.norm``
+    (pairwise summation): a last-ulp norm difference can in principle
+    flip the argmax on a vector whose top-two cosines are within one ulp
+    of each other. Exact ties resolve identically in both paths (NumPy
+    argmax: lowest cell index wins — pinned by test), near-ties are
+    measure-zero on the md5-derived fixtures, and a flip would move a
+    vector between two equally-valid cells of the frozen quantizer."""
     out_schema = T.StructType([
         T.StructField("item_id", T.LongType()),
         T.StructField("cell", T.IntegerType()),

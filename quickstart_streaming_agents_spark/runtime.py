@@ -54,11 +54,24 @@ def track_persist(df):
     return df
 
 
-def release_tracked_persists() -> int:
-    """Unpersist all tracked DataFrames; returns how many. Safe any
-    time AFTER the frames derived from them have materialized."""
+def persist_scope_mark() -> int:
+    """Snapshot the registry length. Pass the returned mark to
+    :func:`release_tracked_persists` to release ONLY persists registered
+    after the snapshot — the scoping a long-lived caller needs when other
+    code in the same session may also be tracking persists (ADVICE r13:
+    a blanket release from a streaming pipeline's foreachBatch would
+    unpersist a concurrent batch caller's not-yet-materialized delta out
+    from under it, voiding its one-provider-call contract via
+    recomputation)."""
+    return len(_TRACKED_PERSISTS)
+
+
+def release_tracked_persists(since: int = 0) -> int:
+    """Unpersist tracked DataFrames registered at index ``since`` or
+    later (default 0 = all); returns how many. Safe any time AFTER the
+    frames derived from them have materialized."""
     n = 0
-    while _TRACKED_PERSISTS:
+    while len(_TRACKED_PERSISTS) > max(0, since):
         df = _TRACKED_PERSISTS.pop()
         try:
             df.unpersist()

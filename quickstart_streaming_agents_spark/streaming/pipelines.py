@@ -2131,7 +2131,7 @@ def inference_cache_stream_pipeline(
 
     from ..functions.ml import ml_predict, ml_predict_cached
     from ..registries import DEFAULT_CATALOG
-    from ..runtime import release_tracked_persists
+    from ..runtime import persist_scope_mark, release_tracked_persists
 
     spark = catalog.spark
     model = DEFAULT_CATALOG.models["fake_textgen"]
@@ -2158,11 +2158,16 @@ def inference_cache_stream_pipeline(
         "ic_raw_prompts", prompts.select("event_id", "prompt", "ts")
     )
 
+    # scope mark: release ONLY persists this pipeline's batches register
+    # (everything after this point), never a concurrent ml_predict_cached
+    # caller's pending delta in the same session (ADVICE r13)
+    scope = persist_scope_mark()
+
     def score(batch_df: DataFrame, epoch_id: int) -> DataFrame:
         # previous batch's new-entry persist is materialized by now —
         # release it so a long-running stream holds at most one batch's
         # delta in executor storage (the r12 tfidf-stream leak class)
-        release_tracked_persists()
+        release_tracked_persists(since=scope)
         result, _delta = ml_predict_cached(
             batch_df.drop("ts"), model, "prompt", cache
         )
@@ -2179,7 +2184,7 @@ def inference_cache_stream_pipeline(
         "ic_responses", stream, score, schema=schema, available_now=True
     )
     catalog.await_all()
-    release_tracked_persists()  # final batch's delta
+    release_tracked_persists(since=scope)  # final batch's delta
     cache.unpersist()
     return catalog
 
@@ -2250,33 +2255,16 @@ def ivf_upsert_stream_pipeline(
     spine = catalog.spark.createDataFrame(
         [(int(c),) for c in range(len(cents))], "cell int"
     )
-    both = (F.col("ref_count_f") > 0) & (F.col("new_count_f") > 0)
+    # one shared verdict path with batch — incl. the DECIMAL(38,0)
+    # cross-multiplications (ADVICE r13 int64-overflow fix)
+    from ..operators.similarity import cell_verdict_select
+
     verdicts = (
         spine.join(F.broadcast(refs), "cell", "left")
         .join(F.broadcast(latest), "cell", "left")
         .withColumn("ref_count_f", F.coalesce("ref_count", F.lit(0)))
         .withColumn("new_count_f", F.coalesce("new_count", F.lit(0)))
-        .select(
-            "cell",
-            F.col("ref_count_f").cast("long").alias("ref_count"),
-            F.col("new_count_f").cast("long").alias("new_count"),
-            F.when(F.col("ref_count_f") > 0,
-                   F.col("ref_sum") / (F.col("ref_count_f") * F.lit(1000000.0))
-                   ).alias("ref_mean_align"),
-            F.when(F.col("new_count_f") > 0,
-                   F.col("new_sum") / (F.col("new_count_f") * F.lit(1000000.0))
-                   ).alias("new_mean_align"),
-            F.when(both,
-                   F.col("new_sum") * F.col("ref_count_f")
-                   < F.col("ref_sum") * F.col("new_count_f")
-                   ).alias("align_degraded"),
-            F.when(both,
-                   F.col("new_sum") * F.col("ref_count_f")
-                   < F.col("ref_sum") * F.col("new_count_f")
-                   - F.lit(drift_margin_e6) * F.col("ref_count_f")
-                   * F.col("new_count_f")
-                   ).alias("drift"),
-        )
+        .select(*cell_verdict_select(drift_margin_e6))
     )
     catalog.create_table_as("iu_verdicts", verdicts)
     refs.unpersist()

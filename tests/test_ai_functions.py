@@ -347,3 +347,80 @@ def test_tracked_persists_release_between_queries(spark):
     released = release_tracked_persists()
     assert released == 1 and not _TRACKED_PERSISTS
     assert not delta.storageLevel.useMemory  # actually freed
+
+
+def test_ml_predict_cached_null_response_rows_treated_absent(spark):
+    """ADVICE r13: a cache row whose response is NULL must be treated as
+    ABSENT — filtered before the dedup pick, so (a) a repaired non-NULL
+    duplicate always wins over the broken NULL row, and (b) a hash
+    present ONLY with a NULL response re-invokes the provider and lands
+    a fresh non-NULL entry in new_entries (one-time repair under
+    compaction, not an eternal NULL win)."""
+    from pyspark.sql import functions as F
+
+    from quickstart_streaming_agents_spark.functions.ml import (
+        ml_predict,
+        ml_predict_cached,
+    )
+    from quickstart_streaming_agents_spark.registries import DEFAULT_CATALOG
+
+    model = DEFAULT_CATALOG.models["fake_textgen"]
+    rows = spark.createDataFrame(
+        [(0, "Entity A"), (1, "Entity B"), (2, "Entity C")],
+        "row_id long, prompt string",
+    )
+    good = spark.createDataFrame([("Entity A",)], "prompt string").select(
+        F.md5("prompt").alias("prompt_hash"),
+        ml_predict(model, "prompt").alias("response"),
+    )
+    broken = spark.createDataFrame(
+        [("Entity A",), ("Entity B",)], "prompt string"
+    ).select(
+        F.md5("prompt").alias("prompt_hash"),
+        F.lit(None).cast("string").alias("response"),
+    )
+    # NULL rows appended on BOTH sides of the good row: whichever side
+    # the arbitrary dedup pick scans from, the non-NULL row must win
+    cache = broken.unionAll(good).unionAll(broken)
+    result, delta = ml_predict_cached(rows, model, "prompt", cache)
+    got = {r.row_id: (r.cache_hit, r.response) for r in result.collect()}
+    direct = {
+        r.p: r.r
+        for r in spark.createDataFrame(
+            [("Entity A",), ("Entity B",), ("Entity C",)], "p string"
+        ).select("p", ml_predict(model, "p").alias("r")).collect()
+    }
+    assert got[0] == (True, direct["Entity A"])    # repaired dup wins
+    assert got[1] == (False, direct["Entity B"])   # NULL-only = miss
+    assert got[2] == (False, direct["Entity C"])   # plain miss
+    d = {r.prompt_hash: r.response for r in delta.collect()}
+    assert len(d) == 2 and all(v is not None for v in d.values())
+    delta.unpersist()
+
+
+def test_persist_scope_mark_releases_only_scoped(spark):
+    """ADVICE r13: a scoped release (persist_scope_mark + since=) must
+    leave persists registered BEFORE the mark untouched — the streaming
+    pipeline's per-batch release must not unpersist a concurrent batch
+    caller's pending delta."""
+    from quickstart_streaming_agents_spark.runtime import (
+        _TRACKED_PERSISTS,
+        persist_scope_mark,
+        release_tracked_persists,
+        track_persist,
+    )
+
+    release_tracked_persists()  # clean slate
+    outer = track_persist(spark.range(10).persist())
+    outer.count()
+    mark = persist_scope_mark()
+    assert mark == 1
+    inner = track_persist(spark.range(20).persist())
+    inner.count()
+    released = release_tracked_persists(since=mark)
+    assert released == 1
+    assert not inner.storageLevel.useMemory      # scoped: released
+    assert outer.storageLevel.useMemory          # pre-mark: untouched
+    assert len(_TRACKED_PERSISTS) == 1
+    assert release_tracked_persists() == 1       # default: drains all
+    assert not outer.storageLevel.useMemory

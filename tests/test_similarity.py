@@ -452,3 +452,78 @@ def test_ivf_index_upsert_empty_training_epoch(spark):
     assert out.columns == ["cell", "ref_count", "new_count",
                            "ref_mean_align", "new_mean_align",
                            "align_degraded", "drift"]
+
+
+def test_cell_verdicts_exact_beyond_int64(spark):
+    """ADVICE r13: the cross-multiplied verdicts must stay exact where
+    BIGINT products would overflow int64 (ref_count*new_count beyond
+    ~9.2e12 — a few million vectors per cell at the 100 TB target).
+    Feed the shared verdict select synthetic per-cell totals whose
+    products exceed int64 and check against Python big-int arithmetic."""
+    from quickstart_streaming_agents_spark.operators.similarity import (
+        cell_verdict_select,
+    )
+
+    margin = 50_000
+    # (cell, ref_count, new_count, ref_sum, new_sum) — sums ≈ count·1e6·mean
+    cases = [
+        # new aligns marginally worse: degraded but inside the margin
+        (0, 4_000_000, 3_000_000, 3_900_000_000_000, 2_924_999_000_000),
+        # new aligns far worse: degraded AND drift
+        (1, 4_000_000, 3_000_000, 3_900_000_000_000, 2_700_000_000_000),
+        # new aligns better: neither flag
+        (2, 4_000_000, 3_000_000, 3_900_000_000_000, 2_930_000_000_000),
+        # empty new epoch: verdicts NULL
+        (3, 4_000_000, 0, 3_900_000_000_000, 0),
+    ]
+    df = spark.createDataFrame(
+        [(c, rc, nc, rs, ns) for c, rc, nc, rs, ns in cases],
+        "cell int, ref_count_f long, new_count_f long, "
+        "ref_sum long, new_sum long",
+    )
+    got = {r.cell: r for r in df.select(*cell_verdict_select(margin)).collect()}
+    for c, rc, nc, rs, ns in cases:
+        # int64 WOULD overflow here — the exactness claim under test
+        if nc:
+            assert ns * rc > 2**63 or rs * nc > 2**63
+            want_deg = ns * rc < rs * nc  # Python big ints: exact
+            want_drift = ns * rc < rs * nc - margin * rc * nc
+            assert got[c].align_degraded == want_deg, c
+            assert got[c].drift == want_drift, c
+        else:
+            assert got[c].align_degraded is None and got[c].drift is None
+        assert got[c].ref_count == rc and got[c].new_count == nc
+
+
+def test_assign_tie_breaks_to_lowest_cell_in_both_paths(spark):
+    """Pins the assignment tie contract (VERDICT r13 nit): on an EXACT
+    cosine tie between two centroids, both the batch `_assign_df` path
+    and the one-pass `assign_align_e6` path pick the LOWEST cell index
+    (NumPy argmax first-max-wins), so the two paths agree wherever they
+    can agree; the docstring scopes bit-exactness to the alignment
+    quantization."""
+    import numpy as np
+
+    from quickstart_streaming_agents_spark.operators.similarity import (
+        _assign_df,
+        assign_align_e6,
+    )
+
+    # orthonormal centroids e0, e1; vector (1,1,0,0)/sqrt(2) ties exactly
+    cents = np.eye(4, dtype=np.float64)[:2]
+    rows = [
+        (0, [1.0, 1.0, 0.0, 0.0]),   # exact tie -> cell 0
+        (1, [0.0, 1.0, 0.0, 0.0]),   # exactly centroid 1 -> cell 1
+        (2, [2.0, 2.0, 0.0, 0.0]),   # tie, unnormalized input -> cell 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a1 = {r.item_id: r.cluster
+          for r in _assign_df(df, "vec_id", "embedding", cents, 1).collect()}
+    both = {r.item_id: (r.cell, r.align_e6)
+            for r in assign_align_e6(df, "vec_id", "embedding", cents)
+            .collect()}
+    assert a1 == {0: 0, 1: 1, 2: 0}
+    assert {k: v[0] for k, v in both.items()} == a1
+    # alignment quantization: cos values floor(cos*1e6)
+    assert both[1][1] == 1_000_000
+    assert both[0][1] == both[2][1] == int(np.floor((1 / np.sqrt(2)) * 1e6))
