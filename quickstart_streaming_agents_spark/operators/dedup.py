@@ -906,39 +906,52 @@ def prefix_filter_jaccard_pairs(
     the verdict ``jaccard_bp = shared·10000 div union`` is an exact
     non-negative integer division — engine-portable, no float rounding.
 
-    100 TB shape: three keyed shuffles (term-df, per-doc rank, prefix
-    equi-join), each on a bounded key; the prefix postings are ~the
-    (1−t) rarest fraction of the corpus. ``max_token_df`` drops tokens
-    hotter than the cap from CANDIDATE GENERATION only (verification
-    still counts them), so a boilerplate token can't create a quadratic
+    100 TB shape: ONE corpus tokenize pass and ONE full-postings shuffle.
+    The tokenize → shingle → md5 scan is map-only, so before r14 each of
+    its five consumers (sizes, term-df, rarity rank, both verification
+    sides) re-ran it as its own subtree — the r14 plan audit counted 32
+    parquet scans of the corpus in this one query. Now the postings are
+    aggregated once into per-doc term ARRAYS (``doc_terms``, one shuffle
+    by doc_id); term-df, the rarity-ranked prefix, and exact
+    verification all derive from that frame, so Spark's exchange reuse
+    serves the materialized shuffle to every consumer instead of
+    re-scanning, and verification intersects the two per-doc arrays
+    JVM-side (``array_intersect``) instead of re-joining full postings
+    twice. Remaining shuffles are all on bounded keys: term-df partial
+    agg, the prefix equi-join (~the (1−t) rarest fraction of postings),
+    and the candidate join-backs. ``max_token_df`` drops tokens hotter
+    than the cap from CANDIDATE GENERATION only (verification still
+    counts them), so a boilerplate token can't create a quadratic
     bucket — recall-only loss on pairs whose entire prefix is hot,
     documented like ngram_jaccard's cap.
     """
     if not 0 < threshold_bp <= 10_000:
         raise ValueError(f"threshold_bp must be in (0, 10000], got {threshold_bp}")
-    # NO persist: the postings are a map-only explode+md5 recomputed
-    # per consumer — the r11 4M-doc smoke showed that materializing the
-    # |corpus|·L-row frame (deserialized disk blocks) is what fills the
-    # disk, while recomputation stays scan-fused and free of footprint.
     uni = _distinct_set_postings(df, id_col, text_col, gram_n)
-    sizes = uni.groupBy("doc_id").agg(F.count("*").alias("n"))
-    tdf = uni.groupBy("term").agg(F.count("*").alias("df"))
-    # ONE window function (row_number) — per-doc size comes from the
-    # `sizes` partial agg instead of a second unbounded-frame window
-    # pass, and the sizes join lands on the window's existing doc_id
-    # partitioning (no extra exchange on the wide side).
-    ranked = uni.join(tdf, "term").select(
+    # the ONE postings shuffle: per-doc distinct-term arrays + set sizes
+    doc_terms = uni.groupBy("doc_id").agg(
+        F.collect_list("term").alias("__terms"),
+        F.count("*").alias("n"),
+    )
+    # re-derive flat postings from the arrays: the explode sits on TOP of
+    # doc_terms' exchange, so every consumer below reuses the shuffle
+    # files instead of re-running the corpus scan
+    posts = doc_terms.select("doc_id", "n", F.explode("__terms").alias("term"))
+    tdf = posts.groupBy("term").agg(F.count("*").alias("df"))
+    # ONE window function (row_number); per-doc size n rides along from
+    # the doc_terms agg, so no second unbounded-frame window pass and no
+    # sizes join on the wide side. The tdf join is left to the planner:
+    # AQE broadcasts it when the distinct-term table is small, and falls
+    # back to a keyed shuffle when it is not (100 TB).
+    prefix = posts.join(tdf, "term").select(
         "doc_id", "term",
         F.row_number().over(
             Window.partitionBy("doc_id").orderBy(
                 F.col("df").asc(), F.col("term").asc())
         ).alias("r"),
-    )
-    prefix = ranked.join(sizes, "doc_id").filter(
-        F.col("r")
-        <= F.col("n")
-        - F.expr(f"({threshold_bp} * n + 9999) div 10000") + 1
-    ).select("doc_id", "term")
+        (F.col("n")
+         - F.expr(f"({threshold_bp} * n + 9999) div 10000") + 1).alias("__k"),
+    ).filter(F.col("r") <= F.col("__k")).select("doc_id", "term")
     if max_token_df is not None:
         prefix = cap_hot_buckets(prefix, max_token_df, keys=("term",))
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -949,30 +962,24 @@ def prefix_filter_jaccard_pairs(
                 F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    return _verify_pairs_exact(cand, uni, sizes, threshold_bp)
-
-
-def _verify_pairs_exact(
-    cand: DataFrame, uni: DataFrame, sizes: DataFrame, threshold_bp: int
-) -> DataFrame:
-    """Exact set-overlap verification of candidate pairs against the
-    full (doc_id, term) postings: shared counts via two postings joins
-    (candidates are few post-filter), sizes from the caller's partial
-    agg (one definition with the prefix computation)."""
-    x, y = uni.alias("x"), uni.alias("y")
-    shared = (
-        cand.join(x, F.col("x.doc_id") == F.col("id_a"))
-        .join(y, (F.col("y.doc_id") == F.col("id_b"))
-              & (F.col("y.term") == F.col("x.term")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
-    )
+    # exact verification: join the candidates back to the per-doc arrays
+    # (both joins land on doc_terms' existing doc_id partitioning) and
+    # intersect JVM-side — terms are distinct per doc, so
+    # size(array_intersect) IS the exact shared-element count
     return (
-        shared
-        .join(sizes.select(F.col("doc_id").alias("id_a"),
-                           F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"),
-                           F.col("n").alias("nb")), "id_b")
+        cand
+        .join(doc_terms.select(F.col("doc_id").alias("id_a"),
+                               F.col("__terms").alias("__ta"),
+                               F.col("n").alias("na")), "id_a")
+        .join(doc_terms.select(F.col("doc_id").alias("id_b"),
+                               F.col("__terms").alias("__tb"),
+                               F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("__ta", "__tb"))
+            .cast("long").alias("shared"),
+            "na", "nb",
+        )
         .select(
             "id_a", "id_b", "shared",
             F.expr("shared * 10000 div (na + nb - shared)")
