@@ -12,6 +12,8 @@ from quickstart_streaming_agents_spark.plans.inspect import (
     assert_no_exchange,
     assert_no_row_python,
     count_exchanges,
+    count_keyed_exchanges,
+    count_roundrobin_exchanges,
     physical_plan,
     pushed_filters,
     scan_columns,
@@ -20,6 +22,8 @@ from quickstart_streaming_agents_spark.plans.inspect import (
 __all__ = [
     "physical_plan",
     "count_exchanges",
+    "count_keyed_exchanges",
+    "count_roundrobin_exchanges",
     "assert_no_exchange",
     "assert_no_row_python",
     "pushed_filters",

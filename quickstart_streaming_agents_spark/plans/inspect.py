@@ -20,16 +20,40 @@ def physical_plan(df: DataFrame) -> str:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges (broadcast exchanges excluded)."""
+    """Number of shuffle exchanges (broadcast exchanges excluded).
+
+    Spark renders the partitioning CamelCase for round-robin
+    (``Exchange RoundRobinPartitioning(n)``) and lowercase for keyed
+    (``hashpartitioning``/``rangepartitioning``/``SinglePartition``);
+    the r14 audit found the old all-lowercase pattern silently never
+    counted round-robin exchanges."""
     return len(
         re.findall(
-            r"Exchange (?:hash|range|roundrobin|Single)", physical_plan(df)
+            r"Exchange (?:hash|range|RoundRobin|Single)", physical_plan(df)
         )
     )
 
 
 def assert_no_exchange(df: DataFrame, msg: str = "") -> None:
     assert count_exchanges(df) == 0, msg or physical_plan(df)
+
+
+def count_keyed_exchanges(df: DataFrame) -> int:
+    """Shuffle exchanges excluding round-robin. Hash/range/single
+    partitioning move rows BY KEY — the scale-relevant reshuffles the
+    plan pins guard against. The only round-robin producer in this
+    engine is ``sources.parquet.spread_scan``, the guarded ids-only
+    spread for parallelism-starved single-row-group fixture scans (a
+    no-op at production split counts); pins on Python-synthesis queries
+    use this counter plus an explicit round-robin budget so a keyed
+    corpus reshuffle still fails loudly."""
+    return len(
+        re.findall(r"Exchange (?:hash|range|Single)", physical_plan(df))
+    )
+
+
+def count_roundrobin_exchanges(df: DataFrame) -> int:
+    return len(re.findall(r"Exchange RoundRobin", physical_plan(df)))
 
 
 def assert_no_row_python(df: DataFrame, msg: str = "") -> None:

@@ -28,7 +28,7 @@ from quickstart_streaming_agents_spark.operators.anomaly import (
 )
 from quickstart_streaming_agents_spark.operators.windows import tumble
 from quickstart_streaming_agents_spark.registries import DEFAULT_CATALOG, Agent, Tool
-from quickstart_streaming_agents_spark.sources.parquet import load_table
+from quickstart_streaming_agents_spark.sources.parquet import load_table, spread_scan
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -4367,7 +4367,7 @@ def multimodal_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_wav,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         for pdf in batches:
@@ -4467,7 +4467,7 @@ def multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_png,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         for pdf in batches:
@@ -6636,7 +6636,8 @@ def gzip_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         gzip_compress,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def synth(batches):
         for pdf in batches:
@@ -6698,7 +6699,8 @@ def codec_sniff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         sniff_decompress_text,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def synth(batches):
         for pdf in batches:
@@ -6893,7 +6895,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_canonicalize,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     d = F.col("doc_id")
     url = F.concat(
         F.lit("HTTPS://"),
@@ -8044,7 +8046,7 @@ def multimodal_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_gif,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         for pdf in batches:
@@ -8126,7 +8128,7 @@ def video_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         for pdf in batches:
@@ -8199,7 +8201,7 @@ def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_jpeg,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     ones = (np.ones((8, 8), np.int64), np.ones((8, 8), np.int64))
 
     def synth(batches):
@@ -8804,7 +8806,7 @@ def media_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     ones = (np.ones((8, 8), np.int64), np.ones((8, 8), np.int64))
 
     def synth(batches):
@@ -8968,7 +8970,7 @@ def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank_int,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     n = docs.count()
     edges = (
         docs.select(
@@ -9040,7 +9042,7 @@ def mp3_demux_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_mp3,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         for pdf in batches:
@@ -9187,7 +9189,7 @@ def _synth_afp_wavs(docs: DataFrame) -> DataFrame:
                 payloads.append(make_wav(samples, rate=8000))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_scan(docs.select("doc_id")).mapInPandas(
         synth, schema="doc_id long, payload binary"
     )
 
@@ -9279,7 +9281,7 @@ def _synth_afp_mp4s(docs: DataFrame) -> DataFrame:
                 ))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_scan(docs.select("doc_id")).mapInPandas(
         synth, schema="doc_id long, payload binary"
     )
 
@@ -9346,7 +9348,7 @@ def adpcm_energy_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_wav_ima_adpcm,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         for pdf in batches:
@@ -9549,7 +9551,7 @@ def mp3_id3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_mp3,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         for pdf in batches:
@@ -9633,7 +9635,7 @@ def webdataset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_jpeg,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     ones = (np.ones((8, 8), np.int64), np.ones((8, 8), np.int64))
 
     jpeg_cache: dict = {}
@@ -9787,7 +9789,7 @@ def zip_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         zip_members,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         for pdf in batches:
@@ -9905,7 +9907,7 @@ def _synth_tars(docs: DataFrame) -> DataFrame:
                 payloads.append(buf.getvalue())
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_scan(docs.select("doc_id")).mapInPandas(
         synth, schema="doc_id long, payload binary"
     )
 
@@ -10060,7 +10062,7 @@ def g711_energy_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_wav_g711,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         for pdf in batches:
@@ -10154,7 +10156,7 @@ def warc_record_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         warc_records,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         for pdf in batches:
@@ -10225,7 +10227,7 @@ def jpeg_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_jpeg,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         base = make_jpeg(np.full((8, 8, 3), 100, dtype=np.uint8))
@@ -10297,7 +10299,7 @@ def exif_display_dims_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_jpeg,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     ones = (np.ones((8, 8), np.int64), np.ones((8, 8), np.int64))
 
     def synth(batches):
@@ -10375,7 +10377,7 @@ def mp4_demux_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_mp4,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         for pdf in batches:
@@ -10520,7 +10522,7 @@ def _synth_phash_bmps(docs: DataFrame) -> DataFrame:
                 payloads.append(make_bmp(img))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_scan(docs.select("doc_id")).mapInPandas(
         synth, schema="doc_id long, payload binary"
     )
 
@@ -11622,7 +11624,7 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         robots_verdicts,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     urls = docs.select(
         "doc_id",
         F.concat(F.lit("h"), (F.col("doc_id") % 7),
@@ -12333,7 +12335,7 @@ def flac_stream_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_flac,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     rates = [8000, 16000, 22050, 44100, 48000]
 
     def synth(batches):
@@ -12442,7 +12444,7 @@ def ogg_page_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ogg_pages,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         for pdf in batches:
@@ -12659,7 +12661,7 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits_int,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     n = docs.count()
     edges = docs.select(
         F.col("doc_id").alias("src"),
@@ -12725,7 +12727,7 @@ def parquet_footer_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         parquet_footer_index,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         import pyarrow as pa
@@ -12804,7 +12806,7 @@ def avro_ocf_block_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from quickstart_streaming_agents_spark.sources.avro import _write_long
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches):
         def enc_str(s: str) -> bytes:
@@ -12938,7 +12940,7 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmax/argmin exact-integer and engine-replayable (doc_id <
     1e8 asserted by the modulus; ties on rating break toward the
     larger doc for chosen, smaller for rejected — both deterministic)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     rating = (
         F.conv(F.substring(F.md5(F.concat(F.lit("rate:"), "doc_id")), 1, 15),
                16, 10).cast("long") % 1000
@@ -13195,7 +13197,7 @@ def charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_charset_payloads,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
     synth_df = synth_charset_payloads(docs)
     bom = bom_detect("payload")
     meta = meta_charset(F.decode(F.col("payload"), "ISO-8859-1"))

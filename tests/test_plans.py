@@ -14,6 +14,8 @@ from quickstart_streaming_agents_spark.plans import (
     assert_no_exchange,
     assert_no_row_python,
     count_exchanges,
+    count_keyed_exchanges,
+    count_roundrobin_exchanges,
     physical_plan,
     pushed_filters,
     scan_columns,
@@ -25,6 +27,19 @@ from .conftest import SF_DIR
 
 def _q(spark, name: str):
     return QUERIES[name](spark, SF_DIR)
+
+
+def _synth_pin(spark, name: str, keyed: int, rr: int = 1) -> None:
+    """Pin for Python-synthesis queries (r14): the KEYED-exchange budget
+    is unchanged from the pre-r14 pin — a hash/range corpus reshuffle
+    creeping in still fails — while the guarded ids-only
+    ``spread_scan`` round-robin (which parallelizes the single-row-group
+    fixture scan and is a no-op at production split counts) gets its own
+    small budget instead of being silently uncounted (the old regex
+    never matched ``RoundRobinPartitioning``)."""
+    df = _q(spark, name)
+    assert count_keyed_exchanges(df) == keyed, name
+    assert count_roundrobin_exchanges(df) <= rr, name
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -216,10 +231,15 @@ def test_round8_query_plan_budgets_pinned(spark):
     exchange; the banded phash dedup stays within its 4-exchange
     budget (band window, candidate self-join reuse, dup distinct,
     keeper join)."""
-    for name in ("image_dhash", "quality_classifier_digest"):
-        assert count_exchanges(_q(spark, name)) == 0, name
+    assert count_exchanges(_q(spark, "quality_classifier_digest")) == 0
+    _synth_pin(spark, "image_dhash", keyed=0)
     assert count_exchanges(_q(spark, "pca_moments")) == 1
-    assert count_exchanges(_q(spark, "image_phash_dedup")) <= 4
+    # keyed budget unchanged; the synth ids-spread appears once per
+    # consumer subtree in the initial plan (runtime exchange reuse
+    # collapses the identical copies)
+    ipd = _q(spark, "image_phash_dedup")
+    assert count_keyed_exchanges(ipd) <= 4
+    assert count_roundrobin_exchanges(ipd) <= 5
 
 
 def test_round8b_query_plan_budgets_pinned(spark):
@@ -253,10 +273,13 @@ def test_round8c_query_plan_budgets_pinned(spark):
     computation is pure JVM bit-interleave (the range repartition is
     the caller's write-path step); cumulate is the one keyed window
     agg."""
-    for name in ("gzip_text_ingest", "span_corruption_pairs",
+    for name in ("span_corruption_pairs",
                  "badwords_filter", "unicode_normalize_clean"):
         assert count_exchanges(_q(spark, name)) == 0, name
-    assert count_exchanges(_q(spark, "url_canonical_dedup")) == 1
+    _synth_pin(spark, "gzip_text_ingest", keyed=0)
+    ucd = _q(spark, "url_canonical_dedup")
+    assert count_keyed_exchanges(ucd) == 1
+    assert count_roundrobin_exchanges(ucd) <= 2
     # sequence_packing itself is 1 exchange; the report adds ≤2 tiny aggs
     assert count_exchanges(_q(spark, "packing_efficiency")) <= 3
     assert count_exchanges(_q(spark, "link_pagerank")) <= 5  # ≤1/iter
@@ -273,7 +296,7 @@ def test_round9_query_plan_budgets_pinned(spark):
     its broadcast join."""
     for name in ("mp4_pcm_energy_sig", "warc_record_index",
                  "jpeg_exif_meta"):
-        assert count_exchanges(_q(spark, name)) == 0, name
+        _synth_pin(spark, name, keyed=0)
     assert count_exchanges(_q(spark, "hll_distinct_sketch")) <= 4
     # one corpus pass: shingle left-join (benchmark broadcast) into a
     # single doc-keyed agg; the flags join back is broadcast
@@ -295,26 +318,26 @@ def test_round10_query_plan_budgets_pinned(spark):
     small agg over the walk; the k-mins sketch is ONE bounded aggregate
     (≤ k rows/stratum), its estimate one more tiny agg, and the overlap
     join runs on |strata|·k sketch rows only."""
-    assert count_exchanges(_q(spark, "adpcm_energy_sig")) == 0
-    assert count_exchanges(_q(spark, "tar_member_index")) == 0
-    assert count_exchanges(_q(spark, "webdataset_samples")) == 1
+    _synth_pin(spark, "adpcm_energy_sig", keyed=0)
+    _synth_pin(spark, "tar_member_index", keyed=0)
+    _synth_pin(spark, "webdataset_samples", keyed=1)
     assert count_exchanges(_q(spark, "kmins_token_sketch")) == 1
     assert count_exchanges(_q(spark, "kmins_distinct_estimate")) <= 2
     assert count_exchanges(_q(spark, "corpus_overlap_minhash")) <= 4
     # IBAN mod-97 audit: exact-integer JVM fold, map-only like Luhn
     assert count_exchanges(_q(spark, "pii_iban_audit")) == 0
     # ZIP central-directory walk + ID3 tag parse: map-only header tiers
-    assert count_exchanges(_q(spark, "zip_member_index")) == 0
-    assert count_exchanges(_q(spark, "mp3_id3_meta")) == 0
+    _synth_pin(spark, "zip_member_index", keyed=0)
+    _synth_pin(spark, "mp3_id3_meta", keyed=0)
     # mojibake repair: pure-JVM encode/validate/decode chain in the scan
     assert count_exchanges(_q(spark, "mojibake_repair")) == 0
     # G.711 decode tier: map-only like the PCM/ADPCM tiers
-    assert count_exchanges(_q(spark, "g711_energy_sig")) == 0
+    _synth_pin(spark, "g711_energy_sig", keyed=0)
     # PAN pseudonymization: pure-JVM rewrite fused into the scan
     assert count_exchanges(_q(spark, "pii_pseudonymize")) == 0
     # WebDataset decode capstone: shard walk + sample grouping + JPEG
     # decode all inside ONE mapInPandas — zero shuffle
-    assert count_exchanges(_q(spark, "webdataset_decode")) == 0
+    _synth_pin(spark, "webdataset_decode", keyed=0)
     # OOV rate: tiny broadcast vocab; token agg + top-k cut
     assert count_exchanges(_q(spark, "oov_rate")) <= 3
     # phrase search: broadcast slot table; only matching positions
@@ -323,7 +346,7 @@ def test_round10_query_plan_budgets_pinned(spark):
     # leakage-safe split: one fingerprint-keyed window exchange
     assert count_exchanges(_q(spark, "leakage_safe_split")) == 1
     # EXIF display dims: map-only header composition
-    assert count_exchanges(_q(spark, "exif_display_dims")) == 0
+    _synth_pin(spark, "exif_display_dims", keyed=0)
     # lang audit: the lang_id map + doc join + confusion agg
     assert count_exchanges(_q(spark, "lang_label_audit")) <= 4
     # markdown strip + code routing: pure-JVM regexp chains in the scan
@@ -346,7 +369,7 @@ def test_round11_query_plan_budgets_pinned(spark):
     rarity rank, prefix self-join, exact verify) — pinned at its
     authored 12; containment shares ngram_jaccard's bones plus the
     wrapper-building joins."""
-    assert count_exchanges(_q(spark, "codec_sniff_ingest")) == 0
+    _synth_pin(spark, "codec_sniff_ingest", keyed=0)
     assert count_exchanges(_q(spark, "html_link_extract")) == 0
     assert count_exchanges(_q(spark, "quality_classifier_digest_only")) == 0
     assert count_exchanges(_q(spark, "weighted_sample_topk")) == 1
@@ -378,14 +401,14 @@ def test_round11b_query_plan_budgets_pinned(spark):
     shuffle across tf/df/stats plus the per-doc ranking window; HITS
     is O(iters) edge-join shuffles with 1-row total broadcasts, the
     pagerank_int budget."""
+    assert count_exchanges(_q(spark, "readability_scores")) == 0
     for name in ("flac_stream_meta", "ogg_page_index",
-                 "parquet_footer_index", "readability_scores",
-                 "avro_ocf_block_index"):
-        assert count_exchanges(_q(spark, name)) == 0, name
+                 "parquet_footer_index", "avro_ocf_block_index"):
+        _synth_pin(spark, name, keyed=0)
     # schema-on-read JSON parse is expression-level, scan-fused
     assert count_exchanges(_q(spark, "jsonl_ingest")) == 0
     # DPO pairs: ONE packed-key min/max aggregate, no window/self-join
-    assert count_exchanges(_q(spark, "preference_pairs")) == 1
+    _synth_pin(spark, "preference_pairs", keyed=1)
     # token bucket: the groupBy().applyInPandas host shuffle is the
     # ONLY exchange — the recurrence itself is per-host sequential
     assert count_exchanges(_q(spark, "crawl_politeness_gate")) == 1
@@ -400,7 +423,7 @@ def test_round11b_query_plan_budgets_pinned(spark):
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p
     # WHATWG charset precedence is expression-level, scan-fused
-    assert count_exchanges(_q(spark, "charset_sniff")) == 0
+    _synth_pin(spark, "charset_sniff", keyed=0)
     assert count_exchanges(_q(spark, "order_priority_check")) <= 4
     assert count_exchanges(_q(spark, "top_supplier_revenue")) <= 3
     # 7 plan NODES, 5 executed shuffles: the persisted postings
