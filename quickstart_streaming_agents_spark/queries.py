@@ -1282,7 +1282,7 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quickstart_streaming_agents_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
@@ -1343,7 +1343,7 @@ def edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         edit_distance_confirmed_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return edit_distance_confirmed_pairs(
         docs, "doc_id", "text", n=3, jaccard_floor=0.5, max_dist=64
     )
@@ -1457,7 +1457,7 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     clusters = dedup_clusters(pairs)
     tot = docs.agg(F.count("*").cast("long").alias("n_docs"))
@@ -1749,7 +1749,7 @@ def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = (
-        load_table(spark, sf_dir, "documents")
+        spread_scan(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "text")
         .filter(F.trim(F.col("text")) != "")
     )
@@ -3100,7 +3100,7 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_contamination_flags,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
     benchmark = docs.filter(F.col("doc_id") % 17 == 0).select("text")
     return bloom_contamination_flags(docs, benchmark, n=13).select(
         "doc_id", "lang", "n_contaminated_ngrams", "contaminated"
@@ -4935,7 +4935,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 per query over `documents` (k1=1.2, b=0.75)."""
     from quickstart_streaming_agents_spark.operators.retrieval import bm25_topk
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     queries = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
     out = bm25_topk(docs, queries, k=10)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
@@ -5708,7 +5708,7 @@ def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicate_spans,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return duplicate_spans(docs, k=13, gram_hash="md5")
 
 
@@ -5789,7 +5789,7 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         strip_duplicate_spans,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return strip_duplicate_spans(docs, k=13, gram_hash="md5")
 
 
@@ -7992,7 +7992,7 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     return semantic_dedup(
         emb, "vec_id", "embedding", threshold=0.4, n_centroids=16,
     )
@@ -8410,7 +8410,7 @@ def quality_classifier_stage_checksums(
         hashed_linear_classifier_score,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     scored = hashed_linear_classifier_score(docs, "text")
     toks = docs.select(
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))

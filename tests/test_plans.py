@@ -255,9 +255,16 @@ def test_round8b_query_plan_budgets_pinned(spark):
     assert count_exchanges(_q(spark, "cms_heavy_hitters")) <= 4
     assert count_exchanges(_q(spark, "temperature_mix")) <= 2
     assert count_exchanges(_q(spark, "ann_sq8_topk")) <= 2
-    assert count_exchanges(_q(spark, "bloom_decontamination")) <= 2
+    # keyed budgets unchanged from the pre-r14 pins; the ids-spread
+    # round-robin appears once per consumer subtree in the initial plan
+    # (runtime exchange reuse collapses the copies)
+    bd = _q(spark, "bloom_decontamination")
+    assert count_keyed_exchanges(bd) <= 2
+    assert count_roundrobin_exchanges(bd) <= 3
     assert count_exchanges(_q(spark, "token_entropy_score")) <= 2
-    assert count_exchanges(_q(spark, "edit_distance_dedup")) <= 4
+    edd = _q(spark, "edit_distance_dedup")
+    assert count_keyed_exchanges(edd) <= 4
+    assert count_roundrobin_exchanges(edd) <= 5
     assert count_exchanges(_q(spark, "bigram_backoff_score")) <= 7
 
 
