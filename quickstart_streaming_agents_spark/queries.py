@@ -7992,7 +7992,7 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup,
     )
 
-    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(
         emb, "vec_id", "embedding", threshold=0.4, n_centroids=16,
     )
@@ -8970,7 +8970,7 @@ def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank_int,
     )
 
-    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
     edges = (
         docs.select(
@@ -10522,7 +10522,7 @@ def _synth_phash_bmps(docs: DataFrame) -> DataFrame:
                 payloads.append(make_bmp(img))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return spread_scan(docs.select("doc_id")).mapInPandas(
+    return docs.select("doc_id").mapInPandas(
         synth, schema="doc_id long, payload binary"
     )
 
@@ -10535,7 +10535,10 @@ def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quickstart_streaming_agents_spark.operators.phash import dhash_images
 
     docs = load_table(spark, sf_dir, "documents")
-    return dhash_images(_synth_phash_bmps(docs), "doc_id", "payload")
+    return dhash_images(
+        _synth_phash_bmps(spread_scan(docs.select("doc_id"))),
+        "doc_id", "payload",
+    )
 
 
 @query("image_phash_dedup", oracle=_IMAGE_PHASH_DEDUP_ORACLE)
@@ -11624,7 +11627,7 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         robots_verdicts,
     )
 
-    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     urls = docs.select(
         "doc_id",
         F.concat(F.lit("h"), (F.col("doc_id") % 7),
@@ -12661,7 +12664,7 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits_int,
     )
 
-    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
     edges = docs.select(
         F.col("doc_id").alias("src"),
@@ -14309,6 +14312,18 @@ def ivf_index_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operator) and ivf_index_upsert (the ANN-freshness monitor), both
 # simulator-verified at sf0.001/0.01/0.1 and in VERIFY_r13.log's final
 # 206-query sweep — then (c) the r10-vintage rows, oldest first.
+#
+# r14 window (THIS round, executed below as _R14_CHECK_FIRST, exactly as
+# the r13 queue documented): (a) the 6 deferred r8 TPC-H rows, (b) first
+# official driver rows for ml_predict_cached / ivf_index_upsert, (c) 42
+# of the 48 r10-vintage rows in registry order — biased to include every
+# r10-vintage row whose plan the r14 optimization round touched (the
+# spread_scan ids-spread sites and the dedup/retrieval rework). The 6
+# r10 rows deferred to r15 are the change-isolated pure-JVM event-window
+# set (tumble_5m_agg, session_window_agg, sliding_window_agg,
+# surge_enriched, scd2_merge, investigation_queue — no r14-touched
+# operator in any of their plans); they lead the r15 refresh queue,
+# followed by the r11-vintage rows oldest-first.
 # ---------------------------------------------------------------------------
 _R13_CHECK_FIRST = [
     # (a) the 9 deferred pure-TPC-H r7 rows (see comment above)
@@ -14387,5 +14402,62 @@ def _rotate(reg: dict, front: list[str]) -> dict:
     return out
 
 
-QUERIES = _rotate(QUERIES, _R13_CHECK_FIRST)
-ORACLE = _rotate(ORACLE, _R13_CHECK_FIRST)
+_R14_CHECK_FIRST = [
+    # (a) the 6 r8 TPC-H rows deferred by the r13 rotation
+    "large_volume_orders",
+    "late_shipment_priority",
+    "local_supplier_volume",
+    "min_cost_supplier",
+    "promo_revenue_share",
+    "returned_item_customers",
+    # (b) first official driver rows for the two late-r13 registrations
+    "ml_predict_cached",
+    "ivf_index_upsert",
+    # (c) 42 of the 48 r10-vintage rows, registry order (the 6 deferred
+    # to r15 are named in the queue comment above)
+    "enriched_orders",
+    "anomaly_detect_ar2",
+    "agent_price_match",
+    "dedup_exact",
+    "ngram_jaccard_dedup",
+    "dedup_components",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "line_dedup_clean",
+    "hard_negative_mining",
+    "embedding_topk_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "lang_id_ngram",
+    "curation_pipeline",
+    "sequence_packing",
+    "packing_efficiency",
+    "rag_ingest",
+    "repetition_filter",
+    "pii_redaction",
+    "decontamination",
+    "contamination_fraction",
+    "script_detect_profile",
+    "pii_credit_card_audit",
+    "multimodal_meta",
+    "multimodal_features",
+    "multimodal_real_meta",
+    "video_frame_sample",
+    "counts_dashboard",
+    "hll_distinct_sketch",
+    "incremental_ingest_dedup",
+    "gzip_text_ingest",
+    "badwords_filter",
+    "unicode_normalize_clean",
+    "mp3_demux_frames",
+    "audio_energy_sig",
+    "audio_near_dup",
+    "mp4_pcm_energy_sig",
+    "warc_record_index",
+    "jpeg_exif_meta",
+    "span_corruption_pairs",
+    "ann_ivfpq_topk",
+]
+
+QUERIES = _rotate(QUERIES, _R14_CHECK_FIRST)
+ORACLE = _rotate(ORACLE, _R14_CHECK_FIRST)
