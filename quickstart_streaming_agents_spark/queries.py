@@ -8297,9 +8297,9 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_linear_classifier_score,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
-    )
+    ))
     scored = hashed_linear_classifier_score(docs, "text")
     score_e9 = F.expr(
         "((raw_margin + 1000 * n_features) * 1000000000)"
@@ -8439,7 +8439,8 @@ def quality_classifier_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_linear_classifier_score,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     scored = hashed_linear_classifier_score(docs, "text")
     score_e9 = F.expr(
         "((raw_margin + 1000 * n_features) * 1000000000)"
@@ -8513,7 +8514,8 @@ def quality_classifier_digest_only(
         hashed_linear_classifier_score,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     scored = hashed_linear_classifier_score(docs, "text")
     score_e9 = F.expr(
         "((raw_margin + 1000 * n_features) * 1000000000)"

@@ -213,8 +213,8 @@ def test_round7_query_plan_budgets_pinned(spark):
     snowflake analogs at exactly one big shuffle with everything else
     broadcast, and the winnowing pair miner within its 4-exchange
     budget. A regression here is a corpus reshuffle creeping in."""
-    for name in ("quality_classifier_score", "chat_template_render"):
-        assert count_exchanges(_q(spark, name)) == 0, name
+    assert count_exchanges(_q(spark, "chat_template_render")) == 0
+    _synth_pin(spark, "quality_classifier_score", keyed=0)
     for name in ("nation_profit", "nation_market_share",
                  "disjunctive_revenue"):
         assert count_exchanges(_q(spark, name)) == 1, name
@@ -231,7 +231,7 @@ def test_round8_query_plan_budgets_pinned(spark):
     exchange; the banded phash dedup stays within its 4-exchange
     budget (band window, candidate self-join reuse, dup distinct,
     keeper join)."""
-    assert count_exchanges(_q(spark, "quality_classifier_digest")) == 0
+    _synth_pin(spark, "quality_classifier_digest", keyed=0)
     _synth_pin(spark, "image_dhash", keyed=0)
     assert count_exchanges(_q(spark, "pca_moments")) == 1
     # keyed budget unchanged; the synth ids-spread appears once per
@@ -378,7 +378,7 @@ def test_round11_query_plan_budgets_pinned(spark):
     wrapper-building joins."""
     _synth_pin(spark, "codec_sniff_ingest", keyed=0)
     assert count_exchanges(_q(spark, "html_link_extract")) == 0
-    assert count_exchanges(_q(spark, "quality_classifier_digest_only")) == 0
+    _synth_pin(spark, "quality_classifier_digest_only", keyed=0)
     assert count_exchanges(_q(spark, "weighted_sample_topk")) == 1
     assert count_exchanges(_q(spark, "robots_gate")) <= 2
     # 16 = the multi-stage AllPairs shape WITHOUT a postings persist:
