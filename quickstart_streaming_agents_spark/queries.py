@@ -1408,7 +1408,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quickstart_streaming_agents_spark.operators.components import dedup_clusters
     from quickstart_streaming_agents_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     return dedup_clusters(pairs)
 
@@ -2232,7 +2232,7 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quickstart_streaming_agents_spark.functions import text as tx
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         "lang",
@@ -2983,7 +2983,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_redact,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     dirty = docs.select(
         "doc_id",
         F.concat(
@@ -3510,7 +3510,7 @@ def markdown_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         markdown_strip,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     d = F.col("doc_id")
     md = F.concat(
         F.lit("## Doc "), d.cast("string"),
@@ -3566,7 +3566,7 @@ def code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         code_signals,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     d = F.col("doc_id")
     # planted suffixes (all oracle constants computed from these exact
     # strings: length / symbol / semi-line / indent-line / keyword)
@@ -4138,7 +4138,7 @@ def pii_pseudonymize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_pseudonymize,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     d = F.col("doc_id")
     valid = F.array(*[F.lit(c) for c in _CC_VALID])
     bumped = F.array(*[
@@ -4781,7 +4781,7 @@ def investigation_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def verdict_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    orders = spread_scan(load_table(spark, sf_dir, "orders"))
     report = orders.select(
         "o_orderkey",
         F.concat(
@@ -7837,7 +7837,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation stages filter on engine-computed quality columns the same
     way (LAB3-Walkthrough.md filters on is_anomaly; this is the
     LLM-data-pipeline analog over documents)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     a = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     stop = F.array(*[F.lit(s) for s in
                      ("the", "be", "to", "of", "and", "that", "have", "with")])

