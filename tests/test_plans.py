@@ -341,7 +341,7 @@ def test_round10_query_plan_budgets_pinned(spark):
     # G.711 decode tier: map-only like the PCM/ADPCM tiers
     _synth_pin(spark, "g711_energy_sig", keyed=0)
     # PAN pseudonymization: pure-JVM rewrite fused into the scan
-    assert count_exchanges(_q(spark, "pii_pseudonymize")) == 0
+    _synth_pin(spark, "pii_pseudonymize", keyed=0)
     # WebDataset decode capstone: shard walk + sample grouping + JPEG
     # decode all inside ONE mapInPandas — zero shuffle
     _synth_pin(spark, "webdataset_decode", keyed=0)
