@@ -593,8 +593,9 @@ def main() -> None:
         import statistics
         import subprocess
 
-        watch = {"embedding_topk_pairs", "text_analysis", "verdict_parse",
-                 "counts_dashboard"}
+        standing = {"embedding_topk_pairs", "text_analysis", "verdict_parse",
+                    "counts_dashboard"}
+        watch = set(standing)
         try:
             prev = json.loads((REPO / "BENCH_FULL.json.prev").read_text())
             if prev.get("sf") == sf:  # cross-SF deltas are meaningless
@@ -616,8 +617,12 @@ def main() -> None:
 
         isolated: dict[str, float] = {}
         iso_forks: dict[str, list[list[float]]] = {}
+        # standing-watchlist members fork FIRST: they carry official
+        # adjudication duties (the r13 >2x-of-r1 drifters), and sorting
+        # purely by cost let a large drift cohort starve them of budget
+        # (observed in the r14 final run)
         for name in sorted((n for n in watch if n in timings),
-                           key=lambda n: -timings[n]):
+                           key=lambda n: (n not in standing, -timings[n])):
             if remaining() < 60:
                 break
             # cold-JVM forks on this sandbox showed ±4x run-to-run
