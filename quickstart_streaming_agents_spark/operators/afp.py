@@ -89,6 +89,27 @@ def audio_energy_sig(
     if on_error not in ("null", "raise"):
         raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
 
+    return df.select(id_col, payload_col).mapInPandas(
+        sig_batch_fn(id_col, payload_col, window_samples, n_windows,
+                     on_error),
+        schema=(f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+                "sig string, b0 string, b1 string, "
+                "b2 string, b3 string"),
+    )
+
+
+def sig_batch_fn(
+    id_col: str,
+    payload_col: str,
+    window_samples: int,
+    n_windows: int,
+    on_error: str,
+):
+    """The per-batch decode+fingerprint body of ``audio_energy_sig``,
+    exposed so a Python payload *producer* (the fixture synths) can be
+    composed with it inside ONE ``mapInPandas`` stage — payload bytes
+    then never cross the JVM↔Python boundary (guide §4: two chained
+    Arrow stages round-trip every clip through the JVM twice)."""
     from quickstart_streaming_agents_spark.operators.multimodal import (
         _decode_mp4_pcm,
         _decode_wav,
@@ -125,12 +146,7 @@ def audio_energy_sig(
                 rows, columns=[id_col, "sig", "b0", "b1", "b2", "b3"]
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
-        compute,
-        schema=(f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
-                "sig string, b0 string, b1 string, "
-                "b2 string, b3 string"),
-    )
+    return compute
 
 
 def audio_near_dup_pairs(
@@ -143,6 +159,31 @@ def audio_near_dup_pairs(
     from banded LSH over ``(id, sig, b0..b3)`` rows. Exact for
     ``max_diff ≤ 3`` (4-band pigeonhole) outside over-``max_bucket``
     bands, which are skipped (bounded fan-out)."""
+    return _near_dup_matches(sigs, id_col, max_diff, max_bucket).distinct()
+
+
+def _near_dup_matches(
+    sigs: DataFrame, id_col: str, max_diff: int, max_bucket: int
+) -> DataFrame:
+    """Pre-distinct near-dup matches ``(id_a, id_b, n_diff)`` — one row
+    per MATCHING band collision (a pair sharing k quarter digests
+    appears up to k times).
+
+    The ``n_diff`` filter (functionally determined by the pair) runs
+    BEFORE any dedup, so downstream distincts shuffle only surviving
+    pairs (three narrow columns) instead of every band-join candidate
+    dragging both sig strings through an exchange. Callers pick their
+    dedup grain: ``audio_near_dup_pairs`` distincts the pair rows,
+    ``audio_dedup`` only ever needs distinct ``id_b`` keepers.
+
+    The band self-join is the MEASURED shape: an A/B against the
+    single-shuffle group-pair-emission alternative (collect_list per
+    (i, v) bucket + nested-transform emission, the ngram_jaccard_pairs
+    pattern) timed the grouped form consistently ~65% SLOWER here
+    (warm min 4.94 s vs 2.96 s full-query at sf0.1) — the self-join's
+    second side reuses the first side's exchange, while the grouped
+    form trades that reused exchange for a non-codegen objectified
+    collect_list + higher-order pair emission."""
     if not 0 <= max_diff <= 3:
         raise ValueError(
             f"max_diff must be in [0, 3] for 4-band pigeonhole "
@@ -176,8 +217,6 @@ def audio_near_dup_pairs(
     return (
         a.join(b, ["i", "v"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
         .select("id_a", "id_b", n_diff.cast("int").alias("n_diff"))
         .filter(F.col("n_diff") <= max_diff)
     )
@@ -199,10 +238,28 @@ def audio_dedup(
     The signature frame is persisted — three plan branches consume it
     and recomputing re-runs the Python decode (same contract and
     release rule as phash_dedup)."""
-    sigs = audio_energy_sig(df, id_col, payload_col, window_samples,
-                            n_windows).persist()
+    return audio_dedup_from_sigs(
+        audio_energy_sig(df, id_col, payload_col, window_samples,
+                         n_windows),
+        id_col, max_diff, max_bucket,
+    )
+
+
+def audio_dedup_from_sigs(
+    sigs_df: DataFrame,
+    id_col: str = "doc_id",
+    max_diff: int = 1,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """``audio_dedup`` over an already-fingerprinted ``(id, sig,
+    b0..b3)`` frame — the entry point for callers that fuse synthesis
+    with fingerprinting in one Python stage. The keeper path dedups
+    ``id_b`` directly from the pre-distinct matches: the pair-grain
+    ``distinct()`` the pairs API performs would be a second, wider
+    exchange feeding the same single-column dedup."""
+    sigs = sigs_df.persist()
     dup = (
-        audio_near_dup_pairs(sigs, id_col, max_diff, max_bucket)
+        _near_dup_matches(sigs, id_col, max_diff, max_bucket)
         .select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("__dup", F.lit(True))

@@ -101,6 +101,19 @@ def dhash_images(
     if on_error not in ("null", "raise"):
         raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
 
+    return df.select(id_col, payload_col).mapInPandas(
+        dhash_batch_fn(id_col, payload_col, on_error),
+        schema=(f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+                "b0 long, b1 long, b2 long, b3 long"),
+    )
+
+
+def dhash_batch_fn(id_col: str, payload_col: str, on_error: str):
+    """The per-batch decode+dHash body of ``dhash_images``, exposed so
+    a Python payload producer (the fixture synths) can be composed with
+    it inside ONE ``mapInPandas`` stage — payload bytes then never
+    cross the JVM↔Python boundary (guide §4, the afp.sig_batch_fn
+    pattern)."""
     from quickstart_streaming_agents_spark.operators.multimodal import (
         _real_decode,
     )
@@ -132,11 +145,7 @@ def dhash_images(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
-        compute,
-        schema=(f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
-                "b0 long, b1 long, b2 long, b3 long"),
-    )
+    return compute
 
 
 def phash_near_dup_pairs(
@@ -153,6 +162,22 @@ def phash_near_dup_pairs(
     inside over-``max_bucket`` band buckets, which are dropped from
     candidate generation (bounded fan-out; documented recall trade).
     """
+    return _near_dup_matches(hashes, id_col, max_hamming,
+                             max_bucket).distinct()
+
+
+def _near_dup_matches(
+    hashes: DataFrame, id_col: str, max_hamming: int, max_bucket: int
+) -> DataFrame:
+    """Pre-distinct near-dup matches ``(id_a, id_b, hamming)`` — one
+    row per MATCHING band collision (a pair sharing k bands appears up
+    to k times). The ``hamming`` filter (functionally determined by
+    the pair) runs BEFORE any dedup, so downstream distincts shuffle
+    only surviving pairs (three narrow columns) instead of every
+    band-join candidate dragging all eight band values through an
+    exchange; callers pick their dedup grain — ``phash_near_dup_pairs``
+    distincts the pair rows, ``phash_dedup`` only ever needs distinct
+    ``id_b`` keepers (the afp._near_dup_matches pattern)."""
     if not 0 <= max_hamming <= 3:
         raise ValueError(
             f"max_hamming must be in [0, 3] for 4-band pigeonhole "
@@ -181,12 +206,7 @@ def phash_near_dup_pairs(
     return (
         a.join(b, ["i", "v"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", *[f"a{j}" for j in range(4)],
-                *[f"c{j}" for j in range(4)])
-        .distinct()  # pairs matching in several bands collapse to one
-        .select(
-            "id_a", "id_b", ham.cast("int").alias("hamming"),
-        )
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -210,9 +230,27 @@ def phash_dedup(
     Python decode per branch. It is tiny (5 ints/row) next to the
     payloads; callers running many pipelines release it with
     ``spark.catalog.clearCache()`` (bench.py does)."""
-    hashes = dhash_images(df, id_col, payload_col).persist()
+    return phash_dedup_from_hashes(
+        dhash_images(df, id_col, payload_col),
+        id_col, max_hamming, max_bucket,
+    )
+
+
+def phash_dedup_from_hashes(
+    hashes_df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """``phash_dedup`` over an already-hashed ``(id, b0..b3)`` frame —
+    the entry point for callers that fuse synthesis with hashing in one
+    Python stage. The keeper path dedups ``id_b`` directly from the
+    pre-distinct matches: the pair-grain ``distinct()`` the pairs API
+    performs would be a second, wider exchange feeding the same
+    single-column dedup."""
+    hashes = hashes_df.persist()
     dup = (
-        phash_near_dup_pairs(hashes, id_col, max_hamming, max_bucket)
+        _near_dup_matches(hashes, id_col, max_hamming, max_bucket)
         .select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("__dup", F.lit(True))

@@ -9158,9 +9158,10 @@ SELECT doc_id, NULL, TRUE FROM d WHERE doc_id % 23 = 0
 """
 
 
-def _synth_afp_wavs(docs: DataFrame) -> DataFrame:
-    """doc_id -> deterministic block-constant PCM-16 WAV (see block
-    comment); every 23rd payload is garbage for the on_error path."""
+def _synth_afp_wav_batches():
+    """The per-batch WAV synthesis body of ``_synth_afp_wavs``,
+    exposed so the fused fingerprint queries can compose it with the
+    sig computation inside one Python stage."""
     import hashlib
 
     import numpy as np
@@ -9191,31 +9192,55 @@ def _synth_afp_wavs(docs: DataFrame) -> DataFrame:
                 payloads.append(make_wav(samples, rate=8000))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
+    return synth
+
+
+def _synth_afp_wavs(docs: DataFrame) -> DataFrame:
+    """doc_id -> deterministic block-constant PCM-16 WAV (see block
+    comment); every 23rd payload is garbage for the on_error path."""
     return spread_scan(docs.select("doc_id")).mapInPandas(
-        synth, schema="doc_id long, payload binary"
+        _synth_afp_wav_batches(), schema="doc_id long, payload binary"
+    )
+
+
+def _synth_afp_sigs(docs: DataFrame) -> DataFrame:
+    """WAV synthesis and energy fingerprinting fused into ONE
+    ``mapInPandas`` stage (guide §4): chaining ``_synth_afp_wavs`` into
+    ``audio_energy_sig`` as two Arrow stages round-trips every payload
+    Python→JVM→Python even though no shuffle sits between them. Same
+    bytes synthesized, same decode exercised, half the boundary
+    crossings — identical ``(doc_id, sig, b0..b3)`` output."""
+    from quickstart_streaming_agents_spark.operators.afp import sig_batch_fn
+
+    synth = _synth_afp_wav_batches()
+    sig = sig_batch_fn("doc_id", "payload", 256, 8, "null")
+    return spread_scan(docs.select("doc_id")).mapInPandas(
+        lambda batches: sig(synth(batches)),
+        schema=("doc_id long, sig string, b0 string, b1 string, "
+                "b2 string, b3 string"),
     )
 
 
 @query("audio_energy_sig", oracle=_AUDIO_SIG_ORACLE)
 def audio_energy_sig_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip audio energy signature + band digests — see block
-    comment; operator in operators/afp.py (map-only, zero shuffle)."""
-    from quickstart_streaming_agents_spark.operators.afp import (
-        audio_energy_sig,
-    )
-
+    comment; operator in operators/afp.py (map-only, zero shuffle;
+    synth+fingerprint fused into one Python stage)."""
     docs = load_table(spark, sf_dir, "documents")
-    return audio_energy_sig(_synth_afp_wavs(docs), "doc_id", "payload")
+    return _synth_afp_sigs(docs)
 
 
 @query("audio_near_dup", oracle=_AUDIO_DEDUP_ORACLE)
 def audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded audio near-dup dedup with min-id keepers — see block
-    comment; operator in operators/afp.py."""
-    from quickstart_streaming_agents_spark.operators.afp import audio_dedup
+    comment; operator in operators/afp.py (synth+fingerprint fused
+    into one Python stage)."""
+    from quickstart_streaming_agents_spark.operators.afp import (
+        audio_dedup_from_sigs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return audio_dedup(_synth_afp_wavs(docs), "doc_id", "payload")
+    return audio_dedup_from_sigs(_synth_afp_sigs(docs), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -9239,9 +9264,11 @@ SELECT doc_id, NULL, NULL, NULL, NULL, NULL FROM d WHERE doc_id % 23 = 0
 """
 
 
-def _synth_afp_mp4s(docs: DataFrame) -> DataFrame:
-    """doc_id -> deterministic stereo PCM-16 MP4 (see block comment);
-    every 23rd payload is garbage for the on_error path."""
+def _synth_afp_mp4_batches():
+    """The per-batch stereo PCM-16 MP4 synthesis body (see block
+    comment); every 23rd payload is garbage for the on_error path.
+    Returned as a batch generator so the query fuses it with the
+    fingerprint computation in one Python stage."""
     import hashlib
 
     import numpy as np
@@ -9283,22 +9310,26 @@ def _synth_afp_mp4s(docs: DataFrame) -> DataFrame:
                 ))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return spread_scan(docs.select("doc_id")).mapInPandas(
-        synth, schema="doc_id long, payload binary"
-    )
+    return synth
 
 
 @query("mp4_pcm_energy_sig", oracle=_MP4_PCM_SIG_ORACLE)
 def mp4_pcm_energy_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio energy fingerprint over REAL MP4 PCM containers — see
     block comment; decode in operators/multimodal._decode_mp4_pcm,
-    fingerprint in operators/afp.py (map-only, zero shuffle)."""
-    from quickstart_streaming_agents_spark.operators.afp import (
-        audio_energy_sig,
-    )
+    fingerprint in operators/afp.py (map-only, zero shuffle;
+    synth+fingerprint fused into one Python stage like
+    ``_synth_afp_sigs``)."""
+    from quickstart_streaming_agents_spark.operators.afp import sig_batch_fn
 
     docs = load_table(spark, sf_dir, "documents")
-    return audio_energy_sig(_synth_afp_mp4s(docs), "doc_id", "payload")
+    synth = _synth_afp_mp4_batches()
+    sig = sig_batch_fn("doc_id", "payload", 256, 8, "null")
+    return spread_scan(docs.select("doc_id")).mapInPandas(
+        lambda batches: sig(synth(batches)),
+        schema=("doc_id long, sig string, b0 string, b1 string, "
+                "b2 string, b3 string"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -9337,15 +9368,15 @@ SELECT doc_id, NULL, NULL, NULL, NULL, NULL FROM d WHERE doc_id % 23 = 0
 def adpcm_energy_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio energy fingerprint over REAL IMA ADPCM WAVE containers —
     see block comment; decode in operators/multimodal._decode_wav_ima,
-    fingerprint in operators/afp.py (map-only, zero shuffle)."""
+    fingerprint in operators/afp.py (map-only, zero shuffle;
+    synth+fingerprint fused into one Python stage like
+    ``_synth_afp_sigs``)."""
     import hashlib
 
     import numpy as np
     import pandas as pd
 
-    from quickstart_streaming_agents_spark.operators.afp import (
-        audio_energy_sig,
-    )
+    from quickstart_streaming_agents_spark.operators.afp import sig_batch_fn
     from quickstart_streaming_agents_spark.operators.multimodal import (
         make_wav_ima_adpcm,
     )
@@ -9382,9 +9413,11 @@ def adpcm_energy_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
-    return audio_energy_sig(
-        synth_df, "doc_id", "payload", window_samples=9, n_windows=8
+    sig = sig_batch_fn("doc_id", "payload", 9, 8, "null")
+    return docs.mapInPandas(
+        lambda batches: sig(synth(batches)),
+        schema=("doc_id long, sig string, b0 string, b1 string, "
+                "b2 string, b3 string"),
     )
 
 
@@ -10052,14 +10085,14 @@ SELECT doc_id, NULL, NULL, NULL, NULL, NULL FROM d WHERE doc_id % 23 = 0
 def g711_energy_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio energy fingerprint over REAL G.711 µ-law/A-law WAVE
     containers — see block comment; decode in operators/multimodal,
-    fingerprint in operators/afp.py (map-only, zero shuffle)."""
+    fingerprint in operators/afp.py (map-only, zero shuffle;
+    synth+fingerprint fused into one Python stage like
+    ``_synth_afp_sigs``)."""
     import hashlib
 
     import pandas as pd
 
-    from quickstart_streaming_agents_spark.operators.afp import (
-        audio_energy_sig,
-    )
+    from quickstart_streaming_agents_spark.operators.afp import sig_batch_fn
     from quickstart_streaming_agents_spark.operators.multimodal import (
         make_wav_g711,
     )
@@ -10086,9 +10119,12 @@ def g711_energy_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
-    return audio_energy_sig(synth_df, "doc_id", "payload",
-                            window_samples=256, n_windows=8)
+    sig = sig_batch_fn("doc_id", "payload", 256, 8, "null")
+    return docs.mapInPandas(
+        lambda batches: sig(synth(batches)),
+        schema=("doc_id long, sig string, b0 string, b1 string, "
+                "b2 string, b3 string"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10493,9 +10529,10 @@ SELECT doc_id, NULL, NULL, NULL, NULL, TRUE FROM d WHERE doc_id % 23 = 0
 """
 
 
-def _synth_phash_bmps(docs: DataFrame) -> DataFrame:
-    """doc_id -> deterministic 8x9 gray BMP payload (see block comment);
-    every 23rd payload is garbage for the on_error path."""
+def _synth_phash_bmp_batches():
+    """The per-batch BMP synthesis body of ``_synth_phash_bmps``,
+    exposed so the fused dHash queries can compose it with the decode
+    inside one Python stage."""
     import hashlib
 
     import numpy as np
@@ -10524,8 +10561,41 @@ def _synth_phash_bmps(docs: DataFrame) -> DataFrame:
                 payloads.append(make_bmp(img))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
+    return synth
+
+
+def _synth_phash_bmps(docs: DataFrame) -> DataFrame:
+    """doc_id -> deterministic 8x9 gray BMP payload (see block comment);
+    every 23rd payload is garbage for the on_error path."""
     return docs.select("doc_id").mapInPandas(
-        synth, schema="doc_id long, payload binary"
+        _synth_phash_bmp_batches(), schema="doc_id long, payload binary"
+    )
+
+
+def _synth_phash_hashes(docs: DataFrame, spread: bool = True) -> DataFrame:
+    """BMP synthesis and dHash fused into ONE ``mapInPandas`` stage
+    (guide §4, the ``_synth_afp_sigs`` pattern): same bytes
+    synthesized, same real BMP decode exercised, half the boundary
+    crossings — identical ``(doc_id, b0..b3)`` output.
+
+    ``spread=False`` for consumers that persist the hash frame for
+    multiple branches (image_phash_dedup): the 8x9-BMP python work is
+    trivial, and a spread cache materialization raced by three
+    consumer jobs measured ~25% SLOWER than the single-task fill
+    (interleaved A/B 3.07 vs 2.46 s; the audio tier measures the
+    OPPOSITE because its per-clip python work dominates)."""
+    from quickstart_streaming_agents_spark.operators.phash import (
+        dhash_batch_fn,
+    )
+
+    synth = _synth_phash_bmp_batches()
+    dhash = dhash_batch_fn("doc_id", "payload", "null")
+    ids = docs.select("doc_id")
+    if spread:
+        ids = spread_scan(ids)
+    return ids.mapInPandas(
+        lambda batches: dhash(synth(batches)),
+        schema="doc_id long, b0 long, b1 long, b2 long, b3 long",
     )
 
 
@@ -10533,26 +10603,26 @@ def _synth_phash_bmps(docs: DataFrame) -> DataFrame:
 def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image 64-bit dHash as four 16-bit bands — see block comment;
     operator in operators/phash.py (real BMP decode -> integer luma ->
-    dHash band packing, map-only, zero shuffle)."""
-    from quickstart_streaming_agents_spark.operators.phash import dhash_images
-
+    dHash band packing, map-only, zero shuffle; synth+decode fused
+    into one Python stage)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dhash_images(
-        _synth_phash_bmps(spread_scan(docs.select("doc_id"))),
-        "doc_id", "payload",
-    )
+    return _synth_phash_hashes(docs)
 
 
 @query("image_phash_dedup", oracle=_IMAGE_PHASH_DEDUP_ORACLE)
 def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-Hamming-LSH image near-dup dedup with min-id keepers —
     see block comment; operator in operators/phash.py. Plan: map-only
-    hashing, ONE band shuffle shared by the bucket-cap window and the
-    candidate equi-join, broadcast dup-id anti-set."""
-    from quickstart_streaming_agents_spark.operators.phash import phash_dedup
+    hashing (synth+decode fused into one Python stage), ONE band
+    shuffle shared by the bucket-cap agg and the candidate equi-join,
+    broadcast dup-id anti-set."""
+    from quickstart_streaming_agents_spark.operators.phash import (
+        phash_dedup_from_hashes,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return phash_dedup(_synth_phash_bmps(docs), "doc_id", "payload")
+    return phash_dedup_from_hashes(
+        _synth_phash_hashes(docs, spread=False), "doc_id")
 
 
 # ---------------------------------------------------------------------------
