@@ -41,15 +41,24 @@ def assert_broadcastable_corpus(
     Oversized corpora should use the shuffle-shaped ANN operators
     (operators/similarity.ann_lsh / ann_ivf) instead.
     """
-    n = vector_table.count()
+    # ONE agg action for both bounds — a separate count() + first() pair
+    # costs two full driver jobs per registration, which dominates the
+    # script-chain queries that register tiny corpora (guide §5: the
+    # driver should do almost no data work, and job count IS driver work)
+    row = vector_table.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size(F.col(embedding_col))).alias("dim"),
+    ).first()
+    n = row["n"]
     if n > max_broadcast_rows:
         raise ValueError(
             f"vector corpus has {n} rows > max_broadcast_rows "
             f"{max_broadcast_rows}; metadata collection would risk a driver "
             "OOM — use the ANN operators or raise the bound explicitly."
         )
-    first = vector_table.select(embedding_col).first()
-    dim = len(first[0]) if first and first[0] is not None else 0
+    # max(size) over the corpus, not first()'s arbitrary row — an equal or
+    # STRICTER byte estimate for ragged-dim corpora
+    dim = max(row["dim"] or 0, 0)
     est = n * dim * 8
     if est > max_broadcast_bytes:
         raise ValueError(
