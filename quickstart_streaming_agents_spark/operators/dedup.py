@@ -67,6 +67,34 @@ def dedup_exact(df: DataFrame, cols: list[str], order_by: list[str]) -> DataFram
 # n-gram Jaccard (exact, JVM-only)
 # ---------------------------------------------------------------------------
 
+def shingle_arrays(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per document with its distinct word n-gram shingles as an
+    ARRAY column (``shingles``) — the un-exploded form of ``shingle_df``.
+
+    Consumers that only need per-doc set operations (sizes via ``size``,
+    intersections via ``array_intersect``) should use this instead of
+    exploding: the array form crosses every shuffle as one row per doc
+    and the set work stays in whole-stage codegen."""
+    extra = list(keep_cols or [])
+    toks = tokens(text_col)
+    d = df.select(
+        F.col(id_col).alias("doc_id"), *[F.col(c) for c in extra],
+        toks.alias("toks"),
+    )
+    grams = F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN array_distinct(transform("
+        f"sequence(0, size(toks) - {n}), i -> concat_ws(' ', slice(toks, i + 1, {n}))))"
+        f" ELSE array() END"
+    )
+    return d.select("doc_id", *extra, grams.alias("shingles"))
+
+
 def shingle_df(
     df: DataFrame,
     id_col: str,
@@ -82,17 +110,9 @@ def shingle_df(
     via an explicit CASE. ``keep_cols`` pass through unchanged (e.g. an
     event-time column on a streaming input)."""
     extra = list(keep_cols or [])
-    toks = tokens(text_col)
-    d = df.select(
-        F.col(id_col).alias("doc_id"), *[F.col(c) for c in extra],
-        toks.alias("toks"),
+    return shingle_arrays(df, id_col, text_col, n, keep_cols).select(
+        "doc_id", *extra, F.explode("shingles").alias("shingle")
     )
-    grams = F.expr(
-        f"CASE WHEN size(toks) >= {n} THEN array_distinct(transform("
-        f"sequence(0, size(toks) - {n}), i -> concat_ws(' ', slice(toks, i + 1, {n}))))"
-        f" ELSE array() END"
-    )
-    return d.select("doc_id", *extra, F.explode(grams).alias("shingle"))
 
 
 def _shingle_hash_df(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -269,6 +289,38 @@ def minhash_signatures(
     return src.mapInPandas(compute, schema=out_schema)
 
 
+def _lsh_band_candidates(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id_a < id_b) pairs colliding in ≥1 LSH band, from a ``(doc_id,
+    sig)`` signatures DataFrame. Shared by ``minhash_lsh_pairs`` and the
+    calibration query so both band identically — and so a caller can hang
+    every signature consumer off ONE sigs DataFrame instead of
+    recomputing the Python signature pass per consumer."""
+    rows_per_band = num_hashes // bands
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"hash(slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
+            )
+        ).alias("band", "band_hash"),
+    ).select("doc_id", "band", "band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -294,30 +346,8 @@ def minhash_lsh_pairs(
             "in every band — the quadratic join this operator exists to "
             "avoid); a remainder silently drops trailing components"
         )
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed).cache()
-    banded = sigs.select(
-        "doc_id",
-        "sig",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"hash(slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
-            )
-        ).alias("band", "band_hash"),
-    ).select("doc_id", "band", "band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    cand = _lsh_band_candidates(sigs, num_hashes, bands)
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
     return (

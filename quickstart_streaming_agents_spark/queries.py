@@ -3679,19 +3679,33 @@ def _minhash_calibration_oracle() -> str:
 @query("minhash_calibration", oracle=_minhash_calibration_oracle())
 def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimate vs exact Jaccard per LSH candidate pair — see
-    block comment."""
-    from quickstart_streaming_agents_spark.operators.dedup import (
-        minhash_lsh_pairs,
-        minhash_signatures,
-        shingle_df,
-    )
+    block comment.
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=64, bands=16,
-        shingle_n=3, threshold=0.0,
-    ).select("id_a", "id_b")
-    sigs = minhash_signatures(docs, "doc_id", "text", 64, 3)
+    Shuffle shape (r14): ONE Python signature pass (spread, then behind
+    a ``repartition(doc_id)`` exchange that all four signature consumers
+    — both band-join sides, both n_match join sides — reuse at runtime)
+    instead of the old once-per-consumer recompute (arrow×10 in the
+    plan). The exact-Jaccard side uses per-doc shingle ARRAYS
+    (``shingle_arrays`` + ``array_intersect``) instead of three shingle
+    explodes plus a candidate×shingle explode-join: each candidate pair
+    explodes into two doc legs that join the arrays once. Same values —
+    ``array_intersect`` over the distinct shingle sets is exactly the
+    old per-shingle equality count."""
+    from quickstart_streaming_agents_spark.operators.dedup import (
+        _lsh_band_candidates,
+        minhash_signatures,
+        shingle_arrays,
+    )
+    from quickstart_streaming_agents_spark.sources.parquet import spread_scan
+
+    # spread: the single-row-group fixture scan would otherwise run the
+    # one signature pass on ONE core (no-op at production row-group counts)
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", 64, 3) \
+        .repartition("doc_id")
+    cand = _lsh_band_candidates(sigs, num_hashes=64, bands=16)
     sa = sigs.select(F.col("doc_id").alias("id_a"),
                      F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("id_b"),
@@ -3702,24 +3716,36 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
         ).cast("long").alias("n_match"),
     )
-    sh = shingle_df(docs, "doc_id", "text", 3)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
-    ga = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    gb = sh.select(F.col("doc_id").alias("__gb_id"),
-                   F.col("shingle").alias("shingle_b"))
-    inter = (
-        cand.join(ga, "id_a")
-        .join(gb, (F.col("id_b") == F.col("__gb_id"))
-              & (F.col("shingle") == F.col("shingle_b")), "left")
-        .groupBy("id_a", "id_b")
-        .agg(F.count("shingle_b").alias("shared"))
-    )
+    # exact-Jaccard side: explode each candidate pair into its two doc
+    # "legs" and join the per-doc shingle ARRAYS once, shuffled-hash (a
+    # sort-merge here would SORT the wide array side; measured 2× the
+    # whole query). Only candidate docs' arrays ever leave the terms
+    # stage — the 100 TB shape moves heavy payloads once, keyed by pair.
+    terms = shingle_arrays(docs, "doc_id", "text", 3)
+    legs = nm.select("id_a", "id_b", "n_match",
+                     F.explode(F.array("id_a", "id_b")).alias("doc_id"))
     out = (
-        nm.join(inter, ["id_a", "id_b"])
-        .join(sizes.withColumnRenamed("doc_id", "id_a")
-              .withColumnRenamed("ns", "na"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b")
-              .withColumnRenamed("ns", "nb"), "id_b")
+        legs.hint("shuffle_hash").join(terms, "doc_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first("n_match").alias("n_match"),
+            F.first(F.when(F.col("doc_id") == F.col("id_a"),
+                           F.col("shingles")), True).alias("__ta"),
+            F.first(F.when(F.col("doc_id") == F.col("id_b"),
+                           F.col("shingles")), True).alias("__tb"),
+        )
+        .select(
+            "id_a", "id_b", "n_match",
+            F.size(F.array_intersect("__ta", "__tb")).cast("long")
+             .alias("shared"),
+            F.size("__ta").cast("long").alias("na"),
+            F.size("__tb").cast("long").alias("nb"),
+        )
+        # the old exploded form inner-joined per-shingle rows, which
+        # dropped any pair where either side has ZERO JVM shingles (a
+        # doc can be banded yet shingle-less when Python's Unicode
+        # split out-tokenizes the JVM's ASCII \s+) — preserve that
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
     )
     uni = (F.col("na") + F.col("nb") - F.col("shared")).cast("long")
     est_e6 = F.expr("n_match * 1000000 div 64").cast("long")
@@ -3727,7 +3753,7 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
     return out.select(
         "id_a", "id_b", "n_match",
-        F.col("shared").cast("long").alias("n_inter"),
+        F.col("shared").alias("n_inter"),
         uni.alias("n_union"),
         est_e6.alias("est_e6"),
         exact_e6.alias("exact_e6"),
