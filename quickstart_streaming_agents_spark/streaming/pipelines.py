@@ -474,10 +474,10 @@ def decontamination_stream_pipeline(
     )
     catalog.create_table_as("decon_raw_docs", stamped)
 
-    from ..operators.decontamination import _norm_shingles
+    from ..operators.decontamination import _norm_shingle_hashes
 
     bench = (
-        _norm_shingles(
+        _norm_shingle_hashes(
             docs.filter(F.col("doc_id") % bench_mod == 0).select(
                 F.lit(0).alias("__bid"), F.col("text").alias("__btext")
             ),
@@ -485,16 +485,16 @@ def decontamination_stream_pipeline(
             "__btext",
             n,
         )
-        .select(F.xxhash64("shingle").alias("h"))
+        .select("h")
         .distinct()
     )
 
     stream = catalog.read_stream("decon_raw_docs", watermark=("ts", watermark))
     # identical shingle machinery to the batch rule — one source of truth,
     # so the streaming ≡ batch contract can't drift
-    exploded = _norm_shingles(
+    exploded = _norm_shingle_hashes(
         stream, "doc_id", "text", n, keep_cols=["ts"]
-    ).select("doc_id", "ts", F.xxhash64("shingle").alias("h"))
+    ).select("doc_id", "ts", "h")
     if bloom_m_bits is not None:
         from ..operators.decontamination import bloom_bitset, bloom_member
 
@@ -530,7 +530,7 @@ def contamination_fraction_stream_pipeline(
     thresholded rule, as a changelog topic.
 
     Streaming shape mirrors :func:`decontamination_stream_pipeline`
-    (static broadcast benchmark set, identical ``_norm_shingles``
+    (static broadcast benchmark set, identical ``_norm_shingle_hashes``
     machinery — one source of truth with the batch operator) but the
     graded rule needs the TOTAL shingle count too, so the pipeline keeps
     the left join and one per-doc aggregate. All of a doc's shingles
@@ -559,10 +559,10 @@ def contamination_fraction_stream_pipeline(
     )
     catalog.create_table_as("cfrac_raw_docs", stamped)
 
-    from ..operators.decontamination import _norm_shingles
+    from ..operators.decontamination import _norm_shingle_hashes
 
     bench = (
-        _norm_shingles(
+        _norm_shingle_hashes(
             docs.filter(F.col("doc_id") % bench_mod == 0).select(
                 F.lit(0).alias("__bid"), F.col("text").alias("__btext")
             ),
@@ -570,15 +570,15 @@ def contamination_fraction_stream_pipeline(
             "__btext",
             n,
         )
-        .select(F.xxhash64("shingle").alias("h"))
+        .select("h")
         .distinct()
         .withColumn("__m", F.lit(1))
     )
 
     stream = catalog.read_stream("cfrac_raw_docs", watermark=("ts", watermark))
-    shingled = _norm_shingles(
+    shingled = _norm_shingle_hashes(
         stream, "doc_id", "text", n, keep_cols=["lang", "ts"]
-    ).select("doc_id", "lang", "ts", F.xxhash64("shingle").alias("h"))
+    ).select("doc_id", "lang", "ts", "h")
     per = (
         shingled.join(F.broadcast(bench), "h", "left")
         # ts in the grouping key → watermark evicts settled doc state
