@@ -1005,25 +1005,43 @@ def prefix_filter_jaccard_pairs(
     if max_token_df is not None:
         prefix = cap_hot_buckets(prefix, max_token_df, keys=("term",))
     a, b = prefix.alias("a"), prefix.alias("b")
+    # no .distinct() on the candidates: a pair colliding in several
+    # prefix terms emits duplicate rows, but the verification groupBy
+    # below collapses them to one output row with identical aggregates —
+    # a separate pre-dedup exchange would only re-shuffle the pairs the
+    # groupBy is about to shuffle anyway (measured a wash at sf0.1,
+    # exact row match, one exchange fewer in the plan)
     cand = (
         a.join(b, (F.col("a.term") == F.col("b.term"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id_a"),
                 F.col("b.doc_id").alias("id_b"))
-        .distinct()
     )
-    # exact verification: join the candidates back to the per-doc arrays
-    # (both joins land on doc_terms' existing doc_id partitioning) and
-    # intersect JVM-side — terms are distinct per doc, so
-    # size(array_intersect) IS the exact shared-element count
+    # exact verification: explode each candidate pair into its two doc
+    # "legs" and join the per-doc arrays ONCE, shuffled-hash — two plain
+    # joins would each SORT the wide array side under sort-merge
+    # (measured ~15% of the whole operator; the minhash_calibration r14
+    # lesson), while the legs join builds its hash table from the tiny
+    # candidate side and streams doc_terms' existing doc_id partitioning.
+    # Terms are distinct per doc, so size(array_intersect) IS the exact
+    # shared-element count; first(when(), ignorenulls) is deterministic —
+    # exactly one leg per side per pair.
+    legs = cand.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    )
     return (
-        cand
-        .join(doc_terms.select(F.col("doc_id").alias("id_a"),
-                               F.col("__terms").alias("__ta"),
-                               F.col("n").alias("na")), "id_a")
-        .join(doc_terms.select(F.col("doc_id").alias("id_b"),
-                               F.col("__terms").alias("__tb"),
-                               F.col("n").alias("nb")), "id_b")
+        legs.hint("shuffle_hash").join(doc_terms, "doc_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(F.when(F.col("doc_id") == F.col("id_a"),
+                           F.col("__terms")), True).alias("__ta"),
+            F.first(F.when(F.col("doc_id") == F.col("id_b"),
+                           F.col("__terms")), True).alias("__tb"),
+            F.first(F.when(F.col("doc_id") == F.col("id_a"),
+                           F.col("n")), True).alias("na"),
+            F.first(F.when(F.col("doc_id") == F.col("id_b"),
+                           F.col("n")), True).alias("nb"),
+        )
         .select(
             "id_a", "id_b",
             F.size(F.array_intersect("__ta", "__tb"))

@@ -381,12 +381,16 @@ def test_round11_query_plan_budgets_pinned(spark):
     _synth_pin(spark, "quality_classifier_digest_only", keyed=0)
     assert count_exchanges(_q(spark, "weighted_sample_topk")) == 1
     assert count_exchanges(_q(spark, "robots_gate")) <= 2
-    # 16 = the multi-stage AllPairs shape WITHOUT a postings persist:
+    # 17 = the multi-stage AllPairs shape WITHOUT a postings persist:
     # each consumer re-derives the map-only explode+md5 (scan-fused,
     # zero footprint) instead of materializing the |corpus|·L-row
     # frame — the 4M-doc smoke showed the persist variant fills the
-    # disk while recomputation is nearly free
-    assert count_exchanges(_q(spark, "prefix_filter_dedup")) <= 16
+    # disk while recomputation is nearly free. +1 over the pre-legs
+    # shape: verification now explodes candidate LEGS and groupBy-s
+    # (id_a, id_b) — one extra NARROW exchange of candidate-pair rows
+    # in exchange for dropping both wide-__terms-array sort-merge
+    # join-backs (measured faster; see OPTIMIZATION_r14.md §11)
+    assert count_exchanges(_q(spark, "prefix_filter_dedup")) <= 17
     assert count_exchanges(_q(spark, "containment_dedup")) <= 6
     # capstone: map-only extract/canonicalize + broadcast rules join,
     # argmax window, host agg
