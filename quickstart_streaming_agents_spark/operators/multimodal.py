@@ -1817,6 +1817,38 @@ def sample_frames(
     return df.mapInPandas(sample, schema=out_schema)
 
 
+def sample_frame_features(
+    payload: bytes,
+    every_nth: int = 30,
+    feature_dim: int = 8,
+) -> list[tuple[int, dict | None, list[float] | None]]:
+    """Per-payload body of ``sample_frames(decoder="real")`` composed
+    with ``extract_media_features(decoder="real")``, for single-stage
+    fusion: decode the animated GIF, sample every ``every_nth`` frame,
+    re-encode each as a standalone 8-bit PNG and redecode it through
+    the real image path. Same decode work as the two operators chained
+    — only the Arrow boundary crossings between them are gone (the GIF
+    bytes and the per-frame PNGs never leave the Python worker).
+
+    Returns ``[(frame_idx, media_meta | None, features | None), ...]``.
+    Raises on an undecodable video payload (the caller implements its
+    ``on_error`` policy, matching ``sample_frames``); a per-frame PNG
+    redecode failure yields ``(idx, None, None)``, mirroring
+    ``extract_media_features``'s ``on_error="null"`` row.
+    """
+    meta, _, frames = _decode_gif(payload, media_type="video", collect_all=True)
+    out: list[tuple[int, dict | None, list[float] | None]] = []
+    for fi in range(0, meta["n_frames"], every_nth):
+        png = make_png(frames[fi])
+        try:
+            m, a = _real_decode(png, "image")
+            feats = _real_features(m, a, feature_dim)
+        except (ValueError, struct.error, NotImplementedError):
+            m, feats = None, None
+        out.append((fi, m, feats))
+    return out
+
+
 def demux_mp4_samples(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -8142,47 +8142,65 @@ FROM fr
 
 @query("video_frame_sample_real", oracle=_VIDEO_FRAME_SAMPLE_REAL_ORACLE)
 def video_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real GIF frame sampling through the production 1→N mapInPandas
-    path, each emitted frame redecoded as a PNG image — synthesis rules
-    in the oracle comment above."""
+    """Real GIF frame sampling, each sampled frame redecoded as a PNG
+    image — synthesis rules in the oracle comment above. Synth, GIF
+    decode, frame sampling, PNG encode AND PNG redecode run in ONE
+    mapInPandas via ``sample_frame_features`` (the same per-payload
+    work the chained operators do; neither the GIF bytes nor the
+    per-frame PNGs ever cross an Arrow boundary — guide §4, the §5/§6
+    fusion pattern; equality with the chained shape pinned by
+    test_sample_frame_features_matches_chained_operators)."""
     import numpy as np
     import pandas as pd
 
     from quickstart_streaming_agents_spark.operators.multimodal import (
-        extract_media_features,
         make_gif,
-        sample_frames,
+        sample_frame_features,
     )
 
     docs = spread_scan(load_table(spark, sf_dir, "documents").select("doc_id"))
 
-    def synth(batches):
+    def synth_features(batches):
         for pdf in batches:
-            ids = pdf["doc_id"].tolist()
-            payloads = []
-            for i in ids:
+            ids_o, fidx, mt, w_o, h_o, hot = [], [], [], [], [], []
+            for i in pdf["doc_id"].tolist():
                 w, h, nf = 1 + i % 4, 1 + i % 3, 1 + i % 5
                 frames = [
                     np.full((h, w, 3), (i + 17 * f) % 256, dtype=np.uint8)
                     for f in range(nf)
                 ]
                 p = make_gif(frames, delay_cs=3)
-                payloads.append(p[:15] if i % 23 == 0 else p)
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+                if i % 23 == 0:
+                    p = p[:15]
+                try:
+                    per_frame = sample_frame_features(p, every_nth=2)
+                except Exception:
+                    continue  # undecodable video contributes no frames
+                for fi, m, feats in per_frame:
+                    ids_o.append(i)
+                    fidx.append(fi)
+                    mt.append(None if m is None else m["media_type"])
+                    w_o.append(None if m is None else m["width"])
+                    h_o.append(None if m is None else m["height"])
+                    # array_position semantics: NULL features -> NULL,
+                    # 1.0 absent -> 0, else 1-based position
+                    hot.append(
+                        None if feats is None
+                        else (feats.index(1.0) + 1 if 1.0 in feats else 0)
+                    )
+            yield pd.DataFrame({
+                "doc_id": ids_o,
+                "frame_idx": fidx,
+                "media_type": mt,
+                "width": pd.array(w_o, dtype="Int32"),
+                "height": pd.array(h_o, dtype="Int32"),
+                "hot_bin": pd.array(hot, dtype="Int64"),
+            })
 
-    synth_df = docs.mapInPandas(synth, schema="doc_id long, payload binary")
-    sampled = sample_frames(synth_df, "payload", every_nth=2, decoder="real")
-    redecoded = extract_media_features(
-        sampled.drop("payload"), "frame_payload",
-        media_type="image", decoder="real",
-    )
-    return redecoded.select(
-        "doc_id",
-        F.col("frame_idx").cast("int").alias("frame_idx"),
-        F.col("media_meta.media_type").alias("media_type"),
-        F.col("media_meta.width").cast("int").alias("width"),
-        F.col("media_meta.height").cast("int").alias("height"),
-        F.array_position("features", 1.0).alias("hot_bin"),
+    return docs.mapInPandas(
+        synth_features,
+        schema="doc_id long, frame_idx int, media_type string, "
+               "width int, height int, hot_bin long",
     )
 
 

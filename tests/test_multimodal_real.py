@@ -423,6 +423,53 @@ def test_sample_frames_real_gif(spark):
                       on_error="raise").collect()
 
 
+def test_sample_frame_features_matches_chained_operators(spark):
+    """The fused per-payload body (sample_frame_features) produces
+    exactly what sample_frames(decoder='real') chained into
+    extract_media_features(decoder='real') produces, including the
+    torn-payload raise — the single-Python-stage fusion contract
+    video_frame_sample_real relies on."""
+    from quickstart_streaming_agents_spark.operators.multimodal import (
+        extract_media_features,
+        make_gif,
+        sample_frame_features,
+        sample_frames,
+    )
+
+    frames = [np.full((3, 2, 3), (7 + 41 * f) % 256, np.uint8)
+              for f in range(5)]
+    good = make_gif(frames, delay_cs=3)
+
+    df = spark.createDataFrame([(1, bytearray(good))],
+                               "doc_id long, payload binary")
+    chained = extract_media_features(
+        sample_frames(df, "payload", every_nth=2, decoder="real")
+        .drop("payload"),
+        "frame_payload", media_type="image", decoder="real",
+    ).collect()
+    chained_rows = sorted(
+        (r.frame_idx,
+         (r.media_meta.media_type, r.media_meta.width,
+          r.media_meta.height),
+         [pytest.approx(x) for x in r.features])
+        for r in chained
+    )
+
+    fused = sorted(
+        (fi, (m["media_type"], m["width"], m["height"]), feats)
+        for fi, m, feats in sample_frame_features(good, every_nth=2)
+    )
+    assert [(fi, mk) for fi, mk, _ in fused] == \
+        [(fi, mk) for fi, mk, _ in chained_rows]
+    for (_, _, f_feats), (_, _, c_feats) in zip(fused, chained_rows):
+        assert c_feats == f_feats
+
+    # torn payload: the body raises; sample_frames' on_error policy
+    # is the caller's job (the query drops the doc)
+    with pytest.raises(Exception):
+        sample_frame_features(good[:15], every_nth=2)
+
+
 # ---------------------------------------------------------------------------
 # JPEG — baseline T.81 codec
 # ---------------------------------------------------------------------------
