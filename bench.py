@@ -257,6 +257,32 @@ HEADLINE = [
 ]
 
 
+# Heavy tier (VERDICT r14 next-round #1): the queries that cost >=~3 s at
+# sf0.1 — the only ones whose parallel behavior a larger fixture can
+# expose. Timed at $SPARK_GRAFT_HEAVY_DIR (see tools/gen_heavy_sf.py /
+# tools/bench_heavy.py) with the sf0.1 methodology.
+HEAVY_TIER = [
+    "training_data_pipeline",
+    "packed_training_shards",
+    "curation_funnel",
+    "dedup_savings_report",
+    "incremental_ingest_dedup",
+    "prefix_filter_dedup",
+    "containment_dedup",
+    "ngram_jaccard_dedup",
+    "winnowing_dedup_pairs",
+    "edit_distance_dedup",
+    "minhash_calibration",
+    "semantic_dedup",
+    "dedup_components",
+    "bm25_search",
+    "bigram_backoff_score",
+    "audio_near_dup",
+    "ann_sq8_topk",
+    "ann_ivfpq_topk",
+]
+
+
 def _release_broadcasts() -> None:
     """Free per-query tracked broadcasts (vector_search corpus matrices,
     pq_adc ADC LUTs, LSH planes, …) between queries — ADVICE r8: one
@@ -452,6 +478,19 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     load_at_start = os.getloadavg()[0]
 
+    # Per-cpu-count artifact routing (VERDICT r14 "What's wrong" #2): the
+    # r14 8-core scaling run rotated BENCH_FULL.json -> .prev at its end,
+    # clobbering both the 32-core map and the drift anchor (so the next
+    # round's >30% drift detection would compare 32c numbers against 8c
+    # ones and fork a phantom cohort). Now: a run at fewer cores than the
+    # machine has writes BENCH_FULL_c{N}.json and never touches
+    # BENCH_FULL.json / .prev; only the main (full-core) run keeps the
+    # legacy filenames and rotates the drift anchor. Drift comparison
+    # additionally requires matching "cpus" in the .prev record.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    is_main_run = cpus >= (os.cpu_count() or cpus)
+    full_name = "BENCH_FULL.json" if is_main_run else f"BENCH_FULL_c{cpus}.json"
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     out: dict = {
@@ -460,6 +499,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": cpus,
     }
 
     def emit(partial: bool) -> None:
@@ -482,9 +522,9 @@ def main() -> None:
         }
         # Full-precision record for the judge (the driver's stdout tail
         # capture is 2000 bytes — the complete per-query map does not fit).
-        tmp = REPO / "BENCH_FULL.json.tmp"
+        tmp = REPO / (full_name + ".tmp")
         tmp.write_text(json.dumps(out, indent=1) + "\n")
-        tmp.replace(REPO / "BENCH_FULL.json")
+        tmp.replace(REPO / full_name)
 
         # Compact line: same schema, sized to survive the 2000-byte tail
         # intact. Keep the total exact; include per-query times
@@ -496,13 +536,17 @@ def main() -> None:
         # round-over-round comparisons never silently lose the tail.
         tail_budget = 1800
         compact = dict(out)
-        compact["full"] = "BENCH_FULL.json"
+        compact["full"] = full_name
         compact["total_queries"] = len(HEADLINE)
         # per-fork detail and raw pre-substitution figures live in
         # BENCH_FULL.json; dropping them from the tail line leaves budget
         # for more per-query entries
         for k in ("isolated_forks", "in_sequence_raw"):
             compact.pop(k, None)
+        # heavy-tier detail lives in BENCH_FULL.json; the tail line keeps
+        # only its total so the sf0.1 per-query entries are not crowded out
+        if "heavy" in compact:
+            compact["heavy_total"] = compact.pop("heavy").get("total")
         ranked = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
         for keep in range(len(ranked), -1, -1):
             compact["queries"] = {k: round(v, 2) for k, v in ranked[:keep]}
@@ -598,13 +642,22 @@ def main() -> None:
         watch = set(standing)
         try:
             prev = json.loads((REPO / "BENCH_FULL.json.prev").read_text())
-            if prev.get("sf") == sf:  # cross-SF deltas are meaningless
+            # cross-SF or cross-core-count deltas are meaningless (the r14
+            # scaling run poisoned the anchor with 8-core numbers; a .prev
+            # written before the "cpus" key existed is assumed main-run)
+            if prev.get("sf") == sf and prev.get("cpus", cpus) == cpus:
                 for n, t in timings.items():
                     p = prev.get("queries", {}).get(n)
                     if p and min(t, p) > 0.2 and max(t / p, p / t) > 1.3:
                         watch.add(n)
         except Exception:  # noqa: BLE001 — no prior record to drift from
             pass
+        # VERDICT r14 "What's wrong" #3: drift- and r1-ratio-selected forks
+        # let a top-cost query that drifts slowly escape adjudication
+        # forever (training_data_pipeline was never forked in r14). The
+        # top-5 in-sequence costs always earn at least one fork.
+        for n in sorted(timings, key=lambda n: -timings[n])[:5]:
+            watch.add(n)
         try:
             r1 = json.loads((REPO / "BENCH_r01.json").read_text())
             r1q = (r1.get("parsed") or {}).get("queries", {})
@@ -674,14 +727,42 @@ def main() -> None:
                 out["in_sequence_raw"] = subst
                 out["substituted_from_isolated"] = sorted(subst)
 
+    # ----- optional heavy-tier pass (VERDICT r14 next-round #1) -----
+    # At sf0.1 the bench cannot measure parallel speedup (8 cores beat 32
+    # in r14: per-query cost is fixed overhead + tiny-partition
+    # contention). When $SPARK_GRAFT_HEAVY_DIR points at a larger
+    # deterministic fixture set (tools/gen_heavy_sf.py), the ~15 heaviest
+    # queries are re-timed there with the SAME methodology and recorded
+    # under a separate "heavy" key — additions-only: the sf0.1 headline
+    # map, total, and tail-line schema are untouched, and the driver
+    # (which does not set the env var) sees identical behavior.
+    heavy_dir = os.environ.get("SPARK_GRAFT_HEAVY_DIR", "")
+    if heavy_dir and os.path.isdir(heavy_dir) and remaining() > 120:
+        os.environ["SPARK_GRAFT_SF_DIR"] = heavy_dir
+        try:
+            h_timings, h_errors = _run_chunk_inprocess(
+                HEAVY_TIER, deadline=t_start + budget - 15.0)
+            out["heavy"] = {
+                "dir": heavy_dir,
+                "cpus": cpus,
+                "total": round(sum(h_timings.values()), 3),
+                "queries": h_timings,
+            }
+            if h_errors:
+                out["heavy"]["errors"] = h_errors
+        finally:
+            os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
+
     emit(partial=False)
     # preserve this run as next round's drift anchor (BENCH_FULL.json is
-    # rewritten in place by every run, incl. partial ones)
-    try:
-        (REPO / "BENCH_FULL.json.prev").write_text(
-            (REPO / "BENCH_FULL.json").read_text())
-    except Exception:  # noqa: BLE001
-        pass
+    # rewritten in place by every run, incl. partial ones) — MAIN runs
+    # only: a low-core scaling run must not clobber the full-core anchor
+    if is_main_run:
+        try:
+            (REPO / "BENCH_FULL.json.prev").write_text(
+                (REPO / "BENCH_FULL.json").read_text())
+        except Exception:  # noqa: BLE001
+            pass
 
 
 if __name__ == "__main__":

