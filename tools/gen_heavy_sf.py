@@ -14,14 +14,21 @@ Scale-up design (R replicas, default 10 — "sf1"):
   fact/dimension key domain, so FK joins land exactly as they do at
   sf0.1 and per-key group sizes stay constant: the workload grows
   linearly in rows, never quadratically in per-key density.
-- **documents.text goes through a per-replica vocabulary bijection**
-  (tokens permuted within the fixed 31-token vocab, seeded by replica;
-  stopword tokens are left FIXED so quality-gate selectivity — stopword
-  ratios, language ID — is preserved). A bijection on the token alphabet
+- **documents.text goes through a per-replica token-suffix renaming**
+  (content token ``t`` becomes ``t{r}`` in replica r; stopword tokens
+  are left FIXED so quality-gate selectivity — stopword ratios,
+  language ID — is preserved). A renaming of the token alphabet
   preserves shingle equality exactly, so each replica reproduces the
-  sf0.1 near-duplicate structure 1:1 (pair counts scale linearly), while
-  a cross-replica shingle collision needs the permuted k-gram to land on
-  an existing k-gram (~(1/31)^k — chance level). n_chars is recomputed.
+  sf0.1 near-duplicate structure 1:1 (pair counts scale linearly), and
+  replicas occupy DISJOINT content-token spaces, so per-shingle and
+  per-term document frequency stays CONSTANT as the corpus grows — the
+  open-vocabulary regime a real 100 TB corpus lives in. (A first design
+  — a vocabulary bijection within the closed 31-token space — was
+  rejected by measurement: all replicas then share one saturated
+  3-gram space, per-shingle df grows linearly with scale, and
+  grouped pair emission grows quadratically — ngram_jaccard_dedup ran
+  72 s at sf1 for a workload whose real-corpus analogue is linear.)
+  n_chars is recomputed.
 - **embeddings go through a per-replica isometry** (seeded dimension
   permutation + sign flips): intra-replica inner products and distances
   are bit-preserved, so cluster/NN structure replicates exactly, while
@@ -90,11 +97,10 @@ def _seed(tag: str, r: int) -> int:
 
 
 def _permute_text(texts: list[str], r: int, vocab: list[str]) -> list[str]:
-    """Apply the replica-r vocabulary bijection to every text."""
-    movable = [t for t in vocab if t not in _FIXED_TOKENS]
-    rng = np.random.default_rng(_seed("vocab", r))
-    perm = list(rng.permutation(len(movable)))
-    mapping = {t: movable[perm[i]] for i, t in enumerate(movable)}
+    """Apply the replica-r content-token renaming to every text."""
+    mapping = {
+        t: f"{t}{r}" for t in vocab if t not in _FIXED_TOKENS
+    }
     out = []
     for s in texts:
         out.append(" ".join(mapping.get(t, t) for t in s.split()))
