@@ -344,6 +344,138 @@ def ann_ivf(
     return _rerank_topk(cand, queries, corpus, query_id, corpus_id, emb_col, k)
 
 
+def _semantic_members_df(
+    df: DataFrame, id_col: str, emb_col: str, cents
+) -> DataFrame:
+    """(item_id, cluster, __en) in ONE Python pass: nearest-centroid
+    assignment (bit-identical arithmetic to ``_assign_df`` with
+    n_probe=1 — np.linalg.norm normalization, argmax over X @ cents.T)
+    plus the cosine-ready unit vector ``__en`` computed with the SAME
+    IEEE semantics as the JVM expression it replaces
+    (``transform(e, x -> x / sqrt(aggregate(transform(e, y -> y*y), 0D,
+    (a, x) -> a + x)))``): the squared norm is accumulated column by
+    column in index order — a strict left-to-right double fold, exactly
+    the Catalyst evaluation order — then divided per element. Fusing the
+    two saves the (item_id)-keyed join ``semantic_dedup`` used to pay to
+    re-unite assignment with normalized embeddings."""
+    out_schema = T.StructType([
+        T.StructField("item_id", T.LongType()),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("__en", T.ArrayType(T.DoubleType())),
+    ])
+    src = df.select(
+        F.col(id_col).cast("long").alias("item_id"),
+        F.col(emb_col).cast("array<double>").alias("__e"),
+    )
+    b_cents = _track_broadcast(df.sparkSession.sparkContext.broadcast(cents))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cts = b_cents.value  # (C, dim), unit-norm
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = [np.asarray(v, dtype=np.float64) for v in pdf["__e"]]
+            dims = {len(v) for v in rows}
+            if len(dims) == 1 and next(iter(dims)) == cts.shape[1]:
+                X = np.stack(rows)
+                # cluster: _assign_df's exact arithmetic (pairwise-sum
+                # norm is FINE here — only the argmax consumes it, and
+                # the oracle replays this exact np path)
+                nrm = np.linalg.norm(X, axis=1)
+                nrm[nrm == 0] = 1.0
+                cl = ((X / nrm[:, None]) @ cts.T).argmax(axis=1)
+                # __en: strict left-to-right column fold for the squared
+                # norm — the JVM aggregate()'s evaluation order, so every
+                # downstream cosine threshold compare is bit-identical
+                sq = np.zeros(len(X))
+                for d in range(X.shape[1]):
+                    sq += X[:, d] * X[:, d]
+                en = X / np.sqrt(sq)[:, None]
+                yield pd.DataFrame({
+                    "item_id": pdf["item_id"].to_numpy(np.int64),
+                    "cluster": cl.astype(np.int32),
+                    "__en": list(en),
+                })
+            else:
+                # ragged / off-dim corpora crashed the previous
+                # np.stack/matmul assignment path too — keep that
+                # contract loud rather than silently mis-assigning
+                raise ValueError(
+                    f"semantic_dedup: embedding dims {sorted(dims)} do "
+                    f"not all match the centroid dim {cts.shape[1]}"
+                )
+
+    return src.mapInPandas(compute, schema=out_schema)
+
+
+def _semantic_kept_fn(threshold: float):
+    """Per-cluster SemDeDup keep/drop flags over ``(item_id, cluster,
+    __en)`` groups — the vectorized replacement for the old intra-cluster
+    self-join whose per-pair JVM ``aggregate(zip_with(...))`` fold
+    evaluated interpreted (~36 µs/pair: 12.5M pairs = 28 s at the heavy
+    tier's 20k-vector corpus, on at most C tasks).
+
+    Bit-exactness contract: a pair's cosine here is the SAME IEEE value
+    as the old fold. The Gram accumulation runs column by column in
+    index order — ``G += X[:, d:d+1] * X[:, d][None, :]`` is, for every
+    (i, j) cell, the strict left-to-right sequence
+    ``acc = acc + (ea[d] * eb[d])`` starting from +0.0, exactly the
+    Catalyst ``aggregate(zip_with(ea, eb, (x,y) -> x*y), 0D, +)``
+    evaluation (numpy float64 multiply/add are the same IEEE-754 ops).
+    Pairs whose arrays differ in length produced a NULL cosine in the
+    old zip_with (null-padded) and were never dups — reproduced by
+    pairing only within same-length subgroups. NaN rows (zero-norm
+    normalization) never satisfy ``>= threshold`` on either path.
+
+    Memory: row-blocked (512 rows x group) so the partial Gram stays
+    small even at ``target_cluster_size`` groups — a 4096-member cluster
+    peaks at 512 x 4096 doubles = 16 MB per task."""
+
+    def kept_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        order = np.argsort(pdf["item_id"].to_numpy(np.int64), kind="stable")
+        ids = pdf["item_id"].to_numpy(np.int64)[order]
+        rows = [np.asarray(v, dtype=np.float64)
+                for v in pdf["__en"].to_numpy()[order]]
+        dup = np.zeros(n, dtype=bool)
+        by_len: dict[int, list[int]] = {}
+        for i, v in enumerate(rows):
+            by_len.setdefault(len(v), []).append(i)
+        for idxs in by_len.values():
+            m = len(idxs)
+            if m < 2:
+                continue
+            X = np.stack([rows[i] for i in idxs])
+            pos = np.arange(m)
+            blk = 512
+            sub_dup = np.zeros(m, dtype=bool)
+            for r0 in range(0, m, blk):
+                r1 = min(r0 + blk, m)
+                G = np.zeros((r1 - r0, m))
+                for d in range(X.shape[1]):
+                    G += X[r0:r1, d:d + 1] * X[:, d][None, :]
+                # ids ascend within the group; a column j is a dup iff
+                # some row i with a strictly smaller id (i < j in sorted
+                # order) reaches the threshold
+                with np.errstate(invalid="ignore"):
+                    hit = (G >= threshold) & (pos[r0:r1, None] < pos[None, :])
+                sub_dup |= hit.any(axis=0)
+            for k, i in enumerate(idxs):
+                if sub_dup[k]:
+                    dup[i] = True
+        return pd.DataFrame({
+            "item_id": ids,
+            "cluster": pdf["cluster"].to_numpy(np.int32)[order],
+            "kept": ~dup,
+        })
+
+    return kept_fn
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str,
@@ -413,41 +545,15 @@ def semantic_dedup(
         corpus, emb_col, n_centroids, train_sample, train_iters, seed,
         init=init, id_col=id_col,
     )
-    assign = _assign_df(corpus, id_col, emb_col, cents, n_probe=1)
-    e = F.col(emb_col).cast("array<double>")
-    sq = F.aggregate(
-        F.transform(e, lambda y: y * y), F.lit(0.0), lambda a, x: a + x
+    members = _semantic_members_df(corpus, id_col, emb_col, cents)
+    kept = members.groupBy("cluster").applyInPandas(
+        _semantic_kept_fn(threshold),
+        schema="item_id long, cluster int, kept boolean",
     )
-    en = corpus.select(
-        F.col(id_col).cast("long").alias("item_id"),
-        F.transform(e, lambda x: x / F.sqrt(sq)).alias("__en"),
-    )
-    m = assign.join(en, "item_id")
-    a = m.select(
-        F.col("item_id").alias("id_a"), F.col("cluster").alias("cl"),
-        F.col("__en").alias("ea"),
-    )
-    b = m.select(
-        F.col("item_id").alias("id_b"), F.col("cluster").alias("clb"),
-        F.col("__en").alias("eb"),
-    )
-    cos = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    dup = (
-        a.join(b, (F.col("cl") == F.col("clb")) & (F.col("id_a") < F.col("id_b")))
-        .filter(cos >= F.lit(threshold))
-        .select(F.col("id_b").alias("item_id"))
-        .distinct()
-    )
-    return (
-        assign.join(dup.withColumn("__dup", F.lit(True)), "item_id", "left")
-        .select(
-            F.col("item_id").alias(id_col),
-            F.col("cluster").cast("long").alias("cluster"),
-            (~F.coalesce(F.col("__dup"), F.lit(False))).alias("kept"),
-        )
+    return kept.select(
+        F.col("item_id").alias(id_col),
+        F.col("cluster").cast("long").alias("cluster"),
+        "kept",
     )
 
 
