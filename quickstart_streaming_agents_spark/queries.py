@@ -7302,6 +7302,8 @@ def build_training_pipeline(
     )
     from quickstart_streaming_agents_spark.operators.sampling import hash_unit
 
+    from quickstart_streaming_agents_spark.sources.parquet import spread_scan
+
     def observe(key: str, df: DataFrame) -> DataFrame:
         if observations is None:
             return df
@@ -7309,6 +7311,16 @@ def build_training_pipeline(
         observations[key] = obs
         return df.observe(obs, F.count(F.lit(1)).alias("n"))
 
+    # Input-parallelism spread (guide section 2.5 input skew; no-op at
+    # production split counts): the fixture documents file is a single
+    # small parquet, i.e. ONE scan split, so the regex-heavy scoring
+    # projection otherwise runs on one core. r14 measured this a wash at
+    # sf0.1 on that sandbox (flagship 6.17->5.85, packed 6.34->7.20,
+    # rejected); re-measured r15 on the current sandbox AND at the sf1
+    # heavy tier it wins everywhere (flagship sf0.1 5.40->4.55, sf1
+    # 12.2->9.5; packed sf0.1 7.05->6.73, sf1 15.2->12.9) — adopted, with
+    # the capstone plan pins carrying an explicit round-robin budget.
+    docs = spread_scan(docs)
     scored = observe("a_input", docs.select(
         "doc_id", "text",
         tx.lang_id("text").alias("lang_pred"),
@@ -14575,5 +14587,72 @@ _R14_CHECK_FIRST = [
     "ann_ivfpq_topk",
 ]
 
-QUERIES = _rotate(QUERIES, _R14_CHECK_FIRST)
-ORACLE = _rotate(ORACLE, _R14_CHECK_FIRST)
+# r15 window (THIS round, executed below as _R15_CHECK_FIRST, exactly as
+# the r14 queue documented): (a) the 6 r10 rows deferred by the r14
+# rotation (the change-isolated pure-JVM event-window set), then (b) 44
+# of the 50 r11-vintage rows in registry order — biased to include every
+# r11-vintage row whose plan this round touched (the dedup/prefix/
+# containment tier and the Python-boundary families). The 6 r11 rows
+# deferred to r16 are the change-isolated pure-JVM agg/window/sampling
+# set (stratified_sample, value_percentiles, gap_fill_locf,
+# props_json_agg, events_rollup, dataset_split — no r15-touched operator
+# in any of their plans); they lead the r16 refresh queue, followed by
+# the r12-vintage rows oldest-first.
+_R15_CHECK_FIRST = [
+    # (a) the 6 r10 rows deferred by the r14 rotation
+    "tumble_5m_agg",
+    "session_window_agg",
+    "sliding_window_agg",
+    "surge_enriched",
+    "scd2_merge",
+    "investigation_queue",
+    # (b) 44 of the 50 r11-vintage rows, registry order (the 6 deferred
+    # to r16 are named in the comment above)
+    "dedup_savings_report",
+    "bpe_pair_freqs",
+    "bpe_encode",
+    "text_analysis",
+    "domain_mix",
+    "token_budget_mix",
+    "doc_chunks",
+    "html_text_extract",
+    "token_diversity",
+    "markdown_strip",
+    "code_detect",
+    "minhash_calibration",
+    "leakage_safe_split",
+    "lang_label_audit",
+    "phrase_search",
+    "oov_rate",
+    "mojibake_repair",
+    "pii_iban_audit",
+    "pii_pseudonymize",
+    "vocab_top_terms",
+    "unigram_logprob_score",
+    "codec_sniff_ingest",
+    "quality_classifier_score",
+    "quality_classifier_stage_checksums",
+    "quality_classifier_digest",
+    "quality_classifier_digest_only",
+    "adpcm_energy_sig",
+    "kmins_token_sketch",
+    "kmins_distinct_estimate",
+    "corpus_overlap_minhash",
+    "mp3_id3_meta",
+    "webdataset_decode",
+    "zip_member_index",
+    "tar_member_index",
+    "webdataset_samples",
+    "g711_energy_sig",
+    "exif_display_dims",
+    "html_link_extract",
+    "robots_gate",
+    "anchor_text_index",
+    "crawl_frontier_pipeline",
+    "weighted_sample_topk",
+    "prefix_filter_dedup",
+    "containment_dedup",
+]
+
+QUERIES = _rotate(QUERIES, _R15_CHECK_FIRST)
+ORACLE = _rotate(ORACLE, _R15_CHECK_FIRST)

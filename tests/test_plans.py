@@ -187,12 +187,24 @@ def test_substring_ops_stay_jvm(spark):
 
 def test_capstone_exchange_counts_pinned(spark):
     # The two most expensive registered queries must keep the PLANS.md
-    # exchange budgets (4 and 5): curate/score is map-only, each dedup/
-    # decontaminate/cluster/split stage adds exactly one shuffle, and
-    # packing adds only the per-bucket cumsum. A regression here is the
-    # difference between "fast at 100 TB" and "reshuffles the corpus".
-    assert count_exchanges(_q(spark, "training_data_pipeline")) == 4
-    assert count_exchanges(_q(spark, "packed_training_shards")) == 5
+    # KEYED exchange budgets (4 and 5): curate/score is map-only, each
+    # dedup/decontaminate/cluster/split stage adds exactly one shuffle,
+    # and packing adds only the per-bucket cumsum. A regression here is
+    # the difference between "fast at 100 TB" and "reshuffles the
+    # corpus". r15: the docs input is additionally spread (round-robin,
+    # guarded no-op at production split counts) so the regex-heavy
+    # scoring projection parallelizes on single-split fixture scans —
+    # budgeted explicitly so a creeping keyed corpus reshuffle still
+    # fails loudly.
+    tdp = _q(spark, "training_data_pipeline")
+    pts = _q(spark, "packed_training_shards")
+    assert count_keyed_exchanges(tdp) == 4
+    assert count_keyed_exchanges(pts) == 5
+    # docs feeds two subtrees (scoring + the benchmark branch), so the
+    # initial plan prints the one spread exchange twice; AQE stage reuse
+    # dedups it at runtime (same canonical subtree)
+    assert count_roundrobin_exchanges(tdp) <= 2
+    assert count_roundrobin_exchanges(pts) <= 2
 
 
 def test_dedup_winners_partial_aggregate(spark):
